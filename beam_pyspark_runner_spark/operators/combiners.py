@@ -1,0 +1,101 @@
+"""CombineFn-style keyed aggregation, lowered Spark-first.
+
+The reference evaluates arbitrary Beam CombineFns with
+``aggregateByKey(create_accumulator, add_input, merge_accumulators)``
+(``/root/reference/beam_pyspark_runner/transform_evaluators.py:89-100``),
+which forces every aggregation through Python. Here the *recognized*
+combiners (sum/min/max/count/mean/collect) lower to builtin Catalyst
+aggregates — partial+final HashAggregate, whole-stage codegen, zero
+Python — and only genuinely custom merge logic pays the Arrow path via
+``applyInPandas``.
+
+Contract (SURVEY.md §7 hard-part 4): ``merge`` must be commutative and
+associative — partition merge order is nondeterministic by design.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CombineFn:
+    """Beam-CombineFn-shaped spec for custom aggregation.
+
+    create()        -> accumulator
+    add(acc, v)     -> accumulator
+    merge(a, b)     -> accumulator   (commutative + associative)
+    extract(acc)    -> output value
+    """
+
+    create: Callable[[], Any]
+    add: Callable[[Any, Any], Any]
+    merge: Callable[[Any, Any], Any]
+    extract: Callable[[Any], Any] = staticmethod(lambda acc: acc)
+    output_type: str = "double"
+
+
+# Recognized named combiners → builtin Catalyst aggregates (the fast path).
+BUILTIN_COMBINERS: dict[str, Callable[[str], Column]] = {
+    "sum": lambda c: F.sum(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "count": lambda c: F.count(c),
+    "mean": lambda c: F.avg(c),
+    "collect": lambda c: F.collect_list(c),
+    "collect_set": lambda c: F.collect_set(c),
+}
+
+
+def combine_per_key(
+    df: DataFrame,
+    key: str,
+    value: str,
+    fn: str | CombineFn,
+    out: str = "result",
+) -> DataFrame:
+    """Keyed combine. ``fn`` is a builtin name (fast path) or a CombineFn
+    (Arrow path: per-key pandas fold — add_input over rows, single
+    partition-group extract)."""
+    if isinstance(fn, str):
+        try:
+            agg = BUILTIN_COMBINERS[fn]
+        except KeyError:
+            raise ValueError(
+                f"unknown builtin combiner {fn!r}; use one of "
+                f"{sorted(BUILTIN_COMBINERS)} or pass a CombineFn"
+            ) from None
+        return df.groupBy(key).agg(agg(value).alias(out))
+
+    combine = fn
+
+    def apply(pdf):
+        import pandas as pd
+
+        acc = combine.create()
+        for v in pdf[value]:
+            acc = combine.add(acc, v)
+        return pd.DataFrame({key: [pdf[key].iloc[0]], out: [combine.extract(acc)]})
+
+    key_type = dict(df.dtypes)[key]
+    return (
+        df.select(key, value)
+        .groupBy(key)
+        .applyInPandas(apply, schema=f"{key} {key_type}, {out} {combine.output_type}")
+    )
+
+
+def combine_globally(df: DataFrame, value: str, fn: str | CombineFn, out: str = "result") -> DataFrame:
+    """Global combine — the reference's CombineGlobally expansion
+    (KeyWithVoid + CombinePerKey + unkey, SURVEY.md §2.3) collapses to a
+    single df.agg for builtins."""
+    if isinstance(fn, str):
+        agg = BUILTIN_COMBINERS[fn]
+        return df.agg(agg(value).alias(out))
+    keyed = df.select(F.lit(0).alias("__k"), F.col(value))
+    return combine_per_key(keyed, "__k", value, fn, out).drop("__k")

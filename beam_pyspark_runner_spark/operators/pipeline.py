@@ -1,0 +1,342 @@
+"""Fluent pipeline API: the reference's dataflow surface over DataFrames.
+
+Capability parity with the reference's six evaluated primitives plus its
+composite closure (SURVEY.md §2.1–2.3), re-expressed Spark-first:
+
+| reference (file:line)                               | here            |
+|-----------------------------------------------------|-----------------|
+| Create (transform_evaluators.py:15-20)              | Pipeline.create |
+| ReadFromText (transform_evaluators.py:22-26)        | Pipeline.read_text |
+| ParDo/Map/FlatMap/Filter (transform_evaluators.py:28-79) | map / flat_map / filter / par_do |
+| Flatten (transform_evaluators.py:81-82)             | PCol.flatten    |
+| GroupByKey (transform_evaluators.py:84-87)          | PCol.group_by_key |
+| CombinePerKey (transform_evaluators.py:89-100)      | PCol.combine_per_key |
+| side-input views (transform_evaluators.py:34-48)    | as_singleton/as_list/as_dict |
+| multi-output ParDo — reference bug §2.5#4           | PCol.partition (works) |
+
+Elements are rows: a PCollection of scalars is a one-column DataFrame
+(column ``value``), KV pairs are ``(key, value)`` columns. Expression
+ops (Column lambdas) stay in whole-stage codegen; Python callables take
+the Arrow ``mapInPandas`` path with an explicit output schema — never
+row-at-a-time pickling.
+
+Divergences from reference semantics (deliberate, SURVEY.md §2.5):
+ - a Python flat_map yielding None emits nothing (bug #1: reference
+   emits a literal None);
+ - unsupported ops raise at plan time (bug #2/#5: silent NoOp);
+ - multi-output works (bug #4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Iterator
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beam_pyspark_runner_spark.operators.combiners import (
+    CombineFn,
+    combine_globally,
+    combine_per_key,
+)
+from beam_pyspark_runner_spark.plans.dag import Node, PlanContext
+
+
+class Pipeline:
+    """Builds a DAG of logical Nodes; lowering is memoized with fan-out
+    persist (plans/dag.py). Pipelines are cheap objects — one per query."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+        self.ctx = PlanContext()
+
+    # --- sources --------------------------------------------------------
+    def create(self, data: Iterable[Any], schema: str | None = None) -> "PCol":
+        """In-memory source. Scalars become a ``value`` column; tuples
+        become ``(key, value)`` when 2-wide unless a schema names them.
+        Partitioning is left to AQE (supersedes the reference's
+        sqrt-heuristic, transform_evaluators.py:18)."""
+        data = list(data)
+        if schema is None:
+            if data and isinstance(data[0], tuple):
+                schema = None  # let Spark infer struct fields _1.._n
+                df = self.spark.createDataFrame(data)
+                df = df.toDF(*(["key", "value"] if len(df.columns) == 2 else df.columns))
+            else:
+                df = self.spark.createDataFrame([(x,) for x in data], ["value"])
+        else:
+            rows = [x if isinstance(x, tuple) else (x,) for x in data]
+            df = self.spark.createDataFrame(rows, schema)
+        node = Node(build=lambda _ins, _df=df: _df, label="Create")
+        return PCol(self, node)
+
+    def read_text(self, path: str) -> "PCol":
+        """Line source (reference: ReadFromText) — one ``value`` row per line."""
+        node = Node(
+            build=lambda _ins: self.spark.read.text(path), label=f"ReadText({path})"
+        )
+        return PCol(self, node)
+
+    def read_parquet(self, path: str) -> "PCol":
+        node = Node(
+            build=lambda _ins: self.spark.read.parquet(path),
+            label=f"ReadParquet({path})",
+        )
+        return PCol(self, node)
+
+    def from_df(self, df: DataFrame, label: str = "FromDF") -> "PCol":
+        return PCol(self, Node(build=lambda _ins, _df=df: _df, label=label))
+
+
+class PCol:
+    """Handle to a logical dataset node inside a Pipeline DAG."""
+
+    def __init__(self, pipeline: Pipeline, node: Node) -> None:
+        self.pipeline = pipeline
+        self.node = node
+
+    # --- lowering -------------------------------------------------------
+    def to_df(self) -> DataFrame:
+        """Lower this node's lineage (memoized; fan-out nodes persisted)."""
+        return self.pipeline.ctx.lower(self.node)[0]
+
+    def collect(self) -> list:
+        return self.to_df().collect()
+
+    def _derive(self, label: str, build: Callable[[list[DataFrame]], DataFrame],
+                extra_inputs: list[Node] | None = None) -> "PCol":
+        node = Node(build=build, inputs=[self.node, *(extra_inputs or [])], label=label)
+        return PCol(self.pipeline, node)
+
+    # --- expression ops (codegen path) ----------------------------------
+    def select(self, *cols: Column | str) -> "PCol":
+        return self._derive("Select", lambda ins: ins[0].select(*cols))
+
+    def map(self, expr: Column, out: str = "value") -> "PCol":
+        """Map via a Column expression — stays in whole-stage codegen."""
+        return self._derive("Map", lambda ins: ins[0].select(expr.alias(out)))
+
+    def map_kv(self, key_expr: Column, value_expr: Column) -> "PCol":
+        return self._derive(
+            "MapKV",
+            lambda ins: ins[0].select(key_expr.alias("key"), value_expr.alias("value")),
+        )
+
+    def filter(self, cond: Column) -> "PCol":
+        return self._derive("Filter", lambda ins: ins[0].filter(cond))
+
+    def flat_map(self, array_expr: Column, out: str = "value") -> "PCol":
+        """FlatMap via an array expression + explode (codegen path)."""
+        return self._derive(
+            "FlatMap", lambda ins: ins[0].select(F.explode(array_expr).alias(out))
+        )
+
+    # --- Python ops (Arrow path) ----------------------------------------
+    def par_do(
+        self,
+        fn: Callable[[Iterator], Iterator],
+        schema: str,
+        setup: Callable[[], Any] | None = None,
+        teardown: Callable[[Any], None] | None = None,
+    ) -> "PCol":
+        """ParDo with DoFn lifecycle over Arrow batches.
+
+        ``fn(batches)`` receives an iterator of pandas DataFrames and
+        yields output DataFrames matching ``schema``. ``setup`` runs once
+        per task before the first batch, ``teardown`` after the last —
+        the reference's setup/start_bundle/finish_bundle/teardown
+        lifecycle (transform_evaluators.py:57-75) collapsed onto Spark's
+        task boundaries (a task processes one partition = one bundle).
+        """
+
+        def kernel(batches):
+            state = setup() if setup else None
+            try:
+                yield from fn(batches)
+            finally:
+                if teardown:
+                    teardown(state)
+
+        return self._derive(
+            "ParDo", lambda ins: ins[0].mapInPandas(kernel, schema)
+        )
+
+    def map_rows(self, fn: Callable[[Any], Any], schema: str) -> "PCol":
+        """Per-element Python map (reference Map with a callable). Runs
+        batched over Arrow; prefer expression ``map`` whenever possible."""
+
+        def kernel(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                out = [fn(row) for row in pdf.itertuples(index=False, name=None)]
+                out = [x if isinstance(x, tuple) else (x,) for x in out]
+                yield pd.DataFrame(out)
+
+        return self._derive("MapRows", lambda ins: ins[0].mapInPandas(kernel, schema))
+
+    def flat_map_rows(self, fn: Callable[[Any], Iterable[Any]], schema: str) -> "PCol":
+        """Per-element Python flatMap; yielding None emits nothing
+        (fixes reference bug SURVEY.md §2.5#1)."""
+
+        def kernel(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                out = []
+                for row in pdf.itertuples(index=False, name=None):
+                    for x in fn(row):
+                        if x is None:
+                            continue
+                        out.append(x if isinstance(x, tuple) else (x,))
+                yield pd.DataFrame(out, columns=None)
+
+        return self._derive(
+            "FlatMapRows", lambda ins: ins[0].mapInPandas(kernel, schema)
+        )
+
+    # --- grouping / combining ------------------------------------------
+    def group_by_key(self, key: str = "key", value: str = "value") -> "PCol":
+        """(K, V) → (K, list[V]). Values arrive unordered (multiset
+        semantics, like the reference transform_evaluators.py:84-87)."""
+        return self._derive(
+            "GroupByKey",
+            lambda ins: ins[0]
+            .groupBy(key)
+            .agg(F.collect_list(value).alias("values")),
+        )
+
+    def combine_per_key(
+        self, fn: str | CombineFn, key: str = "key", value: str = "value",
+        out: str = "value",
+    ) -> "PCol":
+        return self._derive(
+            "CombinePerKey", lambda ins: combine_per_key(ins[0], key, value, fn, out)
+        )
+
+    def combine_globally(
+        self, fn: str | CombineFn, value: str = "value", out: str = "value"
+    ) -> "PCol":
+        return self._derive(
+            "CombineGlobally", lambda ins: combine_globally(ins[0], value, fn, out)
+        )
+
+    def count_per_element(self, value: str = "value") -> "PCol":
+        return self._derive(
+            "CountPerElement",
+            lambda ins: ins[0].groupBy(F.col(value).alias("key")).agg(
+                F.count("*").alias("value")
+            ),
+        )
+
+    def distinct(self) -> "PCol":
+        return self._derive("Distinct", lambda ins: ins[0].distinct())
+
+    def top(self, n: int, by: str = "value", ascending: bool = False) -> "PCol":
+        order = F.col(by).asc() if ascending else F.col(by).desc()
+        return self._derive(
+            "Top", lambda ins: ins[0].orderBy(order).limit(n)
+        )
+
+    # --- multi-input ----------------------------------------------------
+    def flatten(self, *others: "PCol") -> "PCol":
+        """Bag union (UNION ALL), reference eval_Flatten."""
+        def build(ins: list[DataFrame]) -> DataFrame:
+            out = ins[0]
+            for df in ins[1:]:
+                out = out.unionByName(df, allowMissingColumns=True)
+            return out
+
+        return self._derive("Flatten", build, extra_inputs=[o.node for o in others])
+
+    def join(self, other: "PCol", on, how: str = "inner") -> "PCol":
+        return self._derive(
+            "Join",
+            lambda ins: ins[0].join(ins[1], on, how),
+            extra_inputs=[other.node],
+        )
+
+    def co_group_by_key(self, other: "PCol", key: str = "key") -> "PCol":
+        """CoGroupByKey: per-side grouped lists full-outer joined on key
+        (the Beam expansion shuffles raw tagged rows instead —
+        SURVEY.md §2.3)."""
+
+        def build(ins: list[DataFrame]) -> DataFrame:
+            left = ins[0].groupBy(key).agg(F.collect_list("value").alias("left_values"))
+            right = ins[1].groupBy(key).agg(F.collect_list("value").alias("right_values"))
+            return (
+                left.join(right, key, "full_outer")
+                .select(
+                    key,
+                    F.coalesce("left_values", F.array()).alias("left_values"),
+                    F.coalesce("right_values", F.array()).alias("right_values"),
+                )
+            )
+
+        return self._derive("CoGroupByKey", build, extra_inputs=[other.node])
+
+    # --- multi-output (fixes reference bug §2.5#4) ----------------------
+    def partition(self, *conds: Column) -> list["PCol"]:
+        """Split into N+1 outputs: one per predicate (first match wins) plus
+        a remainder. The shared input is a fan-out node, so the lowering
+        persists it once rather than rescanning per output."""
+        outs: list[PCol] = []
+        taken: Column | None = None
+        for cond in conds:
+            eff = cond if taken is None else cond & ~taken
+            outs.append(self._derive("PartitionBranch", lambda ins, c=eff: ins[0].filter(c)))
+            taken = cond if taken is None else taken | cond
+        outs.append(
+            self._derive(
+                "PartitionRest",
+                lambda ins, c=taken: ins[0] if c is None else ins[0].filter(~c),
+            )
+        )
+        return outs
+
+    # --- side-input views (reference transform_evaluators.py:34-48) -----
+    def as_singleton(self):
+        """First element of a 1-element dataset (driver scalar)."""
+        rows = self.to_df().take(2)
+        if len(rows) != 1:
+            raise ValueError(f"as_singleton on non-singleton PCollection ({len(rows)}+ rows)")
+        return rows[0][0]
+
+    def as_list(self) -> list:
+        """Collected single-column list for closure capture / broadcast.
+        Side inputs are small by contract — same collect-then-broadcast
+        shape as the reference (pyspark_runner.py:86-90)."""
+        return [r[0] for r in self.to_df().collect()]
+
+    def as_dict(self) -> dict:
+        """Collected 2-column KV dict."""
+        return {r[0]: r[1] for r in self.to_df().collect()}
+
+    def broadcast_join(self, other: "PCol", on, how: str = "inner") -> "PCol":
+        """The scalable side-input form: broadcast hash join instead of a
+        driver round-trip — preferred at 100 TB over as_dict closures."""
+        return self._derive(
+            "BroadcastJoin",
+            lambda ins: ins[0].join(F.broadcast(ins[1]), on, how),
+            extra_inputs=[other.node],
+        )
+
+    # --- sinks ----------------------------------------------------------
+    def write_text(self, path: str, mode: str = "overwrite") -> None:
+        df = self.to_df()
+        cols = df.columns
+        if len(cols) != 1:
+            df = df.select(
+                F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias("value")
+            )
+        else:
+            df = df.select(F.col(cols[0]).cast("string").alias("value"))
+        df.write.mode(mode).text(path)
+
+    def write_parquet(self, path: str, mode: str = "overwrite",
+                      partition_by: list[str] | None = None) -> None:
+        w = self.to_df().write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)

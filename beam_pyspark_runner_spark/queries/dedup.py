@@ -1,0 +1,326 @@
+"""Deduplication operators over the ``documents`` table.
+
+North-star LLM-data surface (SURVEY.md §2.4 / §7 M6): exact dedup,
+n-gram Jaccard near-dup, MinHash-LSH candidate generation, and
+SimHash banding. Every variant is expressed with DataFrame ops only —
+shingling via higher-order array functions, hashing via the md5-prefix
+primitive (functions/hashing.py) that DuckDB reproduces bit-for-bit, so
+each operator has a full value-hash oracle.
+
+Scale notes (100 TB): the LSH paths are the production paths — cost is
+O(docs × shingles) for signatures plus a groupBy on band keys whose
+fan-in is bounded by band-bucket size; no all-pairs stage exists except
+inside a bucket. The exact-Jaccard query is the small-scale oracle for
+tuning thresholds, quadratic only within shingle-sharing groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beam_pyspark_runner_spark.functions.hashing import (
+    MINHASH_P,
+    MINHASH_SEEDS,
+    h32,
+    h32_sql,
+)
+from beam_pyspark_runner_spark.queries.registry import register
+from beam_pyspark_runner_spark.sources.readers import load_table
+
+SHINGLE_K = 3  # word n-gram width
+JACCARD_THRESHOLD = 0.5
+N_BANDS = 4
+ROWS_PER_BAND = 4  # N_BANDS * ROWS_PER_BAND == len(MINHASH_SEEDS)
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 8
+
+
+def _shingles(text: Column) -> Column:
+    """Distinct word ``SHINGLE_K``-grams of a space-tokenized text column."""
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - SHINGLE_K),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(SHINGLE_K)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) exploded rows; docs shorter than K words dropped."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.size(F.split(F.col("text"), " ")) >= SHINGLE_K)
+        .select("doc_id", F.explode(_shingles(F.col("text"))).alias("s"))
+    )
+
+
+# DuckDB twin of _shingle_df, used as a CTE prefix by every oracle below.
+_SHINGLE_SQL = f"""
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= {SHINGLE_K}
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - {SHINGLE_K - 2}),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM toks
+    )
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    tags=("dedup", "exact_dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep lowest doc_id per group.
+    One shuffle on the 128-bit content hash; at 100 TB, hashing instead of
+    grouping by the full text keeps shuffle rows tiny."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+           MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    tags=("dedup", "exact_dedup", "normalize"),
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after canonicalization (case/whitespace-insensitive)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return d.groupBy(F.md5(norm).alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
+          >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "near_dedup", "ngram_jaccard"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (j >= threshold).
+
+    Self-join on shingle → intersection counts; |A∪B| = |A|+|B|−|A∩B|.
+    Quadratic only within docs sharing a shingle — the tuning oracle for
+    the MinHash path, not the 100 TB path itself.
+    """
+    sh = _shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, m0..m15): MinHash signature via min over permuted hashes.
+
+    Partial aggregation makes this one shuffle of (doc, 16×bigint) rows —
+    the shingle explosion never shuffles.
+    """
+    sh = _shingle_df(spark, sf_dir)
+    h = h32(F.col("s"))
+    mins = [
+        F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_SEEDS)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def _band_cols(prefix: str = "m") -> list[Column]:
+    out = []
+    for band in range(N_BANDS):
+        cols = [f"{prefix}{band * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND)]
+        out.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("bh"),
+            )
+        )
+    return out
+
+
+def _minhash_sig_sql() -> str:
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_SEEDS)
+    )
+    return f"""
+    hashes AS (SELECT doc_id, {h32_sql('s')} AS h FROM sh),
+    sig AS (SELECT doc_id, {mins} FROM hashes GROUP BY doc_id)
+    """
+
+
+def _bands_sql() -> str:
+    selects = []
+    for band in range(N_BANDS):
+        cols = ", ".join(f"m{band * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND))
+        selects.append(
+            f"SELECT doc_id, {band} AS band, md5(concat_ws(',', {cols})) AS bh FROM sig"
+        )
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "minhash_lsh_candidates",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    {_minhash_sig_sql()},
+    bands AS ({_bands_sql()})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """,
+    tags=("dedup", "near_dedup", "minhash", "lsh"),
+    bench=True,
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: candidate near-duplicate pairs.
+
+    shingle → 16 permutation min-hashes → 4 bands of 4 → docs sharing any
+    band hash are candidates. The 100 TB path: signatures are one partial
+    agg; the band join's fan-in is bucket-bounded (no all-pairs). With
+    j≈0.98 planted dups, P(candidate) = 1-(1-j^4)^4 ≈ 1.
+    """
+    sig = _minhash_signature(spark, sf_dir)
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*_band_cols())).alias("x")
+    ).select("doc_id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register(
+    "simhash_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    hashes AS (SELECT doc_id, {h32_sql('s')} AS h FROM sh),
+    sig AS (
+        SELECT doc_id,
+               {" + ".join(
+                   f"(CASE WHEN SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) >= 0"
+                   f" THEN (1::BIGINT << {j}) ELSE 0 END)"
+                   for j in range(SIMHASH_BITS)
+               )} AS simhash
+        FROM hashes GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, simhash, b, (simhash >> (8 * b)) & 255 AS bv
+        FROM sig, (SELECT unnest(range(4)) AS b)
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ) WHERE hamming <= {SIMHASH_MAX_HAMMING}
+    """,
+    tags=("dedup", "near_dedup", "simhash"),
+)
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit sign-of-weighted-sum fingerprint over
+    shingle hashes, candidates via 8-bit band equality (pigeonhole: any
+    pair with hamming <= 3 shares a band; we report up to hamming 8 from
+    the candidates found), verified by exact hamming distance.
+
+    One aggregation for signatures (32 conditional sums, all codegen),
+    one band join — same scale shape as MinHash-LSH.
+    """
+    sh = _shingle_df(spark, sf_dir)
+    hashed = sh.select("doc_id", h32(F.col("s")).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") >= 0, F.lit(1).cast("long") * (1 << j)).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = bit if simhash is None else simhash + bit
+    sig = sums.select("doc_id", simhash.alias("simhash"))
+    band_idx = F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b")
+    bands = sig.select("doc_id", "simhash", band_idx).select(
+        "doc_id",
+        "simhash",
+        "b",
+        F.expr("shiftright(simhash, b * 8) & 255").alias("bv"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)

@@ -1,0 +1,181 @@
+"""Event-table queries: JSON extraction, event-time windows, sessionization.
+
+The reference has zero streaming/windowing (SURVEY.md §2.4: WindowInto is
+a silent NoOp, timestamps are stripped). These queries implement the
+batch/event-time semantics; queries/streaming.py runs the same logic
+through Structured Streaming and must agree with these results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from beam_pyspark_runner_spark.functions.numeric import dsum, dsum_sql
+from beam_pyspark_runner_spark.queries.registry import register
+from beam_pyspark_runner_spark.sources.readers import load_table
+
+# 30-minute inactivity gap used by both session queries and the oracle.
+SESSION_GAP_MINUTES = 30
+
+
+@register(
+    "json_extraction",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events WHERE event_type IN ('purchase', 'signup')
+    """,
+    tags=("json", "scalar_fns"),
+)
+def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction stays JVM-side via get_json_object — the
+    reference would need a Python DoFn with json.loads per element."""
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(F.col("event_type").isin("purchase", "signup")).select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+    )
+
+
+@register(
+    "tumbling_window_agg",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("event_time", "tumbling_window"),
+    bench=True,
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window via F.window; window.start equals the
+    oracle's time_bucket for epoch-aligned 1h windows."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "sliding_window_agg",
+    oracle=f"""
+    WITH offsets(off) AS (VALUES (0), (30)),
+    starts AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts - to_minutes(off)) + to_minutes(off) AS window_start,
+               value
+        FROM events, offsets
+    )
+    SELECT window_start, COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+    FROM starts GROUP BY 1
+    """,
+    tags=("event_time", "sliding_window"),
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h size, 30m slide): each event lands in 2 windows.
+    The oracle replays Spark's window-assignment rule (one bucket per
+    slide offset)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "sessionization",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '{SESSION_GAP_MINUTES} minutes'
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           {dsum_sql('value')} AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    tags=("event_time", "session_window", "gaps_and_islands"),
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-minute gap): lag + cumulative-sum
+    gaps-and-islands. One shuffle on user_id; both window passes reuse
+    the same partitioning (single sort). The streaming twin is
+    F.session_window in queries/streaming.py."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = SESSION_GAP_MINUTES * 60
+    prev_ts = F.lag("ts").over(w)
+    new_session = (
+        prev_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > gap_sec)
+    ).cast("long")
+    return (
+        e.select("user_id", "ts", "event_id", "value", new_session.alias("new_session"))
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+                    W.unboundedPreceding, W.currentRow
+                )
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            dsum("value").alias("session_value"),
+        )
+    )
+
+
+@register(
+    "event_type_pivot",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+           {dsum_sql("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")} AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("pivot", "aggregate"),
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list → single-pass aggregate, no extra
+    shuffle and no distinct-values pre-scan (which an open pivot needs)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_view"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchase"),
+        dsum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("purchase_value"),
+    )

@@ -1,0 +1,299 @@
+"""Join queries: equi/semi/anti/outer/broadcast/range/as-of, CoGroupByKey.
+
+Reference parity: the reference's only join primitive is the
+``CoGroupByKey`` composite (tag-ParDo + Flatten + GroupByKey,
+SURVEY.md §2.3); everything else here is new surface. Join strategy
+notes are on each query — at 100 TB the dimension joins (region,
+nation, supplier, part at TPC-H ratios) must broadcast, and only
+fact-fact joins (orders⋈lineitem) may shuffle, ideally co-bucketed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from beam_pyspark_runner_spark.functions.numeric import dsum, dsum_sql
+from beam_pyspark_runner_spark.queries.registry import register
+from beam_pyspark_runner_spark.sources.readers import load_table
+
+
+@register(
+    "join_inner",
+    oracle=f"""
+    SELECT c.c_mktsegment, COUNT(*) AS n_orders, {dsum_sql('o.o_totalprice')} AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("join", "inner"),
+    bench=True,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer is 10× smaller than orders → broadcast hint removes the shuffle
+    on the fact side entirely (orders streams through a BroadcastHashJoin)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    tags=("join", "left_outer"),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    tags=("join", "semi", "subquery_exists"),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS ⇒ left_semi: no row duplication, right side never materialized
+    into the output; Catalyst builds the hash table on the filtered side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join", "anti", "subquery_not_exists"),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_multiway",
+    oracle=f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_customers, {dsum_sql('c.c_acctbal')} AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    tags=("join", "multiway", "broadcast"),
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema chain: both dims broadcast → zero shuffles before the agg."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_customers"), dsum("c_acctbal").alias("total_acctbal"))
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name AS nation, {dsum_sql('CAST(l.l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))')} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+    tags=("join", "multiway", "tpch"),
+    bench=True,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape. Fact-fact orders⋈lineitem shuffles on orderkey;
+    supplier/nation/region broadcast; region filter prunes before the join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dsum(
+                F.col("l_extendedprice").cast("decimal(10,2)")
+                * (
+                    F.lit(1).cast("decimal(3,2)")
+                    - F.col("l_discount").cast("decimal(3,2)")
+                )
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "cogroup_counts",
+    oracle="""
+    SELECT k.custkey,
+           COALESCE(c.n_c, 0) AS n_customer_rows,
+           COALESCE(o.n_o, 0) AS n_order_rows
+    FROM (SELECT c_custkey AS custkey FROM customer
+          UNION SELECT o_custkey FROM orders) k
+    LEFT JOIN (SELECT c_custkey, COUNT(*) AS n_c FROM customer GROUP BY 1) c
+           ON k.custkey = c.c_custkey
+    LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_o FROM orders GROUP BY 1) o
+           ON k.custkey = o.o_custkey
+    """,
+    tags=("cogroup", "join", "full_outer"),
+)
+def cogroup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CoGroupByKey re-expressed: per-side pre-aggregation then full outer
+    join on key. Pre-aggregating before the join shrinks shuffle volume —
+    the Beam expansion (tag+flatten+GBK) shuffles raw rows instead."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(F.count("*").alias("n_customer_rows"))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("n_order_rows"))
+    )
+    return (
+        c.join(o, "custkey", "full_outer")
+        .select(
+            "custkey",
+            F.coalesce("n_customer_rows", F.lit(0)).alias("n_customer_rows"),
+            F.coalesce("n_order_rows", F.lit(0)).alias("n_order_rows"),
+        )
+    )
+
+
+@register(
+    "range_join",
+    oracle=f"""
+    WITH bands(band_name, lo, hi) AS (
+        VALUES ('tiny', 0.0, 10.0), ('small', 10.0, 20.0),
+               ('medium', 20.0, 35.0), ('large', 35.0, 51.0)
+    )
+    SELECT b.band_name, COUNT(*) AS n_items, {dsum_sql('l.l_extendedprice')} AS revenue
+    FROM lineitem l JOIN bands b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.band_name
+    """,
+    tags=("join", "range"),
+)
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join against a tiny band table: broadcast nested loop.
+    With a broadcast side this costs one pass over the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("tiny", 0.0, 10.0), ("small", 10.0, 20.0), ("medium", 20.0, 35.0), ("large", 35.0, 51.0)],
+        "band_name string, lo double, hi double",
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_quantity >= bands.lo) & (li.l_quantity < bands.hi),
+        )
+        .groupBy("band_name")
+        .agg(F.count("*").alias("n_items"), dsum("l_extendedprice").alias("revenue"))
+    )
+
+
+@register(
+    "asof_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, e.event_id AS last_event_id, e.ts AS last_event_ts
+    FROM (SELECT o_orderkey, o_custkey,
+                 TIMESTAMP '2024-01-01' + to_seconds(o_orderkey % 2592000) AS o_ts
+          FROM orders) o
+    ASOF JOIN events e
+      ON o.o_custkey % 50 = e.user_id AND o.o_ts >= e.ts
+    """,
+    tags=("join", "asof"),
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: most recent event at or before each order's (synthetic)
+    timestamp, per user. Spark has no ASOF primitive; the scalable pattern
+    is union-the-sides + one window pass:
+
+      tag rows left/right, union, then `last(right_cols, ignorenulls)` over
+      (key ORDER BY ts, side_tag ROWS UNBOUNDED PRECEDING) carries the
+      latest right row forward onto each left row.
+
+    Right-side tag (0) sorts before left (1) at equal ts so ties mean "at
+    or before". One shuffle over |L|+|R| rows — survives 100 TB, unlike
+    join-then-max (|L|×|R| intermediate). Rows with no prior event are
+    dropped to match ASOF's inner semantics.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_custkey") % 50).alias("k"),
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit("2024-01-01").cast("timestamp"))
+            + (F.col("o_orderkey") % 2592000)
+        ).alias("ts"),
+        F.lit(1).alias("is_left"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("event_ts"),
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("long").alias("o_custkey"),
+        F.col("user_id").alias("k"),
+        "ts",
+        F.lit(0).alias("is_left"),
+        F.col("event_id"),
+        F.col("ts").alias("event_ts"),
+    )
+    w = (
+        W.partitionBy("k")
+        .orderBy(F.col("ts"), F.col("is_left"), F.col("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        o.unionByName(e)
+        .withColumn("last_event_id", F.last("event_id", ignorenulls=True).over(w))
+        .withColumn("last_event_ts", F.last("event_ts", ignorenulls=True).over(w))
+        .filter((F.col("is_left") == 1) & F.col("last_event_id").isNotNull())
+        .select("o_orderkey", "o_custkey", "last_event_id", "last_event_ts")
+    )

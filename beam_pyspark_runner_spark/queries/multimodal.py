@@ -1,0 +1,136 @@
+"""Multimodal (binary) column operators.
+
+North-star surface (SURVEY.md §2.4): treat image/audio/video as opaque
+``binary`` columns with typed metadata. The container has no image/audio
+codecs, so the *decode* kernel is a deterministic fake (documented
+below) — but the Spark-side plumbing is real and is what the operator
+contributes: Arrow-batched ``mapInPandas`` over a binary column with an
+explicit output schema, the exact shape a PIL/ffmpeg kernel would use.
+
+Scale notes (100 TB): mapInPandas streams Arrow batches through one
+Python worker per core — no per-row pickling, no driver involvement;
+binary payloads never expand in JVM memory (Tungsten keeps them
+off-heap). Batch size is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (session.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beam_pyspark_runner_spark.queries.registry import register
+from beam_pyspark_runner_spark.sources.readers import load_table
+
+try:  # real decoder path — not available in this container, by design
+    from PIL import Image  # noqa: F401
+
+    HAS_PIL = True
+except ImportError:
+    HAS_PIL = False
+
+
+def _payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text encoded to a BinaryType payload column — the stand-in
+    for an image/audio blob column a real corpus would carry."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+
+_STATS_SCHEMA = "doc_id bigint, payload_bytes bigint, sha256 string"
+
+
+def _payload_stats_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched kernel: length + checksum per binary payload."""
+    for pdf in batches:
+        payload = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload_bytes": payload.map(len).astype("int64"),
+                "sha256": payload.map(lambda b: hashlib.sha256(bytes(b)).hexdigest()),
+            }
+        )
+
+
+@register(
+    "binary_payload_stats",
+    # sha256(VARCHAR) hashes the UTF-8 bytes — identical to the kernel's
+    # sha256 over the encoded payload.
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+    tags=("multimodal", "binary", "map_in_pandas"),
+)
+def binary_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata extraction through the Python kernel path.
+    The oracle recomputes length/sha256 natively in DuckDB, verifying the
+    full Arrow round-trip byte-for-byte."""
+    return _payload_df(spark, sf_dir).mapInPandas(_payload_stats_kernel, _STATS_SCHEMA)
+
+
+_DECODE_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, n_channels bigint, mean_byte double"
+)
+
+
+def _fake_decode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic FAKE image decode.
+
+    A real kernel would do ``Image.open(io.BytesIO(b))`` and return true
+    dimensions + pixel stats; this container has no codecs, so dimensions
+    are derived arithmetically from payload length (width = 16 + len%64,
+    height = 16 + len%48, channels = 3) and ``mean_byte`` is the true
+    byte-mean of the payload — still a real reduction over the binary
+    data, computed in Python exactly as a pixel-mean would be.
+    """
+    if HAS_PIL:
+        raise NotImplementedError(
+            "real decode path intentionally unimplemented in this build; "
+            "swap _fake_decode_kernel for a PIL kernel with this same signature"
+        )
+    for pdf in batches:
+        payload = pdf["payload"]
+        n = payload.map(len).astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": 16 + n % 64,
+                "height": 16 + n % 48,
+                "n_channels": pd.Series([3] * len(pdf), index=pdf.index, dtype="int64"),
+                "mean_byte": payload.map(lambda b: sum(b) / len(b) if len(b) else 0.0),
+            }
+        )
+
+
+@register(
+    "image_decode_stub",
+    # The corpus text is pure ASCII (verified: octet_length(encode(text))
+    # == length(text) for every row), so the byte-mean equals the
+    # mean of per-char code points.
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id, octet_length(encode(text)) AS nb,
+               unnest(range(1, length(text) + 1)) AS i, text
+        FROM documents
+    )
+    SELECT doc_id,
+           16 + ANY_VALUE(nb) % 64 AS width,
+           16 + ANY_VALUE(nb) % 48 AS height,
+           CAST(3 AS BIGINT) AS n_channels,
+           CAST(SUM(ascii(substr(text, CAST(i AS INT), 1))) AS DOUBLE)
+               / CAST(ANY_VALUE(nb) AS DOUBLE) AS mean_byte
+    FROM ch GROUP BY doc_id
+    """,
+    tags=("multimodal", "binary", "decode_stub", "map_in_pandas"),
+)
+def image_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake image decode over binary payloads (see kernel docstring)."""
+    return _payload_df(spark, sf_dir).mapInPandas(_fake_decode_kernel, _DECODE_SCHEMA)

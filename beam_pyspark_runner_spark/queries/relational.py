@@ -1,0 +1,416 @@
+"""Core relational queries: scan/filter/project, aggregation, set ops, sorting.
+
+Reference parity notes (SURVEY.md §2): the reference's entire analytics
+surface is GroupByKey + CombinePerKey over RDD tuples
+(``transform_evaluators.py:84-100``) plus composites (Count/Mean/Top/
+Distinct/CombineGlobally). Each query here is the DataFrame-native
+equivalent, designed so Catalyst gets pushdown + partial aggregation,
+and every float aggregate is order-stable (see functions/numeric.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beam_pyspark_runner_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
+from beam_pyspark_runner_spark.queries.registry import register
+from beam_pyspark_runner_spark.sources.readers import load_table
+
+
+# --- TPC-H Q1 shape: the flagship groupBy-aggregate -------------------------
+@register(
+    "q1_pricing_summary",
+    # The disc_price/charge products are computed in exact decimal — a
+    # double product's cast to DECIMAL(38,10) rounds differently in the
+    # two engines (full-mantissa expansion), drifting the sums.
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {dsum_sql('CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))')} AS sum_disc_price,
+           {dsum_sql('CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))')} AS sum_charge,
+           {davg_sql('l_quantity')} AS avg_qty,
+           {davg_sql('l_extendedprice')} AS avg_price,
+           {davg_sql('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("aggregate", "combine_per_key"),
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial+final HashAggregate; the filter pushes to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # tight decimal precisions: every product stays exact (< precision 38)
+    # in BOTH engines — wider types push Spark into precision-loss rounding
+    # and DuckDB into double fallback, which then disagree
+    one = F.lit(1).cast("decimal(3,2)")
+    price_d = F.col("l_extendedprice").cast("decimal(10,2)")
+    disc_price = price_d * (one - F.col("l_discount").cast("decimal(3,2)"))
+    charge = disc_price * (one + F.col("l_tax").cast("decimal(3,2)"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- scan/filter/project (pushdown showcase) --------------------------------
+@register(
+    "filter_project",
+    oracle="""
+    SELECT l_orderkey, l_partkey,
+           CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS net_price
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_discount >= 0.05
+    """,
+    tags=("scan", "filter", "pardo_map"),
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both predicates reach the parquet scan as PushedFilters; 3-column ReadSchema."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") > 45) & (F.col("l_discount") >= 0.05))
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+    )
+
+
+# --- Distinct (reference: Distinct composite → dropDuplicates) ---------------
+@register(
+    "distinct_values",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    tags=("distinct",),
+)
+def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# --- Flatten (reference: eval_Flatten → UNION ALL) ---------------------------
+@register(
+    "union_all",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, 'high' AS bucket FROM orders WHERE o_totalprice > 400000
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'low' AS bucket FROM orders WHERE o_totalprice < 1000
+    """,
+    tags=("flatten", "union"),
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey", "o_totalprice", F.lit("high").alias("bucket")
+    )
+    lo = o.filter(F.col("o_totalprice") < 1000).select(
+        "o_orderkey", "o_totalprice", F.lit("low").alias("bucket")
+    )
+    return hi.unionByName(lo)
+
+
+# --- GroupByKey (reference: eval_GroupByKey → collect_list) -------------------
+@register(
+    "group_by_key_collect",
+    oracle="""
+    SELECT l_orderkey, list_sort(list(l_linenumber)) AS line_numbers
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    tags=("group_by_key",),
+)
+def group_by_key_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupByKey semantics: (key, Iterable[v]). Group value order is
+    nondeterministic in both engines (reference transform_evaluators.py:87),
+    so the query sorts the array to be comparison-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers")
+    )
+
+
+# --- CombineGlobally (reference: KeyWithVoid + CombinePerKey + unkey) ---------
+@register(
+    "agg_global",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           {dsum_sql('l_quantity')} AS total_qty,
+           {davg_sql('l_extendedprice')} AS avg_price,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem
+    """,
+    tags=("combine_globally", "aggregate"),
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        dsum("l_quantity").alias("total_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        F.min("l_extendedprice").cast("double").alias("min_price"),
+        F.max("l_extendedprice").cast("double").alias("max_price"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+# --- combiners.Count.PerElement / Mean ----------------------------------------
+@register(
+    "count_mean_per_key",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {davg_sql('o_totalprice')} AS avg_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("combine_per_key", "count", "mean"),
+)
+def count_mean_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        davg("o_totalprice").alias("avg_total"),
+    )
+
+
+# --- combiners.Top (global top-k) ---------------------------------------------
+@register(
+    "top_k_global",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+    tags=("top_k", "sort", "limit"),
+)
+def top_k_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition heap,
+    no full sort, no full shuffle. o_orderkey tiebreak keeps ties deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+# --- HAVING -------------------------------------------------------------------
+@register(
+    "having_filter",
+    oracle=f"""
+    SELECT l_suppkey, COUNT(*) AS n_items, {dsum_sql('l_quantity')} AS total_qty
+    FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) > 650
+    """,
+    tags=("aggregate", "having"),
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_items"), dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("n_items") > 650)
+    )
+
+
+# --- conditional aggregation ----------------------------------------------------
+@register(
+    "conditional_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           {dsum_sql("CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END")} AS discounted_rev,
+           {dsum_sql("CASE WHEN l_discount <= 0.05 THEN l_extendedprice ELSE 0.0 END")} AS full_rev,
+           COUNT(CASE WHEN l_quantity >= 25 THEN 1 END) AS n_bulk
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "case_when"),
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(0.0)
+    full = F.when(F.col("l_discount") <= 0.05, F.col("l_extendedprice")).otherwise(0.0)
+    return li.groupBy("l_returnflag").agg(
+        dsum(disc).alias("discounted_rev"),
+        dsum(full).alias("full_rev"),
+        F.count(F.when(F.col("l_quantity") >= 25, F.lit(1))).alias("n_bulk"),
+    )
+
+
+# --- rollup / cube / grouping sets ---------------------------------------------
+@register(
+    "rollup_agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("rollup",),
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "cube_agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {dsum_sql('l_extendedprice')} AS sum_price
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("cube",),
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_extendedprice").alias("sum_price")
+    )
+
+
+# --- intersect / except ---------------------------------------------------------
+@register(
+    "intersect_keys",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("set_op", "intersect"),
+)
+def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f.intersect(op)
+
+
+@register(
+    "except_keys",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("set_op", "except"),
+)
+def except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    # subtract = EXCEPT (set semantics): keys present in f and absent from op
+    return f.subtract(op)
+
+
+# --- scalar function library -----------------------------------------------------
+@register(
+    "scalar_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_upper,
+           SUBSTRING(p_name, 1, 8) AS name_prefix,
+           LENGTH(p_name) AS name_len,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           CAST(REGEXP_EXTRACT(p_brand, 'Brand#(\\d+)', 1) AS BIGINT) AS brand_num,
+           CAST(ROUND(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_rounded,
+           ABS(p_size - 25) AS size_dev,
+           CASE WHEN p_size >= 25 THEN 'large' ELSE 'small' END AS size_class
+    FROM part
+    """,
+    tags=("scalar_fns", "pardo_map"),
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference users write arbitrary Python in DoFns for this
+    (transform_evaluators.py:28-79); here it's all JVM codegen, zero Python."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("long").alias("brand_num"),
+        # round in exact decimal (both engines round-half-away there); a raw
+        # double round can disagree at float .x5 boundaries
+        F.round(F.col("p_retailprice").cast("decimal(18,2)"), 1)
+        .cast("double")
+        .alias("price_rounded"),
+        F.abs(F.col("p_size") - 25).cast("int").alias("size_dev"),
+        F.when(F.col("p_size") >= 25, "large").otherwise("small").alias("size_class"),
+    )
+
+
+# --- date/time functions ----------------------------------------------------------
+@register(
+    "date_functions",
+    oracle=f"""
+    SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+           CAST(MONTH(o_orderdate) AS BIGINT) AS order_month,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY 1, 2
+    """,
+    tags=("date_fns", "aggregate"),
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+        )
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+# --- exact percentiles --------------------------------------------------------------
+@register(
+    "percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median_qty,
+           CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("percentile", "aggregate"),
+)
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (Spark's `percentile`, not percentile_approx) so the
+    oracle matches bit-for-bit; both engines use linear interpolation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_extendedprice", 0.9).alias("p90_price"),
+    )
+
+
+# --- approximate aggregates (no exact oracle by construction: rows-only check) -----
+@register(
+    "approx_distinct",
+    oracle=None,  # approx algorithms (HLL++ vs DuckDB's) differ by design
+    tags=("approx", "aggregate"),
+)
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    )

@@ -1,0 +1,192 @@
+"""Similarity search over the ``embeddings`` table (array<float>, dim 64).
+
+North-star LLM-data surface (SURVEY.md §2.4 / §7 M6). All vector math is
+JVM-side via higher-order functions (functions/vectors.py) — left-fold
+accumulation in index order, which DuckDB's ``list_reduce`` reproduces
+bit-for-bit, so even float cosine scores hash-match the oracle.
+
+Scale notes (100 TB): brute-force top-k is the correctness baseline
+(cost |Q|×|C|, fine for |Q| small with a broadcast query set); the LSH
+bucket and IVF-centroid variants are the production paths — they shrink
+the candidate set before any pairwise work, and both are single-shuffle
+plans (groupBy bucket / broadcast-join centroids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from beam_pyspark_runner_spark.functions.hashing import unit_hash, unit_hash_sql
+from beam_pyspark_runner_spark.functions.numeric import dsum, dsum_sql
+from beam_pyspark_runner_spark.functions.vectors import cosine_similarity, dot
+from beam_pyspark_runner_spark.queries.registry import register
+from beam_pyspark_runner_spark.sources.readers import load_table
+
+N_QUERIES = 8  # vec_id < N_QUERIES form the query set
+TOP_K = 10
+N_HYPERPLANES = 8
+DIM = 64
+N_CENTROIDS = 4  # vec_id < N_CENTROIDS act as IVF centroids
+
+# DuckDB twins of functions/vectors.py (index-order left folds).
+_DOT_SQL = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]),"
+    " (acc, x) -> acc + x)"
+)
+_NORM_SQL = "sqrt(list_reduce(list_transform({a}, x -> x * x), (acc, x) -> acc + x))"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"({_DOT_SQL.format(a=a, b=b)} / "
+        f"({_NORM_SQL.format(a=a)} * {_NORM_SQL.format(a=b)}))"
+    )
+
+
+_EMB_DBL = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+@register(
+    "cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, {_EMB_DBL} AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, {_EMB_DBL} AS ce FROM embeddings),
+    s AS (SELECT query_id, neighbor_id, {_cos_sql('qe', 'ce')} AS cosine
+          FROM q, c WHERE query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM s
+    ) WHERE rnk <= {TOP_K}
+    """,
+    tags=("similarity", "cosine", "top_k", "brute_force"),
+    bench=True,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set, stream the corpus
+    once, per-query heap via ranked window (WindowGroupLimit under AQE)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("qe"), F.col("ce")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def _hyperplane(j: int) -> Column:
+    """Deterministic pseudo-random hyperplane j as an array<double> column,
+    derived from md5 so the oracle rebuilds it identically."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda i: unit_hash(F.concat_ws("-", F.lit("hp"), F.lit(j), i.cast("string"))),
+    )
+
+
+def _hyperplane_sql(j: int) -> str:
+    comp = unit_hash_sql(f"'hp-{j}-' || i")
+    return f"list_transform(range(0, {DIM}), i -> {comp})"
+
+
+@register(
+    "ann_lsh_buckets",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_EMB_DBL} AS emb FROM embeddings),
+    sig AS (
+        SELECT vec_id,
+               {" + ".join(
+                   f"(CASE WHEN {_DOT_SQL.format(a='emb', b=_hyperplane_sql(j))} >= 0"
+                   f" THEN (1::BIGINT << {j}) ELSE 0 END)"
+                   for j in range(N_HYPERPLANES)
+               )} AS bucket
+        FROM e
+    )
+    SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+    FROM sig GROUP BY bucket
+    """,
+    tags=("similarity", "lsh", "ann"),
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: 8 sign bits → bucket id. ANN search then only
+    compares within a bucket (and its hamming-1 neighbors) — the candidate
+    set shrinks ~2^8× while cosine-close vectors collide with high
+    probability. Plan: narrow map + one partial-agg shuffle on bucket."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = None
+    for j in range(N_HYPERPLANES):
+        bit = F.when(
+            dot(F.col("embedding"), _hyperplane(j)) >= 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        bucket = bit if bucket is None else bucket + bit
+    return (
+        e.select("vec_id", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+@register(
+    "ivf_centroid_assign",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_EMB_DBL} AS emb FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e
+             WHERE vec_id < {N_CENTROIDS}),
+    scored AS (SELECT vec_id, centroid_id, {_cos_sql('emb', 'cemb')} AS cosine
+               FROM e, cent),
+    best AS (
+        SELECT vec_id, centroid_id, cosine FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cosine DESC, centroid_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT centroid_id, COUNT(*) AS n_assigned,
+           {dsum_sql('cosine')} AS sum_cosine
+    FROM best GROUP BY centroid_id
+    """,
+    tags=("similarity", "ivf", "ann", "centroid"),
+)
+def ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style coarse quantization: assign every vector to its
+    highest-cosine centroid (broadcast centroids, max_by per vector), then
+    per-centroid stats. This is the build step of an IVF index: at 100 TB
+    the corpus streams once against broadcast centroids — no shuffle until
+    the final tiny per-centroid agg."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    cent = (
+        e.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb"))
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        cosine_similarity(F.col("emb"), F.col("cemb")).alias("cosine"),
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "centroid_id", F.struct(F.col("cosine"), (-F.col("centroid_id")).alias("nc"))
+        ).alias("centroid_id"),
+        F.max("cosine").alias("cosine"),
+    )
+    return assigned.groupBy("centroid_id").agg(
+        F.count("*").alias("n_assigned"),
+        dsum("cosine").alias("sum_cosine"),
+    )

@@ -1,0 +1,196 @@
+"""Structured Streaming queries over the ``events`` table.
+
+Each streaming query is the stream-replay twin of a batch query in
+queries/events.py and must produce identical results (verified by the
+same DuckDB oracles) — Structured Streaming's incremental execution is
+an implementation detail, not a semantics change.
+
+The parquet fixture is replayed file-by-file as a file-source stream
+(streaming/runner.py); results land in a memory sink and come back as a
+batch DataFrame so the driver's correctness gate can hash them.
+
+Scale notes (100 TB / continuous): these exact plans run unchanged
+against Kafka or cloud-storage streams; watermarks bound state (late
+events beyond 1h are dropped), and session windows merge in the state
+store rather than via a global sort.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beam_pyspark_runner_spark.functions.numeric import dsum, dsum_sql
+from beam_pyspark_runner_spark.queries.events import SESSION_GAP_MINUTES
+from beam_pyspark_runner_spark.queries.registry import register
+from beam_pyspark_runner_spark.sources.readers import load_table
+from beam_pyspark_runner_spark.streaming.runner import (
+    read_parquet_stream,
+    run_stream_to_df,
+)
+
+import os
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream of the events fixture.
+
+    The fixture stores TIMESTAMP(NANOS), which Spark streaming file
+    sources can't read directly; we stage a microsecond-timestamp copy
+    (multiple files, so AvailableNow replays it as several micro-batches
+    and stateful operators exercise real cross-batch state) and stream
+    from the staged path.
+    """
+    import hashlib
+    import tempfile
+
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        "bprs_events_us2_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    marker = os.path.join(staged, "_SUCCESS")
+    if not os.path.exists(marker):
+        # Range-partition by ts so staged files cover disjoint time ranges
+        # and the file-source replay approximates event-time order — with
+        # a watermark, unordered replay would drop "late" events.
+        load_table(spark, sf_dir, "events").repartitionByRange(
+            4, F.col("ts")
+        ).write.mode("overwrite").parquet(staged)
+    batch = spark.read.parquet(staged)
+    return read_parquet_stream(spark, staged, batch.schema)
+
+
+@register(
+    "stream_tumbling_agg",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "event_time", "tumbling_window", "watermark"),
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time window over a replayed stream, with a 1h
+    watermark. Must equal the batch twin (tumbling_window_agg)."""
+    e = _events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_stream_to_df(agg, output_mode="complete")
+
+
+@register(
+    "stream_session_window",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '{SESSION_GAP_MINUTES} minutes'
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "event_time", "session_window"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (30-min gap) via F.session_window —
+    state-store merge, no global sort. window.end is last-event + gap, so
+    session_end = window.end - gap, aligning with the batch oracle."""
+    e = _events_stream(spark, sf_dir)
+    # complete output mode keeps full state, so no watermark: file replay
+    # order is only approximately event-time ordered and a watermark
+    # would drop cross-file stragglers.
+    agg = (
+        e.groupBy(F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("session_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            (
+                F.col("session_window.end")
+                - F.expr(f"INTERVAL {SESSION_GAP_MINUTES} MINUTES")
+            ).alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+    return run_stream_to_df(agg, output_mode="complete")
+
+
+def _count_state_fn(key, pdf_iter, state):
+    """applyInPandasWithState kernel: running per-user event count."""
+    count = state.get[0] if state.exists else 0
+    value_sum = state.get[1] if state.exists else 0.0
+    for pdf in pdf_iter:
+        count += len(pdf)
+        value_sum += float(pdf["value"].sum())
+    state.update((count, value_sum))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [count], "total_value": [value_sum]}
+    )
+
+
+@register(
+    "stream_stateful_count",
+    # Float caveat: value_sum accumulates in pandas batch order, which is
+    # file/row order per user — deterministic under availableNow replay of
+    # a single file, and DuckDB's per-group sum over the same rows differs
+    # only by association order; we therefore emit the count (exact) and
+    # round-free decimal oracle is not possible for the python float sum,
+    # so the oracle checks count only via a rows-compatible projection.
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "apply_in_pandas_with_state"),
+)
+def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoFn-like custom stateful operator via applyInPandasWithState: a
+    running per-key counter held in the state store across micro-batches.
+    This is the reference's ParDo-lifecycle niche (SURVEY.md §2.1 op 3)
+    done the Structured Streaming way."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    e = _events_stream(spark, sf_dir)
+    result = (
+        e.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _count_state_fn,
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            stateStructType="count bigint, value_sum double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = run_stream_to_df(result, output_mode="update")
+    # update-mode memory sink keeps one row per (user, micro-batch) emission;
+    # the final state per user is the max count (monotone counter).
+    return (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )

@@ -1,0 +1,150 @@
+"""Text-analysis operators over the ``documents`` table.
+
+North-star LLM-data surface (SURVEY.md §2.4): language-ID heuristics,
+quality scoring, token counting, document fingerprinting. The reference
+would run these as per-element Python DoFns
+(``/root/reference/beam_pyspark_runner/transform_evaluators.py:28-79``);
+here everything stays JVM-side in whole-stage codegen — string splits,
+higher-order array functions, and regex all vectorize, so a 100 TB
+documents corpus never crosses into Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beam_pyspark_runner_spark.functions.numeric import davg_sql, davg
+from beam_pyspark_runner_spark.queries.registry import register
+from beam_pyspark_runner_spark.sources.readers import load_table
+
+# Stopword list shared verbatim with the oracle SQL.
+STOPWORDS = ("the", "a")
+_SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id, lang,
+           n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS ttr,
+           CAST(len(list_filter(toks, x -> x IN ({_SW_SQL}))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS stopword_ratio
+    FROM t
+    """,
+    tags=("text_analysis", "quality_score", "pardo_map"),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality stats: token count, type-token ratio, stopword
+    ratio. All array ops are codegen'd; no shuffle (narrow map-only plan)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    n_unique = F.size(F.array_distinct(toks)).cast("long")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        n_unique.alias("n_unique"),
+        (n_unique.cast("double") / n_tokens.cast("double")).alias("ttr"),
+        (n_stop.cast("double") / n_tokens.cast("double")).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "token_count_regex",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_word_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]')) AS BIGINT) AS n_letters
+    FROM documents
+    """,
+    tags=("text_analysis", "token_count", "regex"),
+)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenizer proxy: regex token extraction, JVM-side."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0))
+        .cast("long")
+        .alias("n_word_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]"), 0))
+        .cast("long")
+        .alias("n_letters"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+           COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+    FROM documents GROUP BY 1
+    """,
+    tags=("text_analysis", "fingerprint"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint over normalized text (lower + whitespace
+    collapse); grouping by fingerprint is the first stage of exact dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return d.groupBy(fp.alias("fingerprint")).agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc")
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, lang,
+                 CAST(len(list_filter(toks, x -> x IN ({_SW_SQL}))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) AS sw_ratio,
+                 CAST(len(list_filter(toks, x -> x IN ('data', 'query', 'table'))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) AS en_ratio
+          FROM t)
+    SELECT doc_id, lang,
+           CASE WHEN sw_ratio + en_ratio > 0.12 THEN 'en_like' ELSE 'other' END AS lang_guess
+    FROM s
+    """,
+    tags=("text_analysis", "lang_id"),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic (the real thing would use a
+    fastText-style model via a pandas UDF; the Spark plumbing is the same)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks).cast("double")
+    sw = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / n
+    en = F.size(F.filter(toks, lambda x: x.isin("data", "query", "table"))).cast("double") / n
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(sw + en > 0.12, "en_like").otherwise("other").alias("lang_guess"),
+    )
+
+
+@register(
+    "lang_distribution",
+    oracle=f"""
+    SELECT lang, source, COUNT(*) AS n_docs, {davg_sql('n_chars')} AS avg_chars
+    FROM documents GROUP BY lang, source
+    """,
+    tags=("text_analysis", "aggregate"),
+)
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"), davg("n_chars").alias("avg_chars")
+    )

@@ -1,0 +1,170 @@
+"""Window-function queries: ranking, analytic (lag/lead), frames, top-k per key.
+
+No reference implementation exists (SURVEY.md §2.4 — RDDs are unordered);
+this is new surface the reference's Top.PerKey composite only approximates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from beam_pyspark_runner_spark.functions.numeric import dsum_sql
+from beam_pyspark_runner_spark.queries.registry import register
+from beam_pyspark_runner_spark.sources.readers import load_table
+
+
+@register(
+    "top_k_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        FROM customer
+    ) WHERE rnk <= 5
+    """,
+    tags=("window", "top_k_per_key", "row_number"),
+)
+def top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per key (reference: combiners.Top.PerKey, a bounded heap
+    CombineFn). Spark pattern: row_number over a partitioned window —
+    with AQE this runs as WindowGroupLimit (heap per partition) and never
+    materializes full per-key sorts. c_custkey tiebreak = deterministic."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.select("c_mktsegment", "c_custkey", "c_acctbal")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@register(
+    "rank_dense_rank",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+           DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_orderstatus) AS status_dense,
+           NTILE(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS quartile
+    FROM orders WHERE o_totalprice > 450000
+    """,
+    tags=("window", "rank"),
+)
+def rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    by_price = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    by_status = W.partitionBy("o_orderpriority").orderBy("o_orderstatus")
+    by_price_asc = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(by_price).alias("price_rank"),
+        F.dense_rank().over(by_status).alias("status_dense"),
+        F.ntile(4).over(by_price_asc).alias("quartile"),
+    )
+
+
+@register(
+    "lag_lead_delta",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           CAST(o_totalprice - COALESCE(LAG(o_totalprice) OVER w, o_totalprice) AS DOUBLE) AS delta
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window", "lag", "lead"),
+)
+def lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        prev.alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (F.col("o_totalprice") - F.coalesce(prev, F.col("o_totalprice")))
+        .cast("double")
+        .alias("delta"),
+    )
+
+
+@register(
+    "running_total_frame",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_avg_3
+    FROM orders
+    """,
+    tags=("window", "frame", "running_sum"),
+)
+def running_total_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frames. The running sum accumulates in exact decimal —
+    a double running sum would drift differently between engines; the
+    3-row moving average is a fixed 3-term double sum, deterministic in
+    frame order in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(38,10)"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("running_total"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)"))
+            .over(w.rowsBetween(-2, W.currentRow))
+            .cast("double")
+            / F.count("*").over(w.rowsBetween(-2, W.currentRow)).cast("double")
+        ).alias("moving_avg_3"),
+    )
+
+
+@register(
+    "first_last_per_group",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_d
+        FROM orders
+    )
+    SELECT o_custkey,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order,
+           MAX(CASE WHEN rn_a = 1 THEN o_orderkey END) AS first_orderkey,
+           MAX(CASE WHEN rn_d = 1 THEN o_orderkey END) AS last_orderkey
+    FROM ranked GROUP BY o_custkey
+    """,
+    tags=("window", "first_last", "aggregate"),
+)
+def first_last_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last element per key by time (ties broken by orderkey) via
+    min_by/max_by on a composite struct — one aggregation, no sort."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.struct("o_orderdate", "o_orderkey")
+    return o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        F.min_by("o_orderkey", key).alias("first_orderkey"),
+        F.max_by("o_orderkey", key).alias("last_orderkey"),
+    )

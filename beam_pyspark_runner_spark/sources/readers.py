@@ -1,0 +1,96 @@
+"""Readers for the engine.
+
+The reference supports exactly one source, line-oriented text
+(``/root/reference/beam_pyspark_runner/transform_evaluators.py:22-26``);
+here we provide the full Spark source surface (text/csv/json/parquet/orc)
+plus loaders for the driver's TPC-H-ish parquet testdata.
+
+All readers return plain DataFrames so Catalyst keeps pushdown/pruning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table (columnar scan; filters/projections push down).
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's SQL
+    timestamp type (microseconds) refuses outright; we read it as raw
+    nanos (``nanosAsLong``) and floor-convert to a proper TimestampType.
+    The fixture's timestamps are exactly microsecond-granular, so the
+    conversion is lossless and agrees with DuckDB's ns→us handling.
+    """
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register testdata tables as temp views for spark.sql queries."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented text source: one row per line, column ``value: string``.
+
+    Reference parity: ``ReadFromText`` (transform_evaluators.py:22-26);
+    globs are handled natively by Spark's file index.
+    """
+    return spark.read.text(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    reader = spark.read.options(header=header, **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None, **options
+) -> DataFrame:
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

@@ -1,0 +1,56 @@
+"""Streaming execution helpers.
+
+``run_stream_to_df`` executes a streaming DataFrame to completion with
+``Trigger.AvailableNow`` (process-everything-then-stop) into a named
+memory sink and returns the result as a batch DataFrame. This makes
+every streaming query oracle-checkable: the same event-time logic must
+produce the same result whether the input arrives as one batch or as a
+replayed stream — which is exactly Structured Streaming's contract.
+
+On a real cluster the memory sink would be a Delta/Kafka/parquet sink;
+nothing else changes — the transformation graph is identical.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_sink_counter = itertools.count()
+
+
+def read_parquet_stream(
+    spark: SparkSession, path: str, schema: T.StructType, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over a parquet path (schema must be explicit —
+    streaming sources don't infer). ``maxFilesPerTrigger`` forces multi-
+    batch execution so stateful operators actually exercise state."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def run_stream_to_df(
+    streaming_df: DataFrame, output_mode: str = "complete", timeout_sec: int = 300
+) -> DataFrame:
+    """Run a streaming DataFrame to exhaustion (AvailableNow) and return
+    the final memory-sink table as a batch DataFrame."""
+    name = f"stream_result_{next(_sink_counter)}"
+    query = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(timeout_sec):
+            raise TimeoutError(f"streaming query {name} did not finish in {timeout_sec}s")
+    finally:
+        if query.isActive:
+            query.stop()
+    return streaming_df.sparkSession.table(name)

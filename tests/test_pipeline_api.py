@@ -1,0 +1,246 @@
+"""E2E tests of the fluent pipeline API, mirroring the reference's own
+test suite (/root/reference/tests/pyspark_runner_test.py:15-154) case
+for case — Create, branching DAG, FlatMap, Map, global combine,
+GroupByKey, text-sink round-trip, AsDict side input — plus the fixes we
+make to its documented bugs (SURVEY.md §2.5).
+
+Comparisons are multisets: PCollections are unordered.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from beam_pyspark_runner_spark.operators import CombineFn, Pipeline
+
+
+def as_multiset(rows):
+    return Counter(tuple(r) for r in rows)
+
+
+# reference: test_create (pyspark_runner_test.py:53-56)
+def test_create(spark):
+    p = Pipeline(spark)
+    got = p.create([1]).collect()
+    assert as_multiset(got) == as_multiset([(1,)])
+
+
+# reference: test_create_and_map_and_branching (pyspark_runner_test.py:58-70)
+def test_branching_dag(spark):
+    p = Pipeline(spark)
+    base = p.create([1, 2, 3, 4]).map(F.col("value") * 4)
+    b1 = base.map(F.col("value") + 1)
+    b2 = base.map(F.col("value") + 3)  # dangling leaf also evaluates
+    assert as_multiset(b1.collect()) == as_multiset([(5,), (9,), (13,), (17,)])
+    assert as_multiset(b2.collect()) == as_multiset([(7,), (11,), (15,), (19,)])
+
+
+# reference: test_create_and_flat_map (pyspark_runner_test.py:72-77)
+def test_flat_map(spark):
+    p = Pipeline(spark)
+    got = p.create([[1], [3, 4]], schema="value array<bigint>").flat_map(
+        F.col("value")
+    ).collect()
+    assert as_multiset(got) == as_multiset([(1,), (3,), (4,)])
+
+
+# reference: test_create_and_map (pyspark_runner_test.py:79-82)
+def test_map_python_rows(spark):
+    p = Pipeline(spark)
+    got = (
+        p.create([1, 2, 3, 4])
+        .map_rows(lambda row: row[0] * 10, "value bigint")
+        .collect()
+    )
+    assert as_multiset(got) == as_multiset([(10,), (20,), (30,), (40,)])
+
+
+# reference: test_create_and_reduce (pyspark_runner_test.py:84-95) — a
+# custom CombineFn (sum via lambdas) applied globally
+def test_combine_globally_custom(spark):
+    p = Pipeline(spark)
+    fn = CombineFn(
+        create=lambda: 0,
+        add=lambda acc, v: acc + v,
+        merge=lambda a, b: a + b,
+        output_type="bigint",
+    )
+    got = p.create([1, 2, 3, 4, 10]).combine_globally(fn, out="total").collect()
+    assert got == [(20,)]
+
+
+def test_combine_globally_builtin(spark):
+    p = Pipeline(spark)
+    got = p.create([1, 2, 3, 4, 10]).combine_globally("sum", out="total").collect()
+    assert got == [(20,)]
+
+
+# reference: test_create_map_and_groupby (pyspark_runner_test.py:97-103)
+def test_group_by_key(spark):
+    p = Pipeline(spark)
+    got = (
+        p.create([1, 2], schema="value bigint")
+        .map_kv(F.col("value") * 2, F.col("value"))
+        .group_by_key()
+        .collect()
+    )
+    assert {(r[0], tuple(sorted(r[1]))) for r in got} == {(2, (1,)), (4, (2,))}
+
+
+# reference: test_write_to_text (pyspark_runner_test.py:105-133)
+def test_write_text_roundtrip(spark, tmp_path):
+    p = Pipeline(spark)
+    out = str(tmp_path / "sink")
+    (
+        p.create([1, 2], schema="value bigint")
+        .map_kv(F.col("value") * 2, F.col("value"))
+        .write_text(out)
+    )
+    lines = {r.value for r in spark.read.text(out).collect()}
+    assert lines == {"2,1", "4,2"}
+
+
+# reference: test_pardo_side_input (pyspark_runner_test.py:135-154) — the
+# AsDict multimap side input, plus the scalable broadcast-join form
+def test_as_dict_side_input(spark):
+    p = Pipeline(spark)
+    side = p.create(
+        [("key1", ["value1a", "value1b"]), ("key2", ["value2a"])],
+        schema="key string, value array<string>",
+    )
+    lookup = side.as_dict()
+    assert lookup == {"key1": ["value1a", "value1b"], "key2": ["value2a"]}
+    main = p.create(["key1", "key2"], schema="value string")
+    got = main.map_rows(lambda row: (row[0], len(lookup[row[0]])), "key string, n bigint")
+    assert as_multiset(got.collect()) == as_multiset([("key1", 2), ("key2", 1)])
+
+
+def test_broadcast_join_side_input(spark):
+    p = Pipeline(spark)
+    side = p.create(
+        [("key1", 10), ("key2", 20)], schema="key string, factor bigint"
+    )
+    main = p.create([("key1", 1), ("key2", 2), ("key3", 3)], schema="key string, value bigint")
+    got = main.broadcast_join(side, "key").to_df().select("key", F.col("value") * F.col("factor"))
+    assert as_multiset(got.collect()) == as_multiset([("key1", 10), ("key2", 40)])
+
+
+# side-input view semantics (reference transform_evaluators.py:39-48)
+def test_as_singleton_and_list(spark):
+    p = Pipeline(spark)
+    assert p.create([42]).as_singleton() == 42
+    with pytest.raises(ValueError):
+        p.create([1, 2]).as_singleton()
+    assert sorted(p.create([3, 1, 2]).as_list()) == [1, 2, 3]
+
+
+# flatten (reference eval_Flatten, transform_evaluators.py:81-82)
+def test_flatten(spark):
+    p = Pipeline(spark)
+    a = p.create([1, 2])
+    b = p.create([2, 3])
+    got = a.flatten(b).collect()
+    assert as_multiset(got) == as_multiset([(1,), (2,), (2,), (3,)])  # duplicates kept
+
+
+# multi-output ParDo — reference bug §2.5#4, fixed here
+def test_partition_multi_output(spark):
+    p = Pipeline(spark)
+    parts = p.create([1, 2, 3, 4, 5]).partition(
+        F.col("value") <= 2, F.col("value") == 3
+    )
+    assert as_multiset(parts[0].collect()) == as_multiset([(1,), (2,)])
+    assert as_multiset(parts[1].collect()) == as_multiset([(3,)])
+    assert as_multiset(parts[2].collect()) == as_multiset([(4,), (5,)])
+
+
+# yield-None emits nothing — reference bug §2.5#1, fixed here
+def test_flat_map_rows_none_yields_nothing(spark):
+    p = Pipeline(spark)
+    got = (
+        p.create([1, 2, 3])
+        .flat_map_rows(
+            lambda row: [row[0]] if row[0] % 2 else [None], "value bigint"
+        )
+        .collect()
+    )
+    assert as_multiset(got) == as_multiset([(1,), (3,)])
+
+
+# combine_per_key with custom + builtin fns
+def test_combine_per_key(spark):
+    p = Pipeline(spark)
+    data = p.create(
+        [("a", 1), ("a", 2), ("b", 5)], schema="key string, value bigint"
+    )
+    got = data.combine_per_key("sum", out="total").collect()
+    assert as_multiset(got) == as_multiset([("a", 3), ("b", 5)])
+
+    fn = CombineFn(
+        create=lambda: 1.0,
+        add=lambda acc, v: acc * v,
+        merge=lambda a, b: a * b,
+        output_type="double",
+    )
+    got = data.combine_per_key(fn, out="product").collect()
+    assert as_multiset(got) == as_multiset([("a", 2.0), ("b", 5.0)])
+
+
+def test_cogroup_by_key(spark):
+    p = Pipeline(spark)
+    left = p.create([("k1", 1), ("k1", 2)], schema="key string, value bigint")
+    right = p.create([("k1", 9), ("k2", 7)], schema="key string, value bigint")
+    got = {
+        (r["key"], tuple(sorted(r["left_values"])), tuple(sorted(r["right_values"])))
+        for r in left.co_group_by_key(right).collect()
+    }
+    assert got == {("k1", (1, 2), (9,)), ("k2", (), (7,))}
+
+
+def test_unknown_combiner_raises(spark):
+    p = Pipeline(spark)
+    with pytest.raises(ValueError, match="unknown builtin combiner"):
+        p.create([("a", 1)], schema="key string, value bigint").combine_per_key(
+            "not_a_combiner"
+        ).collect()
+
+
+def test_count_per_element_top_distinct(spark):
+    p = Pipeline(spark)
+    words = p.create(["a", "b", "a", "c", "a", "b"], schema="value string")
+    counts = words.count_per_element().collect()
+    assert as_multiset(counts) == as_multiset([("a", 3), ("b", 2), ("c", 1)])
+    top = words.count_per_element().top(1, by="value")
+    assert top.collect() == [("a", 3)]
+    assert as_multiset(words.distinct().collect()) == as_multiset([("a",), ("b",), ("c",)])
+
+
+# wordcount — the reference README's own demo (README.md:50-55)
+def test_wordcount_end_to_end(spark, tmp_path):
+    src = tmp_path / "input.txt"
+    src.write_text("the quick brown fox\nthe lazy dog\n")
+    p = Pipeline(spark)
+    got = (
+        p.read_text(str(src))
+        .flat_map(F.split(F.col("value"), " "))
+        .count_per_element()
+        .collect()
+    )
+    expected = [("the", 2), ("quick", 1), ("brown", 1), ("fox", 1), ("lazy", 1), ("dog", 1)]
+    assert as_multiset(got) == as_multiset(expected)
+
+
+def test_fanout_persist(spark):
+    """A node consumed by >1 downstream gets persisted exactly once."""
+    p = Pipeline(spark)
+    base = p.create(list(range(100))).map(F.col("value") * 2)
+    b1 = base.combine_globally("sum", out="v")
+    b2 = base.combine_globally("count", out="v")
+    df1, df2 = p.ctx.lower(b1.node, b2.node)
+    assert len(p.ctx._persisted) == 1
+    assert df1.collect()[0][0] == sum(range(100)) * 2
+    assert df2.collect()[0][0] == 100
+    p.ctx.unpersist_all()

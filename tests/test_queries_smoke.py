@@ -1,0 +1,63 @@
+"""Smoke tests: every registered query runs at sf0.001 and returns a
+stable schema; spot-check correctness invariants that the DuckDB oracle
+can't express (dedup recall, LSH consistency). The full oracle gate is
+``python -m tests.oracle_check`` (sf0.01), which the driver replicates.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from beam_pyspark_runner_spark.queries import REGISTRY
+from tests.conftest import SF_SMOKE
+
+# Streaming queries are slower (state store + micro-batches); keep the
+# per-query smoke cheap and run streaming in a dedicated test.
+_STREAMING = {n for n, q in REGISTRY.items() if "streaming" in q.tags}
+
+
+@pytest.mark.parametrize("name", sorted(set(REGISTRY) - _STREAMING))
+def test_query_runs(spark, name):
+    q = REGISTRY[name]
+    df = q.fn(spark, SF_SMOKE)
+    rows = df.collect()
+    assert df.columns, name
+    assert rows is not None
+
+
+def test_streaming_queries_run(spark):
+    for name in sorted(_STREAMING):
+        df = REGISTRY[name].fn(spark, SF_SMOKE)
+        assert df.count() >= 0, name
+
+
+def test_every_query_has_oracle_or_reason(spark):
+    for name, q in REGISTRY.items():
+        assert q.oracle is None or "SELECT" in q.oracle.upper(), name
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    """MinHash-LSH candidates must cover the exact-Jaccard pairs (j>=0.5
+    planted dups have j≈0.98 ⇒ band-match probability ≈ 1)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["ngram_jaccard_pairs"].fn(spark, SF_SMOKE).collect()
+    }
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["minhash_lsh_candidates"].fn(spark, SF_SMOKE).collect()
+    }
+    assert exact, "fixture should contain planted near-duplicates"
+    assert exact <= cand, f"LSH missed pairs: {exact - cand}"
+
+
+def test_cosine_topk_shape(spark):
+    rows = REGISTRY["cosine_topk"].fn(spark, SF_SMOKE).collect()
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r.query_id, []).append(r)
+    for qid, nbrs in by_query.items():
+        assert len(nbrs) == 10
+        sims = [r.cosine for r in sorted(nbrs, key=lambda r: r.rnk)]
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.0 <= s <= 1.0 for s in sims)
