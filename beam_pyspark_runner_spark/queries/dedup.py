@@ -232,16 +232,23 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id", F.explode(F.array(*_band_cols())).alias("x")
     ).select("doc_id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh"))
-    a = bands.alias("a")
-    b = bands.alias("b")
+    buckets = (
+        bands.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # Intra-bucket ordered pairs via higher-order functions: a self-join on
+    # (band, bh) would recompute the shingle→signature lineage twice and
+    # shuffle the bands table two more times; this shape scans once and the
+    # pair fan-out stays bucket-bounded.
+    pairs = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)),"
+        " y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -305,22 +312,23 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b",
         F.expr("shiftright(simhash, b * 8) & 255").alias("bv"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    buckets = (
+        bands.groupBy("b", "bv")
+        .agg(F.array_sort(F.collect_set(F.struct("doc_id", "simhash"))).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # Single-pass intra-bucket pairing (see minhash_lsh_candidates): structs
+    # sort by doc_id first, so slice(i+2..) yields exactly the doc_a < doc_b
+    # ordered pairs; hamming is computed in-bucket from the carried simhash.
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)), y -> struct("
+        " x.doc_id AS doc_a, y.doc_id AS doc_b,"
+        " CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT) AS hamming))))"
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).cast("long").alias("hamming"),
-        )
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)

@@ -297,3 +297,56 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("is_left") == 1) & F.col("last_event_id").isNotNull())
         .select("o_orderkey", "o_custkey", "last_event_id", "last_event_ts")
     )
+
+
+# --- TPC-H Q3 shape: shipping priority (bench: fact-fact join + top-k) -------
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {dsum_sql("CAST(l.l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))")} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    tags=("tpch", "join", "top_k"),
+    bench=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape. Customer is the small side (filtered on segment) —
+    broadcast into orders; orders⋈lineitem is the fact-fact shuffle on
+    orderkey. Top-10 is TakeOrderedAndProject (per-partition heaps), never
+    a global sort. All three filters push to their scans."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = F.col("l_extendedprice").cast("decimal(10,2)") * (
+        one - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.join(
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+                "o_orderkey", "o_orderdate", "o_orderpriority"
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(rev).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )

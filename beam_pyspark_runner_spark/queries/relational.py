@@ -414,3 +414,109 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
     )
+
+
+# --- TPC-H Q6 shape: pure scan-filter-aggregate (bench: pushdown + codegen) --
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {dsum_sql("CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(l_discount AS DECIMAL(3,2))")} AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    tags=("tpch", "scan", "filter", "aggregate"),
+    bench=True,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: all four predicates reach the parquet scan as
+    PushedFilters; single partial+final agg, no shuffle of data rows.
+    At 100 TB this is the pure scan-throughput benchmark — with a
+    shipdate-partitioned layout the date range also prunes partitions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast("decimal(10,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(3,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(revenue).alias("revenue"), F.count("*").alias("n_rows"))
+    )
+
+
+# --- GROUPING SETS (reference has no grouping sets; SURVEY §2.4) -------------
+@register(
+    "grouping_sets_agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty, COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    tags=("grouping_sets", "aggregate"),
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via SQL over a temp view — one Expand + one aggregate
+    (Catalyst plans a single shuffle for all three groupings)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+# --- ToSet composite (reference: combiners.ToSet → collect_set) --------------
+@register(
+    "collect_set_per_key",
+    oracle="""
+    SELECT l_returnflag,
+           list_sort(list_distinct(list(l_linestatus))) AS statuses,
+           list_sort(list_distinct(list(l_returnflag || '/' || l_linestatus))) AS combos
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("combiner", "to_set", "group_by_key"),
+)
+def collect_set_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam combiners.ToSet / ToList equivalent: collect_set per key, sorted
+    for deterministic comparison (group order is nondeterministic)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
+        F.array_sort(
+            F.collect_set(F.concat_ws("/", "l_returnflag", "l_linestatus"))
+        ).alias("combos"),
+    )
+
+
+# --- Sample composite (reference: combiners.Sample → deterministic hash order) ----
+@register(
+    "deterministic_sample",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+    LIMIT 64
+    """,
+    tags=("sample", "combiner"),
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """combiners.Sample equivalent: fixed-size pseudo-random sample by
+    ordering on a content hash — deterministic across engines and cluster
+    sizes (unlike rand(seed), whose stream depends on partitioning).
+    Plan: TakeOrderedAndProject — per-partition top-64 heap, no full sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.md5(F.col("o_orderkey").cast("string")), "o_orderkey")
+        .limit(64)
+    )

@@ -190,3 +190,59 @@ def ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_assigned"),
         dsum("cosine").alias("sum_cosine"),
     )
+
+
+NEAR_DUP_COSINE = 0.35  # testdata has no planted dups; 0.35 yields a stable tail
+
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_EMB_DBL} AS emb FROM embeddings),
+    sig AS (
+        SELECT vec_id, emb,
+               {" + ".join(
+                   f"(CASE WHEN {_DOT_SQL.format(a='emb', b=_hyperplane_sql(j))} >= 0"
+                   f" THEN (1::BIGINT << {j}) ELSE 0 END)"
+                   for j in range(N_HYPERPLANES)
+               )} AS bucket
+        FROM e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_cos_sql('a.emb', 'b.emb')} AS cosine
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.emb', 'b.emb')} >= {NEAR_DUP_COSINE}
+    """,
+    tags=("dedup", "near_dedup", "embedding", "cosine", "lsh"),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH sign-buckets generate
+    candidates, exact cosine within the bucket verifies. Single pass: one
+    groupBy(bucket) shuffle of (vec_id, embedding) rows, pair fan-out
+    bucket-bounded (a self-join would rescan the corpus and hash twice).
+    At 100 TB, bucket width (N_HYPERPLANES) tunes candidate volume."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = None
+    for j in range(N_HYPERPLANES):
+        bit = F.when(
+            dot(F.col("embedding"), _hyperplane(j)) >= 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        bucket = bit if bucket is None else bucket + bit
+    buckets = (
+        e.select("vec_id", "embedding", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.array_sort(F.collect_set(F.struct("vec_id", "embedding"))).alias("vs"))
+        .filter(F.size("vs") > 1)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(vs, (x, i) ->"
+        " transform(slice(vs, i + 2, size(vs)), y -> struct("
+        " x.vec_id AS vec_a, y.vec_id AS vec_b,"
+        " x.embedding AS ea, y.embedding AS eb))))"
+    )
+    pairs = buckets.select(F.explode(pair_expr).alias("p")).select(
+        F.col("p.vec_a").alias("vec_a"),
+        F.col("p.vec_b").alias("vec_b"),
+        cosine_similarity(F.col("p.ea"), F.col("p.eb")).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= NEAR_DUP_COSINE)
