@@ -11,6 +11,7 @@ from beam_pyspark_runner_spark.queries.registry import REGISTRY, Query, register
 
 # Import for registration side effects — order defines display order.
 from beam_pyspark_runner_spark.queries import relational  # noqa: E402,F401
+from beam_pyspark_runner_spark.queries import tpch  # noqa: E402,F401
 from beam_pyspark_runner_spark.queries import joins  # noqa: E402,F401
 from beam_pyspark_runner_spark.queries import windows  # noqa: E402,F401
 from beam_pyspark_runner_spark.queries import events  # noqa: E402,F401

@@ -26,7 +26,7 @@ from beam_pyspark_runner_spark.functions.hashing import (
     h32_sql,
 )
 from beam_pyspark_runner_spark.queries.registry import register
-from beam_pyspark_runner_spark.sources.readers import load_table
+from beam_pyspark_runner_spark.sources.readers import load_table, spread
 
 SHINGLE_K = 3  # word n-gram width
 JACCARD_THRESHOLD = 0.5
@@ -51,7 +51,7 @@ def _shingles(text: Column) -> Column:
 
 def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) exploded rows; docs shorter than K words dropped."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return (
         d.filter(F.size(F.split(F.col("text"), " ")) >= SHINGLE_K)
         .select("doc_id", F.explode(_shingles(F.col("text"))).alias("s"))

@@ -22,7 +22,7 @@ from beam_pyspark_runner_spark.functions.hashing import unit_hash, unit_hash_sql
 from beam_pyspark_runner_spark.functions.numeric import dsum, dsum_sql
 from beam_pyspark_runner_spark.functions.vectors import cosine_similarity, dot
 from beam_pyspark_runner_spark.queries.registry import register
-from beam_pyspark_runner_spark.sources.readers import load_table
+from beam_pyspark_runner_spark.sources.readers import load_table, spread
 
 N_QUERIES = 8  # vec_id < N_QUERIES form the query set
 TOP_K = 10
@@ -72,7 +72,9 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    c = spread(e).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -127,7 +129,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares within a bucket (and its hamming-1 neighbors) — the candidate
     set shrinks ~2^8× while cosine-close vectors collide with high
     probability. Plan: narrow map + one partial-agg shuffle on bucket."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     bucket = None
     for j in range(N_HYPERPLANES):
         bit = F.when(
@@ -168,7 +170,7 @@ def ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-centroid stats. This is the build step of an IVF index: at 100 TB
     the corpus streams once against broadcast centroids — no shuffle until
     the final tiny per-centroid agg."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").alias("emb")
     )
     cent = (
@@ -221,7 +223,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(bucket) shuffle of (vec_id, embedding) rows, pair fan-out
     bucket-bounded (a self-join would rescan the corpus and hash twice).
     At 100 TB, bucket width (N_HYPERPLANES) tunes candidate volume."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     bucket = None
     for j in range(N_HYPERPLANES):
         bit = F.when(

@@ -1,0 +1,268 @@
+"""TPC-H-shaped analytical queries adapted to the fixture schema.
+
+The reference has no relational query surface at all — its analytics
+ceiling is GroupByKey/CombinePerKey over tuples
+(``/root/reference/beam_pyspark_runner/transform_evaluators.py:84-100``).
+These queries document the full Catalyst surface the new engine gets:
+multi-join pipelines, EXISTS/NOT-EXISTS semi/anti joins, scalar
+subqueries, disjunctive predicate pushdown, and having-on-aggregate
+join-backs. Shapes follow TPC-H q4/q10/q14/q18/q19/q22, adapted where
+the fixture lacks a column (no l_shipmode/l_commitdate/partsupp).
+
+Scale notes (100 TB): every dimension side is broadcast; fact-fact
+joins shuffle on their join key only after scan-level filters; the
+HAVING join-backs aggregate first (shrinking the fact table) and join
+the survivors, never the reverse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beam_pyspark_runner_spark.functions.numeric import davg_sql, dsum, dsum_sql
+from beam_pyspark_runner_spark.queries.registry import register
+from beam_pyspark_runner_spark.sources.readers import load_table
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(10,2))"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+)
+
+
+def _rev_col() -> F.Column:
+    one = F.lit(1).cast("decimal(3,2)")
+    return F.col("l_extendedprice").cast("decimal(10,2)") * (
+        one - F.col("l_discount").cast("decimal(3,2)")
+    )
+
+
+# --- q4 shape: EXISTS correlated semi-join + priority counts -----------------
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+    tags=("tpch", "semi_join", "exists", "aggregate"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (late-shipping orders; shipdate>orderdate+30d stands in
+    for the missing commit/receipt dates). EXISTS lowers to a left-semi
+    join: lineitem is deduplicated by the semi side, never multiplied."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# --- q10 shape: returned-item revenue, top customers -------------------------
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           {dsum_sql(_REV_SQL)} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem ON l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    tags=("tpch", "join", "top_k", "aggregate"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns, worst 20 customers.
+    returnflag filter pushes to the lineitem scan; nation broadcasts;
+    top-20 is TakeOrderedAndProject over the aggregated (small) side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(dsum(_rev_col()).alias("revenue"))
+        .select("c_custkey", "c_name", "nation", "revenue")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# --- q14 shape: conditional revenue ratio (promo share) ----------------------
+@register(
+    "q14_promo_share",
+    oracle=f"""
+    SELECT {dsum_sql(f"CASE WHEN p_type LIKE 'PROMO%' THEN {_REV_SQL} ELSE CAST(0 AS DECIMAL(10,2)) END")}
+           / NULLIF({dsum_sql(_REV_SQL)}, 0) * 100.0 AS promo_pct,
+           COUNT(*) AS n_rows
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+    """,
+    tags=("tpch", "join", "conditional_agg"),
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share. Part broadcasts into the
+    date-pruned lineitem scan; one global agg, no row shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = _rev_col()
+    promo_rev = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(10,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (dsum(promo_rev) / F.nullif(dsum(rev), F.lit(0)) * 100.0).alias(
+                "promo_pct"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# --- q18 shape: large-volume orders (HAVING join-back) -----------------------
+@register(
+    "q18_large_orders",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey, {dsum_sql('l_quantity')} AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING {dsum_sql('l_quantity')} > 220
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           big.total_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    tags=("tpch", "join", "having", "top_k"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with very large orders. Aggregate-first
+    (lineitem → per-order qty, HAVING prunes to a tiny survivor set) and
+    only then join orders/customer — the join input shrinks by ~1000×
+    before any wide operation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 220)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+# --- q19 shape: disjunctive multi-attribute predicates -----------------------
+@register(
+    "q19_disjunctive_filter",
+    oracle=f"""
+    SELECT {dsum_sql(_REV_SQL)} AS revenue, COUNT(*) AS n_rows
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+    tags=("tpch", "join", "filter", "disjunction"),
+)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunctions across both join sides. Catalyst
+    pushes the per-side residuals (brand/size disjunction to the part
+    scan, quantity range to lineitem) and evaluates the cross-side
+    residual post-join — the classic partial-pushdown-of-DNF case."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & q.between(1, 21))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & q.between(20, 40))
+    )
+    return j.filter(cond).agg(
+        dsum(_rev_col()).alias("revenue"), F.count("*").alias("n_rows")
+    )
+
+
+# --- q22 shape: scalar subquery + NOT EXISTS anti-join -----------------------
+@register(
+    "q22_idle_customers",
+    oracle=f"""
+    WITH avg_bal AS (SELECT {davg_sql('c_acctbal')} AS a FROM customer WHERE c_acctbal > 0),
+    rich AS (
+        SELECT c_custkey, c_nationkey, c_acctbal FROM customer, avg_bal
+        WHERE c_acctbal > avg_bal.a
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    )
+    SELECT c_nationkey, COUNT(*) AS n_customers, {dsum_sql('c_acctbal')} AS total_bal
+    FROM rich GROUP BY c_nationkey
+    """,
+    tags=("tpch", "anti_join", "scalar_subquery", "aggregate"),
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders (the fixture has no order-less customers, so "idle" = nothing
+    since 2000-01-01). The scalar AVG is a one-row broadcast (cross-join
+    literal); NOT EXISTS lowers to left-anti against the date-filtered
+    orders key projection — the date filter pushes to the orders scan."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(38,10)"))
+                .cast("decimal(38,2)")
+                .cast("double")
+                / F.count("c_acctbal").cast("double")
+            ).alias("a")
+        )
+    )
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+    )
+    return rich.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"), dsum("c_acctbal").alias("total_bal")
+    )

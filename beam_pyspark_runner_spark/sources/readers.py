@@ -94,3 +94,21 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism.
+
+    Use before CPU-heavy narrow transforms (shingling, per-vector math):
+    the testdata parquet files are single-row-group, so Spark cannot split
+    them below one task per file and a heavy map stage would run on 1-3
+    cores. The round-robin shuffle moves only the compact input rows and
+    buys full parallelism for the expensive compute that follows. At
+    production scale the same helper is a no-op decision: sources with
+    many splits already saturate the cluster, and the guard below skips
+    the shuffle when the input is already wide enough.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
