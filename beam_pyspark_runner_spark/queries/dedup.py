@@ -207,27 +207,21 @@ def _bands_sql() -> str:
     return " UNION ALL ".join(selects)
 
 
-@register(
-    "minhash_lsh_candidates",
-    oracle=f"""
-    WITH {_SHINGLE_SQL},
+# Shared candidate-pair SQL prefix (minhash_lsh_candidates + dedup_components).
+_CAND_SQL = f"""
+    {_SHINGLE_SQL},
     {_minhash_sig_sql()},
-    bands AS ({_bands_sql()})
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-    """,
-    tags=("dedup", "near_dedup", "minhash", "lsh"),
-    bench=True,
-)
-def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding: candidate near-duplicate pairs.
+    bands AS ({_bands_sql()}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+"""
 
-    shingle → 16 permutation min-hashes → 4 bands of 4 → docs sharing any
-    band hash are candidates. The 100 TB path: signatures are one partial
-    agg; the band join's fan-in is bucket-bounded (no all-pairs). With
-    j≈0.98 planted dups, P(candidate) = 1-(1-j^4)^4 ≈ 1.
-    """
+
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a < doc_b) MinHash-LSH candidate pairs — single-pass plan."""
     sig = _minhash_signature(spark, sf_dir)
     bands = sig.select(
         "doc_id", F.explode(F.array(*_band_cols())).alias("x")
@@ -250,6 +244,84 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets.select(F.explode(pairs).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
+    )
+
+
+@register(
+    "minhash_lsh_candidates",
+    oracle=f"WITH {_CAND_SQL} SELECT doc_a, doc_b FROM cand",
+    tags=("dedup", "near_dedup", "minhash", "lsh"),
+    bench=True,
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: candidate near-duplicate pairs.
+
+    shingle → 16 permutation min-hashes → 4 bands of 4 → docs sharing any
+    band hash are candidates. The 100 TB path: signatures are one partial
+    agg; the band-bucket groupBy's fan-in is bucket-bounded (no
+    all-pairs). With j≈0.98 planted dups, P(candidate) = 1-(1-j^4)^4 ≈ 1.
+    """
+    return _lsh_candidate_pairs(spark, sf_dir)
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_CAND_SQL},
+    e AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+          UNION SELECT doc_b, doc_a FROM cand),
+    reach(src, dst) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM e)
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+    ),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src)
+    SELECT component, COUNT(*) AS n_docs, MAX(doc_id) AS max_doc_id
+    FROM comp GROUP BY component
+    """,
+    tags=("dedup", "near_dedup", "connected_components", "iterative"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the LSH candidate
+    graph via iterative min-label propagation (SURVEY.md §7 hard part 5).
+
+    Each iteration is one join + one partial agg, all executor-side; the
+    driver sees only a scalar convergence metric (sum of labels, strictly
+    decreasing until fixpoint). ``localCheckpoint`` truncates the lineage
+    so plan depth stays O(1) per round. Rounds needed = graph diameter —
+    for near-dup clusters a small constant; at 100 TB each round is a
+    shuffle of (doc_id, label) pairs only, never document payloads.
+    """
+    edges = _lsh_candidate_pairs(spark, sf_dir)
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select("src").distinct().select(F.col("src").alias("id"), F.col("src").alias("comp"))
+    ).localCheckpoint()
+    prev_total = None
+    while True:
+        nbr = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        labels = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        total = labels.agg(F.sum("comp")).first()[0]
+        if total == prev_total:
+            break
+        prev_total = total
+    return labels.groupBy(F.col("comp").alias("component")).agg(
+        F.count("*").alias("n_docs"), F.max("id").alias("max_doc_id")
     )
 
 

@@ -148,3 +148,52 @@ def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"), davg("n_chars").alias("avg_chars")
     )
+
+
+@register(
+    "quality_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, source, n_chars,
+                      string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, lang, source, n_chars,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(toks)) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) AS ttr,
+                 CAST(len(list_filter(toks, x -> x IN ({_SW_SQL}))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) AS stopword_ratio
+          FROM t)
+    SELECT doc_id, lang, source, n_tokens, ttr, stopword_ratio
+    FROM s
+    WHERE n_tokens BETWEEN 10 AND 5000
+      AND ttr >= 0.3
+      AND stopword_ratio <= 0.5
+    """,
+    tags=("text_analysis", "quality_score", "filter"),
+)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data quality gate: keep documents passing length, lexical
+    diversity (type-token ratio), and stopword-density thresholds — the
+    filter stage a 100 TB corpus pipeline runs before dedup. Pure narrow
+    plan: no shuffle, all predicates evaluated in whole-stage codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens.cast("double")
+    sw = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast(
+        "double"
+    ) / n_tokens.cast("double")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            n_tokens.alias("n_tokens"),
+            ttr.alias("ttr"),
+            sw.alias("stopword_ratio"),
+        )
+        .filter(
+            F.col("n_tokens").between(10, 5000)
+            & (F.col("ttr") >= 0.3)
+            & (F.col("stopword_ratio") <= 0.5)
+        )
+    )

@@ -168,3 +168,42 @@ def first_last_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("o_orderkey", key).alias("first_orderkey"),
         F.max_by("o_orderkey", key).alias("last_orderkey"),
     )
+
+
+@register(
+    "analytic_functions",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           ntile(4) OVER w AS price_quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           first_value(o_orderkey) OVER wf AS cheapest_key,
+           nth_value(o_orderkey, 2) OVER wf AS second_key
+    FROM orders
+    WHERE o_orderkey < 2000
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey),
+           wf AS (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "analytic", "ntile", "percent_rank"),
+)
+def analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full analytic-function surface in one window: ntile, percent_rank,
+    cume_dist (default running frame) plus first_value/nth_value over the
+    full-partition frame. Both windows share one partition+sort, so the
+    plan has a single exchange and sort feeding two Window nodes."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(wf).alias("cheapest_key"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+    )
