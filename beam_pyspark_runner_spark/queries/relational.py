@@ -520,3 +520,31 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.md5(F.col("o_orderkey").cast("string")), "o_orderkey")
         .limit(64)
     )
+
+
+# --- salted aggregation (skew hardening, SURVEY §7 M8) -----------------------
+@register(
+    "salted_agg",
+    oracle=f"""
+    SELECT l_returnflag, {dsum_sql('l_extendedprice')} AS total_price,
+           COUNT(*) AS total_price_count
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "skew", "salting"),
+)
+def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase sum over a 3-distinct-value key: salt spreads
+    each hot key over 16 reducers, the second phase merges 16 tiny rows
+    per key. Exact-decimal accumulation makes the result bit-identical to
+    the direct aggregation — which is exactly what the oracle checks."""
+    from beam_pyspark_runner_spark.functions.skew import salted_decimal_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_decimal_sum(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        "total_price",
+        n_salts=16,
+        salt_on="l_orderkey",
+    )

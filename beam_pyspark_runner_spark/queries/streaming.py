@@ -194,3 +194,81 @@ def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"))
     )
+
+
+@register(
+    "stream_sliding_agg",
+    oracle=f"""
+    WITH offsets(off) AS (VALUES (0), (30)),
+    starts AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts - to_minutes(off)) + to_minutes(off) AS window_start,
+               value
+        FROM events, offsets
+    )
+    SELECT window_start, COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+    FROM starts GROUP BY 1
+    """,
+    tags=("streaming", "event_time", "sliding_window", "watermark"),
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h size, 30m slide) over the replayed stream, 1h
+    watermark; each event contributes to 2 windows. Must equal the batch
+    twin (sliding_window_agg)."""
+    e = _events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"), "n_events", "total_value"
+        )
+    )
+    return run_stream_to_df(agg, output_mode="complete")
+
+
+@register(
+    "stream_stream_join",
+    oracle=f"""
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           p.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
+    """,
+    tags=("streaming", "stream_stream_join", "interval_join", "watermark"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases within 10 minutes after a
+    view by the same user. Both sides carry watermarks and the join
+    condition bounds event-time skew, so the state store evicts rows once
+    the watermark passes — bounded state at any scale. Append mode: rows
+    emit exactly once when matched."""
+    e = _events_stream(spark, sf_dir)
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select(
+        F.col("v_user").alias("user_id"), "view_id", "purchase_id", "purchase_ts"
+    )
+    return run_stream_to_df(joined, output_mode="append")
