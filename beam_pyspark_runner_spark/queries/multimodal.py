@@ -134,3 +134,62 @@ def _fake_decode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 def image_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake image decode over binary payloads (see kernel docstring)."""
     return _payload_df(spark, sf_dir).mapInPandas(_fake_decode_kernel, _DECODE_SCHEMA)
+
+
+FRAME_BYTES = 256
+FRAME_STRIDE = 4  # sample every 4th frame
+
+_FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_bytes bigint, first_byte bigint"
+
+
+def _frame_sample_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic FAKE video frame sampler.
+
+    A real kernel would demux the container (ffmpeg) and decode every
+    STRIDE-th frame; here a "frame" is a FRAME_BYTES-sized slice of the
+    payload. The 1→N row expansion (one binary in, many frame rows out)
+    is the real contract a frame sampler needs from mapInPandas.
+    """
+    for pdf in batches:
+        out_doc, out_idx, out_len, out_first = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            n_frames = (len(b) + FRAME_BYTES - 1) // FRAME_BYTES
+            for idx in range(0, n_frames, FRAME_STRIDE):
+                chunk = b[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+                out_doc.append(doc_id)
+                out_idx.append(idx)
+                out_len.append(len(chunk))
+                out_first.append(chunk[0])
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "frame_idx": pd.Series(out_idx, dtype="int64"),
+                "frame_bytes": pd.Series(out_len, dtype="int64"),
+                "first_byte": pd.Series(out_first, dtype="int64"),
+            }
+        )
+
+
+@register(
+    "video_frame_sample_stub",
+    # ASCII corpus ⇒ byte i == ascii(char i+1); frames are substring slices.
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, octet_length(encode(text)) AS nb, text,
+               unnest(range(0, CAST(ceil(octet_length(encode(text)) / {FRAME_BYTES}.0) AS BIGINT), {FRAME_STRIDE})) AS frame_idx
+        FROM documents
+    )
+    SELECT doc_id, frame_idx,
+           LEAST(CAST({FRAME_BYTES} AS BIGINT), nb - frame_idx * {FRAME_BYTES}) AS frame_bytes,
+           CAST(ascii(substr(text, CAST(frame_idx * {FRAME_BYTES} + 1 AS INT), 1)) AS BIGINT) AS first_byte
+    FROM f
+    """,
+    tags=("multimodal", "binary", "frame_sample", "map_in_pandas"),
+)
+def video_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: 1 blob → N sampled frame rows
+    through mapInPandas (row-expanding kernel). At 100 TB the expansion
+    happens executor-side in Arrow batches; downstream operators see
+    ordinary rows and the blob column is never shuffled."""
+    return _payload_df(spark, sf_dir).mapInPandas(_frame_sample_kernel, _FRAME_SCHEMA)

@@ -248,3 +248,107 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_similarity(F.col("p.ea"), F.col("p.eb")).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= NEAR_DUP_COSINE)
+
+
+N_PROBE = 2  # centroid lists searched per query
+IVF_TOP_K = 5
+
+
+@register(
+    "ivf_topk_search",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_EMB_DBL} AS emb FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e
+             WHERE vec_id < {N_CENTROIDS}),
+    assigned AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_cos_sql('v.emb', 'c.cemb')} DESC, c.centroid_id) AS rn
+            FROM e v, cent c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.vec_id AS query_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_cos_sql('q.emb', 'c.cemb')} DESC, c.centroid_id) AS rn
+            FROM e q, cent c WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= {N_PROBE}
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {_cos_sql('q.emb', 'v.emb')} AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                                  ORDER BY {_cos_sql('q.emb', 'v.emb')} DESC, a.vec_id) AS rnk
+        FROM probes p
+        JOIN assigned a ON a.centroid_id = p.centroid_id
+        JOIN e q ON q.vec_id = p.query_id
+        JOIN e v ON v.vec_id = a.vec_id
+        WHERE a.vec_id <> p.query_id
+    ) WHERE rnk <= {IVF_TOP_K}
+    """,
+    tags=("similarity", "ivf", "ann", "top_k"),
+)
+def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF ANN search: corpus vectors are bucketed by nearest
+    centroid (the index build), each query probes only its N_PROBE best
+    centroid lists, and exact cosine ranks within the probed lists.
+
+    The 100 TB shape: centroids broadcast twice (index build + query
+    probe), the corpus streams once to build assignments, and the search
+    join touches only |probed lists| ≈ N_PROBE/N_CENTROIDS of the corpus
+    — never an all-pairs scan. Recall tunes with N_PROBE."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    cent = (
+        e.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb"))
+    )
+    # Index build: best centroid per corpus vector (broadcast centroids).
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("centroid_id")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "emb",
+            "centroid_id",
+            cosine_similarity(F.col("emb"), F.col("cemb")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("emb").alias("vemb"), "centroid_id")
+    )
+    # Query probe: N_PROBE best centroid lists per query.
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    w_probe = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qemb",
+            "centroid_id",
+            cosine_similarity(F.col("qemb"), F.col("cemb")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "qemb", "centroid_id")
+    )
+    # Search only the probed lists; exact cosine rank within them.
+    w_rank = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_similarity(F.col("qemb"), F.col("vemb")).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= IVF_TOP_K)
+    )

@@ -11,6 +11,7 @@ documents corpus never crosses into Python.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -197,3 +198,32 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("stopword_ratio") <= 0.5)
         )
     )
+
+
+@register(
+    "pandas_udf_density_score",
+    # Exact-arithmetic score (int count, one float divide) so the Arrow
+    # round-trip is verifiable bit-for-bit against the SQL oracle.
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) * 1000 AS DOUBLE)
+               / CAST(n_chars + 1 AS DOUBLE) AS density
+    FROM documents
+    """,
+    tags=("text_analysis", "pandas_udf", "arrow"),
+)
+def pandas_udf_density_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF (Arrow-batched): token density per
+    document, computed in Python. This is the sanctioned shape for logic
+    that genuinely needs Python (model scoring, tokenizers): one Arrow
+    batch per ~10k rows (session.py), no per-row pickling. The oracle
+    proves the Python path returns exactly what the SQL engine computes."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def density(text: pd.Series, n_chars: pd.Series) -> pd.Series:
+        n_tokens = text.str.split(" ").map(len)
+        return n_tokens * 1000.0 / (n_chars + 1.0)
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", density("text", "n_chars").alias("density"))
