@@ -101,3 +101,63 @@ def test_spread_guard_skips_wide_inputs(spark):
     assert spread(df) is df
     narrow = spark.range(0, 1000, 1, 1)
     assert spread(narrow).rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def _plan_of(spark, name: str) -> str:
+    from beam_pyspark_runner_spark.queries import REGISTRY
+
+    df = REGISTRY[name].fn(spark, SF_CORRECT)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_push_to_scan(spark):
+    """All four Q6 predicates must reach the parquet scan (PushedFilters)
+    and the scan must read only the four referenced columns."""
+    plan = _plan_of(spark, "q6_forecast_revenue")
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_extendedprice" in schema
+    assert "l_returnflag" not in schema  # column pruning
+
+
+def test_q1_single_aggregate_exchange(spark):
+    """Q1 is partial+final HashAggregate with exactly one shuffle."""
+    plan = _plan_of(spark, "q1_pricing_summary")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan  # map-side combine present
+
+
+def test_q5_dimensions_broadcast(spark):
+    """At sf0.01 every q5 join is a broadcast join — no sort-merge of the
+    fact table against dimensions."""
+    plan = _plan_of(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_no_fact_self_join(spark):
+    """The LSH candidate plan must contain no join at all (bucket groupBy
+    + in-bucket pair expansion), so the shingle lineage is scanned once."""
+    plan = _plan_of(spark, "minhash_lsh_candidates")
+    assert "Join" not in plan
+    # one signature agg + one bucket agg + one distinct = 3 shuffles max
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_every_survey_category_has_a_query(spark):
+    """Registry self-check: each north-star / §2.4 capability area keeps
+    at least one registered query."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+
+    required_tags = {
+        "aggregate", "join", "window", "distinct", "sample", "grouping_sets",
+        "streaming", "stateful", "dedup", "near_dedup", "minhash",
+        "connected_components", "similarity", "ann", "multimodal",
+        "text_analysis", "pandas_udf", "tpch", "skew", "approx",
+        "event_time", "session_window", "top_k",
+    }
+    have = {t for q in REGISTRY.values() for t in q.tags}
+    missing = required_tags - have
+    assert not missing, f"capability areas without a query: {sorted(missing)}"
