@@ -289,6 +289,7 @@ IVF_TOP_K = 5
     ) WHERE rnk <= {IVF_TOP_K}
     """,
     tags=("similarity", "ivf", "ann", "top_k"),
+    bench=True,
 )
 def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF ANN search: corpus vectors are bucketed by nearest

@@ -170,6 +170,7 @@ def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND stopword_ratio <= 0.5
     """,
     tags=("text_analysis", "quality_score", "filter"),
+    bench=True,
 )
 def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data quality gate: keep documents passing length, lexical

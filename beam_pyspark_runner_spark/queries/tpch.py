@@ -88,6 +88,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     tags=("tpch", "join", "top_k", "aggregate"),
+    bench=True,
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: revenue lost to returns, worst 20 customers.
@@ -162,6 +163,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
     tags=("tpch", "join", "having", "top_k"),
+    bench=True,
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: customers with very large orders. Aggregate-first

@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) for the dataflow API.
+
+The reference ships 8 fixed e2e pipelines and no randomized testing
+(SURVEY.md §5); these properties check the dataflow operators against
+plain-Python semantics on arbitrary inputs — the multiset/grouping laws
+that must hold for any data, not just the golden fixtures.
+
+Settings note: each example spins Spark jobs, so examples are kept low
+and deadlines off; the value is input diversity, not volume.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from beam_pyspark_runner_spark.operators.pipeline import Pipeline
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+kv_lists = st.lists(
+    st.tuples(st.integers(-5, 5), st.integers(-1000, 1000)), min_size=1, max_size=60
+)
+int_lists = st.lists(st.integers(-1000, 1000), min_size=1, max_size=60)
+
+
+@_settings
+@given(data=kv_lists)
+def test_group_by_key_matches_python_grouping(spark, data):
+    p = Pipeline(spark)
+    got = (
+        p.create(data, schema="key long, value long")
+        .group_by_key()
+        .collect()
+    )
+    expected = defaultdict(list)
+    for k, v in data:
+        expected[k].append(v)
+    assert {r["key"]: Counter(r["values"]) for r in got} == {
+        k: Counter(v) for k, v in expected.items()
+    }
+
+
+@_settings
+@given(data=kv_lists)
+def test_combine_per_key_sum_matches_python(spark, data):
+    p = Pipeline(spark)
+    got = (
+        p.create(data, schema="key long, value long")
+        .combine_per_key("sum")
+        .collect()
+    )
+    expected = defaultdict(int)
+    for k, v in data:
+        expected[k] += v
+    assert {r["key"]: r["value"] for r in got} == dict(expected)
+
+
+@_settings
+@given(data=int_lists)
+def test_distinct_and_count_per_element(spark, data):
+    p = Pipeline(spark)
+    src = p.create([(x,) for x in data], schema="value long")
+    assert sorted(r["value"] for r in src.distinct().collect()) == sorted(set(data))
+    counts = {r["key"]: r["value"] for r in src.count_per_element().collect()}
+    assert counts == dict(Counter(data))
+
+
+@_settings
+@given(a=int_lists, b=int_lists)
+def test_flatten_is_multiset_union(spark, a, b):
+    p = Pipeline(spark)
+    pa = p.create([(x,) for x in a], schema="value long")
+    pb = p.create([(x,) for x in b], schema="value long")
+    got = Counter(r["value"] for r in pa.flatten(pb).collect())
+    assert got == Counter(a) + Counter(b)
+
+
+@_settings
+@given(data=int_lists, n=st.integers(1, 10))
+def test_top_n_matches_sorted_prefix(spark, data, n):
+    p = Pipeline(spark)
+    src = p.create([(x,) for x in data], schema="value long")
+    got = [r["value"] for r in src.top(n).collect()]
+    assert got == sorted(data, reverse=True)[:n]
