@@ -548,3 +548,34 @@ def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=16,
         salt_on="l_orderkey",
     )
+
+
+# --- UNPIVOT / stack (wide → long reshape) -----------------------------------
+@register(
+    "unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+           CAST(l_quantity AS DOUBLE) AS value
+    FROM lineitem WHERE l_orderkey < 500
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey < 500
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+    tags=("unpivot", "reshape"),
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via stack (the inverse of pivot): one input scan
+    produces 3 rows per line item inside the generate node — no
+    self-union, no re-scan (the UNION ALL oracle is the naive 3-scan
+    formulation this plan avoids)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(3, 'quantity', CAST(l_quantity AS DOUBLE),"
+        " 'extendedprice', l_extendedprice,"
+        " 'discount', l_discount) AS (measure, value)",
+    )

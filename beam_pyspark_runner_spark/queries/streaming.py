@@ -272,3 +272,19 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_user").alias("user_id"), "view_id", "purchase_id", "purchase_ts"
     )
     return run_stream_to_df(joined, output_mode="append")
+
+
+@register(
+    "stream_dedup_ids",
+    oracle="SELECT DISTINCT user_id FROM events",
+    tags=("streaming", "dedup", "stateful"),
+)
+def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: dropDuplicates holds the seen-key set in the state
+    store across micro-batches (the streaming twin of batch DISTINCT).
+    Projecting only the dedup key keeps the emitted row deterministic
+    regardless of which duplicate arrives first. At scale the state is
+    bounded by dropDuplicatesWithinWatermark when keys expire."""
+    e = _events_stream(spark, sf_dir)
+    dedup = e.select("user_id").dropDuplicates(["user_id"])
+    return run_stream_to_df(dedup, output_mode="append")

@@ -228,3 +228,30 @@ def pandas_udf_density_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", density("text", "n_chars").alias("density"))
+
+
+@register(
+    "pipeline_wordcount",
+    oracle="""
+    SELECT token, COUNT(*) AS n_occurrences
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    """,
+    tags=("pipeline_api", "flat_map", "count_per_element", "group_by_key"),
+)
+def pipeline_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference README's own wordcount demo (README.md:47-55), run
+    through this engine's Beam-style Pipeline API end-to-end — proving the
+    dataflow surface lowers to the same oracle-correct Catalyst plan as
+    the plain DataFrame queries (flat_map → explode, count_per_element →
+    groupBy.count, all codegen'd)."""
+    from beam_pyspark_runner_spark.operators.pipeline import Pipeline
+
+    p = Pipeline(spark)
+    return (
+        p.from_df(load_table(spark, sf_dir, "documents").select("text"))
+        .flat_map(F.split(F.col("text"), " "), out="token")
+        .count_per_element(value="token")
+        .select(F.col("key").alias("token"), F.col("value").alias("n_occurrences"))
+        .to_df()
+    )
