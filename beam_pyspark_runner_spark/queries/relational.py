@@ -579,3 +579,32 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'extendedprice', l_extendedprice,"
         " 'discount', l_discount) AS (measure, value)",
     )
+
+
+# --- aggregation of aggregation (two-level rollup) ----------------------------
+@register(
+    "avg_order_quantity",
+    oracle=f"""
+    WITH per_order AS (
+        SELECT l_orderkey, {dsum_sql('l_quantity')} AS order_qty
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT COUNT(*) AS n_orders,
+           {davg_sql('order_qty')} AS avg_order_qty,
+           CAST(MAX(order_qty) AS DOUBLE) AS max_order_qty
+    FROM per_order
+    """,
+    tags=("aggregate", "nested_agg"),
+)
+def avg_order_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-of-aggregate: per-order quantity sums, then corpus-level
+    stats over those sums. Two aggregations = two shuffles, the second
+    over already-shrunk per-order rows; both levels accumulate in exact
+    decimal so the nesting stays order-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(dsum("l_quantity").alias("order_qty"))
+    return per_order.agg(
+        F.count("*").alias("n_orders"),
+        davg("order_qty").alias("avg_order_qty"),
+        F.max("order_qty").cast("double").alias("max_order_qty"),
+    )

@@ -308,9 +308,9 @@ def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb"))
     )
     # Index build: best centroid per corpus vector (broadcast centroids).
-    w_assign = W.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), F.col("centroid_id")
-    )
+    # max_by in a hash aggregate, not a sort window: one partial+final agg
+    # instead of shuffling + sorting |corpus|×|centroids| scored rows.
+    # emb is functionally dependent on vec_id, so first() is deterministic.
     assigned = (
         e.crossJoin(F.broadcast(cent))
         .select(
@@ -319,9 +319,14 @@ def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_id",
             cosine_similarity(F.col("emb"), F.col("cemb")).alias("cos"),
         )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("emb").alias("vemb"), "centroid_id")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "centroid_id",
+                F.struct(F.col("cos"), (-F.col("centroid_id")).alias("nc")),
+            ).alias("centroid_id"),
+            F.first("emb").alias("vemb"),
+        )
     )
     # Query probe: N_PROBE best centroid lists per query.
     q = e.filter(F.col("vec_id") < N_QUERIES).select(

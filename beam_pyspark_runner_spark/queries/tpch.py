@@ -92,19 +92,24 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: revenue lost to returns, worst 20 customers.
-    returnflag filter pushes to the lineitem scan; nation broadcasts;
-    top-20 is TakeOrderedAndProject over the aggregated (small) side."""
+    Aggregate-first: revenue rolls up to o_custkey right after the one
+    fact-fact join (single narrow-key shuffle of decimal partials), and
+    the customer/nation attributes attach to the ~|customers| aggregated
+    rows afterwards — the wide groupBy keys (name strings) never ride the
+    big shuffle. Top-20 is TakeOrderedAndProject."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load_table(spark, sf_dir, "nation")
-    return (
+    per_cust = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .groupBy("o_custkey")
         .agg(dsum(_rev_col()).alias("revenue"))
-        .select("c_custkey", "c_name", "nation", "revenue")
+    )
+    return (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "c_name", F.col("n_name").alias("nation"), "revenue")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )

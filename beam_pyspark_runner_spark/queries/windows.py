@@ -207,3 +207,50 @@ def analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(wf).alias("cheapest_key"),
         F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
     )
+
+
+@register(
+    "above_group_avg",
+    oracle="""
+    WITH w AS (
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,10)))
+                              OVER (PARTITION BY c_nationkey), 2) AS DOUBLE)
+               / CAST(COUNT(*) OVER (PARTITION BY c_nationkey) AS DOUBLE) AS nation_avg
+        FROM customer
+    )
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CAST(c_acctbal - nation_avg AS DOUBLE) AS above_by
+    FROM w WHERE c_acctbal > nation_avg
+    """,
+    tags=("window", "correlated", "scalar_subquery"),
+)
+def above_group_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated 'above my group's average' — the decorrelated form: a
+    windowed AVG per nation computed in one pass (no per-row subquery, no
+    re-scan), then a filter. The window AVG accumulates in exact decimal:
+    an unordered-partition double SUM would sum in arbitrary row order
+    and drift between runs/engines (functions/numeric.py discipline)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey")
+    nation_avg = (
+        F.sum(F.col("c_acctbal").cast("decimal(38,10)")).over(w)
+        .cast("decimal(38,2)")
+        .cast("double")
+        / F.count("*").over(w).cast("double")
+    )
+    return (
+        c.select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            nation_avg.alias("nation_avg"),
+        )
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            (F.col("c_acctbal") - F.col("nation_avg")).alias("above_by"),
+        )
+    )
