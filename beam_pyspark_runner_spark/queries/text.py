@@ -255,3 +255,48 @@ def pipeline_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("key").alias("token"), F.col("value").alias("n_occurrences"))
         .to_df()
     )
+
+
+_SCALE_SCHEMA = "doc_id bigint, source string, n_chars bigint, scaled double"
+
+
+def _minmax_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map kernel: min-max scale n_chars within one source group.
+    Integer min/max + one float divide — deterministic in any row order."""
+    lo = int(pdf["n_chars"].min())
+    hi = int(pdf["n_chars"].max())
+    span = float(hi - lo) if hi > lo else 1.0
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "source": pdf["source"],
+            "n_chars": pdf["n_chars"],
+            "scaled": (pdf["n_chars"] - lo) / span,
+        }
+    )
+
+
+@register(
+    "grouped_pandas_minmax",
+    oracle="""
+    WITH stats AS (
+        SELECT source, MIN(n_chars) AS lo, MAX(n_chars) AS hi
+        FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           CAST(d.n_chars - lo AS DOUBLE)
+               / (CASE WHEN hi > lo THEN CAST(hi - lo AS DOUBLE) ELSE 1.0 END) AS scaled
+    FROM documents d JOIN stats USING (source)
+    """,
+    tags=("pandas_udf", "apply_in_pandas", "grouped_map", "text_analysis"),
+)
+def grouped_pandas_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the batch DoFn-per-key shape): each
+    source group arrives as one pandas frame, is normalized in Python,
+    and returns rows. This is the sanctioned pattern for per-group Python
+    logic that needs the whole group at once (normalization, per-group
+    model fit). Caveat at 100 TB: one group must fit one worker's memory
+    — for unbounded groups prefer the two-pass stats-join form the oracle
+    uses (which is also the JVM-only fast path)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return d.groupBy("source").applyInPandas(_minmax_kernel, _SCALE_SCHEMA)
