@@ -300,3 +300,47 @@ def grouped_pandas_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses (which is also the JVM-only fast path)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     return d.groupBy("source").applyInPandas(_minmax_kernel, _SCALE_SCHEMA)
+
+
+@register(
+    "udtf_token_positions",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS BIGINT) AS pos,
+           t[i] AS token,
+           CAST(length(t[i]) AS BIGINT) AS token_len
+    FROM toks, LATERAL unnest(range(1, len(t) + 1)) AS r(i)
+    """,
+    tags=("udtf", "table_function", "text_analysis"),
+)
+def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): one input row → N output
+    rows with per-row Python logic, consumed via LATERAL join. The
+    reference's closest analogue is a multi-yield DoFn
+    (transform_evaluators.py:62-68); here the UDTF is registered in SQL
+    and composes with any query. Arrow-batched like other Python paths;
+    for pure tokenization the JVM explode(split()) twin is faster — the
+    UDTF earns its cost when per-row logic is genuinely Python (real
+    tokenizers, parsers)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos bigint, token string, token_len bigint")
+    class TokenPositions:
+        def eval(self, text: str):
+            for pos, tok in enumerate(text.split(" ")):
+                yield pos, tok, len(tok)
+
+    spark.udtf.register("token_positions", TokenPositions)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 50
+    ).createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token, t.token_len
+        FROM docs_udtf d, LATERAL token_positions(d.text) t
+        """
+    )
