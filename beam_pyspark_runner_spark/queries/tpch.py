@@ -6,8 +6,9 @@ ceiling is GroupByKey/CombinePerKey over tuples
 These queries document the full Catalyst surface the new engine gets:
 multi-join pipelines, EXISTS/NOT-EXISTS semi/anti joins, scalar
 subqueries, disjunctive predicate pushdown, and having-on-aggregate
-join-backs. Shapes follow TPC-H q4/q10/q14/q18/q19/q22, adapted where
-the fixture lacks a column (no l_shipmode/l_commitdate/partsupp).
+join-backs. Shapes follow TPC-H q4/q7/q10/q14/q15/q17/q18/q19/q22,
+adapted where the fixture lacks a column (no l_shipmode/l_commitdate/
+partsupp tables); nation/region names use the fixture's synthetic values.
 
 Scale notes (100 TB): every dimension side is broadcast; fact-fact
 joins shuffle on their join key only after scan-level filters; the
@@ -20,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from beam_pyspark_runner_spark.functions.numeric import davg_sql, dsum, dsum_sql
+from beam_pyspark_runner_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
 from beam_pyspark_runner_spark.queries.registry import register
 from beam_pyspark_runner_spark.sources.readers import load_table
 
@@ -272,4 +273,135 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return rich.groupBy("c_nationkey").agg(
         F.count("*").alias("n_customers"), dsum("c_acctbal").alias("total_bal")
+    )
+
+
+# --- q7 shape: bi-nation trade volume by year --------------------------------
+@register(
+    "q7_nation_trade",
+    oracle=f"""
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+           {dsum_sql(_REV_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount'))} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+    JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY n1.n_name, n2.n_name, ship_year
+    """,
+    tags=("tpch", "join", "self_join_dim", "aggregate"),
+)
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between two nations by ship year.
+    The nation dimension joins twice under different roles (customer side
+    and supplier side) — both broadcast; the disjunctive nation-pair
+    filter applies after both attach. One fact-fact shuffle
+    (orders⋈lineitem), everything else broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (
+        ((F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2"))
+        | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(dsum(_rev_col()).alias("revenue"))
+    )
+
+
+# --- q15 shape: top supplier via scalar MAX subquery -------------------------
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey, {dsum_sql(_REV_SQL)} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, rev.total_revenue
+    FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    tags=("tpch", "scalar_subquery", "aggregate", "join"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with maximum quarterly revenue. The
+    scalar MAX over the aggregated view is a one-row broadcast cross
+    join; the revenue view is computed once (Catalyst reuses the subplan
+    via ReusedExchange where possible). Exact-decimal revenue makes the
+    equality comparison safe — with raw double sums, ties at MAX would be
+    partition-order-dependent."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(dsum(_rev_col()).alias("total_revenue"))
+    max_rev = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --- q17 shape: small-quantity orders vs per-part average --------------------
+@register(
+    "q17_small_quantity",
+    oracle=f"""
+    WITH avg_qty AS (
+        SELECT l_partkey, {davg_sql('l_quantity')} AS aq
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {dsum_sql('l.l_extendedprice')} / 7.0 AS avg_yearly, COUNT(*) AS n_rows
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN avg_qty a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < 0.5 * a.aq
+    """,
+    tags=("tpch", "correlated", "scalar_subquery", "aggregate"),
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders below half the part's average
+    quantity. The correlated per-part AVG decorrelates into an aggregate
+    + join-back on partkey (the per-part rows are tiny after aggregation);
+    brand filter broadcasts via the part dimension."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        davg("l_quantity").alias("aq")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .agg(
+            (dsum("l_extendedprice") / 7.0).alias("avg_yearly"),
+            F.count("*").alias("n_rows"),
+        )
     )
