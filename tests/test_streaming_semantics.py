@@ -1,0 +1,136 @@
+"""Structured Streaming semantics: sinks, watermark late-data, AQE skew.
+
+These pin behaviors the queries rely on but don't surface directly:
+foreachBatch as the programmable sink, watermark-based late-row
+dropping in append mode, and AQE's skew-join splitting (thresholds
+lowered so the local fixture triggers the 100 TB code path).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from beam_pyspark_runner_spark.sources.readers import load_table
+
+from tests.conftest import SF_SMOKE
+
+
+def test_foreachbatch_parquet_sink(spark, tmp_path):
+    """foreachBatch: each micro-batch lands as parquet via the batch
+    writer — the programmable-sink path (idempotent by batch_id)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id")
+    events.repartition(3).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+
+    seen_batches = []
+
+    def sink(batch_df, batch_id):
+        seen_batches.append(batch_id)
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert seen_batches, "no micro-batches executed"
+    assert spark.read.parquet(out).count() == events.count()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed agg with watermark: a row arriving in a later
+    micro-batch with an event time far behind the advanced watermark is
+    dropped — its window never materializes, while on-time windows emit
+    once the watermark passes them."""
+    import time
+
+    src = str(tmp_path / "wsrc")
+    ckpt = str(tmp_path / "wckpt")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "id long, ts_s string").withColumn(
+            "ts", F.col("ts_s").cast("timestamp")
+        ).drop("ts_s").write.parquet(f"{src}/{name}")
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    # b1: fresh 12:00 events (watermark advances to 11:50 after this batch)
+    write_batch("b1", [(i, "2024-01-01 12:00:00") for i in range(10)])
+    # b2: straggler 2h behind the watermark — must be dropped
+    write_batch("b2", [(99, "2024-01-01 10:00:00")])
+    # b3: 12:30 events push the watermark past the 12:00 window's end
+    write_batch("b3", [(i, "2024-01-01 12:30:00") for i in range(3)])
+
+    stream = (
+        spark.readStream.schema("id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")  # one file per micro-batch, in order
+        .parquet(src + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = {(r["ws"].hour, r["ws"].minute): r["n"] for r in spark.sql(
+        "SELECT * FROM wm_test"
+    ).collect()}
+    assert emitted.get((12, 0)) == 10, emitted  # on-time window emitted intact
+    assert (10, 0) not in emitted, emitted  # late straggler dropped
+
+
+def test_aqe_splits_skewed_join(spark, tmp_path):
+    """AQE skew-join: with one hot key dominating the left side, the
+    skewed partition is split into subpartitions at runtime. Thresholds
+    are lowered so the fixture-size data triggers the same code path a
+    100 TB skewed key would."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        hot = spark.range(0, 200_000).select(
+            F.lit(7).alias("k"), F.col("id").alias("payload")
+        )
+        tail = spark.range(0, 1000).select(
+            (F.col("id") % 50).alias("k"), F.col("id").alias("payload")
+        )
+        left = hot.unionAll(tail)
+        right = spark.range(0, 50).select(
+            F.col("id").alias("k"), F.col("id").alias("rv")
+        )
+        # No aggregation downstream: a consumer that reuses the join's
+        # partitioning would make AQE decline the split (it avoids adding
+        # a shuffle); a pure join output is the splittable case.
+        joined = left.join(right, "k")
+        # collect() (not count()) so THIS plan executes and AQE finalizes it
+        assert len(joined.collect()) == 200_000 + 1_000  # every row matched once
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
