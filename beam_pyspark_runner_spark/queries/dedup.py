@@ -404,3 +404,49 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+
+
+LEV_PREFIX = 48  # edit-distance window: first N normalized chars
+LEV_MAX_DIST = 24
+
+
+@register(
+    "edit_distance_pairs",
+    oracle=f"""
+    WITH {_CAND_SQL},
+    texts AS (
+        SELECT doc_id, substr(lower(text), 1, {LEV_PREFIX}) AS prefix
+        FROM documents
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(ta.prefix, tb.prefix) AS BIGINT) AS edit_dist
+    FROM cand c
+    JOIN texts ta ON ta.doc_id = c.doc_a
+    JOIN texts tb ON tb.doc_id = c.doc_b
+    WHERE levenshtein(ta.prefix, tb.prefix) <= {LEV_MAX_DIST}
+    """,
+    tags=("dedup", "near_dedup", "edit_distance", "fuzzy"),
+)
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of LSH candidates: Levenshtein over a
+    normalized prefix confirms (or rejects) each MinHash candidate pair.
+    The quadratic edit-distance only ever runs on the candidate set —
+    never all pairs — which is the standard two-stage fuzzy-dedup shape
+    (cheap recall stage, expensive precision stage). Levenshtein is an
+    integer algorithm, identical in both engines."""
+    cand = _lsh_candidate_pairs(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(F.lower("text"), 1, LEV_PREFIX).alias("prefix")
+    )
+    ta = d.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"))
+    tb = d.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= LEV_MAX_DIST)
+    )
