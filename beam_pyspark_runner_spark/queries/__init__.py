@@ -20,5 +20,6 @@ from beam_pyspark_runner_spark.queries import similarity  # noqa: E402,F401
 from beam_pyspark_runner_spark.queries import text  # noqa: E402,F401
 from beam_pyspark_runner_spark.queries import streaming  # noqa: E402,F401
 from beam_pyspark_runner_spark.queries import multimodal  # noqa: E402,F401
+from beam_pyspark_runner_spark.queries import sketches  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register"]
