@@ -110,3 +110,178 @@ def cms_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_estimate") >= F.col("exact_n")).alias("upper_bound_holds"),
         )
     )
+
+
+BLOOM_K = 3  # hash functions
+BLOOM_M = 512  # bits
+
+# Members: suppliers of nation 3 (the build side of a bloom semi-join).
+_BLOOM_MEMBER_SQL = "SELECT s_suppkey FROM supplier WHERE s_nationkey = 3"
+
+
+def _bloom_pos(kk: Column, key: Column) -> Column:
+    return h32(F.concat_ws("-", F.lit("bloom"), kk, key)) % BLOOM_M
+
+
+def _bloom_pos_sql(kk: str, key: str) -> str:
+    expr = "'bloom-' || " + kk + " || '-' || " + key
+    return f"({h32_sql(expr)} % {BLOOM_M})"
+
+
+_BLOOM_SQL = f"""
+    k(kk) AS (SELECT unnest(range({BLOOM_K}))),
+    members AS ({_BLOOM_MEMBER_SQL}),
+    bits AS (
+        SELECT DISTINCT {_bloom_pos_sql('kk', 's_suppkey')} AS pos
+        FROM members, k
+    )
+"""
+
+
+@register(
+    "bloom_build",
+    oracle=f"WITH {_BLOOM_SQL} SELECT pos FROM bits",
+    tags=("sketch", "bloom_filter", "distinct"),
+)
+def bloom_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter build: the set bits of a {BLOOM_M}-bit filter over the
+    member keys — K md5-derived positions per key, deduplicated. Constant
+    size regardless of member count; ships as a broadcast."""
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
+    rows = s.select("s_suppkey").withColumn(
+        "kk", F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)]))
+    )
+    return rows.select(
+        _bloom_pos(F.col("kk"), F.col("s_suppkey")).alias("pos")
+    ).distinct()
+
+
+@register(
+    "bloom_membership_vs_exact",
+    oracle=f"""
+    WITH {_BLOOM_SQL},
+    probes AS (SELECT DISTINCT l_suppkey FROM lineitem),
+    hits AS (
+        SELECT p.l_suppkey
+        FROM probes p, k
+        JOIN bits b ON b.pos = {_bloom_pos_sql('kk', 'p.l_suppkey')}
+        GROUP BY p.l_suppkey
+        HAVING COUNT(*) = {BLOOM_K}
+    )
+    SELECT h.l_suppkey,
+           (m.s_suppkey IS NOT NULL) AS is_true_member
+    FROM hits h LEFT JOIN members m ON m.s_suppkey = h.l_suppkey
+    """,
+    tags=("sketch", "bloom_filter", "semi_join", "approx"),
+)
+def bloom_membership_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership as a pre-join filter: probe keys pass if all K bit
+    positions are set; is_true_member separates real members from false
+    positives (no false negatives is the Bloom guarantee — every true
+    member appears). At 100 TB this is the broadcast pre-filter that
+    spares the shuffle semi-join from touching non-member rows."""
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
+    member_rows = s.select("s_suppkey").withColumn(
+        "kk", F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)]))
+    )
+    bits = member_rows.select(
+        _bloom_pos(F.col("kk"), F.col("s_suppkey")).alias("pos")
+    ).distinct()
+    probes = (
+        load_table(spark, sf_dir, "lineitem").select("l_suppkey").distinct()
+    )
+    probe_bits = probes.withColumn(
+        "kk", F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)]))
+    ).withColumn("pos", _bloom_pos(F.col("kk"), F.col("l_suppkey")))
+    hits = (
+        probe_bits.join(F.broadcast(bits), "pos")
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("nbits"))
+        .filter(F.col("nbits") == BLOOM_K)
+        .select("l_suppkey")
+    )
+    members = s.select(F.col("s_suppkey"))
+    return (
+        hits.join(F.broadcast(members), hits.l_suppkey == F.col("s_suppkey"), "left")
+        .select(
+            "l_suppkey", F.col("s_suppkey").isNotNull().alias("is_true_member")
+        )
+    )
+
+
+HLL_M = 64  # buckets (uses the low 6 hash bits)
+HLL_ALPHA = 0.709  # alpha_64 (Flajolet et al.)
+# rank comes from the REMAINING 26 bits (w = h >> 6) — bucket and rank
+# bits must be disjoint or registers correlate with bucket choice and the
+# estimator collapses. trailing-zero rank of a 26-bit value is in [1, 27].
+_HLL_RMAX = 27
+
+
+@register(
+    "hll_distinct_estimate",
+    # rank = trailing_zeros(w)+1 via log2(w & -w) — exact for powers of 2.
+    # The harmonic-mean denominator is summed as exact BIGINTs
+    # (2^(RMAX - rank)), so the float estimate is one deterministic
+    # multiply/divide chain — no order-dependent float accumulation.
+    oracle=f"""
+    WITH hashes AS (
+        SELECT DISTINCT {h32_sql("'hll-' || l_partkey")} AS h FROM lineitem
+    ),
+    ranked AS (
+        SELECT h % {HLL_M} AS bucket,
+               CASE WHEN (h // {HLL_M}) = 0 THEN {_HLL_RMAX}
+                    ELSE CAST(log2((h // {HLL_M}) & -(h // {HLL_M})) AS BIGINT) + 1
+               END AS r
+        FROM hashes
+    ),
+    regs AS (SELECT bucket, MAX(r) AS rmax FROM ranked GROUP BY bucket),
+    s AS (
+        SELECT COUNT(*) AS n_present,
+               SUM(1::BIGINT << ({_HLL_RMAX} - rmax)) AS int_sum
+        FROM regs
+    )
+    SELECT n_present,
+           (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS exact_distinct,
+           {HLL_ALPHA} * {HLL_M} * {HLL_M} * (1::BIGINT << {_HLL_RMAX})
+               / CAST(int_sum + ({HLL_M} - n_present) * (1::BIGINT << {_HLL_RMAX}) AS DOUBLE)
+               AS hll_estimate
+    FROM s
+    """,
+    tags=("sketch", "hll", "approx", "aggregate"),
+)
+def hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count estimate built from first principles
+    (unlike approx_count_distinct's opaque HLL++): per-bucket max
+    trailing-zero rank over the non-bucket hash bits, harmonic mean,
+    alpha correction. The raw estimator (no small/large-range
+    corrections) — the point is the distributed shape: one narrow hash
+    pass, one 64-row register aggregate, constant-size state at any
+    input scale, and a fully deterministic oracle via integer harmonic
+    summation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = h32(F.concat_ws("-", F.lit("hll"), F.col("l_partkey")))
+    hashes = li.select(h.alias("h")).distinct()
+    w = (F.col("h") / HLL_M).cast("long")
+    rank = F.when(w == 0, F.lit(_HLL_RMAX)).otherwise(
+        F.log2(w.bitwiseAND(-w)).cast("long") + 1
+    )
+    regs = (
+        hashes.select((F.col("h") % HLL_M).alias("bucket"), rank.alias("r"))
+        .groupBy("bucket")
+        .agg(F.max("r").alias("rmax"))
+    )
+    s = regs.agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.expr(f"shiftleft(1L, cast({_HLL_RMAX} - rmax AS INT))")).alias(
+            "int_sum"
+        ),
+    )
+    exact = li.agg(F.countDistinct("l_partkey").alias("exact_distinct"))
+    denom = (
+        F.col("int_sum")
+        + (HLL_M - F.col("n_present")) * F.lit(1 << _HLL_RMAX).cast("long")
+    ).cast("double")
+    est = F.lit(HLL_ALPHA * HLL_M * HLL_M * (1 << _HLL_RMAX)) / denom
+    return s.crossJoin(F.broadcast(exact)).select(
+        "n_present", "exact_distinct", est.alias("hll_estimate")
+    )
