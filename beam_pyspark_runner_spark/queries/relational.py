@@ -11,6 +11,7 @@ and every float aggregate is order-stable (see functions/numeric.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from beam_pyspark_runner_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
@@ -607,4 +608,36 @@ def avg_order_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         davg("order_qty").alias("avg_order_qty"),
         F.max("order_qty").cast("double").alias("max_order_qty"),
+    )
+
+
+# --- per-key deterministic sample (reservoir-sample shape) --------------------
+@register(
+    "sample_per_key",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber FROM (
+        SELECT l_returnflag, l_orderkey, l_linenumber,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY md5(l_orderkey || '-' || l_linenumber), l_orderkey, l_linenumber
+               ) AS rn
+        FROM lineitem
+    ) WHERE rn <= 8
+    """,
+    tags=("sample", "combiner", "window", "top_k_per_key"),
+)
+def sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key fixed-size sample (reservoir-sampling semantics, made
+    deterministic): order each key's rows by a content hash and keep the
+    first 8. Runs as WindowGroupLimit (bounded per-partition heaps) — the
+    distributed equivalent of a per-key reservoir without the sequential
+    scan a true reservoir needs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hkey = F.md5(F.concat_ws("-", "l_orderkey", "l_linenumber"))
+    w = W.partitionBy("l_returnflag").orderBy(hkey, "l_orderkey", "l_linenumber")
+    return (
+        li.select("l_returnflag", "l_orderkey", "l_linenumber")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 8)
+        .drop("rn")
     )

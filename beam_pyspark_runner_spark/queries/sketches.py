@@ -285,3 +285,46 @@ def hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.crossJoin(F.broadcast(exact)).select(
         "n_present", "exact_distinct", est.alias("hll_estimate")
     )
+
+
+CMS_HH_THRESHOLD = 1000  # heavy-hitter cutoff on estimated frequency (p85-ish at sf0.01)
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH {_CMS_SQL},
+    probes AS (
+        SELECT DISTINCT l_suppkey AS key, dd,
+               {_bucket_sql('dd', 'l_suppkey')} AS bucket
+        FROM lineitem, d
+    ),
+    est AS (
+        SELECT p.key, MIN(c.c) AS cms_estimate
+        FROM probes p JOIN cells c ON c.dd = p.dd AND c.bucket = p.bucket
+        GROUP BY p.key
+    )
+    SELECT key AS l_suppkey, cms_estimate
+    FROM est WHERE cms_estimate >= {CMS_HH_THRESHOLD}
+    """,
+    tags=("sketch", "count_min", "heavy_hitters", "approx"),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the count-min sketch: keys whose estimated
+    frequency clears the threshold. Because CMS never underestimates,
+    this candidate set has perfect recall — a second exact pass over
+    just these keys (tiny) yields exact heavy hitters without ever
+    computing exact counts for the full key space."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sketch = _sketch_df(spark, sf_dir)
+    probes = (
+        li.select(F.col("l_suppkey")).distinct()
+        .withColumn("dd", F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])))
+        .withColumn("bucket", _bucket(F.col("dd"), F.col("l_suppkey")))
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["dd", "bucket"])
+        .groupBy("l_suppkey")
+        .agg(F.min("c").alias("cms_estimate"))
+        .filter(F.col("cms_estimate") >= CMS_HH_THRESHOLD)
+    )
