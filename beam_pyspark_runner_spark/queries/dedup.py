@@ -450,3 +450,49 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= LEV_MAX_DIST)
     )
+
+
+@register(
+    "clean_corpus",
+    oracle=f"""
+    WITH {_CAND_SQL},
+    quality AS (
+        SELECT doc_id, md5(text) AS content_hash
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) BETWEEN 10 AND 5000
+          AND CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) >= 0.3
+    ),
+    exact_kept AS (
+        SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY content_hash
+    ),
+    near_dropped AS (SELECT DISTINCT doc_b AS doc_id FROM cand)
+    SELECT e.doc_id FROM exact_kept e
+    LEFT JOIN near_dropped n ON n.doc_id = e.doc_id
+    WHERE n.doc_id IS NULL
+    """,
+    tags=("dedup", "exact_dedup", "near_dedup", "quality_score", "pipeline"),
+)
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data cleaning pipeline as one query:
+    quality gate (length + lexical diversity) → exact dedup (keep lowest
+    doc_id per content hash) → near-dup removal (drop the higher id of
+    every MinHash-LSH candidate pair). Returns the surviving doc_ids.
+
+    At 100 TB each stage shrinks its successor's input: the quality
+    filter is a narrow scan, exact dedup shuffles only (hash, id), and
+    the LSH stage runs on survivors' signatures. The pair-drop rule
+    (rather than full connected components, see dedup_components) is the
+    deterministic one-pass variant production pipelines use when cluster
+    transitivity isn't required."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens.cast("double")
+    quality = d.filter(
+        n_tokens.between(10, 5000) & (ttr >= 0.3)
+    ).select("doc_id", F.md5("text").alias("content_hash"))
+    exact_kept = quality.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    near_dropped = (
+        _lsh_candidate_pairs(spark, sf_dir).select(F.col("doc_b").alias("doc_id")).distinct()
+    )
+    return exact_kept.join(near_dropped, "doc_id", "left_anti").select("doc_id")

@@ -641,3 +641,52 @@ def sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 8)
         .drop("rn")
     )
+
+
+# --- array / higher-order function surface -----------------------------------
+@register(
+    "array_functions",
+    oracle="""
+    WITH t AS (
+        SELECT l_orderkey, l_linenumber,
+               [CAST(l_quantity AS DOUBLE), l_extendedprice, l_discount] AS arr
+        FROM lineitem WHERE l_orderkey < 200
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(len(arr) AS INT) AS n,
+           list_max(arr) AS mx,
+           list_sort(arr) AS sorted_arr,
+           list_filter(arr, x -> x >= 1.0) AS big_vals,
+           list_transform(arr, x -> x * 2.0) AS doubled,
+           list_reduce(arr, (acc, x) -> acc + x) AS fold_sum
+    FROM t
+    """,
+    tags=("array_fns", "higher_order", "scalar_fns"),
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order function surface: size, max, sort, filter,
+    transform, and a left fold — all JVM-side (interpreted HOFs, but no
+    Python). The fold accumulates in index order, which DuckDB's
+    list_reduce reproduces exactly (same discipline as
+    functions/vectors.py)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    arr = F.array(
+        F.col("l_quantity").cast("double"),
+        F.col("l_extendedprice"),
+        F.col("l_discount"),
+    )
+    t = li.select("l_orderkey", "l_linenumber", arr.alias("arr"))
+    return t.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.size("arr").alias("n"),
+        F.array_max("arr").alias("mx"),
+        F.array_sort("arr").alias("sorted_arr"),
+        F.filter("arr", lambda x: x >= 1.0).alias("big_vals"),
+        F.transform("arr", lambda x: x * 2.0).alias("doubled"),
+        F.aggregate(
+            F.expr("slice(arr, 2, size(arr) - 1)"),
+            F.element_at("arr", 1),
+            lambda acc, x: acc + x,
+        ).alias("fold_sum"),
+    )
