@@ -232,3 +232,41 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
         .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
     )
+
+
+@register(
+    "cohort_retention",
+    oracle=f"""
+    WITH weekly AS (
+        SELECT DISTINCT user_id, time_bucket(INTERVAL '7 days', ts, TIMESTAMP '1970-01-01') AS week
+        FROM events
+    ),
+    cohorts AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY user_id
+    )
+    SELECT c.cohort_week, w.week AS activity_week, COUNT(*) AS n_active_users
+    FROM weekly w JOIN cohorts c ON c.user_id = w.user_id
+    GROUP BY c.cohort_week, w.week
+    """,
+    tags=("event_time", "cohort", "retention", "aggregate"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active week, counted in
+    every week they return. Two aggregations over the deduplicated
+    (user, week) grid plus one join back — the grid is tiny relative to
+    raw events, so at 100 TB only the initial distinct touches the fact
+    table; everything after runs on |users|×|weeks| rows.
+
+    Window alignment: Spark's F.window buckets from the epoch, so the
+    oracle pins time_bucket's origin to 1970-01-01 (DuckDB's default
+    7-day origin is Monday 2000-01-03, off by 3 days)."""
+    e = load_table(spark, sf_dir, "events")
+    weekly = (
+        e.select("user_id", F.window("ts", "7 days").start.alias("week")).distinct()
+    )
+    cohorts = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weekly.join(cohorts, "user_id")
+        .groupBy("cohort_week", F.col("week").alias("activity_week"))
+        .agg(F.count("*").alias("n_active_users"))
+    )
