@@ -690,3 +690,53 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("fold_sum"),
     )
+
+
+# --- NULL semantics: outer-join nulls, null-safe equality, null-aware aggs ---
+@register(
+    "null_semantics",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, COUNT(*) AS n_lines
+        FROM lineitem WHERE l_quantity > 49 GROUP BY l_orderkey
+    ),
+    j AS (
+        SELECT o.o_orderkey, o.o_orderstatus, b.n_lines
+        FROM orders o LEFT JOIN big b ON b.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(n_lines) AS n_with_big_lines,
+           SUM(CASE WHEN n_lines IS NULL THEN 1 ELSE 0 END) AS n_null,
+           SUM(COALESCE(n_lines, 0)) AS total_big_lines,
+           SUM(CASE WHEN n_lines IS NOT DISTINCT FROM 1 THEN 1 ELSE 0 END)
+               AS n_exactly_one
+    FROM j GROUP BY o_orderstatus
+    """,
+    tags=("null_semantics", "join", "left_outer", "aggregate"),
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling parity: unmatched left-join rows produce NULLs,
+    COUNT(col) skips them while COUNT(*) doesn't, SUM ignores them under
+    COALESCE, and null-safe equality (<=> / IS NOT DISTINCT FROM) treats
+    NULL as a comparable value. These are the semantics corners where
+    engines diverge silently — pinned here against the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.filter(F.col("l_quantity") > 49)
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_lines"))
+    )
+    j = o.join(big, o.o_orderkey == big.l_orderkey, "left").select(
+        "o_orderkey", "o_orderstatus", "n_lines"
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.count("n_lines").alias("n_with_big_lines"),
+        F.sum(F.when(F.col("n_lines").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.sum(F.coalesce("n_lines", F.lit(0))).alias("total_big_lines"),
+        F.sum(
+            F.when(F.col("n_lines").eqNullSafe(F.lit(1)), 1).otherwise(0)
+        ).alias("n_exactly_one"),
+    )
