@@ -740,3 +740,40 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n_lines").eqNullSafe(F.lit(1)), 1).otherwise(0)
         ).alias("n_exactly_one"),
     )
+
+
+# --- multiset set-ops (ALL variants keep duplicates) --------------------------
+@register(
+    "intersect_all_keys",
+    oracle="""
+    SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+    tags=("set_ops", "intersect", "multiset"),
+)
+def intersect_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL: bag intersection (min multiplicity per value) —
+    unlike INTERSECT's set semantics. Plans as a single aggregate-based
+    join, no full dedup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k"))
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("k"))
+    return r.intersectAll(a)
+
+
+@register(
+    "except_all_keys",
+    oracle="""
+    SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+    EXCEPT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+    tags=("set_ops", "except", "multiset"),
+)
+def except_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL: bag difference (multiplicities subtract, floor 0)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k"))
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("k"))
+    return r.exceptAll(a)
