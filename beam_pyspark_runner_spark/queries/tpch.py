@@ -405,3 +405,72 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
         )
     )
+
+
+# --- q8 shape: national market share -----------------------------------------
+@register(
+    "q8_market_share",
+    oracle=f"""
+    WITH flat AS (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+               {_REV_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')} AS rev,
+               n2.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n1.n_regionkey
+        JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type LIKE 'PROMO%'
+    )
+    SELECT order_year,
+           {dsum_sql("CASE WHEN supp_nation = 'NATION_5' THEN rev ELSE CAST(0 AS DECIMAL(10,2)) END")}
+               / NULLIF({dsum_sql('rev')}, 0) AS mkt_share,
+           COUNT(*) AS n_rows
+    FROM flat GROUP BY order_year
+    """,
+    tags=("tpch", "join", "conditional_agg", "market_share"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_5's share of PROMO-part revenue sold into
+    ASIA, by year — the widest join pipeline in the suite (lineitem +
+    part + supplier + orders + customer + nation×2 + region). Every
+    dimension broadcasts; orders⋈lineitem is the only row shuffle; the
+    share ratio is two exact-decimal sums and one double divide."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type").like("PROMO%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = _rev_col()
+    flat = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            rev.alias("rev"),
+            "supp_nation",
+        )
+    )
+    nation_rev = F.when(
+        F.col("supp_nation") == "NATION_5", F.col("rev")
+    ).otherwise(F.lit(0).cast("decimal(10,2)"))
+    return flat.groupBy("order_year").agg(
+        (dsum(nation_rev) / F.nullif(dsum("rev"), F.lit(0))).alias("mkt_share"),
+        F.count("*").alias("n_rows"),
+    )

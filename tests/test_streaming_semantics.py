@@ -134,3 +134,34 @@ def test_aqe_splits_skewed_join(spark, tmp_path):
         for k, v in prev.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_checkpoint_recovery_no_reprocessing(spark, tmp_path):
+    """Exactly-once via checkpointing: restarting a foreachBatch stream
+    with the same checkpoint processes only files added since the last
+    run — already-committed batches are never re-delivered."""
+    src = str(tmp_path / "cp_src")
+    out = str(tmp_path / "cp_out")
+    ckpt = str(tmp_path / "cp_ckpt")
+    os.makedirs(src)
+
+    def run_once():
+        stream = spark.readStream.schema("id long").parquet(src + "/*")
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.range(0, 100).write.parquet(src + "/f1")
+    run_once()
+    assert spark.read.parquet(out).count() == 100
+
+    spark.range(100, 150).write.parquet(src + "/f2")
+    run_once()  # same checkpoint: must deliver ONLY f2
+    got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(150)), f"duplicates or gaps: {len(got)} rows"
