@@ -474,3 +474,74 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dsum(nation_rev) / F.nullif(dsum("rev"), F.lit(0))).alias("mkt_share"),
         F.count("*").alias("n_rows"),
     )
+
+
+# --- q13 shape: customer order-count distribution ----------------------------
+@register(
+    "q13_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                           AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS n_customers
+    FROM per_cust GROUP BY c_count
+    """,
+    tags=("tpch", "left_outer", "histogram", "aggregate"),
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed k (non-urgent) orders,
+    including k=0 — the left join keeps order-less customers and
+    COUNT(col) turns their NULLs into zero. Two aggregations: per-customer
+    count (fact-side shuffle), then the tiny histogram of counts."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("n_customers"))
+
+
+# --- q16 shape: NOT IN (null-aware anti join) + distinct count ---------------
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (5, 15, 25, 35, 45)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_size
+    """,
+    tags=("tpch", "not_in", "anti_join", "distinct", "aggregate"),
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per (brand, size), excluding
+    complaint-ish suppliers via NOT IN. NOT IN over a nullable-free
+    subquery lowers to a left-anti join (with NULLs it would need Spark's
+    null-aware anti join — the subquery column here is non-null by
+    schema, so the cheap form applies). Distinct-count shuffles once on
+    the grouping keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 15, 25, 35, 45)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
