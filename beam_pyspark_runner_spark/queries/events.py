@@ -270,3 +270,60 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", F.col("week").alias("activity_week"))
         .agg(F.count("*").alias("n_active_users"))
     )
+
+
+@register(
+    "top_sessions",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '{SESSION_GAP_MINUTES} minutes'
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    per_session AS (
+        SELECT user_id, session_id, MIN(ts) AS session_start,
+               COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start, n_events, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY n_events DESC, session_start) AS rnk
+        FROM per_session
+    ) WHERE rnk <= 2
+    """,
+    tags=("event_time", "session_window", "top_k_per_key", "window"),
+)
+def top_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's 2 busiest sessions: sessionization (gap rule via lag +
+    running flag-sum) composed with a per-key top-k window — the
+    session assignment and both rankings share one user-partitioned sort."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MINUTES * 60), 1
+    ).otherwise(0)
+    sessions = e.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"), F.count("*").alias("n_events")
+    )
+    w_rank = W.partitionBy("user_id").orderBy(
+        F.col("n_events").desc(), F.col("session_start")
+    )
+    return (
+        per_session.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= 2)
+        .select("user_id", "session_start", "n_events", "rnk")
+    )

@@ -545,3 +545,49 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+# --- q20 shape: nested semi-join chain ---------------------------------------
+@register(
+    "q20_excess_suppliers",
+    oracle=f"""
+    WITH promo_parts AS (
+        SELECT p_partkey FROM part WHERE p_type LIKE 'PROMO%'
+    ),
+    heavy AS (
+        SELECT l_suppkey, {dsum_sql('l_quantity')} AS shipped
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM promo_parts)
+        GROUP BY l_suppkey
+        HAVING {dsum_sql('l_quantity')} > 2600
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM heavy)
+    """,
+    tags=("tpch", "semi_join", "nested_subquery", "having"),
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped large volumes of promo
+    parts — a two-level IN chain (parts→lineitem agg→suppliers), each IN
+    lowering to a semi join. Aggregate-first again: the HAVING shrinks
+    the supplier key set before touching the supplier dimension."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type").like("PROMO%")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(dsum("l_quantity").alias("shipped"))
+        .filter(F.col("shipped") > 2600)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
