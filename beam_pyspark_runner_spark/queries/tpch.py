@@ -591,3 +591,113 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
     )
+
+
+# --- q21 shape: sole-late-supplier (EXISTS + NOT EXISTS, same fact) ----------
+@register(
+    "q21_waiting_orders",
+    oracle="""
+    SELECT l1.l_suppkey, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY l1.l_suppkey
+    """,
+    tags=("tpch", "exists", "not_exists", "semi_join", "anti_join"),
+)
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late supplier on a
+    finished multi-supplier order ("late" = shipped >60d after order
+    date, standing in for the missing commit/receipt dates). The same
+    fact table is correlated twice — EXISTS (another supplier on the
+    order) lowers to a semi join, NOT EXISTS (another LATE supplier) to
+    an anti join — both on orderkey, so all three legs share one shuffle
+    key and AQE can reuse exchanges."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    late1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    late_others = late1.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    return (
+        late1.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+# --- q2 shape: min-per-group join-back over the dimension path ---------------
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+        SELECT l.l_partkey, l.l_suppkey, MIN(l.l_extendedprice) AS min_price
+        FROM lineitem l GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    best AS (
+        SELECT l_partkey, MIN(min_price) AS best_price
+        FROM costs GROUP BY l_partkey
+    )
+    SELECT c.l_partkey AS p_partkey, MIN(c.l_suppkey) AS best_suppkey,
+           ANY_VALUE(b.best_price) AS best_price
+    FROM costs c JOIN best b
+      ON b.l_partkey = c.l_partkey AND c.min_price = b.best_price
+    GROUP BY c.l_partkey
+    """,
+    tags=("tpch", "correlated", "min_per_group", "join"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp in the fixture — lineitem's observed
+    prices stand in for supply cost): the cheapest supplier per part via
+    aggregate + join-back on the min, ties broken by lowest suppkey.
+    MIN is exact on doubles, so the equality join-back is safe — the
+    same pattern q15 uses for its scalar MAX."""
+    li = load_table(spark, sf_dir, "lineitem")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    best = costs.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("min_price").alias("best_price")
+    )
+    return (
+        costs.join(
+            best,
+            (costs.l_partkey == F.col("b_partkey"))
+            & (costs.min_price == F.col("best_price")),
+        )
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.min("l_suppkey").alias("best_suppkey"),
+            F.first("best_price").alias("best_price"),
+        )
+    )
