@@ -701,3 +701,42 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("best_price").alias("best_price"),
         )
     )
+
+
+# --- q12 shape: shipping-delay priority split --------------------------------
+@register(
+    "q12_late_shipment_priority",
+    oracle="""
+    SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                THEN 'very_late' ELSE 'late' END AS delay_class,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY 1
+    """,
+    tags=("tpch", "join", "conditional_agg", "case_split"),
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: urgent vs non-urgent line counts split by shipping
+    delay class (the fixture has no l_shipmode, so delay buckets stand in
+    for ship modes; >30d late qualifies, >90d is 'very_late'). The
+    cross-table predicate (shipdate vs orderdate) evaluates post-join;
+    one fact-fact shuffle, then a 2-row conditional aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    delay_class = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        "very_late",
+    ).otherwise("late")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(delay_class.alias("delay_class")).agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+    )
