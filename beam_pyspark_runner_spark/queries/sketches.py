@@ -328,3 +328,54 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").alias("cms_estimate"))
         .filter(F.col("cms_estimate") >= CMS_HH_THRESHOLD)
     )
+
+
+@register(
+    "exact_heavy_hitters",
+    oracle=f"""
+    WITH {_CMS_SQL},
+    probes AS (
+        SELECT DISTINCT l_suppkey AS key, dd,
+               {_bucket_sql('dd', 'l_suppkey')} AS bucket
+        FROM lineitem, d
+    ),
+    est AS (
+        SELECT p.key, MIN(c.c) AS cms_estimate
+        FROM probes p JOIN cells c ON c.dd = p.dd AND c.bucket = p.bucket
+        GROUP BY p.key
+    ),
+    cand AS (SELECT key FROM est WHERE cms_estimate >= {CMS_HH_THRESHOLD})
+    SELECT l.l_suppkey, COUNT(*) AS exact_n,
+           COUNT(*) >= {CMS_HH_THRESHOLD} AS is_true_heavy
+    FROM lineitem l JOIN cand ON cand.key = l.l_suppkey
+    GROUP BY l.l_suppkey
+    """,
+    tags=("sketch", "count_min", "heavy_hitters", "two_pass"),
+)
+def exact_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full two-pass heavy-hitter pipeline: the CMS candidate set
+    (perfect recall, some false positives) feeds an exact counting pass
+    restricted to candidates via a broadcast semi join; is_true_heavy
+    separates real heavy hitters from CMS collision artifacts. At 100 TB
+    the exact pass groups only the handful of candidate keys — the
+    unbounded per-key state of a naive exact count never materializes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sketch = _sketch_df(spark, sf_dir)
+    probes = (
+        li.select(F.col("l_suppkey")).distinct()
+        .withColumn("dd", F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])))
+        .withColumn("bucket", _bucket(F.col("dd"), F.col("l_suppkey")))
+    )
+    cand = (
+        probes.join(F.broadcast(sketch), ["dd", "bucket"])
+        .groupBy("l_suppkey")
+        .agg(F.min("c").alias("cms_estimate"))
+        .filter(F.col("cms_estimate") >= CMS_HH_THRESHOLD)
+        .select(F.col("l_suppkey").alias("cand_key"))
+    )
+    return (
+        li.join(F.broadcast(cand), li.l_suppkey == F.col("cand_key"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("exact_n"))
+        .withColumn("is_true_heavy", F.col("exact_n") >= CMS_HH_THRESHOLD)
+    )

@@ -1,0 +1,52 @@
+"""Unit tests for the oracle-compare harness itself (tests/oracle_check.py).
+
+The entire correctness story rests on _canon/_hash_rows treating both
+engines' values identically — pin the canonicalization edge cases.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+from tests.oracle_check import _canon, _hash_rows
+
+
+def test_canon_float_edge_cases():
+    assert _canon(-0.0) == _canon(0.0)  # signed zero normalized
+    assert _canon(float("nan")) == "nan"
+    assert _canon(1.5) == float.hex(1.5)  # exact bits, not repr rounding
+    assert _canon(0.1 + 0.2) != _canon(0.3)  # hex form is bit-exact
+
+
+def test_canon_decimal_matches_equal_float():
+    assert _canon(Decimal("2.50")) == _canon(2.5)
+
+
+def test_canon_bool_vs_int_distinct_from_strings():
+    assert _canon(True) == "1" and _canon(False) == "0"
+    assert _canon(1) == "1"  # bool/int unify (engines disagree on type)
+    assert _canon(None) == "∅"
+
+
+def test_canon_temporal():
+    assert (
+        _canon(dt.datetime(2024, 1, 1, 12, 0, 0, tzinfo=dt.timezone.utc))
+        == _canon(dt.datetime(2024, 1, 1, 12, 0, 0))
+    )  # tz stripped after UTC session normalization
+    assert _canon(dt.date(2024, 1, 1)) == "2024-01-01"
+
+
+def test_canon_containers():
+    assert _canon([1, [2.0, None]]) == "[1,[" + float.hex(2.0) + ",∅]]"
+    assert _canon({"b": 1, "a": 2}) == _canon({"a": 2, "b": 1})  # key order free
+    assert _canon(b"\x00\xff") == "00ff"
+
+
+def test_hash_rows_column_and_row_order_invariant():
+    n1, h1 = _hash_rows(["b", "a"], [(1, "x"), (2, "y")])
+    n2, h2 = _hash_rows(["a", "b"], [("y", 2), ("x", 1)])
+    assert (n1, h1) == (n2, h2)
+    # different values → different hash
+    _, h3 = _hash_rows(["a", "b"], [("y", 2), ("x", 99)])
+    assert h3 != h1
