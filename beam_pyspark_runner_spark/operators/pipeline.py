@@ -40,6 +40,11 @@ from beam_pyspark_runner_spark.operators.combiners import (
     combine_globally,
     combine_per_key,
 )
+from beam_pyspark_runner_spark.operators.metrics import (
+    Counter,
+    Distribution,
+    MetricsRegistry,
+)
 from beam_pyspark_runner_spark.plans.dag import Node, PlanContext
 
 
@@ -50,6 +55,16 @@ class Pipeline:
     def __init__(self, spark: SparkSession) -> None:
         self.spark = spark
         self.ctx = PlanContext()
+        self.metrics = MetricsRegistry(spark)
+
+    # --- metrics (reference stub: pyspark_runner.py:30-31) ---------------
+    def counter(self, namespace: str, name: str) -> Counter:
+        """Beam Metrics.counter: accumulator-backed, safe to capture in
+        par_do / map_rows kernels (see operators/metrics.py)."""
+        return self.metrics.counter(namespace, name)
+
+    def distribution(self, namespace: str, name: str) -> Distribution:
+        return self.metrics.distribution(namespace, name)
 
     # --- sources --------------------------------------------------------
     def create(self, data: Iterable[Any], schema: str | None = None) -> "PCol":
@@ -320,6 +335,18 @@ class PCol:
             "BroadcastJoin",
             lambda ins: ins[0].join(F.broadcast(ins[1]), on, how),
             extra_inputs=[other.node],
+        )
+
+    # --- metrics --------------------------------------------------------
+    def observe(self, namespace: str, name: str, *exprs: Column) -> "PCol":
+        """Declarative metrics on the codegen path: named aggregates
+        piggyback on the next action over this dataset (zero extra jobs,
+        JVM-side) — the scale-preferred counter channel. Values appear in
+        ``pipeline.metrics.query()`` after an action."""
+        reg = self.pipeline.metrics
+        return self._derive(
+            f"Observe({namespace}/{name})",
+            lambda ins: reg.observe(ins[0], namespace, name, *exprs),
         )
 
     # --- sinks ----------------------------------------------------------

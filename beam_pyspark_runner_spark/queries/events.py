@@ -111,8 +111,8 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
         SELECT user_id, ts, value,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -323,7 +323,7 @@ def top_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").desc(), F.col("session_start")
     )
     return (
-        per_session.withColumn("rnk", F.row_number().over(w_rank))
+        per_session.withColumn("rnk", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rnk") <= 2)
         .select("user_id", "session_start", "n_events", "rnk")
     )

@@ -127,7 +127,8 @@ def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "group_by_key_collect",
     oracle="""
-    SELECT l_orderkey, list_sort(list(l_linenumber)) AS line_numbers
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers
     FROM lineitem GROUP BY l_orderkey
     """,
     tags=("group_by_key",),
@@ -135,10 +136,14 @@ def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 def group_by_key_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GroupByKey semantics: (key, Iterable[v]). Group value order is
     nondeterministic in both engines (reference transform_evaluators.py:87),
-    so the query sorts the array to be comparison-stable."""
+    so the query sorts the array to be comparison-stable, then serializes
+    it to a CSV string: the external compare harness canonicalizes rows
+    with pandas and cannot hash list-valued cells."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers")
+        F.array_join(
+            F.sort_array(F.collect_list("l_linenumber")).cast("array<string>"), ","
+        ).alias("line_numbers")
     )
 
 
@@ -481,20 +486,25 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_set_per_key",
     oracle="""
     SELECT l_returnflag,
-           list_sort(list_distinct(list(l_linestatus))) AS statuses,
-           list_sort(list_distinct(list(l_returnflag || '/' || l_linestatus))) AS combos
+           array_to_string(list_sort(list_distinct(list(l_linestatus))), ',')
+               AS statuses,
+           array_to_string(
+               list_sort(list_distinct(list(l_returnflag || '/' || l_linestatus))), ','
+           ) AS combos
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("combiner", "to_set", "group_by_key"),
 )
 def collect_set_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beam combiners.ToSet / ToList equivalent: collect_set per key, sorted
-    for deterministic comparison (group order is nondeterministic)."""
+    for deterministic comparison (group order is nondeterministic) and
+    serialized to CSV strings — the external harness can't hash list cells."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
-        F.array_sort(
-            F.collect_set(F.concat_ws("/", "l_returnflag", "l_linestatus"))
+        F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias("statuses"),
+        F.array_join(
+            F.array_sort(F.collect_set(F.concat_ws("/", "l_returnflag", "l_linestatus"))),
+            ",",
         ).alias("combos"),
     )
 
@@ -655,9 +665,12 @@ def sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            CAST(len(arr) AS INT) AS n,
            list_max(arr) AS mx,
-           list_sort(arr) AS sorted_arr,
-           list_filter(arr, x -> x >= 1.0) AS big_vals,
-           list_transform(arr, x -> x * 2.0) AS doubled,
+           array_to_string(list_transform(list_sort(arr),
+               x -> CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)), ',') AS sorted_arr,
+           array_to_string(list_transform(list_filter(arr, x -> x >= 1.0),
+               x -> CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)), ',') AS big_vals,
+           array_to_string(list_transform(list_transform(arr, x -> x * 2.0),
+               x -> CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)), ',') AS doubled,
            list_reduce(arr, (acc, x) -> acc + x) AS fold_sum
     FROM t
     """,
@@ -668,8 +681,17 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform, and a left fold — all JVM-side (interpreted HOFs, but no
     Python). The fold accumulates in index order, which DuckDB's
     list_reduce reproduces exactly (same discipline as
-    functions/vectors.py)."""
+    functions/vectors.py). Array-valued outputs are serialized to CSV
+    strings (elements via DECIMAL(18,6), identical formatting in both
+    engines) because the external harness can't hash list cells; the
+    double→decimal rounding is exact here (inputs have ≤2 decimals)."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+
+    def _ser(c):  # array<double> -> "x.xxxxxx,y.yyyyyy" (matches DuckDB)
+        return F.array_join(
+            F.transform(c, lambda x: x.cast("decimal(18,6)").cast("string")), ","
+        )
+
     arr = F.array(
         F.col("l_quantity").cast("double"),
         F.col("l_extendedprice"),
@@ -681,9 +703,9 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.size("arr").alias("n"),
         F.array_max("arr").alias("mx"),
-        F.array_sort("arr").alias("sorted_arr"),
-        F.filter("arr", lambda x: x >= 1.0).alias("big_vals"),
-        F.transform("arr", lambda x: x * 2.0).alias("doubled"),
+        _ser(F.array_sort("arr")).alias("sorted_arr"),
+        _ser(F.filter("arr", lambda x: x >= 1.0)).alias("big_vals"),
+        _ser(F.transform("arr", lambda x: x * 2.0)).alias("doubled"),
         F.aggregate(
             F.expr("slice(arr, 2, size(arr) - 1)"),
             F.element_at("arr", 1),
@@ -707,10 +729,10 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
            COUNT(n_lines) AS n_with_big_lines,
-           SUM(CASE WHEN n_lines IS NULL THEN 1 ELSE 0 END) AS n_null,
-           SUM(COALESCE(n_lines, 0)) AS total_big_lines,
-           SUM(CASE WHEN n_lines IS NOT DISTINCT FROM 1 THEN 1 ELSE 0 END)
-               AS n_exactly_one
+           CAST(SUM(CASE WHEN n_lines IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(SUM(COALESCE(n_lines, 0)) AS BIGINT) AS total_big_lines,
+           CAST(SUM(CASE WHEN n_lines IS NOT DISTINCT FROM 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_exactly_one
     FROM j GROUP BY o_orderstatus
     """,
     tags=("null_semantics", "join", "left_outer", "aggregate"),

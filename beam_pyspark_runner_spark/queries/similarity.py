@@ -88,7 +88,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "neighbor_id", "cosine", "rnk")
+        .select("query_id", "neighbor_id", F.col("cosine"), F.col("rnk").cast("long").alias("rnk"))
     )
 
 
@@ -355,7 +355,7 @@ def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             cosine_similarity(F.col("qemb"), F.col("vemb")).alias("cosine"),
         )
-        .withColumn("rnk", F.row_number().over(w_rank))
+        .withColumn("rnk", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rnk") <= IVF_TOP_K)
     )
 
@@ -432,7 +432,7 @@ def cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = e.select("vec_id", "embedding").mapInPandas(kernel, out_schema)
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )

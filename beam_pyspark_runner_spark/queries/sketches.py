@@ -52,7 +52,10 @@ def _sketch_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dd", F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)]))
     )
     return (
-        rows.select("dd", _bucket(F.col("dd"), F.col("l_suppkey")).alias("bucket"))
+        rows.select(
+            F.col("dd").cast("long").alias("dd"),
+            _bucket(F.col("dd"), F.col("l_suppkey")).alias("bucket"),
+        )
         .groupBy("dd", "bucket")
         .agg(F.count("*").alias("c"))
     )

@@ -257,6 +257,71 @@ def pipeline_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "metrics_counters",
+    oracle="""
+    SELECT 'pardo' AS namespace, 'chars.count' AS metric,
+           CAST(COUNT(*) AS DOUBLE) AS value FROM documents
+    UNION ALL
+    SELECT 'pardo', 'chars.max', CAST(MAX(n_chars) AS DOUBLE) FROM documents
+    UNION ALL
+    SELECT 'pardo', 'chars.min', CAST(MIN(n_chars) AS DOUBLE) FROM documents
+    UNION ALL
+    SELECT 'pardo', 'chars.sum', CAST(SUM(n_chars) AS DOUBLE) FROM documents
+    UNION ALL
+    SELECT 'pardo', 'rows_processed', CAST(COUNT(*) AS DOUBLE) FROM documents
+    UNION ALL
+    SELECT 'pipeline', 'scan.docs_read', CAST(COUNT(*) AS DOUBLE) FROM documents
+    UNION ALL
+    SELECT 'pipeline', 'scan.long_docs',
+           CAST(SUM(CASE WHEN n_chars > 500 THEN 1 ELSE 0 END) AS DOUBLE)
+    FROM documents
+    """,
+    tags=("metrics", "counters", "accumulator", "observe", "pipeline_api"),
+)
+def metrics_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metrics/counters surface (reference stub: pyspark_runner.py:30-31
+    raises NotImplementedError). Exercises BOTH Spark-native channels end
+    to end: ``observe`` aggregates on the codegen path (docs_read /
+    long_docs piggyback on the action, zero extra jobs) and
+    accumulator-backed Counter/Distribution incremented inside a par_do
+    Arrow kernel (Beam's Metrics.counter-in-DoFn model). One action
+    materializes the pipeline; the returned frame is the metrics
+    snapshot itself, verified against plain SQL over the same table —
+    counter cardinality is program-bounded, so the snapshot is
+    constant-size at any data scale."""
+    from beam_pyspark_runner_spark.operators.pipeline import Pipeline
+
+    p = Pipeline(spark)
+    rows_c = p.counter("pardo", "rows_processed")
+    chars_d = p.distribution("pardo", "chars")
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf):
+                rows_c.inc(len(pdf))
+                chars_d.update_agg(
+                    len(pdf),
+                    int(pdf["n_chars"].sum()),
+                    int(pdf["n_chars"].min()),
+                    int(pdf["n_chars"].max()),
+                )
+            yield pdf[["doc_id"]]
+
+    out = (
+        p.from_df(load_table(spark, sf_dir, "documents").select("doc_id", "n_chars"))
+        .observe(
+            "pipeline",
+            "scan",
+            F.count(F.lit(1)).alias("docs_read"),
+            F.sum(F.when(F.col("n_chars") > 500, 1).otherwise(0)).alias("long_docs"),
+        )
+        .par_do(kernel, "doc_id bigint")
+    )
+    out.to_df().count()  # the action: populates observe + accumulators
+    return p.metrics.to_df()
+
+
 _SCALE_SCHEMA = "doc_id bigint, source string, n_chars bigint, scaled double"
 
 

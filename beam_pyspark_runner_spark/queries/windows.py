@@ -36,7 +36,7 @@ def top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
     return (
         c.select("c_mktsegment", "c_custkey", "c_acctbal")
-        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 5)
     )
 
@@ -63,9 +63,9 @@ def rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "o_orderkey",
         "o_totalprice",
-        F.rank().over(by_price).alias("price_rank"),
-        F.dense_rank().over(by_status).alias("status_dense"),
-        F.ntile(4).over(by_price_asc).alias("quartile"),
+        F.rank().over(by_price).cast("long").alias("price_rank"),
+        F.dense_rank().over(by_status).cast("long").alias("status_dense"),
+        F.ntile(4).over(by_price_asc).cast("long").alias("quartile"),
     )
 
 
@@ -201,7 +201,7 @@ def analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "o_orderkey",
         "o_totalprice",
-        F.ntile(4).over(w).alias("price_quartile"),
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
         F.first("o_orderkey").over(wf).alias("cheapest_key"),

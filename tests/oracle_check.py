@@ -46,6 +46,38 @@ def _canon(v):
     return str(v)
 
 
+# Canonical scalar kind per engine type: the external driver hashes
+# type-aware (DuckDB HUGEINT reaches pandas as float64 and mismatches a
+# Spark BIGINT even when values are equal; list cells crash its
+# canonicalizer outright), so the local gate enforces kind equality and
+# scalar-only outputs up front.
+_SPARK_KINDS = {
+    "int": "i32", "smallint": "i16", "tinyint": "i8", "bigint": "i64",
+    "double": "f64", "float": "f32", "string": "str", "date": "date",
+    "timestamp": "ts", "timestamp_ntz": "ts", "boolean": "bool", "binary": "bin",
+}
+_DUCK_KINDS = {
+    "INTEGER": "i32", "SMALLINT": "i16", "TINYINT": "i8", "BIGINT": "i64",
+    "HUGEINT": "i128", "DOUBLE": "f64", "FLOAT": "f32", "VARCHAR": "str",
+    "DATE": "date", "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts", "BOOLEAN": "bool",
+    "BLOB": "bin", "UINTEGER": "u32", "UBIGINT": "u64",
+}
+
+
+def _spark_kinds(sdf) -> dict[str, str]:
+    return {
+        f.name: _SPARK_KINDS.get(f.dataType.simpleString(), f.dataType.simpleString())
+        for f in sdf.schema.fields
+    }
+
+
+def _duck_kinds(ddf) -> dict[str, str]:
+    return {
+        d[0]: _DUCK_KINDS.get(str(ddf.types[i]).upper(), str(ddf.types[i]).upper())
+        for i, d in enumerate(ddf.description)
+    }
+
+
 def _hash_rows(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("|".join(_canon(r[i]) for i in order) for r in rows)
@@ -73,8 +105,16 @@ def compare(spark, con, name: str, fn, oracle: str | None, sf_dir: str) -> dict:
     dcols = [d[0] for d in ddf.description]
     n_s, h_s = _hash_rows(scols, srows)
     n_d, h_d = _hash_rows(dcols, drows)
+    sk, dk = _spark_kinds(sdf), _duck_kinds(ddf)
+    nonscalar = {c: k for c, k in {**sk, **dk}.items() if not k.replace("u", "i").split("(")[0] in
+                 ("i8", "i16", "i32", "i64", "f32", "f64", "str", "date", "ts", "bool", "bin")}
+    kind_mism = {c: (sk.get(c), dk.get(c)) for c in set(sk) | set(dk) if sk.get(c) != dk.get(c)}
     if sorted(scols) != sorted(dcols):
         out.update(status="SCHEMA_MISMATCH", spark_cols=sorted(scols), duck_cols=sorted(dcols))
+    elif nonscalar:
+        out.update(status="NONSCALAR_COLS", cols=nonscalar)
+    elif kind_mism:
+        out.update(status="TYPE_MISMATCH", cols=kind_mism)
     elif n_s != n_d:
         out.update(status="ROWCOUNT_MISMATCH", duck_rows=n_d)
     elif h_s != h_d:

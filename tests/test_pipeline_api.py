@@ -244,3 +244,53 @@ def test_fanout_persist(spark):
     assert df1.collect()[0][0] == sum(range(100)) * 2
     assert df2.collect()[0][0] == 100
     p.ctx.unpersist_all()
+
+
+# metrics/counters — the surface the reference leaves unimplemented
+# (reference pyspark_runner.py:30-31: metrics() raises NotImplementedError)
+def test_metrics_counters_and_distribution(spark):
+    p = Pipeline(spark)
+    seen = p.counter("t", "rows_seen")
+    odd = p.counter("t", "odd_rows")
+    dist = p.distribution("t", "values")
+
+    def kernel(batches):
+        for pdf in batches:
+            seen.inc(len(pdf))
+            odd.inc(int((pdf["value"] % 2 == 1).sum()))
+            for v in pdf["value"]:
+                dist.update(int(v))
+            yield pdf
+
+    out = p.create(list(range(10))).par_do(kernel, "value bigint")
+    assert out.to_df().count() == 10
+    q = p.metrics.query()
+    assert q[("t", "rows_seen")] == 10
+    assert q[("t", "odd_rows")] == 5
+    assert q[("t", "values")] == {"count": 10, "sum": 45, "min": 0, "max": 9}
+
+
+def test_metrics_observe_no_extra_job(spark):
+    p = Pipeline(spark)
+    pc = (
+        p.create(list(range(20)))
+        .observe("t", "scan", F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .filter(F.col("value") >= 10)
+    )
+    assert pc.to_df().count() == 10
+    got = p.metrics.query()[("t", "scan")]
+    assert got == {"n": 20, "total": 190}
+
+
+def test_metrics_to_df_snapshot(spark):
+    p = Pipeline(spark)
+    c = p.counter("ns", "c1")
+
+    def kernel(batches):
+        for pdf in batches:
+            c.inc(len(pdf))
+            yield pdf
+
+    p.create([1, 2, 3]).par_do(kernel, "value bigint").to_df().count()
+    rows = {(r.namespace, r.metric): r.value for r in p.metrics.to_df().collect()}
+    assert rows == {("ns", "c1"): 3.0}
