@@ -80,6 +80,7 @@ _SHINGLE_SQL = f"""
     FROM documents GROUP BY 1
     """,
     tags=("dedup", "exact_dedup"),
+    bench=True,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on content, keep lowest doc_id per group.
@@ -264,6 +265,66 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_candidate_pairs(spark, sf_dir)
 
 
+def connected_components(
+    sym: DataFrame,
+    max_iterations: int = 50,
+    reliable_checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Min-label propagation over a symmetric edge list ``(src, dst)`` →
+    ``(id, comp)`` labels.
+
+    Each iteration is one join + one partial agg, all executor-side; the
+    driver sees only a scalar convergence metric (sum of labels, strictly
+    decreasing until fixpoint). Lineage is truncated every round so plan
+    depth stays O(1). Rounds needed = graph diameter — for near-dup
+    clusters a small constant; at 100 TB each round is a shuffle of
+    (doc_id, label) pairs only, never document payloads.
+
+    ``reliable_checkpoint_dir``: when set, rounds checkpoint to that
+    (HDFS/S3) path via ``checkpoint()`` and survive executor loss —
+    ``localCheckpoint`` blocks are gone with their executor, which on a
+    1000-node cluster over a long job is an expected event, not an edge
+    case. Local default keeps the test path allocation-free.
+
+    ``max_iterations`` bounds the loop: propagation must converge within
+    graph-diameter rounds, so hitting the cap means the input is not
+    actually symmetric (or labels oscillate due to a non-deterministic
+    edge source) — fail loudly instead of looping forever.
+    """
+    if reliable_checkpoint_dir is not None:
+        sym.sparkSession.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
+
+    def _pin(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if reliable_checkpoint_dir else df.localCheckpoint()
+
+    sym = _pin(sym)
+    labels = _pin(
+        sym.select("src").distinct().select(F.col("src").alias("id"), F.col("src").alias("comp"))
+    )
+    prev_total = None
+    for _ in range(max_iterations):
+        nbr = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        labels = _pin(
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
+        )
+        total = labels.agg(F.sum("comp")).first()[0]
+        if total == prev_total:
+            return labels
+        prev_total = total
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds; "
+        "input edge list is likely not symmetric"
+    )
+
+
 @register(
     "dedup_components",
     oracle=f"""
@@ -284,42 +345,12 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components over the LSH candidate
     graph via iterative min-label propagation (SURVEY.md §7 hard part 5).
-
-    Each iteration is one join + one partial agg, all executor-side; the
-    driver sees only a scalar convergence metric (sum of labels, strictly
-    decreasing until fixpoint). ``localCheckpoint`` truncates the lineage
-    so plan depth stays O(1) per round. Rounds needed = graph diameter —
-    for near-dup clusters a small constant; at 100 TB each round is a
-    shuffle of (doc_id, label) pairs only, never document payloads.
-    """
+    Core loop in ``connected_components`` (reliable-checkpoint capable)."""
     edges = _lsh_candidate_pairs(spark, sf_dir)
-    sym = (
-        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint()
+    sym = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    labels = (
-        sym.select("src").distinct().select(F.col("src").alias("id"), F.col("src").alias("comp"))
-    ).localCheckpoint()
-    prev_total = None
-    while True:
-        nbr = (
-            sym.join(labels, sym.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        labels = (
-            labels.join(nbr, labels.id == nbr.src, "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
-            )
-            .localCheckpoint()
-        )
-        total = labels.agg(F.sum("comp")).first()[0]
-        if total == prev_total:
-            break
-        prev_total = total
+    labels = connected_components(sym)
     return labels.groupBy(F.col("comp").alias("component")).agg(
         F.count("*").alias("n_docs"), F.max("id").alias("max_doc_id")
     )

@@ -44,19 +44,29 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import hashlib
     import tempfile
+    import time
 
     staged = os.path.join(
         tempfile.gettempdir(),
-        "bprs_events_us2_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        "bprs_events_us3_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
     )
     marker = os.path.join(staged, "_SUCCESS")
     if not os.path.exists(marker):
         # Range-partition by ts so staged files cover disjoint time ranges
-        # and the file-source replay approximates event-time order — with
+        # and the file-source replay follows event-time order — with
         # a watermark, unordered replay would drop "late" events.
         load_table(spark, sf_dir, "events").repartitionByRange(
             4, F.col("ts")
         ).write.mode("overwrite").parquet(staged)
+        # FileStreamSource picks files up in modification-time order, and
+        # the part files above are written concurrently — an out-of-order
+        # pickup would advance the watermark past an entire early range.
+        # part-NNNNN index == range-partition index == ts order, so pin
+        # the replay by giving them strictly increasing mtimes.
+        parts = sorted(p for p in os.listdir(staged) if p.startswith("part-"))
+        base = time.time() - len(parts) - 10
+        for i, p in enumerate(parts):
+            os.utime(os.path.join(staged, p), (base + i, base + i))
     batch = spark.read.parquet(staged)
     return read_parquet_stream(spark, staged, batch.schema)
 

@@ -26,6 +26,7 @@ from beam_pyspark_runner_spark.sources.readers import load_table
     ) WHERE rnk <= 5
     """,
     tags=("window", "top_k_per_key", "row_number"),
+    bench=True,
 )
 def top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per key (reference: combiners.Top.PerKey, a bounded heap

@@ -52,6 +52,13 @@ def get_spark(
         # vectorized reader explicit since operators rely on it.
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
+        # The events fixture stores TIMESTAMP(NANOS), which Spark's
+        # microsecond timestamp type refuses; read nanos as long once,
+        # session-wide (sources/readers.py converts to TimestampType).
+        # Set here, not per-read: flipping session conf inside a reader
+        # would silently change every later parquet read's TIMESTAMP(NANOS)
+        # interpretation.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
     if extra_conf:

@@ -34,16 +34,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (columnar scan; filters/projections push down).
 
     ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's SQL
-    timestamp type (microseconds) refuses outright; we read it as raw
-    nanos (``nanosAsLong``) and floor-convert to a proper TimestampType.
-    The fixture's timestamps are exactly microsecond-granular, so the
-    conversion is lossless and agrees with DuckDB's ns→us handling.
+    timestamp type (microseconds) refuses outright; the session is built
+    with ``nanosAsLong`` (session.py) so it arrives as raw nanos, and we
+    floor-convert to a proper TimestampType here. The fixture's
+    timestamps are exactly microsecond-granular, so the conversion is
+    lossless and agrees with DuckDB's ns→us handling.
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Fallback for sessions not built by session.get_spark (the
+        # external driver passes its own): without this flag the nanos
+        # scan fails outright. Idempotent — no-op on our own sessions.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         return df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))

@@ -161,3 +161,77 @@ def test_every_survey_category_has_a_query(spark):
     have = {t for q in REGISTRY.values() for t in q.tags}
     missing = required_tags - have
     assert not missing, f"capability areas without a query: {sorted(missing)}"
+
+
+def _executed_plan_of(spark, name: str) -> str:
+    from beam_pyspark_runner_spark.queries import REGISTRY
+
+    df = REGISTRY[name].fn(spark, SF_CORRECT)
+    df.collect()  # let AQE finalize
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ivf_joins_all_broadcast(spark):
+    """IVF search must never shuffle the corpus for a join: centroids and
+    probe lists ride broadcasts (BroadcastHashJoin / broadcast NLJ), the
+    corpus streams once. A SortMergeJoin or non-broadcast cartesian here
+    means the 100 TB plan shuffles embeddings — a regression."""
+    for name in ("ivf_topk_search", "ivf_centroid_assign"):
+        plan = _executed_plan_of(spark, name)
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    assert "BroadcastHashJoin" in _executed_plan_of(spark, "ivf_topk_search")
+
+
+def test_lsh_family_join_free(spark):
+    """Sign-hyperplane LSH and embedding near-dup build candidate pairs by
+    bucket groupBy + in-bucket HOF expansion — no join, no self-join, so
+    the embedding lineage is scanned exactly once."""
+    for name in ("ann_lsh_buckets", "embedding_near_dup"):
+        plan = _executed_plan_of(spark, name)
+        assert "Join" not in plan, name
+        assert plan.count("Exchange hashpartitioning") <= 2, name
+
+
+def test_connected_components_converges_and_labels(spark):
+    """Min-label propagation on a known graph: two chains + an isolate.
+    Chains exercise multi-round propagation (diameter > 1)."""
+    from beam_pyspark_runner_spark.queries.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)]
+    sym = spark.createDataFrame(
+        [(a, b) for a, b in edges] + [(b, a) for a, b in edges], "src long, dst long"
+    )
+    labels = {r.id: r.comp for r in connected_components(sym).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """reliable_checkpoint_dir switches localCheckpoint -> checkpoint()
+    (survives executor loss at scale); results must be identical."""
+    from beam_pyspark_runner_spark.queries.dedup import connected_components
+
+    sym = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    labels = {
+        r.id: r.comp
+        for r in connected_components(
+            sym, reliable_checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1}
+    assert any((tmp_path / "ckpt").iterdir())  # checkpoints actually landed
+
+
+def test_connected_components_iteration_cap(spark):
+    """The cap fails loudly rather than looping forever."""
+    import pytest as _pytest
+
+    from beam_pyspark_runner_spark.queries.dedup import connected_components
+
+    sym = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(sym, max_iterations=1)
