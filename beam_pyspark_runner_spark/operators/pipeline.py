@@ -310,6 +310,16 @@ class PCol:
         )
         return outs
 
+    def reshuffle(self) -> "PCol":
+        """Beam Reshuffle: break fusion / redistribute for parallelism.
+        Lowered to a round-robin repartition to default parallelism
+        (sources.readers.spread), skipped when the input is already wide
+        — at scale this is the escape hatch for unsplittable sources or
+        pre-expansion fan-out, not a default stage."""
+        from beam_pyspark_runner_spark.sources.readers import spread
+
+        return self._derive("Reshuffle", lambda ins: spread(ins[0]))
+
     # --- side-input views (reference transform_evaluators.py:34-48) -----
     def as_singleton(self):
         """First element of a 1-element dataset (driver scalar)."""

@@ -1,0 +1,315 @@
+"""IO-surface and pipeline-surface queries: file-format round-trips, text
+sinks, side-input views, multi-output Partition, and Reshuffle — each as a
+driver-checkable query with a DuckDB oracle.
+
+The reference engine's whole IO surface is ``ReadFromText``
+(``/root/reference/beam_pyspark_runner/transform_evaluators.py:22-26``)
+plus whatever sink a DoFn hand-writes; its side-input views collect to
+the driver and re-broadcast (``transform_evaluators.py:34-48``,
+``pyspark_runner.py:86-90``); its multi-output story is the Partition
+composite (which it mis-executes — SURVEY.md §2.5 bug #4). Here each of
+those capabilities runs distributed end-to-end and is verified against
+SQL over the original parquet, so the round-trip itself (write format →
+read format → aggregate) is what the oracle proves lossless.
+
+Scale notes: every writer/reader here is a distributed Spark job (one
+task per partition, no driver funnel); the round-trip through
+``tempfile.gettempdir()`` is a test-fixture concern only — at 100 TB the
+same code points at object-store paths. Side-input ``as_dict``/
+``as_singleton`` intentionally reproduce the reference's driver-collect
+semantics and are only for side inputs that fit the driver by contract;
+the scalable twin (``broadcast_join``) is exercised by the join family.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beam_pyspark_runner_spark.functions.numeric import davg_sql, dsum, dsum_sql
+from beam_pyspark_runner_spark.queries.registry import register
+from beam_pyspark_runner_spark.sources import readers, writers
+from beam_pyspark_runner_spark.sources.readers import load_table
+
+
+def _staged(sf_dir: str, kind: str) -> str:
+    """Per-(query, sf) scratch dir; rewritten on every call so the round
+    trip always exercises the current writer, never a stale artifact."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"bprs_io_{kind}_{tag}")
+
+
+@register(
+    "text_sink_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n_lines,
+           MIN(s_name) AS first_name,
+           MAX(s_name) AS last_name
+    FROM supplier
+    """,
+    tags=("io", "text", "sink", "read_from_text", "pipeline_api"),
+)
+def text_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WriteToText → ReadFromText round trip through the Pipeline API
+    (reference source: transform_evaluators.py:22-26; the reference has
+    no text sink at all — DoFns shell out). One line per element on
+    write, one element per line on read; the oracle proves no line was
+    lost, reordered into loss, or mangled."""
+    from beam_pyspark_runner_spark.operators.pipeline import Pipeline
+
+    staged = _staged(sf_dir, "text")
+    p = Pipeline(spark)
+    p.from_df(load_table(spark, sf_dir, "supplier").select("s_name")).write_text(staged)
+    lines = readers.read_text(spark, staged)
+    return lines.agg(
+        F.count("*").alias("n_lines"),
+        F.min("value").alias("first_name"),
+        F.max("value").alias("last_name"),
+    )
+
+
+@register(
+    "csv_roundtrip",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           {dsum_sql("c_acctbal")} AS total_acctbal
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("io", "csv", "sink", "source"),
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write → CSV read (explicit schema, no inference job) →
+    aggregate. Doubles survive because Spark's CSV writer emits
+    shortest-round-trip decimal strings; the oracle aggregates the
+    original parquet, so any quoting/precision loss in the round trip
+    flips the value hash."""
+    staged = _staged(sf_dir, "csv")
+    writers.write_csv(load_table(spark, sf_dir, "customer"), staged)
+    back = readers.read_csv(
+        spark,
+        staged,
+        schema="c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        dsum("c_acctbal").alias("total_acctbal"),
+    )
+
+
+@register(
+    "json_roundtrip",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {dsum_sql("o_totalprice")} AS total_price,
+           MAX(o_orderdate) AS latest_order
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("io", "json", "sink", "source"),
+)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write → schema'd read (by field name, so column order
+    is free) → aggregate, timestamps included (UTC session pins the
+    format both ways). Explicit schema keeps the read single-pass —
+    inference would scan the data twice, unacceptable at scale."""
+    staged = _staged(sf_dir, "json")
+    writers.write_json(load_table(spark, sf_dir, "orders"), staged)
+    back = readers.read_json(
+        spark,
+        staged,
+        schema="o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+        F.max("o_orderdate").alias("latest_order"),
+    )
+
+
+@register(
+    "orc_roundtrip",
+    oracle=f"""
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           {davg_sql("p_retailprice")} AS avg_retail
+    FROM part WHERE p_size BETWEEN 10 AND 30
+    GROUP BY p_brand
+    """,
+    tags=("io", "orc", "sink", "source", "pushdown"),
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write → ORC read → filtered aggregate. The size predicate is
+    applied AFTER the ORC scan so it pushes into ORC's stripe statistics
+    (same pushdown contract the parquet queries pin in
+    tests/test_scale_patterns.py, on the second format)."""
+    staged = _staged(sf_dir, "orc")
+    writers.write_orc(load_table(spark, sf_dir, "part"), staged)
+    back = readers.read_orc(spark, staged)
+    return (
+        back.filter(F.col("p_size").between(10, 30))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            (dsum("p_retailprice") / F.count("p_retailprice").cast("double")).alias(
+                "avg_retail"
+            ),
+        )
+    )
+
+
+@register(
+    "sideinput_singleton_threshold",
+    oracle=f"""
+    WITH t AS (SELECT {davg_sql("o_totalprice")} * 1.5 AS thr FROM orders)
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {dsum_sql("o_totalprice")} AS total_price
+    FROM orders, t WHERE o_totalprice > t.thr
+    GROUP BY o_orderpriority
+    """,
+    tags=("side_input", "as_singleton", "pipeline_api"),
+)
+def sideinput_singleton_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AsSingleton side input (reference transform_evaluators.py:39-40):
+    a 1-row aggregate collected to the driver and re-injected as a
+    filter threshold — exactly the reference's collect-then-broadcast
+    path. The threshold uses decimal-deterministic avg so both engines
+    compute the bit-identical double and rows at the boundary cannot
+    flip. Driver round-trip is for 1 row by contract; a data-sized side
+    input belongs in broadcast_join instead."""
+    from beam_pyspark_runner_spark.operators.pipeline import Pipeline
+    from beam_pyspark_runner_spark.functions.numeric import davg
+
+    p = Pipeline(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    thr = p.from_df(orders.agg((davg("o_totalprice") * F.lit(1.5)).alias("thr"))).as_singleton()
+    return (
+        p.from_df(orders)
+        .filter(F.col("o_totalprice") > F.lit(thr))
+        .to_df()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "sideinput_dict_enrich",
+    oracle=f"""
+    SELECT n_name AS nation_name,
+           COUNT(*) AS n_suppliers,
+           {dsum_sql("s_acctbal")} AS total_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("side_input", "as_dict", "pipeline_api"),
+)
+def sideinput_dict_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AsDict side input (reference transform_evaluators.py:43-46): the
+    nation table collected to a driver dict, re-shipped as a MapType
+    literal, and applied as an O(1) per-row lookup — the reference's
+    broadcast-dict DoFn pattern with the lookup kept JVM-side (no Python
+    in the hot path). Correct only while the dict fits the driver (25
+    nations); the data-scale form is broadcast_join, oracle'd by the
+    join family."""
+    from beam_pyspark_runner_spark.operators.pipeline import Pipeline
+
+    p = Pipeline(spark)
+    nation_map = p.from_df(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ).as_dict()
+    lookup = F.create_map(
+        *[F.lit(x) for k in sorted(nation_map) for x in (k, nation_map[k])]
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .withColumn("nation_name", lookup[F.col("s_nationkey")])
+        .groupBy("nation_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            dsum("s_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "pipeline_partition_branches",
+    oracle=f"""
+    SELECT CASE WHEN o_totalprice >= 300000 THEN 'high'
+                WHEN o_totalprice >= 150000 THEN 'mid'
+                ELSE 'rest' END AS bucket,
+           COUNT(*) AS n_orders,
+           {dsum_sql("o_totalprice")} AS total_price
+    FROM orders GROUP BY 1
+    """,
+    tags=("pipeline_api", "partition", "multi_output", "flatten"),
+)
+def pipeline_partition_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-output Partition (reference composite; mis-executed there —
+    SURVEY.md §2.5 bug #4, fixed in operators/pipeline.py:295): one
+    shared scan fans out into first-match-wins branches plus a
+    remainder, each branch aggregates, Flatten unions them back. The
+    per-branch groupBy on a label yields zero rows for an empty branch,
+    matching SQL GROUP BY semantics."""
+    from beam_pyspark_runner_spark.operators.pipeline import Pipeline
+
+    p = Pipeline(spark)
+    orders = p.from_df(
+        load_table(spark, sf_dir, "orders").select("o_totalprice")
+    )
+    high, mid, rest = orders.partition(
+        F.col("o_totalprice") >= 300000, F.col("o_totalprice") >= 150000
+    )
+    branches = [
+        b.to_df()
+        .groupBy(F.lit(label).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        for b, label in ((high, "high"), (mid, "mid"), (rest, "rest"))
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+@register(
+    "reshuffle_spread_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           {dsum_sql("l_quantity")} AS total_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("pipeline_api", "reshuffle", "combine_per_key"),
+)
+def reshuffle_spread_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshuffle (Beam's redistribute-for-parallelism): round-robin
+    repartition via sources.readers.spread, then aggregate. The result
+    is partitioning-invariant because the sum accumulates in exact
+    decimal — the oracle would catch any order-dependent drift a plain
+    double sum would introduce."""
+    from beam_pyspark_runner_spark.operators.pipeline import Pipeline
+
+    p = Pipeline(spark)
+    return (
+        p.from_df(load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity"))
+        .reshuffle()
+        .to_df()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_quantity").alias("total_qty"),
+        )
+    )
