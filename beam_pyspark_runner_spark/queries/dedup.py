@@ -527,3 +527,38 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         _lsh_candidate_pairs(spark, sf_dir).select(F.col("doc_b").alias("doc_id")).distinct()
     )
     return exact_kept.join(near_dropped, "doc_id", "left_anti").select("doc_id")
+
+
+@register(
+    "dedup_latest_by_key",
+    oracle="""
+    SELECT user_id, event_id, ts AS latest_ts, event_type
+    FROM (
+        SELECT user_id, event_id, ts, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("dedup", "latest_version", "window", "row_number"),
+)
+def dedup_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-newest-version dedup: one row per key, the latest by event
+    time (the training-data shape: newest crawl of a URL, latest revision
+    of a record). row_number over (ts DESC, event_id DESC) — the id
+    tie-break makes the survivor deterministic even when timestamps
+    collide. At 100 TB this is a single hash shuffle on the key with
+    partial top-1 pushed to the map side by Spark's WindowGroupLimit;
+    prefer it over groupBy+max+join-back, which shuffles twice."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", F.col("ts").alias("latest_ts"), "event_type")
+    )

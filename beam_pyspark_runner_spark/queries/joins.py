@@ -350,3 +350,47 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+@register(
+    "join_full_outer",
+    oracle=f"""
+    WITH c AS (
+        SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+        FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY 1
+    ),
+    s AS (
+        SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+        FROM supplier WHERE s_acctbal > 5000 GROUP BY 1
+    )
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+    tags=("join", "full_outer"),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two filtered per-nation aggregates; the filters
+    make each side miss some nations so both null-extension directions
+    are exercised. Aggregate-first keeps the outer join tiny (≤ nation
+    cardinality per side) — at 100 TB the join inputs are already
+    reduced, so the full-outer itself is a broadcast-size problem, never
+    a fact-fact shuffle."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return c.join(s, c.c_nk == s.s_nk, "full_outer").select(
+        F.coalesce("c_nk", "s_nk").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )

@@ -10,6 +10,7 @@ and every float aggregate is order-stable (see functions/numeric.py).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -799,3 +800,46 @@ def except_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k"))
     a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("k"))
     return r.exceptAll(a)
+
+
+@register(
+    "pandas_udaf_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE)
+           / CAST(CAST(100 * SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE)
+               AS weighted_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("pandas_udaf", "grouped_agg", "arrow", "aggregate"),
+)
+def pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF surface: a grouped-agg pandas UDF (Series → scalar,
+    Arrow-batched) computing the quantity-weighted average price per
+    return flag — the reference's CombineFn niche
+    (transform_evaluators.py:89-100) where the aggregation logic is
+    genuinely Python. Accumulation is exact int64 cents (prices are
+    2-decimal, quantities integral), so the result is independent of row
+    order within the group and bit-matches the oracle's integer sums.
+
+    Scale note: grouped-agg pandas UDFs get NO map-side partial
+    aggregation — the whole group's columns shuffle to one task. That is
+    the real price of a Python UDAF; use it when logic demands Python,
+    with low-cardinality group keys (3 flags here), and watch int64
+    headroom (~9e18; cents×quantity sums at 100 TB need a pre-scaled
+    unit or decimal accumulator)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        cents = (price * 100).round().astype("int64")
+        q = qty.astype("int64")
+        num = int((cents * q).sum())
+        den = 100 * int(q.sum())
+        return float(num) / float(den)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        weighted_avg("l_extendedprice", "l_quantity").alias("weighted_avg_price")
+    )

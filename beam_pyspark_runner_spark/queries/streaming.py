@@ -298,3 +298,32 @@ def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events_stream(spark, sf_dir)
     dedup = e.select("user_id").dropDuplicates(["user_id"])
     return run_stream_to_df(dedup, output_mode="append")
+
+
+@register(
+    "stream_static_join",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("streaming", "stream_static_join", "broadcast", "aggregate"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    dimension (customer), then aggregated — the canonical production
+    enrichment shape. The static side is broadcast, so the join is
+    stateless per micro-batch (no join state store at all, unlike
+    stream-stream joins); at 100 TB/day the only state is the downstream
+    aggregation's. The static table is re-resolvable per batch, which is
+    how slowly-changing dimensions refresh mid-stream."""
+    e = _events_stream(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+    )
+    return run_stream_to_df(agg, output_mode="complete")

@@ -409,3 +409,61 @@ def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_udtf d, LATERAL token_positions(d.text) t
         """
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) DESC,
+                            tf.term
+               ) AS rn
+        FROM tf JOIN df ON tf.term = df.term
+    )
+    SELECT doc_id, term, tf, df, score FROM scored WHERE rn <= 3
+    """,
+    tags=("text_analysis", "tfidf", "top_k_per_key", "join", "window"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF (linear inverse-
+    frequency variant: score = tf / df). The linear form keeps the score
+    a single int÷int double division — correctly rounded and therefore
+    bit-identical on both engines, where a log-based idf would drift by
+    1 ulp between libm implementations. Ties break on the term string,
+    so the top-3 set is fully deterministic.
+
+    Scale: tf is one (doc, term) shuffle; df aggregates tf again on term
+    (input already term-partitioned from tf's shuffle in-flight); the
+    tf⋈df join shuffles on term — all key-hash shuffles of compact int
+    pairs, never document text. Vocabulary is Zipfian, so AQE's skew
+    split handles the stopword-heavy term partitions."""
+    from pyspark.sql import Window as W
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    score = F.col("tf").cast("double") / F.col("df").cast("double")
+    w = W.partitionBy("doc_id").orderBy(score.desc(), F.col("term"))
+    return (
+        tf.join(df, "term")
+        .withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score")
+    )
