@@ -51,3 +51,36 @@ def salted_decimal_sum(
         F.sum("_psum").cast(_OUT).cast("double").alias(out_name),
         F.sum("_pcnt").alias(f"{out_name}_count"),
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_on: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-proof equi-join by explicit salting: the fact side gets a
+    deterministic salt in [0, n_salts) derived from ``salt_on`` (any
+    high-cardinality fact column), the dim side is replicated n_salts
+    times, and the join key becomes (key, salt) — a hot fact key now
+    spreads over n_salts reducers instead of one.
+
+    Use when the dim side is too big to broadcast AND AQE's skew split
+    can't help (e.g. the skew is in a grouping that follows the join, or
+    the runtime stats miss it). Cost: dim shuffles n_salts× its size —
+    choose n_salts as the smallest value that levels the hot partitions.
+    Result multiset is identical to the direct join (each fact row meets
+    exactly one replica of its dim row)."""
+    fact_s = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_on)), F.lit(n_salts)).cast("int")
+    )
+    dim_s = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    joined = fact_s.join(
+        dim_s,
+        (fact_s[fact_key] == dim_s[dim_key]) & (fact_s["_salt"] == dim_s["_salt"]),
+    )
+    return joined.drop("_salt")

@@ -10,6 +10,8 @@ fact-fact joins (orders⋈lineitem) may shuffle, ideally co-bucketed.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -393,4 +395,89 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("c_nk", "s_nk").alias("nationkey"),
         F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
         F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@register(
+    "salted_skew_join",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "skew", "salting"),
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicitly salted equi-join (functions/skew.py:salted_join): the
+    event fact side is salted on event_id, the customer dim replicated
+    8×, and the join runs on (key, salt) — the manual fix for a hot join
+    key when the dim can't broadcast and AQE's runtime skew split
+    doesn't trigger. The oracle is the PLAIN join: salting must be
+    invisible in the result multiset, and the decimal sum makes the
+    post-join aggregate order-proof."""
+    from beam_pyspark_runner_spark.functions.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        salted_join(e, c, "user_id", "c_custkey", salt_on="event_id", n_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+    )
+
+
+@register(
+    "bucketed_join_colocated",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_items,
+           {dsum_sql('l_extendedprice')} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+    tags=("join", "bucketing", "colocated", "sink", "catalog"),
+)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join via pre-bucketed tables: both sides written with
+    bucketBy(8) + sortBy on the join key, then joined through the
+    catalog — Spark proves co-location from the bucket spec and plans
+    the join with ZERO shuffle exchanges (pinned by
+    tests/test_scale_patterns.py). This is the 100 TB contract for a
+    repeatedly-joined fact pair: pay the bucketed write once, skip the
+    orders⋈lineitem shuffle on every subsequent query. The oracle is the
+    plain join — bucketing must be invisible in the result."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"bprs_bkt_{tag}")
+    o_tbl, li_tbl = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", os.path.join(base, "orders"))
+        .mode("overwrite")
+        .saveAsTable(o_tbl)
+    )
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", os.path.join(base, "lineitem"))
+        .mode("overwrite")
+        .saveAsTable(li_tbl)
+    )
+    return (
+        spark.table(li_tbl)
+        .join(
+            spark.table(o_tbl),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_items"), dsum("l_extendedprice").alias("revenue"))
     )

@@ -193,3 +193,73 @@ def video_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     happens executor-side in Arrow batches; downstream operators see
     ordinary rows and the blob column is never shuffled."""
     return _payload_df(spark, sf_dir).mapInPandas(_frame_sample_kernel, _FRAME_SCHEMA)
+
+
+AUDIO_WINDOW = 128  # bytes per analysis window (stand-in for PCM frames)
+
+_AUDIO_SCHEMA = (
+    "doc_id bigint, n_samples bigint, n_windows bigint, peak bigint, mean_square double"
+)
+
+
+def _audio_feature_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic FAKE audio feature extraction.
+
+    A real kernel would decode PCM (soundfile/librosa) and emit per-clip
+    energy features; here the payload bytes stand in for 8-bit samples.
+    ``mean_square`` (mean of sample², the square of RMS) accumulates in
+    exact int64 before ONE float division, so the result is independent
+    of numpy reduction order and bit-matches the oracle. sqrt is left to
+    the consumer — applying it here would introduce a libm ulp gap.
+    """
+    import numpy as np
+
+    for pdf in batches:
+        payload = pdf["payload"]
+        samples = payload.map(lambda b: np.frombuffer(bytes(b), dtype=np.uint8))
+        n = samples.map(len).astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_samples": n,
+                "n_windows": (n + AUDIO_WINDOW - 1) // AUDIO_WINDOW,
+                "peak": samples.map(lambda s: int(s.max()) if len(s) else 0),
+                "mean_square": samples.map(
+                    lambda s: float(int((s.astype(np.int64) ** 2).sum())) / len(s)
+                    if len(s)
+                    else 0.0
+                ),
+            }
+        )
+
+
+@register(
+    "audio_feature_stub",
+    # ASCII corpus ⇒ sample i == ascii(char i+1); int sums are exact in
+    # both engines, and the single int→double division is correctly
+    # rounded on both sides.
+    oracle=f"""
+    WITH ch AS (
+        SELECT doc_id, octet_length(encode(text)) AS nb,
+               unnest(range(1, length(text) + 1)) AS i, text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(ANY_VALUE(nb) AS BIGINT) AS n_samples,
+           CAST((ANY_VALUE(nb) + {AUDIO_WINDOW} - 1) // {AUDIO_WINDOW} AS BIGINT)
+               AS n_windows,
+           CAST(MAX(ascii(substr(text, CAST(i AS INT), 1))) AS BIGINT) AS peak,
+           CAST(CAST(SUM(ascii(substr(text, CAST(i AS INT), 1))
+                         * ascii(substr(text, CAST(i AS INT), 1))) AS BIGINT) AS DOUBLE)
+               / CAST(ANY_VALUE(nb) AS DOUBLE) AS mean_square
+    FROM ch GROUP BY doc_id
+    """,
+    tags=("multimodal", "binary", "audio", "decode_stub", "map_in_pandas"),
+)
+def audio_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake audio feature extraction over binary payloads: per-clip sample
+    count, window count, peak, and mean-square energy through the same
+    Arrow-batched mapInPandas contract a real PCM decoder would use.
+    Completes the image/video/audio stub triad — swap the kernel for a
+    soundfile/librosa one with the identical signature."""
+    return _payload_df(spark, sf_dir).mapInPandas(_audio_feature_kernel, _AUDIO_SCHEMA)

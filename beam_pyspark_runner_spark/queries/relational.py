@@ -843,3 +843,42 @@ def pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         weighted_avg("l_extendedprice", "l_quantity").alias("weighted_avg_price")
     )
+
+
+@register(
+    "sql_api_revenue",
+    oracle=f"""
+    SELECT n_name AS nation,
+           EXTRACT(YEAR FROM o_orderdate) AS order_year,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+    """,
+    tags=("sql_api", "join", "aggregate"),
+)
+def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-SQL entry point: temp views + one spark.sql() text query,
+    no DataFrame builder calls — proving a reference user can bring plain
+    ANSI SQL and get the identical Catalyst plan (same pushdown,
+    broadcast, partial-agg treatment; SQL text and the DataFrame API
+    lower to the same logical plan). The decimal-sum discipline is
+    expressed inline in SQL, matching functions/numeric.py:dsum."""
+    from beam_pyspark_runner_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer", "nation"))
+    return spark.sql(
+        """
+        SELECT n_name AS nation,
+               CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+               COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DECIMAL(38,2))
+                    AS DOUBLE) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, YEAR(o_orderdate)
+        """
+    )

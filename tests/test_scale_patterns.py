@@ -235,3 +235,35 @@ def test_connected_components_iteration_cap(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(sym, max_iterations=1)
+
+
+def test_bucketed_join_query_no_join_shuffle(spark):
+    """The registered bucketed_join_colocated query must join without a
+    shuffle on either fact side: the only Exchange allowed in the plan is
+    the final groupBy's (and AQE may remove even that). Bucket scans must
+    be active on both sides."""
+    plan = _executed_plan_of(spark, "bucketed_join_colocated")
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+    join_free = plan.split("HashAggregate")[-1]  # below the partial agg
+    assert "Exchange hashpartitioning" not in join_free
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    """salted_join must join on (key, salt): the shuffle partitioning of
+    the fact side has to include the salt column, otherwise the hot key
+    still lands on one reducer and the whole point is lost."""
+    from beam_pyspark_runner_spark.functions.skew import salted_join
+
+    e = load_table(spark, SF_CORRECT, "events").select("event_id", "user_id", "value")
+    c = load_table(spark, SF_CORRECT, "customer").select("c_custkey", "c_mktsegment")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = salted_join(e, c, "user_id", "c_custkey", salt_on="event_id")
+        plan = _executed_plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    import re
+
+    parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert parts and all("_salt" in p for p in parts), parts
