@@ -313,3 +313,51 @@ def reshuffle_spread_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_quantity").alias("total_qty"),
         )
     )
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+        FROM orders WHERE o_totalprice > 400000
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'N', o_totalprice
+        FROM orders WHERE o_orderkey % 1000 = 0
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM updates
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    """,
+    tags=("merge", "upsert", "anti_join", "flatten"),
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert (operators/merge.py): a derived delta — price-bumped
+    updates for big orders plus synthetic new-key inserts — merged into
+    the orders base. The full merged row set is the query output, so the
+    oracle checks every survivor/replacement/insert decision, not an
+    aggregate of them. The delta is small relative to base, so the anti
+    join broadcasts the update keys (map-side pass over base — the shape
+    a daily-increment merge needs at 100 TB)."""
+    from beam_pyspark_runner_spark.operators.merge import merge_upsert
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = (
+        base.filter(F.col("o_totalprice") > 400000)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 1000 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    return merge_upsert(base, updates, ["o_orderkey"], broadcast_updates=True)

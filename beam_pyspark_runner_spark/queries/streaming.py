@@ -327,3 +327,56 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
     )
     return run_stream_to_df(agg, output_mode="complete")
+
+
+@register(
+    "stream_foreach_batch_sink",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "foreach_batch", "sink"),
+)
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: the streaming escape hatch for sinks Spark has
+    no connector for (JDBC upserts, MERGE into a lakehouse table, multi-
+    sink fan-out). Each micro-batch lands as parquet tagged with its
+    batch_id; the checkpoint gives at-least-once delivery, and the
+    batch_id makes downstream dedup/idempotent-overwrite possible —
+    which is how foreachBatch reaches exactly-once in production. The
+    re-read aggregate must equal the plain batch oracle: replaying the
+    whole fixture through the sink loses and duplicates nothing."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"bprs_fbsink_{tag}")
+    ckpt = out + "_ckpt"
+    shutil.rmtree(out, ignore_errors=True)  # append sink: start clean
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    e = _events_stream(spark, sf_dir)
+    query = (
+        e.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(300):
+            raise TimeoutError("foreachBatch stream did not finish in 300s")
+    finally:
+        if query.isActive:
+            query.stop()
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), dsum("value").alias("total_value")
+    )
