@@ -382,3 +382,118 @@ def exact_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("exact_n"))
         .withColumn("is_true_heavy", F.col("exact_n") >= CMS_HH_THRESHOLD)
     )
+
+
+def _hll_rank_sql(w: str) -> str:
+    return (
+        f"CASE WHEN ({w}) = 0 THEN {_HLL_RMAX} "
+        f"ELSE CAST(log2(({w}) & -({w})) AS BIGINT) + 1 END"
+    )
+
+
+_HLL_EST_SQL = (
+    f"{HLL_ALPHA} * {HLL_M} * {HLL_M} * (1::BIGINT << {_HLL_RMAX}) "
+    f"/ CAST(SUM(1::BIGINT << ({_HLL_RMAX} - rmax)) "
+    f"       + ({HLL_M} - COUNT(*)) * (1::BIGINT << {_HLL_RMAX}) AS DOUBLE)"
+)
+
+
+@register(
+    "hll_merge_groups",
+    # The oracle computes the 'ALL' row DIRECTLY from the global hash set
+    # (no merge); the Spark side computes it by max-merging the per-group
+    # registers. A value-hash match therefore PROVES register merge ==
+    # direct sketch — the property that lets 1000 executors sketch
+    # independently and combine.
+    oracle=f"""
+    WITH hashes AS (
+        SELECT DISTINCT l_returnflag, {h32_sql("'hll-' || l_partkey")} AS h
+        FROM lineitem
+    ),
+    gregs AS (
+        SELECT l_returnflag, h % {HLL_M} AS bucket,
+               MAX({_hll_rank_sql(f'h // {HLL_M}')}) AS rmax
+        FROM hashes GROUP BY 1, 2
+    ),
+    per_group AS (
+        SELECT l_returnflag AS grp, COUNT(*) AS n_present,
+               {_HLL_EST_SQL} AS hll_estimate
+        FROM gregs GROUP BY l_returnflag
+    ),
+    ghashes AS (
+        SELECT DISTINCT {h32_sql("'hll-' || l_partkey")} AS h FROM lineitem
+    ),
+    allregs AS (
+        SELECT h % {HLL_M} AS bucket,
+               MAX({_hll_rank_sql(f'h // {HLL_M}')}) AS rmax
+        FROM ghashes GROUP BY 1
+    ),
+    all_row AS (
+        SELECT 'ALL' AS grp, COUNT(*) AS n_present,
+               {_HLL_EST_SQL} AS hll_estimate
+        FROM allregs
+    )
+    SELECT * FROM per_group UNION ALL SELECT * FROM all_row
+    """,
+    tags=("sketch", "hll", "mergeable", "approx", "aggregate"),
+)
+def hll_merge_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL: per-group register sets (one per l_returnflag) and
+    an 'ALL' sketch produced by MERGING the group registers (bucket-wise
+    max) rather than re-scanning the data — exactly how a distributed
+    sketch combines partial states from every executor. The oracle
+    computes 'ALL' directly from the global hash set, so the match is a
+    cross-engine proof of merge == direct. Register state is
+    groups × {HLL_M} rows — constant at any data scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = h32(F.concat_ws("-", F.lit("hll"), F.col("l_partkey")))
+    hashes = li.select("l_returnflag", h.alias("h")).distinct()
+    w = (F.col("h") / HLL_M).cast("long")
+    rank = F.when(w == 0, F.lit(_HLL_RMAX)).otherwise(
+        F.log2(w.bitwiseAND(-w)).cast("long") + 1
+    )
+    gregs = (
+        hashes.select(
+            "l_returnflag", (F.col("h") % HLL_M).alias("bucket"), rank.alias("r")
+        )
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.max("r").alias("rmax"))
+    )
+    merged = gregs.groupBy("bucket").agg(F.max("rmax").alias("rmax"))
+
+    def _estimate(regs: DataFrame, grp: Column) -> DataFrame:
+        s = regs.agg(
+            F.count("*").alias("n_present"),
+            F.sum(
+                F.expr(f"shiftleft(1L, cast({_HLL_RMAX} - rmax AS INT))")
+            ).alias("int_sum"),
+        )
+        denom = (
+            F.col("int_sum")
+            + (HLL_M - F.col("n_present")) * F.lit(1 << _HLL_RMAX).cast("long")
+        ).cast("double")
+        est = F.lit(HLL_ALPHA * HLL_M * HLL_M * (1 << _HLL_RMAX)) / denom
+        return s.select(grp.alias("grp"), "n_present", est.alias("hll_estimate"))
+
+    per_group = (
+        gregs.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_present"),
+            F.sum(
+                F.expr(f"shiftleft(1L, cast({_HLL_RMAX} - rmax AS INT))")
+            ).alias("int_sum"),
+        )
+        .select(
+            F.col("l_returnflag").alias("grp"),
+            "n_present",
+            (
+                F.lit(HLL_ALPHA * HLL_M * HLL_M * (1 << _HLL_RMAX))
+                / (
+                    F.col("int_sum")
+                    + (HLL_M - F.col("n_present"))
+                    * F.lit(1 << _HLL_RMAX).cast("long")
+                ).cast("double")
+            ).alias("hll_estimate"),
+        )
+    )
+    return per_group.unionByName(_estimate(merged, F.lit("ALL")))

@@ -112,8 +112,18 @@ def spread(df: DataFrame) -> DataFrame:
     production scale the same helper is a no-op decision: sources with
     many splits already saturate the cluster, and the guard below skips
     the shuffle when the input is already wide enough.
+
+    The width probe (``df.rdd.getNumPartitions()``) materializes the
+    physical plan on the driver — cheap for a parquet scan, but a real
+    cost when called mid-pipeline on a wide plan. On a cluster, set
+    ``spark.graft.spread=off`` (sources there split properly, the helper
+    is pure overhead) or ``spark.graft.spread=force`` to skip the probe
+    and always reshuffle.
     """
+    mode = df.sparkSession.conf.get("spark.graft.spread", "auto")
+    if mode == "off":
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if mode != "force" and df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

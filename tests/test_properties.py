@@ -90,3 +90,35 @@ def test_top_n_matches_sorted_prefix(spark, data, n):
     src = p.create([(x,) for x in data], schema="value long")
     got = [r["value"] for r in src.top(n).collect()]
     assert got == sorted(data, reverse=True)[:n]
+
+
+@_settings
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(-1000, 1000)),
+        min_size=0, max_size=40, unique_by=lambda t: t[0],
+    ),
+    updates=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(-1000, 1000)),
+        min_size=0, max_size=40, unique_by=lambda t: t[0],
+    ),
+)
+def test_merge_upsert_matches_dict_semantics(spark, base, updates):
+    """merge_upsert == Python dict.update on unique-keyed inputs: updates
+    win, new keys insert, untouched base rows survive — for ANY inputs,
+    in both the shuffled and the broadcast-delta plan."""
+    from beam_pyspark_runner_spark.operators.merge import merge_upsert
+
+    if not base and not updates:
+        return
+    b = spark.createDataFrame(base or [(None, None)], "k long, v long").filter(
+        F.col("k").isNotNull()
+    )
+    u = spark.createDataFrame(updates or [(None, None)], "k long, v long").filter(
+        F.col("k").isNotNull()
+    )
+    expected = dict(base)
+    expected.update(dict(updates))
+    for bc in (False, True):
+        got = {r["k"]: r["v"] for r in merge_upsert(b, u, ["k"], broadcast_updates=bc).collect()}
+        assert got == expected, f"broadcast_updates={bc}"
