@@ -361,3 +361,40 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merge_upsert(base, updates, ["o_orderkey"], broadcast_updates=True)
+
+
+@register(
+    "partitioned_write_prune",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {dsum_sql("o_totalprice")} AS total_price
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    tags=("io", "sink", "partitioned_write", "partition_pruning", "pushdown"),
+)
+def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write → pruned read: orders land as
+    o_orderstatus=X/ directories, and the status filter on the read side
+    becomes a PartitionFilter — non-matching directories are never
+    LISTED, let alone read (plan pinned in tests/test_scale_patterns.py).
+    At 100 TB, partition-on-predicate-column is the difference between
+    scanning a shard and scanning the lake; the oracle confirms the
+    round trip through directory encoding loses no rows or values."""
+    staged = _staged(sf_dir, "partq")
+    (
+        load_table(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(staged)
+    )
+    back = spark.read.parquet(staged)
+    return (
+        back.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )

@@ -481,3 +481,69 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n_items"), dsum("l_extendedprice").alias("revenue"))
     )
+
+
+@register(
+    "cross_join_small_dims",
+    oracle="""
+    SELECT r_name, o_orderpriority
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
+    """,
+    tags=("join", "cross_join"),
+)
+def cross_join_small_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product of two bounded sides (5 regions × 5
+    priorities). The distinct-priority side is an aggregate of the fact
+    table, broadcast into a BroadcastNestedLoopJoin — the only sane
+    cross-join shape at scale: a cartesian is legitimate ONLY when one
+    side is provably tiny (dimension scaffolding, parameter grids);
+    anything else is a plan bug, which is why non-broadcast
+    CartesianProduct is asserted absent in the ANN plan tests."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    pr = load_table(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+    return r.crossJoin(F.broadcast(pr))
+
+
+@register(
+    "null_safe_join",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN NULL ELSE c_nationkey END AS nk
+        FROM customer
+    ),
+    n AS (
+        SELECT n_nationkey AS nk, n_name FROM nation
+        UNION ALL SELECT NULL, 'UNKNOWN'
+    )
+    SELECT n.n_name, COUNT(*) AS n_customers
+    FROM c JOIN n ON c.nk IS NOT DISTINCT FROM n.nk
+    GROUP BY n.n_name
+    """,
+    tags=("join", "null_safe", "null_semantics"),
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): debtor customers
+    get a NULL nation key, the dimension carries an explicit NULL →
+    'UNKNOWN' row, and the null-safe predicate routes them there — where
+    a plain equi-join silently drops every NULL-keyed row. <=> stays a
+    hash-joinable equi-key in Catalyst (NULL hashes as one key group),
+    so the plan is an ordinary BroadcastHashJoin, not a theta join."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk"),
+    )
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").alias("nk"), "n_name")
+        .unionByName(
+            spark.createDataFrame([(None, "UNKNOWN")], "nk int, n_name string")
+        )
+    )
+    return (
+        c.join(F.broadcast(n), c.nk.eqNullSafe(n.nk))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )

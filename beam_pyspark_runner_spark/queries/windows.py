@@ -255,3 +255,47 @@ def above_group_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_acctbal") - F.col("nation_avg")).alias("above_by"),
         )
     )
+
+
+@register(
+    "range_interval_frame",
+    # dsum discipline applied to a window frame: decimal-accumulate, one
+    # ROUND, one double cast — frame membership is identical in both
+    # engines (RANGE over event time), so sums are bit-identical.
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ), 2) AS DOUBLE) AS trailing_1h_value
+    FROM events
+    """,
+    tags=("window", "range_frame", "event_time"),
+)
+def range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per-user trailing-1-hour rolling sum —
+    frame membership is defined by event-time distance, not row count
+    (ROWS frames, the running_total_frame twin, cannot express this).
+    Spark's rangeBetween needs a numeric ordering key, so the frame runs
+    over unix microseconds with a 3.6e9 µs lower bound — semantically
+    identical to the oracle's RANGE INTERVAL '1 HOUR' over the
+    timestamp. One hash shuffle on user_id, sort within partition; at
+    100 TB this is the standard sliding-feature shape (trailing spend,
+    rate limits) and stays a single window stage."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    trailing = (
+        F.sum(F.col("value").cast("decimal(38,10)"))
+        .over(w)
+        .cast("decimal(38,2)")
+        .cast("double")
+    )
+    return e.select(
+        "event_id", "user_id", "ts", trailing.alias("trailing_1h_value")
+    )

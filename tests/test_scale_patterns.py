@@ -267,3 +267,18 @@ def test_salted_join_spreads_hot_keys(spark):
 
     parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert parts and all("_salt" in p for p in parts), parts
+
+
+def test_partitioned_write_prune_actually_prunes(spark):
+    """The partitioned-write query's read side must carry the status
+    predicate as a PartitionFilter on the scan (directory pruning), not
+    as a row-level PushedFilter over a full scan."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+
+    df = REGISTRY["partitioned_write_prune"].fn(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "o_orderstatus" in pf.group(1), plan[:2000]
