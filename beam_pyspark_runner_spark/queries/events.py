@@ -327,3 +327,43 @@ def top_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 2)
         .select("user_id", "session_start", "n_events", "rnk")
     )
+
+
+@register(
+    "variant_extract",
+    oracle="""
+    SELECT o_orderkey AS id,
+           o_orderstatus AS status,
+           o_totalprice AS total,
+           o_orderpriority AS first_tag
+    FROM orders
+    """,
+    tags=("json", "variant", "semi_structured", "scalar_fns"),
+)
+def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path: nested JSON built from order columns →
+    parse_json → VariantType → typed variant_get extraction at depth
+    ($.meta.status, $.tags[0]). VARIANT keeps the binary-encoded value
+    columnar and lets the engine shred paths without a schema — the
+    modern replacement for get_json_object string re-parsing on every
+    access. The oracle is the original columns, so the construct→parse→
+    extract loop must be lossless (doubles survive because to_json emits
+    shortest-round-trip literals)."""
+    o = load_table(spark, sf_dir, "orders")
+    jstr = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("id"),
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("total"),
+            ).alias("meta"),
+            F.array(F.col("o_orderpriority")).alias("tags"),
+        )
+    )
+    v = F.parse_json(jstr)
+    return o.select(
+        F.variant_get(v, "$.id", "bigint").alias("id"),
+        F.variant_get(v, "$.meta.status", "string").alias("status"),
+        F.variant_get(v, "$.meta.total", "double").alias("total"),
+        F.variant_get(v, "$.tags[0]", "string").alias("first_tag"),
+    )
