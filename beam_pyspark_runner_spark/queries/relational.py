@@ -882,3 +882,46 @@ def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name, YEAR(o_orderdate)
         """
     )
+
+
+@register(
+    "map_functions",
+    # Map cells aren't hashable by the external canonicalizer (same
+    # constraint as arrays) — serialize to a key-sorted JSON string.
+    oracle="""
+    WITH kv AS (
+        SELECT o_orderpriority AS prio,
+               o_orderstatus AS status,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT prio,
+           '{' || string_agg(
+               '"' || status || '":' || CAST(n AS VARCHAR), ','
+               ORDER BY status
+           ) || '}' AS status_counts
+    FROM kv GROUP BY prio
+    """,
+    tags=("map_fns", "scalar_fns", "array_fns", "aggregate"),
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per-priority status→count maps built with
+    map_from_entries over collected structs, then serialized to
+    key-sorted JSON (to_json emits map keys in entry order, so the
+    struct array is sorted first). Map construction/serialization stays
+    whole-stage-codegen'd; the map's cardinality is bounded by the
+    status domain, so the row stays tiny at any data scale."""
+    o = load_table(spark, sf_dir, "orders")
+    kv = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count("*").alias("n"))
+    return (
+        kv.groupBy("prio")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("status", "n")))
+            ).alias("m")
+        )
+        .select("prio", F.to_json("m").alias("status_counts"))
+    )

@@ -282,3 +282,19 @@ def test_partitioned_write_prune_actually_prunes(spark):
 
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "o_orderstatus" in pf.group(1), plan[:2000]
+
+
+def test_dedup_latest_uses_window_group_limit(spark):
+    """Keep-newest dedup must get Spark's WindowGroupLimit rewrite with a
+    Partial (map-side) phase: each input partition forwards only its own
+    top-1 per key, so the shuffle carries at most one row per (partition,
+    key) — the property that makes rank-filter dedup viable at 100 TB.
+    A plain Window sort would shuffle every row."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+
+    df = REGISTRY["dedup_latest_by_key"].fn(spark, SF_CORRECT)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("WindowGroupLimit", 1)[1].split("\n")[0] or \
+        plan.count("WindowGroupLimit") >= 2
