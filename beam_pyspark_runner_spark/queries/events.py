@@ -367,3 +367,56 @@ def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.meta.total", "double").alias("total"),
         F.variant_get(v, "$.tags[0]", "string").alias("first_tag"),
     )
+
+
+@register(
+    "session_window_batch",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '{SESSION_GAP_MINUTES} minutes'
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    tags=("event_time", "session_window", "aggregate"),
+)
+def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.session_window in BATCH mode: Spark merges overlapping
+    [ts, ts+gap) intervals inside an ordinary aggregate — one shuffle on
+    (user_id, session), no global sort, no window function pass. The
+    gaps-and-islands twin (sessionization) and the streaming twin
+    (stream_session_window) share this oracle family; all three must
+    agree. window.end is last-event + gap, so session_end subtracts the
+    gap back to align with the oracle's MAX(ts)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("session_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            (
+                F.col("session_window.end")
+                - F.expr(f"INTERVAL {SESSION_GAP_MINUTES} MINUTES")
+            ).alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -263,3 +263,62 @@ def audio_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     Completes the image/video/audio stub triad — swap the kernel for a
     soundfile/librosa one with the identical signature."""
     return _payload_df(spark, sf_dir).mapInPandas(_audio_feature_kernel, _AUDIO_SCHEMA)
+
+
+_ARROW_STATS_SCHEMA = "doc_id bigint, payload_bytes bigint, head_sum bigint"
+
+
+def _arrow_stats_kernel(batches):
+    """Arrow-NATIVE kernel (mapInArrow): operates on pyarrow RecordBatch
+    directly — no pandas conversion at all, so the per-batch overhead is
+    one zero-copy view instead of Series construction. The cheapest
+    Python kernel path Spark offers; use it when the kernel is
+    vectorizable with pyarrow.compute but must still live in Python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        payload = batch.column("payload")
+        lengths = pc.binary_length(payload)
+        # head_sum: sum of the first byte of each payload — a cheap
+        # deterministic reduction proving byte-level access.
+        first = pc.binary_slice(payload, 0, 1)
+        head = pc.cast(
+            pc.if_else(
+                pc.equal(lengths, 0), pa.scalar(b"\x00"), first
+            ),
+            pa.binary(),
+        )
+        head_vals = pa.array(
+            [b[0] if len(b) else 0 for b in head.to_pylist()], type=pa.int64()
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("doc_id"),
+                pc.cast(lengths, pa.int64()),
+                head_vals,
+            ],
+            names=["doc_id", "payload_bytes", "head_sum"],
+        )
+
+
+@register(
+    "arrow_map_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head_sum
+    FROM documents
+    """,
+    tags=("multimodal", "binary", "map_in_arrow", "arrow"),
+)
+def arrow_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow over the binary payload column: the zero-pandas Python
+    kernel path (RecordBatch in, RecordBatch out). Complements the
+    mapInPandas kernels — same partitioning/batching contract, lower
+    per-batch overhead; the scale guidance is mapInArrow for
+    pyarrow.compute-expressible kernels, mapInPandas when the kernel
+    needs pandas/numpy semantics."""
+    return _payload_df(spark, sf_dir).mapInArrow(
+        _arrow_stats_kernel, _ARROW_STATS_SCHEMA
+    )
