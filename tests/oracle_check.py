@@ -151,7 +151,12 @@ if __name__ == "__main__":
     from beam_pyspark_runner_spark.queries import REGISTRY
     from beam_pyspark_runner_spark.session import get_spark
 
-    sf_dir = "/root/testdata/sf0.01"
+    import os
+
+    # Default mirrors the external driver's sf0.01 gate; point
+    # SPARK_GRAFT_ORACLE_SF_DIR at sf0.1 for a 10× scale-robustness pass
+    # (catches overflow/threshold/precision bugs the small gate can't).
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     names = sys.argv[1:] or list(REGISTRY)
     spark = get_spark(app_name="oracle_check")
     con = duckdb_conn(sf_dir)
