@@ -103,6 +103,20 @@ class Pipeline:
     def from_df(self, df: DataFrame, label: str = "FromDF") -> "PCol":
         return PCol(self, Node(build=lambda _ins, _df=df: _df, label=label))
 
+    def create_opaque(self, objs: Iterable[Any]) -> "PCol":
+        """Escape hatch for genuinely opaque Python elements (SURVEY.md
+        §1.3 / §7 hard part 2): any picklable object rides a single
+        BinaryType ``blob`` column — the reference's default element
+        representation, made an EXPLICIT boundary here. Opaque blobs get
+        no pushdown, pruning, or codegen; use schema-ful ``create`` for
+        anything with structure, and cross back via ``map_opaque`` →
+        schema-ful ``par_do`` once the shape is known."""
+        import pickle
+
+        data = [(pickle.dumps(o),) for o in objs]
+        df = self.spark.createDataFrame(data, "blob binary")
+        return PCol(self, Node(build=lambda _ins, _df=df: _df, label="CreateOpaque"))
+
 
 class PCol:
     """Handle to a logical dataset node inside a Pipeline DAG."""
@@ -210,6 +224,59 @@ class PCol:
         return self._derive(
             "FlatMapRows", lambda ins: ins[0].mapInPandas(kernel, schema)
         )
+
+    # --- opaque-element escape hatch (SURVEY.md §7 hard part 2) ---------
+    def map_opaque(self, fn: Callable[[Any], Any]) -> "PCol":
+        """object → object over a pickled ``blob`` column, Arrow-batched
+        (unpickle → fn → repickle per element; never row-at-a-time
+        serialization of the whole frame). Stays opaque — chain
+        ``map_opaque`` calls, or land back in schema-ful land with
+        ``map_rows``/``par_do`` after extracting structure."""
+
+        def kernel(batches):
+            import pandas as pd
+            import pickle
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "blob": pdf["blob"].map(
+                            lambda b: pickle.dumps(fn(pickle.loads(bytes(b))))
+                        )
+                    }
+                )
+
+        return self._derive(
+            "MapOpaque", lambda ins: ins[0].mapInPandas(kernel, "blob binary")
+        )
+
+    def flat_map_opaque(self, fn: Callable[[Any], Iterable[Any]]) -> "PCol":
+        """object → objects (1→N) over the pickled column; None is
+        skipped (same contract as flat_map_rows)."""
+
+        def kernel(batches):
+            import pandas as pd
+            import pickle
+
+            for pdf in batches:
+                out = []
+                for b in pdf["blob"]:
+                    for x in fn(pickle.loads(bytes(b))):
+                        if x is None:
+                            continue
+                        out.append(pickle.dumps(x))
+                yield pd.DataFrame({"blob": out})
+
+        return self._derive(
+            "FlatMapOpaque", lambda ins: ins[0].mapInPandas(kernel, "blob binary")
+        )
+
+    def collect_opaque(self) -> list:
+        """Unpickle the blob column back to Python objects (driver-side;
+        bounded results only, like any collect)."""
+        import pickle
+
+        return [pickle.loads(bytes(r[0])) for r in self.to_df().collect()]
 
     # --- grouping / combining ------------------------------------------
     def group_by_key(self, key: str = "key", value: str = "value") -> "PCol":

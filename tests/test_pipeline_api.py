@@ -294,3 +294,49 @@ def test_metrics_to_df_snapshot(spark):
     p.create([1, 2, 3]).par_do(kernel, "value bigint").to_df().count()
     rows = {(r.namespace, r.metric): r.value for r in p.metrics.to_df().collect()}
     assert rows == {("ns", "c1"): 3.0}
+
+
+class _Reading:
+    """Deliberately schema-less user type for the opaque escape hatch."""
+
+    def __init__(self, sensor, values):
+        self.sensor = sensor
+        self.values = values
+
+    def scaled(self, k):
+        return _Reading(self.sensor, [v * k for v in self.values])
+
+
+def test_opaque_elements_roundtrip_and_transform(spark):
+    """Arbitrary Python objects ride a pickled blob column end to end:
+    create → map (method call) → flat_map (1→N) → collect, and the
+    boundary back to schema-ful land via map_rows."""
+    from beam_pyspark_runner_spark.operators.pipeline import Pipeline
+
+    p = Pipeline(spark)
+    readings = [_Reading("a", [1, 2]), _Reading("b", [3])]
+    pc = (
+        p.create_opaque(readings)
+        .map_opaque(lambda r: r.scaled(10))
+        .flat_map_opaque(lambda r: [(r.sensor, v) for v in r.values])
+    )
+    assert sorted(pc.collect_opaque()) == [("a", 10), ("a", 20), ("b", 30)]
+    # cross back into schema-ful land
+    back = (
+        pc.map_opaque(lambda t: t)  # still opaque
+        .flat_map_opaque(lambda t: [t])
+        .collect_opaque()
+    )
+    assert sorted(back) == [("a", 10), ("a", 20), ("b", 30)]
+
+
+def test_opaque_skips_none_in_flat_map(spark):
+    from beam_pyspark_runner_spark.operators.pipeline import Pipeline
+
+    p = Pipeline(spark)
+    out = (
+        p.create_opaque([1, 2, 3])
+        .flat_map_opaque(lambda x: [x, None, -x])
+        .collect_opaque()
+    )
+    assert sorted(out) == [-3, -2, -1, 1, 2, 3]
