@@ -43,20 +43,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "array_functions",
     "null_semantics",
     "q12_late_shipment_priority",
-    # TPC-H join-heavy shape
-    "q3_shipping_priority",
+    # co-located fact-fact join (bucketing)
+    "bucketed_join_colocated",
     # join family
     "join_multiway",
     "cogroup_counts",
     "range_join",
     "asof_join",
-    # window functions
+    # window functions (+ keep-newest dedup via WindowGroupLimit)
     "top_k_per_group",
-    "rank_dense_rank",
+    "dedup_latest_by_key",
     "lag_lead_delta",
     "running_total_frame",
-    # event analytics
-    "json_extraction",
+    # event analytics + semi-structured (VARIANT)
+    "variant_extract",
     "tumbling_window_agg",
     "sessionization",
     # structured streaming
@@ -64,37 +64,37 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_session_window",
     "stream_stateful_count",
     "stream_stream_join",
-    "stream_dedup_ids",
+    "stream_static_join",
     # dedup
     "dedup_exact",
     "minhash_lsh_candidates",
     "dedup_components",
     "clean_corpus",
-    # similarity / ANN
+    # similarity / ANN + custom UDAF
     "cosine_topk",
     "ann_lsh_buckets",
-    "ivf_centroid_assign",
+    "pandas_udaf_weighted_avg",
     "ivf_topk_search",
     # text analysis (incl. pandas UDF / applyInPandas / UDTF surfaces)
-    "quality_filter",
+    "tfidf_top_terms",
     "pandas_udf_density_score",
     "grouped_pandas_minmax",
     "udtf_token_positions",
     # multimodal
-    "binary_payload_stats",
+    "arrow_map_stats",
     "image_decode_stub",
     # sketches
     "cms_estimate_vs_exact",
     "bloom_membership_vs_exact",
-    "exact_heavy_hitters",
+    "hll_merge_groups",
     # io surface: format round-trips, sinks, side inputs, partition,
     # reshuffle — the rows VERDICT r1 called "pytest only", now hard-signal
     "text_sink_roundtrip",
     "csv_roundtrip",
-    "json_roundtrip",
+    "merge_upsert_orders",
     "orc_roundtrip",
     "sideinput_singleton_threshold",
-    "sideinput_dict_enrich",
+    "partitioned_write_prune",
     "pipeline_partition_branches",
     "reshuffle_spread_agg",
 )
