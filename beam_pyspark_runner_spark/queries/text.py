@@ -445,11 +445,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 ulp between libm implementations. Ties break on the term string,
     so the top-3 set is fully deterministic.
 
-    Scale: tf is one (doc, term) shuffle; df aggregates tf again on term
-    (input already term-partitioned from tf's shuffle in-flight); the
-    tf⋈df join shuffles on term — all key-hash shuffles of compact int
-    pairs, never document text. Vocabulary is Zipfian, so AQE's skew
-    split handles the stopword-heavy term partitions."""
+    Scale: single-pass — tf is one (doc, term) shuffle, then df comes
+    from a COUNT window over term ON THE TF ROWS (tf has exactly one row
+    per (doc, term), so the partition count IS the document frequency),
+    then the top-3 rank windows on doc. Three keyed shuffles of compact
+    int pairs, never document text, and the token-explode lineage runs
+    once — the join formulation (tf ⋈ df-aggregate) recomputes it twice
+    and doubles the shuffles (pinned by test_tfidf_shuffle_budget).
+    Vocabulary is Zipfian, so AQE's skew split handles the
+    stopword-heavy term partitions."""
     from pyspark.sql import Window as W
 
     toks = (
@@ -457,13 +461,66 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    df = F.count("*").over(W.partitionBy("term"))
     score = F.col("tf").cast("double") / F.col("df").cast("double")
     w = W.partitionBy("doc_id").orderBy(score.desc(), F.col("term"))
     return (
-        tf.join(df, "term")
+        tf.withColumn("df", df)
         .withColumn("score", score)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "df", "score")
+    )
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, toks,
+               unnest(range(0, GREATEST(len(toks), 1), {CHUNK_STRIDE})) AS s
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(s / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(toks, s + 1, s + {CHUNK_TOKENS})) AS BIGINT)
+               AS n_chunk_tokens,
+           array_to_string(list_slice(toks, s + 1, s + {CHUNK_TOKENS}), ' ')
+               AS chunk_text
+    FROM starts
+    """,
+    tags=("text_analysis", "chunking", "flat_map", "array_fns"),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: each document becomes overlapping
+    {CHUNK_TOKENS}-token chunks every {CHUNK_STRIDE} tokens — the
+    standard LLM training/RAG preprocessing step. Pure codegen: split →
+    sequence of starts → explode → slice → re-join; the 1→N expansion
+    happens executor-side with no Python, and chunk boundaries depend
+    only on token counts, so the oracle is exact. At 100 TB the explode
+    multiplies rows ~n_tokens/stride× — chunk AFTER quality filtering
+    and dedup, never before (clean_corpus orders it that way)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - 1, F.lit(0)),
+        F.lit(CHUNK_STRIDE),
+    )
+    chunk = F.slice(F.col("toks"), F.col("s") + 1, CHUNK_TOKENS)
+    return (
+        d.select("doc_id", toks.alias("toks"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
     )

@@ -298,3 +298,26 @@ def test_dedup_latest_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan.split("WindowGroupLimit", 1)[1].split("\n")[0] or \
         plan.count("WindowGroupLimit") >= 2
+
+
+def test_merge_upsert_broadcasts_small_delta(spark):
+    """merge_upsert with broadcast_updates=True must plan the anti join
+    as a broadcast (map-side pass over base), not a shuffle."""
+    plan = _executed_plan_of(spark, "merge_upsert_orders")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    before_union = plan.split("Union")[-1]
+    assert "Exchange hashpartitioning" not in before_union
+
+
+def test_tfidf_shuffle_budget(spark):
+    """tfidf is single-pass: exactly three keyed shuffles — (doc, term)
+    for tf, term for the df count window, doc for the top-3 rank — and
+    no join. The join formulation recomputes the token-explode lineage
+    twice; this budget keeps it out. (The AQE plan string repeats each
+    exchange in its initial-plan section, so count distinct keys.)"""
+    import re
+
+    plan = _executed_plan_of(spark, "tfidf_top_terms")
+    keys = set(re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan))
+    assert len(keys) <= 3, keys
+    assert "Join" not in plan
