@@ -505,8 +505,8 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence of starts → explode → slice → re-join; the 1→N expansion
     happens executor-side with no Python, and chunk boundaries depend
     only on token counts, so the oracle is exact. At 100 TB the explode
-    multiplies rows ~n_tokens/stride× — chunk AFTER quality filtering
-    and dedup, never before (clean_corpus orders it that way)."""
+    multiplies rows ~n_tokens/stride× — run it AFTER quality filtering
+    and dedup (clean_corpus's filter→dedup stages), never before."""
     d = load_table(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
     starts = F.sequence(
