@@ -562,3 +562,67 @@ def dedup_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", F.col("ts").alias("latest_ts"), "event_type")
     )
+
+
+DECONTAM_BENCH_MOD = 50  # ~2% of docs play the benchmark role
+DECONTAM_MIN_SHARED = 2  # shared distinct shingles to flag contamination
+
+
+@register(
+    "benchmark_decontaminate",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    bench AS (
+        SELECT doc_id FROM documents
+        WHERE (('0x' || substr(md5('bench-' || doc_id), 1, 8))::BIGINT)
+              % {DECONTAM_BENCH_MOD} = 0
+    ),
+    bench_sh AS (
+        SELECT sh.doc_id AS bench_doc, sh.s FROM sh JOIN bench USING (doc_id)
+    ),
+    train_sh AS (
+        SELECT sh.doc_id AS train_doc, sh.s FROM sh
+        WHERE sh.doc_id NOT IN (SELECT doc_id FROM bench)
+    )
+    SELECT t.train_doc, b.bench_doc, COUNT(*) AS n_shared
+    FROM train_sh t JOIN bench_sh b ON t.s = b.s
+    GROUP BY t.train_doc, b.bench_doc
+    HAVING COUNT(*) >= {DECONTAM_MIN_SHARED}
+    """,
+    tags=("dedup", "decontamination", "ngram_overlap", "broadcast"),
+)
+def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ≥
+    {DECONTAM_MIN_SHARED} distinct word {SHINGLE_K}-gram shingles with
+    any document in a held-out benchmark set (here: a deterministic
+    ~2% hash-sample standing in for the real eval suite). This is the
+    eval-integrity pass a training corpus needs — n-gram overlap is the
+    standard contamination test.
+
+    Scale: the benchmark side is small by construction → its shingle set
+    BROADCASTS; the corpus shingle stream joins map-side, so the corpus
+    is scanned once with no shuffle of document text, and output fan-out
+    is bounded by benchmark size × overlap. The anti-membership filter
+    reuses the same broadcast."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    sh = _shingle_df(spark, sf_dir)
+    is_bench = (
+        h32(F.concat_ws("-", F.lit("bench"), F.col("doc_id"))) % DECONTAM_BENCH_MOD
+        == 0
+    )
+    bench_ids = (
+        load_table(spark, sf_dir, "documents").select("doc_id").filter(is_bench)
+    )
+    bench_sh = sh.join(F.broadcast(bench_ids), "doc_id").select(
+        F.col("doc_id").alias("bench_doc"), "s"
+    )
+    train_sh = sh.join(F.broadcast(bench_ids), "doc_id", "left_anti").select(
+        F.col("doc_id").alias("train_doc"), "s"
+    )
+    return (
+        train_sh.join(F.broadcast(bench_sh), "s")
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= DECONTAM_MIN_SHARED)
+    )

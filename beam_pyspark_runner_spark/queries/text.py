@@ -524,3 +524,42 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+TRAIN_PCT = 90  # hash-split percentage for the train split
+
+
+@register(
+    "train_val_split",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id, lang,
+               CASE WHEN (('0x' || substr(md5('split-' || doc_id), 1, 8))::BIGINT)
+                         % 100 < {TRAIN_PCT}
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS n_docs
+    FROM assigned GROUP BY split, lang
+    """,
+    tags=("text_analysis", "split", "sampling", "hashing"),
+)
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val split: membership = md5(key) mod 100, no
+    RNG — the split is a pure function of the document id, so it is
+    reproducible across runs, cluster sizes, and engines (the property
+    a training pipeline needs for resumable preprocessing and honest
+    eval). Narrow map + one small aggregate; at 100 TB the assignment
+    costs one hash per row and the split ratio holds to CLT tolerance."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    d = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        h32(F.concat_ws("-", F.lit("split"), F.col("doc_id"))) % 100 < TRAIN_PCT,
+        "train",
+    ).otherwise("val")
+    return (
+        d.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
