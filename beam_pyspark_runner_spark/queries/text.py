@@ -563,3 +563,104 @@ def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+PACK_TOKEN_BUDGET = 2048  # tokens per packed training sequence
+
+
+@register(
+    "pack_token_budget",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT lang,
+           CAST((cum - n_tokens) // {PACK_TOKEN_BUDGET} AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM c GROUP BY 1, 2
+    """,
+    tags=("text_analysis", "packing", "window", "aggregate"),
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, concat-and-split style: documents stream in
+    deterministic (lang, doc_id) order, a running token count assigns
+    each document to the training sequence its first token lands in
+    (seq = floor(preceding_tokens / {PACK_TOKEN_BUDGET})) — the
+    GPT-style pack-then-chop batching that wastes no pad tokens.
+
+    Scale: the running sum partitions by lang, so parallelism = number
+    of streams; a production packer shards further (e.g. by
+    hash-bucketed shard keys) because any contiguous packing is
+    inherently sequential WITHIN a stream — that per-stream sequential
+    scan is the honest cost of deterministic packing, and it runs
+    executor-side here (one window, no driver loop)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens(F.col("text"))).cast("long")
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = d.select("doc_id", "lang", n_tokens.alias("n_tokens")).withColumn(
+        "cum", F.sum("n_tokens").over(w)
+    )
+    return (
+        c.groupBy(
+            "lang",
+            ((F.col("cum") - F.col("n_tokens")) / PACK_TOKEN_BUDGET)
+            .cast("long")
+            .alias("seq_id"),
+        )
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+    )
+
+
+SOURCE_QUOTA = 40  # docs kept per source in the balanced mixture
+
+
+@register(
+    "source_quota_sample",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY (('0x' || substr(md5('mix-' || doc_id), 1, 8))::BIGINT),
+                            doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT doc_id, source, lang FROM ranked WHERE rn <= {SOURCE_QUOTA}
+    """,
+    tags=("text_analysis", "sampling", "mixture", "top_k_per_key"),
+)
+def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture balancing: keep a fixed quota of documents per
+    source, chosen by deterministic hash rank (md5 order, doc_id
+    tie-break) — equal-weight mixing of heterogeneous sources without
+    RNG, reproducible at any scale. The hash rank is a uniform shuffle
+    of each source, so the quota is an unbiased sample. One shuffle on
+    source with map-side WindowGroupLimit pushing the top-{SOURCE_QUOTA}
+    into each input partition."""
+    from pyspark.sql import Window as W
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    d = load_table(spark, sf_dir, "documents")
+    hrank = h32(F.concat_ws("-", F.lit("mix"), F.col("doc_id")))
+    w = W.partitionBy("source").orderBy(hrank, F.col("doc_id"))
+    return (
+        d.select("doc_id", "source", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SOURCE_QUOTA)
+        .select("doc_id", "source", "lang")
+    )
