@@ -483,10 +483,10 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "clean_corpus",
-    oracle=f"""
-    WITH {_CAND_SQL},
+# CTE chain quality → exact dedup → near-dup drop → survivors; shared by
+# clean_corpus and the corpus_to_training_set capstone (queries/text.py).
+_CLEAN_SQL = f"""
+    {_CAND_SQL},
     quality AS (
         SELECT doc_id, md5(text) AS content_hash
         FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
@@ -496,10 +496,20 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_kept AS (
         SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY content_hash
     ),
-    near_dropped AS (SELECT DISTINCT doc_b AS doc_id FROM cand)
-    SELECT e.doc_id FROM exact_kept e
-    LEFT JOIN near_dropped n ON n.doc_id = e.doc_id
-    WHERE n.doc_id IS NULL
+    near_dropped AS (SELECT DISTINCT doc_b AS doc_id FROM cand),
+    survivors AS (
+        SELECT e.doc_id FROM exact_kept e
+        LEFT JOIN near_dropped n ON n.doc_id = e.doc_id
+        WHERE n.doc_id IS NULL
+    )
+"""
+
+
+@register(
+    "clean_corpus",
+    oracle=f"""
+    WITH {_CLEAN_SQL}
+    SELECT doc_id FROM survivors
     """,
     tags=("dedup", "exact_dedup", "near_dedup", "quality_score", "pipeline"),
 )

@@ -664,3 +664,70 @@ def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= SOURCE_QUOTA)
         .select("doc_id", "source", "lang")
     )
+
+
+from beam_pyspark_runner_spark.queries.dedup import _CLEAN_SQL as _CLEAN_CORPUS_SQL
+
+
+@register(
+    "corpus_to_training_set",
+    oracle=f"""
+    WITH {_CLEAN_CORPUS_SQL},
+    base AS (
+        SELECT d.doc_id, d.lang,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(range(0, GREATEST(len(string_split(d.text, ' ')), 1),
+                              {CHUNK_STRIDE})) AS BIGINT) AS n_chunks,
+               CASE WHEN (('0x' || substr(md5('split-' || d.doc_id), 1, 8))::BIGINT)
+                         % 100 < {TRAIN_PCT}
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents d JOIN survivors USING (doc_id)
+    )
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM base GROUP BY split, lang
+    """,
+    tags=("text_analysis", "pipeline", "dedup", "split", "chunking"),
+)
+def corpus_to_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the full corpus-to-training-set pipeline in
+    one declarative plan: quality gate → exact dedup → MinHash-LSH
+    near-dup drop (clean_corpus's stages) → deterministic hash split →
+    chunk accounting, reported as per-(split, lang) doc/chunk/token
+    totals. Every stage is the already-oracle-checked operator; the
+    point here is that they COMPOSE into one Catalyst plan — filters
+    still push down, the survivor join is an id-only anti-join chain,
+    and nothing materializes between stages. This is the query a 100 TB
+    preprocessing run executes before writing packed shards."""
+    from beam_pyspark_runner_spark.queries.dedup import clean_corpus
+
+    survivors = clean_corpus(spark, sf_dir)
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    n_chunks = F.size(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(CHUNK_STRIDE))
+    ).cast("long")
+    split = F.when(
+        h32(F.concat_ws("-", F.lit("split"), F.col("doc_id"))) % 100 < TRAIN_PCT,
+        "train",
+    ).otherwise("val")
+    return (
+        d.join(survivors, "doc_id")
+        .select(
+            split.alias("split"),
+            "lang",
+            n_tokens.alias("n_tokens"),
+            n_chunks.alias("n_chunks"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chunks").alias("n_chunks"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
