@@ -420,3 +420,61 @@ def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+@register(
+    "resample_fill_gaps",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+               COUNT(*) AS n, {dsum_sql('value')} AS total
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT MIN(time_bucket(INTERVAL '1 hour', ts)) AS mn,
+               MAX(time_bucket(INTERVAL '1 hour', ts)) AS mx
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events)
+    SELECT t.event_type, s.h AS hour_start,
+           COALESCE(n, 0) AS n_events,
+           CAST(COALESCE(total, 0) AS DOUBLE) AS total_value
+    FROM types t CROSS JOIN spine s
+    LEFT JOIN hourly ON hourly.event_type = t.event_type AND hourly.h = s.h
+    """,
+    tags=("event_time", "resample", "gap_fill", "time_spine"),
+)
+def resample_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: a complete hourly spine
+    (min..max hour, F.sequence with an interval step) crossed with the
+    event-type domain, left-joined to hourly aggregates, missing cells
+    filled with zero — the standard densify step before charting,
+    forecasting, or window features (a LAG over sparse buckets silently
+    skips the gaps). Spine and type dimension are tiny and broadcast;
+    the fact side aggregates BEFORE the join, so the left join touches
+    one row per (type, hour), never raw events."""
+    e = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = e.groupBy(F.col("event_type"), hour.alias("h")).agg(
+        F.count("*").alias("n"), dsum("value").alias("total")
+    )
+    bounds = e.agg(F.min(hour).alias("mn"), F.max(hour).alias("mx"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = e.select("event_type").distinct()
+    grid = F.broadcast(types).crossJoin(F.broadcast(spine))
+    return (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").alias("hour_start"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("total", F.lit(0.0)).alias("total_value"),
+        )
+    )

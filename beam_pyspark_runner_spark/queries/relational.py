@@ -925,3 +925,72 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("prio", F.to_json("m").alias("status_counts"))
     )
+
+
+@register(
+    "union_schema_evolution",
+    oracle="""
+    SELECT o_orderkey AS id, o_totalprice AS amount,
+           o_orderpriority AS priority, NULL AS segment
+    FROM orders WHERE o_totalprice > 350000
+    UNION ALL
+    SELECT c_custkey, c_acctbal, NULL, c_mktsegment
+    FROM customer WHERE c_acctbal < 0
+    """,
+    tags=("flatten", "union", "schema_evolution"),
+)
+def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flatten across EVOLVED schemas: the two sides share id/amount but
+    each carries a column the other lacks; unionByName with
+    allowMissingColumns null-fills the gaps by NAME (positional UNION
+    would silently misalign). This is the schema-drift reality of long-
+    lived pipelines — v1 and v2 records flowing through one plan."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 350000)
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_totalprice").alias("amount"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_acctbal").alias("amount"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    return o.unionByName(c, allowMissingColumns=True)
+
+
+@register(
+    "try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE l_extendedprice / l_discount END AS price_per_discount,
+           CASE WHEN l_quantity = 0 THEN NULL
+                ELSE CAST(CAST(trunc(l_extendedprice) AS BIGINT) % CAST(trunc(l_quantity) AS BIGINT)
+                     AS BIGINT) END AS price_mod_qty
+    FROM lineitem WHERE l_quantity > 49
+    """,
+    tags=("scalar_fns", "try_functions", "null_semantics"),
+)
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic: try_divide/try_mod return NULL where strict
+    ANSI evaluation would throw (division by zero) — the difference
+    between a 100 TB job dying hours in on one bad row and a NULL the
+    next filter handles. The oracle spells the same semantics with
+    explicit zero guards."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide("l_extendedprice", "l_discount").alias("price_per_discount"),
+        F.try_mod(
+            F.col("l_extendedprice").cast("long"), F.col("l_quantity").cast("long")
+        ).alias("price_mod_qty"),
+    )
