@@ -478,3 +478,34 @@ def resample_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("total", F.lit(0.0)).alias("total_value"),
         )
     )
+
+
+@register(
+    "xml_roundtrip",
+    oracle="""
+    SELECT o_orderkey AS id,
+           o_orderstatus AS status,
+           o_totalprice AS total
+    FROM orders WHERE o_totalprice > 250000
+    """,
+    tags=("xml", "semi_structured", "scalar_fns", "io"),
+)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 native XML: order columns serialized with to_xml, parsed
+    back with a schema'd from_xml, typed fields extracted — the
+    construct→serialize→parse→extract loop must be lossless against the
+    original columns (same proof pattern as variant_extract, on the XML
+    codec). Both functions are JVM expression-level — per-row XML
+    handling without a file-format detour or a Python UDF."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    xml = F.to_xml(
+        F.struct(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("total"),
+        )
+    )
+    parsed = o.select(xml.alias("xml")).select(
+        F.from_xml("xml", "id bigint, status string, total double").alias("r")
+    )
+    return parsed.select("r.id", "r.status", "r.total")
