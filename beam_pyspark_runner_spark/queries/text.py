@@ -731,3 +731,128 @@ def corpus_to_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("n_tokens"),
         )
     )
+
+
+# --- PII redaction -----------------------------------------------------------
+# Regex patterns shared verbatim between the Spark plan and the DuckDB
+# oracle (both are RE2/Java-compatible subsets: no lookaround, no
+# backreferences, so the two engines match identical spans).
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "555-[0-9]{4}"
+
+
+@register(
+    "pii_redact",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or call 555-'
+                    || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0') AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM aug
+    """,
+    tags=("text_analysis", "pii", "redaction", "regex"),
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the compliance pass every training-data pipeline runs
+    before anything else. The fixture corpus contains no PII, so the query
+    first synthesizes a deterministic email + phone suffix per document
+    (making the redaction provably fire on every row), then counts and
+    masks the matches. Everything is JVM regex inside whole-stage codegen:
+    a narrow map-only plan with zero shuffles, which is exactly the shape
+    this op must keep at 100 TB (reference would run it as a per-element
+    Python DoFn: transform_evaluators.py:28-79)."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") * 7 % 10000).cast("string"), 4, "0"),
+    )
+    aug = d.select("doc_id", raw.alias("raw"))
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(_EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(_PHONE_RE), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
+
+
+@register(
+    "repetition_filter",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    b AS (SELECT doc_id, toks, len(toks) AS n,
+                 list_transform(range(1, len(toks)),
+                                i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+          FROM t WHERE len(toks) >= 2),
+    s AS (SELECT doc_id,
+                 CAST(list_max(list_transform(list_distinct(toks),
+                          u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+                     / CAST(n AS DOUBLE) AS top_token_ratio,
+                 CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                     / CAST(len(bigrams) AS DOUBLE) AS bigram_ttr
+          FROM b)
+    SELECT doc_id, top_token_ratio, bigram_ttr,
+           CASE WHEN top_token_ratio <= 0.2 AND bigram_ttr >= 0.85
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM s
+    """,
+    tags=("text_analysis", "quality_score", "repetition", "higher_order_fns"),
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: most-frequent-token ratio
+    and distinct-bigram ratio, with a keep/drop verdict. Stays a narrow
+    map-only plan: token and bigram statistics are computed with array
+    higher-order functions inside the row (O(distinct x tokens) per doc,
+    bounded by document length) instead of explode + groupBy, so a 100 TB
+    corpus pays zero shuffle for its quality pass. Ratios are int/int
+    double divisions — bit-identical across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    n = F.size("toks")
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("toks"),
+            lambda u: F.size(F.filter(F.col("toks"), lambda x: x == u)),
+        )
+    )
+    bigrams = F.transform(
+        F.slice("toks", 1, n - 1),
+        lambda x, i: F.concat_ws(" ", x, F.get("toks", i + 1)),
+    )
+    s = t.select(
+        "doc_id",
+        (top_cnt.cast("double") / n.cast("double")).alias("top_token_ratio"),
+        (
+            F.size(F.array_distinct(bigrams)).cast("double")
+            / F.size(bigrams).cast("double")
+        ).alias("bigram_ttr"),
+    )
+    return s.select(
+        "doc_id",
+        "top_token_ratio",
+        "bigram_ttr",
+        F.when(
+            (F.col("top_token_ratio") <= 0.2) & (F.col("bigram_ttr") >= 0.85), "keep"
+        )
+        .otherwise("drop")
+        .alias("verdict"),
+    )
