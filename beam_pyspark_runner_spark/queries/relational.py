@@ -994,3 +994,51 @@ def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").cast("long"), F.col("l_quantity").cast("long")
         ).alias("price_mod_qty"),
     )
+
+
+# --- Scalable global ranking (zipWithIndex, DataFrame-native) ---------------
+@register(
+    "global_rank_bucketed",
+    oracle="""
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(o_orderkey AS VARCHAR)))
+               AS global_rank
+    FROM orders
+    """,
+    tags=("sort", "global_rank", "zip_with_index", "training_order"),
+)
+def global_rank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global rank over a total order WITHOUT a single-partition
+    window — the DataFrame-native zipWithIndex. Deterministic training-data
+    shuffling needs every example assigned its position in a global
+    pseudo-random order (here: md5 of the key); the naive
+    ``row_number() OVER (ORDER BY k)`` collapses 100 TB onto one task.
+
+    Instead: (1) bucket rows by the first 2 hex chars of the sort key —
+    a data-INDEPENDENT, uniform, 256-way split, so no sampling pass and
+    no skew; (2) rank within each bucket in parallel; (3) compute bucket
+    offsets from a 256-row count table with a window that is trivially
+    single-partition; (4) broadcast-join offsets back. Total cost: one
+    shuffle on bucket + one tiny agg — rank = offset + local_rank equals
+    the oracle's global ROW_NUMBER exactly because buckets are a prefix
+    of the sort key itself.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    k = F.md5(F.col("o_orderkey").cast("string"))
+    keyed = o.select("o_orderkey", k.alias("k"), F.substring(k, 1, 2).alias("bucket"))
+    local = keyed.withColumn(
+        "local_rank", F.row_number().over(W.partitionBy("bucket").orderBy("k"))
+    )
+    counts = keyed.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(
+            F.sum("cnt").over(
+                W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("offset"),
+    )
+    return local.join(F.broadcast(offsets), "bucket").select(
+        "o_orderkey", (F.col("offset") + F.col("local_rank")).alias("global_rank")
+    )
