@@ -18,6 +18,7 @@ unbounded-cardinality shuffle.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from beam_pyspark_runner_spark.functions.hashing import h32, h32_sql
@@ -497,3 +498,79 @@ def hll_merge_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_group.unionByName(_estimate(merged, F.lit("ALL")))
+
+
+# --- Mergeable fixed-bin quantile sketch ------------------------------------
+# Bin geometry shared verbatim with the oracle: o_totalprice in
+# [0, 600k) → 24 bins of 25k. Literal (data-independent) edges make the
+# histogram a pure partial aggregate.
+QB_WIDTH = 25000.0
+
+
+@register(
+    "quantile_bin_sketch",
+    oracle=f"""
+    WITH h AS (
+        SELECT CAST(floor(o_totalprice / {QB_WIDTH}) AS BIGINT) AS bin,
+               COUNT(*) AS c
+        FROM orders GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin, c,
+               CAST(COALESCE(SUM(c) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS below,
+               CAST(SUM(c) OVER () AS BIGINT) AS total
+        FROM h
+    )
+    SELECT total AS n_rows,
+           bin AS p50_bin,
+           (CAST(bin AS DOUBLE) * {QB_WIDTH}
+               + {QB_WIDTH} * ((0.5 * CAST(total AS DOUBLE) - CAST(below AS DOUBLE))
+                               / CAST(c AS DOUBLE))) AS p50_estimate
+    FROM cum
+    WHERE CAST(below AS DOUBLE) < 0.5 * CAST(total AS DOUBLE)
+      AND 0.5 * CAST(total AS DOUBLE) <= CAST(below + c AS DOUBLE)
+    """,
+    tags=("sketch", "quantile", "histogram", "mergeable"),
+)
+def quantile_bin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile estimation from a fixed-bin histogram — the
+    KLL/t-digest role with a deterministic, oracle-checkable core. Bin
+    edges are literals, so the histogram is one partial-aggregated
+    groupBy producing <=24 rows regardless of input size; merging
+    sketches from different partitions/datasets is integer addition.
+    The p50 interpolation runs on the tiny histogram (single-partition
+    window over <=24 rows). Every arithmetic step (0.5*N, bigint
+    subtraction under 2^53, one double divide, one multiply-add chain)
+    is IEEE-deterministic, written identically in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    h = (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / F.lit(QB_WIDTH)).cast("long").alias("bin")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    w_cum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, -1)
+    cum = h.select(
+        "bin",
+        "c",
+        F.coalesce(F.sum("c").over(w_cum), F.lit(0)).cast("long").alias("below"),
+        F.sum("c").over(W.orderBy("bin").rangeBetween(W.unboundedPreceding, W.unboundedFollowing)).cast("long").alias("total"),
+    )
+    half = 0.5 * F.col("total").cast("double")
+    return cum.filter(
+        (F.col("below").cast("double") < half)
+        & (half <= (F.col("below") + F.col("c")).cast("double"))
+    ).select(
+        F.col("total").alias("n_rows"),
+        F.col("bin").alias("p50_bin"),
+        (
+            F.col("bin").cast("double") * F.lit(QB_WIDTH)
+            + F.lit(QB_WIDTH)
+            * (
+                (0.5 * F.col("total").cast("double") - F.col("below").cast("double"))
+                / F.col("c").cast("double")
+            )
+        ).alias("p50_estimate"),
+    )
