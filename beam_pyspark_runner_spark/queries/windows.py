@@ -299,3 +299,37 @@ def range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", "user_id", "ts", trailing.alias("trailing_1h_value")
     )
+
+
+@register(
+    "scd2_history",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER w AS valid_to,
+           CASE WHEN LEAD(o_orderdate) OVER w IS NULL
+                THEN 'current' ELSE 'expired' END AS state
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window_fns", "scd2", "interval", "lead"),
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 reconstruction: turn a change log
+    (one row per version) into [valid_from, valid_to) intervals via LEAD,
+    flagging the open-ended current version. The canonical prep step for
+    point-in-time (as-of) joins against a versioned dimension. One shuffle
+    on the entity key; windows are per-entity, so parallelism is the
+    number of entities — no global sort, no skew beyond version counts.
+    Tie-safe: the sort key includes the version id (o_orderkey)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    valid_to = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.when(valid_to.isNull(), "current").otherwise("expired").alias("state"),
+    )
