@@ -398,3 +398,46 @@ def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("total_price"),
         )
     )
+
+
+@register(
+    "zorder_key",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS price_cell,
+               o_custkey % 256 AS cust_cell
+        FROM orders
+    )
+    SELECT o_orderkey, price_cell, cust_cell,
+           CAST(list_sum(list_transform(range(0, 16),
+                i -> (((price_cell >> i) & 1) << (2 * i))
+                   + (((cust_cell >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS z
+    FROM c
+    """,
+    tags=("io", "data_layout", "zorder", "higher_order_fns"),
+)
+def zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key: bit-interleave two bucketized
+    dimensions into one sort key. Writing a 100 TB table sorted by z
+    co-locates rows that are close in BOTH dimensions into the same
+    parquet files, so min/max footer stats prune scans for predicates on
+    either column — the standard multi-dimensional layout trick
+    (Delta/Iceberg OPTIMIZE ZORDER) built here from integer bit ops that
+    stay in whole-stage codegen. Narrow map-only plan; the downstream
+    `repartitionByRange(z).sortWithinPartitions(z)` write is exercised by
+    partitioned_write_prune."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") / 25000.0).cast("long").alias("price_cell"),
+        (F.col("o_custkey") % 256).alias("cust_cell"),
+    )
+    z = F.expr(
+        """
+        aggregate(sequence(0, 15), 0L, (acc, i) -> acc
+            + shiftleft(shiftright(price_cell, i) & 1, 2 * i)
+            + shiftleft(shiftright(cust_cell, i) & 1, 2 * i + 1))
+        """
+    )
+    return c.select("o_orderkey", "price_cell", "cust_cell", z.alias("z"))
