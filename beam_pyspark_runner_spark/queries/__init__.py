@@ -22,6 +22,7 @@ from beam_pyspark_runner_spark.queries import streaming  # noqa: E402,F401
 from beam_pyspark_runner_spark.queries import multimodal  # noqa: E402,F401
 from beam_pyspark_runner_spark.queries import sketches  # noqa: E402,F401
 from beam_pyspark_runner_spark.queries import io  # noqa: E402,F401
+from beam_pyspark_runner_spark.queries import graph  # noqa: E402,F401
 
 # The external driver's correctness gate checks the FIRST 50 registry
 # entries (dict iteration order). This curated window spans every
@@ -54,7 +55,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "top_k_per_group",
     "dedup_latest_by_key",
     "lag_lead_delta",
-    "running_total_frame",
+    # iterative graph analytics (round-2 family: unrolled power iteration)
+    "pagerank_3iter",
     # event analytics + semi-structured (VARIANT)
     "variant_extract",
     "tumbling_window_agg",
@@ -92,7 +94,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_sink_roundtrip",
     "csv_roundtrip",
     "merge_upsert_orders",
-    "orc_roundtrip",
+    # scalable zipWithIndex (global total-order rank without a 1-task sort)
+    "global_rank_bucketed",
     "sideinput_singleton_threshold",
     "partitioned_write_prune",
     "pipeline_partition_branches",

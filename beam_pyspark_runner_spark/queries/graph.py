@@ -1,0 +1,146 @@
+"""Graph analytics on relational data: co-occurrence graphs, PageRank.
+
+The reference cannot express iterative dataflow at all (its DAG is a
+single pass over ``transform_evaluators.py`` with no loop construct);
+``dedup.py`` already demonstrates iterative min-label propagation for
+connected components. This module adds the float-iteration counterpart:
+weighted PageRank with unrolled power iterations, every per-iteration
+aggregation order-stabilized through exact decimal accumulation
+(functions/numeric.py rationale) so the result is bit-identical to the
+DuckDB oracle regardless of partitioning.
+
+Scale notes (100 TB): the edge build is one self-join per fact grouped
+to an edge list whose size is bounded by co-occurrence fan-out, not by
+input rows; each iteration is one join of the edge list against the
+rank vector plus one partial-aggregated groupBy — rank vectors are
+node-cardinality (small relative to edges) and broadcastable. For
+unbounded iteration counts use the dedup_components loop pattern
+(checkpoint + convergence test); unrolling 3 here keeps the whole plan
+declarative for Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beam_pyspark_runner_spark.queries.registry import register
+from beam_pyspark_runner_spark.sources.readers import load_table
+
+DAMPING = 0.85
+BASE = 0.15
+
+# Exact-decimal accumulate (see functions/numeric.py): contributions are
+# cast to DECIMAL(38,10) and summed exactly. The sum converts STRAIGHT to
+# double with NO intermediate downscale: DuckDB truncates decimal->decimal
+# scale reductions while Spark rounds half-up, so any lossy re-round
+# diverges; the direct conversion is a single correctly-rounded step in
+# both engines as long as the unscaled value stays < 2^53 (rank mass is
+# bounded by node count: fine below ~8e5 nodes; beyond that, drop to a
+# coarser accumulator scale).
+_ACC = "decimal(38,10)"
+
+
+def _dsum_exact(col: Column) -> Column:
+    return F.sum(col.cast(_ACC)).cast("double")
+
+
+_EDGE_SQL = """
+    li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    edges AS (
+        SELECT a.l_suppkey AS src, b.l_suppkey AS dst, COUNT(*) AS w
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+        GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY 1),
+    e AS (
+        SELECT src, dst, CAST(w AS DOUBLE) / CAST(ow AS DOUBLE) AS frac
+        FROM edges JOIN outw USING (src)
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges)
+"""
+
+
+def _iter_sql(prev: str, curr: str) -> str:
+    return f"""
+    {curr} AS (
+        SELECT n.node,
+               0.15 + 0.85 * CAST(COALESCE(
+                   SUM(CAST(e.frac * p.r AS DECIMAL(38,10))),
+                   0) AS DOUBLE) AS r
+        FROM nodes n
+        LEFT JOIN e ON e.dst = n.node
+        LEFT JOIN {prev} p ON p.node = e.src
+        GROUP BY n.node
+    )"""
+
+
+@register(
+    "pagerank_3iter",
+    oracle=f"""
+    WITH {_EDGE_SQL},
+    r0 AS (SELECT node, 1.0 AS r FROM nodes),
+    {_iter_sql('r0', 'r1')},
+    {_iter_sql('r1', 'r2')},
+    {_iter_sql('r2', 'r3')}
+    SELECT node AS supplier, r AS pagerank FROM r3
+    """,
+    tags=("graph", "pagerank", "iterative", "self_join"),
+)
+def pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the supplier co-occurrence graph (suppliers
+    that fulfil lineitems of the same order are linked; edge weight =
+    co-occurring order count), three power iterations unrolled.
+
+    Plan shape: the edge list is built once (self-join bounded by
+    per-order fan-out), out-degree normalization is one partial agg, and
+    each iteration joins the rank vector (node-cardinality, broadcast)
+    into the edge list followed by one groupBy(dst) — the canonical
+    distributed PageRank step. Dangling-node mass is dropped (simplified
+    variant) identically in both engines."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
+    e = edges.join(outw, "src").select(
+        "src",
+        "dst",
+        (F.col("w").cast("double") / F.col("ow").cast("double")).alias("frac"),
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ranks = nodes.select("node", F.lit(1.0).alias("r"))
+    for _ in range(3):
+        contrib = e.join(
+            F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
+        ).select("dst", (F.col("frac") * F.col("r")).alias("term"))
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .groupBy("node")
+            .agg(
+                (
+                    F.lit(BASE)
+                    + F.lit(DAMPING) * F.coalesce(_dsum_exact(F.col("term")), F.lit(0.0))
+                ).alias("r")
+            )
+        )
+    return ranks.select(F.col("node").alias("supplier"), F.col("r").alias("pagerank"))
