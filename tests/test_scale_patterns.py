@@ -321,3 +321,63 @@ def test_tfidf_shuffle_budget(spark):
     keys = set(re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan))
     assert len(keys) <= 3, keys
     assert "Join" not in plan
+
+
+def test_global_rank_no_single_partition_window_over_data(spark):
+    """global_rank_bucketed must rank inside 256 key-prefix buckets and
+    broadcast the offsets — the only SinglePartition exchange allowed is
+    the one over the 256-row bucket-count table."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+
+    df = REGISTRY["global_rank_bucketed"].fn(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # The data-side window partitions by bucket (parallel), never empty.
+    assert "windowspecdefinition(bucket" in plan
+    # Count exchanges that single-partition the *orders scan* lineage:
+    # the full-data window must be hash-partitioned, not SinglePartition.
+    data_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange SinglePartition" not in data_side
+
+
+def test_pagerank_rank_vector_broadcast(spark):
+    """Each power iteration joins the edge list against the rank vector;
+    the rank vector (node cardinality) must broadcast — a shuffle of the
+    edge list per iteration is the 100 TB killer."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+
+    df = REGISTRY["pagerank_3iter"].fn(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastExchange") >= 3  # one rank vector per iteration
+
+
+def test_quantile_sketch_histogram_is_partial_agg(spark):
+    """The fixed-bin histogram must partial-aggregate map-side: two
+    HashAggregates around one Exchange, and the window runs over the
+    <=24-row histogram only."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+
+    df = REGISTRY["quantile_bin_sketch"].fn(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["n_rows"] > 0
+
+
+def test_zorder_key_narrow_plan(spark):
+    """Morton-key computation is map-only: no Exchange in the plan."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+
+    df = REGISTRY["zorder_key"].fn(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pii_and_repetition_filters_narrow(spark):
+    """The corpus compliance + quality passes must stay shuffle-free."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+
+    for name in ("pii_redact", "repetition_filter"):
+        df = REGISTRY[name].fn(spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, name
