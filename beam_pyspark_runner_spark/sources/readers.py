@@ -33,26 +33,37 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (columnar scan; filters/projections push down).
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's SQL
-    timestamp type (microseconds) refuses outright; the session is built
-    with ``nanosAsLong`` (session.py) so it arrives as raw nanos, and we
-    floor-convert to a proper TimestampType here. The fixture's
-    timestamps are exactly microsecond-granular, so the conversion is
-    lossless and agrees with DuckDB's ns→us handling.
+    ``events.ts`` has shipped in two fixture encodings across driver
+    rounds: parquet TIMESTAMP(NANOS) (arrives as raw-nanos BIGINT under
+    the session's ``nanosAsLong`` flag) and plain TIMESTAMP(MICROS)
+    (arrives as TIMESTAMP_NTZ under Spark 4's NTZ inference). Normalize
+    both to session-zoned TimestampType here so every downstream query —
+    windows, watermarks, the DuckDB oracle compare — sees one stable
+    type. The session timezone is UTC (session.py), so the NTZ→TS cast
+    is a pure re-tag of the same wall-clock instant, byte-identical to
+    DuckDB's naive-timestamp reading.
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # Fallback for sessions not built by session.get_spark (the
-        # external driver passes its own): without this flag the nanos
-        # scan fails outright. Idempotent — no-op on our own sessions.
+        # external driver passes its own): a TIMESTAMP(NANOS) fixture
+        # fails the scan outright without nanosAsLong. Idempotent — and
+        # a no-op for micros-encoded fixtures.
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # nanos-as-long fixture: lossless floor to micros (the
+            # fixture's instants are exactly microsecond-granular).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(ts_type, T.TimestampType):
+            # TIMESTAMP_NTZ (or anything else timestamp-like): re-tag as
+            # session-zoned. Session tz is UTC, so values are unchanged.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 
