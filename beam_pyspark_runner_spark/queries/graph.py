@@ -96,10 +96,25 @@ def pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: the edge list is built once (self-join bounded by
     per-order fan-out), out-degree normalization is one partial agg, and
-    each iteration joins the rank vector (node-cardinality, broadcast)
-    into the edge list followed by one groupBy(dst) — the canonical
-    distributed PageRank step. Dangling-node mass is dropped (simplified
-    variant) identically in both engines."""
+    each iteration joins the rank vector into the edge list followed by
+    one groupBy(dst) — the canonical distributed PageRank step. The rank
+    vector is broadcast only while the node count stays under
+    ``spark.graft.pagerank.broadcastNodes`` (default 10M ≈ 160 MB
+    payload); above that the join falls back to a shuffle, which is the
+    correct plan for billion-node graphs. Dangling-node mass is dropped
+    (simplified variant) identically in both engines."""
+    # Broadcast gate: the rank vector has one (long, double) row per node
+    # (~16 B each); broadcasting is the right plan until node count makes
+    # the broadcast payload executor-hostile (billion-node graphs). The
+    # node set is a subset of suppliers, so the supplier table's parquet
+    # row count — a metadata-only action, no data scan — is a free upper
+    # bound. Threshold ~10M nodes ≈ 160 MB payload; tune via conf.
+    threshold = int(
+        spark.conf.get("spark.graft.pagerank.broadcastNodes", "10000000")
+    )
+    node_upper_bound = load_table(spark, sf_dir, "supplier").count()
+    rank_hint = F.broadcast if node_upper_bound <= threshold else (lambda df: df)
+
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey")
@@ -131,7 +146,7 @@ def pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.select("node", F.lit(1.0).alias("r"))
     for _ in range(3):
         contrib = e.join(
-            F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
+            rank_hint(ranks.withColumnRenamed("node", "src")), "src"
         ).select("dst", (F.col("frac") * F.col("r")).alias("term"))
         ranks = (
             nodes.join(contrib, nodes.node == contrib.dst, "left")

@@ -351,6 +351,35 @@ def test_pagerank_rank_vector_broadcast(spark):
     assert plan.count("BroadcastExchange") >= 3  # one rank vector per iteration
 
 
+def test_pagerank_broadcast_size_gated(spark):
+    """Billion-node graphs must NOT broadcast the rank vector: with the
+    threshold forced to 0 the per-iteration join falls back to a shuffle
+    join (no broadcast hint on the rank lineage), and the result is
+    unchanged."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+
+    # Kill Spark's size-based auto-broadcast so the only possible
+    # BroadcastExchange comes from our explicit hint — then the gate's
+    # effect on the plan is directly observable at fixture scale.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        spark.conf.set("spark.graft.pagerank.broadcastNodes", "0")
+        df = REGISTRY["pagerank_3iter"].fn(spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan  # shuffle-join fallback
+        gated = {(r["supplier"], round(r["pagerank"], 9)) for r in df.collect()}
+
+        spark.conf.unset("spark.graft.pagerank.broadcastNodes")
+        df = REGISTRY["pagerank_3iter"].fn(spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastExchange") >= 3  # hint overrides -1
+        base = {(r["supplier"], round(r["pagerank"], 9)) for r in df.collect()}
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.graft.pagerank.broadcastNodes")
+    assert gated == base
+
+
 def test_quantile_sketch_histogram_is_partial_agg(spark):
     """The fixed-bin histogram must partial-aggregate map-side: two
     HashAggregates around one Exchange, and the window runs over the
