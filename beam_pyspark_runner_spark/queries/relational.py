@@ -1007,25 +1007,38 @@ def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("sort", "global_rank", "zip_with_index", "training_order"),
 )
-def global_rank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def global_rank_bucketed(
+    spark: SparkSession, sf_dir: str, prefix_len: int | None = None
+) -> DataFrame:
     """Exact global rank over a total order WITHOUT a single-partition
     window — the DataFrame-native zipWithIndex. Deterministic training-data
     shuffling needs every example assigned its position in a global
     pseudo-random order (here: md5 of the key); the naive
     ``row_number() OVER (ORDER BY k)`` collapses 100 TB onto one task.
 
-    Instead: (1) bucket rows by the first 2 hex chars of the sort key —
-    a data-INDEPENDENT, uniform, 256-way split, so no sampling pass and
-    no skew; (2) rank within each bucket in parallel; (3) compute bucket
-    offsets from a 256-row count table with a window that is trivially
-    single-partition; (4) broadcast-join offsets back. Total cost: one
-    shuffle on bucket + one tiny agg — rank = offset + local_rank equals
-    the oracle's global ROW_NUMBER exactly because buckets are a prefix
-    of the sort key itself.
+    Instead: (1) bucket rows by the first ``prefix_len`` hex chars of the
+    sort key — a data-INDEPENDENT, uniform, 16^prefix_len-way split, so
+    no sampling pass and no skew; (2) rank within each bucket in
+    parallel; (3) compute bucket offsets from the tiny count table with a
+    window that is trivially single-partition; (4) broadcast-join offsets
+    back. Total cost: one shuffle on bucket + one tiny agg — rank =
+    offset + local_rank equals the oracle's global ROW_NUMBER exactly
+    because buckets are a prefix of the sort key itself.
+
+    ``prefix_len`` (or conf ``spark.graft.globalRank.prefixLen``) scales
+    the fan-out to the data: 2 → 256 buckets (fine to ~1 TB), 4 → 65 536
+    (each bucket ~1.5 GB at 100 TB). The offset table stays ≤16^prefix_len
+    rows, comfortably broadcastable at both widths.
     """
+    if prefix_len is None:
+        prefix_len = int(spark.conf.get("spark.graft.globalRank.prefixLen", "2"))
+    if not 1 <= prefix_len <= 8:
+        raise ValueError(f"prefix_len must be in [1, 8], got {prefix_len}")
     o = load_table(spark, sf_dir, "orders")
     k = F.md5(F.col("o_orderkey").cast("string"))
-    keyed = o.select("o_orderkey", k.alias("k"), F.substring(k, 1, 2).alias("bucket"))
+    keyed = o.select(
+        "o_orderkey", k.alias("k"), F.substring(k, 1, prefix_len).alias("bucket")
+    )
     local = keyed.withColumn(
         "local_rank", F.row_number().over(W.partitionBy("bucket").orderBy("k"))
     )

@@ -340,6 +340,26 @@ def test_global_rank_no_single_partition_window_over_data(spark):
     assert "Exchange SinglePartition" not in data_side
 
 
+def test_global_rank_prefix_len_scales_fanout(spark):
+    """prefix_len parameterizes bucket fan-out (2 → 256, 4 → 65 536 for
+    100 TB inputs). Both widths keep the same plan shape (per-bucket
+    window + broadcast offsets) and produce the identical global order —
+    the rank is a pure function of the md5 key, not the bucketing."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+
+    fn = REGISTRY["global_rank_bucketed"].fn
+    wide = fn(spark, SF_CORRECT, prefix_len=4)
+    plan = wide._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(bucket" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    data_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange SinglePartition" not in data_side
+
+    narrow_rows = {tuple(r) for r in fn(spark, SF_CORRECT, prefix_len=2).collect()}
+    wide_rows = {tuple(r) for r in wide.collect()}
+    assert narrow_rows == wide_rows
+
+
 def test_pagerank_rank_vector_broadcast(spark):
     """Each power iteration joins the edge list against the rank vector;
     the rank vector (node cardinality) must broadcast — a shuffle of the
