@@ -23,6 +23,7 @@ from beam_pyspark_runner_spark.queries import multimodal  # noqa: E402,F401
 from beam_pyspark_runner_spark.queries import sketches  # noqa: E402,F401
 from beam_pyspark_runner_spark.queries import io  # noqa: E402,F401
 from beam_pyspark_runner_spark.queries import graph  # noqa: E402,F401
+from beam_pyspark_runner_spark.queries import partsupp  # noqa: E402,F401
 
 # The external driver's correctness gate checks the FIRST 50 registry
 # entries (dict iteration order). This curated window spans every

@@ -430,3 +430,27 @@ def test_pii_and_repetition_filters_narrow(spark):
         df = REGISTRY[name].fn(spark, SF_CORRECT)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, name
+
+
+def test_partsupp_synthesis_no_shuffle(spark):
+    """synth_partsupp must be shuffle-free: part scan × broadcast 4-row
+    sequence × broadcast 1-row supplier count, all codegen."""
+    from beam_pyspark_runner_spark.queries.partsupp import synth_partsupp
+
+    plan = synth_partsupp(spark, SF_CORRECT)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+
+
+def test_q9_fact_shuffles_and_broadcasts(spark):
+    """Q9's only hash shuffles are the two fact joins (partkey+suppkey,
+    orderkey) plus the final group-by; part/supplier/nation broadcast."""
+    import re
+
+    plan = _plan_of(spark, "q9_product_profit")
+    keys = {
+        k.split(",")[0].split("#")[0].strip()
+        for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    assert keys <= {"l_partkey", "ps_partkey", "l_orderkey", "o_orderkey", "nation", "n_name"}, keys
+    assert plan.count("BroadcastExchange") >= 3
