@@ -36,11 +36,10 @@ import os
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream of the events fixture.
 
-    The fixture stores TIMESTAMP(NANOS), which Spark streaming file
-    sources can't read directly; we stage a microsecond-timestamp copy
-    (multiple files, so AvailableNow replays it as several micro-batches
-    and stateful operators exercise real cross-batch state) and stream
-    from the staged path.
+    The single-file fixture is staged as a normalized multi-file copy
+    (load_table handles the fixture's ts encoding; multiple files mean
+    AvailableNow replays several micro-batches, so stateful operators
+    exercise real cross-batch state) and streamed from the staged path.
     """
     import hashlib
     import tempfile
@@ -203,6 +202,144 @@ def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out.groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"))
+    )
+
+
+def _session_timeout_fn(key, pdf_iter, state):
+    """applyInPandasWithState kernel: per-user session state machine with
+    event-time timeout.
+
+    State = (session_start_us, last_ts_us, n_events). A session closes
+    when the user's NEXT event arrives >gap later (emitted immediately)
+    or when the event-time watermark passes last_ts + gap (timeout path:
+    emit + remove — the state-GC guarantee that keeps per-key state
+    bounded on an unbounded stream even for users who never return).
+    Batches replay in disjoint ascending ts ranges, so sorting each
+    batch by (ts, event_id) yields a globally ordered per-user scan.
+    """
+    from beam_pyspark_runner_spark.queries.events import SESSION_GAP_MINUTES
+
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
+
+    def session_row(start_us, last_us, n):
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+                "n_events": [n],
+            }
+        )
+
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        state.remove()
+        yield session_row(start_us, last_us, n)
+        return
+
+    rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values(
+        ["ts", "event_id"]
+    )
+    start_us, last_us, n = state.get if state.exists else (None, None, 0)
+    closed = []
+    for ts in rows["ts"]:
+        us = ts.value // 1000  # pandas ns → µs
+        if last_us is not None and us - last_us > gap_us:
+            closed.append((start_us, last_us, n))
+            start_us, n = None, 0
+        if start_us is None:
+            start_us = us
+        last_us = us
+        n += 1
+    state.update((start_us, last_us, n))
+    # Timeout at last event + gap (event time, ms). Always ahead of the
+    # current watermark: arriving events are ≥ watermark by definition.
+    state.setTimeoutTimestamp(last_us // 1000 + SESSION_GAP_MINUTES * 60 * 1000)
+    for start, last, cnt in closed:
+        yield session_row(start, last, cnt)
+
+
+@register(
+    "stream_session_timeout_state",
+    # A user's FINAL session closes only via the tail-of-stream timeout,
+    # whose firing depends on whether a micro-batch runs after the last
+    # watermark advance — nondeterministic under AvailableNow. Both sides
+    # therefore exclude each user's last session (session_end == that
+    # user's global max ts); every other session is emitted exactly once.
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '{SESSION_GAP_MINUTES} minutes'
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    user_max AS (SELECT user_id, MAX(ts) AS max_ts FROM events GROUP BY user_id)
+    SELECT s.user_id,
+           MIN(s.ts) AS session_start,
+           MAX(s.ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions s JOIN user_max m ON m.user_id = s.user_id
+    GROUP BY s.user_id, s.session_id, m.max_ts
+    HAVING MAX(s.ts) < m.max_ts
+    """,
+    tags=(
+        "streaming",
+        "stateful",
+        "apply_in_pandas_with_state",
+        "timeout",
+        "session_window",
+    ),
+)
+def stream_session_timeout_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming with event-time TIMEOUTS: a session
+    state machine over ``applyInPandasWithState`` — the surface
+    ``transformWithState`` would cover in newer builds (documented env
+    limit, ARCHITECTURE.md). Sessions close on the next-event gap or on
+    watermark timeout; timed-out state is emitted then removed, so state
+    size is bounded by *active* users, not all users ever seen — the
+    property that keeps this runnable forever on an unbounded stream.
+
+    Reference parity: this is the stateful-DoFn niche
+    (``/root/reference/beam_pyspark_runner/transform_evaluators.py:57-75``
+    has only stateless ParDo; Beam's timers/state have no reference
+    implementation at all)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    e = _events_stream(spark, sf_dir)
+    sessions = (
+        e.withWatermark("ts", "1 hour")
+        .select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_timeout_fn,
+            outputStructType=(
+                "user_id bigint, session_start timestamp, "
+                "session_end timestamp, n_events bigint"
+            ),
+            stateStructType="start_us bigint, last_us bigint, n bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    out = run_stream_to_df(sessions, output_mode="update")
+    # Deterministic tail: drop each user's final session (see oracle note).
+    user_max = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("m_user"))
+        .agg(F.max("ts").alias("max_ts"))
+    )
+    return (
+        out.join(F.broadcast(user_max), out.user_id == F.col("m_user"))
+        .filter(F.col("session_end") < F.col("max_ts"))
+        .select("user_id", "session_start", "session_end", "n_events")
     )
 
 

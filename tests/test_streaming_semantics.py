@@ -165,3 +165,41 @@ def test_checkpoint_recovery_no_reprocessing(spark, tmp_path):
     run_once()  # same checkpoint: must deliver ONLY f2
     got = sorted(r["id"] for r in spark.read.parquet(out).collect())
     assert got == list(range(150)), f"duplicates or gaps: {len(got)} rows"
+
+
+def test_session_timeout_state_machine(spark):
+    """stream_session_timeout_state invariants: per-user sessions are
+    disjoint, separated by more than the gap, internally gap-free at the
+    session level (end-start bounds), each user's final session is
+    excluded, and every emitted session is unique."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+    from beam_pyspark_runner_spark.queries.events import SESSION_GAP_MINUTES
+
+    rows = REGISTRY["stream_session_timeout_state"].fn(spark, SF_SMOKE).collect()
+    assert rows, "no sessions emitted"
+    gap_s = SESSION_GAP_MINUTES * 60
+    by_user = {}
+    seen = set()
+    for r in rows:
+        key = (r["user_id"], r["session_start"])
+        assert key not in seen, f"duplicate session emission: {key}"
+        seen.add(key)
+        assert r["session_start"] <= r["session_end"]
+        assert r["n_events"] >= 1
+        by_user.setdefault(r["user_id"], []).append(r)
+    max_ts = {
+        r["user_id"]: r["m"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("m"))
+        .collect()
+    }
+    for uid, sess in by_user.items():
+        sess.sort(key=lambda r: r["session_start"])
+        for a, b in zip(sess, sess[1:]):
+            # strictly separated by more than the session gap
+            assert (
+                b["session_start"] - a["session_end"]
+            ).total_seconds() > gap_s, (uid, a, b)
+        # the user's open final session is never emitted
+        assert sess[-1]["session_end"] < max_ts[uid]
