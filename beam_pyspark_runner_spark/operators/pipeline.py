@@ -168,21 +168,38 @@ class PCol:
         schema: str,
         setup: Callable[[], Any] | None = None,
         teardown: Callable[[Any], None] | None = None,
+        start_bundle: Callable[[Any], None] | None = None,
+        finish_bundle: Callable[[Any], None] | None = None,
     ) -> "PCol":
-        """ParDo with DoFn lifecycle over Arrow batches.
+        """ParDo with the full DoFn lifecycle over Arrow batches.
 
         ``fn(batches)`` receives an iterator of pandas DataFrames and
-        yields output DataFrames matching ``schema``. ``setup`` runs once
-        per task before the first batch, ``teardown`` after the last —
-        the reference's setup/start_bundle/finish_bundle/teardown
-        lifecycle (transform_evaluators.py:57-75) collapsed onto Spark's
-        task boundaries (a task processes one partition = one bundle).
+        yields output DataFrames matching ``schema``. Lifecycle mapping
+        of the reference's setup/start_bundle/finish_bundle/teardown
+        (transform_evaluators.py:57-75): ``setup`` runs once per task
+        before the first batch and its return value is the state handed
+        to the other hooks; each Arrow batch is one *bundle* —
+        ``start_bundle(state)`` runs as ``fn`` pulls the batch from the
+        iterator, ``finish_bundle(state)`` when it advances past it (or
+        exhausts the iterator); ``teardown(state)`` runs after ``fn``
+        finishes, even on error. If ``fn`` abandons the iterator early,
+        the final ``finish_bundle`` is skipped (matching Beam, where a
+        failed bundle is not finished) but ``teardown`` still runs.
         """
 
         def kernel(batches):
             state = setup() if setup else None
+
+            def bundled():
+                for pdf in batches:
+                    if start_bundle:
+                        start_bundle(state)
+                    yield pdf
+                    if finish_bundle:
+                        finish_bundle(state)
+
             try:
-                yield from fn(batches)
+                yield from fn(bundled() if (start_bundle or finish_bundle) else batches)
             finally:
                 if teardown:
                     teardown(state)

@@ -340,3 +340,76 @@ def test_opaque_skips_none_in_flat_map(spark):
         .collect_opaque()
     )
     assert sorted(out) == [-3, -2, -1, 1, 2, 3]
+
+
+def test_par_do_full_dofn_lifecycle(spark, tmp_path):
+    """All four DoFn hooks fire with correct cardinality and ordering:
+    setup once per task, start_bundle/finish_bundle once per Arrow batch
+    (bundle == batch), teardown once per task after the last bundle.
+    The hooks share the setup() state via the pickled closure graph, so
+    each task's output row carries its own observed counts."""
+    import pandas as pd
+
+    marker_dir = tmp_path / "teardown"
+    marker_dir.mkdir()
+    shared = {"setup": 0, "sb": 0, "fb": 0}
+
+    def setup():
+        shared["setup"] += 1
+        return shared
+
+    def start_bundle(s):
+        assert s is shared
+        s["sb"] += 1
+
+    def finish_bundle(s):
+        # ordering: every finish follows its start
+        assert s["sb"] == s["fb"] + 1
+        s["fb"] += 1
+
+    def teardown(s):
+        import os
+        import uuid
+
+        (
+            open(os.path.join(str(marker_dir), uuid.uuid4().hex), "w")
+        ).write(f"{s['setup']},{s['sb']},{s['fb']}")
+
+    def fn(batches):
+        rows = 0
+        for pdf in batches:
+            assert shared["sb"] == shared["fb"] + 1  # inside a bundle
+            rows += len(pdf)
+        yield pd.DataFrame(
+            {
+                "rows": [rows],
+                "setups": [shared["setup"]],
+                "sb": [shared["sb"]],
+                "fb": [shared["fb"]],
+            }
+        )
+
+    p = Pipeline(spark)
+    out = (
+        p.create(list(range(1000)))
+        .par_do(
+            fn,
+            "rows bigint, setups bigint, sb bigint, fb bigint",
+            setup=setup,
+            teardown=teardown,
+            start_bundle=start_bundle,
+            finish_bundle=finish_bundle,
+        )
+        .collect()
+    )
+    assert sum(r["rows"] for r in out) == 1000
+    for r in out:
+        assert r["setups"] == 1  # setup once per task
+        assert r["sb"] == r["fb"]  # every bundle started was finished
+        assert (r["rows"] == 0) or r["sb"] >= 1
+    # teardown ran once per task, after the final finish_bundle
+    markers = list(marker_dir.iterdir())
+    assert len(markers) == len(out)
+    for m in markers:
+        setups, sb, fb = map(int, m.read_text().split(","))
+        assert setups == 1 and sb == fb
