@@ -79,6 +79,7 @@ def _iter_sql(prev: str, curr: str) -> str:
 
 @register(
     "pagerank_3iter",
+    bench=True,
     oracle=f"""
     WITH {_EDGE_SQL},
     r0 AS (SELECT node, 1.0 AS r FROM nodes),

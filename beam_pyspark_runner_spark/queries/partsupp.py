@@ -122,6 +122,7 @@ def partsupp_synth_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q9_product_profit",
+    bench=True,
     oracle=f"""
     WITH {_PARTSUPP_SQL}
     SELECT n.n_name AS nation,

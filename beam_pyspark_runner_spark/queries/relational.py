@@ -999,6 +999,7 @@ def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Scalable global ranking (zipWithIndex, DataFrame-native) ---------------
 @register(
     "global_rank_bucketed",
+    bench=True,
     oracle="""
     SELECT o_orderkey,
            ROW_NUMBER() OVER (ORDER BY md5(CAST(o_orderkey AS VARCHAR)))
