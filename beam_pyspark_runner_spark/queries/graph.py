@@ -144,6 +144,15 @@ def pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
+    # Iteration-invariant reuse: e/nodes appear ~7 times across the
+    # unrolled lineage, but NO persist() is needed — Spark's exchange
+    # reuse dedups the identical shuffle subtrees at runtime (28
+    # ReusedExchange nodes in the executed plan; test_pagerank pins it),
+    # so the lineitem self-join physically runs once. Measured: persist
+    # is ~15% SLOWER here (cache write cost, zero recompute saved).
+    # Shuffle-file reuse holds on real clusters too; for loops deep
+    # enough to blow plan size, switch to the dedup_components
+    # checkpoint pattern instead.
     ranks = nodes.select("node", F.lit(1.0).alias("r"))
     for _ in range(3):
         contrib = e.join(

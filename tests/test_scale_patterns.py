@@ -400,6 +400,19 @@ def test_pagerank_broadcast_size_gated(spark):
     assert gated == base
 
 
+def test_pagerank_reuses_edge_exchange(spark):
+    """The unrolled 3-iteration lineage references the edge build ~7
+    times; the executed plan must dedup those into ReusedExchange nodes
+    so the lineitem self-join physically runs once — the property that
+    makes unrolled iteration viable at 100 TB without persist()."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+
+    df = REGISTRY["pagerank_3iter"].fn(spark, SF_CORRECT)
+    df.collect()  # AQE-final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
 def test_quantile_sketch_histogram_is_partial_agg(spark):
     """The fixed-bin histogram must partial-aggregate map-side: two
     HashAggregates around one Exchange, and the window runs over the
