@@ -438,6 +438,30 @@ def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_within_watermark",
+    oracle="SELECT event_id, user_id FROM events",
+    tags=("streaming", "dedup", "stateful", "watermark", "bounded_state"),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    expires seen-keys once the watermark passes, so state is bounded by
+    the dedup horizon instead of growing with every key ever seen — the
+    only dedup that survives an unbounded 100 TB/day stream (plain
+    ``dropDuplicates`` state grows forever; ``stream_dedup_ids`` shows
+    that variant). The input is the stream unioned with itself, so every
+    event arrives exactly twice within the horizon and the dedup
+    provably fires: output == each event once == the batch oracle."""
+    e = _events_stream(spark, sf_dir).select("event_id", "user_id", "ts")
+    doubled = e.union(e)
+    dedup = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id")
+    )
+    return run_stream_to_df(dedup, output_mode="append")
+
+
+@register(
     "stream_static_join",
     oracle=f"""
     SELECT c_mktsegment,
