@@ -122,3 +122,26 @@ def test_merge_upsert_matches_dict_semantics(spark, base, updates):
     for bc in (False, True):
         got = {r["k"]: r["v"] for r in merge_upsert(b, u, ["k"], broadcast_updates=bc).collect()}
         assert got == expected, f"broadcast_updates={bc}"
+
+
+@given(
+    st.sampled_from([10, 100, 1_000, 10_000, 100_000]),
+    st.integers(min_value=0, max_value=2_000_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_partsupp_assignment_properties(s_count, p_partkey):
+    """The synthesized partsupp formula (queries/partsupp.py) must give
+    every part exactly 4 DISTINCT suppliers within [0, S) at every TPC-H
+    scale factor's supplier cardinality (sf0.001→10 ... sf10→100k), and
+    derived qty/cost must stay in their documented ranges — the
+    invariants q2/q9/q11 rely on (MIN join-backs need real supplier
+    spread, not collapsed duplicates)."""
+    stride = 1 + s_count // 4
+    supps = [(p_partkey + i * stride) % s_count for i in range(4)]
+    assert len(set(supps)) == 4, (s_count, p_partkey, supps)
+    for sk in supps:
+        assert 0 <= sk < s_count
+        qty = (p_partkey * 11 + sk * 7) % 9999 + 1
+        cost = ((p_partkey * 31 + sk * 17) % 100000) / 100.0 + 1.0
+        assert 1 <= qty <= 9999
+        assert 1.0 <= cost <= 1000.99 + 1.0

@@ -467,3 +467,58 @@ def test_q9_fact_shuffles_and_broadcasts(spark):
     }
     assert keys <= {"l_partkey", "ps_partkey", "l_orderkey", "o_orderkey", "nation", "n_name"}, keys
     assert plan.count("BroadcastExchange") >= 3
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A date-partitioned fact joined to a filtered dim on the partition
+    column must prune partitions at runtime (DPP): the scan carries a
+    dynamicpruning subquery instead of reading every partition — at
+    100 TB this is the difference between scanning one day and a year."""
+    path = str(tmp_path / "li_by_year")
+    li = load_table(spark, SF_CORRECT, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    li.write.partitionBy("ship_year").mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        load_table(spark, SF_CORRECT, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.year("o_orderdate").alias("y"))
+        .distinct()
+    )
+    j = fact.join(dim, fact.ship_year == dim.y).groupBy("ship_year").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_runtime_bloom_filter_join(spark):
+    """With a selective non-broadcast join, Spark's runtime bloom filter
+    must pre-filter the probe-side scan (BloomFilterMightContain) so the
+    big side drops non-joining rows before the shuffle — the runtime
+    analogue of predicate pushdown for join keys. Thresholds are forced
+    because the local fixture is below the production defaults."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1000GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF_CORRECT, "lineitem")
+        sel = load_table(spark, SF_CORRECT, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey).groupBy(
+            "o_orderstatus"
+        ).count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloomfiltermightcontain" in plan.lower() or "bloom_filter" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
