@@ -24,6 +24,9 @@ Divergences from reference semantics (deliberate, SURVEY.md §2.5):
  - a Python flat_map yielding None emits nothing (bug #1: reference
    emits a literal None);
  - unsupported ops raise at plan time (bug #2/#5: silent NoOp);
+ - WindowInto has real semantics — fixed/sliding/session windows that
+   downstream grouping honors (bug #2 made it a NoOp, silently producing
+   globally-windowed results);
  - multi-output works (bug #4).
 """
 
@@ -36,6 +39,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from beam_pyspark_runner_spark.operators.combiners import (
+    BUILTIN_COMBINERS,
     CombineFn,
     combine_globally,
     combine_per_key,
@@ -121,9 +125,17 @@ class Pipeline:
 class PCol:
     """Handle to a logical dataset node inside a Pipeline DAG."""
 
-    def __init__(self, pipeline: Pipeline, node: Node) -> None:
+    def __init__(
+        self,
+        pipeline: Pipeline,
+        node: Node,
+        session_window: tuple[str, str] | None = None,
+    ) -> None:
         self.pipeline = pipeline
         self.node = node
+        # (ts_col, gap) when window_into(gap=...) deferred a session-window
+        # assignment to grouping time; propagated through derivations.
+        self._session_window = session_window
 
     # --- lowering -------------------------------------------------------
     def to_df(self) -> DataFrame:
@@ -136,7 +148,7 @@ class PCol:
     def _derive(self, label: str, build: Callable[[list[DataFrame]], DataFrame],
                 extra_inputs: list[Node] | None = None) -> "PCol":
         node = Node(build=build, inputs=[self.node, *(extra_inputs or [])], label=label)
-        return PCol(self.pipeline, node)
+        return PCol(self.pipeline, node, session_window=self._session_window)
 
     # --- expression ops (codegen path) ----------------------------------
     def select(self, *cols: Column | str) -> "PCol":
@@ -295,24 +307,115 @@ class PCol:
 
         return [pickle.loads(bytes(r[0])) for r in self.to_df().collect()]
 
+    # --- windowing (Beam WindowInto, done properly) ---------------------
+    def window_into(
+        self,
+        size: str | None = None,
+        ts: str = "ts",
+        slide: str | None = None,
+        gap: str | None = None,
+    ) -> "PCol":
+        """Real ``WindowInto`` — the reference lowers it to NoOp, silently
+        producing globally-windowed results (SURVEY.md §2.5 bug #2); here
+        it has actual semantics.
+
+        Fixed (``size``) and sliding (``size`` + ``slide``) windows assign
+        ``window_start``/``window_end`` columns immediately — sliding
+        multiplies rows, one per covering window, which is Beam's element
+        model. Downstream ``group_by_key``/``combine_per_key`` detect the
+        columns and group per (key, window) automatically. Session windows
+        (``gap``) merge at aggregation time in Spark, so assignment is
+        deferred: the PCol carries the spec and grouping injects
+        ``F.session_window``.
+        """
+        if gap is not None:
+            return PCol(self.pipeline, self.node, session_window=(ts, gap))
+        if size is None:
+            raise ValueError("window_into needs size= (fixed/sliding) or gap= (session)")
+        w = F.window(ts, size, slide) if slide else F.window(ts, size)
+
+        def build(ins: list[DataFrame]) -> DataFrame:
+            return (
+                ins[0]
+                .select("*", w.alias("__w"))
+                .select(
+                    "*",
+                    F.col("__w.start").alias("window_start"),
+                    F.col("__w.end").alias("window_end"),
+                )
+                .drop("__w")
+            )
+
+        derived = self._derive("WindowInto", build)
+        derived._session_window = None  # re-windowing replaces any prior spec
+        return derived
+
+    def global_windows(self) -> "PCol":
+        """Drop windowing: subsequent grouping is global again."""
+
+        def build(ins: list[DataFrame]) -> DataFrame:
+            df = ins[0]
+            return df.drop("window_start", "window_end")
+
+        derived = self._derive("GlobalWindows", build)
+        derived._session_window = None
+        return derived
+
+    def _group_cols(self, df: DataFrame, key: str) -> list:
+        """Grouping keys for the current windowing: (key [, window])."""
+        cols = [key]
+        if self._session_window is not None:
+            ts, gap = self._session_window
+            cols.append(F.session_window(F.col(ts), gap))
+        else:
+            cols += [c for c in ("window_start", "window_end") if c in df.columns]
+        return cols
+
+    @staticmethod
+    def _flatten_session(df: DataFrame) -> DataFrame:
+        if "session_window" in df.columns:
+            df = df.select(
+                "*",
+                F.col("session_window.start").alias("window_start"),
+                F.col("session_window.end").alias("window_end"),
+            ).drop("session_window")
+        return df
+
     # --- grouping / combining ------------------------------------------
     def group_by_key(self, key: str = "key", value: str = "value") -> "PCol":
         """(K, V) → (K, list[V]). Values arrive unordered (multiset
-        semantics, like the reference transform_evaluators.py:84-87)."""
-        return self._derive(
-            "GroupByKey",
-            lambda ins: ins[0]
-            .groupBy(key)
-            .agg(F.collect_list(value).alias("values")),
-        )
+        semantics, like the reference transform_evaluators.py:84-87).
+        Under window_into, groups are per (key, window)."""
+
+        def build(ins: list[DataFrame]) -> DataFrame:
+            df = ins[0]
+            grouped = df.groupBy(*self._group_cols(df, key)).agg(
+                F.collect_list(value).alias("values")
+            )
+            return self._flatten_session(grouped)
+
+        return self._derive("GroupByKey", build)
 
     def combine_per_key(
         self, fn: str | CombineFn, key: str = "key", value: str = "value",
         out: str = "value",
     ) -> "PCol":
-        return self._derive(
-            "CombinePerKey", lambda ins: combine_per_key(ins[0], key, value, fn, out)
-        )
+        def build(ins: list[DataFrame]) -> DataFrame:
+            df = ins[0]
+            cols = self._group_cols(df, key)
+            if len(cols) == 1:
+                return combine_per_key(df, key, value, fn, out)
+            if not isinstance(fn, str):
+                raise NotImplementedError(
+                    "custom CombineFn under window_into is not lowered yet; "
+                    "use a builtin combiner or group_by_key + map"
+                )
+            agg = BUILTIN_COMBINERS[fn]
+            return self._flatten_session(
+                df.groupBy(*cols).agg(agg(value).alias(out))
+            )
+
+        return self._derive("CombinePerKey", build)
 
     def combine_globally(
         self, fn: str | CombineFn, value: str = "value", out: str = "value"

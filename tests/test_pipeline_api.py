@@ -413,3 +413,68 @@ def test_par_do_full_dofn_lifecycle(spark, tmp_path):
     for m in markers:
         setups, sb, fb = map(int, m.read_text().split(","))
         assert setups == 1 and sb == fb
+
+
+# reference bug §2.5#2: WindowInto was a silent NoOp; here it has semantics
+def test_window_into_fixed(spark):
+    """Fixed 1h windows: combine_per_key groups per (key, window)."""
+    rows = [
+        ("a", "2024-01-01 00:10:00", 1.0),
+        ("a", "2024-01-01 00:50:00", 2.0),
+        ("a", "2024-01-01 01:10:00", 4.0),
+        ("b", "2024-01-01 00:20:00", 8.0),
+    ]
+    p = Pipeline(spark)
+    col = (
+        p.from_df(
+            spark.createDataFrame(rows, "key string, ts string, value double")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        .window_into(size="1 hour")
+        .combine_per_key("sum")
+    )
+    got = {(r["key"], str(r["window_start"])[11:13]): r["value"] for r in col.collect()}
+    assert got == {("a", "00"): 3.0, ("a", "01"): 4.0, ("b", "00"): 8.0}
+
+
+def test_window_into_sliding_multiplies_elements(spark):
+    """Sliding 1h/30m: each element lands in 2 windows (Beam's model)."""
+    rows = [("a", "2024-01-01 00:40:00", 1.0)]
+    p = Pipeline(spark)
+    col = (
+        p.from_df(
+            spark.createDataFrame(rows, "key string, ts string, value double")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        .window_into(size="1 hour", slide="30 minutes")
+        .combine_per_key("count")
+    )
+    out = col.collect()
+    assert len(out) == 2  # windows [00:00,01:00) and [00:30,01:30)
+    assert all(r["value"] == 1 for r in out)
+
+
+def test_window_into_session_gap(spark):
+    """Session windows (30m gap) merge at grouping time; a >gap pause
+    splits sessions. global_windows() afterwards restores global groups."""
+    rows = [
+        ("a", "2024-01-01 00:00:00", 1.0),
+        ("a", "2024-01-01 00:20:00", 1.0),  # same session (20m < 30m)
+        ("a", "2024-01-01 02:00:00", 1.0),  # new session
+    ]
+    df = spark.createDataFrame(rows, "key string, ts string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    p = Pipeline(spark)
+    sessions = (
+        p.from_df(df).window_into(gap="30 minutes", ts="ts").combine_per_key("count")
+    )
+    out = sorted(
+        (r["key"], str(r["window_start"]), r["value"]) for r in sessions.collect()
+    )
+    assert [v for _, _, v in out] == [2, 1]
+    assert out[0][1].startswith("2024-01-01 00:00")
+
+    windowed = p.from_df(df).window_into(size="1 hour")
+    total = windowed.global_windows().combine_per_key("count").collect()
+    assert [(r["key"], r["value"]) for r in total] == [("a", 3)]
