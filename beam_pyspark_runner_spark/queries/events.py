@@ -69,6 +69,35 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_windowed_count",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("pipeline_api", "window_into", "event_time", "tumbling_window"),
+)
+def pipeline_windowed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WindowInto through the Beam-style pipeline API — the operator the
+    reference silently NoOps (SURVEY.md §2.5 bug #2, WindowInto →
+    transform_evaluators.py:118): fixed 1h windows assigned element-wise,
+    then combine_per_key groups per (event_type, window). Lowers to the
+    identical single-shuffle windowed HashAggregate as the plain
+    DataFrame twin (tumbling_window_agg)."""
+    from beam_pyspark_runner_spark.operators.pipeline import Pipeline
+
+    p = Pipeline(spark)
+    return (
+        p.from_df(load_table(spark, sf_dir, "events").select("event_type", "ts"))
+        .window_into(size="1 hour", ts="ts")
+        .combine_per_key("count", key="event_type", value="ts", out="n_events")
+        .select("window_start", F.col("event_type"), F.col("n_events"))
+        .to_df()
+    )
+
+
+@register(
     "sliding_window_agg",
     oracle=f"""
     WITH offsets(off) AS (VALUES (0), (30)),
