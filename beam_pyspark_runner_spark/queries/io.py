@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from beam_pyspark_runner_spark.functions.numeric import davg_sql, dsum, dsum_sql
 from beam_pyspark_runner_spark.queries.registry import register
 from beam_pyspark_runner_spark.sources import readers, writers
+from beam_pyspark_runner_spark.sources.synthetic import synth_rows_oracle_sql
 from beam_pyspark_runner_spark.sources.readers import load_table
 
 
@@ -441,3 +442,40 @@ def zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return c.select("o_orderkey", "price_cell", "cust_cell", z.alias("z"))
+
+
+_SYNTH_ROWS = 50_000
+
+
+@register(
+    "python_datasource_scan",
+    oracle=f"""
+    WITH synth AS ({synth_rows_oracle_sql(_SYNTH_ROWS)})
+    SELECT bucket,
+           COUNT(*) AS n_rows,
+           {dsum_sql('v')} AS total_v
+    FROM synth GROUP BY bucket
+    """,
+    tags=("io", "source", "python_datasource", "custom_connector"),
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A custom split-parallel connector via the Spark 4 Python
+    DataSource API (sources/synthetic.py): the source enumerates its own
+    partitions, each executor reads only its split (no driver-side data
+    path), and the scan aggregates like any relation. The DuckDB oracle
+    regenerates the identical table from range() — proving the custom
+    connector reads exactly what it claims, row for row."""
+    from beam_pyspark_runner_spark.sources.synthetic import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    synth = (
+        spark.read.format("synthetic_rows")
+        .option("rows", str(_SYNTH_ROWS))
+        .option("parts", "32")
+        .load()
+    )
+    return synth.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"), dsum("v").alias("total_v")
+    )

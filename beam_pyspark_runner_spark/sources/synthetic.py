@@ -1,0 +1,98 @@
+"""Custom Python DataSource: a split-parallel deterministic generator.
+
+The reference's entire source surface is line-oriented text
+(``/root/reference/beam_pyspark_runner/transform_evaluators.py:22-26``).
+Beyond the full builtin reader set (readers.py), this module shows the
+modern way to add a NEW source to Spark from Python: the Spark 4
+DataSource API (SPARK-44076). The source describes its own *splits*
+(``partitions()``), each executor reads only its split, and Catalyst
+treats the scan like any other relation — so a custom connector
+parallelizes across 1000 executors exactly like parquet does, instead
+of funneling through a driver-side iterator.
+
+The demo source generates rows by pure integer arithmetic on the row
+id, so any slice of it is computable anywhere — and, crucially for this
+repo's correctness protocol, DuckDB can reproduce the identical table
+from ``range()``, giving the custom-connector path a value-hash oracle.
+
+Scale notes (100 TB): splits are the unit of parallelism and there is
+no driver-side data path at all; a real connector (REST cursor, Kafka
+range, scientific format) keeps this exact shape and swaps the split
+enumeration + per-split iterator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+try:  # Spark >= 4 (SPARK-44076); gate so older builds still import us
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    HAVE_PYTHON_DATASOURCE = True
+except ImportError:  # pragma: no cover
+    HAVE_PYTHON_DATASOURCE = False
+    DataSource = object  # type: ignore[assignment,misc]
+    DataSourceReader = object  # type: ignore[assignment,misc]
+    InputPartition = object  # type: ignore[assignment,misc]
+
+
+# Deterministic row formula (Knuth multiplicative hash on the row id).
+# Mirrored 1:1 by synth_rows_oracle_sql below — keep the two in sync.
+_MOD = 2_147_483_647  # 2^31 - 1, keeps every product < 2^53 (exact double)
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int) -> None:
+        self.start = start
+        self.end = end
+
+
+class SyntheticRowsReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.rows = int(options.get("rows", 100_000))
+        self.num_parts = int(options.get("parts", 32))
+
+    def partitions(self):
+        step = max(1, -(-self.rows // self.num_parts))
+        return [
+            _RangePartition(lo, min(lo + step, self.rows))
+            for lo in range(0, self.rows, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            h = (i * 2654435761) % _MOD
+            yield i, h % 97, float(h % 10_000) / 100.0
+
+
+class SyntheticRowsDataSource(DataSource):
+    """``spark.read.format("synthetic_rows").option("rows", N)`` source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_rows"
+
+    def schema(self) -> str:
+        return "id bigint, bucket int, v double"
+
+    def reader(self, schema) -> SyntheticRowsReader:
+        return SyntheticRowsReader(self.options)
+
+
+def register_synthetic_source(spark: SparkSession) -> None:
+    """Idempotently register the custom source with this session."""
+    if not HAVE_PYTHON_DATASOURCE:
+        raise NotImplementedError(
+            "the Python DataSource API needs Spark >= 4 (SPARK-44076)"
+        )
+    spark.dataSource.register(SyntheticRowsDataSource)
+
+
+def synth_rows_oracle_sql(rows: int) -> str:
+    """DuckDB replica of the generator for oracle comparison."""
+    return f"""
+    SELECT CAST(range AS BIGINT) AS id,
+           CAST((range * 2654435761) % {_MOD} % 97 AS INTEGER) AS bucket,
+           CAST((range * 2654435761) % {_MOD} % 10000 AS DOUBLE) / 100.0 AS v
+    FROM range({rows})
+    """
