@@ -522,3 +522,22 @@ def test_runtime_bloom_filter_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_python_datasource_split_parallelism(spark):
+    """The custom Python DataSource must expose its declared splits as
+    real scan partitions (the unit of executor parallelism), not a
+    single driver-side iterator."""
+    from beam_pyspark_runner_spark.sources.synthetic import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_rows")
+        .option("rows", "10000")
+        .option("parts", "8")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 10000
