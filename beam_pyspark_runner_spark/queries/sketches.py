@@ -574,3 +574,33 @@ def quantile_bin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p50_estimate"),
     )
+
+
+@register(
+    "bitmap_distinct_exact",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    tags=("sketch", "bitmap", "distinct", "mergeable"),
+)
+def bitmap_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct-count via Spark's bitmap aggregates: ids
+    map to (bucket, bit-position), each (group, bucket) folds into one
+    fixed-size bitmap map-side, and the final count is a sum of per-
+    bucket popcounts. Same partial-agg shape as the HLL/CMS sketches but
+    with zero error — the right tool when ids are dense integers (user
+    ids here) and 100 TB of raw rows must reduce to per-group bitmaps
+    without ever shuffling raw ids. Oracle is plain COUNT(DISTINCT)."""
+    e = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        e.groupBy("event_type", F.bitmap_bucket_number("user_id").alias("bucket"))
+        .agg(
+            F.bitmap_count(
+                F.bitmap_construct_agg(F.bitmap_bit_position("user_id"))
+            ).alias("cnt")
+        )
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum("cnt").alias("n_users")
+    )
