@@ -203,3 +203,46 @@ def test_session_timeout_state_machine(spark):
             ).total_seconds() > gap_s, (uid, a, b)
         # the user's open final session is never emitted
         assert sess[-1]["session_end"] < max_ts[uid]
+
+
+def test_rocksdb_state_store_provider(spark, tmp_path):
+    """Stateful streaming must run unchanged on the RocksDB state store —
+    the provider production clusters use for state that outgrows JVM
+    heap (bounded memory + native spill). Same input, same results as
+    the default provider."""
+    src = str(tmp_path / "src")
+    events = load_table(spark, SF_SMOKE, "events").select("user_id", "event_id")
+    events.repartition(3).write.mode("overwrite").parquet(src)
+
+    def run(provider: str | None):
+        key = "spark.sql.streaming.stateStore.providerClass"
+        saved = spark.conf.get(key, None)
+        if provider:
+            spark.conf.set(key, provider)
+        try:
+            s = spark.readStream.schema(events.schema).option(
+                "maxFilesPerTrigger", 1
+            ).parquet(src)
+            name = f"rocks_{abs(hash(provider)) % 10_000}"
+            q = (
+                s.groupBy("user_id")
+                .count()
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(180)
+            return sorted(map(tuple, spark.table(name).collect()))
+        finally:
+            if saved is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, saved)
+
+    rocks = run(
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    default = run(None)
+    assert rocks == default and len(rocks) > 0
