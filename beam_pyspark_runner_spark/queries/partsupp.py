@@ -308,3 +308,112 @@ def q2_partsupp_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ps_supplycost").alias("supplycost"),
         )
     )
+
+
+@register(
+    "q16_partsupp_supplier_counts",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT p.p_brand, p.p_size,
+           COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (5, 15, 25, 35, 45)
+      AND ps.ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2
+    """,
+    tags=("tpch", "partsupp", "not_in", "anti_join", "distinct"),
+)
+def q16_partsupp_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16, true partsupp formulation (the lineitem-derived shape
+    is q16_supplier_part_counts): distinct offering suppliers per
+    (brand, size) from the catalog itself, excluding negative-balance
+    suppliers via NOT IN → left-anti join. partsupp is shuffle-free by
+    construction, so the only exchange is the distinct-count's."""
+    ps = synth_partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 15, 25, 35, 45)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_partsupp_excess",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    red AS (SELECT p_partkey FROM part WHERE p_name LIKE '%red%'),
+    shipped AS (
+        SELECT l_partkey, l_suppkey, {dsum_sql('l_quantity')} AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2
+    ),
+    excess AS (
+        SELECT DISTINCT ps.ps_suppkey
+        FROM partsupp ps
+        JOIN red r ON r.p_partkey = ps.ps_partkey
+        JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                       AND sh.l_suppkey = ps.ps_suppkey
+        WHERE CAST(ps.ps_availqty AS DOUBLE) > 0.5 * sh.qty
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT ps_suppkey FROM excess)
+    """,
+    tags=("tpch", "partsupp", "semi_join", "nested_subquery"),
+)
+def q20_partsupp_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20, true partsupp formulation: suppliers whose available
+    stock of red parts exceeds half of what they actually shipped in
+    1996 — the spec's overstock detector. Aggregate lineitem FIRST
+    (shrinking the fact to (part, supp) totals), then one broadcast-
+    chained comparison against the catalog; the final IN lowers to a
+    left-semi join against the tiny excess key set."""
+    ps = synth_partsupp(spark, sf_dir)
+    red = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum("l_quantity").alias("qty"))
+    )
+    excess = (
+        ps.join(F.broadcast(red), ps.ps_partkey == red.p_partkey)
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(F.col("ps_availqty").cast("double") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(excess), s.s_suppkey == excess.ps_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
