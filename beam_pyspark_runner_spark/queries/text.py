@@ -856,3 +856,51 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("drop")
         .alias("verdict"),
     )
+
+
+class _SplitFieldsUDTF:
+    """Polymorphic UDTF: output schema computed at plan time by
+    ``analyze()`` from the literal width argument (Spark 4, SPARK-44503)
+    — the capability that makes a Python UDTF a real table function
+    rather than a fixed-shape explode."""
+
+    @staticmethod
+    def analyze(text, n):
+        from pyspark.sql.types import StringType, StructField, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        num = int(n.value)
+        return AnalyzeResult(
+            StructType([StructField(f"t{i}", StringType()) for i in range(num)])
+        )
+
+    def eval(self, text: str, n: int):
+        toks = (text or "").split(" ")
+        yield tuple(toks[i] if i < len(toks) else None for i in range(n))
+
+
+@register(
+    "udtf_dynamic_split",
+    oracle="""
+    SELECT doc_id,
+           list_extract(string_split(text, ' '), 1) AS t0,
+           list_extract(string_split(text, ' '), 2) AS t1,
+           list_extract(string_split(text, ' '), 3) AS t2
+    FROM documents
+    """,
+    tags=("udtf", "analyze", "lateral", "text_analysis"),
+)
+def udtf_dynamic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF with plan-time ``analyze()``: the output columns (t0..t2)
+    exist because the call site passes width=3 — schema is a function of
+    the arguments, resolved before execution, so Catalyst prunes and
+    codegens around it like any relation. The reference's DoFn surface
+    has no analogue (every output is an opaque element)."""
+    from pyspark.sql.functions import udtf as udtf_fn
+
+    spark.udtf.register("split_fields", udtf_fn(_SplitFieldsUDTF))
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, s.t0, s.t1, s.t2 "
+        "FROM docs_udtf d, LATERAL split_fields(d.text, 3) s"
+    )
