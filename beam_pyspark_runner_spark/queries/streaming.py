@@ -491,6 +491,91 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_cdc_upsert",
+    # Latest-event-per-user materialized view maintained incrementally:
+    # each micro-batch's per-user latest row MERGEs into the running
+    # state table. Batches replay in disjoint ascending ts ranges, so
+    # later batches legitimately overwrite earlier keys.
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts, value AS last_value
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("streaming", "foreach_batch", "merge", "cdc", "upsert"),
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC → materialized view: foreachBatch reduces each
+    micro-batch to its per-key latest row (window + WindowGroupLimit),
+    then MERGEs it into a parquet state table with the same anti-join ∪
+    union algebra a lakehouse MERGE INTO performs (operators/merge.py).
+    This is the standard keep-current-state pattern when the sink has no
+    transactional MERGE of its own; at scale the batch delta is small,
+    so merge_upsert broadcasts it and the merge is one map-side pass
+    over the base. Final state must equal the batch argmax oracle."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from beam_pyspark_runner_spark.operators.merge import merge_upsert
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    state = os.path.join(tempfile.gettempdir(), f"bprs_cdc_{tag}")
+    ckpt = state + "_ckpt"
+    shutil.rmtree(state, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    cols = ["user_id", "last_event_id", "last_ts", "last_value"]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        delta = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("ts").alias("last_ts"),
+                F.col("value").alias("last_value"),
+            )
+        )
+        sess = batch_df.sparkSession
+        if os.path.exists(os.path.join(state, "_SUCCESS")):
+            base = sess.read.parquet(state)
+            merged = merge_upsert(base, delta, ["user_id"], broadcast_updates=True)
+        else:
+            merged = delta
+        # plain parquet is not transactional: stage then swap (a table
+        # format would make this a single atomic MERGE INTO)
+        staged = state + "_next"
+        merged.write.mode("overwrite").parquet(staged)
+        shutil.rmtree(state, ignore_errors=True)
+        os.replace(staged, state)
+
+    e = _events_stream(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    query = (
+        e.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(300):
+            raise TimeoutError("cdc stream did not finish in 300s")
+    finally:
+        if query.isActive:
+            query.stop()
+    return spark.read.parquet(state).select(*cols)
+
+
+@register(
     "stream_foreach_batch_sink",
     oracle=f"""
     SELECT event_type,
