@@ -436,3 +436,69 @@ def cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+@register(
+    "kmeans_lloyd_step",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_EMB_DBL} AS emb FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e
+             WHERE vec_id < {N_CENTROIDS}),
+    scored AS (SELECT vec_id, centroid_id, {_cos_sql('emb', 'cemb')} AS cosine
+               FROM e, cent),
+    best AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cosine DESC, centroid_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT b.centroid_id, CAST(t.i AS INTEGER) AS dim,
+           {dsum_sql('e.emb[t.i + 1]')} / CAST(COUNT(*) AS DOUBLE) AS mean_val
+    FROM best b
+    JOIN e ON e.vec_id = b.vec_id
+    CROSS JOIN range({DIM}) t(i)
+    GROUP BY b.centroid_id, t.i
+    """,
+    tags=("similarity", "kmeans", "iterative", "centroid", "ml"),
+)
+def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd's k-means iteration, DataFrame-native: assign every
+    vector to its best centroid (broadcast centroids, corpus streams
+    once — the ivf_centroid_assign shape), then recompute centroids as
+    per-dimension means via posexplode + exact-decimal averaging, so the
+    updated centroids hash-match DuckDB bit-for-bit. Output is (cluster,
+    dim, mean) rows — the scalar form the compare harness hashes; an
+    iterative trainer loops this plan exactly like dedup_components
+    loops label propagation (checkpoint between iterations).
+
+    Scale notes (100 TB): assignment is shuffle-free against broadcast
+    centroids; the recompute shuffles (centroid, dim) partial sums only
+    — K×DIM groups regardless of corpus size, the canonical mergeable
+    partial-agg shape."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "emb",
+        "centroid_id",
+        cosine_similarity(F.col("emb"), F.col("cemb")).alias("cosine"),
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "centroid_id",
+            F.struct(F.col("cosine"), (-F.col("centroid_id")).alias("nc")),
+        ).alias("centroid_id"),
+        F.first("emb").alias("emb"),  # emb is functionally dependent on vec_id
+    )
+    per_dim = assigned.select(
+        "centroid_id",
+        F.posexplode(F.col("emb").cast("array<double>")).alias("dim", "val"),
+    )
+    return per_dim.groupBy("centroid_id", "dim").agg(
+        (dsum("val") / F.count("*").cast("double")).alias("mean_val")
+    )
