@@ -36,6 +36,21 @@ from beam_pyspark_runner_spark.queries import partsupp  # noqa: E402,F401
 # full SQL oracle (rows-only by design) must stay out of the window.
 # Everything not listed keeps registration order after it;
 # tests/test_oracle_harness.py pins the invariants.
+#
+# Round-5 rotation queue (never driver-checked after r4, 40 names; all
+# locally oracle-verified at sf0.01 AND sf0.1): cross_join_small_dims,
+# null_safe_join, first_last_per_group, analytic_functions,
+# above_group_avg, range_interval_frame, pipeline_windowed_count,
+# event_type_pivot, cohort_retention, top_sessions, session_window_batch,
+# resample_fill_gaps, xml_roundtrip, dedup_exact_normalized,
+# edit_distance_pairs, kmeans_lloyd_step, text_stats, token_count_regex,
+# doc_fingerprint, lang_id_heuristic, lang_distribution, chunk_documents,
+# train_val_split, source_quota_sample, repetition_filter,
+# udtf_dynamic_split, stream_sliding_agg, stream_dedup_ids,
+# stream_dedup_within_watermark, stream_cdc_upsert, audio_feature_stub,
+# cms_build, bloom_build, hll_distinct_estimate, cms_heavy_hitters,
+# exact_heavy_hitters, bitmap_distinct_exact, python_datasource_scan,
+# q16_partsupp_supplier_counts, q20_partsupp_excess.
 DRIVER_WINDOW: tuple[str, ...] = (
     # sentinels: continuity + single-representative family anchors
     # (metrics/UDTF/pandas-UDF each have one canonical query — pinned)
