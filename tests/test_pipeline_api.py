@@ -478,3 +478,37 @@ def test_window_into_session_gap(spark):
     windowed = p.from_df(df).window_into(size="1 hour")
     total = windowed.global_windows().combine_per_key("count").collect()
     assert [(r["key"], r["value"]) for r in total] == [("a", 3)]
+
+
+def test_window_into_assignment_invariants(spark):
+    """Window-assignment laws over 500 seeded-random timestamps: every
+    element's window contains its ts, fixed windows are size-exact and
+    epoch-aligned, and sliding assignment emits exactly size/slide rows
+    per element, each window containing the ts."""
+    import random
+
+    rng = random.Random(42)
+    base = 1_700_000_000  # 2023-11-14T22:13:20Z
+    rows = [(i, base + rng.randrange(0, 7 * 24 * 3600)) for i in range(500)]
+    df = spark.createDataFrame(rows, "key long, epoch long").select(
+        "key", F.timestamp_seconds("epoch").alias("ts")
+    )
+    p = Pipeline(spark)
+
+    fixed = p.from_df(df).window_into(size="1 hour").to_df().collect()
+    assert len(fixed) == 500
+    for r in fixed:
+        assert r["window_start"] <= r["ts"] < r["window_end"]
+        delta = r["window_end"] - r["window_start"]
+        assert delta.total_seconds() == 3600
+        assert r["window_start"].minute == 0 and r["window_start"].second == 0
+
+    sliding = (
+        p.from_df(df).window_into(size="1 hour", slide="20 minutes").to_df().collect()
+    )
+    assert len(sliding) == 500 * 3  # size/slide = 3 windows per element
+    per_key = {}
+    for r in sliding:
+        assert r["window_start"] <= r["ts"] < r["window_end"]
+        per_key.setdefault(r["key"], set()).add(r["window_start"])
+    assert all(len(ws) == 3 for ws in per_key.values())
