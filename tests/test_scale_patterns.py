@@ -541,3 +541,19 @@ def test_python_datasource_split_parallelism(spark):
     )
     assert df.rdd.getNumPartitions() == 8
     assert df.count() == 10000
+
+
+def test_kmeans_step_no_corpus_shuffle_join(spark):
+    """kmeans_lloyd_step must assign via broadcast centroids (no
+    sort-merge join of the corpus) and shuffle only the per-vector
+    argmax + the KxDIM partial sums."""
+    plan = _plan_of(spark, "kmeans_lloyd_step")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # corpus x broadcast centroids
+    import re
+
+    keys = {
+        k.split(",")[0].split("#")[0].strip()
+        for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    assert keys <= {"vec_id", "centroid_id"}, keys
