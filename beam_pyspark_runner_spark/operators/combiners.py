@@ -58,10 +58,13 @@ def combine_per_key(
     value: str,
     fn: str | CombineFn,
     out: str = "result",
+    extra_keys: list[str] | None = None,
 ) -> DataFrame:
     """Keyed combine. ``fn`` is a builtin name (fast path) or a CombineFn
     (Arrow path: per-key pandas fold — add_input over rows, single
-    partition-group extract)."""
+    partition-group extract). ``extra_keys`` adds grouping columns —
+    how windowed combines group per (key, window_start, window_end)."""
+    keys = [key, *(extra_keys or [])]
     if isinstance(fn, str):
         try:
             agg = BUILTIN_COMBINERS[fn]
@@ -70,7 +73,7 @@ def combine_per_key(
                 f"unknown builtin combiner {fn!r}; use one of "
                 f"{sorted(BUILTIN_COMBINERS)} or pass a CombineFn"
             ) from None
-        return df.groupBy(key).agg(agg(value).alias(out))
+        return df.groupBy(*keys).agg(agg(value).alias(out))
 
     combine = fn
 
@@ -80,13 +83,15 @@ def combine_per_key(
         acc = combine.create()
         for v in pdf[value]:
             acc = combine.add(acc, v)
-        return pd.DataFrame({key: [pdf[key].iloc[0]], out: [combine.extract(acc)]})
+        head = {k: [pdf[k].iloc[0]] for k in keys}
+        return pd.DataFrame({**head, out: [combine.extract(acc)]})
 
-    key_type = dict(df.dtypes)[key]
+    dtypes = dict(df.dtypes)
+    key_schema = ", ".join(f"{k} {dtypes[k]}" for k in keys)
     return (
-        df.select(key, value)
-        .groupBy(key)
-        .applyInPandas(apply, schema=f"{key} {key_type}, {out} {combine.output_type}")
+        df.select(*keys, value)
+        .groupBy(*keys)
+        .applyInPandas(apply, schema=f"{key_schema}, {out} {combine.output_type}")
     )
 
 

@@ -336,7 +336,11 @@ class PCol:
 
         def build(ins: list[DataFrame]) -> DataFrame:
             return (
+                # Re-windowing replaces any prior assignment: drop stale
+                # window columns first (no-op when absent) or the new
+                # ones would collide as ambiguous duplicates.
                 ins[0]
+                .drop("window_start", "window_end")
                 .select("*", w.alias("__w"))
                 .select(
                     "*",
@@ -381,6 +385,37 @@ class PCol:
             ).drop("session_window")
         return df
 
+    @staticmethod
+    def _assign_sessions(df: DataFrame, key: str, ts: str, gap: str) -> DataFrame:
+        """Materialize merged session windows as element-level
+        ``window_start``/``window_end`` columns.
+
+        ``F.session_window`` only exists inside ``groupBy().agg()``, so a
+        custom CombineFn (which folds via applyInPandas, not agg) can't
+        use it. Equivalent batch construction: a gap-threshold flag over
+        (key ORDER BY ts) marks session starts, its running sum numbers
+        the sessions, and min/max-over-session gives the same
+        [first_ts, last_ts + gap) bounds session_window produces. Cost:
+        one shuffle on key + an in-partition sort — the same shuffle the
+        agg itself needs; no extra exchange at scale."""
+        from pyspark.sql import Window as W
+
+        gap_i = F.expr(f"INTERVAL {gap}")
+        w = W.partitionBy(key).orderBy(ts)
+        prev = F.lag(ts).over(w)
+        new_s = F.when(prev.isNull() | (F.col(ts) > prev + gap_i), 1).otherwise(0)
+        sess = W.partitionBy(key, "__sid")
+        return (
+            df.withColumn("__new", new_s)
+            .withColumn(
+                "__sid",
+                F.sum("__new").over(w.rowsBetween(W.unboundedPreceding, 0)),
+            )
+            .withColumn("window_start", F.min(ts).over(sess))
+            .withColumn("window_end", F.max(ts).over(sess) + gap_i)
+            .drop("__new", "__sid")
+        )
+
     # --- grouping / combining ------------------------------------------
     def group_by_key(self, key: str = "key", value: str = "value") -> "PCol":
         """(K, V) → (K, list[V]). Values arrive unordered (multiset
@@ -394,35 +429,77 @@ class PCol:
             )
             return self._flatten_session(grouped)
 
-        return self._derive("GroupByKey", build)
+        derived = self._derive("GroupByKey", build)
+        # The session (if any) is materialized into window_start/window_end
+        # by the grouping; the aggregated output no longer carries the ts
+        # column, so propagating the spec would break (or silently
+        # re-sessionize) a second grouping.
+        derived._session_window = None
+        return derived
 
     def combine_per_key(
         self, fn: str | CombineFn, key: str = "key", value: str = "value",
         out: str = "value",
     ) -> "PCol":
+        """Keyed combine, window-aware. Builtin names lower to Catalyst
+        aggregates (per (key [, window])); a custom ``CombineFn`` folds
+        via applyInPandas over the same grouping — under session windows
+        the merged sessions are materialized first (``_assign_sessions``),
+        since ``F.session_window`` exists only inside ``agg``. Reference
+        composes WindowInto + CombinePerKey(custom fn) freely
+        (overrides.py:58-75 + transform_evaluators.py:89-100); this is
+        that composition without the NoOp-window bug."""
+
         def build(ins: list[DataFrame]) -> DataFrame:
             df = ins[0]
+            if not isinstance(fn, str):
+                if self._session_window is not None:
+                    ts, gap = self._session_window
+                    df = self._assign_sessions(df, key, ts, gap)
+                wcols = [
+                    c for c in ("window_start", "window_end") if c in df.columns
+                ]
+                return combine_per_key(df, key, value, fn, out, extra_keys=wcols)
             cols = self._group_cols(df, key)
             if len(cols) == 1:
                 return combine_per_key(df, key, value, fn, out)
-            if not isinstance(fn, str):
-                raise NotImplementedError(
-                    "custom CombineFn under window_into is not lowered yet; "
-                    "use a builtin combiner or group_by_key + map"
-                )
             agg = BUILTIN_COMBINERS[fn]
             return self._flatten_session(
                 df.groupBy(*cols).agg(agg(value).alias(out))
             )
 
-        return self._derive("CombinePerKey", build)
+        derived = self._derive("CombinePerKey", build)
+        derived._session_window = None  # materialized into window cols (see above)
+        return derived
 
     def combine_globally(
         self, fn: str | CombineFn, value: str = "value", out: str = "value"
     ) -> "PCol":
-        return self._derive(
-            "CombineGlobally", lambda ins: combine_globally(ins[0], value, fn, out)
-        )
+        """Global combine; under windowing, "global" means per-window
+        (Beam: CombineGlobally on a windowed PCollection emits one value
+        per window)."""
+
+        def build(ins: list[DataFrame]) -> DataFrame:
+            df = ins[0]
+            if self._session_window is not None:
+                ts, gap = self._session_window
+                df = self._assign_sessions(
+                    df.withColumn("__gk", F.lit(0)), "__gk", ts, gap
+                ).drop("__gk")
+            wcols = [c for c in ("window_start", "window_end") if c in df.columns]
+            if not wcols:
+                return combine_globally(df, value, fn, out)
+            if isinstance(fn, str):
+                return df.groupBy(*wcols).agg(
+                    BUILTIN_COMBINERS[fn](value).alias(out)
+                )
+            return combine_per_key(
+                df, wcols[0], value, fn, out, extra_keys=wcols[1:]
+            )
+
+        derived = self._derive("CombineGlobally", build)
+        derived._session_window = None
+        return derived
 
     def count_per_element(self, value: str = "value") -> "PCol":
         return self._derive(

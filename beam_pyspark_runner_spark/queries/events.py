@@ -98,6 +98,53 @@ def pipeline_windowed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_windowed_custom_combine",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           {dsum_sql('value * value')} AS sum_sq
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("pipeline_api", "window_into", "combine_fn", "custom_combiner"),
+)
+def pipeline_windowed_custom_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WindowInto + CombinePerKey(custom CombineFn) — the composition the
+    reference runs every day (``overrides.py:58-75`` +
+    ``transform_evaluators.py:89-100``, modulo its NoOp-window bug) and
+    the one shape this engine refused until round 5. The custom fold
+    (sum of squares) lowers to applyInPandas grouped per
+    (event_type, window_start, window_end): one shuffle, Arrow-batched,
+    no per-row pickling. The accumulator mirrors functions/numeric.dsum
+    in Python Decimal (exact, order-independent) so the result value-
+    hashes against DuckDB's decimal accumulation bit-for-bit."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from beam_pyspark_runner_spark.operators.combiners import CombineFn
+    from beam_pyspark_runner_spark.operators.pipeline import Pipeline
+
+    q10 = Decimal("1e-10")
+    q2 = Decimal("0.01")
+    fn = CombineFn(
+        create=lambda: Decimal(0),
+        # row-level double multiply (IEEE, same in both engines), then
+        # exact decimal accumulation — dsum's contract, in Python
+        add=lambda acc, v: acc
+        + Decimal(float(v) * float(v)).quantize(q10, ROUND_HALF_UP),
+        merge=lambda a, b: a + b,
+        extract=lambda acc: float(acc.quantize(q2, ROUND_HALF_UP)),
+        output_type="double",
+    )
+    p = Pipeline(spark)
+    return (
+        p.from_df(load_table(spark, sf_dir, "events").select("event_type", "ts", "value"))
+        .window_into(size="1 hour", ts="ts")
+        .combine_per_key(fn, key="event_type", value="value", out="sum_sq")
+        .select("window_start", "event_type", "sum_sq")
+        .to_df()
+    )
+
+
+@register(
     "sliding_window_agg",
     oracle=f"""
     WITH offsets(off) AS (VALUES (0), (30)),

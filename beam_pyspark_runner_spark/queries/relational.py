@@ -412,14 +412,50 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- approximate aggregates (no exact oracle by construction: rows-only check) -----
 @register(
     "approx_distinct",
-    oracle=None,  # approx algorithms (HLL++ vs DuckDB's) differ by design
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS hll_within_3rsd,
+           TRUE AS median_within_band
+    FROM lineitem GROUP BY l_returnflag
+    """,
     tags=("approx", "aggregate"),
 )
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx aggregates with a *deterministic-bound* oracle.
+
+    Spark's HLL++ / t-digest sketches differ bit-for-bit from DuckDB's
+    estimators by design, so raw estimates can't value-hash. Instead the
+    query emits (a) the exact distinct count — fully value-checked — and
+    (b) booleans asserting each Spark estimate sits inside its published
+    error envelope: 3×rsd for approx_count_distinct (P(outside) < 1e-3),
+    and the exact 45th–55th-percentile band for percentile_approx (rank
+    error ≤ n/accuracy ≈ 1.5 rows per group at sf0.01). The oracle pins
+    both booleans TRUE: a drifting estimator flips one and fails the
+    hash. At 100 TB only the sketch side survives (exact distinct is the
+    verification harness, not the production path)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    rsd = 0.05
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", rsd).alias("_hll"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("_amed"),
+            F.expr("percentile(l_extendedprice, 0.45)").alias("_p45"),
+            F.expr("percentile(l_extendedprice, 0.55)").alias("_p55"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("_hll") - F.col("exact_parts"))
+                <= 3 * rsd * F.col("exact_parts")
+            ).alias("hll_within_3rsd"),
+            F.col("_amed").between(F.col("_p45"), F.col("_p55")).alias(
+                "median_within_band"
+            ),
+        )
     )
 
 

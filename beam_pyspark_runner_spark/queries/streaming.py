@@ -33,22 +33,68 @@ from beam_pyspark_runner_spark.streaming.runner import (
 import os
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream of the events fixture.
+def _sf_tag(sf_dir: str) -> str:
+    """Stable per-fixture-path tag (groups all cache dirs for one sf_dir)."""
+    import hashlib
 
-    The single-file fixture is staged as a normalized multi-file copy
-    (load_table handles the fixture's ts encoding; multiple files mean
-    AvailableNow replays several micro-batches, so stateful operators
-    exercise real cross-batch state) and streamed from the staged path.
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+
+def _fixture_fingerprint(sf_dir: str, table: str = "events") -> str:
+    """Content fingerprint of a fixture: (name, size, mtime_ns) of every
+    file under ``<sf_dir>/<table>.parquet``.
+
+    Staged-copy and state dirs are keyed by this, not by the path alone:
+    if the driver re-ships a changed fixture at the same path (the exact
+    failure class that zeroed round 3 — an events.ts re-encoding), the
+    fingerprint changes, the old staged dir is ignored, and the copy is
+    rebuilt from the new content. Size+mtime is the same cheap-but-sound
+    invalidation contract build tools use; no file read required.
     """
     import hashlib
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    h = hashlib.md5(path.encode())
+    files = [path]
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(root, f)
+            for root, _, names in os.walk(path)
+            for f in names
+        )
+    for p in files:
+        st = os.stat(p)
+        h.update(f"|{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:12]
+
+
+def _scratch_dir(prefix: str, sf_dir: str, key: str) -> str:
+    """Allocate ``$TMP/<prefix>_<sf-tag>_<key>`` and best-effort remove
+    stale siblings of the same prefix+sf-tag with a different key (old
+    fingerprints / crashed-run leftovers, including ``*_next`` staging
+    and ``*_ckpt`` checkpoint dirs). Different sf_dirs never collide —
+    the sf-tag isolates them."""
+    import glob
+    import shutil
     import tempfile
+
+    tag = _sf_tag(sf_dir)
+    want = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}_{key}")
+    for old in glob.glob(os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}_*")):
+        if old != want and not old.startswith(want + "_"):
+            shutil.rmtree(old, ignore_errors=True)
+    return want
+
+
+def _stage_events(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events fixture as a normalized 4-file copy; return path.
+
+    Cached per (fixture path, fixture content): the dir name embeds
+    ``_fixture_fingerprint``, so a content change at the same path can
+    never replay stale data (round-3 failure class)."""
     import time
 
-    staged = os.path.join(
-        tempfile.gettempdir(),
-        "bprs_events_us3_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
-    )
+    staged = _scratch_dir("bprs_events", sf_dir, _fixture_fingerprint(sf_dir))
     marker = os.path.join(staged, "_SUCCESS")
     if not os.path.exists(marker):
         # Range-partition by ts so staged files cover disjoint time ranges
@@ -66,6 +112,18 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         base = time.time() - len(parts) - 10
         for i, p in enumerate(parts):
             os.utime(os.path.join(staged, p), (base + i, base + i))
+    return staged
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream of the events fixture.
+
+    The single-file fixture is staged as a normalized multi-file copy
+    (load_table handles the fixture's ts encoding; multiple files mean
+    AvailableNow replays several micro-batches, so stateful operators
+    exercise real cross-batch state) and streamed from the staged path.
+    """
+    staged = _stage_events(spark, sf_dir)
     batch = spark.read.parquet(staged)
     return read_parquet_stream(spark, staged, batch.schema)
 
@@ -517,19 +575,18 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     transactional MERGE of its own; at scale the batch delta is small,
     so merge_upsert broadcasts it and the merge is one map-side pass
     over the base. Final state must equal the batch argmax oracle."""
-    import hashlib
     import shutil
-    import tempfile
+    import uuid
 
     from pyspark.sql import Window as W
 
     from beam_pyspark_runner_spark.operators.merge import merge_upsert
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    state = os.path.join(tempfile.gettempdir(), f"bprs_cdc_{tag}")
+    # Per-run nonce: concurrent runs against the same sf_dir get disjoint
+    # state/checkpoint/_next paths (no cross-contamination); _scratch_dir
+    # sweeps the previous run's dirs — incl. crashed-run *_next leftovers.
+    state = _scratch_dir("bprs_cdc", sf_dir, uuid.uuid4().hex[:8])
     ckpt = state + "_ckpt"
-    shutil.rmtree(state, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
     cols = ["user_id", "last_event_id", "last_ts", "last_value"]
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -594,15 +651,12 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is how foreachBatch reaches exactly-once in production. The
     re-read aggregate must equal the plain batch oracle: replaying the
     whole fixture through the sink loses and duplicates nothing."""
-    import hashlib
-    import shutil
-    import tempfile
+    import uuid
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    out = os.path.join(tempfile.gettempdir(), f"bprs_fbsink_{tag}")
+    # Per-run nonce (see stream_cdc_upsert): append sink starts clean by
+    # construction; stale prior-run dirs are swept by _scratch_dir.
+    out = _scratch_dir("bprs_fbsink", sf_dir, uuid.uuid4().hex[:8])
     ckpt = out + "_ckpt"
-    shutil.rmtree(out, ignore_errors=True)  # append sink: start clean
-    shutil.rmtree(ckpt, ignore_errors=True)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(

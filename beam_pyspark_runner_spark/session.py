@@ -33,6 +33,20 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    # Python workers deserialize UDF closures that reference this
+    # package, so the repo root must be importable in THEIR interpreter,
+    # not just the driver's. When the driver happens to run from the
+    # repo root, cwd-on-sys.path hides the issue; from any other cwd the
+    # workers die with ModuleNotFoundError. Exporting PYTHONPATH before
+    # the JVM forks the first worker makes sessions cwd-independent (a
+    # real cluster ships the package via --py-files / pip instead).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if repo_root not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + py_path if py_path else "")
+        )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

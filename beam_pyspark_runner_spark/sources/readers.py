@@ -53,6 +53,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # a no-op for micros-encoded fixtures.
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ→TimestampType re-tag below is only identity when the
+        # session timezone is UTC. Sessions built by session.get_spark
+        # already are; the external driver supplies its own session, so
+        # pin it here too — otherwise every instant (and hour-window
+        # boundary) would shift relative to the DuckDB naive-ts oracle.
+        if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):

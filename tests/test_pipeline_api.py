@@ -512,3 +512,138 @@ def test_window_into_assignment_invariants(spark):
         assert r["window_start"] <= r["ts"] < r["window_end"]
         per_key.setdefault(r["key"], set()).add(r["window_start"])
     assert all(len(ws) == 3 for ws in per_key.values())
+
+
+def test_windowed_custom_combinefn_fixed(spark):
+    """WindowInto + CombinePerKey(custom fn) — the reference's
+    bread-and-butter composition (overrides.py:58-75 +
+    transform_evaluators.py:89-100). Custom fold must group per
+    (key, window) exactly like a builtin."""
+    rows = [
+        ("a", "2024-01-01 00:10:00", 1.0),
+        ("a", "2024-01-01 00:50:00", 2.0),
+        ("a", "2024-01-01 01:10:00", 4.0),
+        ("b", "2024-01-01 00:20:00", 8.0),
+    ]
+    # product-combiner: not expressible as any builtin
+    fn = CombineFn(
+        create=lambda: 1.0,
+        add=lambda acc, v: acc * v,
+        merge=lambda a, b: a * b,
+    )
+    p = Pipeline(spark)
+    col = (
+        p.from_df(
+            spark.createDataFrame(rows, "key string, ts string, value double")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        .window_into(size="1 hour")
+        .combine_per_key(fn)
+    )
+    got = {(r["key"], str(r["window_start"])[11:13]): r["value"] for r in col.collect()}
+    assert got == {("a", "00"): 2.0, ("a", "01"): 4.0, ("b", "00"): 8.0}
+
+
+def test_windowed_custom_combinefn_session(spark):
+    """Custom CombineFn under session windows: merged-session grouping
+    with the same [first_ts, last_ts + gap) bounds F.session_window
+    assigns for builtins."""
+    rows = [
+        ("a", "2024-01-01 00:00:00", 2.0),
+        ("a", "2024-01-01 00:20:00", 3.0),   # same session
+        ("a", "2024-01-01 02:00:00", 5.0),   # new session (>30m gap)
+        ("b", "2024-01-01 00:05:00", 7.0),
+    ]
+    fn = CombineFn(
+        create=lambda: 1.0,
+        add=lambda acc, v: acc * v,
+        merge=lambda a, b: a * b,
+    )
+    df = spark.createDataFrame(rows, "key string, ts string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    p = Pipeline(spark)
+    custom = (
+        p.from_df(df).window_into(gap="30 minutes", ts="ts").combine_per_key(fn)
+    )
+    got = sorted(
+        (r["key"], str(r["window_start"]), str(r["window_end"]), r["value"])
+        for r in custom.collect()
+    )
+    # builtin twin pins the window bounds custom must reproduce
+    builtin = (
+        p.from_df(df).window_into(gap="30 minutes", ts="ts").combine_per_key("sum")
+    )
+    want_bounds = sorted(
+        (r["key"], str(r["window_start"]), str(r["window_end"]))
+        for r in builtin.collect()
+    )
+    assert [(k, s, e) for k, s, e, _ in got] == want_bounds
+    assert [v for *_, v in got] == [6.0, 5.0, 7.0]
+
+
+def test_windowed_custom_combine_globally(spark):
+    """CombineGlobally on a windowed PCollection: one value per window."""
+    rows = [
+        ("2024-01-01 00:10:00", 1.0),
+        ("2024-01-01 00:50:00", 2.0),
+        ("2024-01-01 01:10:00", 4.0),
+    ]
+    fn = CombineFn(
+        create=lambda: 0.0,
+        add=lambda acc, v: acc + v * v,
+        merge=lambda a, b: a + b,
+    )
+    p = Pipeline(spark)
+    col = (
+        p.from_df(
+            spark.createDataFrame(rows, "ts string, value double")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        .window_into(size="1 hour")
+        .combine_globally(fn)
+    )
+    got = {str(r["window_start"])[11:13]: r["value"] for r in col.collect()}
+    assert got == {"00": 5.0, "01": 16.0}
+
+
+def test_rewindowing_replaces_prior_assignment(spark):
+    """window_into on an already-windowed PCol replaces the assignment
+    (no duplicate window_start/window_end columns)."""
+    rows = [("a", "2024-01-01 00:40:00", 1.0)]
+    p = Pipeline(spark)
+    col = (
+        p.from_df(
+            spark.createDataFrame(rows, "key string, ts string, value double")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        .window_into(size="15 minutes")
+        .window_into(size="1 hour")
+        .combine_per_key("count")
+    )
+    out = col.collect()
+    assert len(out) == 1
+    assert str(out[0]["window_start"]).endswith("00:00:00")
+
+
+def test_session_spec_cleared_after_grouping(spark):
+    """A second grouping on an aggregated (session-windowed) PCol groups
+    on the materialized window columns — it must not try to re-inject
+    F.session_window on the long-gone ts column."""
+    rows = [
+        ("a", "2024-01-01 00:00:00", 1.0),
+        ("a", "2024-01-01 00:10:00", 2.0),
+        ("a", "2024-01-01 02:00:00", 4.0),
+    ]
+    p = Pipeline(spark)
+    sessions = (
+        p.from_df(
+            spark.createDataFrame(rows, "key string, ts string, value double")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        .window_into(gap="30 minutes", ts="ts")
+        .combine_per_key("sum")
+    )
+    # second grouping: total per key across its sessions
+    total = sessions.global_windows().combine_per_key("sum")
+    assert [(r["key"], r["value"]) for r in total.collect()] == [("a", 7.0)]

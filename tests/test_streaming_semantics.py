@@ -246,3 +246,41 @@ def test_rocksdb_state_store_provider(spark, tmp_path):
     )
     default = run(None)
     assert rocks == default and len(rocks) > 0
+
+
+def test_staged_cache_invalidates_on_fixture_change(spark, tmp_path):
+    """Round-3 failure class: the driver re-ships a changed events.parquet
+    at the same path. The staged multi-file stream copy is keyed by the
+    fixture's content fingerprint (size+mtime), so the change must force
+    a re-stage — never a silent replay of the stale copy."""
+    import shutil
+
+    from beam_pyspark_runner_spark.queries.streaming import _stage_events
+
+    sf = tmp_path / "sf_mut"
+    sf.mkdir()
+    shutil.copy(os.path.join(SF_SMOKE, "events.parquet"), sf / "events.parquet")
+
+    dir1 = _stage_events(spark, str(sf))
+    n1 = spark.read.parquet(dir1).count()
+    assert n1 > 0
+
+    # Unchanged fixture → cache hit (same dir, no rewrite).
+    assert _stage_events(spark, str(sf)) == dir1
+
+    # Re-ship changed content at the SAME path: half the rows.
+    full = spark.read.parquet(str(sf / "events.parquet"))
+    half = full.limit(n1 // 2).toPandas()
+    (sf / "events.parquet").unlink()
+    spark.createDataFrame(half).coalesce(1).write.mode("overwrite").parquet(
+        str(sf / "_tmp_half")
+    )
+    part = next(p for p in os.listdir(sf / "_tmp_half") if p.startswith("part-"))
+    shutil.move(str(sf / "_tmp_half" / part), str(sf / "events.parquet"))
+    shutil.rmtree(sf / "_tmp_half")
+
+    dir2 = _stage_events(spark, str(sf))
+    assert dir2 != dir1, "content change did not change the staged dir"
+    assert spark.read.parquet(dir2).count() == n1 // 2
+    # The stale copy was swept — nothing left to replay from.
+    assert not os.path.exists(dir1)
