@@ -461,6 +461,7 @@ def cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY b.centroid_id, t.i
     """,
     tags=("similarity", "kmeans", "iterative", "centroid", "ml"),
+    bench=True,
 )
 def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One full Lloyd's k-means iteration, DataFrame-native: assign every

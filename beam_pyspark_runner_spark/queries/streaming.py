@@ -138,6 +138,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY 1, 2
     """,
     tags=("streaming", "event_time", "tumbling_window", "watermark"),
+    bench=True,
 )
 def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1h event-time window over a replayed stream, with a 1h

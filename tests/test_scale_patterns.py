@@ -557,3 +557,104 @@ def test_kmeans_step_no_corpus_shuffle_join(spark):
         for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     }
     assert keys <= {"vec_id", "centroid_id"}, keys
+
+
+def test_salted_join_beats_plain_on_hot_key(spark):
+    """Demonstrated skew protection, not just capability: a manufactured
+    hot-key join (95% of 600k sf0.1 fact rows on one key, 1000-key dim,
+    broadcast disabled to emulate a dim too big to broadcast, AQE's skew
+    split not triggering — local partitions sit far under its 256 MB
+    threshold, the documented 'runtime stats miss it' case) where the
+    post-join work fuses into the join stage. Plain: the hot reducer
+    computes ~95% of the fused work on one core. salted_join spreads it
+    over n_salts reducers. Measured this session (best-of-2 each):
+    plain ~1.5 s vs salted ~1.0 s (ratio ~1.5; first-trial cold ratio
+    ~2.5). Both variants run same-session, interleaved, best-of-2, so
+    JIT/cache warmup cancels."""
+    import os
+    import time
+
+    from beam_pyspark_runner_spark.functions.skew import salted_join
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    li = load_table(spark, sf, "lineitem")
+    fact = li.select(
+        F.when(F.pmod(F.col("l_orderkey"), 20) != 0, F.lit(0))
+        .otherwise(F.pmod(F.col("l_partkey"), 1000))
+        .cast("long")
+        .alias("k"),
+        F.col("l_orderkey"),
+        F.concat_ws("-", "l_orderkey", "l_partkey", "l_suppkey").alias("payload"),
+    )
+    dim = spark.range(1000).select(
+        F.col("id").alias("dk"), F.repeat(F.lit("d"), 32).alias("dpay")
+    )
+
+    def work(j):
+        h = F.sha2(F.concat("payload", "dpay"), 256)
+        for _ in range(2):
+            h = F.sha2(F.concat(h, "payload"), 256)
+        return j.agg(F.count("*").alias("c"), F.max(h).alias("m"))
+
+    def run(mode):
+        t0 = time.time()
+        if mode == "plain":
+            j = fact.join(dim, fact["k"] == dim["dk"])
+        else:
+            j = salted_join(fact, dim, "k", "dk", salt_on="l_orderkey", n_salts=8)
+        row = work(j).collect()[0]
+        return time.time() - t0, (row["c"], row["m"])
+
+    for key in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ):
+        spark.conf.set(key, "-1")
+    try:
+        run("plain")  # warmup: JIT + page cache, outside the measurement
+        times = {"plain": [], "salted": []}
+        results = {}
+        for _ in range(2):
+            for mode in ("plain", "salted"):
+                dt, res = run(mode)
+                times[mode].append(dt)
+                results.setdefault(mode, res)
+    finally:
+        for key in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        ):
+            spark.conf.unset(key)
+
+    # identical result multiset (count + order-free max witness)
+    assert results["plain"] == results["salted"]
+    plain, salted = min(times["plain"]), min(times["salted"])
+    print(f"skew A/B: plain={plain:.2f}s salted={salted:.2f}s")
+    assert salted < plain, (
+        f"salted join did not win: plain={plain:.2f}s salted={salted:.2f}s"
+    )
+
+
+def test_cdc_merge_upsert_broadcasts_delta(spark):
+    """Pin the CDC foreachBatch merge shape (queries/streaming.py
+    stream_cdc_upsert → operators/merge.py merge_upsert with
+    broadcast_updates=True): the per-batch delta must join the base via
+    BroadcastHashJoin LeftAnti — one map-side pass over the base, no
+    shuffle of the (large) base table. If this regresses to a
+    sort-merge anti join, every micro-batch would re-shuffle the whole
+    state table."""
+    from beam_pyspark_runner_spark.operators.merge import merge_upsert
+
+    base = spark.range(10_000).select(
+        F.col("id").alias("user_id"), F.lit(1).alias("v")
+    )
+    delta = spark.range(50).select(
+        F.col("id").alias("user_id"), F.lit(2).alias("v")
+    )
+    merged = merge_upsert(base, delta, ["user_id"], broadcast_updates=True)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # semantics witness: updates win, inserts land, survivors pass
+    assert merged.count() == 10_000
+    assert merged.filter(F.col("v") == 2).count() == 50
