@@ -250,6 +250,97 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("cosine") >= NEAR_DUP_COSINE)
 
 
+SEMDEDUP_COSINE = 0.35  # same stable-tail threshold as NEAR_DUP_COSINE
+
+
+@register(
+    "semantic_dedup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_EMB_DBL} AS emb FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e
+             WHERE vec_id < {N_CENTROIDS}),
+    assigned AS (
+        SELECT vec_id, emb, centroid_id FROM (
+            SELECT v.vec_id, v.emb, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_cos_sql('v.emb', 'c.cemb')} DESC, c.centroid_id) AS rn
+            FROM e v, cent c
+        ) WHERE rn = 1
+    ),
+    drops AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE {_cos_sql('a.emb', 'b.emb')} >= {SEMDEDUP_COSINE}
+    )
+    SELECT v.vec_id, v.centroid_id, (d.vec_id IS NOT NULL) AS dropped
+    FROM assigned v LEFT JOIN drops d ON v.vec_id = d.vec_id
+    """,
+    tags=("dedup", "semantic_dedup", "embedding", "kmeans", "clustering"),
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings, then comparing pairs ONLY
+    within a cluster — the pruning that makes embedding-level dedup
+    tractable where all-pairs cosine is not. Output: every vector with
+    its cluster and a ``dropped`` verdict (a higher-id vector is dropped
+    when any lower-id cluster-mate sits above the cosine threshold —
+    deterministic keep-lowest-id; production would keep the one nearest
+    the centroid, same plan shape).
+
+    Scale notes (100 TB): assignment is the broadcast-centroid shape
+    (corpus streams once); the intra-cluster pair stage shuffles on
+    cluster id only, and the pair space is Σ|cluster|² — controlled by
+    K, which a real run sets to 10k–100k clusters (K = n_vectors/avg
+    cluster size, here the fixture's {N_CENTROIDS}). Drop verdicts
+    reduce to a DISTINCT on the dropped id before the final left join —
+    no pair row survives past its cluster."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "emb",
+        "centroid_id",
+        cosine_similarity(F.col("emb"), F.col("cemb")).alias("cosine"),
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "centroid_id",
+            F.struct(F.col("cosine"), (-F.col("centroid_id")).alias("nc")),
+        ).alias("centroid_id"),
+        F.first("emb").alias("emb"),  # emb functionally dependent on vec_id
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"), F.col("centroid_id").alias("cid"),
+        F.col("emb").alias("a_emb"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"), F.col("centroid_id").alias("cid"),
+        F.col("emb").alias("b_emb"),
+    )
+    drops = (
+        a.join(b, "cid")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            cosine_similarity(F.col("a_emb"), F.col("b_emb")) >= SEMDEDUP_COSINE
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(drops.withColumn("d", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.coalesce("d", F.lit(False)).alias("dropped"),
+        )
+    )
+
+
 N_PROBE = 2  # centroid lists searched per query
 IVF_TOP_K = 5
 

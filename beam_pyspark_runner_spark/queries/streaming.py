@@ -681,3 +681,89 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count("*").alias("n_events"), dsum("value").alias("total_value")
     )
+
+
+def _windowed_sumsq_state_fn(key, pdf_iter, state):
+    """applyInPandasWithState kernel: custom CombineFn fold (sum of
+    squares, exact decimal) per (event_type, window_start) across
+    micro-batches.
+
+    The accumulator is an arbitrary-precision Python int (the decimal
+    sum scaled by 1e10) carried in the state store as a string — no
+    overflow at any corpus size, and the extract step reproduces
+    functions/numeric.dsum's quantize-then-cast exactly, so the stream
+    result value-hashes against the same DuckDB oracle as the batch
+    pipeline twin (pipeline_windowed_custom_combine)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q10 = Decimal("1e-10")
+    q2 = Decimal("0.01")
+    if state.exists:
+        acc_scaled, n_acc = int(state.get[0]), int(state.get[1])
+    else:
+        acc_scaled, n_acc = 0, 0
+    for pdf in pdf_iter:
+        for v in pdf["value"]:
+            term = Decimal(float(v) * float(v)).quantize(q10, ROUND_HALF_UP)
+            acc_scaled += int(term * 10**10)
+        n_acc += len(pdf)
+    state.update((str(acc_scaled), n_acc))
+    sum_sq = float((Decimal(acc_scaled) / Decimal(10**10)).quantize(q2, ROUND_HALF_UP))
+    yield pd.DataFrame(
+        {
+            "window_start": [key[1]],
+            "event_type": [key[0]],
+            "sum_sq": [sum_sq],
+            "n_acc": [n_acc],
+        }
+    )
+
+
+@register(
+    "stream_windowed_custom_combine",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           {dsum_sql('value * value')} AS sum_sq
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "stateful", "custom_combiner", "apply_in_pandas_with_state"),
+)
+def stream_windowed_custom_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of pipeline_windowed_custom_combine: a CUSTOM
+    windowed aggregation (neither a builtin agg nor a session window —
+    Structured Streaming has no native custom-CombineFn path) run as a
+    keyed state machine. The tumbling window becomes part of the state
+    key (event-time floor-to-hour, pure expression), and the fold
+    accumulates across micro-batches in the state store. Update-mode
+    emissions are running totals; the monotone row counter picks each
+    key's final state, which must equal the batch oracle exactly.
+
+    At scale this is the template for any custom incremental aggregate
+    (sketches, weighted means, bounded top-k per key): state is O(keys),
+    emissions are per-batch deltas, and the shuffle key (type, window)
+    spreads hot event types across time."""
+    e = _events_stream(spark, sf_dir)
+    keyed = e.select(
+        "event_type",
+        F.timestamp_seconds(
+            (F.unix_timestamp("ts") / 3600).cast("long") * 3600
+        ).alias("window_start"),
+        "value",
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    result = keyed.groupBy("event_type", "window_start").applyInPandasWithState(
+        _windowed_sumsq_state_fn,
+        outputStructType=(
+            "window_start timestamp, event_type string, sum_sq double, n_acc bigint"
+        ),
+        stateStructType="acc_scaled string, n_acc bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_stream_to_df(result, output_mode="update")
+    return (
+        out.groupBy("window_start", "event_type")
+        .agg(F.max_by("sum_sq", "n_acc").alias("sum_sq"))
+    )

@@ -904,3 +904,69 @@ def udtf_dynamic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, s.t0, s.t1, s.t2 "
         "FROM docs_udtf d, LATERAL split_fields(d.text, 3) s"
     )
+
+
+BPE_TOP_PAIRS = 20
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS w FROM documents
+    ),
+    wc AS (SELECT w, COUNT(*) AS freq FROM words GROUP BY w),
+    pairs AS (
+      SELECT substring(w, CAST(i AS INT), 2) AS pair, freq
+      FROM (SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i
+            FROM wc WHERE length(w) >= 2)
+    ),
+    totals AS (SELECT pair, SUM(freq) AS total FROM pairs GROUP BY pair)
+    SELECT pair, total, rnk FROM (
+      SELECT pair, CAST(total AS BIGINT) AS total,
+             ROW_NUMBER() OVER (ORDER BY total DESC, pair) AS rnk
+      FROM totals
+    ) WHERE rnk <= {BPE_TOP_PAIRS}
+    """,
+    tags=("text_analysis", "tokenizer", "bpe", "vocab"),
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration (Sennrich et al. 2016): count adjacent
+    symbol pairs across the corpus and rank the merge candidates — the
+    inner loop of tokenizer training, as a Catalyst plan.
+
+    The classic BPE scaling trick is built in: pairs are counted over
+    the *word-frequency table*, not the raw token stream, so the pair
+    stage's input is the vocabulary (~1e5 rows at any corpus size, with
+    counts carrying the corpus weight) rather than the corpus itself.
+    Two shuffles total: word→freq, pair→total; the pair expansion is a
+    per-word HOF (sequence + substring), pure codegen, no Python.
+    At 100 TB the word-count stage is the only corpus-wide pass —
+    identical shape to pipeline_wordcount — and subsequent merge
+    iterations would re-run only the vocab-sized stages. The final
+    global rank window is safe despite its single task: its input is
+    the pair-total table, ≤26² rows for any corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), 0)).alias("w")
+    )
+    wc = words.groupBy("w").agg(F.count("*").alias("freq"))
+    pairs = (
+        wc.filter(F.length("w") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+            ).alias("pair"),
+        )
+    )
+    totals = pairs.groupBy("pair").agg(F.sum("freq").alias("total"))
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("total").desc(), F.col("pair"))
+    return (
+        totals.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= BPE_TOP_PAIRS)
+        .select("pair", F.col("total").cast("long").alias("total"),
+                F.col("rnk").cast("long").alias("rnk"))
+    )
