@@ -658,3 +658,45 @@ def test_cdc_merge_upsert_broadcasts_delta(spark):
     # semantics witness: updates win, inserts land, survivors pass
     assert merged.count() == 10_000
     assert merged.filter(F.col("v") == 2).count() == 50
+
+
+def _query_plan(spark, name: str) -> str:
+    from beam_pyspark_runner_spark.queries import REGISTRY
+
+    df = REGISTRY[name].fn(spark, SF_CORRECT)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_semantic_dedup_plan_shape(spark):
+    """semantic_dedup at scale: centroids broadcast into the assignment
+    crossJoin (corpus streams once), and the intra-cluster pair stage is
+    a keyed join on cluster id — never an unkeyed cartesian over the
+    corpus."""
+    plan = _query_plan(spark, "semantic_dedup")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_triangle_count_plan_shape(spark):
+    """triangle_count: degree lookups ride broadcast joins (degree table
+    is node-cardinality), every other join is keyed; no cartesian
+    anywhere, and the closure check is a semi join (pairs never
+    materialize past it)."""
+    plan = _query_plan(spark, "triangle_count")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_bpe_pair_counts_stays_jvm_side(spark):
+    """bpe_pair_counts is pure codegen: tokenize/expand/count without any
+    Python evaluation node — the corpus-wide stage must not pay the
+    interpreter."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+
+    df = REGISTRY["bpe_pair_counts"].fn(spark, SF_CORRECT)
+    df.collect()  # execute THIS plan so AQE finalizes and codegen spans show
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan
+    # AQE's finalized plan marks whole-stage-codegen spans as "*(n)"
+    assert "isFinalPlan=true" in plan and "*(" in plan, plan
