@@ -24,6 +24,7 @@ from beam_pyspark_runner_spark.queries import sketches  # noqa: E402,F401
 from beam_pyspark_runner_spark.queries import io  # noqa: E402,F401
 from beam_pyspark_runner_spark.queries import graph  # noqa: E402,F401
 from beam_pyspark_runner_spark.queries import partsupp  # noqa: E402,F401
+from beam_pyspark_runner_spark.queries import recursive  # noqa: E402,F401
 
 # The external driver's correctness gate checks the FIRST 50 registry
 # entries (dict iteration order). Round-5 rotation (per the round-4
