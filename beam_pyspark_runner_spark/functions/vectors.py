@@ -34,3 +34,17 @@ def l2_norm(a: Column) -> Column:
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity; deterministic given identical inputs."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l2_sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance (double accumulation, index order).
+
+    The PQ/k-means distance kernel; squared form avoids the sqrt (argmin
+    is order-preserving) and keeps the fold bit-reproducible against
+    DuckDB's ``list_reduce`` twin.
+    """
+    return F.aggregate(
+        F.zip_with(_dbl(a), _dbl(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )

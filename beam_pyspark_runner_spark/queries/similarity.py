@@ -594,3 +594,170 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_dim.groupBy("centroid_id", "dim").agg(
         (dsum("val") / F.count("*").cast("double")).alias("mean_val")
     )
+
+
+# --- Product quantization (PQ): compressed-domain ANN -----------------------
+# Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search" (TPAMI 2011). The 64-dim space splits into PQ_M=4 subspaces of
+# PQ_SUB=16 dims; each subvector quantizes to its nearest of PQ_K=16
+# deterministic codebook centroids (the first PQ_K corpus vectors), so a
+# vector stores as 4 small codes instead of 64 floats — 64× compression.
+# Search never touches raw corpus vectors: a per-query lookup table of
+# query-to-centroid partial distances (PQ_M×PQ_K doubles) is broadcast
+# and summed per code — the asymmetric distance computation (ADC).
+PQ_M = 4
+PQ_SUB = 16
+PQ_K = 16  # vec_id < PQ_K form the codebook
+PQ_QLO, PQ_QHI = 16, 20  # vec_id in [16, 20) form the ADC query set
+
+# DuckDB twin of functions/vectors.py:l2_sq (index-order left fold).
+_L2SQ_SQL = (
+    "list_reduce(list_transform(range(1, len({a}) + 1),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (acc, x) -> acc + x)"
+)
+
+# Shared oracle CTEs: explode every vector into PQ_M double-cast
+# subvectors, take the codebook slice, assign nearest code per subspace.
+_PQ_CTES = f"""
+    sub AS (
+        SELECT vec_id, m,
+               list_transform(list_slice(embedding, m * {PQ_SUB} + 1, (m + 1) * {PQ_SUB}),
+                              x -> CAST(x AS DOUBLE)) AS subvec
+        FROM embeddings, (SELECT UNNEST(range({PQ_M})) AS m)
+    ),
+    cb AS (SELECT vec_id AS cid, m, subvec AS csub FROM sub WHERE vec_id < {PQ_K}),
+    dist AS (
+        SELECT s.vec_id, s.m, c.cid,
+               {_L2SQ_SQL.format(a="s.subvec", b="c.csub")} AS d2
+        FROM sub s JOIN cb c ON s.m = c.m
+    ),
+    codes AS (
+        SELECT vec_id, m, cid AS code FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                         ORDER BY d2, cid) AS rn
+            FROM dist
+        ) WHERE rn = 1
+    )
+"""
+
+
+def _pq_subvectors(e: DataFrame) -> DataFrame:
+    """(vec_id, m, subvec): every vector split into PQ_M slices, JVM-side."""
+    slices = F.array(
+        *[F.slice("embedding", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+    )
+    return e.select(
+        "vec_id", F.posexplode(slices).alias("m", "subvec")
+    ).withColumn("m", F.col("m").cast("bigint"))
+
+
+def _pq_codebook(e: DataFrame) -> DataFrame:
+    """(cid, m, csub): the deterministic codebook — tiny, broadcast-able."""
+    return _pq_subvectors(e.filter(F.col("vec_id") < PQ_K)).select(
+        F.col("vec_id").alias("cid"), "m", F.col("subvec").alias("csub")
+    )
+
+
+def _pq_codes(e: DataFrame) -> DataFrame:
+    """(vec_id, m, code): nearest-centroid assignment per subspace."""
+    from beam_pyspark_runner_spark.functions.vectors import l2_sq
+
+    scored = _pq_subvectors(e).join(F.broadcast(_pq_codebook(e)), "m").select(
+        "vec_id", "m", F.col("cid"),
+        l2_sq(F.col("subvec"), F.col("csub")).alias("d2"),
+    )
+    w = W.partitionBy("vec_id", "m").orderBy("d2", "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("cid").alias("code"))
+    )
+
+
+@register(
+    "pq_encode",
+    oracle=f"WITH {_PQ_CTES} SELECT vec_id, m, code FROM codes",
+    tags=("similarity", "pq", "ann", "compression"),
+)
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding: corpus → (vector, subspace, code) assignments.
+
+    The codebook (PQ_K×PQ_M subvectors) broadcasts; encoding is a
+    broadcast join + per-(vector, subspace) argmin — shuffle-free until
+    the ranked window, whose keys are (vec_id, m), i.e. perfectly spread.
+    At 100 TB the encoded table is what persists: 4 byte-sized codes per
+    vector instead of 256 bytes of floats, and every downstream ADC scan
+    reads only codes. Ties break on centroid id in both engines."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    return _pq_codes(e)
+
+
+@register(
+    "pq_adc_topk",
+    oracle=f"""
+    WITH {_PQ_CTES},
+    q AS (SELECT vec_id AS query_id, m, subvec AS qsub
+          FROM sub WHERE vec_id >= {PQ_QLO} AND vec_id < {PQ_QHI}),
+    lut AS (
+        SELECT q.query_id, c.m, c.cid,
+               {_L2SQ_SQL.format(a="q.qsub", b="c.csub")} AS pdist
+        FROM q JOIN cb c ON q.m = c.m
+    ),
+    adc AS (
+        SELECT l.query_id, k.vec_id, {dsum_sql('pdist')} AS adc_dist
+        FROM codes k JOIN lut l ON k.m = l.m AND k.code = l.cid
+        WHERE k.vec_id <> l.query_id
+        GROUP BY l.query_id, k.vec_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, adc_dist, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, vec_id) AS rnk
+        FROM adc
+    ) WHERE rnk <= {TOP_K}
+    """,
+    tags=("similarity", "pq", "ann", "adc", "top_k"),
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric distance computation over PQ codes: compressed-domain
+    top-k without touching a single raw corpus vector at query time.
+
+    The lookup table (|Q|×PQ_M×PQ_K = 256 partial distances) broadcasts;
+    the scan joins codes→LUT map-side and sums PQ_M partials per
+    (query, vector) through exact decimal accumulation (functions/
+    numeric.py:dsum) so the 4-way double sum is merge-order-proof. The
+    only shuffle keys on (query_id, vec_id) partial sums; per-query
+    top-k is a ranked window (WindowGroupLimit). At 100 TB this is the
+    IVF-PQ residual scan shape: candidate codes stream once, LUT lives
+    in the closure."""
+    from beam_pyspark_runner_spark.functions.numeric import dsum
+    from beam_pyspark_runner_spark.functions.vectors import l2_sq
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    codes = _pq_codes(e)
+    q = _pq_subvectors(
+        e.filter((F.col("vec_id") >= PQ_QLO) & (F.col("vec_id") < PQ_QHI))
+    ).select(F.col("vec_id").alias("query_id"), "m", F.col("subvec").alias("qsub"))
+    lut = q.join(_pq_codebook(e), "m").select(
+        "query_id", "m", "cid",
+        l2_sq(F.col("qsub"), F.col("csub")).alias("pdist"),
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.m == lut.m) & (codes.code == lut.cid)
+            & (codes.vec_id != lut.query_id),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(dsum("pdist").alias("adc_dist"))
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_dist",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -700,3 +700,23 @@ def test_bpe_pair_counts_stays_jvm_side(spark):
     assert "Python" not in plan, plan
     # AQE's finalized plan marks whole-stage-codegen spans as "*(n)"
     assert "isFinalPlan=true" in plan and "*(" in plan, plan
+
+
+def test_pq_plans_broadcast_codebook_no_cartesian(spark):
+    """PQ at scale: the codebook / LUT sides ride broadcast joins (both
+    are K×M-sized, corpus-independent) and the corpus streams once —
+    no cartesian product, no shuffle keyed on anything wider than
+    (vec_id, m) / (query_id, vec_id)."""
+    for name in ("pq_encode", "pq_adc_topk"):
+        plan = _query_plan(spark, name)
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "Python" not in plan, (name, plan)  # HOF kernel stays JVM-side
+
+
+def test_recursive_cte_executes_as_union_loop(spark):
+    """Spark 4 recursive CTEs must resolve (no analysis error) and the
+    hierarchy walk must prune the anchor scan to the supplier columns it
+    needs."""
+    plan = _query_plan(spark, "recursive_cte_hierarchy")
+    assert "UnionLoop" in plan or "Recursion" in plan or "CTE" in plan, plan
