@@ -970,3 +970,141 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pair", F.col("total").cast("long").alias("total"),
                 F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+# --- count-based bigram language model (add-k smoothing) --------------------
+LM_K = 0.5  # add-k smoothing constant
+LM_MIN_PAIR = 5  # emit bigrams seen at least this often
+
+
+@register(
+    "bigram_lm_probs",
+    oracle=f"""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    bi AS (
+        SELECT t[i] AS head, t[i + 1] AS tail
+        FROM (SELECT t, UNNEST(range(1, len(t))) AS i FROM toks)
+    ),
+    pair AS (SELECT head, tail, COUNT(*) AS pair_count FROM bi GROUP BY head, tail),
+    ctx AS (SELECT head, CAST(SUM(pair_count) AS BIGINT) AS head_count FROM pair GROUP BY head),
+    v AS (SELECT COUNT(DISTINCT tok) AS vocab
+          FROM (SELECT UNNEST(t) AS tok FROM toks))
+    SELECT p.head, p.tail, p.pair_count, c.head_count,
+           (CAST(p.pair_count AS DOUBLE) + {LM_K})
+             / (CAST(c.head_count AS DOUBLE) + {LM_K} * CAST(v.vocab AS DOUBLE))
+             AS cond_prob
+    FROM pair p JOIN ctx c ON p.head = c.head, v
+    WHERE p.pair_count >= {LM_MIN_PAIR}
+    """,
+    tags=("text", "ngram", "language_model", "smoothing"),
+)
+def bigram_lm_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram LM: add-k smoothed conditional probabilities.
+
+    The building block of KenLM-style data scoring (perplexity filters
+    rank documents by how "natural" a reference LM finds them). All
+    arithmetic is integer counts plus one IEEE division — deliberately
+    no log(): libm log differs by ulps across engines, division does not,
+    so the probabilities value-hash exactly.
+
+    Scale notes (100 TB): corpus-sized work is one explode + one partial
+    agg keyed on (head, tail) — Catalyst map-side-combines the skewed
+    stopword pairs before the shuffle. Context totals derive from the
+    (vocab²-bounded) pair table, not a second corpus pass; the vocab
+    scalar broadcasts via a 1-row cross join.
+    """
+    toks = load_table(spark, sf_dir, "documents").select(
+        _tokens(F.col("text")).alias("t")
+    )
+    bi = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("head"),
+                    F.element_at("t", i + 1).alias("tail"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.head", "b.tail")
+    pair = bi.groupBy("head", "tail").agg(F.count("*").alias("pair_count"))
+    ctx = pair.groupBy("head").agg(F.sum("pair_count").alias("head_count"))
+    vocab = toks.select(F.explode("t").alias("tok")).agg(
+        F.count_distinct("tok").alias("vocab")
+    )
+    return (
+        pair.filter(F.col("pair_count") >= LM_MIN_PAIR)
+        .join(ctx, "head")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "head", "tail", "pair_count", "head_count",
+            (
+                (F.col("pair_count").cast("double") + F.lit(LM_K))
+                / (
+                    F.col("head_count").cast("double")
+                    + F.lit(LM_K) * F.col("vocab").cast("double")
+                )
+            ).alias("cond_prob"),
+        )
+    )
+
+
+# --- temperature-weighted source mixing -------------------------------------
+MIX_ALPHA = 0.5  # mixing temperature: w_s ∝ n_s^alpha (sqrt scaling)
+
+
+@register(
+    "mixture_weights",
+    oracle=f"""
+    WITH s AS (SELECT source, COUNT(*) AS n_docs,
+                      CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source),
+    t AS (SELECT CAST(ROUND(SUM(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(38,10))), 2)
+                      AS DOUBLE) AS denom,
+                 CAST(SUM(n_docs) AS BIGINT) AS total_docs
+          FROM s)
+    SELECT source, n_docs, n_tokens,
+           sqrt(CAST(n_docs AS DOUBLE)) / denom AS sample_weight,
+           sqrt(CAST(n_docs AS DOUBLE)) / denom
+             * CAST(total_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS epochs
+    FROM s, t
+    """,
+    tags=("text", "mixture", "sampling", "training_set"),
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing: w_s ∝ n_s^α (α=0.5).
+
+    The multinomial-sampling weights used to rebalance web-scale corpora
+    (upweight small high-quality sources, downweight the crawl; the α<1
+    temperature trick from multilingual LM training). `epochs` is the
+    implied per-source repeat factor under the reweighted mix. sqrt and
+    divide are correctly-rounded IEEE ops, and the cross-source
+    normalizer folds through exact decimal summation (functions/
+    numeric.py:dsum discipline) — bit-identical across engines and
+    partitionings.
+
+    Scale notes: one corpus aggregation keyed by source (map-side
+    combined), then a 20-row broadcast of the normalizer. At 100 TB the
+    weights table feeds `source_quota_sample`'s hash-rank sampler.
+    """
+    from beam_pyspark_runner_spark.functions.numeric import dsum
+
+    s = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(_tokens(F.col("text"))).cast("bigint")).alias("n_tokens"),
+        )
+    )
+    t = s.agg(
+        dsum(F.sqrt(F.col("n_docs").cast("double"))).alias("denom"),
+        F.sum("n_docs").alias("total_docs"),
+    )
+    w = F.sqrt(F.col("n_docs").cast("double")) / F.col("denom")
+    return s.crossJoin(F.broadcast(t)).select(
+        "source", "n_docs", "n_tokens",
+        w.alias("sample_weight"),
+        (w * F.col("total_docs").cast("double") / F.col("n_docs").cast("double")
+         ).alias("epochs"),
+    )
