@@ -479,3 +479,45 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synth.groupBy("bucket").agg(
         F.count("*").alias("n_rows"), dsum("v").alias("total_v")
     )
+
+
+_SYNTH_STREAM_ROWS = 20_000
+
+
+@register(
+    "python_stream_source_agg",
+    oracle=f"""
+    WITH synth AS ({synth_rows_oracle_sql(_SYNTH_STREAM_ROWS)})
+    SELECT bucket,
+           COUNT(*) AS n_rows,
+           {dsum_sql('v')} AS total_v
+    FROM synth GROUP BY bucket
+    """,
+    tags=("io", "source", "python_datasource", "custom_connector", "streaming"),
+)
+def python_stream_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A custom STREAMING connector via the Spark 4 Python DataSource
+    API (sources/synthetic.py:SyntheticStreamReader): the partition-
+    parallel `DataSourceStreamReader` form — the driver serves only
+    offsets and split boundaries, every `read(split)` runs on an
+    executor, and offset-range replay makes checkpoint recovery exact.
+    The stream drains under Trigger.AvailableNow into a grouped
+    aggregation; the DuckDB oracle regenerates the identical rows from
+    range(), proving the streamed bytes equal the claimed generator
+    output row for row."""
+    from beam_pyspark_runner_spark.sources.synthetic import (
+        register_synthetic_source,
+    )
+    from beam_pyspark_runner_spark.streaming.runner import run_stream_to_df
+
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_stream")
+        .option("rows", str(_SYNTH_STREAM_ROWS))
+        .option("chunk", "2048")
+        .load()
+    )
+    agg = stream.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"), dsum("v").alias("total_v")
+    )
+    return run_stream_to_df(agg, output_mode="complete")

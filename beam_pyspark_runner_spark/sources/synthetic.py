@@ -26,13 +26,19 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 try:  # Spark >= 4 (SPARK-44076); gate so older builds still import us
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceStreamReader,
+        InputPartition,
+    )
 
     HAVE_PYTHON_DATASOURCE = True
 except ImportError:  # pragma: no cover
     HAVE_PYTHON_DATASOURCE = False
     DataSource = object  # type: ignore[assignment,misc]
     DataSourceReader = object  # type: ignore[assignment,misc]
+    DataSourceStreamReader = object  # type: ignore[assignment,misc]
     InputPartition = object  # type: ignore[assignment,misc]
 
 
@@ -79,13 +85,73 @@ class SyntheticRowsDataSource(DataSource):
         return SyntheticRowsReader(self.options)
 
 
+class SyntheticStreamReader(DataSourceStreamReader):
+    """Partition-parallel STREAMING reader over the same generator.
+
+    This is the executor-side streaming connector API (not the driver-
+    prefetching ``SimpleDataSourceStreamReader``): the engine asks the
+    driver only for offsets and split boundaries; every ``read(split)``
+    runs on an executor. Offsets are plain row positions, so replay
+    between two committed offsets (``partitions(start, end)``) is exact
+    — the property checkpoint recovery depends on.
+
+    Under ``Trigger.AvailableNow`` Spark snapshots ``latestOffset()``
+    once and drains up to it, so the reader reports everything available
+    and relies on splits (``chunk`` rows each) for parallelism. A live
+    deployment would instead return the current tail of a Kafka range /
+    REST cursor on each ``latestOffset()`` poll; nothing else changes.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.rows = int(options.get("rows", 20_000))
+        self.chunk = int(options.get("chunk", 4_096))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def latestOffset(self) -> dict:
+        return {"i": self.rows}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["i"], end["i"]
+        if hi <= lo:
+            return [_RangePartition(lo, lo)]
+        return [
+            _RangePartition(o, min(o + self.chunk, hi))
+            for o in range(lo, hi, self.chunk)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            h = (i * 2654435761) % _MOD
+            yield i, h % 97, float(h % 10_000) / 100.0
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: the generator is stateless
+
+
+class SyntheticStreamDataSource(DataSource):
+    """``spark.readStream.format("synthetic_stream")`` source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_stream"
+
+    def schema(self) -> str:
+        return "id bigint, bucket int, v double"
+
+    def streamReader(self, schema) -> SyntheticStreamReader:
+        return SyntheticStreamReader(self.options)
+
+
 def register_synthetic_source(spark: SparkSession) -> None:
-    """Idempotently register the custom source with this session."""
+    """Idempotently register the custom sources with this session."""
     if not HAVE_PYTHON_DATASOURCE:
         raise NotImplementedError(
             "the Python DataSource API needs Spark >= 4 (SPARK-44076)"
         )
     spark.dataSource.register(SyntheticRowsDataSource)
+    spark.dataSource.register(SyntheticStreamDataSource)
 
 
 def synth_rows_oracle_sql(rows: int) -> str:
