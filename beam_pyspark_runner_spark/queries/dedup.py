@@ -636,3 +636,72 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= DECONTAM_MIN_SHARED)
     )
+
+
+# --- repeated-substring spans (exact substring-dedup building block) --------
+SPAN_W = 8  # window length in tokens
+
+
+@register(
+    "dup_ngram_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(list_slice(toks, i, i + {SPAN_W - 1}), ' ') AS gram
+        FROM (SELECT doc_id, toks, UNNEST(range(1, len(toks) - {SPAN_W - 2})) AS i
+              FROM t)
+    )
+    SELECT md5(gram) AS gram_hash,
+           COUNT(*) AS n_occ,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS first_doc,
+           CAST(MIN(pos) AS BIGINT) AS first_pos
+    FROM g GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    tags=("dedup", "substring", "ngram_spans", "training_data"),
+)
+def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated token windows — the detection stage of
+    exact substring deduplication (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL 2022: memorized boilerplate
+    repeats verbatim across documents at 50-token granularity; removing
+    the spans, not the documents, is the fix).
+
+    Every overlapping SPAN_W-token window hashes to a gram key; a window
+    appearing in ≥2 distinct documents is a duplicated span. One explode
+    + one partial agg keyed on the gram hash: Catalyst combines
+    map-side, so the shuffle carries one row per *distinct* gram per
+    partition, never the raw window stream. The downstream removal pass
+    (join spans back by (doc, pos)) stays keyed — no pairwise doc
+    comparison anywhere, unlike suffix-array approaches that need a
+    global sort.
+    """
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    # Guard: F.sequence(1, n) DESCENDS when n < 1 — emit no windows for
+    # docs shorter than SPAN_W tokens instead of phantom reversed grams.
+    idx = F.when(
+        F.size("toks") >= SPAN_W,
+        F.sequence(F.lit(1), F.size("toks") - (SPAN_W - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    g = t.select(
+        "doc_id",
+        F.explode(idx).alias("pos"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.concat_ws(" ", F.slice("toks", F.col("pos"), SPAN_W)).alias("gram"),
+    )
+    return (
+        g.groupBy(F.md5("gram").alias("gram_hash"))
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.min("pos").cast("bigint").alias("first_pos"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

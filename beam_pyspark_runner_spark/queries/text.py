@@ -1108,3 +1108,81 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (w * F.col("total_docs").cast("double") / F.col("n_docs").cast("double")
          ).alias("epochs"),
     )
+
+
+# --- vocabulary id-encoding (tokenizer-apply stage) -------------------------
+VOCAB_SIZE = 1000  # frequency-ranked vocabulary; everything else → UNK (-1)
+
+
+@register(
+    "vocab_id_encode",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    tok AS (
+        SELECT doc_id, i AS pos, toks[i] AS token
+        FROM (SELECT doc_id, toks, UNNEST(range(1, len(toks) + 1)) AS i FROM t)
+    ),
+    counts AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+    vocab AS (
+        SELECT token, id FROM (
+            SELECT token,
+                   ROW_NUMBER() OVER (ORDER BY c DESC, token) - 1 AS id
+            FROM counts
+        ) WHERE id < {VOCAB_SIZE}
+    ),
+    enc AS (
+        SELECT tok.doc_id, tok.pos, COALESCE(v.id, -1) AS id
+        FROM tok LEFT JOIN vocab v USING (token)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+           string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids_csv
+    FROM enc GROUP BY doc_id
+    """,
+    tags=("text", "tokenizer", "vocab", "training_data"),
+)
+def vocab_id_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-apply: map every token to its frequency-ranked vocab id
+    (top VOCAB_SIZE; out-of-vocab → -1) and re-assemble each document as
+    its id sequence — the text→ids stage every training pipeline runs
+    after tokenizer training (`bpe_pair_counts` is the training half).
+
+    Scale notes (100 TB): the vocabulary is corpus-derived but tiny
+    (VOCAB_SIZE rows) — it broadcasts into the encode join, so the
+    corpus-sized path is explode → broadcast-hash-join → one groupBy
+    doc_id with an in-group sort (array_sort of (pos, id) structs), all
+    JVM-side. The global ranking window runs on the vocab-sized count
+    table, never the corpus. Ids serialize to CSV because the driver's
+    canonicalizer (like most table hashes) wants scalar cells; a real
+    sink would keep array<int>.
+    """
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    tok = t.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    counts = tok.groupBy("token").agg(F.count("*").alias("c"))
+    from pyspark.sql import Window as W
+
+    vocab = (
+        counts.withColumn(
+            "id",
+            F.row_number().over(W.orderBy(F.col("c").desc(), "token")) - 1,
+        )
+        .filter(F.col("id") < VOCAB_SIZE)
+        .select("token", "id")
+    )
+    enc = tok.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos", F.coalesce("id", F.lit(-1)).alias("id")
+    )
+    ordered_ids = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "id"))),
+        lambda x: x["id"].cast("string"),
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("id") == -1, 1).otherwise(0)).cast("bigint").alias("n_unk"),
+        F.array_join(ordered_ids, ",").alias("ids_csv"),
+    )
