@@ -761,3 +761,146 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+@register(
+    "ivfpq_topk_search",
+    oracle=f"""
+    WITH {_PQ_CTES},
+    e AS (SELECT vec_id, {_EMB_DBL} AS emb FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e
+             WHERE vec_id < {N_CENTROIDS}),
+    assigned AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_cos_sql('v.emb', 'c.cemb')} DESC, c.centroid_id) AS rn
+            FROM e v, cent c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.vec_id AS query_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_cos_sql('q.emb', 'c.cemb')} DESC, c.centroid_id) AS rn
+            FROM e q, cent c WHERE q.vec_id >= {PQ_QLO} AND q.vec_id < {PQ_QHI}
+        ) WHERE rn <= {N_PROBE}
+    ),
+    qsub AS (SELECT vec_id AS query_id, m, subvec AS qs
+             FROM sub WHERE vec_id >= {PQ_QLO} AND vec_id < {PQ_QHI}),
+    lut AS (
+        SELECT q.query_id, c.m, c.cid,
+               {_L2SQ_SQL.format(a="q.qs", b="c.csub")} AS pdist
+        FROM qsub q JOIN cb c ON q.m = c.m
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id
+        FROM probes p JOIN assigned a ON a.centroid_id = p.centroid_id
+        WHERE a.vec_id <> p.query_id
+    ),
+    adc AS (
+        SELECT cd.query_id, cd.vec_id, {dsum_sql('pdist')} AS adc_dist
+        FROM cand cd
+        JOIN codes k ON k.vec_id = cd.vec_id
+        JOIN lut l ON k.m = l.m AND k.code = l.cid AND l.query_id = cd.query_id
+        GROUP BY cd.query_id, cd.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, rnk FROM (
+        SELECT query_id, vec_id AS neighbor_id, adc_dist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, vec_id) AS rnk
+        FROM adc
+    ) WHERE rnk <= {IVF_TOP_K}
+    """,
+    tags=("similarity", "ivf", "pq", "ann", "adc", "top_k"),
+)
+def ivfpq_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the production web-scale ANN composition (coarse inverted
+    lists + product-quantized codes, Jégou et al. TPAMI'11 §V). Queries
+    probe their N_PROBE best coarse lists (IVF recall control), and
+    ranking inside the probed lists runs entirely in the compressed
+    domain via the PQ ADC lookup table — raw corpus vectors are touched
+    only at index build, never at query time. This variant quantizes raw
+    vectors (IVFFlat-style, no residuals) so the oracle stays exactly
+    SQL-expressible; residual PQ swaps the encode input, same plan.
+
+    Scale notes (100 TB): centroids and the 256-entry LUT broadcast;
+    the candidate join keys on centroid_id (≈ N_PROBE/N_CENTROIDS of
+    the corpus) and the ADC join keys on vec_id — both shuffle only
+    candidate-sized rows of codes, never embeddings. Decimal-exact
+    partial-distance sums keep the ranking merge-order-proof."""
+    from beam_pyspark_runner_spark.functions.numeric import dsum
+    from beam_pyspark_runner_spark.functions.vectors import l2_sq
+
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "centroid_id",
+            cosine_similarity(F.col("emb"), F.col("cemb")).alias("cos"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "centroid_id",
+                F.struct(F.col("cos"), (-F.col("centroid_id")).alias("nc")),
+            ).alias("centroid_id")
+        )
+    )
+    q = e.filter((F.col("vec_id") >= PQ_QLO) & (F.col("vec_id") < PQ_QHI)).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    w_probe = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "centroid_id",
+            cosine_similarity(F.col("qemb"), F.col("cemb")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "centroid_id")
+    )
+    emb_full = load_table(spark, sf_dir, "embeddings")
+    codes = _pq_codes(emb_full)
+    qs = _pq_subvectors(
+        emb_full.filter((F.col("vec_id") >= PQ_QLO) & (F.col("vec_id") < PQ_QHI))
+    ).select(F.col("vec_id").alias("query_id"), "m", F.col("subvec").alias("qs"))
+    lut = qs.join(_pq_codebook(emb_full), "m").select(
+        "query_id", "m", "cid", l2_sq(F.col("qs"), F.col("csub")).alias("pdist")
+    )
+    cand = assigned.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select("query_id", "vec_id")
+    lut_r = lut.select(
+        F.col("query_id").alias("l_query_id"),
+        F.col("m").alias("l_m"),
+        "cid",
+        "pdist",
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(
+            F.broadcast(lut_r),
+            (F.col("m") == F.col("l_m")) & (F.col("code") == F.col("cid"))
+            & (F.col("query_id") == F.col("l_query_id")),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(dsum("pdist").alias("adc_dist"))
+    )
+    w_rank = W.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= IVF_TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_dist",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
