@@ -585,3 +585,126 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_xml("xml", "id bigint, status string, total double").alias("r")
     )
     return parsed.select("r.id", "r.status", "r.total")
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    t AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ),
+    r AS (SELECT prev_type, CAST(SUM(n_transitions) AS BIGINT) AS row_total
+          FROM t GROUP BY prev_type)
+    SELECT t.prev_type, t.next_type, t.n_transitions,
+           CAST(t.n_transitions AS DOUBLE) / CAST(r.row_total AS DOUBLE)
+               AS transition_prob
+    FROM t JOIN r ON t.prev_type = r.prev_type
+    """,
+    tags=("event_time", "markov", "transition", "sequence"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next event type | current event type), the building block of
+    user-journey and next-action models.
+
+    Scale notes (100 TB): one window pass keyed by user (the natural
+    sessionization partitioning — no global sort), then a transition-
+    keyed agg whose cardinality is |event_types|² regardless of corpus
+    size. Probabilities are count ratios (single IEEE division) so they
+    value-hash exactly.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n_transitions")
+    )
+    r = t.groupBy("prev_type").agg(
+        F.sum("n_transitions").cast("bigint").alias("row_total")
+    )
+    return t.join(F.broadcast(r), "prev_type").select(
+        "prev_type", "next_type", "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.col("row_total").cast("double")
+        ).alias("transition_prob"),
+    )
+
+
+@register(
+    "value_outliers",
+    oracle=f"""
+    WITH stats AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               {dsum_sql('value')} AS sx,
+               {dsum_sql('value * value')} AS sxx
+        FROM events GROUP BY event_type
+    ),
+    z AS (
+        SELECT event_type, n,
+               sx / CAST(n AS DOUBLE) AS mean,
+               sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
+                   AS std
+        FROM stats WHERE n > 1
+    )
+    SELECT e.event_type, z.mean, z.std,
+           CAST(SUM(CASE WHEN abs(e.value - z.mean) > 3 * z.std
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           COUNT(*) AS n_events
+    FROM events e JOIN z ON e.event_type = z.event_type
+    GROUP BY e.event_type, z.mean, z.std
+    """,
+    tags=("event_time", "outlier", "zscore", "aggregate"),
+)
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 3-sigma outlier counts with *deterministic* moments.
+
+    Spark's stddev (Welford) and DuckDB's accumulate in partition order
+    — same data, different last bits. Instead both engines compute the
+    two decimal-exact power sums (Σx, Σx², functions/numeric.py
+    discipline) and derive variance with identical IEEE double steps, so
+    mean/std/outlier counts value-hash bit-for-bit and are independent
+    of partitioning — on 32 cores or 1000 executors.
+
+    Scale notes: two passes over events (moments, then flagging), both
+    type-keyed partial aggs; the per-type stats broadcast into the
+    flagging pass.
+    """
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        dsum("value").alias("sx"),
+        dsum(F.col("value") * F.col("value")).alias("sxx"),
+    )
+    z = stats.filter(F.col("n") > 1).select(
+        "event_type",
+        (F.col("sx") / F.col("n").cast("double")).alias("mean"),
+        F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n").cast("double"))
+            / (F.col("n") - 1).cast("double")
+        ).alias("std"),
+    )
+    return (
+        e.join(F.broadcast(z), "event_type")
+        .groupBy("event_type", "mean", "std")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("mean")) > 3 * F.col("std"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+            F.count("*").alias("n_events"),
+        )
+        .select("event_type", "mean", "std", "n_outliers", "n_events")
+    )
