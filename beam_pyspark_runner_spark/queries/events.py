@@ -708,3 +708,59 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "mean", "std", "n_outliers", "n_events")
     )
+
+
+@register(
+    "ewma_user_value",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id,
+               list_transform(
+                   list_sort(list(ROW(ts, event_id, value))),
+                   r -> r[3]
+               ) AS vals
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           list_reduce(vals, (acc, x) -> acc * 0.5 + x * 0.5) AS ewma_value
+    FROM ordered
+    """,
+    tags=("event_time", "ewma", "time_series", "fold"),
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user (α = 0.5):
+    s₁ = x₁, sₜ = ½·sₜ₋₁ + ½·xₜ over the time-ordered event stream —
+    the classic streaming smoother, computed batch-side.
+
+    Determinism by construction: α = ½ makes every decay multiply an
+    exact exponent shift (no rounding), so the fold's only roundings are
+    the additions, which both engines perform in identical event-time
+    order (in-group sort by (ts, event_id, value), then an index-order
+    left fold: Spark `F.aggregate`, DuckDB `list_reduce`, both seeded
+    with the first element). Result: bit-identical EWMA regardless of
+    partitioning.
+
+    Scale notes (100 TB): one shuffle keyed by user; the fold runs
+    inside the group (codegen HOF, no Python, no window-function state).
+    Per-user history must fit a row — true for session-scale keys; an
+    unbounded key would use the streaming state-machine form
+    (queries/streaming.py) instead.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ordered = e.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda r: r["value"],
+        ).alias("vals")
+    )
+    fold = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at("vals", 1),
+        lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
+    )
+    return ordered.select(
+        "user_id",
+        F.size("vals").cast("bigint").alias("n_events"),
+        fold.alias("ewma_value"),
+    )
