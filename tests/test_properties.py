@@ -145,3 +145,69 @@ def test_partsupp_assignment_properties(s_count, p_partkey):
         cost = ((p_partkey * 31 + sk * 17) % 100000) / 100.0 + 1.0
         assert 1 <= qty <= 9999
         assert 1.0 <= cost <= 1000.99 + 1.0
+
+
+float_vecs = st.lists(
+    st.floats(-100, 100, allow_nan=False, width=32), min_size=4, max_size=4
+)
+
+
+@_settings
+@given(a=float_vecs, b=float_vecs)
+def test_l2_sq_matches_python_fold(spark, a, b):
+    """functions/vectors.l2_sq == the plain-Python left fold it claims
+    (same index order, same double arithmetic) — the kernel PQ and
+    k-means argmins depend on."""
+    from beam_pyspark_runner_spark.functions.vectors import l2_sq
+
+    df = spark.createDataFrame(
+        [(a, b)], "a array<double>, b array<double>"
+    ).select(l2_sq(F.col("a"), F.col("b")).alias("d"))
+    got = df.first()["d"]
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (x - y) * (x - y)
+    assert got == acc  # bit-exact, not approx
+
+
+@_settings
+@given(vals=st.lists(st.floats(-1000, 1000, allow_nan=False, width=32),
+                     min_size=1, max_size=40))
+def test_ewma_fold_matches_python(spark, vals):
+    """The EWMA fold (alpha=0.5 exponent-shift decay) is bit-identical
+    to the sequential Python recurrence for any value sequence."""
+    df = spark.createDataFrame([(vals,)], "vals array<double>").select(
+        F.aggregate(
+            F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+            F.element_at("vals", 1),
+            lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
+        ).alias("s")
+    )
+    got = df.first()["s"]
+    s = vals[0]
+    for x in vals[1:]:
+        s = s * 0.5 + x * 0.5
+    assert got == s
+
+
+@_settings
+@given(n=st.integers(1, 200))
+def test_recursive_hierarchy_depth_law(spark, n):
+    """WITH RECURSIVE chain depth for key k must equal floor(log2(k)) —
+    the closed form of repeated halving — for an arbitrary key range."""
+    import math
+
+    spark.range(1, n + 1).createOrReplaceTempView("keys_prop")
+    rows = spark.sql(
+        """
+        WITH RECURSIVE chain(node, cur, depth) AS (
+            SELECT id, id, 0 FROM keys_prop
+            UNION ALL
+            SELECT node, CAST(FLOOR(cur / 2.0) AS BIGINT), depth + 1
+            FROM chain WHERE cur > 1
+        )
+        SELECT node, MAX(depth) AS d FROM chain GROUP BY node
+        """
+    ).collect()
+    got = {r["node"]: r["d"] for r in rows}
+    assert got == {k: int(math.log2(k)) for k in range(1, n + 1)}
