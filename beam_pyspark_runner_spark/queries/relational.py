@@ -1092,3 +1092,60 @@ def global_rank_bucketed(
     return local.join(F.broadcast(offsets), "bucket").select(
         "o_orderkey", (F.col("offset") + F.col("local_rank")).alias("global_rank")
     )
+
+
+@register(
+    "price_quantity_corr",
+    oracle=f"""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               {dsum_sql('l_quantity')} AS sx,
+               {dsum_sql('l_extendedprice')} AS sy,
+               {dsum_sql('l_quantity * l_extendedprice')} AS sxy,
+               {dsum_sql('l_quantity * l_quantity')} AS sxx,
+               {dsum_sql('l_extendedprice * l_extendedprice')} AS syy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * syy - sy * sy)) AS pearson_r,
+           (CAST(n AS DOUBLE) * sxy - sx * sy) / CAST(n AS DOUBLE)
+             / CAST(n - 1 AS DOUBLE) AS sample_cov
+    FROM s
+    """,
+    tags=("statistics", "correlation", "covariance", "aggregate"),
+)
+def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation + sample covariance with
+    *deterministic* results.
+
+    Spark's `corr`/`covar_samp` (and DuckDB's) accumulate co-moments in
+    partition order — same data, different last bits, no value-hash.
+    Both engines instead compute the five decimal-exact power sums
+    (functions/numeric.py discipline) and derive r and cov with
+    identical IEEE double steps — bit-stable on 32 cores or 1000
+    executors. One group-keyed partial agg; constant state per group.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum(q).alias("sx"),
+        dsum(p).alias("sy"),
+        dsum(q * p).alias("sxy"),
+        dsum(q * q).alias("sxx"),
+        dsum(p * p).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "l_returnflag", "n",
+        (num / den).alias("pearson_r"),
+        (num / nd / (F.col("n") - 1).cast("double")).alias("sample_cov"),
+    )
