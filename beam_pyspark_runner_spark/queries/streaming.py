@@ -784,3 +784,46 @@ def stream_windowed_custom_combine(spark: SparkSession, sf_dir: str) -> DataFram
         out.groupBy("window_start", "event_type")
         .agg(F.max_by("sum_sq", "n_acc").alias("sum_sq"))
     )
+
+
+@register(
+    "stream_append_mode_tumbling",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(ts) AS max_ts FROM events)
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM events, mx
+    GROUP BY 1, 2, mx.max_ts
+    HAVING time_bucket(INTERVAL '1 hour', MIN(ts)) + INTERVAL '1 hour'
+           <= mx.max_ts - INTERVAL '1 hour'
+    """,
+    tags=("streaming", "event_time", "tumbling_window", "watermark", "append_mode"),
+)
+def stream_append_mode_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling agg in APPEND output mode: a window row is emitted
+    exactly once, only after the event-time watermark (max ts − 1h)
+    passes its end — the once-and-final delivery contract downstream
+    exactly-once sinks rely on, in contrast to complete mode's
+    re-emission of the whole result every batch.
+
+    The oracle states the contract: all windows whose end ≤ final
+    watermark (3375 of 3385 at sf0.01 — the last hours stay open and
+    are deliberately NOT in the result). This is the semantic difference
+    between "what the stream knows" and "what the stream has finalized",
+    and at 100 TB append mode is the only mode whose sink writes scale
+    with *new* results per batch rather than total state."""
+    e = _events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_stream_to_df(agg, output_mode="append")
