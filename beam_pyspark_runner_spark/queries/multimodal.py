@@ -322,3 +322,76 @@ def arrow_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _payload_df(spark, sf_dir).mapInArrow(
         _arrow_stats_kernel, _ARROW_STATS_SCHEMA
     )
+
+
+_FRAME_HASH_SCHEMA = "doc_id long, frame_idx long, frame_md5 string"
+
+
+def _frame_hash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame fingerprinting kernel: sample every FRAME_STRIDE-th frame and
+    md5 its bytes. A real pipeline hashes *decoded* frames (or a
+    perceptual hash of them) right here in the executor-side kernel —
+    the blob never leaves the worker, only (doc, idx, 16-byte hash) rows
+    do."""
+    for pdf in batches:
+        out_doc, out_idx, out_md5 = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            n_frames = (len(b) + FRAME_BYTES - 1) // FRAME_BYTES
+            for idx in range(0, n_frames, FRAME_STRIDE):
+                chunk = b[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+                out_doc.append(doc_id)
+                out_idx.append(idx)
+                out_md5.append(hashlib.md5(chunk).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "frame_idx": pd.Series(out_idx, dtype="int64"),
+                "frame_md5": pd.Series(out_md5, dtype="object"),
+            }
+        )
+
+
+@register(
+    "frame_hash_dedup",
+    # ASCII corpus ⇒ frame bytes == text substring; md5(string) in DuckDB
+    # hashes the same bytes the kernel hashes.
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id,
+               md5(substr(text, CAST(frame_idx * {FRAME_BYTES} + 1 AS INT), {FRAME_BYTES})) AS frame_md5
+        FROM (
+            SELECT doc_id, text,
+                   unnest(range(0, CAST(ceil(octet_length(encode(text)) / {FRAME_BYTES}.0) AS BIGINT), {FRAME_STRIDE})) AS frame_idx
+            FROM documents
+        )
+    )
+    SELECT frame_md5, COUNT(*) AS n_occ,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS first_doc
+    FROM f GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    tags=("multimodal", "binary", "dedup", "frame_hash", "map_in_pandas"),
+)
+def frame_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video duplicate-frame detection: hash sampled frames in the
+    executor-side kernel, then find hashes shared by ≥2 documents — the
+    multimodal twin of `dup_ngram_spans` (intros, outros, watermark
+    stills, and re-uploads all surface as shared frame fingerprints).
+
+    Scale notes (100 TB): blobs stay in the Arrow batch on the worker;
+    only fixed-width (doc, idx, hash) rows enter the shuffle, and the
+    hash-keyed agg map-side-combines. With a perceptual hash swapped in,
+    the same plan does near-duplicate frame clustering."""
+    frames = _payload_df(spark, sf_dir).mapInPandas(
+        _frame_hash_kernel, _FRAME_HASH_SCHEMA
+    )
+    return (
+        frames.groupBy("frame_md5")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
