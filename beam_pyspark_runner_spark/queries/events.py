@@ -764,3 +764,131 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("vals").cast("bigint").alias("n_events"),
         fold.alias("ewma_value"),
     )
+
+
+@register(
+    "first_touch_attribution",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts, event_type, value,
+               MAX(CASE WHEN event_type = 'view' THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_view_ts
+        FROM events
+    )
+    SELECT
+        CASE WHEN last_view_ts IS NOT NULL
+                  AND ts - last_view_ts <= INTERVAL '30 minutes'
+             THEN 'view_attributed' ELSE 'unattributed' END AS attribution,
+        COUNT(*) AS n_purchases,
+        CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS attributed_value
+    FROM tagged
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    tags=("events", "attribution", "window", "asof_within_table"),
+)
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style attribution: each purchase is credited to the
+    user's most recent preceding 'view' within a 30-minute lookback —
+    an as-of join of a table AGAINST ITSELF expressed as one analytic
+    pass instead of a join: the running MAX over a CASE projects the
+    last qualifying timestamp forward, so no second shuffle, no
+    range-join explosion, and per-user ordering is the only sort. The
+    same shape at 100 TB: one hash partition by user, one in-partition
+    sort, streaming window evaluation with O(1) state per row.
+
+    Purchases with no view in the lookback fall into 'unattributed';
+    sums accumulate in exact decimal (functions/numeric.py)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    tagged = e.withColumn(
+        "last_view_ts",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    attributed = F.when(
+        F.col("last_view_ts").isNotNull()
+        & (
+            F.col("ts").cast("long") - F.col("last_view_ts").cast("long")
+            <= 30 * 60
+        ),
+        F.lit("view_attributed"),
+    ).otherwise(F.lit("unattributed"))
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .groupBy(attributed.alias("attribution"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            dsum(F.col("value")).alias("attributed_value"),
+        )
+    )
+
+
+@register(
+    "dead_letter_split",
+    oracle="""
+    WITH raw AS (
+        SELECT event_id,
+               CASE WHEN event_id % 97 = 0 THEN '{"k": "oops"' ELSE props END
+                   AS props
+        FROM events
+    ),
+    parsed AS (
+        -- DuckDB's json_extract throws on malformed input where Spark's
+        -- get_json_object yields NULL; json_valid aligns the semantics.
+        SELECT event_id,
+               CASE WHEN json_valid(props)
+                    THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+               END AS k
+        FROM raw
+    )
+    SELECT CASE WHEN k IS NULL THEN 'dead_letter' ELSE 'ok' END AS route,
+           COUNT(*) AS n_events,
+           MIN(event_id) AS first_event_id
+    FROM parsed
+    GROUP BY 1
+    """,
+    tags=("events", "dead_letter", "error_routing", "pipeline_pattern"),
+)
+def dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Beam dead-letter pattern: records whose payload fails to
+    parse are ROUTED, not raised — a DoFn with a try/except emitting to
+    a side output in the reference's world (its ParDo gives no
+    multi-output hook: SURVEY.md §2.5; our pipeline API's ``partition``
+    covers that form). Here the whole split stays declarative: try_-
+    family expressions turn per-record parse failures into NULLs inside
+    whole-stage codegen — no Python, no exception unwinding per row —
+    and the router is a CASE over the NULL. At 100 TB the two routes
+    are written with partitionBy('route') so the dead-letter queue is
+    its own prunable partition; the query returns per-route counts plus
+    the first offending id for triage."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        # Deterministic corruption of ~1% of payloads (the fixture's
+        # props always parse): simulates the malformed-producer records
+        # the pattern exists for, identically in both engines.
+        "props",
+        F.when(F.col("event_id") % 97 == 0, F.lit('{"k": "oops"'))
+        .otherwise(F.col("props")),
+    )
+    parsed = e.select(
+        "event_id",
+        F.try_to_number(
+            F.get_json_object("props", "$.k"), F.lit("999999999")
+        ).cast("long").alias("k"),
+    )
+    return (
+        parsed.groupBy(
+            F.when(F.col("k").isNull(), F.lit("dead_letter"))
+            .otherwise(F.lit("ok"))
+            .alias("route")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event_id"),
+        )
+    )

@@ -315,3 +315,97 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.groupBy("node").agg(
         F.count("*").cast("long").alias("n_triangles")
     ).select(F.col("node").alias("supplier"), "n_triangles")
+
+
+_LPA_ITER_SQL_TMPL = """
+    s{i} AS (
+        SELECT e.dst AS node, l.label, CAST(SUM(e.w) AS BIGINT) AS tw
+        FROM edges e JOIN l{p} l ON l.node = e.src
+        GROUP BY 1, 2
+    ),
+    l{i} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY node ORDER BY tw DESC, label ASC
+                   ) AS rn
+            FROM s{i}
+        ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "label_prop_weighted",
+    oracle=f"""
+    WITH {_EDGE_SQL.split(', outw')[0]},
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    {_LPA_ITER_SQL_TMPL.format(i=1, p=0)},
+    {_LPA_ITER_SQL_TMPL.format(i=2, p=1)}
+    SELECT node AS supplier, label AS community FROM l2
+    """,
+    tags=("graph", "label_propagation", "community", "iterative"),
+)
+def label_prop_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted label propagation (community detection) on the supplier
+    co-occurrence graph, two synchronous rounds: every node adopts the
+    label carrying the highest incoming edge-weight mass among its
+    neighbors, ties broken by the smallest label. Distinct from
+    ``dedup_components`` (min-label flooding → connected components):
+    LPA is weight-sensitive argmax, the classic community heuristic
+    (Raghavan et al. 2007), made deterministic here by the (weight DESC,
+    label ASC) tie order — plain LPA's random visit order would never
+    hash-match an oracle.
+
+    The reference cannot express any iterative dataflow
+    (transform_evaluators.py is a single DAG pass); this completes the
+    iterative family next to pagerank (float iteration) and
+    dedup_components (fixpoint loop).
+
+    Scale: per iteration one join of the label vector into the edge list
+    (label vectors are node-sized — broadcast-gated exactly like
+    pagerank's rank vector) plus one partial-aggregated groupBy(dst,
+    label) and an argmax via max(struct) — no window sort, no per-node
+    state beyond the (dst,label) partial sums, which are bounded by
+    degree, not graph size. Synchronous rounds unrolled for Catalyst;
+    exchange reuse dedups the shared edge-build subtree."""
+    threshold = int(
+        spark.conf.get("spark.graft.pagerank.broadcastNodes", "10000000")
+    )
+    node_upper_bound = load_table(spark, sf_dir, "supplier").count()
+    label_hint = F.broadcast if node_upper_bound <= threshold else (lambda df: df)
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    per_order = li.distinct().groupBy("l_orderkey").agg(
+        F.collect_set("l_suppkey").alias("ss")
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, x -> filter("
+                "transform(ss, y -> struct(x AS src, y AS dst)), "
+                "p -> p.src != p.dst)))"
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    edges = pairs.groupBy("src", "dst").agg(F.count("*").alias("w"))
+
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(2):
+        mass = (
+            edges.join(label_hint(labels.withColumnRenamed("node", "src")), "src")
+            .groupBy("dst", "label")
+            .agg(F.sum("w").cast("long").alias("tw"))
+        )
+        # argmax(label by (tw DESC, label ASC)) without a window sort:
+        # max over struct(tw, -label) — the negated label turns the
+        # ascending tie-break into struct-max order.
+        labels = (
+            mass.groupBy("dst")
+            .agg(F.max(F.struct(F.col("tw"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select(F.col("dst").alias("node"), (-F.col("m.nl")).alias("label"))
+        )
+    return labels.select(
+        F.col("node").alias("supplier"), F.col("label").alias("community")
+    )

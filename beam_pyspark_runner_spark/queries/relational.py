@@ -1149,3 +1149,128 @@ def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num / den).alias("pearson_r"),
         (num / nd / (F.col("n") - 1).cast("double")).alias("sample_cov"),
     )
+
+
+@register(
+    "skyline_pareto",
+    oracle="""
+    WITH spent AS (
+        SELECT c.c_nationkey, c.c_custkey, c.c_acctbal,
+               CAST(SUM(o.o_totalprice) AS DECIMAL(38,2)) AS total_spent
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2, 3
+    ),
+    lvl AS (
+        SELECT c_nationkey, c_acctbal, MAX(total_spent) AS lvl_max
+        FROM spent GROUP BY 1, 2
+    ),
+    run AS (
+        SELECT c_nationkey, c_acctbal,
+               MAX(lvl_max) OVER (
+                   PARTITION BY c_nationkey ORDER BY c_acctbal DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_max
+        FROM lvl
+    )
+    SELECT n.n_name AS nation, s.c_custkey AS custkey,
+           CAST(s.c_acctbal AS DOUBLE) AS acctbal,
+           CAST(s.total_spent AS DOUBLE) AS total_spent
+    FROM spent s
+    JOIN run r ON r.c_nationkey = s.c_nationkey AND r.c_acctbal = s.c_acctbal
+    JOIN nation n ON n.n_nationkey = s.c_nationkey
+    WHERE r.prev_max IS NULL OR r.prev_max <= s.total_spent
+    """,
+    tags=("relational", "skyline", "pareto", "window", "dominance"),
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Pareto frontier (skyline) of customers on the two
+    maximize-objectives (account balance, lifetime spend): a customer is
+    kept unless some other customer in the nation STRICTLY beats it on
+    both. The classic skyline operator (Börzsönyi et al., ICDE'01) — no
+    Beam/Spark builtin exists; the reference has no analogue.
+
+    Scale shape — the naive skyline is an O(n²) NOT EXISTS self-join;
+    this is the sort-free two-pass version: (1) collapse customers to
+    distinct balance LEVELS per nation (partial-agg groupBy), (2) one
+    window over the level table — orders of magnitude smaller than the
+    customer table — computes the running best spend among strictly
+    higher balances, (3) broadcast-join levels back and filter. The
+    per-nation window sorts levels, not customers, so a nation with 10M
+    customers but 100k distinct balances sorts 100k rows; the dominance
+    test itself never leaves the map side."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", "c_acctbal"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spent = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_nationkey", "c_custkey", "c_acctbal")
+        .agg(F.sum("o_totalprice").cast("decimal(38,2)").alias("total_spent"))
+    )
+    lvl = spent.groupBy("c_nationkey", "c_acctbal").agg(
+        F.max("total_spent").alias("lvl_max")
+    )
+    w = (
+        W.partitionBy("c_nationkey")
+        .orderBy(F.col("c_acctbal").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    run = lvl.select(
+        "c_nationkey", "c_acctbal", F.max("lvl_max").over(w).alias("prev_max")
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        spent.join(F.broadcast(run), ["c_nationkey", "c_acctbal"])
+        .filter(F.col("prev_max").isNull() | (F.col("prev_max") <= F.col("total_spent")))
+        .join(F.broadcast(nation), spent.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.col("total_spent").cast("double").alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "group_median_mad",
+    oracle="""
+    WITH m AS (
+        SELECT event_type, median(value) AS med FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           ANY_VALUE(m.med) AS median_value,
+           median(abs(e.value - m.med)) AS mad
+    FROM events e JOIN m USING (event_type)
+    GROUP BY e.event_type
+    """,
+    tags=("relational", "robust_stats", "median", "mad", "percentile"),
+)
+def group_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group EXACT median and median-absolute-deviation — the robust
+    location/scale pair that survives the heavy-tailed value columns a
+    quality pipeline meets (outlier events would wreck mean/stddev; cf.
+    value_outliers for the 3-sigma contrast). Both engines interpolate
+    the even-count median identically (lower + (upper-lower)*frac on
+    doubles), so the result value-hashes with no rounding fudge.
+
+    Two passes by necessity (MAD is a median OF residuals around the
+    median): pass 1 is a groupBy percentile; the per-group medians —
+    one row per group — broadcast back into the fact table, so pass 2
+    costs one more shuffle on the same key and nothing else. At 100 TB
+    exact per-group percentile needs the full sorted group (Spark's
+    percentile agg buffers per group); for billion-row groups swap in
+    percentile_approx or the quantile_bin_sketch — this query is the
+    exact-answer member of that family."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("median_value"),
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"),
+        )
+    )

@@ -827,3 +827,59 @@ def stream_append_mode_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_df(agg, output_mode="append")
+
+
+@register(
+    "stream_windowed_topk",
+    oracle="""
+    WITH c AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type, COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT window_start, event_type, n_events,
+               ROW_NUMBER() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n_events DESC, event_type ASC
+               ) AS rnk
+        FROM c
+    )
+    SELECT window_start, event_type, n_events, rnk
+    FROM r WHERE rnk <= 3
+    """,
+    tags=("streaming", "event_time", "tumbling_window", "topk", "rank"),
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per tumbling hour over a replayed stream —
+    trending-items, the canonical streaming leaderboard. Structured
+    Streaming forbids rank() over an unbounded stream (correct: a rank
+    is unstable until the window closes), so the scalable decomposition
+    is (1) incremental windowed COUNT with watermarked state — the only
+    part that must see every row — and (2) the rank over the tiny
+    (window × event_type) aggregate after the window finalizes. Here
+    stage 2 runs on the drained aggregate; in production it is the same
+    expression in a foreachBatch or a downstream batch job over the agg
+    sink. State per window is |event_type| counters, never raw events;
+    ties break by event_type so the result value-hashes."""
+    from pyspark.sql import Window as W
+
+    e = _events_stream(spark, sf_dir, max_files_per_trigger=2)
+    agg = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    counts = run_stream_to_df(agg, output_mode="complete")
+    w = W.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )

@@ -1186,3 +1186,89 @@ def vocab_id_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("id") == -1, 1).otherwise(0)).cast("bigint").alias("n_unk"),
         F.array_join(ordered_ids, ",").alias("ids_csv"),
     )
+
+
+@register(
+    "inverted_index_postings",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    )
+    SELECT token,
+           COUNT(DISTINCT doc_id) AS doc_freq,
+           CAST(COUNT(*) AS BIGINT) AS term_freq,
+           array_to_string(list_sort(list(DISTINCT doc_id))[1:5], ',') AS first_postings
+    FROM tok
+    GROUP BY token
+    """,
+    tags=("text", "inverted_index", "postings", "search"),
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build an inverted index over the corpus: token → document
+    frequency, corpus term frequency, and the first 5 postings (sorted
+    doc ids). The retrieval-side primitive behind BM25 / dedup-by-query
+    — the reference's WordCount composite
+    (/root/reference/beam_pyspark_runner/example_pipes.py) counts
+    tokens but cannot produce postings because GroupByKey materializes
+    the whole group in one worker's memory; here ``collect_set`` runs
+    as a partial aggregate and the posting list is truncated BEFORE the
+    final exchange, so a stop-word appearing in every document ships
+    only its count, never a billion-element list. At 100 TB the full
+    posting list for hot tokens would be written as a bucketed sorted
+    table instead (slice kept here to stay value-hashable)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    return tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count("*").alias("term_freq"),
+        F.concat_ws(
+            ",", F.slice(F.sort_array(F.collect_set("doc_id")), 1, 5)
+        ).alias("first_postings"),
+    )
+
+
+@register(
+    "source_gini_diversity",
+    oracle="""
+    WITH c AS (
+        SELECT source, lang, COUNT(*) AS cnt FROM documents GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT source, SUM(cnt) AS total, SUM(cnt * cnt) AS sq
+        FROM c GROUP BY 1
+    )
+    SELECT source,
+           CAST(total AS BIGINT) AS n_docs,
+           CAST(total * total - sq AS DOUBLE) / CAST(total * total AS DOUBLE)
+               AS lang_gini
+    FROM t
+    """,
+    tags=("text", "diversity", "gini", "mixture"),
+)
+def source_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix diversity per source as Gini impurity
+    1 - Σ pᵢ² — the mixture-balance signal a corpus curator reads before
+    setting sampling quotas (cf. mixture_weights / source_quota_sample).
+    Shannon entropy is the textbook choice but needs log(), and libm
+    logs differ by ulps across engines (the tfidf_top_terms rationale);
+    Gini is pure rational arithmetic — integer counts, one final
+    division — so it value-hashes exactly.
+
+    Two nested partial aggregates ((source,lang) then source), both
+    map-side combinable; nothing but counts ever shuffles. The identity
+    1 - Σpᵢ² = (T² - Σcᵢ²)/T² keeps every intermediate an integer."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "lang")
+    c = docs.groupBy("source", "lang").agg(F.count("*").alias("cnt"))
+    t = c.groupBy("source").agg(
+        F.sum("cnt").alias("total"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sq"),
+    )
+    tt = F.col("total") * F.col("total")
+    return t.select(
+        "source",
+        F.col("total").cast("long").alias("n_docs"),
+        ((tt - F.col("sq")).cast("double") / tt.cast("double")).alias("lang_gini"),
+    )
