@@ -1274,3 +1274,84 @@ def group_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"),
         )
     )
+
+
+@register(
+    "ntile_quartile_stats",
+    oracle="""
+    WITH q AS (
+        SELECT c_nationkey, c_acctbal,
+               NTILE(4) OVER (
+                   PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+               ) AS quartile
+        FROM customer
+    )
+    SELECT c_nationkey AS nationkey, quartile,
+           COUNT(*) AS n_customers,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE) AS sum_bal
+    FROM q GROUP BY 1, 2
+    """,
+    tags=("relational", "window", "ntile", "equal_frequency_binning"),
+)
+def ntile_quartile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning: NTILE(4) splits each nation's customers
+    into balance quartiles, then per-bin boundaries and exact-decimal
+    sums — the discretization step feature pipelines use before
+    bucketized joins or monotonic-feature models. Tie order is pinned by
+    c_custkey (NTILE is order-sensitive; an unpinned tie would never
+    value-hash). The window partitions by nation, so the sort is
+    per-nation — the global-NTILE variant would funnel the table through
+    one task, which is exactly what global_rank_bucketed's two-phase
+    trick exists to avoid; partition-scoped NTILE needs no such rescue."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    q = cust.select(
+        "c_nationkey", "c_acctbal", F.ntile(4).over(w).cast("long").alias("quartile")
+    )
+    return q.groupBy(
+        F.col("c_nationkey").alias("nationkey"), "quartile"
+    ).agg(
+        F.count("*").alias("n_customers"),
+        F.min("c_acctbal").cast("double").alias("min_bal"),
+        F.max("c_acctbal").cast("double").alias("max_bal"),
+        dsum(F.col("c_acctbal")).alias("sum_bal"),
+    )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 2) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 10
+    """,
+    tags=("relational", "sql_api", "pipe_syntax", "spark4"),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (SPARK-49555): the linear `FROM … |>`
+    form that reads in dataflow order — the SQL-surface twin of the
+    Beam-style fluent pipeline API (operators/pipeline.py), showing both
+    front-ends lower to the same Catalyst plan. The |> WHERE after the
+    AGGREGATE is a HAVING in classic syntax; pushdown/partial-agg
+    behavior is identical because pipe syntax is pure parse-level
+    sugar."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe")
+    return spark.sql(
+        """
+        FROM orders_pipe
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                          AS DECIMAL(38,2)) AS DOUBLE) AS total_price
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 10
+        |> SELECT o_orderpriority, n_orders, total_price
+        """
+    )

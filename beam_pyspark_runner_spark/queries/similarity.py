@@ -904,3 +904,92 @@ def ivfpq_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+@register(
+    "embedding_scalar_quantize",
+    oracle=f"""
+    WITH dims AS (
+        SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+    ),
+    stats AS (
+        SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM dims GROUP BY pos
+    ),
+    coded AS (
+        SELECT d.vec_id, d.pos, d.v, s.mn, s.mx,
+               CASE WHEN s.mx = s.mn THEN 0
+                    ELSE LEAST(255, GREATEST(0,
+                         CAST(FLOOR((d.v - s.mn) * 255.0 / (s.mx - s.mn)) AS BIGINT)))
+               END AS code
+        FROM dims d JOIN stats s USING (pos)
+    ),
+    errs AS (
+        SELECT vec_id, pos, code,
+               POW(v - (mn + (CAST(code AS DOUBLE) + 0.5) * (mx - mn) / 255.0), 2)
+                   AS err
+        FROM coded
+    )
+    SELECT vec_id,
+           array_to_string(list(code ORDER BY pos)[1:4], ',') AS codes_prefix,
+           {dsum_sql('err')} / 64.0 AS recon_mse
+    FROM errs
+    GROUP BY vec_id
+    """,
+    tags=("similarity", "quantization", "int8", "vector_storage"),
+)
+def embedding_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (per-dimension min/max) uint8 quantization of the
+    embedding corpus — the storage-side sibling of product quantization
+    (cf. pq_topk_adc): 64 float32 → 64 bytes, 4× compression, and the
+    per-vector reconstruction MSE that tells a vector-store operator
+    whether int8 recall will hold. FAISS's ScalarQuantizer in DataFrame
+    algebra, fully inside codegen.
+
+    Shape: (1) one partial-aggregated pass computes the 64 per-dimension
+    (min,max) calibration rows — constant-size state however many
+    vectors; (2) the calibration table broadcast-joins back on dimension
+    index; encode/decode/error are arithmetic on the exploded rows;
+    (3) one groupBy(vec_id) reassembles codes and folds the error in
+    exact decimal. Nothing in the plan grows with corpus size except
+    the two vec_id-keyed exchanges. At 100 TB the calibration pass would
+    run on a sample; the full-corpus min/max here keeps the oracle
+    exact."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dims = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("pos0", "vf"),
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    stats = dims.groupBy("pos").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    span = F.col("mx") - F.col("mn")
+    coded = dims.join(F.broadcast(stats), "pos").withColumn(
+        "code",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col("v") - F.col("mn")) * 255.0 / span),
+                ),
+            )
+        ).cast("long"),
+    )
+    recon = F.col("mn") + (F.col("code").cast("double") + 0.5) * span / 255.0
+    errs = coded.withColumn("err", F.pow(F.col("v") - recon, F.lit(2.0)))
+    return errs.groupBy("vec_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(
+                    F.array_sort(F.collect_list(F.struct("pos", "code"))), 1, 4
+                ),
+                lambda s: s.code,
+            ),
+        ).alias("codes_prefix"),
+        (dsum(F.col("err")) / F.lit(64.0)).alias("recon_mse"),
+    )
