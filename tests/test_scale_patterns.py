@@ -789,3 +789,61 @@ def test_aqe_skew_join_splits_hot_partition(spark):
         F.count("*").alias("c"), F.max("payload").alias("m")
     ).collect()[0]
     assert got == (exp["c"], exp["m"])
+
+
+def test_label_prop_broadcasts_label_vector(spark):
+    """label_prop_weighted: both unrolled rounds join the node-sized
+    label vector into the edge list as a broadcast (the pagerank gate),
+    and the argmax is an aggregate — no per-node window sort, no
+    cartesian."""
+    plan = _query_plan(spark, "label_prop_weighted")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_skyline_window_runs_on_levels(spark):
+    """skyline_pareto: the per-nation window must evaluate over the
+    aggregated balance-LEVEL table (post-groupBy), not raw customers —
+    that containment is the whole scale story. Pinned by checking the
+    Window's child aggregates on (c_nationkey, c_acctbal); the
+    level/nation joins ride broadcasts."""
+    plan = _query_plan(spark, "skyline_pareto")
+    assert "Window" in plan, plan
+    # the frontier filter joins levels+nation back via broadcast
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    window_pos = plan.index("Window")
+    # children print below their parent: the Window's input subtree must
+    # contain the level-building HashAggregate
+    assert "HashAggregate" in plan[window_pos:], plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bitmap_intersect_single_bucket_shuffle(spark):
+    """bitmap_intersect_exact: one pass over events, ONE hash exchange
+    (keyed by bitmap bucket) before the scalar combine — raw user ids
+    must never shuffle."""
+    plan = _query_plan(spark, "bitmap_intersect_exact")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange hashpartitioning(user_id" not in plan, plan
+
+
+def test_scalar_quantize_broadcasts_calibration(spark):
+    """embedding_scalar_quantize: the 64-row per-dimension calibration
+    table broadcasts into the encode join; corpus rows shuffle only on
+    vec_id for reassembly."""
+    plan = _query_plan(spark, "embedding_scalar_quantize")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dead_letter_split_stays_jvm_side(spark):
+    """dead_letter_split: the whole parse-or-route pipeline is codegen —
+    no Python evaluation node anywhere (the point of try_-family routing
+    vs a DoFn with try/except)."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+
+    df = REGISTRY["dead_letter_split"].fn(spark, SF_CORRECT)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan
