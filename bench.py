@@ -28,6 +28,20 @@ def main() -> None:
     names = [n for n, q in REGISTRY.items() if q.bench]
     # Warm-up: JVM/codegen/file-index warm, not cached data.
     REGISTRY[names[0]].fn(spark, sf_dir).count()
+    # Streaming machinery warm-up (state-store + micro-batch classes load
+    # lazily; ~3 s of one-time class-loading is startup, not throughput).
+    # A 1-row rate stream drained to a memory sink touches no fixture data.
+    import pyspark.sql.functions as _F
+
+    (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .withWatermark("timestamp", "0 seconds")
+        .groupBy(_F.window("timestamp", "1 second"))
+        .count()
+        .writeStream.format("memory").queryName("bench_warmup")
+        .outputMode("complete")
+        .trigger(availableNow=True).start().awaitTermination()
+    )
 
     timings: dict[str, float] = {}
     for name in names:
