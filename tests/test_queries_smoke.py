@@ -61,3 +61,28 @@ def test_cosine_topk_shape(spark):
         sims = [r.cosine for r in sorted(nbrs, key=lambda r: r.rnk)]
         assert sims == sorted(sims, reverse=True)
         assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_events_load_pins_utc_session(spark):
+    """ADVICE r4: the external driver supplies its own SparkSession with
+    an arbitrary session timezone; load_table('events') must pin UTC
+    before the NTZ re-tag or every instant shifts vs the naive-ts
+    oracle. Simulate the foreign session by flipping the tz first."""
+    import datetime as dt
+
+    import duckdb
+
+    from beam_pyspark_runner_spark.sources.readers import load_table
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = load_table(spark, SF_SMOKE, "events")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        got = df.agg({"ts": "min"}).collect()[0][0]
+        want = duckdb.sql(
+            f"SELECT min(ts) FROM read_parquet('{SF_SMOKE}/events.parquet')"
+        ).fetchone()[0]
+        assert got.replace(tzinfo=None) == want.replace(tzinfo=None), (got, want)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
