@@ -62,6 +62,9 @@ def get_spark(
         # Arrow for every Python<->JVM crossing (pandas UDFs, toPandas).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Python UDTFs too: ArrowEvalPythonUDTF replaces row-pickled
+        # BatchEvalPythonUDTF — the last row-at-a-time Python crossing.
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         # Parquet scans: pushdown + pruning are on by default; keep
         # vectorized reader explicit since operators rely on it.
         .config("spark.sql.parquet.filterPushdown", "true")

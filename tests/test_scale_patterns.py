@@ -847,3 +847,26 @@ def test_dead_letter_split_stays_jvm_side(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan, plan
+
+
+def test_no_row_python_anywhere_in_registry(spark):
+    """Registry-wide anti-pattern audit, pinned: NO query plan may
+    contain a row-at-a-time Python node (BatchEvalPython*). Arrow-
+    batched crossings (ArrowEvalPython, MapInPandas/Arrow, FlatMap*
+    InPandas) are the only sanctioned Python surfaces. With the
+    session-level Arrow-UDTF flag even the UDTF queries comply; a new
+    query sneaking in F.udf or a non-Arrow UDTF fails here by name."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+
+    offenders = {}
+    for name, q in sorted(REGISTRY.items()):
+        if "streaming" in q.tags:
+            continue  # streaming plans form at query start; covered by
+            # the oracle gate + their own semantics tests
+        df = q.fn(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan:
+            offenders[name] = [
+                l.strip()[:80] for l in plan.splitlines() if "BatchEvalPython" in l
+            ][:1]
+    assert not offenders, offenders
