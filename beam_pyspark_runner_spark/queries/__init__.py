@@ -37,6 +37,14 @@ from beam_pyspark_runner_spark.queries import recursive  # noqa: E402,F401
 # After this round every registered query except cosine_topk_vectorized
 # (rows-only by design, stays out per protocol) and any net-new round-5
 # queries (slotted into the next rotation) has first-hand driver signal.
+# ROUND-6 ROTATION QUEUE (net-new this round, all locally oracle-MATCH
+# at sf0.01 AND sf0.1): label_prop_weighted, skyline_pareto,
+# group_median_mad, inverted_index_postings, source_gini_diversity,
+# bitmap_intersect_exact, stream_windowed_topk, first_touch_attribution,
+# dead_letter_split, embedding_scalar_quantize, ntile_quartile_stats,
+# sql_pipe_syntax, token_lift_pairs, quantile_normalize — plus the
+# prior-session round-5 additions not in the current window (see git
+# log b155159..740484d).
 # Everything not listed keeps registration order after it;
 # tests/test_oracle_harness.py pins the invariants.
 DRIVER_WINDOW: tuple[str, ...] = (

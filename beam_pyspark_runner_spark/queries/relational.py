@@ -1355,3 +1355,52 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT o_orderpriority, n_orders, total_price
         """
     )
+
+
+@register(
+    "quantile_normalize",
+    oracle="""
+    WITH r AS (
+        SELECT event_id, event_type, value,
+               PERCENT_RANK() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+               ) AS qnorm
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(qnorm * value AS DECIMAL(38,10))), 2) AS DOUBLE)
+               AS weighted_sum,
+           CAST(MAX(CASE WHEN qnorm >= 0.99 THEN value END) AS DOUBLE)
+               AS p99_plus_max
+    FROM r GROUP BY event_type
+    """,
+    tags=("relational", "window", "quantile_normalization", "feature_prep"),
+)
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (rank) normalization of a heavy-tailed feature: each
+    value maps to its within-group PERCENT_RANK — the distribution-free
+    transform feature pipelines apply before models that assume
+    uniform marginals. percent_rank = (rank-1)/(n-1) is a ratio of
+    integers, so the normalized feature is engine-deterministic (tie
+    order pinned by event_id); the aggregate projection (decimal-exact
+    weighted sum + a tail max) keeps the output hashable while proving
+    the per-row transform.
+
+    Scale: one hash partition by event_type + in-partition sort — the
+    same shape as any ranked window; for groups too large for one
+    task's sort, the two-phase global_rank_bucketed decomposition
+    applies unchanged."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    r = e.select(
+        "event_type", "value",
+        F.percent_rank().over(w).alias("qnorm"),
+    )
+    return r.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("qnorm") * F.col("value")).cast("decimal(38,10)"))
+        .cast("decimal(38,2)").cast("double").alias("weighted_sum"),
+        F.max(F.when(F.col("qnorm") >= 0.99, F.col("value")))
+        .cast("double").alias("p99_plus_max"),
+    )

@@ -1272,3 +1272,84 @@ def source_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").cast("long").alias("n_docs"),
         ((tt - F.col("sq")).cast("double") / tt.cast("double")).alias("lang_gini"),
     )
+
+
+@register(
+    "token_lift_pairs",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS token,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    uni AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS total FROM tok),
+    big AS (
+        SELECT a.token AS w1, b.token AS w2, COUNT(*) AS c12
+        FROM tok a JOIN tok b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2
+    )
+    SELECT w1, w2, c12,
+           CAST(n.total AS DOUBLE) * CAST(c12 AS DOUBLE)
+               / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift
+    FROM big
+    JOIN uni u1 ON u1.token = w1
+    JOIN uni u2 ON u2.token = w2
+    CROSS JOIN n
+    WHERE c12 >= 5
+    """,
+    tags=("text", "collocation", "lift", "pmi_family"),
+)
+def token_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: lift = P(w1,w2)/(P(w1)P(w2)) for adjacent
+    token pairs with support ≥ 5 — PMI's argument without the log, so
+    the score is pure rational arithmetic (counts and one multiply/
+    divide chain) and value-hashes exactly where log-PMI would drift by
+    ulps (the tfidf/bigram_lm rationale; rank order is identical since
+    log is monotone).
+
+    Plan: ONE corpus tokenize feeding both the unigram agg and the
+    adjacent-pair agg (pairs via in-document shift inside a HOF — no
+    positional self-join on the Spark side), then two broadcast joins of
+    the vocab-sized unigram table and the 1-row total into the
+    vocab²-bounded pair table. The corpus is scanned once; everything
+    past the two partial aggs is dimension-sized."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(F.split("text", " ").alias("ts"))
+    uni = (
+        toks.select(F.explode("ts").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    total = toks.select(
+        F.sum(F.size("ts")).cast("long").alias("total")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(ts, 1, size(ts) - 1), "
+                "(x, i) -> struct(x AS w1, ts[i + 1] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= 5)
+    )
+    u1 = uni.select(F.col("token").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("c").alias("c2"))
+    return (
+        big.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1", "w2", "c12",
+            (
+                F.col("total").cast("double") * F.col("c12").cast("double")
+                / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+            ).alias("lift"),
+        )
+    )
