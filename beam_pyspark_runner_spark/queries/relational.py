@@ -1404,3 +1404,137 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("qnorm") >= 0.99, F.col("value")))
         .cast("double").alias("p99_plus_max"),
     )
+
+
+@register(
+    "dq_contract_check",
+    oracle="""
+    WITH o AS (
+        SELECT COUNT(*) FILTER (WHERE o_totalprice <= 0) AS nonpositive_price,
+               COUNT(*) - COUNT(DISTINCT o_orderkey) AS duplicate_orderkeys
+        FROM orders
+    ),
+    orph AS (
+        SELECT COUNT(*) AS orphan_custkeys
+        FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    ),
+    l AS (
+        SELECT COUNT(*) FILTER (WHERE l_discount > 0.08) AS discount_over_max,
+               COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+                   AS quantity_out_of_range,
+               COUNT(*) FILTER (WHERE l_shipdate > TIMESTAMP '2000-06-30')
+                   AS shipped_after_cutoff
+        FROM lineitem
+    )
+    SELECT rule, n_violations, n_violations = 0 AS passed FROM (
+        SELECT 'orders.nonpositive_price' AS rule,
+               nonpositive_price AS n_violations FROM o
+        UNION ALL SELECT 'orders.duplicate_orderkeys', duplicate_orderkeys FROM o
+        UNION ALL SELECT 'orders.orphan_custkeys', orphan_custkeys FROM orph
+        UNION ALL SELECT 'lineitem.discount_over_max', discount_over_max FROM l
+        UNION ALL SELECT 'lineitem.quantity_out_of_range', quantity_out_of_range FROM l
+        UNION ALL SELECT 'lineitem.shipped_after_cutoff', shipped_after_cutoff FROM l
+    )
+    """,
+    tags=("relational", "data_quality", "contract", "referential_integrity"),
+)
+def dq_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality contract evaluation — the validation gate a 100 TB
+    ingest runs before promoting a partition: null/range rules,
+    key-uniqueness, and referential integrity, each reported as
+    (rule, violation count, passed). The fixture genuinely violates the
+    discount/shipdate rules and satisfies the rest, so both outcomes are
+    exercised.
+
+    Scale shape: ALL rules for a table fold into ONE conditional
+    aggregate over ONE scan (no per-rule passes — six rules cost two
+    table scans plus the orphan check), then a stack()/unpivot to rule
+    rows. The referential check left-anti-joins against the customer
+    key column only — broadcast when the dimension fits (as here), the
+    standard shuffle otherwise; never a NOT IN subquery rewrite that
+    degrades to a nested loop."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    o_agg = o.agg(
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("nonpositive_price"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("duplicate_orderkeys"),
+    )
+    orphans = (
+        o.select("o_custkey")
+        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count("*").alias("orphan_custkeys"))
+    )
+    l_agg = li.agg(
+        F.count(F.when(F.col("l_discount") > 0.08, 1)).alias("discount_over_max"),
+        F.count(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+        ).alias("quantity_out_of_range"),
+        F.count(
+            F.when(F.col("l_shipdate") > F.lit("2000-06-30").cast("timestamp"), 1)
+        ).alias("shipped_after_cutoff"),
+    )
+    wide = o_agg.crossJoin(F.broadcast(orphans)).crossJoin(F.broadcast(l_agg))
+    rules = wide.select(
+        F.expr(
+            "stack(6, "
+            "'orders.nonpositive_price', nonpositive_price, "
+            "'orders.duplicate_orderkeys', duplicate_orderkeys, "
+            "'orders.orphan_custkeys', orphan_custkeys, "
+            "'lineitem.discount_over_max', discount_over_max, "
+            "'lineitem.quantity_out_of_range', quantity_out_of_range, "
+            "'lineitem.shipped_after_cutoff', shipped_after_cutoff) "
+            "AS (rule, n_violations)"
+        )
+    )
+    return rules.select(
+        "rule", "n_violations", (F.col("n_violations") == 0).alias("passed")
+    )
+
+
+@register(
+    "incremental_agg_merge",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("relational", "incremental", "mergeable_state", "materialized_view"),
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the running per-group state
+    (count + exact-decimal sum) built from history is MERGED with the
+    state of one new partition — no rescan of history. The oracle is
+    the full-table aggregate, so the MATCH is the proof that
+    merge(state(old), state(new)) == recompute(old ∪ new), which is
+    exactly the property that lets a 100 TB materialized aggregate
+    absorb a daily partition by reading only that partition.
+
+    Both legs push their ts predicate into the parquet scan; the merge
+    itself is a union of two group-cardinality state tables and one
+    tiny final combine — the same mergeable-state discipline as the
+    sketches family (constant-size state per group, associative
+    merge)."""
+    cutoff = F.lit("2024-01-24").cast("timestamp")
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+
+    def _state(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,10)")).alias("sum_state"),
+        )
+
+    base_state = _state(e.filter(F.col("ts") < cutoff))     # "yesterday's" MV
+    delta_state = _state(e.filter(F.col("ts") >= cutoff))   # today's partition
+    return (
+        base_state.unionByName(delta_state)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_state").cast("decimal(38,2)").cast("double")
+            .alias("total_value"),
+        )
+    )

@@ -870,3 +870,23 @@ def test_no_row_python_anywhere_in_registry(spark):
                 l.strip()[:80] for l in plan.splitlines() if "BatchEvalPython" in l
             ][:1]
     assert not offenders, offenders
+
+
+def test_incremental_merge_delta_scan_is_pruned(spark):
+    """incremental_agg_merge: both state legs must push their ts
+    predicate into the parquet scan (at 100 TB the 'read only the new
+    partition' leg is the entire value proposition)."""
+    plan = _query_plan(spark, "incremental_agg_merge")
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("GreaterThanOrEqual(ts" in p for p in pushed), pushed
+    assert any("LessThan(ts" in p for p in pushed), pushed
+
+
+def test_dq_contract_two_fact_scans_only(spark):
+    """dq_contract_check folds all per-table rules into one conditional
+    aggregate per scan: orders contributes the agg scan + the orphan
+    check's key-only scan, lineitem exactly one — a per-rule-per-pass
+    design would show one scan per rule."""
+    plan = _query_plan(spark, "dq_contract_check")
+    assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
+    assert plan.count("orders.parquet") == 2, plan.count("orders.parquet")
