@@ -892,3 +892,79 @@ def dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("event_id").alias("first_event_id"),
         )
     )
+
+
+@register(
+    "cuped_variance_reduction",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(COALESCE(SUM(CAST(value AS DECIMAL(38,10)))
+                     FILTER (WHERE ts < TIMESTAMP '2024-01-15'), 0) AS DOUBLE) AS x,
+               CAST(COALESCE(SUM(CAST(value AS DECIMAL(38,10)))
+                     FILTER (WHERE ts >= TIMESTAMP '2024-01-15'), 0) AS DOUBLE) AS y
+        FROM events GROUP BY user_id
+    ),
+    p AS (
+        SELECT COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(x AS DECIMAL(38,10))), 2) AS DOUBLE) AS sx,
+               CAST(ROUND(SUM(CAST(y AS DECIMAL(38,10))), 2) AS DOUBLE) AS sy,
+               CAST(ROUND(SUM(CAST(x * x AS DECIMAL(38,10))), 2) AS DOUBLE) AS sxx,
+               CAST(ROUND(SUM(CAST(y * y AS DECIMAL(38,10))), 2) AS DOUBLE) AS syy,
+               CAST(ROUND(SUM(CAST(x * y AS DECIMAL(38,10))), 2) AS DOUBLE) AS sxy
+        FROM per_user
+    )
+    SELECT n,
+           (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+           (syy - sy * sy / n) / n AS var_y,
+           ((syy - sy * sy / n) - POW(sxy - sx * sy / n, 2) / (sxx - sx * sx / n)) / n
+               AS var_y_adj
+    FROM p
+    """,
+    tags=("events", "experimentation", "cuped", "variance_reduction"),
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al., WSDM'13): reduce an experiment metric's
+    variance with a pre-period covariate — y′ = y − θ(x − x̄),
+    θ = cov(x,y)/var(x) — the standard trick that cuts A/B test
+    durations. Per-user pre/post sums come from ONE conditional
+    aggregate pass (exact decimal, both period filters in one scan);
+    θ and the adjusted variance come from the five global power sums —
+    a second, 1-row aggregate. Nothing iterates, nothing joins: the
+    entire estimator is two partial-agg shuffles regardless of scale.
+
+    var(y′) = var(y) − cov²/var(x) in population form; every sum is
+    decimal-exact before the final double arithmetic, so the statistics
+    hash identically (the price_quantity_corr rationale)."""
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    dec = "decimal(38,10)"
+    per_user = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < cutoff, F.col("value")).cast(dec)),
+            F.lit(0).cast(dec),
+        ).cast("double").alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") >= cutoff, F.col("value")).cast(dec)),
+            F.lit(0).cast(dec),
+        ).cast("double").alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    p = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast(dec)).cast("decimal(38,2)").cast("double").alias("sx"),
+        F.sum(y.cast(dec)).cast("decimal(38,2)").cast("double").alias("sy"),
+        F.sum((x * x).cast(dec)).cast("decimal(38,2)").cast("double").alias("sxx"),
+        F.sum((y * y).cast(dec)).cast("decimal(38,2)").cast("double").alias("syy"),
+        F.sum((x * y).cast(dec)).cast("decimal(38,2)").cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / n
+    return p.select(
+        "n",
+        (cov / varx).alias("theta"),
+        (vary / n).alias("var_y"),
+        ((vary - F.pow(cov, F.lit(2.0)) / varx) / n).alias("var_y_adj"),
+    )

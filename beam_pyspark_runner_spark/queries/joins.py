@@ -547,3 +547,64 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+@register(
+    "pandas_cogroup_reconcile",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey,
+           COUNT(l.l_orderkey) AS n_lines,
+           CAST(COALESCE(SUM(l.l_quantity), 0) AS DOUBLE) AS total_qty
+    FROM orders o
+    LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 10 = 3
+    GROUP BY 1
+    """,
+    tags=("cogroup", "pandas_cogroup", "applyInPandas", "reconciliation"),
+)
+def pandas_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CoGrouped-Pandas API surface — ``dfA.groupBy(k).cogroup(
+    dfB.groupBy(k)).applyInPandas(fn)``: both sides of a key arrive in
+    ONE Python function as two aligned pandas frames, the Beam
+    CoGroupByKey-then-DoFn composition (cogroup_counts is its
+    declarative twin) for reconciliation logic that genuinely wants
+    imperative access to both groups at once. Kernel math is
+    order-independent (count + sum of integral doubles < 2^53) so the
+    Arrow crossing stays deterministic; the 10% orderkey filter is
+    pushed to BOTH scans before the cogroup shuffle.
+
+    Scale: one co-partitioned shuffle on the key (same as a join), then
+    Arrow-batched group pairs; per-group memory is the group size —
+    the same bound Beam's CoGroupByKey imposes, but Arrow-columnar
+    instead of pickled iterables."""
+    import pandas as pd
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 3)
+        .select("o_orderkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 3)
+        .select("l_orderkey", "l_quantity")
+    )
+
+    def reconcile(key: tuple, o_pdf: pd.DataFrame, l_pdf: pd.DataFrame) -> pd.DataFrame:
+        if o_pdf.empty:  # line items whose order is absent: not our rows
+            return pd.DataFrame({"orderkey": [], "n_lines": [], "total_qty": []})
+        return pd.DataFrame(
+            {
+                "orderkey": [key[0]],
+                "n_lines": [len(l_pdf)],
+                "total_qty": [float(l_pdf["l_quantity"].sum()) if len(l_pdf) else 0.0],
+            }
+        )
+
+    return (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile, "orderkey bigint, n_lines bigint, total_qty double"
+        )
+    )
