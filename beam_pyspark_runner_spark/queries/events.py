@@ -968,3 +968,103 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         (vary / n).alias("var_y"),
         ((vary - F.pow(cov, F.lit(2.0)) / varx) / n).alias("var_y_adj"),
     )
+
+
+@register(
+    "golden_record_survivorship",
+    oracle="""
+    WITH latest AS (
+        SELECT user_id, event_type, props, ts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ),
+    agg AS (
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               MIN(ts) AS first_seen,
+               CAST(MAX(value) AS DOUBLE) AS max_value
+        FROM events GROUP BY user_id
+    )
+    SELECT a.user_id, a.n_events, a.first_seen, a.max_value,
+           l.event_type AS last_event_type,
+           TRY_CAST(json_extract_string(l.props, '$.k') AS BIGINT) AS last_k
+    FROM agg a JOIN latest l ON l.user_id = a.user_id AND l.rn = 1
+    """,
+    tags=("events", "survivorship", "golden_record", "max_by", "mdm"),
+)
+def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Master-data-management survivorship: collapse each user's event
+    history into one golden record by per-attribute rules — earliest
+    sighting, historical max, and latest-wins attributes. The
+    latest-wins rule is ``max_by(attr, struct(ts, event_id))`` — an
+    ORDERED-ARGMAX AGGREGATE, not a window: one shuffle, map-side
+    partial argmax state of one row per key, no per-user sort. (The
+    oracle emulates the struct tie-break with a ROW_NUMBER window —
+    DuckDB's arg_max can't take a composite key — which is exactly the
+    plan shape this formulation avoids at scale.) Tie order is total
+    (event_id unique), so the golden record is deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    ordkey = F.struct("ts", "event_id")
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("first_seen"),
+        F.max("value").cast("double").alias("max_value"),
+        F.max_by("event_type", ordkey).alias("last_event_type"),
+        F.try_to_number(
+            F.get_json_object(F.max_by("props", ordkey), "$.k"),
+            F.lit("999999999"),
+        ).cast("long").alias("last_k"),
+    )
+
+
+@register(
+    "entry_path_analysis",
+    oracle="""
+    WITH paths AS (
+        SELECT user_id,
+               array_to_string(
+                   list(event_type ORDER BY ts, event_id)[1:3], '>'
+               ) AS entry_path
+        FROM events GROUP BY user_id
+    )
+    SELECT entry_path, COUNT(*) AS n_users
+    FROM paths GROUP BY entry_path
+    HAVING COUNT(*) >= 2
+    """,
+    tags=("events", "path_analysis", "ordered_collect", "product_analytics"),
+)
+def entry_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-path analysis: each user's first three event types joined
+    into a path signature, then path frequencies — the onboarding-
+    funnel question every product-analytics engine answers. The ordered
+    collect is ``array_sort(collect_list(struct(ts, event_id, type)))``
+    sliced to 3 in the aggregate projection. Honest scale caveat:
+    collect_list's partial state holds the full per-user history, so a
+    pathological user bounds executor memory — at 100 TB pre-filter to
+    each user's first-k events with a windowed row_number (or a
+    min-k-by-key aggregate) before the collect; the fixture's bounded
+    per-user cardinality doesn't need the extra pass. Order is total
+    (event_id unique) → deterministic paths."""
+    e = load_table(spark, sf_dir, "events")
+    paths = e.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    1,
+                    3,
+                ),
+                lambda s: s.event_type,
+            ),
+        ).alias("entry_path")
+    )
+    return (
+        paths.groupBy("entry_path")
+        .agg(F.count("*").alias("n_users"))
+        .filter(F.col("n_users") >= 2)
+    )
