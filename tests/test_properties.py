@@ -211,3 +211,93 @@ def test_recursive_hierarchy_depth_law(spark, n):
     ).collect()
     got = {r["node"]: r["d"] for r in rows}
     assert got == {k: int(math.log2(k)) for k in range(1, n + 1)}
+
+
+def test_skyline_is_exactly_the_nondominated_set(spark):
+    """Skyline law (checked against brute force on the fixture): the
+    result must contain a (nation, customer) point iff no other point
+    in the nation strictly beats it on BOTH acctbal and spend."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+    from beam_pyspark_runner_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_nationkey", "c_custkey", "c_acctbal"
+    )
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    spent = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_nationkey", "c_custkey", "c_acctbal")
+        .agg(F.sum("o_totalprice").alias("total_spent"))
+        .collect()
+    )
+    by_nation = defaultdict(list)
+    for r in spent:
+        by_nation[r.c_nationkey].append((float(r.c_acctbal), float(r.total_spent), r.c_custkey))
+    expected = set()
+    for nk, pts in by_nation.items():
+        for a, s, ck in pts:
+            dominated = any(
+                (a2 > a and s2 > s) for a2, s2, _ in pts
+            )
+            if not dominated:
+                expected.add((nk, ck))
+    got = {
+        (r.custkey)
+        for r in REGISTRY["skyline_pareto"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == {ck for _, ck in expected}
+
+
+def test_scalar_quantize_error_bound(spark):
+    """SQ law: with floor-encoding to 256 levels and midpoint decode,
+    per-dimension |error| <= step (step = span/255), so per-vector MSE
+    <= max_step^2 — an a-priori bound the kernel must satisfy."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+    from beam_pyspark_runner_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = REGISTRY["embedding_scalar_quantize"].fn(spark, SF_SMOKE).collect()
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        F.posexplode("embedding").alias("pos", "v")
+    )
+    spans = (
+        emb.groupBy("pos")
+        .agg((F.max("v") - F.min("v")).alias("span"))
+        .agg(F.max("span"))
+        .collect()[0][0]
+    )
+    max_step = float(spans) / 255.0
+    for r in rows:
+        assert 0.0 <= r.recon_mse <= max_step * max_step, r
+        codes = [int(c) for c in r.codes_prefix.split(",")]
+        assert all(0 <= c <= 255 for c in codes), r
+
+
+def test_cuped_never_increases_variance(spark):
+    """CUPED law: var(y') = var(y) - cov^2/var(x) <= var(y) for any
+    data (cov^2/var(x) >= 0)."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    r = REGISTRY["cuped_variance_reduction"].fn(spark, SF_SMOKE).collect()[0]
+    assert r.var_y_adj <= r.var_y + 1e-12, r
+    assert r.var_y_adj >= 0.0, r
+
+
+def test_bitmap_intersect_matches_python_sets(spark):
+    """Inclusion–exclusion law vs plain Python set arithmetic."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+    from beam_pyspark_runner_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "events").select("event_type", "user_id").collect()
+    a = {r.user_id for r in e if r.event_type == "click"}
+    b = {r.user_id for r in e if r.event_type == "purchase"}
+    got = REGISTRY["bitmap_intersect_exact"].fn(spark, SF_SMOKE).collect()[0]
+    assert got.n_click == len(a)
+    assert got.n_purchase == len(b)
+    assert got.n_both == len(a & b)
+    assert got.n_either == len(a | b)
