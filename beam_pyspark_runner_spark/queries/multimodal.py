@@ -395,3 +395,66 @@ def frame_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "modality_router",
+    oracle="""
+    WITH payloads AS (
+        SELECT doc_id,
+               CASE doc_id % 3
+                   WHEN 0 THEN unhex('89504E47') || encode(text)
+                   WHEN 1 THEN unhex('FFD8FFE0') || encode(text)
+                   ELSE unhex('52494646') || encode(text)
+               END AS payload
+        FROM documents
+    ),
+    routed AS (
+        SELECT doc_id, payload,
+               CASE substr(hex(payload), 1, 8)
+                   WHEN '89504E47' THEN 'image/png'
+                   WHEN 'FFD8FFE0' THEN 'image/jpeg'
+                   WHEN '52494646' THEN 'audio/riff'
+                   ELSE 'unknown'
+               END AS modality
+        FROM payloads
+    )
+    SELECT modality,
+           COUNT(*) AS n_payloads,
+           CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+           MIN(doc_id) AS first_doc
+    FROM routed GROUP BY modality
+    """,
+    tags=("multimodal", "binary", "router", "magic_bytes", "ingestion"),
+)
+def modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-side modality routing: sniff each opaque binary
+    payload's MAGIC BYTES (PNG/JPEG/RIFF signatures) and route to the
+    per-modality pipeline — the demux step in front of every mixed-
+    media corpus, and the binary counterpart of dead_letter_split's
+    router. Entirely JVM-side: substring() on BinaryType + hex() + CASE
+    run in whole-stage codegen, so 100 TB of blobs are sniffed without
+    one byte crossing into Python (decode kernels downstream are where
+    mapInPandas takes over — cf. image_decode_stub). Payload synthesis
+    prepends real magic numbers to the fixture text deterministically by
+    doc_id, so every route is exercised; only the 4-byte prefix is ever
+    inspected."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    body = F.encode(F.col("text"), "UTF-8")
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.unhex(F.lit("89504E47")), body))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.unhex(F.lit("FFD8FFE0")), body))
+        .otherwise(F.concat(F.unhex(F.lit("52494646")), body))
+    )
+    routed = d.select("doc_id", payload.alias("payload"))
+    modality = (
+        F.when(F.hex(F.expr("substring(payload, 1, 4)")) == "89504E47", "image/png")
+        .when(F.hex(F.expr("substring(payload, 1, 4)")) == "FFD8FFE0", "image/jpeg")
+        .when(F.hex(F.expr("substring(payload, 1, 4)")) == "52494646", "audio/riff")
+        .otherwise("unknown")
+    )
+    return routed.groupBy(modality.alias("modality")).agg(
+        F.count("*").alias("n_payloads"),
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+        F.min("doc_id").alias("first_doc"),
+    )
