@@ -1068,3 +1068,133 @@ def entry_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .filter(F.col("n_users") >= 2)
     )
+
+
+@register(
+    "wow_growth",
+    oracle="""
+    WITH weekly AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '7 days', ts, TIMESTAMP '2024-01-01')
+                   AS week_start,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week_start, n_events,
+           LAG(n_events) OVER (
+               PARTITION BY event_type ORDER BY week_start
+           ) AS prev_week,
+           CAST(n_events AS DOUBLE)
+               / LAG(n_events) OVER (PARTITION BY event_type ORDER BY week_start)
+               - 1.0 AS wow_pct
+    FROM weekly
+    """,
+    tags=("events", "trend", "wow_growth", "lag"),
+)
+def wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type: tumbling 7-day counts, then
+    LAG for the previous week and a ratio — the default trend metric of
+    any analytics dashboard. The growth rate is one division of two
+    BIGINTs (no libm), so it hashes exactly; the first week's rate is
+    NULL by construction. The window runs over the week×type aggregate
+    (constant-size), never raw events — at 100 TB the only full-data
+    work is the one windowed-count shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    weekly = (
+        e.groupBy(
+            "event_type",
+            # epoch (a Thursday) + 4 days aligns the 7-day buckets to
+            # Monday 2024-01-01, matching the oracle's time_bucket origin
+            F.window("ts", "7 days", startTime="4 days").alias("w"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select("event_type", F.col("w.start").alias("week_start"), "n_events")
+    )
+    win = W.partitionBy("event_type").orderBy("week_start")
+    prev = F.lag("n_events").over(win)
+    return weekly.select(
+        "event_type", "week_start", "n_events",
+        prev.alias("prev_week"),
+        (F.col("n_events").cast("double") / prev - 1.0).alias("wow_pct"),
+    )
+
+
+@register(
+    "id_gap_islands",
+    oracle="""
+    WITH c AS (
+        SELECT event_id,
+               event_id - ROW_NUMBER() OVER (ORDER BY event_id) AS grp
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT MIN(event_id) AS island_start,
+           MAX(event_id) AS island_end,
+           COUNT(*) AS island_len
+    FROM c GROUP BY grp
+    HAVING COUNT(*) >= 3
+    """,
+    tags=("events", "gaps_islands", "sequence_integrity", "window"),
+)
+def id_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: contiguous event_id runs within the 'click'
+    subset (id − ROW_NUMBER is constant inside a run — the classic
+    Tabibitosan trick), reporting islands of length ≥ 3. The sequence-
+    integrity check a pipeline runs to find dropped id ranges after an
+    ingest. Scale caveat stated plainly: the global ORDER BY row_number
+    funnels through one task — for 100 TB apply global_rank_bucketed's
+    two-phase rank first and reuse this grouping unchanged; the fixture
+    subset doesn't need the rescue."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("event_id")
+    )
+    c = e.select(
+        "event_id",
+        (F.col("event_id") - F.row_number().over(W.orderBy("event_id"))).alias("grp"),
+    )
+    return (
+        c.groupBy("grp")
+        .agg(
+            F.min("event_id").alias("island_start"),
+            F.max("event_id").alias("island_end"),
+            F.count("*").alias("island_len"),
+        )
+        .filter(F.col("island_len") >= 3)
+        .drop("grp")
+    )
+
+
+@register(
+    "user_feature_matrix",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS f_events,
+           COUNT(DISTINCT event_type) AS f_type_diversity,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS f_active_days,
+           {dsum_sql('value')} AS f_total_value,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+               / COUNT(*) AS f_purchase_rate
+    FROM events GROUP BY user_id
+    """,
+    tags=("events", "feature_engineering", "ml_features"),
+)
+def user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ML feature assembly — the feature-store materialization
+    step: activity counts, type diversity, active days, decimal-exact
+    monetary total, and a behavior ratio, all from ONE conditional
+    aggregate over one scan (five features cost the same shuffle as
+    one). Distinct-counts are exact here; at extreme cardinality swap
+    the HLL/bitmap sketches in the same agg slot. The ratio is a
+    count/count division → hashes exactly."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("f_events"),
+        F.countDistinct("event_type").alias("f_type_diversity"),
+        F.countDistinct(F.col("ts").cast("date")).alias("f_active_days"),
+        dsum("value").alias("f_total_value"),
+        (
+            F.count(F.when(F.col("event_type") == "purchase", 1)).cast("double")
+            / F.count("*")
+        ).alias("f_purchase_rate"),
+    )
