@@ -883,3 +883,87 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@register(
+    "stream_dead_letter_route",
+    oracle="""
+    WITH raw AS (
+        SELECT event_id, value,
+               CASE WHEN event_id % 97 = 0 THEN '{"k": "oops"' ELSE props END
+                   AS props
+        FROM events
+    ),
+    parsed AS (
+        SELECT event_id, value,
+               CASE WHEN json_valid(props)
+                    THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+               END AS k
+        FROM raw
+    )
+    SELECT CASE WHEN k IS NULL THEN 'dead_letter' ELSE 'ok' END AS route,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 2) AS DOUBLE)
+               AS total_value
+    FROM parsed
+    GROUP BY 1
+    """,
+    tags=("streaming", "dead_letter", "multi_output", "foreachBatch"),
+)
+def stream_dead_letter_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING dead-letter routing — Beam's multi-output ParDo in
+    Structured Streaming form: each micro-batch splits into ok /
+    dead-letter routes inside foreachBatch and lands as ONE
+    route-partitioned parquet write (partitionBy('route'), so the DLQ
+    is its own prunable directory — a consumer replays failures without
+    touching the good rows). The parse is the same declarative
+    try_-family routing as the batch twin (dead_letter_split): per-
+    record failures become NULLs in codegen, never exceptions.
+
+    Per-batch work is one write; the checkpoint gives at-least-once,
+    batch_id-tagged files give downstream idempotence (the
+    stream_foreach_batch_sink contract). Re-read totals must equal the
+    batch oracle — nothing lost or duplicated across routes."""
+    import uuid
+
+    out = _scratch_dir("bprs_dlq", sf_dir, uuid.uuid4().hex[:8])
+    ckpt = out + "_ckpt"
+
+    def route_sink(batch_df: DataFrame, batch_id: int) -> None:
+        corrupted = batch_df.withColumn(
+            "props",
+            F.when(F.col("event_id") % 97 == 0, F.lit('{"k": "oops"'))
+            .otherwise(F.col("props")),
+        )
+        parsed = corrupted.withColumn(
+            "k",
+            F.try_to_number(
+                F.get_json_object("props", "$.k"), F.lit("999999999")
+            ).cast("long"),
+        )
+        routed = parsed.withColumn(
+            "route",
+            F.when(F.col("k").isNull(), F.lit("dead_letter")).otherwise(F.lit("ok")),
+        ).withColumn("batch_id", F.lit(batch_id))
+        routed.select("event_id", "value", "route", "batch_id").write.mode(
+            "append"
+        ).partitionBy("route").parquet(out)
+
+    e = _events_stream(spark, sf_dir)
+    query = (
+        e.writeStream.foreachBatch(route_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(300):
+            raise TimeoutError("dead-letter stream did not finish in 300s")
+    finally:
+        if query.isActive:
+            query.stop()
+    back = spark.read.parquet(out)
+    return back.groupBy("route").agg(
+        F.count("*").alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
