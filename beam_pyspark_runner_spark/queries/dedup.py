@@ -705,3 +705,63 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "incremental_dedup_delta",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    ),
+    base AS (SELECT * FROM fp WHERE doc_id % 5 <> 0),
+    delta AS (SELECT * FROM fp WHERE doc_id % 5 = 0),
+    fresh AS (
+        SELECT d.doc_id, d.fingerprint FROM delta d
+        WHERE NOT EXISTS (
+            SELECT 1 FROM base b WHERE b.fingerprint = d.fingerprint
+        )
+    ),
+    kept AS (
+        SELECT fingerprint, MIN(doc_id) AS keep_doc, COUNT(*) AS n_in_delta
+        FROM fresh GROUP BY fingerprint
+    )
+    SELECT CAST((SELECT COUNT(*) FROM delta) AS BIGINT) AS delta_docs,
+           CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS admitted,
+           CAST((SELECT COUNT(*) FROM delta) - (SELECT COUNT(*) FROM kept)
+               AS BIGINT) AS rejected
+    """,
+    tags=("dedup", "incremental", "anti_join", "delta_ingest"),
+)
+def incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact dedup — the daily-ingest form of dedup_exact:
+    only the new partition's fingerprints are checked against the
+    historical fingerprint INDEX (hash-only, never text), via left-anti
+    join + first-wins collapse within the delta itself. This is the op
+    that keeps 100 TB corpora dedup'd without re-scanning history:
+    the base side reads a fingerprint column, the delta side is one
+    day's data, and the anti join shuffles 16-byte hashes keyed by
+    fingerprint (or broadcasts, when the delta index fits). doc_id%5
+    stands in for the partition split; the oracle replays base∪delta
+    semantics exactly."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = d.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))).alias(
+            "fingerprint"
+        ),
+    )
+    base = fp.filter(F.col("doc_id") % 5 != 0).select("fingerprint")
+    delta = fp.filter(F.col("doc_id") % 5 == 0)
+    fresh = delta.join(base, "fingerprint", "left_anti")
+    kept = fresh.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_doc"))
+    return (
+        delta.agg(F.count("*").alias("delta_docs"))
+        .crossJoin(F.broadcast(kept.agg(F.count("*").alias("admitted"))))
+        .select(
+            "delta_docs",
+            "admitted",
+            (F.col("delta_docs") - F.col("admitted")).alias("rejected"),
+        )
+    )
