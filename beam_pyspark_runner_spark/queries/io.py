@@ -521,3 +521,63 @@ def python_stream_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"), dsum("v").alias("total_v")
     )
     return run_stream_to_df(agg, output_mode="complete")
+
+
+@register(
+    "python_datasource_sink",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+    tags=("io", "connector", "python_datasource", "sink", "two_phase_commit"),
+)
+def python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE side of the Spark 4 Python DataSource API (the round-4
+    scan's twin): a custom sink whose executors stage uniquely-named
+    JSONL shards and whose driver commit renames them + writes a
+    _MANIFEST — the two-phase task-commit protocol that makes retried/
+    speculative tasks harmless (losers stay in staging, readers only
+    trust the manifest). The query pushes a filtered events projection
+    through the sink, re-reads ONLY manifest-listed shards, and must
+    reproduce the direct aggregate — proving the sink neither lost,
+    duplicated, nor torn any task's rows. Doubles round-trip exactly
+    (repr-shortest JSON floats)."""
+    import json
+
+    from beam_pyspark_runner_spark.sources.synthetic import (
+        HAVE_PYTHON_DATASOURCE,
+        JsonShardSinkDataSource,
+    )
+
+    if not HAVE_PYTHON_DATASOURCE:  # pragma: no cover
+        raise NotImplementedError("Python DataSource API requires Spark >= 4")
+    spark.dataSource.register(JsonShardSinkDataSource)
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"bprs_pysink_{tag}")
+    if os.path.exists(out):
+        import shutil
+
+        shutil.rmtree(out)
+    os.makedirs(out, exist_ok=True)
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "event_type", "value")
+    )
+    e.write.format("jsonl_shards").option("path", out).mode("append").save()
+
+    with open(os.path.join(out, "_MANIFEST")) as f:
+        manifest = json.load(f)
+    shards = [os.path.join(out, m["file"]) for m in manifest]
+    back = spark.read.schema("event_id bigint, event_type string, value double").json(
+        shards
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), dsum("value").alias("total_value")
+    )

@@ -162,3 +162,77 @@ def synth_rows_oracle_sql(rows: int) -> str:
            CAST((range * 2654435761) % {_MOD} % 10000 AS DOUBLE) / 100.0 AS v
     FROM range({rows})
     """
+
+
+if HAVE_PYTHON_DATASOURCE:
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+    class _ShardCommit(WriterCommitMessage):
+        def __init__(self, staged_path: str, rows: int) -> None:
+            self.staged_path = staged_path
+            self.rows = rows
+
+    class JsonShardWriter(DataSourceWriter):
+        """Executor-side writer with a real two-phase commit: each task
+        streams its rows to a UNIQUELY-NAMED staged JSONL shard and
+        returns (path, rows) as its commit message; only the driver's
+        ``commit()`` renames staged shards into place and writes the
+        ``_MANIFEST`` — so readers (who go through the manifest) never
+        observe a partial job, and ``abort()`` leaves the target
+        untouched. This is the task-commit protocol every distributed
+        sink needs (speculative/retried tasks write distinct staged
+        files; losers are simply never committed). Local FS here; on a
+        cluster the same shape runs against any shared/object store
+        with atomic rename or manifest-pointer semantics.
+        """
+
+        def __init__(self, options: dict) -> None:
+            self.path = options["path"]
+
+        def write(self, iterator):
+            import json
+            import os
+            import uuid
+
+            staging = os.path.join(self.path, "_staging")
+            os.makedirs(staging, exist_ok=True)
+            shard = os.path.join(staging, f"shard-{uuid.uuid4().hex}.jsonl")
+            n = 0
+            with open(shard, "w") as f:
+                for row in iterator:
+                    # json.dumps uses repr-shortest floats: doubles
+                    # round-trip bit-exactly through the shard
+                    f.write(json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return _ShardCommit(shard, n)
+
+        def commit(self, messages) -> None:
+            import json
+            import os
+
+            final = []
+            for m in messages:
+                if m is None:
+                    continue
+                dest = os.path.join(self.path, os.path.basename(m.staged_path))
+                os.replace(m.staged_path, dest)
+                final.append({"file": os.path.basename(dest), "rows": m.rows})
+            with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
+                json.dump(sorted(final, key=lambda x: x["file"]), f)
+
+        def abort(self, messages) -> None:
+            import os
+
+            for m in messages:
+                if m is not None and os.path.exists(m.staged_path):
+                    os.remove(m.staged_path)
+
+    class JsonShardSinkDataSource(DataSource):
+        """``df.write.format("jsonl_shards").option("path", p)`` sink."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "jsonl_shards"
+
+        def writer(self, schema, overwrite: bool) -> JsonShardWriter:
+            return JsonShardWriter(self.options)
