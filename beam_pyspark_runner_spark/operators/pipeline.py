@@ -154,6 +154,22 @@ class PCol:
     def select(self, *cols: Column | str) -> "PCol":
         return self._derive("Select", lambda ins: ins[0].select(*cols))
 
+    def apply(self, transform: "Callable[[PCol], PCol]") -> "PCol":
+        """Composite-PTransform application — Beam's ``pcoll | MyXform()``
+        (reference: PTransform.expand composition runs through
+        ``overrides.py``): any callable PCol→PCol is a reusable named
+        stage. Pure call-time composition, so Catalyst still sees ONE
+        flat plan across composite boundaries — composites cost
+        nothing at runtime."""
+        out = transform(self)
+        if not isinstance(out, PCol):
+            raise TypeError(
+                f"composite transform must return a PCol, got {type(out).__name__}"
+            )
+        return out
+
+    __or__ = apply  # Beam muscle-memory: pcol | transform
+
     def map(self, expr: Column, out: str = "value") -> "PCol":
         """Map via a Column expression — stays in whole-stage codegen."""
         return self._derive("Map", lambda ins: ins[0].select(expr.alias(out)))

@@ -647,3 +647,29 @@ def test_session_spec_cleared_after_grouping(spark):
     # second grouping: total per key across its sessions
     total = sessions.global_windows().combine_per_key("sum")
     assert [(r["key"], r["value"]) for r in total.collect()] == [("a", 7.0)]
+
+
+def test_composite_transform_apply_and_pipe(spark):
+    """Beam composite parity: a reusable PCol→PCol callable applies via
+    .apply() and the | operator, composing into one flat plan."""
+    import pyspark.sql.functions as F
+
+    from beam_pyspark_runner_spark.operators.pipeline import Pipeline
+
+    def count_words(pcol):  # a "composite PTransform"
+        return (
+            pcol.flat_map(F.split(F.col("value"), " "), out="word")
+            .map_kv(F.col("word"), F.lit(1))
+            .combine_per_key("sum", out="n")
+        )
+
+    p = Pipeline(spark)
+    src = p.create([("a b a",), ("b c",)], schema="value string")
+    via_apply = {tuple(r) for r in src.apply(count_words).collect()}
+    via_pipe = {tuple(r) for r in (src | count_words).collect()}
+    assert via_apply == via_pipe == {("a", 2), ("b", 2), ("c", 1)}
+
+    import pytest
+
+    with pytest.raises(TypeError):
+        src.apply(lambda pc: 42)
