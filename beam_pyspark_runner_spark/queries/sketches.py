@@ -621,6 +621,7 @@ def bitmap_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM i, u
     """,
     tags=("sketch", "bitmap", "set_intersection", "mergeable", "audience_overlap"),
+    bench=True,  # the sketch family's headline representative
 )
 def bitmap_intersect_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT audience-overlap (|A∩B|, |A∪B|, Jaccard) between the
