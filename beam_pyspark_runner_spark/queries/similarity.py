@@ -993,3 +993,62 @@ def embedding_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("codes_prefix"),
         (dsum(F.col("err")) / F.lit(64.0)).alias("recon_mse"),
     )
+
+
+@register(
+    "label_centroid_dispersion",
+    oracle="""
+    WITH dims AS (
+        SELECT label, vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+    ),
+    per_pos AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE) AS sv,
+               CAST(ROUND(SUM(CAST(v * v AS DECIMAL(38,10))), 2) AS DOUBLE) AS svv,
+               COUNT(*) AS n
+        FROM dims GROUP BY 1, 2
+    )
+    SELECT label,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n_vectors,
+           CAST(ROUND(SUM(CAST(svv / n AS DECIMAL(38,10))), 6) AS DOUBLE)
+               AS mean_sq_norm,
+           CAST(ROUND(SUM(CAST((sv / n) * (sv / n) AS DECIMAL(38,10))), 6)
+               AS DOUBLE) AS centroid_sq_norm
+    FROM per_pos
+    GROUP BY label
+    """,
+    tags=("similarity", "embedding_quality", "centroid", "dispersion"),
+)
+def label_centroid_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality report per class label: centroid norm vs
+    mean vector norm, whose gap E[|x|²] − |μ|² is exactly the total
+    within-class variance (the dispersion a collapsing embedding model
+    drives to zero). Evaluation-side sibling of kmeans_lloyd_step: same
+    per-(label, dimension) power-sum shape — constant-size state
+    (|labels|×64 rows) however many vectors — but consumed as a metric
+    instead of a centroid update. All sums accumulate in exact decimal;
+    per-dimension means divide once in double; the 64-term reductions
+    re-enter decimal so no float summation order exists anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "vf")
+    ).select(
+        "label", F.col("pos0").alias("pos"), F.col("vf").cast("double").alias("v")
+    )
+    dec = "decimal(38,10)"
+    per_pos = dims.groupBy("label", "pos").agg(
+        F.sum(F.col("v").cast(dec)).cast("double").alias("sv"),
+        F.sum((F.col("v") * F.col("v")).cast(dec))
+        .cast("decimal(38,2)").cast("double").alias("svv"),
+        F.count("*").alias("n"),
+    )
+    mean = F.col("sv") / F.col("n")
+    return per_pos.groupBy("label").agg(
+        F.first("n").cast("long").alias("n_vectors"),
+        F.sum((F.col("svv") / F.col("n")).cast(dec))
+        .cast("decimal(38,6)").cast("double").alias("mean_sq_norm"),
+        F.sum((mean * mean).cast(dec))
+        .cast("decimal(38,6)").cast("double").alias("centroid_sq_norm"),
+    )
