@@ -1353,3 +1353,53 @@ def token_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "dataset_card_report",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, source, n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE)
+               AS chars_per_token,
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups
+    FROM t
+    """,
+    tags=("text", "dataset_card", "corpus_report", "governance"),
+)
+def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card in one row — the governance summary published
+    next to a training corpus (Datasheets for Datasets, Gebru et al.
+    2021): volume (docs/tokens), coverage (languages/sources),
+    integrity (exact-dup count via content fingerprints), and a
+    tokenizer sanity ratio. ONE scan, one global conditional aggregate;
+    every statistic is a count or an integer ratio, so the card hashes
+    exactly. At 100 TB the distinct-counts swap to the HLL/bitmap
+    sketches in the same aggregate slots (approx_distinct shows the
+    bounded-error contract) — the report shape doesn't change."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang", "source", "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))).alias("fp"),
+    )
+    return t.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("fp").alias("n_unique_docs"),
+        (
+            F.sum("n_chars").cast("double") / F.sum("n_tokens").cast("double")
+        ).alias("chars_per_token"),
+        (F.count("*") - F.countDistinct("fp")).alias("n_exact_dups"),
+    )
