@@ -557,12 +557,14 @@ def python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise NotImplementedError("Python DataSource API requires Spark >= 4")
     spark.dataSource.register(JsonShardSinkDataSource)
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    out = os.path.join(tempfile.gettempdir(), f"bprs_pysink_{tag}")
-    if os.path.exists(out):
-        import shutil
+    import uuid
 
-        shutil.rmtree(out)
+    # Per-run nonce (the stream_cdc_upsert discipline): concurrent runs
+    # against the same sf_dir must not race on one sink directory.
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"bprs_pysink_{tag}_{uuid.uuid4().hex[:8]}"
+    )
     os.makedirs(out, exist_ok=True)
 
     e = (
@@ -604,8 +606,13 @@ def parquet_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout (hot=snappy, cold=zstd) needs no reader-side change; the
     on-disk byte sizes of both copies are exposed in the Spark UI /
     file sizes, not in the hashable result."""
+    import uuid
+
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"bprs_codec_{tag}")
+    # per-run nonce: see python_datasource_sink
+    base = os.path.join(
+        tempfile.gettempdir(), f"bprs_codec_{tag}_{uuid.uuid4().hex[:8]}"
+    )
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
