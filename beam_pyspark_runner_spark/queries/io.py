@@ -559,12 +559,11 @@ def python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import uuid
 
-    # Per-run nonce (the stream_cdc_upsert discipline): concurrent runs
-    # against the same sf_dir must not race on one sink directory.
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    out = os.path.join(
-        tempfile.gettempdir(), f"bprs_pysink_{tag}_{uuid.uuid4().hex[:8]}"
-    )
+    from beam_pyspark_runner_spark.queries.streaming import _scratch_dir
+
+    # Per-run nonce + stale-sibling sweep (the stream_cdc_upsert
+    # discipline, same single-run-per-sf_dir caveat documented there).
+    out = _scratch_dir("bprs_pysink", sf_dir, uuid.uuid4().hex[:8])
     os.makedirs(out, exist_ok=True)
 
     e = (
@@ -608,11 +607,10 @@ def parquet_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     file sizes, not in the hashable result."""
     import uuid
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    # per-run nonce: see python_datasource_sink
-    base = os.path.join(
-        tempfile.gettempdir(), f"bprs_codec_{tag}_{uuid.uuid4().hex[:8]}"
-    )
+    from beam_pyspark_runner_spark.queries.streaming import _scratch_dir
+
+    # per-run nonce + sweep: see python_datasource_sink
+    base = _scratch_dir("bprs_codec", sf_dir, uuid.uuid4().hex[:8])
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
