@@ -1211,12 +1211,14 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the reference's WordCount composite
     (/root/reference/beam_pyspark_runner/example_pipes.py) counts
     tokens but cannot produce postings because GroupByKey materializes
-    the whole group in one worker's memory; here ``collect_set`` runs
-    as a partial aggregate and the posting list is truncated BEFORE the
-    final exchange, so a stop-word appearing in every document ships
-    only its count, never a billion-element list. At 100 TB the full
-    posting list for hot tokens would be written as a bucketed sorted
-    table instead (slice kept here to stay value-hashable)."""
+    the whole group in one worker's memory. Honest scale caveat:
+    ``collect_set``'s partial-agg state holds the full per-token set,
+    so a stop-word's posting list is executor-memory-bounded before the
+    final slice — at 100 TB, cap postings per token with a windowed
+    row_number (or drop head terms via a doc-freq prefilter) and write
+    hot tokens' full lists as a bucketed sorted table; the fixture's
+    tiny vocabulary doesn't need the rescue (slice kept to stay
+    value-hashable)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
@@ -1315,7 +1317,9 @@ def token_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     positional self-join on the Spark side), then two broadcast joins of
     the vocab-sized unigram table and the 1-row total into the
     vocab²-bounded pair table. The corpus is scanned once; everything
-    past the two partial aggs is dimension-sized."""
+    past the two partial aggs is dimension-sized. The unigram joins
+    carry no broadcast hint: at fixture scale AQE broadcasts them, and
+    a web-scale vocabulary falls back to a hash join on its own."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select(F.split("text", " ").alias("ts"))
     uni = (
@@ -1342,8 +1346,8 @@ def token_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     u1 = uni.select(F.col("token").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("token").alias("w2"), F.col("c").alias("c2"))
     return (
-        big.join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        big.join(u1, "w1")
+        .join(u2, "w2")
         .crossJoin(F.broadcast(total))
         .select(
             "w1", "w2", "c12",
