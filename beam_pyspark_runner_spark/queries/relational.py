@@ -1538,3 +1538,37 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+@register(
+    "listagg_ordered",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+               AS statuses,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("relational", "listagg", "ordered_string_agg", "spark4"),
+)
+def listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ANSI ``LISTAGG (… ) WITHIN GROUP (ORDER BY …)`` — the
+    standard ordered string aggregation (reports, label lists) that
+    previously needed the array_sort∘collect_list idiom
+    (group_by_key_collect). WITHIN GROUP makes the concatenation order
+    part of the aggregate's contract, so the result is deterministic by
+    construction — no post-sort, no partition-order leak; DISTINCT
+    bounds the state by value cardinality, not row count."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_la")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(DISTINCT o_orderstatus, ',')
+                   WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+               COUNT(*) AS n_orders
+        FROM orders_la
+        GROUP BY o_orderpriority
+        """
+    )

@@ -674,3 +674,97 @@ def bitmap_intersect_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_either").cast("double")
         ).alias("jaccard"),
     )
+
+
+@register(
+    "approx_top_k_events",
+    oracle="""
+    SELECT event_type, COUNT(*) AS est_count
+    FROM events
+    GROUP BY event_type
+    ORDER BY est_count DESC, event_type
+    LIMIT 3
+    """,
+    tags=("sketch", "approx_top_k", "heavy_hitters", "spark4"),
+)
+def approx_top_k_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's built-in ``approx_top_k`` aggregate — the engine-native
+    heavy-hitters sketch next to the first-principles count-min pair
+    (cms_heavy_hitters): one pass, mergeable bounded state, items with
+    estimated counts. At the fixture's type cardinality the sketch's
+    internal map holds every key, so estimates are EXACT and the plain
+    GROUP BY top-3 is a value-hash oracle — same bounded-error
+    adjudication style as approx_distinct, in the regime where the
+    bound is zero. (Ranking ties would be sketch-order-dependent; the
+    fixture's counts are distinct, and a production caller breaks ties
+    downstream.)"""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+        .select(F.explode("tk").alias("t"))
+        .select(
+            F.col("t.item").alias("event_type"),
+            F.col("t.count").alias("est_count"),
+        )
+    )
+
+
+@register(
+    "hll_datasketch_union",
+    oracle="""
+    WITH per_type AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+        FROM events GROUP BY event_type
+    ),
+    overall AS (SELECT COUNT(DISTINCT user_id) AS total FROM events)
+    SELECT p.event_type,
+           p.exact_distinct,
+           TRUE AS per_type_within_3pct,
+           TRUE AS union_within_3pct
+    FROM per_type p CROSS JOIN overall o
+    """,
+    tags=("sketch", "hll", "datasketches", "mergeable", "union", "spark4"),
+)
+def hll_datasketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches HLL via Spark 4's native ``hll_sketch_agg`` /
+    ``hll_union_agg`` — the production mergeable-sketch surface beside
+    the first-principles twin (hll_merge_groups): per-group BINARY
+    sketches that union across groups without touching raw ids, which
+    is how a 100 TB pipeline stores per-partition distinct state and
+    answers arbitrary roll-ups later. Adjudicated like approx_distinct:
+    exact distincts are value-checked, the estimates are pinned inside
+    the published ±3% (lgK=12) envelope as booleans — deterministic on
+    both engines."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    per_type = e.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    unioned = per_type.agg(F.expr("hll_union_agg(sk)").alias("u")).select(
+        F.expr("hll_sketch_estimate(u)").alias("union_est")
+    )
+    total_exact = e.agg(F.countDistinct("user_id").alias("total")).select("total")
+    per_rows = per_type.select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(
+                F.expr("hll_sketch_estimate(sk)").cast("double")
+                - F.col("exact_distinct").cast("double")
+            )
+            <= 0.03 * F.col("exact_distinct").cast("double")
+        ).alias("per_type_within_3pct"),
+    )
+    return (
+        per_rows.crossJoin(F.broadcast(unioned))
+        .crossJoin(F.broadcast(total_exact))
+        .select(
+            "event_type",
+            "exact_distinct",
+            "per_type_within_3pct",
+            (
+                F.abs(F.col("union_est").cast("double") - F.col("total").cast("double"))
+                <= 0.03 * F.col("total").cast("double")
+            ).alias("union_within_3pct"),
+        )
+    )
