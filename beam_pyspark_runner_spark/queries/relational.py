@@ -1572,3 +1572,69 @@ def listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(o_orderdate), TIMESTAMP '2001-09-01')
+                   AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 2)
+                   AS DOUBLE) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey, recency_days, frequency, monetary,
+               NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r_score,
+               NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+               NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+        FROM rfm
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           COUNT(*) AS n_customers,
+           CAST(ROUND(SUM(CAST(monetary AS DECIMAL(38,10))), 2) AS DOUBLE)
+               AS segment_value
+    FROM scored
+    GROUP BY 1, 2, 3
+    """,
+    tags=("relational", "rfm", "segmentation", "ntile", "marketing"),
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency/frequency/monetary quintile
+    scores, the standard marketing cut: per-customer aggregate (one
+    shuffle), three global NTILE(5) scores (best = 1), then segment
+    rollup with exact-decimal value. Ties pinned by custkey so every
+    score is deterministic.
+
+    Scale note stated plainly: global NTILE orders the CUSTOMER-level
+    aggregate in one task — fine for fixture scale and most real
+    customer tables (they're dimension-sized), but for a billion-row
+    entity table compute quintile BOUNDARIES via the two-phase
+    global_rank_bucketed decomposition (or percentile_approx) and
+    assign scores by range join instead."""
+    o = load_table(spark, sf_dir, "orders")
+    asof = F.lit("2001-09-01").cast("timestamp")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(asof, F.max("o_orderdate")).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey", "monetary",
+        F.ntile(5).over(W.orderBy("recency_days", "o_custkey")).cast("long").alias("r_score"),
+        F.ntile(5).over(
+            W.orderBy(F.col("frequency").desc(), "o_custkey")
+        ).cast("long").alias("f_score"),
+        F.ntile(5).over(
+            W.orderBy(F.col("monetary").desc(), "o_custkey")
+        ).cast("long").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        dsum(F.col("monetary")).alias("segment_value"),
+    )
