@@ -1638,3 +1638,107 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         dsum(F.col("monetary")).alias("segment_value"),
     )
+
+
+@register(
+    "benford_first_digit",
+    oracle="""
+    SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+               AS first_digit,
+           COUNT(*) AS n_orders,
+           CAST(COUNT(*) AS DOUBLE)
+               / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS observed_freq
+    FROM orders
+    WHERE o_totalprice >= 1
+    GROUP BY 1
+    """,
+    tags=("relational", "benford", "audit", "fraud_detection"),
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of order totals — the audit
+    screen for fabricated numbers (fraudulent amounts skew uniform
+    where organic ones follow log(1+1/d)). The digit comes from the
+    integer part's string head — pure integer/string ops, identical in
+    both engines, where the textbook floor(x/10^floor(log10 x)) would
+    ride libm. Observed frequencies are count ratios via a
+    grand-total window over the 9-row aggregate (constant size);
+    comparing against the Benford curve happens client-side where the
+    logs can't break the value hash."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    counts = o.groupBy(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        ).alias("first_digit")
+    ).agg(F.count("*").alias("n_orders"))
+    total = F.sum("n_orders").over(W.partitionBy())
+    return counts.select(
+        "first_digit",
+        "n_orders",
+        (F.col("n_orders").cast("double") / total.cast("double")).alias(
+            "observed_freq"
+        ),
+    )
+
+
+@register(
+    "revenue_concentration_8020",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 2)
+                   AS DOUBLE) AS revenue
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT revenue,
+               ROW_NUMBER() OVER (ORDER BY revenue DESC, o_custkey) AS rnk,
+               CAST(SUM(CAST(revenue AS DECIMAL(38,10))) OVER (
+                   ORDER BY revenue DESC, o_custkey
+                   ROWS UNBOUNDED PRECEDING
+               ) AS DOUBLE) AS cum_revenue,
+               CAST(SUM(CAST(revenue AS DECIMAL(38,10))) OVER () AS DOUBLE)
+                   AS total_revenue,
+               COUNT(*) OVER () AS n_customers
+        FROM cust
+    )
+    SELECT CAST(MIN(rnk) AS BIGINT) AS customers_to_80pct,
+           CAST(ANY_VALUE(n_customers) AS BIGINT) AS n_customers,
+           CAST(MIN(rnk) AS DOUBLE) / CAST(ANY_VALUE(n_customers) AS DOUBLE)
+               AS customer_share
+    FROM ranked
+    WHERE cum_revenue >= 0.8 * total_revenue
+    """,
+    tags=("relational", "concentration", "pareto_8020", "cumulative"),
+)
+def revenue_concentration_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the 80/20 question): how many top
+    customers carry 80% of revenue. Customer revenues aggregate first
+    (one shuffle); the cumulative scan runs over that entity-level
+    table with decimal-exact running sums so the 80% crossing point is
+    unambiguous. Same single-task-ordering caveat as rfm_segmentation —
+    the scan is over the aggregate, and a billion-entity table would
+    use the two-phase bucketed rank first."""
+    o = load_table(spark, sf_dir, "orders")
+    dec = "decimal(38,10)"
+    cust = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("revenue"))
+    order = W.orderBy(F.col("revenue").desc(), "o_custkey")
+    everything = W.partitionBy()
+    ranked = cust.select(
+        F.row_number().over(order).alias("rnk"),
+        F.sum(F.col("revenue").cast(dec))
+        .over(order.rowsBetween(W.unboundedPreceding, 0))
+        .cast("double")
+        .alias("cum_revenue"),
+        F.sum(F.col("revenue").cast(dec)).over(everything).cast("double").alias(
+            "total_revenue"
+        ),
+        F.count("*").over(everything).alias("n_customers"),
+    )
+    hit = ranked.filter(F.col("cum_revenue") >= 0.8 * F.col("total_revenue"))
+    return hit.agg(
+        F.min("rnk").cast("long").alias("customers_to_80pct"),
+        F.first("n_customers").cast("long").alias("n_customers"),
+        (
+            F.min("rnk").cast("double") / F.first("n_customers").cast("double")
+        ).alias("customer_share"),
+    )
