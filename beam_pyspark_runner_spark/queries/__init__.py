@@ -50,7 +50,8 @@ from beam_pyspark_runner_spark.queries import recursive  # noqa: E402,F401
 # python_datasource_sink, parquet_codec_roundtrip,
 # label_centroid_dispersion, dataset_card_report, approx_top_k_events,
 # hll_datasketch_union, listagg_ordered, rfm_segmentation,
-# benford_first_digit, revenue_concentration_8020 — plus the
+# benford_first_digit, revenue_concentration_8020,
+# incremental_daily_close — plus the
 # prior-session round-5 additions not in the current window (see git
 # log b155159..740484d).
 # Everything not listed keeps registration order after it;

@@ -623,3 +623,80 @@ def parquet_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         dsum("l_extendedprice").alias("total_price"),
     )
+
+
+@register(
+    "incremental_daily_close",
+    oracle=f"""
+    WITH agg AS (
+        SELECT event_type, COUNT(*) AS n_events,
+               {dsum_sql('value')} AS total_value
+        FROM events GROUP BY event_type
+    ),
+    delta AS (SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-24'),
+    redelivered AS (
+        SELECT * FROM events
+        WHERE ts < TIMESTAMP '2024-01-24' AND event_id % 37 = 0
+    )
+    SELECT a.event_type, a.n_events, a.total_value,
+           (SELECT COUNT(*) FROM delta) + (SELECT COUNT(*) FROM redelivered)
+               AS batch_rows,
+           (SELECT COUNT(*) FROM redelivered) AS dropped_redelivered
+    FROM agg a
+    """,
+    tags=("io", "incremental", "capstone", "idempotent_ingest", "dedup"),
+)
+def incremental_daily_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-close capstone: one incremental batch absorbed into
+    running aggregates IDEMPOTENTLY — the composition a 100 TB
+    warehouse runs every day, stitched from this repo's parts:
+
+      1. split history (state) vs today's batch on the partition
+         predicate (both scans pruned — incremental_agg_merge);
+      2. the batch arrives with REDELIVERED rows (at-least-once
+         delivery upstream: a slice of history re-appended, synthesized
+         here deterministically) — drop them with an event_id anti-join
+         against history, shuffling only ids (incremental_dedup_delta);
+      3. merge the surviving batch's partial aggregate into history's
+         (count + exact-decimal sum are mergeable state);
+      4. emit per-group totals plus the ingest audit trail (batch rows
+         seen, redeliveries dropped — the dq_contract habit).
+
+    The oracle is the FULL-TABLE aggregate: merge(state, dedup(batch))
+    must equal recompute(everything) — exactly-once semantics proven by
+    value hash, not asserted. History is never rescanned beyond its
+    existing aggregate state; the batch pays one anti-join keyed on
+    event_id and one partial agg."""
+    cutoff = F.lit("2024-01-24").cast("timestamp")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    hist = e.filter(F.col("ts") < cutoff)
+    today = e.filter(F.col("ts") >= cutoff)
+    # at-least-once upstream: a deterministic slice of history arrives again
+    redelivered = hist.filter(F.col("event_id") % 37 == 0)
+    batch = today.unionByName(redelivered)
+
+    admitted = batch.join(
+        hist.select("event_id"), "event_id", "left_anti"
+    )
+
+    def _state(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,10)")).alias("sum_state"),
+        )
+
+    merged = (
+        _state(hist).unionByName(_state(admitted))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_state").cast("decimal(38,2)").cast("double")
+            .alias("total_value"),
+        )
+    )
+    audit = batch.agg(F.count("*").alias("batch_rows")).crossJoin(
+        F.broadcast(redelivered.agg(F.count("*").alias("dropped_redelivered")))
+    )
+    return merged.crossJoin(F.broadcast(audit))
