@@ -890,3 +890,24 @@ def test_dq_contract_two_fact_scans_only(spark):
     plan = _query_plan(spark, "dq_contract_check")
     assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
     assert plan.count("orders.parquet") == 2, plan.count("orders.parquet")
+
+
+def test_daily_close_prunes_and_antijoins(spark):
+    """incremental_daily_close: both history/batch legs push the ts
+    predicate to the scan, the redelivery dedup is a LeftAnti join on
+    event_id (ids only), and nothing cartesians except the broadcast
+    1-row audit."""
+    plan = _query_plan(spark, "incremental_daily_close")
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("GreaterThanOrEqual(ts" in p for p in pushed), pushed
+    assert any("LessThan(ts" in p for p in pushed), pushed
+    assert "LeftAnti" in plan, plan
+
+
+def test_hll_datasketch_partial_agg(spark):
+    """hll_datasketch_union: sketch construction must be a two-phase
+    (partial/final) aggregate — constant-size sketch state merges
+    map-side, raw user_ids never reach the final exchange as rows."""
+    plan = _query_plan(spark, "hll_datasketch_union")
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan, plan
+    assert "partial" in plan.lower(), plan
