@@ -608,3 +608,97 @@ def pandas_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             reconcile, "orderkey bigint, n_lines bigint, total_qty double"
         )
     )
+
+
+@register(
+    "item_cf_recommend",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS i, b.l_partkey AS j, COUNT(*) AS cooc
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    ),
+    deg AS (SELECT l_partkey AS p, COUNT(*) AS d FROM li GROUP BY 1),
+    scored AS (
+        SELECT i, j, cooc,
+               CAST(cooc AS DOUBLE)
+                   / sqrt(CAST(di.d AS DOUBLE) * CAST(dj.d AS DOUBLE))
+                   AS sim
+        FROM pairs
+        JOIN deg di ON di.p = i
+        JOIN deg dj ON dj.p = j
+        WHERE cooc >= 2
+    )
+    SELECT i AS part, j AS similar_part, cooc, sim
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY i ORDER BY sim DESC, j ASC
+        ) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+    tags=("join", "collaborative_filtering", "item_item", "recommendation"),
+)
+def item_cf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (Sarwar et al., WWW'01 /
+    Amazon's item-to-item): parts co-ordered together, scored by cosine
+    over co-occurrence — sim(i,j) = cooc/√(deg_i·deg_j) — with top-3
+    neighbors per item. The recommendation engine's batch precompute.
+
+    Scale shape: the pair stage is the pagerank edge build (in-group
+    HOF expansion bounded by per-order fan-out, one groupBy — no fact
+    self-join on the Spark side); degrees are an item-cardinality
+    partial agg joined in WITHOUT a forced broadcast (AQE broadcasts a
+    catalog-sized table, hash-joins a web-scale one); min-support
+    prunes the long tail before scoring; the top-k window partitions by
+    item over the support-filtered pair table. √ on doubles is
+    correctly rounded in both engines — deterministic, unlike libm
+    log."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    per_order = li.distinct().groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pairs = (
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x -> filter("
+                    "transform(ps, y -> struct(x AS i, y AS j)), "
+                    "p -> p.i != p.j)))"
+                )
+            ).alias("p")
+        )
+        .select("p.i", "p.j")
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("cooc"))
+        .filter(F.col("cooc") >= 2)
+    )
+    deg = li.distinct().groupBy("l_partkey").agg(F.count("*").alias("d"))
+    di = deg.select(F.col("l_partkey").alias("i"), F.col("d").alias("di"))
+    dj = deg.select(F.col("l_partkey").alias("j"), F.col("d").alias("dj"))
+    scored = (
+        pairs.join(di, "i")
+        .join(dj, "j")
+        .select(
+            "i", "j", "cooc",
+            (
+                F.col("cooc").cast("double")
+                / F.sqrt(F.col("di").cast("double") * F.col("dj").cast("double"))
+            ).alias("sim"),
+        )
+    )
+    w = W.partitionBy("i").orderBy(F.col("sim").desc(), F.col("j").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("i").alias("part"),
+            F.col("j").alias("similar_part"),
+            "cooc",
+            "sim",
+        )
+    )
