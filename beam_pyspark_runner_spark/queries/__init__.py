@@ -51,7 +51,8 @@ from beam_pyspark_runner_spark.queries import recursive  # noqa: E402,F401
 # label_centroid_dispersion, dataset_card_report, approx_top_k_events,
 # hll_datasketch_union, listagg_ordered, rfm_segmentation,
 # benford_first_digit, revenue_concentration_8020,
-# incremental_daily_close, item_cf_recommend — plus the
+# incremental_daily_close, item_cf_recommend,
+# duplicate_payment_detection — plus the
 # prior-session round-5 additions not in the current window (see git
 # log b155159..740484d).
 # Everything not listed keeps registration order after it;

@@ -1742,3 +1742,58 @@ def revenue_concentration_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("rnk").cast("double") / F.first("n_customers").cast("double")
         ).alias("customer_share"),
     )
+
+
+@register(
+    "duplicate_payment_detection",
+    oracle="""
+    WITH w AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+               LAG(o_orderdate) OVER (
+                   PARTITION BY o_custkey, FLOOR(o_totalprice / 10000)
+                   ORDER BY o_orderdate, o_orderkey
+               ) AS prev_date
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS amount,
+           CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT)
+               AS days_since_prev
+    FROM w
+    WHERE prev_date IS NOT NULL
+      AND o_orderdate - prev_date <= INTERVAL '180 days'
+    """,
+    tags=("relational", "fraud_audit", "duplicate_payment", "window"),
+)
+def duplicate_payment_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen — the accounts-payable audit: flag
+    orders where the SAME customer was charged a SIMILAR amount (same
+    10k band — the fixture's prices are near-unique, so exact-amount
+    matching would be vacuous; production tunes the band to its price
+    granularity) within 180 days of the previous one. One window pass
+    partitioned by (customer, band) — the composite partition key IS
+    the blocking strategy: candidates only form inside a band, so no
+    pairwise comparison or time-range self-join exists in the plan.
+    Tie order pinned by orderkey."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy(
+        "o_custkey", F.floor(F.col("o_totalprice") / 10000)
+    ).orderBy("o_orderdate", "o_orderkey")
+    flagged = o.select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("amount"),
+        "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+    )
+    return (
+        flagged.filter(
+            F.col("prev_date").isNotNull()
+            & (F.datediff("o_orderdate", "prev_date") <= 180)
+        )
+        .select(
+            "o_orderkey", "o_custkey", "amount",
+            F.datediff("o_orderdate", "prev_date").cast("long").alias(
+                "days_since_prev"
+            ),
+        )
+    )
