@@ -1407,3 +1407,58 @@ def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chars_per_token"),
         (F.count("*") - F.countDistinct("fp")).alias("n_exact_dups"),
     )
+
+
+@register(
+    "feature_hashing_stats",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, token,
+               (('0x' || substr(md5(token), 1, 8))::BIGINT) % 1024 AS bucket
+        FROM tok
+    ),
+    loads AS (
+        SELECT bucket,
+               COUNT(*) AS n_tokens,
+               COUNT(DISTINCT token) AS n_distinct_tokens
+        FROM hashed GROUP BY bucket
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS buckets_used,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_bucket_load,
+           CAST(MAX(n_distinct_tokens) AS BIGINT) AS max_bucket_collisions
+    FROM loads
+    """,
+    tags=("text", "feature_hashing", "hashing_trick", "ml_features"),
+)
+def feature_hashing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al., ICML'09): tokens map to a
+    FIXED 1024-bucket feature space via the cross-engine md5 hash — the
+    featurizer whose memory is constant no matter how the vocabulary
+    grows, which is why it (not a learned vocab) survives 100 TB of
+    unseen text. Reported: bucket occupancy, load, and the collision
+    profile (max distinct tokens sharing a bucket) that tells you
+    whether K needs raising. Shape: one tokenize → one bucket-keyed
+    partial agg (the feature vector materialization would be the same
+    agg keyed by (doc, bucket)) → a 1024-row summary. No vocabulary,
+    no broadcast, no join anywhere."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hashed = docs.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).select("token", (h32(F.col("token")) % 1024).alias("bucket"))
+    loads = hashed.groupBy("bucket").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct_tokens"),
+    )
+    return loads.agg(
+        F.count("*").alias("buckets_used"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.max("n_tokens").cast("long").alias("max_bucket_load"),
+        F.max("n_distinct_tokens").cast("long").alias("max_bucket_collisions"),
+    )
