@@ -52,7 +52,8 @@ from beam_pyspark_runner_spark.queries import recursive  # noqa: E402,F401
 # hll_datasketch_union, listagg_ordered, rfm_segmentation,
 # benford_first_digit, revenue_concentration_8020,
 # incremental_daily_close, item_cf_recommend,
-# duplicate_payment_detection, feature_hashing_stats — plus the
+# duplicate_payment_detection, feature_hashing_stats, keyword_in_context,
+# negative_sampling_pairs — plus the
 # prior-session round-5 additions not in the current window (see git
 # log b155159..740484d).
 # Everything not listed keeps registration order after it;

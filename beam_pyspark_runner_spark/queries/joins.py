@@ -702,3 +702,59 @@ def item_cf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sim",
         )
     )
+
+
+@register(
+    "negative_sampling_pairs",
+    oracle="""
+    WITH cand AS (
+        SELECT o.o_orderkey,
+               (o.o_orderkey * 7919 + i.i * 104729) % 2000 AS neg_partkey,
+               CAST(i.i AS BIGINT) AS sample_idx
+        FROM orders o
+        CROSS JOIN (SELECT unnest(range(1, 3)) AS i) i
+    )
+    SELECT c.o_orderkey AS orderkey, c.neg_partkey, c.sample_idx
+    FROM cand c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = c.o_orderkey AND l.l_partkey = c.neg_partkey
+    )
+    """,
+    tags=("join", "negative_sampling", "training_pairs", "anti_join"),
+)
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training
+    (word2vec / two-tower recsys): per order, 2 candidate non-purchased
+    parts drawn by PURE MODULAR ARITHMETIC over the contiguous part-key
+    space — no catalog broadcast, no RNG, no cross join against the
+    item table — then a single anti-join scrubs accidental positives
+    (the textbook rejection step). Every engine, partitioning, and
+    retry produces the same negatives: reproducible training data, the
+    property random samplers lose the moment a task retries.
+
+    Shape: candidates are generated row-local (2 rows per positive
+    context), the anti-join keys on (order, part) — at 100 TB that is
+    a hash join of two id-pair streams; the accepted-candidate rate is
+    1 − |positives|/|catalog| ≈ 1, so rejection barely thins it. The
+    2000 modulus is the sf0.01 catalog size, kept literal so the
+    DuckDB oracle is engine-identical at every sf; production passes
+    |catalog| (or a capped hot-item range) as the parameter."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    cand = o.select(
+        "o_orderkey",
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("sample_idx"),
+    ).select(
+        "o_orderkey",
+        ((F.col("o_orderkey") * 7919 + F.col("sample_idx") * 104729) % 2000).alias(
+            "neg_partkey"
+        ),
+        F.col("sample_idx").cast("long").alias("sample_idx"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_partkey").alias("neg_partkey"),
+    )
+    return cand.join(li, ["o_orderkey", "neg_partkey"], "left_anti").select(
+        F.col("o_orderkey").alias("orderkey"), "neg_partkey", "sample_idx"
+    )

@@ -1462,3 +1462,52 @@ def feature_hashing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_tokens").cast("long").alias("max_bucket_load"),
         F.max("n_distinct_tokens").cast("long").alias("max_bucket_collisions"),
     )
+
+
+@register(
+    "keyword_in_context",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, ts,
+               unnest(ts) AS token,
+               generate_subscripts(ts, 1) AS pos
+        FROM t
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           COALESCE(array_to_string(ts[greatest(1, pos - 2):pos - 1], ' '), '')
+               AS left_context,
+           COALESCE(array_to_string(ts[pos + 1:pos + 2], ' '), '')
+               AS right_context
+    FROM tok WHERE token = 'data'
+    """,
+    tags=("text", "kwic", "concordance", "retrieval"),
+)
+def keyword_in_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC concordance — every occurrence of a query term with ±2
+    tokens of context, the classic corpus-linguistics view (and the
+    snippet generator behind search results). The context windows
+    come straight from the token array of the SAME row (posexplode
+    keeps the array alongside the position), so there is no
+    positional self-join — the inverted_index + slice composition in
+    one pass, output bounded by term frequency, not corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    tok = docs.select(
+        "doc_id", "ts", F.posexplode("ts").alias("pos0", "token")
+    ).filter(F.col("token") == "data")
+    pos = F.col("pos0") + 1  # 1-based
+    start = F.greatest(F.lit(1), pos - 2)
+    return tok.select(
+        "doc_id",
+        pos.cast("long").alias("pos"),
+        F.concat_ws(
+            " ", F.slice(F.col("ts"), start, pos - start)
+        ).alias("left_context"),
+        F.concat_ws(" ", F.slice(F.col("ts"), pos + 1, F.lit(2))).alias(
+            "right_context"
+        ),
+    )
