@@ -1198,3 +1198,73 @@ def user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("f_purchase_rate"),
     )
+
+
+@register(
+    "ab_assignment_srm",
+    oracle="""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    armed AS (
+        SELECT user_id,
+               CASE WHEN (('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':exp42'), 1, 8))::BIGINT) % 2 = 0
+                    THEN 'control' ELSE 'treatment' END AS arm
+        FROM users
+    ),
+    counts AS (
+        SELECT COUNT(*) FILTER (WHERE arm = 'control') AS n_control,
+               COUNT(*) FILTER (WHERE arm = 'treatment') AS n_treatment,
+               COUNT(*) AS n
+        FROM armed
+    )
+    SELECT n_control, n_treatment,
+           POW(CAST(n_control AS DOUBLE) - CAST(n AS DOUBLE) / 2, 2)
+               / (CAST(n AS DOUBLE) / 2)
+           + POW(CAST(n_treatment AS DOUBLE) - CAST(n AS DOUBLE) / 2, 2)
+               / (CAST(n AS DOUBLE) / 2) AS chi_sq,
+           (POW(CAST(n_control AS DOUBLE) - CAST(n AS DOUBLE) / 2, 2)
+               / (CAST(n AS DOUBLE) / 2)
+           + POW(CAST(n_treatment AS DOUBLE) - CAST(n AS DOUBLE) / 2, 2)
+               / (CAST(n AS DOUBLE) / 2)) <= 3.841 AS srm_ok
+    FROM counts
+    """,
+    tags=("events", "experimentation", "ab_assignment", "srm", "hash_bucketing"),
+)
+def ab_assignment_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment assignment + the sample-ratio-mismatch guard — the
+    two ops every A/B platform runs before CUPED ever matters:
+    (1) units hash into arms via md5(user:salt) — deterministic,
+    stateless, stable across sessions and engines, the property that
+    makes re-computation and holdout audits possible (a random()
+    assignment is neither reproducible nor joinable); (2) the χ²
+    1-degree SRM test against the 50/50 design — pure rational
+    arithmetic (no libm), compared to the 3.841 critical value as a
+    boolean. A real platform stores the salt per experiment; the
+    assignment scales as one map-side expression, the SRM check as
+    one conditional aggregate."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    armed = users.select(
+        F.when(
+            h32(F.concat(F.col("user_id").cast("string"), F.lit(":exp42"))) % 2
+            == 0,
+            "control",
+        )
+        .otherwise("treatment")
+        .alias("arm")
+    )
+    counts = armed.agg(
+        F.count(F.when(F.col("arm") == "control", 1)).alias("n_control"),
+        F.count(F.when(F.col("arm") == "treatment", 1)).alias("n_treatment"),
+        F.count("*").alias("n"),
+    )
+    half = F.col("n").cast("double") / 2
+    chi = (
+        F.pow(F.col("n_control").cast("double") - half, F.lit(2.0)) / half
+        + F.pow(F.col("n_treatment").cast("double") - half, F.lit(2.0)) / half
+    )
+    return counts.select(
+        "n_control", "n_treatment",
+        chi.alias("chi_sq"),
+        (chi <= 3.841).alias("srm_ok"),
+    )

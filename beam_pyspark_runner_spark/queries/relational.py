@@ -1797,3 +1797,158 @@ def duplicate_payment_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "table_diff_reconcile",
+    oracle="""
+    WITH v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 97 = 0
+                    THEN CAST(o_totalprice + 1 AS DECIMAL(12,2))
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 101 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 103 = 0
+    ),
+    j AS (
+        SELECT a.o_orderkey AS k1, b.o_orderkey AS k2,
+               a.o_totalprice AS p1, b.o_totalprice AS p2,
+               a.o_orderstatus AS s1, b.o_orderstatus AS s2
+        FROM orders a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT CASE WHEN k2 IS NULL THEN 'removed'
+                WHEN k1 IS NULL THEN 'added'
+                WHEN p1 <> p2 OR s1 <> s2 THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE k1 IS NOT NULL AND k2 IS NOT NULL
+                            AND p1 <> p2) AS price_changes
+    FROM j GROUP BY 1
+    """,
+    tags=("relational", "table_diff", "reconciliation", "full_outer"),
+)
+def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-based table diff (the data-reconciliation tool): two
+    versions of a table full-outer-joined on the key, every row
+    classified added / removed / changed / unchanged, with per-column
+    change counts — what a migration sign-off or a CDC-pipeline
+    validation actually reads. Version 2 is synthesized
+    deterministically (drop every 101st key, bump every 97th price,
+    append every 103rd under a fresh key) so all four classes
+    exercise. One co-partitioned full outer join
+    + one aggregate; at 100 TB both sides hash-partition on the key
+    and the compare is map-side — and if the versions are bucketed
+    copies, the join needs no shuffle at all (bucketed_join_colocated
+    shows that layout)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 101 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 97 == 0,
+            (F.col("o_totalprice") + 1).cast("decimal(12,2)"),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    ).unionByName(
+        o.filter(F.col("o_orderkey") % 103 == 0).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            "o_totalprice",
+            "o_orderstatus",
+        )
+    )
+    a = o.select(
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_totalprice").alias("p1"),
+        F.col("o_orderstatus").alias("s1"),
+    )
+    b = v2.select(
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_totalprice").alias("p2"),
+        F.col("o_orderstatus").alias("s2"),
+    )
+    j = a.join(b, a.k1 == b.k2, "full_outer")
+    change = (
+        F.when(F.col("k2").isNull(), "removed")
+        .when(F.col("k1").isNull(), "added")
+        .when(
+            (F.col("p1") != F.col("p2")) | (F.col("s1") != F.col("s2")), "changed"
+        )
+        .otherwise("unchanged")
+    )
+    return j.groupBy(change.alias("change_type")).agg(
+        F.count("*").alias("n_rows"),
+        F.count(
+            F.when(
+                F.col("k1").isNotNull()
+                & F.col("k2").isNotNull()
+                & (F.col("p1") != F.col("p2")),
+                1,
+            )
+        ).alias("price_changes"),
+    )
+
+
+@register(
+    "column_profile",
+    oracle="""
+    SELECT 'o_totalprice' AS column_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_totalprice) AS n_nulls,
+           COUNT(DISTINCT o_totalprice) AS n_distinct,
+           CAST(MIN(o_totalprice) AS VARCHAR) AS min_value,
+           CAST(MAX(o_totalprice) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+    tags=("relational", "profiling", "column_stats", "discovery"),
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler — the first thing a data catalog runs on a new
+    table: per-column row/null/distinct counts and min/max, in long
+    format. ALL columns profile in ONE scan and one aggregate (each
+    metric is a conditional agg column; the long format comes from a
+    post-agg stack over the 1-row wide result), not one pass per
+    column — the difference between a profiler that works at 100 TB
+    and one that reads the table N times. Values stringify for the
+    uniform schema; DuckDB prints decimals with their scale, so the
+    cast matches Spark's decimal rendering."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.agg(
+        F.count("*").alias("n"),
+        F.count("o_totalprice").alias("c_p"),
+        F.countDistinct("o_totalprice").alias("d_p"),
+        F.min("o_totalprice").cast("string").alias("min_p"),
+        F.max("o_totalprice").cast("string").alias("max_p"),
+        F.count("o_orderstatus").alias("c_s"),
+        F.countDistinct("o_orderstatus").alias("d_s"),
+        F.min("o_orderstatus").alias("min_s"),
+        F.max("o_orderstatus").alias("max_s"),
+        F.count("o_orderpriority").alias("c_o"),
+        F.countDistinct("o_orderpriority").alias("d_o"),
+        F.min("o_orderpriority").alias("min_o"),
+        F.max("o_orderpriority").alias("max_o"),
+    )
+    return wide.select(
+        F.expr(
+            "stack(3, "
+            "'o_totalprice', n, n - c_p, d_p, min_p, max_p, "
+            "'o_orderstatus', n, n - c_s, d_s, min_s, max_s, "
+            "'o_orderpriority', n, n - c_o, d_o, min_o, max_o) "
+            "AS (column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )
