@@ -758,3 +758,80 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.join(li, ["o_orderkey", "neg_partkey"], "left_anti").select(
         F.col("o_orderkey").alias("orderkey"), "neg_partkey", "sample_idx"
     )
+
+
+@register(
+    "asof_join_tolerance",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey, o_custkey % 50 AS k,
+               TIMESTAMP '2024-01-01' + to_seconds(o_orderkey % 2592000) AS o_ts
+        FROM orders
+    ),
+    m AS (
+        SELECT o.o_orderkey, o.o_custkey, o.o_ts,
+               e.event_id AS last_event_id, e.ts AS last_event_ts
+        FROM o ASOF LEFT JOIN events e
+          ON o.k = e.user_id AND o.o_ts >= e.ts
+    )
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN last_event_ts IS NOT NULL
+                     AND o_ts - last_event_ts <= INTERVAL '1 hour'
+                THEN last_event_id END AS last_event_id,
+           CASE WHEN last_event_ts IS NOT NULL
+                     AND o_ts - last_event_ts <= INTERVAL '1 hour'
+                THEN last_event_ts END AS last_event_ts
+    FROM m
+    """,
+    tags=("join", "asof", "tolerance", "left_join"),
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT as-of join with a TOLERANCE — pandas' merge_asof(tolerance=)
+    semantics at cluster scale: every left row survives, and a match
+    older than 1 hour is returned as NULL instead of a stale carry-
+    forward (the staleness guard a feature-store lookup needs — a
+    price from last week must not silently back a trade today). Same
+    union + window forward-fill as asof_join (one shuffle over
+    |L|+|R|), with the tolerance applied as a post-window predicate on
+    the carried timestamp — no extra pass, no range join."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_custkey") % 50).alias("k"),
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit("2024-01-01").cast("timestamp"))
+            + (F.col("o_orderkey") % 2592000)
+        ).alias("ts"),
+        F.lit(1).alias("is_left"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("event_ts"),
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("long").alias("o_custkey"),
+        F.col("user_id").alias("k"),
+        "ts",
+        F.lit(0).alias("is_left"),
+        F.col("event_id"),
+        F.col("ts").alias("event_ts"),
+    )
+    w = (
+        W.partitionBy("k")
+        .orderBy(F.col("ts"), F.col("is_left"), F.col("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = (
+        o.unionByName(e)
+        .withColumn("le_id", F.last("event_id", ignorenulls=True).over(w))
+        .withColumn("le_ts", F.last("event_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_left") == 1)
+    )
+    fresh = F.col("le_ts").isNotNull() & (
+        F.col("ts").cast("long") - F.col("le_ts").cast("long") <= 3600
+    )
+    return carried.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(fresh, F.col("le_id")).alias("last_event_id"),
+        F.when(fresh, F.col("le_ts")).alias("last_event_ts"),
+    )
