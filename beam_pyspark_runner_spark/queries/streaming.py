@@ -967,3 +967,68 @@ def stream_dead_letter_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         dsum("value").alias("total_value"),
     )
+
+
+@register(
+    "stream_ab_metrics",
+    oracle="""
+    SELECT CASE WHEN (('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':exp42'), 1, 8))::BIGINT) % 2 = 0
+                THEN 'control' ELSE 'treatment' END AS arm,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 2) AS DOUBLE)
+               AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("streaming", "experimentation", "ab_metrics", "hash_bucketing"),
+)
+def stream_ab_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live experiment monitoring: per-arm event counts, reach, and
+    decimal-exact value totals maintained OVER THE STREAM — the
+    dashboard an experimenter watches between launch and readout
+    (ab_assignment_srm is the batch gate, cuped the batch readout).
+    Arm assignment is the same salted md5 expression, evaluated inline
+    per event — STATELESS, so the streaming plan needs no assignment
+    table, no broadcast, no lookup state: the only state is the
+    per-arm aggregate (2 rows). Must equal the batch twin exactly —
+    replay-invariant by the same decimal-sum discipline as
+    stream_tumbling_agg."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    e = _events_stream(spark, sf_dir, max_files_per_trigger=2)
+    arm = (
+        F.when(
+            h32(F.concat(F.col("user_id").cast("string"), F.lit(":exp42"))) % 2
+            == 0,
+            "control",
+        )
+        .otherwise("treatment")
+        .alias("arm")
+    )
+    agg = e.groupBy(arm).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,10)")).alias("sum_state"),
+    )
+    counts = run_stream_to_df(agg, output_mode="complete")
+    # exact reach needs distinct-user state, which a streaming agg can't
+    # hold alongside the counts (one stateful agg per query): run it as
+    # its own streaming query — dropDuplicates(user) feeding a per-arm
+    # count, the standard two-query decomposition of an experiment
+    # dashboard. State: seen-user set + 2 counters.
+    e2 = _events_stream(spark, sf_dir, max_files_per_trigger=2)
+    reach_agg = (
+        e2.select("user_id")
+        .dropDuplicates(["user_id"])
+        .groupBy(arm)
+        .agg(F.count("*").alias("n_users"))
+    )
+    reach = run_stream_to_df(reach_agg, output_mode="complete")
+    return (
+        counts.join(reach, "arm")
+        .select(
+            "arm", "n_events", "n_users",
+            F.col("sum_state").cast("decimal(38,2)").cast("double")
+            .alias("total_value"),
+        )
+    )
