@@ -1952,3 +1952,115 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
         )
     )
+
+
+@register(
+    "latency_percentiles",
+    oracle="""
+    WITH lat AS (
+        SELECT o.o_orderpriority,
+               date_diff('day', o.o_orderdate, l.l_shipdate) AS ship_days
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(quantile_cont(ship_days, 0.5) AS DOUBLE) AS p50_days,
+           CAST(quantile_cont(ship_days, 0.9) AS DOUBLE) AS p90_days,
+           CAST(quantile_cont(ship_days, 0.99) AS DOUBLE) AS p99_days
+    FROM lat GROUP BY o_orderpriority
+    """,
+    tags=("relational", "latency", "sla", "percentile"),
+)
+def latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfilment-latency SLO report: order→ship days, exact
+    p50/p90/p99 per priority class — the latency-distribution view
+    every operations dashboard leads with (means hide the tail; the
+    p99 IS the SLO). Latencies are integer day counts, so the exact
+    percentile interpolation is identical in both engines with no
+    rounding fudge. One fact-fact join on the order key + one
+    percentile aggregate; at extreme group sizes the same slot takes
+    percentile_approx or quantile_bin_sketch (the documented
+    exact-vs-sketch family trade)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lat = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "o_orderpriority",
+            F.datediff("l_shipdate", "o_orderdate").alias("ship_days"),
+        )
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.percentile("ship_days", F.lit(0.5)).alias("p50_days"),
+        F.percentile("ship_days", F.lit(0.9)).alias("p90_days"),
+        F.percentile("ship_days", F.lit(0.99)).alias("p99_days"),
+    )
+
+
+@register(
+    "date_dimension_rollup",
+    oracle="""
+    WITH spine AS (
+        SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+                                           DATE '2001-12-31',
+                                           INTERVAL '1 day')) AS TIMESTAMP) AS d
+    ),
+    dim AS (
+        SELECT d,
+               ((date_diff('day', TIMESTAMP '1970-01-01', d) + 4) % 7) AS dow,
+               ((date_diff('day', TIMESTAMP '1970-01-01', d) + 4) % 7) IN (0, 6)
+                   AS is_weekend
+        FROM spine
+    )
+    SELECT EXTRACT(year FROM o.o_orderdate) AS yr,
+           dim.is_weekend,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))), 2) AS DOUBLE)
+               AS revenue
+    FROM orders o JOIN dim ON dim.d = o.o_orderdate
+    GROUP BY 1, 2
+    """,
+    tags=("relational", "date_dimension", "calendar_join", "broadcast"),
+)
+def date_dimension_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse date-dimension pattern: a generated calendar spine
+    (sequence(), ~2.5k rows) carrying derived attributes, broadcast
+    into the fact table — how real schemas answer is-weekend /
+    fiscal-period questions without re-deriving calendar math in every
+    query. Day-of-week is PURE ARITHMETIC ((epoch_days + 4) % 7,
+    Sunday = 0) instead of the engines' dayofweek builtins, which
+    disagree on numbering (Spark 1=Sunday, DuckDB 0=Sunday) — the
+    cross-engine determinism habit applied to calendars. The dimension
+    broadcasts (kilobytes for decades of days); revenue sums are
+    decimal-exact."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("2001-12-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("d0")
+    ).select(F.col("d0").cast("timestamp").alias("d"))
+    epoch_days = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    dim = spine.select(
+        "d",
+        ((epoch_days + 4) % 7).alias("dow"),
+        ((epoch_days + 4) % 7).isin(0, 6).alias("is_weekend"),
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    return (
+        o.join(F.broadcast(dim), dim.d == o.o_orderdate)
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"), "is_weekend"
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
