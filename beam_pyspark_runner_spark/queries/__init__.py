@@ -55,7 +55,8 @@ from beam_pyspark_runner_spark.queries import recursive  # noqa: E402,F401
 # duplicate_payment_detection, feature_hashing_stats, keyword_in_context,
 # negative_sampling_pairs, table_diff_reconcile, column_profile,
 # ab_assignment_srm, asof_join_tolerance, stream_ab_metrics,
-# latency_percentiles, date_dimension_rollup — plus the
+# latency_percentiles, date_dimension_rollup, chi_square_independence,
+# source_precedence_dedup, gdpr_delete_cascade — plus the
 # prior-session round-5 additions not in the current window (see git
 # log b155159..740484d).
 # Everything not listed keeps registration order after it;

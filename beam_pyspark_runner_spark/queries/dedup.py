@@ -765,3 +765,57 @@ def incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("delta_docs") - F.col("admitted")).alias("rejected"),
         )
     )
+
+
+@register(
+    "source_precedence_dedup",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, source,
+               CAST(SUBSTR(source, 4) AS BIGINT) AS priority,
+               md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    ),
+    kept AS (
+        SELECT fingerprint, MIN(priority) AS keep_priority,
+               COUNT(*) AS n_copies
+        FROM fp GROUP BY fingerprint
+    )
+    SELECT 'src' || CAST(k.keep_priority AS VARCHAR) AS kept_source,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(k.n_copies - 1) AS BIGINT) AS n_copies_dropped
+    FROM kept k
+    GROUP BY 1
+    """,
+    tags=("dedup", "source_precedence", "survivorship", "mdm"),
+)
+def source_precedence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source dedup with SOURCE PRECEDENCE: when the same content
+    arrives from multiple feeds, keep the copy from the
+    highest-priority source (licensed > scraped; here: lowest src
+    number wins) — the survivorship rule corpus curators apply before
+    counting tokens, and the cross-source twin of
+    golden_record_survivorship's latest-wins. One fingerprint pass +
+    one (fingerprint → min-priority, copies) aggregate: precedence is
+    an ARGMIN AGGREGATE over hash-sized rows, never a join of content,
+    and the report (kept docs + dropped copies per winning source)
+    falls out of the same state."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    fp = d.select(
+        F.substring("source", 4, 10).cast("long").alias("priority"),
+        F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))).alias(
+            "fingerprint"
+        ),
+    )
+    kept = fp.groupBy("fingerprint").agg(
+        F.min("priority").alias("keep_priority"),
+        F.count("*").alias("n_copies"),
+    )
+    return kept.groupBy(
+        F.concat(F.lit("src"), F.col("keep_priority").cast("string")).alias(
+            "kept_source"
+        )
+    ).agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum(F.col("n_copies") - 1).cast("long").alias("n_copies_dropped"),
+    )

@@ -1268,3 +1268,64 @@ def ab_assignment_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi.alias("chi_sq"),
         (chi <= 3.841).alias("srm_ok"),
     )
+
+
+@register(
+    "chi_square_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               ((date_diff('day', TIMESTAMP '1970-01-01',
+                           time_bucket(INTERVAL '1 day', ts)) + 4) % 7) IN (0, 6)
+                   AS is_weekend,
+               COUNT(*) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    margins AS (
+        SELECT c.event_type, c.is_weekend, c.o,
+               SUM(c.o) OVER (PARTITION BY c.event_type) AS row_total,
+               SUM(c.o) OVER (PARTITION BY c.is_weekend) AS col_total,
+               SUM(c.o) OVER () AS grand
+        FROM cells c
+    )
+    SELECT event_type, is_weekend, o AS observed,
+           CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+               / CAST(grand AS DOUBLE) AS expected,
+           POW(CAST(o AS DOUBLE) - CAST(row_total AS DOUBLE)
+                   * CAST(col_total AS DOUBLE) / CAST(grand AS DOUBLE), 2)
+               / (CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+                   / CAST(grand AS DOUBLE)) AS chi_term
+    FROM margins
+    """,
+    tags=("events", "chi_square", "independence", "statistics"),
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² test of independence for the event_type × weekend contingency
+    table — 'does behavior differ on weekends' answered properly, per
+    cell: observed, expected under independence (row·col/grand), and
+    the cell's χ² contribution. Everything is rational arithmetic over
+    integer counts (weekend via the engine-proof (epoch+4)%7 — cf.
+    date_dimension_rollup), so the statistic hashes exactly; summing
+    chi_term and comparing to the critical value is a client-side
+    one-liner. Shape: ONE conditional aggregate builds the |types|×2
+    cell table; margins are windows over that constant-size table —
+    the fact table is scanned once."""
+    e = load_table(spark, sf_dir, "events")
+    epoch_days = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+    cells = e.groupBy(
+        "event_type",
+        ((epoch_days + 4) % 7).isin(0, 6).alias("is_weekend"),
+    ).agg(F.count("*").alias("o"))
+    row_t = F.sum("o").over(W.partitionBy("event_type"))
+    col_t = F.sum("o").over(W.partitionBy("is_weekend"))
+    grand = F.sum("o").over(W.partitionBy())
+    expected = row_t.cast("double") * col_t.cast("double") / grand.cast("double")
+    return cells.select(
+        "event_type",
+        "is_weekend",
+        F.col("o").alias("observed"),
+        expected.alias("expected"),
+        (
+            F.pow(F.col("o").cast("double") - expected, F.lit(2.0)) / expected
+        ).alias("chi_term"),
+    )

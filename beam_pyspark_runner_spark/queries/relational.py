@@ -2064,3 +2064,77 @@ def date_dimension_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("revenue"),
         )
     )
+
+
+@register(
+    "gdpr_delete_cascade",
+    oracle="""
+    WITH tombstones AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 71 = 0
+    ),
+    dead_orders AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM tombstones)
+    )
+    SELECT t.table_name, t.rows_deleted, t.rows_surviving FROM (
+        SELECT 'customer' AS table_name,
+               (SELECT COUNT(*) FROM tombstones) AS rows_deleted,
+               (SELECT COUNT(*) FROM customer) -
+                   (SELECT COUNT(*) FROM tombstones) AS rows_surviving
+        UNION ALL
+        SELECT 'orders',
+               (SELECT COUNT(*) FROM dead_orders),
+               (SELECT COUNT(*) FROM orders) -
+                   (SELECT COUNT(*) FROM dead_orders)
+        UNION ALL
+        SELECT 'lineitem',
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM dead_orders)),
+               (SELECT COUNT(*) FROM lineitem) -
+                   (SELECT COUNT(*) FROM lineitem
+                    WHERE l_orderkey IN (SELECT o_orderkey FROM dead_orders))
+    ) t
+    """,
+    tags=("relational", "gdpr", "delete_cascade", "compliance", "anti_join"),
+)
+def gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure impact analysis: a tombstone set of customers
+    cascades through the foreign-key chain (customer → orders →
+    lineitem), reporting rows deleted vs surviving per table — the
+    dry-run a compliance pipeline executes before the actual
+    partition-rewrite deletes. Each hop is a SEMI join against the
+    previous hop's keys (ids only — customer keys broadcast, order
+    keys flow into one lineitem semi join); the actual delete is the
+    same plan with anti joins writing the survivors. Nothing scans
+    twice: per table, one conditional count over one semi-join-flagged
+    scan."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    dead = F.col("c_custkey") % 71 == 0
+    tomb = cust.filter(dead)
+    c_row = cust.agg(
+        F.lit("customer").alias("table_name"),
+        F.count(F.when(dead, 1)).alias("rows_deleted"),
+        F.count(F.when(~dead, 1)).alias("rows_surviving"),
+    )
+    # flag-join instead of semi+count pairs: one scan per table, one
+    # conditional aggregate — no driver-side counting anywhere
+    o_flag = orders.join(
+        F.broadcast(tomb), orders.o_custkey == tomb.c_custkey, "left"
+    ).select("o_orderkey", F.col("c_custkey").isNotNull().alias("is_dead"))
+    o_row = o_flag.agg(
+        F.lit("orders").alias("table_name"),
+        F.count(F.when(F.col("is_dead"), 1)).alias("rows_deleted"),
+        F.count(F.when(~F.col("is_dead"), 1)).alias("rows_surviving"),
+    )
+    dead_orders = o_flag.filter("is_dead").select("o_orderkey")
+    l_flag = li.join(
+        dead_orders, li.l_orderkey == dead_orders.o_orderkey, "left"
+    ).select(dead_orders.o_orderkey.isNotNull().alias("is_dead"))
+    l_row = l_flag.agg(
+        F.lit("lineitem").alias("table_name"),
+        F.count(F.when(F.col("is_dead"), 1)).alias("rows_deleted"),
+        F.count(F.when(~F.col("is_dead"), 1)).alias("rows_surviving"),
+    )
+    return c_row.unionByName(o_row).unionByName(l_row)
