@@ -819,3 +819,103 @@ def source_precedence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs_kept"),
         F.sum(F.col("n_copies") - 1).cast("long").alias("n_copies_dropped"),
     )
+
+
+def _est_sum_sql() -> str:
+    return " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
+        for i in range(len(MINHASH_SEEDS))
+    )
+
+
+@register(
+    "minhash_estimate_vs_exact",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    {_minhash_sig_sql()},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT doc_a, doc_b,
+               CAST(n_inter AS DOUBLE)
+                   / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS j
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_inter AS DOUBLE)
+              / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= {JACCARD_THRESHOLD}
+    )
+    SELECT e.doc_a, e.doc_b, e.j AS exact_jaccard,
+           ({_est_sum_sql()}) / 16.0 AS minhash_estimate,
+           abs(({_est_sum_sql()}) / 16.0 - e.j) <= 0.35 AS within_bound
+    FROM exact e
+    JOIN sig sa ON sa.doc_id = e.doc_a
+    JOIN sig sb ON sb.doc_id = e.doc_b
+    """,
+    tags=("dedup", "minhash", "estimator_quality", "adjudication"),
+)
+def minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator adjudication for the MinHash path (the
+    cms_estimate_vs_exact pattern applied to near-dup): for every true
+    near-dup pair (exact n-gram Jaccard ≥ threshold), the
+    signature-agreement estimate ĵ = matches/16 sits next to the exact
+    j, with |ĵ − j| pinned inside the ~3σ envelope for 16 permutations
+    (σ = √(j(1−j)/16) ≤ 0.125) as a hashed boolean. This is the
+    measurement that justifies trusting LSH candidates at 100 TB,
+    where the exact join that produced `j` here is unaffordable —
+    the estimator is certified on the small scale, then stands in at
+    the large one. Signatures come from the same single partial-agg
+    lineage as minhash_lsh_candidates; the exact side reuses the
+    ngram_jaccard shape (tuning-oracle only, quadratic within
+    shingle-sharing groups)."""
+    sig = _minhash_signature(spark, sf_dir)
+    sh = _shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa_sz = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb_sz = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    ).cast("double")
+    exact = (
+        inter.join(F.broadcast(sa_sz), "doc_a")
+        .join(F.broadcast(sb_sz), "doc_b")
+        .select("doc_a", "doc_b", j.alias("exact_jaccard"))
+        .filter(F.col("exact_jaccard") >= JACCARD_THRESHOLD)
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(len(MINHASH_SEEDS))],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(len(MINHASH_SEEDS))],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(len(MINHASH_SEEDS))
+    )
+    est = matches.cast("double") / F.lit(16.0)
+    return (
+        exact.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a", "doc_b", "exact_jaccard",
+            est.alias("minhash_estimate"),
+            (F.abs(est - F.col("exact_jaccard")) <= 0.35).alias("within_bound"),
+        )
+    )
