@@ -1511,3 +1511,65 @@ def keyword_in_context(spark: SparkSession, sf_dir: str) -> DataFrame:
             "right_context"
         ),
     )
+
+
+@register(
+    "unicode_nfc_clean",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 7 = 0
+                            THEN ' cafe' || chr(769) ELSE '' END AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           length(t) AS len_before,
+           length(nfc_normalize(t)) AS len_after,
+           nfc_normalize(t) <> t AS changed
+    FROM raw
+    """,
+    tags=("text", "unicode", "nfc", "normalization", "pandas_udf"),
+)
+def unicode_nfc_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the canonicalization every dedup /
+    tokenizer pipeline needs FIRST (a decomposed 'e'+U+0301 and a
+    precomposed 'é' are different bytes, different hashes, different
+    tokens, same text). Spark has no NFC builtin, so this is a
+    sanctioned Arrow-batched Python kernel (`mapInPandas` +
+    unicodedata — the exact boundary rule from ARCHITECTURE: Python
+    only where the JVM genuinely can't); DuckDB's native
+    nfc_normalize is the oracle, making this a CROSS-IMPLEMENTATION
+    check of the normalizer itself. Combining marks are synthesized
+    deterministically (every 7th doc) since the fixture is ASCII;
+    per-doc before/after code-point counts and a changed flag come
+    back for the downstream dedup join."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" cafe\u0301")).otherwise(
+                F.lit("")
+            ),
+        ).alias("t"),
+    )
+
+    def kernel(batches):
+        import unicodedata
+
+        for pdf in batches:
+            norm = pdf["t"].map(lambda x: unicodedata.normalize("NFC", x))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "len_before": pdf["t"].str.len().astype("int64"),
+                    "len_after": norm.str.len().astype("int64"),
+                    "changed": norm.ne(pdf["t"]),
+                }
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        "doc_id bigint, len_before bigint, len_after bigint, changed boolean",
+    )
