@@ -835,3 +835,96 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("le_id")).alias("last_event_id"),
         F.when(fresh, F.col("le_ts")).alias("last_event_ts"),
     )
+
+
+@register(
+    "record_linkage_score",
+    oracle="""
+    WITH b AS (
+        SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+               CASE WHEN c_custkey % 13 = 0 THEN 'MACHINERY'
+                    ELSE c_mktsegment END AS seg2,
+               CASE WHEN c_custkey % 17 = 0
+                    THEN CAST(c_acctbal + 500 AS DECIMAL(12,2))
+                    ELSE c_acctbal END AS bal2,
+               c_acctbal
+        FROM customer
+    ),
+    scored AS (
+        SELECT a.c_custkey AS key_a, r.c_custkey AS key_b,
+               (CASE WHEN a.c_name = r.c_name THEN 6 ELSE 0 END
+                + CASE WHEN a.c_mktsegment = r.seg2 THEN 2 ELSE 0 END
+                + CASE WHEN abs(CAST(a.c_acctbal - r.bal2 AS DOUBLE)) < 0.01
+                       THEN 3 ELSE 0 END) AS score
+        FROM customer a JOIN b r
+          ON a.c_nationkey = r.c_nationkey
+         AND a.c_custkey % 100 = r.c_custkey % 100
+    )
+    SELECT CASE WHEN score >= 9 THEN 'link'
+                WHEN score >= 6 THEN 'possible'
+                ELSE 'non_link' END AS decision,
+           COUNT(*) AS n_pairs,
+           CAST(MIN(score) AS BIGINT) AS min_score,
+           CAST(MAX(score) AS BIGINT) AS max_score
+    FROM scored GROUP BY 1
+    """,
+    tags=("join", "record_linkage", "entity_resolution", "blocking"),
+)
+def record_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (Fellegi–Sunter-style scoring): two customer
+    files — the second deterministically perturbed (every 13th segment
+    flipped, every 17th balance shifted) — compared within BLOCKS
+    (nation × custkey-mod-100), each pair scored by weighted field
+    agreement and classified link / possible / non-link. The
+    entity-resolution engine core: blocking bounds the candidate space
+    (here ~|C|²/2500 per nation instead of |C|²), the comparison
+    vector is pure CASE arithmetic in codegen, and thresholds are the
+    reviewable knobs. At 100 TB the block key IS the shuffle key; skew
+    in a block (one giant city) is handled like any hot join key —
+    salt or AQE."""
+    c = load_table(spark, sf_dir, "customer")
+    b = c.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_nationkey").alias("nat_b"),
+        (F.col("c_custkey") % 100).alias("blk_b"),
+        F.col("c_name").alias("name_b"),
+        F.when(F.col("c_custkey") % 13 == 0, F.lit("MACHINERY"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_b"),
+        F.when(
+            F.col("c_custkey") % 17 == 0,
+            (F.col("c_acctbal") + 500).cast("decimal(12,2)"),
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal_b"),
+    )
+    a = c.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_nationkey").alias("nat_a"),
+        (F.col("c_custkey") % 100).alias("blk_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("c_acctbal").alias("bal_a"),
+    )
+    pairs = a.join(
+        b, (a.nat_a == b.nat_b) & (a.blk_a == b.blk_b)
+    )
+    score = (
+        F.when(F.col("name_a") == F.col("name_b"), 6).otherwise(0)
+        + F.when(F.col("seg_a") == F.col("seg_b"), 2).otherwise(0)
+        + F.when(
+            F.abs((F.col("bal_a") - F.col("bal_b")).cast("double")) < 0.01, 3
+        ).otherwise(0)
+    )
+    decision = (
+        F.when(score >= 9, "link")
+        .when(score >= 6, "possible")
+        .otherwise("non_link")
+    )
+    return pairs.select(score.alias("score"), decision.alias("decision")).groupBy(
+        "decision"
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.min("score").cast("long").alias("min_score"),
+        F.max("score").cast("long").alias("max_score"),
+    )

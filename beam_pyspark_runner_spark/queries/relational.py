@@ -2138,3 +2138,60 @@ def gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(~F.col("is_dead"), 1)).alias("rows_surviving"),
     )
     return c_row.unionByName(o_row).unionByName(l_row)
+
+
+@register(
+    "keyset_pagination",
+    oracle="""
+    WITH anchor AS (
+        SELECT o_totalprice AS ap, o_orderkey AS ak
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 1 OFFSET 49
+    )
+    SELECT o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS total_price
+    FROM orders o, anchor
+    WHERE (o.o_totalprice < anchor.ap)
+       OR (o.o_totalprice = anchor.ap AND o.o_orderkey > anchor.ak)
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 25
+    """,
+    tags=("relational", "pagination", "keyset", "topk"),
+)
+def keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination — page 3 of the price-ranked order list
+    fetched by WHERE (price, key) < last-seen instead of
+    OFFSET 50: the pattern that keeps 'page N' cost INDEPENDENT of N.
+    OFFSET must sort-and-discard everything above the page (page
+    10,000 of a 100 TB listing = a near-full sort every request);
+    the keyset predicate pushes into the scan and the engine keeps
+    only 25 rows via TakeOrderedAndProject. The anchor tuple here is
+    derived in-query for oracle determinism (a real API passes the
+    client's cursor); the composite (price, key) keyset makes the
+    order total so pages never skip or repeat under ties."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    anchor = F.broadcast(
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(50)
+        .orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").desc())
+        .limit(1)
+        .select(
+            F.col("o_totalprice").alias("ap"), F.col("o_orderkey").alias("ak")
+        )
+    )
+    return (
+        o.crossJoin(anchor)
+        .filter(
+            (F.col("o_totalprice") < F.col("ap"))
+            | (
+                (F.col("o_totalprice") == F.col("ap"))
+                & (F.col("o_orderkey") > F.col("ak"))
+            )
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("total_price"),
+        )
+    )
