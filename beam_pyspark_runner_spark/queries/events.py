@@ -1329,3 +1329,112 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(F.col("o").cast("double") - expected, F.lit(2.0)) / expected
         ).alias("chi_term"),
     )
+
+
+@register(
+    "event_run_length_encode",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS grp
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, event_type, COUNT(*) AS run_len
+        FROM seq GROUP BY user_id, event_type, grp
+    )
+    SELECT event_type,
+           COUNT(*) AS n_runs,
+           CAST(MAX(run_len) AS BIGINT) AS max_run,
+           CAST(SUM(run_len) AS BIGINT) AS total_events
+    FROM runs GROUP BY event_type
+    """,
+    tags=("events", "run_length", "sequence_compression", "tabibitosan"),
+)
+def event_run_length_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of per-user event streams — consecutive
+    same-type events collapse into runs (the double-ROW_NUMBER
+    Tabibitosan: global minus per-type rank is constant within a run).
+    Long runs are themselves a signal (rage-clicks, retry storms,
+    sensor stutter) and RLE is the first step of sequence compression
+    for session storage. Two in-partition window ranks + two
+    aggregates; the only shuffle keys are (user) then (type) — run
+    state never exceeds the group."""
+    e = load_table(spark, sf_dir, "events")
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+    )
+    runs = seq.groupBy("user_id", "event_type", "grp").agg(
+        F.count("*").alias("run_len")
+    )
+    return runs.groupBy("event_type").agg(
+        F.count("*").alias("n_runs"),
+        F.max("run_len").cast("long").alias("max_run"),
+        F.sum("run_len").cast("long").alias("total_events"),
+    )
+
+
+@register(
+    "growth_accounting",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, time_bucket(INTERVAL '1 day', ts) AS d
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, d,
+               MIN(d) OVER (PARTITION BY user_id) AS first_d,
+               LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+        FROM ud
+    )
+    SELECT d AS day,
+           COUNT(*) FILTER (WHERE d = first_d) AS new_users,
+           COUNT(*) FILTER (WHERE d <> first_d
+                            AND prev_d = d - INTERVAL '1 day') AS retained,
+           COUNT(*) FILTER (WHERE d <> first_d
+                            AND prev_d < d - INTERVAL '1 day') AS resurrected
+    FROM flagged
+    GROUP BY d
+    """,
+    tags=("events", "growth_accounting", "retention", "product_analytics"),
+)
+def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting — every active user-day classified NEW (first
+    day ever), RETAINED (also active yesterday), or RESURRECTED
+    (returning after a gap): the decomposition behind every DAU chart
+    that means anything (churn is the complement, computable from
+    these three). One distinct (user, day) reduction, one per-user
+    window pass for first/previous day, one day-keyed conditional
+    aggregate — the fact table is touched once and the window runs
+    over active-days, not raw events."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    w_u = W.partitionBy("user_id")
+    w_seq = W.partitionBy("user_id").orderBy("d")
+    flagged = ud.select(
+        "d",
+        F.min("d").over(w_u).alias("first_d"),
+        F.lag("d").over(w_seq).alias("prev_d"),
+    )
+    day_ago = F.col("d") - F.expr("interval 1 day")
+    return flagged.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.when(F.col("d") == F.col("first_d"), 1)).alias("new_users"),
+        F.count(
+            F.when(
+                (F.col("d") != F.col("first_d")) & (F.col("prev_d") == day_ago), 1
+            )
+        ).alias("retained"),
+        F.count(
+            F.when(
+                (F.col("d") != F.col("first_d")) & (F.col("prev_d") < day_ago), 1
+            )
+        ).alias("resurrected"),
+    )

@@ -2195,3 +2195,64 @@ def keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").cast("double").alias("total_price"),
         )
     )
+
+
+@register(
+    "diversified_topk",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_custkey, c.c_nationkey,
+               CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))), 2)
+                   AS DOUBLE) AS revenue
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    diversified AS (
+        SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY c_nationkey
+                      ORDER BY revenue DESC, c_custkey
+                  ) AS nation_rank
+        FROM spend
+    )
+    SELECT c_custkey AS custkey, c_nationkey AS nationkey, revenue,
+           CAST(nation_rank AS BIGINT) AS nation_rank
+    FROM diversified
+    WHERE nation_rank <= 2
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 10
+    """,
+    tags=("relational", "diversified_topk", "ranking", "window"),
+)
+def diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-k: the 10 highest-revenue customers subject to AT
+    MOST 2 PER NATION — the result-diversification constraint every
+    leaderboard/search surface applies so one hot group doesn't fill
+    the page. Two-stage: a per-group ROW_NUMBER caps group
+    representation (map-side WindowGroupLimit prunes to 2 per nation
+    before the exchange), then a global TakeOrderedAndProject picks 10
+    from the ≤2·|nations| survivors — the global sort never sees more
+    than the cap times the group count, which is what makes
+    diversified ranking feasible when the raw ranking would be
+    dominated by one segment."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("revenue").desc(), F.col("c_custkey")
+    )
+    return (
+        spend.withColumn("nation_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("nation_rank") <= 2)
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(10)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_nationkey").alias("nationkey"),
+            "revenue",
+            "nation_rank",
+        )
+    )
