@@ -1438,3 +1438,62 @@ def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("resurrected"),
     )
+
+
+@register(
+    "distribution_drift_chisq",
+    oracle="""
+    WITH counts AS (
+        SELECT event_type,
+               COUNT(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-24') AS cur,
+               COUNT(*) FILTER (WHERE ts <  TIMESTAMP '2024-01-24') AS ref
+        FROM events GROUP BY event_type
+    ),
+    tot AS (
+        SELECT SUM(cur) AS tc, SUM(ref) AS tr FROM counts
+    )
+    SELECT c.event_type, c.cur AS current_count, c.ref AS reference_count,
+           CAST(c.ref AS DOUBLE) * CAST(t.tc AS DOUBLE) / CAST(t.tr AS DOUBLE)
+               AS expected_count,
+           POW(CAST(c.cur AS DOUBLE) - CAST(c.ref AS DOUBLE)
+                   * CAST(t.tc AS DOUBLE) / CAST(t.tr AS DOUBLE), 2)
+               / (CAST(c.ref AS DOUBLE) * CAST(t.tc AS DOUBLE)
+                   / CAST(t.tr AS DOUBLE)) AS drift_term
+    FROM counts c CROSS JOIN tot t
+    """,
+    tags=("events", "drift_detection", "chi_square", "mlops"),
+)
+def distribution_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: the current window's event-type mix
+    tested against the reference period, per-category expected counts
+    and χ² drift contributions — the input-data health check an ML
+    serving pipeline runs before trusting a model trained on the
+    reference distribution (PSI is the textbook alternative, but its
+    ln() would break cross-engine hashing — χ² ranks drift the same
+    way in pure rational arithmetic, cf. source_gini_diversity's
+    log-avoidance). One conditional aggregate builds both period
+    counts in ONE scan; the drift math runs on the |categories|-row
+    table."""
+    cutoff = F.lit("2024-01-24").cast("timestamp")
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(
+        F.count(F.when(F.col("ts") >= cutoff, 1)).alias("cur"),
+        F.count(F.when(F.col("ts") < cutoff, 1)).alias("ref"),
+    )
+    tot = counts.agg(
+        F.sum("cur").alias("tc"), F.sum("ref").alias("tr")
+    )
+    expected = (
+        F.col("ref").cast("double")
+        * F.col("tc").cast("double")
+        / F.col("tr").cast("double")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        F.col("cur").alias("current_count"),
+        F.col("ref").alias("reference_count"),
+        expected.alias("expected_count"),
+        (
+            F.pow(F.col("cur").cast("double") - expected, F.lit(2.0)) / expected
+        ).alias("drift_term"),
+    )

@@ -928,3 +928,47 @@ def record_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("score").cast("long").alias("min_score"),
         F.max("score").cast("long").alias("max_score"),
     )
+
+
+@register(
+    "join_fanout_audit",
+    oracle="""
+    WITH l AS (SELECT o_orderkey AS k, COUNT(*) AS nl FROM orders GROUP BY 1),
+    r AS (SELECT l_orderkey AS k, COUNT(*) AS nr FROM lineitem GROUP BY 1),
+    m AS (SELECT l.k, l.nl, COALESCE(r.nr, 0) AS nr FROM l LEFT JOIN r USING (k))
+    SELECT CAST(SUM(nl * nr) AS BIGINT) AS predicted_join_rows,
+           CAST(MAX(nl * nr) AS BIGINT) AS max_key_fanout,
+           CAST(COUNT(*) FILTER (WHERE nl * nr > 5) AS BIGINT)
+               AS keys_over_fanout_5,
+           CAST(COUNT(*) FILTER (WHERE nr = 0) AS BIGINT) AS unmatched_left_keys
+    FROM m
+    """,
+    tags=("join", "fanout_audit", "cardinality_estimation", "pre_join_check"),
+)
+def join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join fan-out audit: EXACT predicted output size, the worst
+    single-key explosion, and the hot-key count for a prospective join
+    — computed from per-key COUNTS on each side, never from the join
+    itself. This is the guard you run before an unfamiliar 100 TB ⋈
+    100 TB: two partial aggregates (each output ≤ its key cardinality)
+    and one key-aligned merge of count rows replace the join whose
+    cost you're trying to predict; Σ(nl·nr) is the exact row count a
+    plain inner join would produce, and max(nl·nr) is the skew
+    headline that decides salting before any executor OOMs discover
+    it empirically."""
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    l_cnt = o.groupBy("k").agg(F.count("*").alias("nl"))
+    r_cnt = li.groupBy("k").agg(F.count("*").alias("nr"))
+    m = l_cnt.join(r_cnt, "k", "left").select(
+        "nl", F.coalesce(F.col("nr"), F.lit(0)).alias("nr")
+    )
+    prod = F.col("nl") * F.col("nr")
+    return m.agg(
+        F.sum(prod).cast("long").alias("predicted_join_rows"),
+        F.max(prod).cast("long").alias("max_key_fanout"),
+        F.count(F.when(prod > 5, 1)).alias("keys_over_fanout_5"),
+        F.count(F.when(F.col("nr") == 0, 1)).alias("unmatched_left_keys"),
+    )
