@@ -911,3 +911,30 @@ def test_hll_datasketch_partial_agg(spark):
     plan = _query_plan(spark, "hll_datasketch_union")
     assert "ObjectHashAggregate" in plan or "SortAggregate" in plan, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_record_linkage_join_is_blocked(spark):
+    """record_linkage_score: the candidate join must be keyed on the
+    block (hash join on nation+mod-block), never a cartesian — blocking
+    IS the entity-resolution scale story."""
+    plan = _query_plan(spark, "record_linkage_score")
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan, plan
+
+
+def test_diversified_topk_prunes_groups_before_global_sort(spark):
+    """diversified_topk: per-group cap runs as WindowGroupLimit (prunes
+    to 2 per nation map-side) and the final 10 come from
+    TakeOrderedAndProject — the global sort must never materialize."""
+    plan = _query_plan(spark, "diversified_topk")
+    assert "WindowGroupLimit" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_keyset_pagination_no_global_sort_materialization(spark):
+    """keyset_pagination: both the anchor derivation and the page fetch
+    end in TakeOrderedAndProject (bounded heaps), not a full sort."""
+    plan = _query_plan(spark, "keyset_pagination")
+    assert plan.count("TakeOrderedAndProject") >= 1, plan
+    assert "Exchange rangepartitioning" not in plan, plan
