@@ -2256,3 +2256,59 @@ def diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nation_rank",
         )
     )
+
+
+@register(
+    "qq_deciles_compare",
+    oracle="""
+    WITH a AS (
+        SELECT unnest(quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]))
+                   AS qa,
+               generate_subscripts(quantile_cont(value,
+                   [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]), 1) AS decile
+        FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+        SELECT unnest(quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]))
+                   AS qb,
+               generate_subscripts(quantile_cont(value,
+                   [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]), 1) AS decile
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.decile, a.qa AS click_decile, b.qb AS purchase_decile,
+           b.qb - a.qa AS qq_gap
+    FROM a JOIN b USING (decile)
+    """,
+    tags=("relational", "qq_plot", "distribution_compare", "percentile"),
+)
+def qq_deciles_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QQ comparison data: matched deciles of two value distributions
+    (click vs purchase) with their gaps — the quantile-quantile view
+    that shows WHERE two distributions diverge, not just whether
+    (drift monitors give a scalar; this gives the shape). Exact
+    multi-quantile aggregates (one array-percentile per side, both
+    interpolating identically on doubles) exploded to decile rows and
+    aligned by position — two scans, two constant-size results, one
+    9-row join."""
+    e = load_table(spark, sf_dir, "events")
+    qs = F.lit([i / 10.0 for i in range(1, 10)])
+
+    def side(t: str, out: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == t)
+            .agg(F.percentile("value", qs).alias("q"))
+            .select(F.posexplode("q").alias("pos0", out))
+            .select((F.col("pos0") + 1).alias("decile"), out)
+        )
+
+    a = side("click", "click_decile")
+    b = side("purchase", "purchase_decile")
+    return (
+        a.join(b, "decile")
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "click_decile",
+            "purchase_decile",
+            (F.col("purchase_decile") - F.col("click_decile")).alias("qq_gap"),
+        )
+    )

@@ -1573,3 +1573,70 @@ def unicode_nfc_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "doc_id bigint, len_before bigint, len_after bigint, changed boolean",
     )
+
+
+@register(
+    "trending_terms_rankshift",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id % 2 AS period,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    counts AS (
+        SELECT token,
+               COUNT(*) FILTER (WHERE period = 1) AS cur,
+               COUNT(*) FILTER (WHERE period = 0) AS ref
+        FROM tok GROUP BY token
+    ),
+    ranked AS (
+        SELECT token, cur, ref,
+               ROW_NUMBER() OVER (ORDER BY cur DESC, token) AS cur_rank,
+               ROW_NUMBER() OVER (ORDER BY ref DESC, token) AS ref_rank
+        FROM counts
+    )
+    SELECT token, cur AS current_count, ref AS reference_count,
+           CAST(cur_rank AS BIGINT) AS cur_rank,
+           CAST(ref_rank AS BIGINT) AS ref_rank,
+           CAST(ref_rank - cur_rank AS BIGINT) AS rank_gain
+    FROM ranked
+    WHERE cur_rank <= 10 OR ref_rank <= 10
+    """,
+    tags=("text", "trending", "rank_shift", "monitoring"),
+)
+def trending_terms_rankshift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending terms: token frequency ranks in the current period vs
+    the reference period, with the rank gain that surfaces risers —
+    the what's-changed view over a text stream (period = doc parity
+    here; production uses time buckets). BOTH period counts come from
+    one conditional aggregate over one tokenize; the rank windows run
+    over the VOCABULARY table, not the corpus, and the top-10-union
+    filter bounds output. Ranks tie-break on the token so the shift
+    is deterministic."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2).alias("period"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    counts = docs.groupBy("token").agg(
+        F.count(F.when(F.col("period") == 1, 1)).alias("cur"),
+        F.count(F.when(F.col("period") == 0, 1)).alias("ref"),
+    )
+    w_cur = W.orderBy(F.col("cur").desc(), "token")
+    w_ref = W.orderBy(F.col("ref").desc(), "token")
+    ranked = counts.select(
+        "token", "cur", "ref",
+        F.row_number().over(w_cur).cast("long").alias("cur_rank"),
+        F.row_number().over(w_ref).cast("long").alias("ref_rank"),
+    )
+    return ranked.filter(
+        (F.col("cur_rank") <= 10) | (F.col("ref_rank") <= 10)
+    ).select(
+        "token",
+        F.col("cur").alias("current_count"),
+        F.col("ref").alias("reference_count"),
+        "cur_rank",
+        "ref_rank",
+        (F.col("ref_rank") - F.col("cur_rank")).alias("rank_gain"),
+    )
