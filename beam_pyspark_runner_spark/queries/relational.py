@@ -2312,3 +2312,112 @@ def qq_deciles_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("purchase_decile") - F.col("click_decile")).alias("qq_gap"),
         )
     )
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               MIN(EXTRACT(year FROM o_orderdate)) AS cohort_year
+        FROM orders GROUP BY o_custkey
+    ),
+    rev AS (
+        SELECT f.cohort_year,
+               EXTRACT(year FROM o.o_orderdate) - f.cohort_year AS age_years,
+               CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))), 2)
+                   AS DOUBLE) AS revenue
+        FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT cohort_year, age_years, revenue,
+           CAST(ROUND(SUM(CAST(revenue AS DECIMAL(38,10))) OVER (
+               PARTITION BY cohort_year ORDER BY age_years
+               ROWS UNBOUNDED PRECEDING
+           ), 2) AS DOUBLE) AS cumulative_ltv
+    FROM rev
+    """,
+    tags=("relational", "cohort", "ltv", "finance", "cumulative"),
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: customers grouped by first-purchase year,
+    revenue accumulated by cohort age — the lifetime-value view that
+    tells finance whether newer cohorts monetize faster
+    (cohort_retention is the activity twin; this is the money twin).
+    First-purchase assignment is one per-customer aggregate joined
+    back into the fact (at 100 TB: the join is keyed on customer —
+    the same shuffle the revenue rollup needs anyway); the cumulative
+    curve is a window over the (cohort × age) aggregate, constant
+    size. Sums exact-decimal end to end, including the running
+    total."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort_year")
+    )
+    rev = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_year",
+            (F.year("o_orderdate") - F.col("cohort_year")).alias("age_years"),
+        )
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w = (
+        W.partitionBy("cohort_year")
+        .orderBy("age_years")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return rev.select(
+        F.col("cohort_year").cast("long").alias("cohort_year"),
+        F.col("age_years").cast("long").alias("age_years"),
+        "revenue",
+        F.sum(F.col("revenue").cast("decimal(38,10)"))
+        .over(w)
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("cumulative_ltv"),
+    )
+
+
+@register(
+    "revenue_waterfall",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,10))), 2)
+               AS DOUBLE) AS gross,
+           CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(10,2))
+               * CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(38,10))), 2)
+               AS DOUBLE) AS discount_given,
+           CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(10,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+               * CAST(l_tax AS DECIMAL(3,2)) AS DECIMAL(38,10))), 2)
+               AS DOUBLE) AS tax_collected,
+           CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(10,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+               AS DECIMAL(38,10))), 2) AS DOUBLE) AS net_revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("relational", "waterfall", "finance", "decomposition"),
+)
+def revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue waterfall: gross → −discount → +tax → net, decomposed per
+    return flag — the bridge chart every finance review opens with,
+    and an exactness stress test: all four components are separate
+    exact-decimal sums over the same tight-precision products as Q1
+    (gross − discount = net holds to the cent BY CONSTRUCTION, not
+    approximately — a float pipeline can't promise that). One scan,
+    one aggregate, four conditional measures."""
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    price = F.col("l_extendedprice").cast("decimal(10,2)")
+    disc = F.col("l_discount").cast("decimal(3,2)")
+    tax = F.col("l_tax").cast("decimal(3,2)")
+    return li.groupBy("l_returnflag").agg(
+        dsum(F.col("l_extendedprice")).alias("gross"),
+        dsum(price * disc).alias("discount_given"),
+        dsum(price * (one - disc) * tax).alias("tax_collected"),
+        dsum(price * (one - disc)).alias("net_revenue"),
+    )
