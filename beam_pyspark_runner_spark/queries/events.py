@@ -1497,3 +1497,109 @@ def distribution_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(F.col("cur").cast("double") - expected, F.lit(2.0)) / expected
         ).alias("drift_term"),
     )
+
+
+@register(
+    "temporal_group_split",
+    oracle="""
+    WITH base AS (
+        -- every 13th user "signs up" in the val period: their history
+        -- is excluded so the cold-start class actually exercises
+        SELECT * FROM events
+        WHERE NOT (user_id % 13 = 0 AND ts < TIMESTAMP '2024-01-24')
+    ),
+    train_users AS (
+        SELECT DISTINCT user_id FROM base
+        WHERE ts < TIMESTAMP '2024-01-24'
+    ),
+    classified AS (
+        SELECT e.event_id,
+               CASE WHEN e.ts < TIMESTAMP '2024-01-24' THEN 'train'
+                    WHEN t.user_id IS NOT NULL THEN 'val_warm'
+                    ELSE 'val_cold' END AS split
+        FROM base e
+        LEFT JOIN train_users t ON t.user_id = e.user_id
+    )
+    SELECT split, COUNT(*) AS n_events
+    FROM classified GROUP BY split
+    """,
+    tags=("events", "ml_split", "temporal", "leakage", "training_data"),
+)
+def temporal_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/validation split with LEAKAGE ACCOUNTING: train is
+    strictly before the cutoff, and validation events are classified
+    warm (user seen in train — evaluates ranking) vs cold (user unseen
+    — evaluates cold-start). Random splits leak future into past and
+    overstate every temporal model; this split is the honest one, and
+    the warm/cold decomposition is the report reviewers ask for.
+    Shape: the train-user set is a distinct reduction on ids; the
+    classification is one flag-join against it (broadcast for
+    dimension-sized user sets, hash join beyond) — the fact table
+    scans once, both the cutoff predicate and the id projection reach
+    the parquet reader."""
+    cutoff = F.lit("2024-01-24").cast("timestamp")
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # simulate late signups (see oracle comment) so val_cold is non-empty
+    e = e.filter(
+        ~((F.col("user_id") % 13 == 0) & (F.col("ts") < cutoff))
+    )
+    train_users = (
+        e.filter(F.col("ts") < cutoff).select("user_id").distinct()
+        .withColumnRenamed("user_id", "tu")
+    )
+    classified = e.join(
+        F.broadcast(train_users), e.user_id == F.col("tu"), "left"
+    ).select(
+        F.when(F.col("ts") < cutoff, "train")
+        .when(F.col("tu").isNotNull(), "val_warm")
+        .otherwise("val_cold")
+        .alias("split")
+    )
+    return classified.groupBy("split").agg(F.count("*").alias("n_events"))
+
+
+@register(
+    "smoothed_ctr",
+    oracle="""
+    WITH peruser AS (
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'view') AS views,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, views, purchases,
+           CASE WHEN views > 0
+                THEN CAST(purchases AS DOUBLE) / CAST(views AS DOUBLE) END
+               AS raw_ctr,
+           (CAST(purchases AS DOUBLE) + 1.0)
+               / (CAST(views AS DOUBLE) + 20.0) AS smoothed_ctr
+    FROM peruser
+    """,
+    tags=("events", "ctr", "bayesian_smoothing", "recsys"),
+)
+def smoothed_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian-smoothed conversion rate: Beta(1,19) prior pulls
+    low-volume users toward the ~5% base rate, so a 1-view-1-purchase
+    user doesn't outrank a 1000-view-high-converter — the smoothing
+    every CTR-ranked surface applies before sorting by rate (raw CTR
+    is reported beside it, NULL when views = 0, which is exactly the
+    case the prior exists to handle). One conditional aggregate;
+    the smoothing is two additions and one division of counts —
+    rational, hashable, and at 100 TB the per-key state is two
+    counters."""
+    e = load_table(spark, sf_dir, "events")
+    peruser = e.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+    )
+    return peruser.select(
+        "user_id", "views", "purchases",
+        F.when(
+            F.col("views") > 0,
+            F.col("purchases").cast("double") / F.col("views").cast("double"),
+        ).alias("raw_ctr"),
+        (
+            (F.col("purchases").cast("double") + 1.0)
+            / (F.col("views").cast("double") + 20.0)
+        ).alias("smoothed_ctr"),
+    )
