@@ -1603,3 +1603,55 @@ def smoothed_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("views").cast("double") + 20.0)
         ).alias("smoothed_ctr"),
     )
+
+
+@register(
+    "user_survival_curve",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id,
+               date_diff('day', MIN(ts), MAX(ts)) AS lifespan_days
+        FROM events GROUP BY user_id
+    ),
+    hist AS (
+        SELECT lifespan_days, COUNT(*) AS n FROM spans GROUP BY 1
+    ),
+    total AS (SELECT COUNT(*) AS tot FROM spans)
+    SELECT h.lifespan_days AS day_k,
+           CAST(SUM(h2.n) AS BIGINT) AS n_surviving,
+           CAST(SUM(h2.n) AS DOUBLE) / CAST(t.tot AS DOUBLE) AS survival
+    FROM hist h
+    JOIN hist h2 ON h2.lifespan_days >= h.lifespan_days
+    CROSS JOIN total t
+    GROUP BY h.lifespan_days, t.tot
+    """,
+    tags=("events", "survival_analysis", "retention", "lifespan"),
+)
+def user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival curve over user lifespans: S(k) = fraction of users
+    whose observed activity span reaches k days — the
+    Kaplan–Meier-style view behind every retention deck (here without
+    censoring: the fixture's window closes for everyone at once, so
+    the empirical curve IS the estimator). Lifespans reduce per user
+    (one agg); the curve computes on the LIFESPAN HISTOGRAM — at most
+    |distinct days| rows — via a descending cumulative sum, so the
+    fact table is scanned once and the quadratic-looking tail-sum
+    runs over a few dozen histogram rows, never users. Survival
+    fractions are count ratios → exact."""
+    e = load_table(spark, sf_dir, "events")
+    spans = e.groupBy("user_id").agg(
+        F.datediff(F.max("ts"), F.min("ts")).alias("lifespan_days")
+    )
+    hist = spans.groupBy("lifespan_days").agg(F.count("*").alias("n"))
+    w = (
+        W.orderBy(F.col("lifespan_days").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    total = F.sum("n").over(W.partitionBy())
+    return hist.select(
+        F.col("lifespan_days").cast("long").alias("day_k"),
+        F.sum("n").over(w).cast("long").alias("n_surviving"),
+        (F.sum("n").over(w).cast("double") / total.cast("double")).alias(
+            "survival"
+        ),
+    )

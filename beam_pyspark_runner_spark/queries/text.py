@@ -1640,3 +1640,74 @@ def trending_terms_rankshift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ref_rank",
         (F.col("ref_rank") - F.col("cur_rank")).alias("rank_gain"),
     )
+
+
+@register(
+    "classifier_eval_f1",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, lang,
+                 CAST(len(list_filter(toks, x -> x IN ({_SW_SQL}))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) AS sw_ratio,
+                 CAST(len(list_filter(toks, x -> x IN ('data', 'query', 'table'))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) AS en_ratio
+          FROM t),
+    pred AS (
+        SELECT lang = 'en' AS truth,
+               (sw_ratio + en_ratio > 0.12) AS predicted
+        FROM s
+    ),
+    cm AS (
+        SELECT COUNT(*) FILTER (WHERE truth AND predicted) AS tp,
+               COUNT(*) FILTER (WHERE NOT truth AND predicted) AS fp,
+               COUNT(*) FILTER (WHERE truth AND NOT predicted) AS fn,
+               COUNT(*) FILTER (WHERE NOT truth AND NOT predicted) AS tn
+        FROM pred
+    )
+    SELECT tp, fp, fn, tn,
+           CAST(tp AS DOUBLE) / (tp + fp) AS precision,
+           CAST(tp AS DOUBLE) / (tp + fn) AS recall,
+           CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) AS f1,
+           CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS accuracy
+    FROM cm
+    """,
+    tags=("text", "ml_eval", "confusion_matrix", "f1"),
+)
+def classifier_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation — confusion matrix, precision/recall/F1,
+    accuracy — run against THIS REPO'S OWN lang-ID heuristic with the
+    fixture's lang column as ground truth: the eval harness is itself
+    a distributed query (one scan, one conditional aggregate over the
+    prediction expression — the classifier never materializes a
+    predictions table), and the result doubles as a measured quality
+    statement about lang_id_heuristic rather than a toy. All four
+    rates are count ratios (F1 via the 2tp identity — no intermediate
+    precision/recall float reuse), so the report value-hashes."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks).cast("double")
+    sw = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / n
+    en = (
+        F.size(F.filter(toks, lambda x: x.isin("data", "query", "table"))).cast(
+            "double"
+        )
+        / n
+    )
+    pred = d.select(
+        (F.col("lang") == "en").alias("truth"),
+        ((sw + en) > 0.12).alias("predicted"),
+    )
+    cm = pred.agg(
+        F.count(F.when(F.col("truth") & F.col("predicted"), 1)).alias("tp"),
+        F.count(F.when(~F.col("truth") & F.col("predicted"), 1)).alias("fp"),
+        F.count(F.when(F.col("truth") & ~F.col("predicted"), 1)).alias("fn"),
+        F.count(F.when(~F.col("truth") & ~F.col("predicted"), 1)).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c).cast("double") for c in ("tp", "fp", "fn", "tn"))
+    return cm.select(
+        "tp", "fp", "fn", "tn",
+        (tp / (tp + fp)).alias("precision"),
+        (tp / (tp + fn)).alias("recall"),
+        ((2 * tp) / (2 * tp + fp + fn)).alias("f1"),
+        ((tp + tn) / (tp + fp + fn + tn)).alias("accuracy"),
+    )
