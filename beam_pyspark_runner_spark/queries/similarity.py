@@ -1052,3 +1052,93 @@ def label_centroid_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((mean * mean).cast(dec))
         .cast("decimal(38,6)").cast("double").alias("centroid_sq_norm"),
     )
+
+
+@register(
+    "retrieval_eval_mrr",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlab, {_EMB_DBL} AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, label AS clab, {_EMB_DBL} AS ce
+          FROM embeddings),
+    s AS (SELECT query_id, qlab, neighbor_id, clab,
+                 {_cos_sql('qe', 'ce')} AS cosine
+          FROM q, c WHERE query_id <> neighbor_id),
+    ranked AS (
+        SELECT query_id, qlab, clab,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM s
+    ),
+    topk AS (SELECT * FROM ranked WHERE rnk <= {TOP_K}),
+    per_q AS (
+        SELECT query_id,
+               MIN(CASE WHEN qlab = clab THEN rnk END) AS first_rel,
+               COUNT(*) FILTER (WHERE qlab = clab) AS n_rel
+        FROM topk GROUP BY query_id
+    )
+    SELECT query_id,
+           CAST(COALESCE(n_rel, 0) AS BIGINT) AS relevant_at_k,
+           CAST(COALESCE(n_rel, 0) AS DOUBLE) / {TOP_K}.0 AS precision_at_k,
+           CASE WHEN first_rel IS NOT NULL
+                THEN 1.0 / CAST(first_rel AS DOUBLE) ELSE 0.0 END
+               AS reciprocal_rank
+    FROM per_q
+    """,
+    tags=("similarity", "ir_eval", "mrr", "precision_at_k"),
+)
+def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation over the engine's own ANN ground truth:
+    per-query precision@k and reciprocal rank, with the embedding
+    LABEL as relevance — the measurement that turns 'we have cosine
+    top-k' into 'retrieval finds same-class neighbors at rank r'.
+    MRR and P@k are rational (1/rank, counts/k); NDCG's log2 discount
+    is the textbook alternative but would ride libm (the recurring
+    trade — rank-based metrics chosen for cross-engine exactness).
+    The eval pipeline IS the cosine_topk plan (broadcast queries,
+    one corpus stream, ranked window) plus one per-query aggregate —
+    evaluation costs one extra constant-size agg, not a second
+    scan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlab"),
+        F.col("embedding").alias("qe"),
+    )
+    c = spread(e).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("clab"),
+        F.col("embedding").alias("ce"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "qlab", "neighbor_id", "clab",
+            cosine_similarity(F.col("qe"), F.col("ce")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    topk = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOP_K
+    )
+    rel = F.col("qlab") == F.col("clab")
+    per_q = topk.groupBy("query_id").agg(
+        F.min(F.when(rel, F.col("rnk"))).alias("first_rel"),
+        F.count(F.when(rel, 1)).alias("n_rel"),
+    )
+    return per_q.select(
+        "query_id",
+        F.coalesce(F.col("n_rel"), F.lit(0)).alias("relevant_at_k"),
+        (
+            F.coalesce(F.col("n_rel"), F.lit(0)).cast("double") / float(TOP_K)
+        ).alias("precision_at_k"),
+        F.when(
+            F.col("first_rel").isNotNull(),
+            F.lit(1.0) / F.col("first_rel").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("reciprocal_rank"),
+    )
