@@ -1655,3 +1655,94 @@ def user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survival"
         ),
     )
+
+
+@register(
+    "changepoint_detector",
+    oracle="""
+    WITH incident AS (
+        -- synthesize a deterministic outage: 60% of click traffic
+        -- vanishes from Jan 20 on (flat synthetic traffic has no
+        -- natural level shift to detect)
+        SELECT * FROM events
+        WHERE NOT (event_type = 'click'
+                   AND ts >= TIMESTAMP '2024-01-20'
+                   AND event_id % 5 < 3)
+    ),
+    daily AS (
+        SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS d,
+               COUNT(*) AS n
+        FROM incident GROUP BY 1, 2
+    ),
+    ctx AS (
+        SELECT event_type, d, n,
+               AVG(CAST(n AS DOUBLE)) OVER (
+                   PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING
+               ) AS before_avg,
+               AVG(CAST(n AS DOUBLE)) OVER (
+                   PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING
+               ) AS after_avg,
+               COUNT(*) OVER (
+                   PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING
+               ) AS nb,
+               COUNT(*) OVER (
+                   PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING
+               ) AS na
+        FROM daily
+    )
+    SELECT event_type, d AS day, n AS day_count,
+           after_avg / before_avg - 1.0 AS shift_ratio
+    FROM ctx
+    WHERE nb = 3 AND na = 3
+      AND abs(after_avg / before_avg - 1.0) > 0.25
+    """,
+    tags=("events", "changepoint", "anomaly", "monitoring"),
+)
+def changepoint_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point screen: days where the mean volume of the following
+    3 days shifts >25% against the preceding 3 — the
+    two-sided-window detector that catches level shifts a global
+    3-sigma test smears out (value_outliers is the point-anomaly
+    sibling). Both context means are frames over the per-day aggregate
+    (constant size per type); edge days with incomplete context are
+    excluded by the frame-count guard rather than silently compared
+    against shorter windows. AVG of integer counts divides once per
+    frame — deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    # synthesized outage (see oracle comment): the detector needs a
+    # level shift to find in the flat synthetic traffic
+    e = e.filter(
+        ~(
+            (F.col("event_type") == "click")
+            & (F.col("ts") >= F.lit("2024-01-20").cast("timestamp"))
+            & (F.col("event_id") % 5 < 3)
+        )
+    )
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count("*").alias("n"))
+    base = W.partitionBy("event_type").orderBy("d")
+    before = base.rowsBetween(-3, -1)
+    after = base.rowsBetween(1, 3)
+    ctx = daily.select(
+        "event_type", "d", "n",
+        F.avg(F.col("n").cast("double")).over(before).alias("before_avg"),
+        F.avg(F.col("n").cast("double")).over(after).alias("after_avg"),
+        F.count("*").over(before).alias("nb"),
+        F.count("*").over(after).alias("na"),
+    )
+    shift = F.col("after_avg") / F.col("before_avg") - 1.0
+    return (
+        ctx.filter((F.col("nb") == 3) & (F.col("na") == 3))
+        .filter(F.abs(shift) > 0.25)
+        .select(
+            "event_type",
+            F.col("d").alias("day"),
+            F.col("n").alias("day_count"),
+            shift.alias("shift_ratio"),
+        )
+    )

@@ -2421,3 +2421,110 @@ def revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(price * (one - disc) * tax).alias("tax_collected"),
         dsum(price * (one - disc)).alias("net_revenue"),
     )
+
+
+@register(
+    "partition_skew_report",
+    oracle="""
+    WITH per_key AS (
+        SELECT time_bucket(INTERVAL '1 day', ts) AS d, COUNT(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           CAST(SUM(n) AS BIGINT) AS total_rows,
+           CAST(MAX(n) AS BIGINT) AS max_partition_rows,
+           CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n) AS skew_factor,
+           CAST(CEIL(CAST(SUM(n) AS DOUBLE) / 50000.0) AS BIGINT)
+               AS recommended_files_at_50k
+    FROM per_key
+    """,
+    tags=("relational", "layout_advisor", "partition_skew", "ops"),
+)
+def partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout advisor: row counts per prospective partition
+    key (day), the skew factor max/mean that predicts straggler tasks
+    BEFORE a layout is committed, and a target-row-count file
+    recommendation — the numbers behind every partitionBy/bucketBy
+    decision in this repo's scale notes, computed as a first-class
+    query instead of folklore. One partial-aggregated pass; the report
+    runs on the |keys|-row result. skew_factor = max·k/Σ is exact
+    rational; a factor ≫ 1 says salt or sub-bucket the hot key (cf.
+    salted_skew_join)."""
+    e = load_table(spark, sf_dir, "events")
+    per_key = e.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count("*").alias("n")
+    )
+    return per_key.agg(
+        F.count("*").alias("n_partitions"),
+        F.sum("n").cast("long").alias("total_rows"),
+        F.max("n").cast("long").alias("max_partition_rows"),
+        (
+            F.max("n").cast("double")
+            * F.count("*")
+            / F.sum("n")
+        ).alias("skew_factor"),
+        F.ceil(F.sum("n").cast("double") / 50000.0).cast("long").alias(
+            "recommended_files_at_50k"
+        ),
+    )
+
+
+@register(
+    "functional_dependency_check",
+    oracle="""
+    SELECT fd.fd_name, fd.n_lhs, fd.violating_lhs,
+           fd.violating_lhs = 0 AS holds
+    FROM (
+        SELECT 'custkey->nationkey' AS fd_name,
+               COUNT(*) AS n_lhs,
+               COUNT(*) FILTER (WHERE n_rhs > 1) AS violating_lhs
+        FROM (SELECT c_custkey, COUNT(DISTINCT c_nationkey) AS n_rhs
+              FROM customer GROUP BY c_custkey)
+        UNION ALL
+        SELECT 'mktsegment->nationkey',
+               COUNT(*),
+               COUNT(*) FILTER (WHERE n_rhs > 1)
+        FROM (SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_rhs
+              FROM customer GROUP BY c_mktsegment)
+        UNION ALL
+        SELECT 'orderkey->custkey',
+               COUNT(*),
+               COUNT(*) FILTER (WHERE n_rhs > 1)
+        FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS n_rhs
+              FROM orders GROUP BY o_orderkey)
+    ) fd
+    """,
+    tags=("relational", "functional_dependency", "profiling", "schema_discovery"),
+)
+def functional_dependency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency verification — does LHS determine RHS? —
+    for three candidate FDs: two that hold (key dependencies) and one
+    that provably doesn't (segment can't determine nation), reported
+    as violating-LHS counts. FD discovery is the schema-inference
+    primitive behind normalization advice and join-key validation;
+    each candidate costs ONE two-level aggregate (distinct-RHS per
+    LHS, then a violation count over LHS groups — state is per-group
+    distinct counts, never row pairs). The deliberately-false FD keeps
+    the checker honest: an all-green report tool is untested."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def check(df: DataFrame, lhs: str, rhs: str, name: str) -> DataFrame:
+        per_lhs = df.groupBy(lhs).agg(F.countDistinct(rhs).alias("n_rhs"))
+        return per_lhs.agg(
+            F.lit(name).alias("fd_name"),
+            F.count("*").alias("n_lhs"),
+            F.count(F.when(F.col("n_rhs") > 1, 1)).alias("violating_lhs"),
+        )
+
+    out = (
+        check(cust, "c_custkey", "c_nationkey", "custkey->nationkey")
+        .unionByName(
+            check(cust, "c_mktsegment", "c_nationkey", "mktsegment->nationkey")
+        )
+        .unionByName(check(orders, "o_orderkey", "o_custkey", "orderkey->custkey"))
+    )
+    return out.select(
+        "fd_name", "n_lhs", "violating_lhs",
+        (F.col("violating_lhs") == 0).alias("holds"),
+    )
