@@ -2528,3 +2528,49 @@ def functional_dependency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fd_name", "n_lhs", "violating_lhs",
         (F.col("violating_lhs") == 0).alias("holds"),
     )
+
+
+@register(
+    "sql_udf_scalar",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(
+               CAST(l_extendedprice AS DECIMAL(10,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+               AS DECIMAL(38,10))), 2) AS DOUBLE) AS net_total
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("relational", "sql_udf", "spark4", "function_catalog"),
+)
+def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scalar UDFs (CREATE FUNCTION … RETURN expr,
+    SPARK-51086): business logic named ONCE in the function catalog and
+    reused across queries — and because the body is a SQL expression,
+    Catalyst INLINES it into whole-stage codegen: zero overhead, full
+    pushdown, unlike every Python UDF. The net-price rule here is the
+    exact-decimal Q1 product; the UDF is created temporarily and the
+    aggregate plan is bit-identical to writing the expression
+    inline (the function boundary exists only in the catalog)."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION bprs_net_price(
+            p DECIMAL(12,2), d DOUBLE
+        ) RETURNS DECIMAL(38,10)
+        RETURN CAST(CAST(p AS DECIMAL(10,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(d AS DECIMAL(3,2)))
+                AS DECIMAL(38,10))
+        """
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_udf")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(bprs_net_price(l_extendedprice, l_discount))
+                    AS DECIMAL(38,2)) AS DOUBLE) AS net_total
+        FROM lineitem_udf
+        GROUP BY l_returnflag
+        """
+    )
