@@ -2574,3 +2574,51 @@ def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "approx_percentile_bounds",
+    oracle="""
+    SELECT event_type,
+           CAST(quantile_cont(value, 0.5) AS DOUBLE) AS exact_p50,
+           CAST(quantile_cont(value, 0.95) AS DOUBLE) AS exact_p95,
+           TRUE AS p50_in_guarantee,
+           TRUE AS p95_in_guarantee
+    FROM events GROUP BY event_type
+    """,
+    tags=("relational", "approx", "percentile", "bounded_error"),
+)
+def approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile under a deterministic-bound oracle (the
+    approx_distinct adjudication style, applied to quantiles): exact
+    p50/p95 are value-checked, and the approximate answers are pinned
+    as booleans inside their PUBLISHED guarantee — with accuracy A the
+    sketch's rank error is ≤ n/A, so the approx p-quantile must land
+    between the exact (p−n/(A·n))- and (p+n/(A·n))-quantiles
+    (±2 percentile points at A=50). This is the contract that lets the
+    sketch replace the exact sort at 100 TB: the small-scale query
+    certifies the bound, the large scale trusts it. Exact quantiles
+    interpolate identically cross-engine; the booleans hash."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    acc = 50  # rank error <= n/50 -> ±2 percentile points
+    agg = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("exact_p50"),
+        F.percentile("value", F.lit(0.95)).alias("exact_p95"),
+        F.percentile("value", F.lit(0.48)).alias("lo50"),
+        F.percentile("value", F.lit(0.52)).alias("hi50"),
+        F.percentile("value", F.lit(0.93)).alias("lo95"),
+        F.percentile("value", F.lit(0.97)).alias("hi95"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(acc)).alias("a50"),
+        F.percentile_approx("value", F.lit(0.95), F.lit(acc)).alias("a95"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_p50",
+        "exact_p95",
+        ((F.col("a50") >= F.col("lo50")) & (F.col("a50") <= F.col("hi50"))).alias(
+            "p50_in_guarantee"
+        ),
+        ((F.col("a95") >= F.col("lo95")) & (F.col("a95") <= F.col("hi95"))).alias(
+            "p95_in_guarantee"
+        ),
+    )
