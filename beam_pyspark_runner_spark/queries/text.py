@@ -1711,3 +1711,71 @@ def classifier_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((2 * tp) / (2 * tp + fp + fn)).alias("f1"),
         ((tp + tn) / (tp + fp + fn + tn)).alias("accuracy"),
     )
+
+
+@register(
+    "boilerplate_line_removal",
+    oracle="""
+    WITH lines AS (
+        SELECT doc_id,
+               unnest(string_split(text, '. ')) AS line
+        FROM documents
+    ),
+    freq AS (
+        SELECT line, COUNT(DISTINCT doc_id) AS df
+        FROM lines GROUP BY line
+    ),
+    n_docs AS (SELECT COUNT(*) AS nd FROM documents),
+    flagged AS (
+        SELECT l.doc_id, l.line,
+               f.df * 10 > n.nd AS is_boilerplate
+        FROM lines l
+        JOIN freq f ON f.line = l.line
+        CROSS JOIN n_docs n
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_lines,
+           COUNT(*) FILTER (WHERE is_boilerplate) AS n_boilerplate,
+           CAST(SUM(CASE WHEN NOT is_boilerplate
+                         THEN length(line) ELSE 0 END) AS BIGINT)
+               AS kept_chars
+    FROM flagged
+    GROUP BY doc_id
+    """,
+    tags=("text", "boilerplate", "line_dedup", "c4_cleaning"),
+)
+def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-line removal — the CCNet/C4 cleaning step that strips
+    navigation chrome, cookie banners, and license footers: a line
+    (sentence here) appearing in more than 10% of documents is
+    boilerplate BY CORPUS FREQUENCY, not by pattern — the insight that
+    makes the filter language- and site-agnostic. Per doc: line count,
+    boilerplate count, and surviving characters. Shape: one explode,
+    one line-keyed document-frequency aggregate (hash-sized rows),
+    one join back (AQE broadcasts the frequency table when the line
+    vocabulary allows, hash-joins otherwise), one doc-keyed rollup —
+    the same index-then-rejoin shape as incremental_dedup_delta, at
+    line granularity. The 10% threshold is integer-compared
+    (df·10 > N), no float."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lines = d.select(
+        "doc_id", F.explode(F.split("text", r"\. ")).alias("line")
+    )
+    freq = lines.groupBy("line").agg(F.countDistinct("doc_id").alias("df"))
+    nd = d.agg(F.count("*").alias("nd"))
+    flagged = (
+        lines.join(freq, "line")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "line",
+            (F.col("df") * 10 > F.col("nd")).alias("is_boilerplate"),
+        )
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.count(F.when(F.col("is_boilerplate"), 1)).alias("n_boilerplate"),
+        F.sum(
+            F.when(~F.col("is_boilerplate"), F.length("line")).otherwise(0)
+        ).cast("long").alias("kept_chars"),
+    )
