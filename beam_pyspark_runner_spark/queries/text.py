@@ -1779,3 +1779,85 @@ def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(~F.col("is_boilerplate"), F.length("line")).otherwise(0)
         ).cast("long").alias("kept_chars"),
     )
+
+
+@register(
+    "lm_fluency_score",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS t,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    big AS (
+        SELECT a.doc_id, a.t AS w1, b.t AS w2
+        FROM tok a JOIN tok b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ),
+    pair_counts AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2
+    ),
+    ctx_counts AS (
+        SELECT w1, SUM(c12) AS c1 FROM pair_counts GROUP BY 1
+    ),
+    scored AS (
+        SELECT g.doc_id,
+               CAST(p.c12 AS DOUBLE) / CAST(x.c1 AS DOUBLE) AS prob
+        FROM big g
+        JOIN pair_counts p ON p.w1 = g.w1 AND p.w2 = g.w2
+        JOIN ctx_counts x ON x.w1 = g.w1
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(ROUND(SUM(CAST(prob AS DECIMAL(38,10))), 6) AS DOUBLE)
+               / COUNT(*) AS avg_bigram_prob
+    FROM scored
+    GROUP BY doc_id
+    """,
+    tags=("text", "lm_scoring", "fluency", "data_selection"),
+)
+def lm_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based fluency scoring — the CCNet-style data-selection
+    signal: every document scored by its average bigram probability
+    under the corpus's own count LM (a fluent doc's transitions are
+    common; gibberish scores low). Perplexity is the textbook form but
+    its log/exp would break cross-engine hashing — the mean
+    probability ranks documents the same direction with pure count
+    ratios, decimal-summed per doc (the bigram_lm_probs log-avoidance,
+    extended from building the LM to APPLYING it).
+
+    Shape: one tokenize feeds the in-document shifted-pair stream; the
+    LM is two vocab²-bounded aggregates; scoring joins each doc bigram
+    to its probability (AQE broadcasts the LM when vocabulary allows)
+    and folds per doc. The corpus streams twice (train + score) — at
+    100 TB the trained LM table persists and scoring is the only
+    repeated pass."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    big = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(ts, 1, size(ts) - 1), "
+                "(x, i) -> struct(x AS w1, ts[i + 1] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    pair_counts = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx_counts = pair_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    probs = pair_counts.join(ctx_counts, "w1").select(
+        "w1", "w2",
+        (F.col("c12").cast("double") / F.col("c1").cast("double")).alias("prob"),
+    )
+    scored = big.join(probs, ["w1", "w2"])
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        (
+            F.sum(F.col("prob").cast("decimal(38,10)"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            / F.count("*")
+        ).alias("avg_bigram_prob"),
+    )
