@@ -409,3 +409,67 @@ def label_prop_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("supplier"), F.col("label").alias("community")
     )
+
+
+@register(
+    "degree_distribution",
+    oracle=f"""
+    WITH {_EDGE_SQL.split(', outw')[0]},
+    deg AS (
+        SELECT src AS node, COUNT(*) AS degree FROM edges GROUP BY src
+    ),
+    hist AS (
+        SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM deg)
+    SELECT h.degree, h.n_nodes,
+           CAST(SUM(h2.n_nodes) AS BIGINT) AS n_at_least,
+           CAST(SUM(h2.n_nodes) AS DOUBLE) / CAST(t.n AS DOUBLE)
+               AS ccdf
+    FROM hist h
+    JOIN hist h2 ON h2.degree >= h.degree
+    CROSS JOIN tot t
+    GROUP BY h.degree, h.n_nodes, t.n
+    """,
+    tags=("graph", "degree_distribution", "ccdf", "topology"),
+)
+def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution + complementary CDF of the supplier
+    co-occurrence graph — the topology report read BEFORE running any
+    graph algorithm here: a heavy CCDF tail (hubs) is precisely what
+    decides the degree-orientation trick in triangle_count, the
+    broadcast gate in pagerank, and whether LPA will collapse.
+    Degrees reduce from the edge list (one agg); the CCDF computes on
+    the DEGREE HISTOGRAM (at most |distinct degrees| rows) via a
+    descending tail sum — the user_survival_curve shape applied to
+    graph topology. Ratios are count divisions → exact."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    per_order = li.distinct().groupBy("l_orderkey").agg(
+        F.collect_set("l_suppkey").alias("ss")
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, x -> filter("
+                "transform(ss, y -> struct(x AS src, y AS dst)), "
+                "p -> p.src != p.dst)))"
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    edges = pairs.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    hist = deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+    w_desc = W.orderBy(F.col("degree").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    total = F.sum("n_nodes").over(W.partitionBy())
+    return hist.select(
+        "degree",
+        "n_nodes",
+        F.sum("n_nodes").over(w_desc).cast("long").alias("n_at_least"),
+        (
+            F.sum("n_nodes").over(w_desc).cast("double") / total.cast("double")
+        ).alias("ccdf"),
+    )

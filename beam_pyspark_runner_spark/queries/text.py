@@ -1861,3 +1861,41 @@ def lm_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("avg_bigram_prob"),
     )
+
+
+@register(
+    "doc_length_pow2_histogram",
+    oracle="""
+    WITH lens AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    )
+    SELECT length(bin(n_tokens)) AS pow2_bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM lens GROUP BY 1
+    """,
+    tags=("text", "histogram", "pow2_bins", "length_distribution"),
+)
+def doc_length_pow2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram in POWER-OF-2 buckets — the log-scale
+    view length distributions need (linear bins hide the tail), with
+    the log computed as an INTEGER BIT LENGTH: bucket =
+    len(binary(n)) = ⌊log₂ n⌋+1, exact in both engines where
+    floor(log2(x)) on doubles can land on either side of a boundary by
+    one ulp. The batch-shape question this answers — how many docs
+    fall in each 2^k token band — drives packing and padding budgets
+    (cf. pack_token_budget). One scan, one small aggregate."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return d.groupBy(
+        F.length(F.bin(F.col("n_tokens"))).cast("long").alias("pow2_bucket")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
