@@ -700,3 +700,71 @@ def incremental_daily_close(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(redelivered.agg(F.count("*").alias("dropped_redelivered")))
     )
     return merged.crossJoin(F.broadcast(audit))
+
+
+@register(
+    "csv_permissive_recovery",
+    oracle="""
+    SELECT COUNT(*) FILTER (WHERE doc_id % 11 <> 0) AS n_good,
+           COUNT(*) FILTER (WHERE doc_id % 11 = 0) AS n_corrupt,
+           CAST(SUM(n_chars) FILTER (WHERE doc_id % 11 <> 0) AS BIGINT)
+               AS good_chars
+    FROM documents
+    """,
+    tags=("io", "csv", "permissive", "corrupt_record", "ingestion_robustness"),
+)
+def csv_permissive_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingestion with corrupt-record capture — the
+    production answer to feeds that are 1% garbage: schema-violating
+    rows (here every 11th, its id deterministically mangled to a
+    non-integer) land in ``_corrupt_record`` instead of failing the
+    job or silently nulling (DROPMALFORMED would hide the loss;
+    FAILFAST would lose the 99%). The query writes the dirty feed,
+    reads it back permissively, and reports good/corrupt counts plus
+    a good-rows aggregate — the recovery accounting a DLQ consumer
+    reconciles against (dead_letter_split is the post-parse sibling;
+    this is parse-time). Corrupt rows cost no second pass: the parser
+    flags them inline."""
+    import uuid
+
+    from beam_pyspark_runner_spark.queries.streaming import _scratch_dir
+
+    staged = _scratch_dir("bprs_badcsv", sf_dir, uuid.uuid4().hex[:8])
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    lines = d.select(
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat_ws(
+                ",",
+                F.concat(F.lit("x"), F.col("doc_id")),  # unparseable bigint
+                F.col("source"),
+                F.col("n_chars"),
+            ),
+        )
+        .otherwise(
+            F.concat_ws(",", F.col("doc_id"), F.col("source"), F.col("n_chars"))
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(staged)
+    back = (
+        spark.read.schema(
+            "doc_id bigint, source string, n_chars bigint, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(staged)
+    )
+    # Column-pruning trap, pinned here on purpose: the CSV parser only
+    # parses REFERENCED columns, so a plan that never reads doc_id never
+    # fails on 'x<id>' and _corrupt_record stays NULL. Referencing the
+    # malformed column (count(doc_id)) forces the parse; without it this
+    # query returns 0 corrupt — silently.
+    bad = F.col("_corrupt_record").isNotNull()
+    return back.agg(
+        F.count("doc_id").alias("n_good"),
+        F.count(F.when(bad, 1)).alias("n_corrupt"),
+        F.sum(F.when(~bad, F.col("n_chars"))).cast("long").alias("good_chars"),
+    )
