@@ -1899,3 +1899,83 @@ def doc_length_pow2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_tokens").cast("long").alias("max_tokens"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+@register(
+    "content_defined_chunking",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, text, length(text) AS len FROM documents
+        WHERE length(text) >= 8
+    ),
+    pos AS (
+        SELECT doc_id, text, len,
+               unnest(range(2, len - 6)) AS p
+        FROM docs
+    ),
+    bounds AS (
+        SELECT doc_id, p
+        FROM pos
+        WHERE (('0x' || substr(md5(substr(text, CAST(p AS INTEGER), 8)), 1, 8))::BIGINT)
+              % 64 = 0
+        UNION ALL
+        SELECT doc_id, len + 1 FROM docs
+    ),
+    sized AS (
+        SELECT doc_id, p,
+               p - COALESCE(LAG(p) OVER (PARTITION BY doc_id ORDER BY p), 1)
+                   AS chunk_len
+        FROM bounds
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(MAX(chunk_len) AS BIGINT) AS max_chunk,
+           CAST(SUM(chunk_len) AS BIGINT) AS total_chars
+    FROM sized GROUP BY doc_id
+    """,
+    tags=("text", "content_defined_chunking", "cdc_dedup", "rolling_hash"),
+)
+def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/restic primitive):
+    chunk boundaries fall where the hash of the local 8-char window
+    hits 0 mod 64 — so an insertion early in a document shifts ONE
+    chunk, not every fixed-size block after it, which is what makes
+    dedup of near-identical large objects work at all. Expected chunk
+    size = the modulus (64); per doc: chunk count, largest chunk, and
+    a total that must re-add to the document length (conservation
+    pinned by the hash match). Shape: one position explode bounded by
+    text length, a hash-filter, one per-doc window for sizes — the
+    fan-out is characters, the state per doc is its boundary list;
+    the same plan chunks binary payloads at 100 TB (byte windows via
+    the multimodal kernels when substrings must be binary-safe)."""
+    from pyspark.sql import Window as W
+
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 8
+    ).select("doc_id", "text", F.length("text").alias("len"))
+    pos = docs.select(
+        "doc_id", "text", "len",
+        F.explode(F.sequence(F.lit(2), F.col("len") - 7)).alias("p"),
+    )
+    bounds = (
+        pos.filter(
+            F.pmod(
+                h32(F.expr("substring(text, p, 8)")), F.lit(64)
+            ) == 0
+        ).select("doc_id", "p")
+        .unionByName(docs.select("doc_id", (F.col("len") + 1).alias("p")))
+    )
+    w = W.partitionBy("doc_id").orderBy("p")
+    sized = bounds.select(
+        "doc_id",
+        (F.col("p") - F.coalesce(F.lag("p").over(w), F.lit(1))).alias(
+            "chunk_len"
+        ),
+    )
+    return sized.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.max("chunk_len").cast("long").alias("max_chunk"),
+        F.sum("chunk_len").cast("long").alias("total_chars"),
+    )
