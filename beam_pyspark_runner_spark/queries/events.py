@@ -1746,3 +1746,69 @@ def changepoint_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
             shift.alias("shift_ratio"),
         )
     )
+
+
+@register(
+    "cohorted_funnel",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(ts) FILTER (WHERE event_type = 'signup') AS signup_ts,
+               MIN(ts) FILTER (WHERE event_type = 'view') AS first_view,
+               MIN(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+        FROM events GROUP BY user_id
+    ),
+    cohorted AS (
+        SELECT time_bucket(INTERVAL '7 days', signup_ts,
+                           TIMESTAMP '2024-01-01') AS cohort_week,
+               signup_ts IS NOT NULL AS signed_up,
+               first_view > signup_ts AS viewed_after,
+               first_purchase > first_view
+                   AND first_view > signup_ts AS purchased_after
+        FROM firsts
+        WHERE signup_ts IS NOT NULL
+    )
+    SELECT cohort_week,
+           COUNT(*) AS n_signups,
+           COUNT(*) FILTER (WHERE viewed_after) AS n_viewed_after,
+           COUNT(*) FILTER (WHERE purchased_after) AS n_full_funnel
+    FROM cohorted GROUP BY cohort_week
+    """,
+    tags=("events", "cohorted_funnel", "conversion", "product_analytics"),
+)
+def cohorted_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohorted funnel: signup → first view after signup → first
+    purchase after that view, reported per weekly signup cohort — the
+    ordered-milestone conversion matrix (funnel_stages is the global
+    single-row funnel; this adds cohort time and STRICT event
+    ordering, which 'has both events' funnels silently fake). All
+    milestone timestamps come from ONE conditional min-aggregate per
+    user — no joins, no per-step passes; the ordering test is then
+    pure column comparison, and the weekly rollup runs on one row per
+    signed-up user. Week buckets share the wow_growth 2024-01-01
+    origin arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "signup_ts"
+        ),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    cohorted = firsts.filter(F.col("signup_ts").isNotNull()).select(
+        F.window("signup_ts", "7 days", startTime="4 days").alias("w"),
+        (F.col("first_view") > F.col("signup_ts")).alias("viewed_after"),
+        (
+            (F.col("first_purchase") > F.col("first_view"))
+            & (F.col("first_view") > F.col("signup_ts"))
+        ).alias("purchased_after"),
+    )
+    return cohorted.groupBy(F.col("w.start").alias("cohort_week")).agg(
+        F.count("*").alias("n_signups"),
+        F.count(F.when(F.col("viewed_after"), 1)).alias("n_viewed_after"),
+        F.count(F.when(F.col("purchased_after"), 1)).alias("n_full_funnel"),
+    )
