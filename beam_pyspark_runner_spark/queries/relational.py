@@ -2622,3 +2622,124 @@ def approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p95_in_guarantee"
         ),
     )
+
+
+@register(
+    "metric_driver_decomposition",
+    oracle="""
+    WITH p AS (
+        SELECT CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN 'current'
+                    ELSE 'reference' END AS period,
+               COUNT(DISTINCT user_id) AS users,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10)))
+                    FILTER (WHERE event_type = 'purchase'), 2) AS DOUBLE)
+                   AS revenue
+        FROM events GROUP BY 1
+    )
+    SELECT period, users, purchases, revenue,
+           CAST(purchases AS DOUBLE) / users AS purchases_per_user,
+           revenue / purchases AS avg_purchase_value
+    FROM p
+    """,
+    tags=("relational", "metric_tree", "driver_decomposition", "analytics_eng"),
+)
+def metric_driver_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star metric decomposition: revenue = users ×
+    purchases/user × value/purchase, reported per period — the driver
+    tree every growth review walks to answer WHICH factor moved the
+    topline (the factor ratios multiply back to the revenue ratio
+    exactly, because each factor is a ratio of the hashed components —
+    the identity survives the double divisions). One conditional
+    aggregate computes both periods' three components in one scan;
+    the decomposition itself is arithmetic on a 2-row table."""
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    e = load_table(spark, sf_dir, "events")
+    p = e.groupBy(
+        F.when(F.col("ts") >= cutoff, "current")
+        .otherwise("reference")
+        .alias("period")
+    ).agg(
+        F.countDistinct("user_id").alias("users"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).cast(
+                "decimal(38,10)"
+            )
+        ).cast("decimal(38,2)").cast("double").alias("revenue"),
+    )
+    return p.select(
+        "period", "users", "purchases", "revenue",
+        (F.col("purchases").cast("double") / F.col("users")).alias(
+            "purchases_per_user"
+        ),
+        (F.col("revenue") / F.col("purchases")).alias("avg_purchase_value"),
+    )
+
+
+@register(
+    "abc_classification",
+    oracle="""
+    WITH part_rev AS (
+        SELECT l_partkey,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,10))), 2)
+                   AS DOUBLE) AS revenue
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT l_partkey, revenue,
+               CAST(SUM(CAST(revenue AS DECIMAL(38,10))) OVER (
+                   ORDER BY revenue DESC, l_partkey
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_rev,
+               CAST(SUM(CAST(revenue AS DECIMAL(38,10))) OVER () AS DOUBLE)
+                   AS total_rev
+        FROM part_rev
+    )
+    SELECT CASE WHEN cum_rev <= 0.8 * total_rev THEN 'A'
+                WHEN cum_rev <= 0.95 * total_rev THEN 'B'
+                ELSE 'C' END AS abc_class,
+           COUNT(*) AS n_parts,
+           CAST(ROUND(SUM(CAST(revenue AS DECIMAL(38,10))), 2) AS DOUBLE)
+               AS class_revenue
+    FROM ranked GROUP BY 1
+    """,
+    tags=("relational", "abc_analysis", "inventory", "pareto"),
+)
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, classified
+    A (first 80% of cumulative revenue), B (to 95%), C (tail) — the
+    stock-policy segmentation behind cycle-count frequency and safety
+    stock (revenue_concentration_8020 asks where the knee is; this
+    assigns every item a class). Part revenues aggregate first; the
+    decimal-exact cumulative scan runs over the part-level aggregate
+    with the rfm/8020 single-task caveat and the same two-phase
+    escape hatch at extreme item counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,10)"
+    part_rev = li.groupBy("l_partkey").agg(
+        dsum("l_extendedprice").alias("revenue")
+    )
+    order = W.orderBy(F.col("revenue").desc(), "l_partkey")
+    ranked = part_rev.select(
+        "revenue",
+        F.sum(F.col("revenue").cast(dec))
+        .over(order.rowsBetween(W.unboundedPreceding, 0))
+        .cast("double")
+        .alias("cum_rev"),
+        F.sum(F.col("revenue").cast(dec))
+        .over(W.partitionBy())
+        .cast("double")
+        .alias("total_rev"),
+    )
+    cls = (
+        F.when(F.col("cum_rev") <= 0.8 * F.col("total_rev"), "A")
+        .when(F.col("cum_rev") <= 0.95 * F.col("total_rev"), "B")
+        .otherwise("C")
+    )
+    return ranked.groupBy(cls.alias("abc_class")).agg(
+        F.count("*").alias("n_parts"),
+        F.sum(F.col("revenue").cast(dec))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("class_revenue"),
+    )
