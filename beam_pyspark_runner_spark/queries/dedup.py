@@ -919,3 +919,63 @@ def minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(est - F.col("exact_jaccard")) <= 0.35).alias("within_bound"),
         )
     )
+
+
+@register(
+    "containment_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE)
+               AS containment,
+           CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
+               AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE) >= 0.9
+    """,
+    tags=("dedup", "containment", "asymmetric", "quote_detection"),
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-CONTAINMENT pairs: |A∩B| / min(|A|,|B|) ≥ 0.9 — the
+    asymmetric near-dup measure Jaccard structurally misses: a short
+    document fully quoted inside a long one scores containment ≈ 1
+    but Jaccard ≈ |short|/|long| ≈ 0, so a Jaccard-thresholded dedup
+    KEEPS the duplicate quote (Broder's original resemblance/
+    containment pair; both reported here so the gap is visible).
+    This is the measure for quote extraction, license-boilerplate
+    nesting, and version-subset detection. Same shingle-intersection
+    lineage as ngram_jaccard_pairs — one extra min() against the
+    broadcast size table, no new scan."""
+    sh = _shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont = F.col("n_inter").cast("double") / F.least("na", "nb").cast("double")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", cont.alias("containment"), jac.alias("jaccard"))
+        .filter(F.col("containment") >= 0.9)
+    )
