@@ -66,8 +66,8 @@ from beam_pyspark_runner_spark.queries import recursive  # noqa: E402,F401
 # partition_skew_report, functional_dependency_check, sql_udf_scalar, approx_percentile_bounds, boilerplate_line_removal,
 # lm_fluency_score, doc_length_pow2_histogram, degree_distribution,
 # csv_permissive_recovery, content_defined_chunking, cohorted_funnel,
-# metric_driver_decomposition, abc_classification, containment_pairs
-# — plus the
+# metric_driver_decomposition, abc_classification, containment_pairs,
+# wilson_lower_bound_ranking, seasonality_index — plus the
 # prior-session round-5 additions not in the current window (see git
 # log b155159..740484d).
 # Everything not listed keeps registration order after it;

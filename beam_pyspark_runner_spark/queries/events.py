@@ -1812,3 +1812,111 @@ def cohorted_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("viewed_after"), 1)).alias("n_viewed_after"),
         F.count(F.when(F.col("purchased_after"), 1)).alias("n_full_funnel"),
     )
+
+
+@register(
+    "wilson_lower_bound_ranking",
+    oracle="""
+    WITH peruser AS (
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'view') AS views,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases
+        FROM events GROUP BY user_id
+    ),
+    scored AS (
+        SELECT user_id, views, purchases,
+               views + purchases AS trials,
+               CAST(purchases AS DOUBLE) / (views + purchases) AS p
+        FROM peruser WHERE views + purchases > 0
+    )
+    SELECT user_id, views, purchases,
+           (p + 3.8416 / (2 * trials)
+              - 1.96 * sqrt((p * (1 - p) + 3.8416 / (4 * trials)) / trials))
+           / (1 + 3.8416 / trials) AS wilson_lb
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY
+            (p + 3.8416 / (2 * trials)
+               - 1.96 * sqrt((p * (1 - p) + 3.8416 / (4 * trials)) / trials))
+            / (1 + 3.8416 / trials) DESC, user_id) AS rn
+        FROM scored
+    ) WHERE rn <= 10
+    """,
+    tags=("events", "wilson_interval", "ranking", "rate_confidence"),
+)
+def wilson_lower_bound_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score lower-bound ranking (the Reddit/Evan Miller
+    formula): rank by the LOWER confidence limit of the conversion
+    rate (purchase share of view+purchase interactions, a proper
+    proportion), so 2/2 never outranks 180/200 — the statistically
+    honest 'sort by rating'. The smoothed_ctr Beta prior shrinks toward a
+    base rate; Wilson instead widens uncertainty with 1/n, needing no
+    prior choice. z²=3.8416 is a literal; sqrt is correctly rounded
+    IEEE in both engines (the sqrt-yes/log-no determinism line this
+    repo draws). One conditional aggregate + a top-10 over the
+    user-level table."""
+    e = load_table(spark, sf_dir, "events")
+    peruser = e.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+    ).filter((F.col("views") + F.col("purchases")) > 0)
+    n = (F.col("views") + F.col("purchases")).cast("double")
+    p = F.col("purchases").cast("double") / n
+    z2 = 3.8416
+    lb = (
+        p + z2 / (2 * n)
+        - 1.96 * F.sqrt((p * (1 - p) + z2 / (4 * n)) / n)
+    ) / (1 + z2 / n)
+    w = W.orderBy(lb.desc(), "user_id")
+    return (
+        peruser.withColumn("wilson_lb", lb)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("user_id", "views", "purchases", "wilson_lb")
+    )
+
+
+@register(
+    "seasonality_index",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               ((date_diff('day', TIMESTAMP '1970-01-01',
+                           time_bucket(INTERVAL '1 day', ts)) + 4) % 7) AS dow,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    typ AS (
+        SELECT event_type, SUM(n) AS tot, COUNT(*) AS n_dows
+        FROM daily GROUP BY 1
+    )
+    SELECT d.event_type, d.dow, d.n AS n_events,
+           CAST(d.n AS DOUBLE) * t.n_dows / t.tot AS seasonal_index
+    FROM daily d JOIN typ t USING (event_type)
+    """,
+    tags=("events", "seasonality", "dow_index", "forecasting"),
+)
+def seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index — volume relative to the type's
+    flat-week expectation (index 1.0 = no effect): the multiplicative
+    factor a forecast multiplies in and a capacity plan staffs by
+    (chi_square_independence tests WHETHER the effect exists; this
+    sizes it). Day-of-week by the engine-proof (epoch+4)%7; the index
+    is n · n_dows / total — pure counts, one fact scan, arithmetic on
+    the |types|×7 table."""
+    e = load_table(spark, sf_dir, "events")
+    epoch_days = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    daily = e.groupBy(
+        "event_type", ((epoch_days + 4) % 7).alias("dow")
+    ).agg(F.count("*").alias("n"))
+    typ = daily.groupBy("event_type").agg(
+        F.sum("n").alias("tot"), F.count("*").alias("n_dows")
+    )
+    return daily.join(F.broadcast(typ), "event_type").select(
+        "event_type", F.col("dow").cast("long").alias("dow"),
+        F.col("n").alias("n_events"),
+        (
+            F.col("n").cast("double") * F.col("n_dows") / F.col("tot")
+        ).alias("seasonal_index"),
+    )
