@@ -1920,3 +1920,73 @@ def seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") * F.col("n_dows") / F.col("tot")
         ).alias("seasonal_index"),
     )
+
+
+@register(
+    "interarrival_burstiness",
+    oracle="""
+    WITH gaps AS (
+        -- integer microseconds: date_diff('second') truncates where
+        -- Spark's micros keep the fraction — micros are exact in both
+        SELECT event_type,
+               CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               )) AS DOUBLE) AS gap_s
+        FROM events
+    ),
+    moments AS (
+        -- gaps are INTEGER micros: scale-0 decimal sums are exact, and
+        -- n·s2 − s1² is an exact integer — CV = sqrt(n·s2 − s1²)/s1
+        -- needs no intermediate float variance (whose a−b·c shape is
+        -- FMA-fusible and drifted 1 ulp between engines)
+        SELECT event_type,
+               COUNT(gap_s) AS n,
+               SUM(CAST(gap_s AS DECIMAL(38,0))) AS s1,
+               SUM(CAST(gap_s AS DECIMAL(19,0)) * CAST(gap_s AS DECIMAL(19,0)))
+                   AS s2
+        FROM gaps WHERE gap_s IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(s1 AS DOUBLE) / n / 1000000.0 AS mean_gap_s,
+           sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / CAST(s1 AS DOUBLE)
+               AS coeff_of_variation
+    FROM moments
+    """,
+    tags=("events", "burstiness", "interarrival", "poisson_check"),
+)
+def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness: the coefficient of variation of gaps
+    between consecutive events per type — CV ≈ 1 is Poisson (memoryless
+    traffic), CV ≫ 1 is bursty (retry storms, batch uploads), CV ≪ 1
+    is scheduled — the one number that says whether rate limits and
+    capacity can assume smooth arrivals. Gaps from one per-type window
+    pass; mean and CV from decimal-exact power sums (the
+    value_outliers discipline — population moments, no Welford
+    partition-order drift); sqrt is the IEEE-exact side of the
+    determinism line."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    m = gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n"),
+        F.sum(F.col("gap_us").cast("decimal(38,0)")).alias("s1"),
+        F.sum(
+            F.col("gap_us").cast("decimal(19,0)")
+            * F.col("gap_us").cast("decimal(19,0)")
+        ).alias("s2"),
+    )
+    var_num = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    )
+    s1d = F.col("s1").cast("double")
+    return m.select(
+        "event_type", "n",
+        (s1d / F.col("n") / 1000000.0).alias("mean_gap_s"),
+        (F.sqrt(var_num) / s1d).alias("coeff_of_variation"),
+    )

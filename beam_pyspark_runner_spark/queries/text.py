@@ -1979,3 +1979,88 @@ def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("chunk_len").cast("long").alias("max_chunk"),
         F.sum("chunk_len").cast("long").alias("total_chars"),
     )
+
+
+@register(
+    "cohens_kappa_agreement",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks
+               FROM documents),
+    labels AS (
+        SELECT doc_id,
+               (CAST(len(list_filter(toks, x -> x IN ({_SW_SQL}))) AS DOUBLE)
+                    / len(toks)
+                + CAST(len(list_filter(toks,
+                      x -> x IN ('data', 'query', 'table'))) AS DOUBLE)
+                    / len(toks)) > 0.12 AS rater_a,
+               n_chars >= 300 AS rater_b
+        FROM t
+    ),
+    cm AS (
+        SELECT COUNT(*) FILTER (WHERE rater_a AND rater_b) AS yy,
+               COUNT(*) FILTER (WHERE rater_a AND NOT rater_b) AS yn,
+               COUNT(*) FILTER (WHERE NOT rater_a AND rater_b) AS ny,
+               COUNT(*) FILTER (WHERE NOT rater_a AND NOT rater_b) AS nn
+        FROM labels
+    )
+    SELECT yy, yn, ny, nn,
+           CAST(yy + nn AS DOUBLE) / (yy + yn + ny + nn) AS observed_agreement,
+           (CAST((yy + yn) AS DOUBLE) * (yy + ny)
+              + CAST((ny + nn) AS DOUBLE) * (yn + nn))
+             / (CAST(yy + yn + ny + nn AS DOUBLE)
+                * (yy + yn + ny + nn)) AS expected_agreement,
+           (CAST(yy + nn AS DOUBLE) / (yy + yn + ny + nn)
+              - (CAST((yy + yn) AS DOUBLE) * (yy + ny)
+                   + CAST((ny + nn) AS DOUBLE) * (yn + nn))
+                / (CAST(yy + yn + ny + nn AS DOUBLE) * (yy + yn + ny + nn)))
+           / (1.0 - (CAST((yy + yn) AS DOUBLE) * (yy + ny)
+                       + CAST((ny + nn) AS DOUBLE) * (yn + nn))
+                    / (CAST(yy + yn + ny + nn AS DOUBLE)
+                       * (yy + yn + ny + nn))) AS kappa
+    FROM cm
+    """,
+    tags=("text", "cohens_kappa", "annotator_agreement", "label_qa"),
+)
+def cohens_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ between two independent labelers — here two cheap doc
+    heuristics (the stopword lang-ID rule vs a length rule) — the
+    annotation-QA statistic that separates real agreement from the
+    agreement two biased raters get for free (κ corrects observed
+    agreement by the chance rate the marginals imply). Raw agreement
+    without κ is how label pipelines fool themselves. One scan, one
+    2×2 conditional aggregate; κ is count arithmetic on the four
+    cells — exact. The same query shape scores a model against a
+    human sample or two model versions against each other."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks).cast("double")
+    sw = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / n
+    en = (
+        F.size(F.filter(toks, lambda x: x.isin("data", "query", "table"))).cast(
+            "double"
+        )
+        / n
+    )
+    labels = d.select(
+        ((sw + en) > 0.12).alias("rater_a"),
+        (F.col("n_chars") >= 300).alias("rater_b"),
+    )
+    cm = labels.agg(
+        F.count(F.when(F.col("rater_a") & F.col("rater_b"), 1)).alias("yy"),
+        F.count(F.when(F.col("rater_a") & ~F.col("rater_b"), 1)).alias("yn"),
+        F.count(F.when(~F.col("rater_a") & F.col("rater_b"), 1)).alias("ny"),
+        F.count(F.when(~F.col("rater_a") & ~F.col("rater_b"), 1)).alias("nn"),
+    )
+    yy, yn, ny, nn = (F.col(c) for c in ("yy", "yn", "ny", "nn"))
+    tot = (yy + yn + ny + nn).cast("double")
+    po = (yy + nn).cast("double") / tot
+    pe = (
+        (yy + yn).cast("double") * (yy + ny).cast("double")
+        + (ny + nn).cast("double") * (yn + nn).cast("double")
+    ) / (tot * tot)
+    return cm.select(
+        "yy", "yn", "ny", "nn",
+        po.alias("observed_agreement"),
+        pe.alias("expected_agreement"),
+        ((po - pe) / (1.0 - pe)).alias("kappa"),
+    )
