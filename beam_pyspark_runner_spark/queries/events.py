@@ -1990,3 +1990,88 @@ def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (s1d / F.col("n") / 1000000.0).alias("mean_gap_s"),
         (F.sqrt(var_num) / s1d).alias("coeff_of_variation"),
     )
+
+
+def _boot_weight_sql(b: int) -> str:
+    h = f"(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':b{b}'), 1, 8))::BIGINT) % 10000"
+    return (f"CASE WHEN {h} < 3679 THEN 0 WHEN {h} < 7358 THEN 1 "
+            f"WHEN {h} < 9197 THEN 2 ELSE 3 END")
+
+
+_N_BOOT = 20
+
+
+@register(
+    "poisson_bootstrap_ci",
+    oracle=f"""
+    WITH p AS (SELECT event_id, value FROM events
+               WHERE event_type = 'purchase'),
+    reps AS (
+        SELECT
+          CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 2) AS DOUBLE)
+              / COUNT(*) AS point_mean,
+          {", ".join(
+            f'''CAST(ROUND(SUM(CAST(value * ({_boot_weight_sql(b)})
+                 AS DECIMAL(38,10))), 2) AS DOUBLE)
+               / NULLIF(SUM({_boot_weight_sql(b)}), 0) AS m{b}'''
+            for b in range(_N_BOOT))}
+        FROM p
+    )
+    SELECT point_mean,
+           LEAST({", ".join(f"m{b}" for b in range(_N_BOOT))}) AS boot_min,
+           GREATEST({", ".join(f"m{b}" for b in range(_N_BOOT))}) AS boot_max,
+           CAST({_N_BOOT} AS BIGINT) AS n_replicates
+    FROM reps
+    """,
+    tags=("events", "bootstrap", "confidence_interval", "poisson_bootstrap"),
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al., Google 2012): every replicate
+    reweights each row by an independent Poisson(1) draw — so ALL
+    replicates compute in ONE pass as conditional sums, no resampled
+    copies of the data, which is the only bootstrap that works on
+    100 TB. The draws are md5-hash lookups against the Poisson(1) CDF
+    (p₀=.3679, p₁=.7358, p₂=.9197, else 3) — deterministic, identical
+    in both engines, reproducible across retries where RNG bootstraps
+    aren't. Reported: the point mean and the replicate min/max
+    envelope (the CI reading for B=20; production raises B by adding
+    columns, not passes). Weighted sums stay decimal-exact; weights
+    are small ints."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "value")
+
+    def weight(b: int):
+        h = F.pmod(
+            h32(F.concat(F.col("event_id").cast("string"), F.lit(f":b{b}"))),
+            F.lit(10000),
+        )
+        return (
+            F.when(h < 3679, 0).when(h < 7358, 1).when(h < 9197, 2).otherwise(3)
+        )
+
+    aggs = [
+        (
+            F.sum((F.col("value") * weight(b)).cast("decimal(38,10)"))
+            .cast("decimal(38,2)").cast("double")
+            / F.nullif(F.sum(weight(b)), F.lit(0))
+        ).alias(f"m{b}")
+        for b in range(_N_BOOT)
+    ]
+    reps = e.agg(
+        (
+            F.sum(F.col("value").cast("decimal(38,10)"))
+            .cast("decimal(38,2)").cast("double")
+            / F.count("*")
+        ).alias("point_mean"),
+        *aggs,
+    )
+    ms = [F.col(f"m{b}") for b in range(_N_BOOT)]
+    return reps.select(
+        "point_mean",
+        F.least(*ms).alias("boot_min"),
+        F.greatest(*ms).alias("boot_max"),
+        F.lit(_N_BOOT).cast("long").alias("n_replicates"),
+    )

@@ -2743,3 +2743,68 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("class_revenue"),
     )
+
+
+@register(
+    "loo_target_encoding",
+    oracle="""
+    WITH g AS (
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS s
+        FROM orders GROUP BY o_orderpriority
+    ),
+    enc AS (
+        SELECT o.o_orderpriority,
+               CAST(ROUND(g.s - CAST(o.o_totalprice AS DECIMAL(38,10)), 2)
+                   AS DOUBLE) / (g.n - 1) AS loo_encoding
+        FROM orders o JOIN g USING (o_orderpriority)
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(loo_encoding AS DECIMAL(38,10))), 2) AS DOUBLE)
+               / COUNT(*) AS mean_encoding,
+           CAST(MIN(loo_encoding) AS DOUBLE) AS min_encoding,
+           CAST(MAX(loo_encoding) AS DOUBLE) AS max_encoding
+    FROM enc GROUP BY o_orderpriority
+    """,
+    tags=("relational", "target_encoding", "leave_one_out", "feature_eng"),
+)
+def loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: each row's category is encoded by
+    the target mean of OTHER rows in the category, (Σ−yᵢ)/(n−1) —
+    the leakage fix for the classic target-encoding trap (a naive
+    group mean leaks each row's own label into its feature; LOO
+    removes it algebraically, no second pass, no fold machinery).
+    Group sums come from one aggregate; the per-row encoding is
+    arithmetic after one broadcast-or-hash join back on the category —
+    the fact table scans once either way. Encodings here roll up to
+    per-category bounds so the report stays hashable; the per-row
+    frame is the training input. Exact decimal throughout — the LOO
+    subtraction is where float cancellation would bite."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    dec = "decimal(38,10)"
+    g = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast(dec)).alias("s"),
+    )
+    enc = o.join(F.broadcast(g), "o_orderpriority").select(
+        "o_orderpriority",
+        (
+            (F.col("s") - F.col("o_totalprice").cast(dec))
+            .cast("decimal(38,2)").cast("double")
+            / (F.col("n") - 1)
+        ).alias("loo_encoding"),
+    )
+    return enc.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.col("loo_encoding").cast(dec))
+            .cast("decimal(38,2)").cast("double")
+            / F.count("*")
+        ).alias("mean_encoding"),
+        F.min("loo_encoding").cast("double").alias("min_encoding"),
+        F.max("loo_encoding").cast("double").alias("max_encoding"),
+    )
