@@ -68,8 +68,8 @@ from beam_pyspark_runner_spark.queries import recursive  # noqa: E402,F401
 # csv_permissive_recovery, content_defined_chunking, cohorted_funnel,
 # metric_driver_decomposition, abc_classification, containment_pairs,
 # wilson_lower_bound_ranking, seasonality_index, interarrival_burstiness,
-# cohens_kappa_agreement, poisson_bootstrap_ci, loo_target_encoding
-# — plus the
+# cohens_kappa_agreement, poisson_bootstrap_ci, loo_target_encoding,
+# permutation_test_diff — plus the
 # prior-session round-5 additions not in the current window (see git
 # log b155159..740484d).
 # Everything not listed keeps registration order after it;

@@ -2075,3 +2075,102 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(*ms).alias("boot_max"),
         F.lit(_N_BOOT).cast("long").alias("n_replicates"),
     )
+
+
+_N_PERM = 19
+
+
+@register(
+    "permutation_test_diff",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_id, value,
+               event_type = 'purchase' AS grp
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    stats AS (
+        SELECT
+          CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10)))
+               FILTER (WHERE grp), 2) AS DOUBLE)
+            / COUNT(*) FILTER (WHERE grp)
+          - CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10)))
+               FILTER (WHERE NOT grp), 2) AS DOUBLE)
+            / COUNT(*) FILTER (WHERE NOT grp) AS observed,
+          {", ".join(
+            f'''CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))) FILTER (
+                  WHERE (('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                       || ':p{p}'), 1, 8))::BIGINT) % 2 = 0), 2) AS DOUBLE)
+                / COUNT(*) FILTER (
+                  WHERE (('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                       || ':p{p}'), 1, 8))::BIGINT) % 2 = 0)
+              - CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))) FILTER (
+                  WHERE (('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                       || ':p{p}'), 1, 8))::BIGINT) % 2 = 1), 2) AS DOUBLE)
+                / COUNT(*) FILTER (
+                  WHERE (('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                       || ':p{p}'), 1, 8))::BIGINT) % 2 = 1) AS d{p}'''
+            for p in range(_N_PERM))}
+        FROM base
+    )
+    SELECT observed,
+           CAST({" + ".join(
+             f"CASE WHEN abs(d{p}) >= abs(observed) THEN 1 ELSE 0 END"
+             for p in range(_N_PERM))} AS BIGINT) AS n_as_extreme,
+           CAST({_N_PERM} AS BIGINT) AS n_permutations
+    FROM stats
+    """,
+    tags=("events", "permutation_test", "significance", "resampling"),
+)
+def permutation_test_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the purchase-vs-view mean-value difference —
+    the nonparametric significance test, made one-pass the same way as
+    poisson_bootstrap_ci: every permutation relabels rows by a salted
+    md5 coin, so all {_N_PERM} permuted differences are conditional
+    aggregates over ONE scan (a shuffle-the-labels implementation
+    would materialize the dataset per permutation). Reported: the
+    observed difference and the INTEGER count of permutations at least
+    as extreme — the p-value's numerator, exact and hashable where the
+    ratio itself is just a division the reader can do. Deterministic
+    permutations also mean the test replays identically on retry."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select(
+        "event_id", "value", (F.col("event_type") == "purchase").alias("grp")
+    )
+    dec = "decimal(38,10)"
+
+    def mean_where(cond):
+        return (
+            F.sum(F.when(cond, F.col("value")).cast(dec))
+            .cast("decimal(38,2)").cast("double")
+            / F.count(F.when(cond, 1))
+        )
+
+    def coin(p: int):
+        return (
+            F.pmod(
+                h32(F.concat(F.col("event_id").cast("string"), F.lit(f":p{p}"))),
+                F.lit(2),
+            )
+            == 0
+        )
+
+    aggs = [
+        (mean_where(coin(p)) - mean_where(~coin(p))).alias(f"d{p}")
+        for p in range(_N_PERM)
+    ]
+    stats = e.agg(
+        (mean_where(F.col("grp")) - mean_where(~F.col("grp"))).alias("observed"),
+        *aggs,
+    )
+    n_extreme = sum(
+        F.when(F.abs(F.col(f"d{p}")) >= F.abs(F.col("observed")), 1).otherwise(0)
+        for p in range(_N_PERM)
+    )
+    return stats.select(
+        "observed",
+        n_extreme.cast("long").alias("n_as_extreme"),
+        F.lit(_N_PERM).cast("long").alias("n_permutations"),
+    )
