@@ -69,7 +69,7 @@ from beam_pyspark_runner_spark.queries import recursive  # noqa: E402,F401
 # metric_driver_decomposition, abc_classification, containment_pairs,
 # wilson_lower_bound_ranking, seasonality_index, interarrival_burstiness,
 # cohens_kappa_agreement, poisson_bootstrap_ci, loo_target_encoding,
-# permutation_test_diff — plus the
+# permutation_test_diff, mann_whitney_u — plus the
 # prior-session round-5 additions not in the current window (see git
 # log b155159..740484d).
 # Everything not listed keeps registration order after it;

@@ -2174,3 +2174,76 @@ def permutation_test_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_extreme.cast("long").alias("n_as_extreme"),
         F.lit(_N_PERM).cast("long").alias("n_permutations"),
     )
+
+
+@register(
+    "mann_whitney_u",
+    oracle="""
+    WITH base AS (
+        SELECT value, event_type = 'purchase' AS grp
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    vals AS (
+        SELECT value,
+               COUNT(*) FILTER (WHERE grp) AS c1,
+               COUNT(*) FILTER (WHERE NOT grp) AS c0
+        FROM base GROUP BY value
+    ),
+    ranked AS (
+        SELECT value, c1, c0,
+               COALESCE(SUM(c1 + c0) OVER (
+                   ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS below,
+               c1 + c0 AS c
+        FROM vals
+    )
+    SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+           CAST(SUM(c0) AS BIGINT) AS n0,
+           CAST(SUM(c1 * (below + (c + 1) / 2.0)) AS DOUBLE) AS rank_sum_1,
+           CAST(SUM(c1 * (below + (c + 1) / 2.0))
+                - SUM(c1) * (SUM(c1) + 1) / 2.0 AS DOUBLE) AS u_statistic
+    FROM ranked
+    """,
+    tags=("events", "mann_whitney", "rank_sum", "nonparametric"),
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (rank-sum) for purchase vs view values — the
+    nonparametric location test that doesn't care about the value
+    distribution's tails (the t-test family assumes what heavy-tailed
+    money columns violate). The scalable formulation: ranks are
+    MIDRANKS computed on the DISTINCT-VALUE table (per-value group
+    counts + a running prefix over values), so the sort touches
+    |distinct values| rows, never raw rows — ties handled exactly by
+    construction, and U = R₁ − n₁(n₁+1)/2 is half-integer arithmetic
+    that hashes. One conditional aggregate + one window over the
+    value table; the normal approximation for the p-value is a
+    client-side formula away."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select("value", (F.col("event_type") == "purchase").alias("grp"))
+    vals = e.groupBy("value").agg(
+        F.count(F.when(F.col("grp"), 1)).alias("c1"),
+        F.count(F.when(~F.col("grp"), 1)).alias("c0"),
+    )
+    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, -1)
+    ranked = vals.select(
+        "c1", "c0",
+        F.coalesce(
+            F.sum(F.col("c1") + F.col("c0")).over(w), F.lit(0)
+        ).alias("below"),
+        (F.col("c1") + F.col("c0")).alias("c"),
+    )
+    midrank = F.col("below") + (F.col("c") + 1) / 2.0
+    agg = ranked.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum(F.col("c1") * midrank).cast("double").alias("rank_sum_1"),
+    )
+    return agg.select(
+        "n1", "n0", "rank_sum_1",
+        (
+            F.col("rank_sum_1")
+            - F.col("n1").cast("double") * (F.col("n1") + 1) / 2.0
+        ).alias("u_statistic"),
+    )
