@@ -938,3 +938,25 @@ def test_keyset_pagination_no_global_sort_materialization(spark):
     plan = _query_plan(spark, "keyset_pagination")
     assert plan.count("TakeOrderedAndProject") >= 1, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_resampling_family_is_single_scan(spark):
+    """poisson_bootstrap_ci / permutation_test_diff: ALL replicates are
+    conditional aggregates over ONE scan — the plan must contain no
+    per-replicate passes: a single parquet scan of events, no
+    hash-keyed exchange (global agg only), no Python."""
+    for name in ("poisson_bootstrap_ci", "permutation_test_diff"):
+        plan = _query_plan(spark, name)
+        assert plan.count("events.parquet") == 1, (name, plan.count("events.parquet"))
+        assert "Exchange hashpartitioning" not in plan, name
+        assert "Python" not in plan, name
+
+
+def test_mann_whitney_ranks_distinct_values_only(spark):
+    """mann_whitney_u: the rank window's input must be the per-VALUE
+    aggregate (HashAggregate below the Window) — ranking raw rows is
+    the unscalable formulation this query exists to avoid."""
+    plan = _query_plan(spark, "mann_whitney_u")
+    assert "Window" in plan, plan
+    wpos = plan.index("Window")
+    assert "HashAggregate" in plan[wpos:], plan
