@@ -2247,3 +2247,66 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("n1").cast("double") * (F.col("n1") + 1) / 2.0
         ).alias("u_statistic"),
     )
+
+
+@register(
+    "time_weighted_average",
+    oracle=f"""
+    WITH seg AS (
+        SELECT user_id,
+               value * date_diff('second', ts,
+                   LEAD(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)) AS term,
+               date_diff('second', ts,
+                   LEAD(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)) AS dur_s
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(dur_s) AS BIGINT) AS n_segments,
+           CAST(SUM(dur_s) AS BIGINT) AS total_s,
+           {dsum_sql('term')} / CAST(SUM(dur_s) AS DOUBLE) AS twa_value
+    FROM seg
+    GROUP BY user_id
+    HAVING SUM(dur_s) > 0
+    """,
+    tags=("events", "time_weighted", "irregular_timeseries", "locf"),
+)
+def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value over an IRREGULARLY sampled
+    event stream — each observation holds (last-observation-carried-
+    forward) until the next one, so its weight is the seconds until that
+    next event, not 1. The plain AVG over-weights chatty periods; TWA is
+    what sensor/price/telemetry pipelines actually need (TimescaleDB's
+    ``time_weight``; Flink's temporal LOCF joins do the same implicitly).
+
+    Determinism: durations are integer seconds (identical in both
+    engines), each row's term ``value·dur`` is one IEEE double multiply,
+    and the per-user sum runs through exact decimal accumulation (dsum),
+    so no partition order can perturb the result. Ties at the same
+    timestamp are ordered by event_id — the earlier row gets a
+    zero-length (weightless) segment in both engines.
+
+    Scale: one shuffle on user_id; window parallelism = number of users.
+    Each user's last observation has no successor and drops out of both
+    numerator and denominator (open-ended tails need a query-time
+    horizon to be weighable — a policy choice, not a default)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
+    seg = e.select(
+        "user_id",
+        (F.col("value") * dur.cast("double")).alias("term"),
+        dur.alias("dur_s"),
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("dur_s").alias("n_segments"),
+            F.sum("dur_s").alias("total_s"),
+            (dsum(F.col("term")) / F.sum("dur_s").cast("double")).alias(
+                "twa_value"
+            ),
+        )
+        .filter(F.col("total_s") > 0)
+    )
