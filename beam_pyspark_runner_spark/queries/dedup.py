@@ -979,3 +979,106 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", cont.alias("containment"), jac.alias("jaccard"))
         .filter(F.col("containment") >= 0.9)
     )
+
+
+@register(
+    "ppjoin_prefix_filter",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE)
+               / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
+          >= 0.8
+    """,
+    tags=("dedup", "near_dedup", "set_similarity_join", "prefix_filter"),
+)
+def ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (all pairs with shingle-Jaccard
+    ≥ 0.8) via PREFIX FILTERING — the SSJoin/PPJoin technique
+    (Chaudhuri et al. ICDE'06; Xiao et al. WWW'08). Where MinHash+LSH
+    trades recall for speed, prefix filtering is LOSSLESS: order each
+    doc's shingles by ascending global document frequency (rarest
+    first); two sets with Jaccard ≥ t MUST share a token inside their
+    first ``|s| - ceil(t·|s|) + 1`` tokens, so candidate pairs are
+    generated only from those short, RARE prefixes. The frequent-token
+    fan-out that makes the naive token self-join quadratic never enters
+    the candidate stage — at 100 TB the pair space is bounded by
+    Σ_prefix-token df², with the highest-df (worst) tokens excluded by
+    construction. The oracle runs the unfiltered all-pairs join, so a
+    MATCH certifies the completeness theorem as implemented (the ceil
+    is exact integer arithmetic ``(4n+4) div 5``, never float).
+
+    Plan: one shingle-keyed shuffle to attach df, one per-doc sort (doc-
+    length bounded), one self-join on prefix tokens only, then exact
+    verification on the broadcast-free array intersection of candidate
+    pairs. Verification arrays are per-doc shingle sets (doc-length
+    bounded), carried only for candidate rows."""
+    sh = _shingle_df(spark, sf_dir)
+    df_cnt = sh.groupBy("s").agg(F.count("*").alias("df"))
+    ranked = (
+        sh.join(df_cnt, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("s")))
+            ).alias("arr")
+        )
+        .select(
+            "doc_id",
+            F.transform(F.col("arr"), lambda x: x["s"]).alias("toks"),
+            F.size("arr").alias("n"),
+        )
+    )
+    # prefix length for Jaccard >= 4/5: n - ceil(4n/5) + 1, all-integer.
+    pref_len = F.col("n") - F.floor((4 * F.col("n") + 4) / 5) + 1
+    prefix = ranked.select(
+        "doc_id", F.explode(F.slice("toks", F.lit(1), pref_len)).alias("s")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets = ranked.select("doc_id", "toks", "n")
+    verified = (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("toks").alias("ta"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("toks").alias("tb"),
+                F.col("n").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("ta", "tb")))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    ).cast("double")
+    return verified.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.8
+    )

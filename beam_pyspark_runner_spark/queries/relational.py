@@ -2808,3 +2808,110 @@ def loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("loo_encoding").cast("double").alias("min_encoding"),
         F.max("loo_encoding").cast("double").alias("max_encoding"),
     )
+
+
+@register(
+    "merkle_bucket_diff",
+    oracle="""
+    WITH rowsig AS (
+        SELECT o_orderkey % 64 AS bucket,
+               o_orderkey % 1003 = 11 AS missing_in_b,
+               ('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' ||
+                   CAST(o_custkey AS VARCHAR) || '|' ||
+                   o_orderstatus || '|' ||
+                   CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                        AS VARCHAR)), 1, 15))::BIGINT AS sig_a,
+               ('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' ||
+                   CAST(o_custkey AS VARCHAR) || '|' ||
+                   o_orderstatus || '|' ||
+                   CAST(CAST(ROUND(
+                       (o_totalprice
+                        + CASE WHEN o_orderkey % 997 = 7
+                               THEN 1.0 ELSE 0.0 END) * 100)
+                        AS BIGINT) AS VARCHAR)), 1, 15))::BIGINT AS sig_b
+        FROM orders
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_a,
+           CAST(COUNT(*) FILTER (WHERE NOT missing_in_b) AS BIGINT) AS n_b,
+           CAST(bit_xor(sig_a) AS BIGINT) AS digest_a,
+           CAST(COALESCE(bit_xor(sig_b) FILTER (WHERE NOT missing_in_b),
+                         0) AS BIGINT) AS digest_b
+    FROM rowsig
+    GROUP BY bucket
+    HAVING COUNT(*) <> COUNT(*) FILTER (WHERE NOT missing_in_b)
+        OR bit_xor(sig_a)
+           <> COALESCE(bit_xor(sig_b) FILTER (WHERE NOT missing_in_b), 0)
+    """,
+    tags=("sync", "merkle", "anti_entropy", "digest"),
+)
+def merkle_bucket_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy table sync, stage 1: find WHICH KEY BUCKETS differ
+    between two table versions by comparing constant-size bucket digests
+    — the Merkle-tree exchange Dynamo/Cassandra replicas use — without
+    ever joining rows. `table_diff_reconcile` answers "which rows
+    changed" with a full outer join over everything; this answers "where
+    do I even need to look" from two independent single scans whose
+    comparable state is 64 × (count, digest). At 100 TB the follow-up
+    row-level diff then reads only the flagged buckets (partition
+    pruning on the bucket key), not the table.
+
+    The drifted replica B is synthesized in-query from the same scan
+    (price +1.00 on keys ≡7 mod 997; rows ≡11 mod 1003 deleted), so
+    both engines see identical versions. Row signature = 60-bit md5 of
+    a canonical key|custkey|status|cents string (cents via
+    integer-rounded price·100 — no float formatting in the hash);
+    bucket digest = XOR of row signatures, which is order- and
+    partition-independent and merges associatively (a mergeable
+    partial aggregate — the same property every sketch in
+    queries/sketches.py leans on). XOR cancels PAIRED duplicate rows —
+    acceptable here because the signature embeds the unique key.
+    Output: only the buckets a sync would fetch."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+
+    def sig(price_cents: F.Column) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        key.cast("string"),
+                        F.col("o_custkey").cast("string"),
+                        F.col("o_orderstatus"),
+                        price_cents.cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    cents_a = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    drift = F.when(key % 997 == 7, F.lit(1.0)).otherwise(F.lit(0.0))
+    cents_b = F.round((F.col("o_totalprice") + drift) * 100).cast("bigint")
+    rowsig = o.select(
+        (key % 64).alias("bucket"),
+        (key % 1003 == 11).alias("missing_in_b"),
+        sig(cents_a).alias("sig_a"),
+        sig(cents_b).alias("sig_b"),
+    )
+    agg = rowsig.groupBy("bucket").agg(
+        F.count("*").alias("n_a"),
+        F.count(F.when(~F.col("missing_in_b"), 1)).alias("n_b"),
+        F.expr("bit_xor(sig_a)").cast("long").alias("digest_a"),
+        F.coalesce(
+            F.expr("bit_xor(CASE WHEN NOT missing_in_b THEN sig_b END)"),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("digest_b"),
+    )
+    return agg.filter(
+        (F.col("n_a") != F.col("n_b"))
+        | (F.col("digest_a") != F.col("digest_b"))
+    )
