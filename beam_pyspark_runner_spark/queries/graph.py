@@ -473,3 +473,80 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_nodes").over(w_desc).cast("double") / total.cast("double")
         ).alias("ccdf"),
     )
+
+
+_BFS_N = 512
+_BFS_DEPTH_CAP = 20
+
+
+@register(
+    "bfs_shortest_hops",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT k AS src, (3 * k + 1) % {_BFS_N} AS dst
+        FROM range({_BFS_N}) t(k)
+        UNION ALL
+        SELECT k, (5 * k + 2) % {_BFS_N} FROM range({_BFS_N}) t(k)
+    ),
+    bfs(node, d) AS (
+        SELECT CAST(0 AS BIGINT), 0
+        UNION
+        SELECT e.dst, d + 1
+        FROM bfs JOIN e ON e.src = bfs.node
+        WHERE d < {_BFS_DEPTH_CAP}
+    )
+    SELECT node, CAST(MIN(d) AS BIGINT) AS hops
+    FROM bfs GROUP BY node
+    """,
+    tags=("graph", "bfs", "shortest_path", "iterative"),
+)
+def bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest HOP distances by frontier-parallel BFS —
+    the Pregel pattern GraphX/GraphFrames use: each round joins only the
+    NEW frontier (nodes first reached last round) against the edge list,
+    so round cost is O(edges touched at that depth), and the number of
+    rounds is the graph's eccentricity from the source, not |V|.
+
+    Graph: a deterministic out-degree-2 functional graph over 512
+    nodes (k → 3k+1 and k → 5k+2, mod 512) — cyclic,
+    fully synthetic, identical in both engines. The oracle walks the
+    same graph with a recursive CTE and takes MIN(depth); a MATCH
+    proves frontier BFS = level-order distance.
+
+    Scale: `dist` holds (node, hops) pairs only; lineage is truncated
+    every round with localCheckpoint (swap for reliable checkpoint()
+    on a real cluster — the `connected_components` discipline). The
+    per-round anti-join against the accumulated distance table is the
+    visited-set membership test; both sides shuffle on node id. The
+    depth cap turns a disconnected or adversarial input into a loud
+    stop instead of an infinite loop (frontier exhaustion is the
+    normal exit)."""
+    n = spark.range(_BFS_N)
+    edges = (
+        n.select(
+            F.col("id").alias("src"), ((3 * F.col("id") + 1) % _BFS_N).alias("dst")
+        )
+        .unionAll(
+            n.select(F.col("id"), ((5 * F.col("id") + 2) % _BFS_N))
+        )
+        .localCheckpoint()
+    )
+    dist = spark.range(1).select(
+        F.lit(0).cast("long").alias("node"), F.lit(0).cast("long").alias("hops")
+    )
+    frontier = dist
+    for depth in range(1, _BFS_DEPTH_CAP + 1):
+        reached = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = reached.join(dist, "node", "left_anti").select(
+            "node", F.lit(depth).cast("long").alias("hops")
+        )
+        new = new.localCheckpoint()
+        if new.isEmpty():
+            return dist
+        dist = dist.unionAll(new).localCheckpoint()
+        frontier = new
+    return dist

@@ -2064,3 +2064,103 @@ def cohens_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         pe.alias("expected_agreement"),
         ((po - pe) / (1.0 - pe)).alias("kappa"),
     )
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks
+    ),
+    counts AS (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram),
+    ranked AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, bigram) AS rnk
+        FROM counts
+    ),
+    stats AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(c) FILTER (WHERE rnk <= 50) AS BIGINT) AS cov50,
+               CAST(SUM(c) FILTER (WHERE rnk <= 200) AS BIGINT) AS cov200,
+               CAST(SUM(c) FILTER (WHERE rnk <= 500) AS BIGINT) AS cov500
+        FROM ranked
+    )
+    SELECT vocab_size, n_types, covered, total,
+           CAST(covered AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+    FROM (
+        SELECT CAST(50 AS BIGINT) AS vocab_size, n_types, cov50 AS covered,
+               total FROM stats
+        UNION ALL
+        SELECT 200, n_types, cov200, total FROM stats
+        UNION ALL
+        SELECT 500, n_types, cov500, total FROM stats
+    )
+    """,
+    tags=("text_analysis", "tokenizer", "vocab", "coverage"),
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus coverage as a function of vocabulary size — for each
+    candidate vocab budget k, the fraction of all token-bigram
+    occurrences covered by the k most frequent bigram types. THE
+    tokenizer-design curve: where it flattens is where a bigger vocab
+    stops paying for itself (the same marginal-coverage argument
+    SentencePiece/BPE vocab-size ablations make). Units here are
+    adjacent word bigrams (the fixture's word vocabulary is too small
+    to have a tail; bigram types give the curve a body and match
+    `bpe_pair_counts`' merge-candidate universe one level up).
+
+    Scale: the corpus-sized work is one explode + one bigram-keyed
+    partial agg; the ranking window and the conditional coverage sums
+    run on the TYPE table (≤ vocab² rows), never the corpus. All three
+    budget points come from one conditional aggregate — no per-k
+    rescans. Coverage is a single bigint/bigint divide."""
+    t = load_table(spark, sf_dir, "documents").select(
+        _tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = t.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i), F.element_at("t", i + 1)
+                ),
+            )
+        ).alias("bigram")
+    )
+    counts = bg.groupBy("bigram").agg(F.count("*").alias("c"))
+    from pyspark.sql import Window as W
+
+    ranked = counts.select(
+        "c",
+        F.row_number().over(W.orderBy(F.col("c").desc(), "bigram")).alias("rnk"),
+    )
+    stats = ranked.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count("*").alias("n_types"),
+        *[
+            F.sum(F.when(F.col("rnk") <= k, F.col("c")))
+            .cast("long")
+            .alias(f"cov{k}")
+            for k in (50, 200, 500)
+        ],
+    )
+    legs = [
+        stats.select(
+            F.lit(k).cast("long").alias("vocab_size"),
+            "n_types",
+            F.col(f"cov{k}").alias("covered"),
+            "total",
+        )
+        for k in (50, 200, 500)
+    ]
+    out = legs[0].unionAll(legs[1]).unionAll(legs[2])
+    return out.withColumn(
+        "coverage",
+        F.col("covered").cast("double") / F.col("total").cast("double"),
+    )
