@@ -2915,3 +2915,115 @@ def merkle_bucket_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_a") != F.col("n_b"))
         | (F.col("digest_a") != F.col("digest_b"))
     )
+
+
+@register(
+    "ols_trend_per_group",
+    oracle="""
+    WITH m AS (
+        SELECT c_nationkey AS nationkey,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                   AS x,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4)))
+                    AS DECIMAL(20,4)) AS y
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT nationkey, x, y,
+               COUNT(*) OVER (PARTITION BY nationkey) AS n,
+               SUM(x) OVER (PARTITION BY nationkey) AS sx
+        FROM m
+    ),
+    s AS (
+        SELECT nationkey,
+               MAX(n) AS n, MAX(sx) AS sx, MAX(x) AS xmax,
+               SUM(CAST(n * x - sx AS DECIMAL(10,0)) * y) AS num,
+               CAST(SUM((n * x - sx) * x) AS BIGINT) AS den,
+               SUM(y) AS sy
+        FROM w GROUP BY 1
+    )
+    SELECT nationkey,
+           CAST(n AS BIGINT) AS n_months,
+           CAST(ROUND(num, 2) AS DOUBLE) / CAST(den AS DOUBLE) AS slope,
+           (CAST(ROUND(sy, 2) AS DOUBLE)
+            - (CAST(ROUND(num, 2) AS DOUBLE) / CAST(den AS DOUBLE))
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+           (CAST(ROUND(num, 2) AS DOUBLE) / CAST(den AS DOUBLE))
+               * CAST(xmax + 1 AS DOUBLE)
+           + (CAST(ROUND(sy, 2) AS DOUBLE)
+              - (CAST(ROUND(num, 2) AS DOUBLE) / CAST(den AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS next_forecast
+    FROM s
+    """,
+    tags=("statistics", "regression", "trend", "forecast"),
+)
+def ols_trend_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend: closed-form ordinary-least-squares fit
+    of monthly revenue against the month serial, plus the next-month
+    forecast — the grouped-regression shape every demand-planning
+    pipeline runs (one model per key, millions of keys, no ML library).
+
+    Determinism is the whole design: the slope numerator is written as
+    Σ cᵢ·yᵢ with INTEGER centering coefficients cᵢ = n·xᵢ − Σx
+    (algebraically n·Σxy − Σx·Σy, but with |c| bounded by n·(month
+    span) so every product stays in exact DECIMAL range), the
+    denominator Σ cᵢ·xᵢ is pure int64, and the only floating point is
+    the final well-defined divides/multiply-adds — identical IEEE ops
+    in both engines. regr_slope/regr_intercept builtins are one-liners
+    but accumulate doubles in partition order; this formulation is
+    bit-reproducible on any cluster size.
+
+    Scale: one fact-dim join (customer broadcast), one (key, month)
+    partial agg — after which rows-per-key = months, so the per-key
+    window + final agg are state-sized. Fits for a million keys cost
+    one extra shuffle over the month-cell table."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    m = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(20,4)"))
+            .cast("decimal(20,4)")
+            .alias("y")
+        )
+    )
+    w = W.partitionBy("nationkey")
+    t = m.select(
+        "nationkey",
+        "x",
+        "y",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+    )
+    ci = F.col("n") * F.col("x") - F.col("sx")
+    s = t.groupBy("nationkey").agg(
+        F.max("n").alias("n"),
+        F.max("sx").alias("sx"),
+        F.max("x").alias("xmax"),
+        F.sum(ci.cast("decimal(10,0)") * F.col("y")).alias("num"),
+        F.sum(ci * F.col("x")).alias("den"),
+        F.sum("y").alias("sy"),
+    )
+    slope = F.col("num").cast("decimal(38,2)").cast("double") / F.col(
+        "den"
+    ).cast("double")
+    intercept = (
+        F.col("sy").cast("decimal(38,2)").cast("double")
+        - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return s.select(
+        "nationkey",
+        F.col("n").cast("long").alias("n_months"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        (slope * (F.col("xmax") + 1).cast("double") + intercept).alias(
+            "next_forecast"
+        ),
+    )

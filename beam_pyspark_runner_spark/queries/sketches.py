@@ -768,3 +768,70 @@ def hll_datasketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("union_within_3pct"),
         )
     )
+
+
+@register(
+    "sliding_distinct_bitmap",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    daily AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_users_1d
+              FROM ud GROUP BY day)
+    SELECT d.day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users_7d,
+           MAX(daily.n_users_1d) AS n_users_1d
+    FROM days d
+    JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+    JOIN daily ON daily.day = d.day
+    GROUP BY d.day
+    """,
+    tags=("sketch", "bitmap", "sliding_distinct", "mergeable"),
+)
+def sliding_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day distinct users per day ("weekly active
+    users") with constant-size per-day state — the sliding-distinct
+    problem that COUNT(DISTINCT) over a sliding window cannot do
+    incrementally (distinct doesn't subtract). The scalable shape:
+    (1) ONE pass over raw events reduces each (day, bitmap-bucket) to a
+    fixed-width user bitmap — after this, raw rows are never touched
+    again; (2) the 7-day merge is bitmap_or_agg over STATE rows
+    (days × buckets × 7 of them, independent of event count);
+    (3) popcount + sum per day. Day N+1's window reuses day N's daily
+    bitmaps — in an incremental pipeline the daily state table is the
+    materialization, and each new day costs one day of events plus a
+    7-row merge. The oracle is the quadratic-ish day×user range join
+    the bitmaps replace (affordable only at fixture scale).
+    """
+    e = load_table(spark, sf_dir, "events")
+    state = (
+        e.select(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.col("user_id"),
+        )
+        .groupBy("day", F.bitmap_bucket_number("user_id").alias("bucket"))
+        .agg(
+            F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm")
+        )
+    )
+    daily = (
+        state.groupBy("day")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_users_1d"))
+    )
+    days = state.select("day").distinct().select(F.col("day").alias("d"))
+    merged = (
+        days.join(
+            state,
+            (F.col("day") <= F.col("d"))
+            & (F.col("day") >= F.date_sub(F.col("d"), 6)),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.bitmap_count(F.bitmap_or_agg("bm")).alias("c"))
+        .groupBy("d")
+        .agg(F.sum("c").alias("n_users_7d"))
+    )
+    return merged.join(daily, merged.d == daily.day).select(
+        F.col("d").alias("day"), "n_users_7d", "n_users_1d"
+    )
