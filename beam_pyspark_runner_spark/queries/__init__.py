@@ -69,7 +69,10 @@ from beam_pyspark_runner_spark.queries import recursive  # noqa: E402,F401
 # metric_driver_decomposition, abc_classification, containment_pairs,
 # wilson_lower_bound_ranking, seasonality_index, interarrival_burstiness,
 # cohens_kappa_agreement, poisson_bootstrap_ci, loo_target_encoding,
-# permutation_test_diff, mann_whitney_u — plus the
+# permutation_test_diff, mann_whitney_u, max_concurrent_intervals,
+# time_weighted_average, ppjoin_prefix_filter, merkle_bucket_diff,
+# vocab_coverage_curve, bfs_shortest_hops, sliding_distinct_bitmap,
+# ols_trend_per_group — plus the
 # prior-session round-5 additions not in the current window (see git
 # log b155159..740484d).
 # Everything not listed keeps registration order after it;

@@ -815,6 +815,12 @@ def sliding_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm")
         )
+        # The state table is THE materialization point: every downstream
+        # leg (daily counts, day spine, 7-day merge join) reads it, so pin
+        # it once instead of re-deriving the raw-event scan per leg (lazy:
+        # computed at first action). On a cluster this is the persisted
+        # daily-bitmap table an incremental pipeline maintains.
+        .localCheckpoint(eager=False)
     )
     daily = (
         state.groupBy("day")

@@ -960,3 +960,66 @@ def test_mann_whitney_ranks_distinct_values_only(spark):
     assert "Window" in plan, plan
     wpos = plan.index("Window")
     assert "HashAggregate" in plan[wpos:], plan
+
+
+def test_sweep_line_window_is_month_partitioned(spark):
+    """max_concurrent_intervals: the running sum over per-ts deltas must
+    be partitioned by the month bucket (parallel), with the offsets
+    joined back by broadcast — never one global-orderBy window over the
+    whole timeline."""
+    plan = _query_plan(spark, "max_concurrent_intervals")
+    assert "windowspecdefinition(month" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_ppjoin_candidates_are_equi_joined(spark):
+    """ppjoin_prefix_filter: candidate generation must be an equi-join
+    on the prefix token — any nested-loop/cartesian shape means the
+    prefix filter degenerated into all-pairs."""
+    plan = _query_plan(spark, "ppjoin_prefix_filter")
+    assert "CartesianProduct" not in plan, plan
+    assert "NestedLoop" not in plan, plan
+
+
+def test_merkle_diff_is_single_scan_no_join(spark):
+    """merkle_bucket_diff: both versions' digests come from ONE scan of
+    orders (the drift is synthesized in-expression) and the comparison
+    is per-bucket aggregate state — no join anywhere."""
+    plan = _query_plan(spark, "merkle_bucket_diff")
+    assert plan.count("orders.parquet") == 1, plan.count("orders.parquet")
+    assert "Join" not in plan, plan
+
+
+def test_time_weighted_window_per_user(spark):
+    """time_weighted_average: the LOCF segment window must be
+    partitioned by user_id — parallelism = users, no global sort."""
+    plan = _query_plan(spark, "time_weighted_average")
+    assert "windowspecdefinition(user_id" in plan, plan
+
+
+def test_vocab_coverage_ranks_types_not_corpus(spark):
+    """vocab_coverage_curve: the ranking window's input must be the
+    bigram-TYPE aggregate (HashAggregate below Window), never raw
+    corpus occurrences."""
+    plan = _query_plan(spark, "vocab_coverage_curve")
+    assert "Window" in plan, plan
+    wpos = plan.index("Window")
+    assert "HashAggregate" in plan[wpos:], plan
+
+
+def test_ols_trend_broadcasts_dim_and_windows_state(spark):
+    """ols_trend_per_group: customer joins in by broadcast; the per-key
+    window runs over the month-cell aggregate, not raw orders."""
+    plan = _query_plan(spark, "ols_trend_per_group")
+    assert "BroadcastHashJoin" in plan, plan
+    wpos = plan.index("windowspecdefinition(nationkey")
+    assert "HashAggregate" in plan[wpos:], plan
+
+
+def test_sliding_distinct_merge_reads_state_not_events(spark):
+    """sliding_distinct_bitmap: the 7-day OR-merge and the daily counts
+    must read the pinned bitmap-state table, not re-derive the raw event
+    scan per leg — the executed plan contains no events scan at all
+    (state is checkpointed once)."""
+    plan = _query_plan(spark, "sliding_distinct_bitmap")
+    assert plan.count("events.parquet") == 0, plan.count("events.parquet")
