@@ -2310,3 +2310,107 @@ def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("total_s") > 0)
     )
+
+
+_MOTIFS: list[tuple[str, str]] = [
+    # (motif name, regex over per-user event-initial sequences:
+    #  c=click e=error p=purchase s=signup v=view)
+    ("view_then_purchase_adjacent", "vp"),
+    ("error_anywhere_before_purchase", "e.*p"),
+    ("signup_first_event", "^s"),
+    ("click_burst_3plus", "ccc"),
+    ("purchase_error_purchase", "pe+p"),
+]
+
+
+@register(
+    "event_sequence_motifs",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id,
+               string_agg(substring(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS s
+        FROM events GROUP BY user_id
+    ),
+    flags AS (
+        SELECT
+            {", ".join(
+                f"COUNT(*) FILTER (WHERE regexp_matches(s, '{rx}')) AS m{i}"
+                for i, (_, rx) in enumerate(_MOTIFS)
+            )},
+            COUNT(*) AS total
+        FROM seq
+    )
+    SELECT motif, n_users, total_users,
+           CAST(n_users AS DOUBLE) / CAST(total_users AS DOUBLE) AS share
+    FROM (
+        {" UNION ALL ".join(
+            f"SELECT '{name}' AS motif, CAST(m{i} AS BIGINT) AS n_users, "
+            f"CAST(total AS BIGINT) AS total_users FROM flags"
+            for i, (name, _) in enumerate(_MOTIFS)
+        )}
+    )
+    """,
+    tags=("events", "sequence", "motif", "match_recognize"),
+)
+def event_sequence_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence-motif detection — the MATCH_RECOGNIZE-shaped
+    question ("which users error before purchasing? bounce after
+    signup? burst-click?") answered without the operator Spark lacks:
+    each user's event stream is folded into an ordered initial-letter
+    string ONCE (one shuffle, per-user payload bounded by that user's
+    activity), and every motif is then a regex over that string —
+    pattern matching runs JVM-side in whole-stage codegen, and adding a
+    motif costs one conditional aggregate, not a rescan.
+
+    Determinism: the fold orders by (ts, event_id) — a total order both
+    engines agree on; the regexes use only concatenation/closure/anchor
+    constructs whose semantics coincide in Java regex and RE2.
+
+    Scale: the sequence table is users-sized; the motif scan is one
+    pass over it. For entities whose lifetime exceeds memory the fold
+    chunks naturally by (user, period) — the same bounded-payload
+    argument as session assembly."""
+    e = load_table(spark, sf_dir, "events")
+    seq = (
+        e.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("ts"),
+                                F.col("event_id"),
+                                F.substring("event_type", 1, 1).alias("ini"),
+                            )
+                        )
+                    ),
+                    lambda x: x["ini"],
+                ),
+            ).alias("s")
+        )
+    )
+    flags = seq.agg(
+        *[
+            F.count(F.when(F.col("s").rlike(rx), 1)).alias(f"m{i}")
+            for i, (_, rx) in enumerate(_MOTIFS)
+        ],
+        F.count("*").alias("total"),
+    )
+    legs = [
+        flags.select(
+            F.lit(name).alias("motif"),
+            F.col(f"m{i}").cast("long").alias("n_users"),
+            F.col("total").cast("long").alias("total_users"),
+        )
+        for i, (name, _) in enumerate(_MOTIFS)
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out.withColumn(
+        "share",
+        F.col("n_users").cast("double") / F.col("total_users").cast("double"),
+    )

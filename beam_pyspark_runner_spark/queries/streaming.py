@@ -1032,3 +1032,51 @@ def stream_ab_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+@register(
+    "stream_sliding_distinct",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS max_ts FROM events),
+    expanded AS (
+        SELECT DISTINCT
+               date_trunc('day', ts) - k * INTERVAL '1 day' AS window_start,
+               user_id
+        FROM events, (SELECT unnest(range(0, 7)) AS k)
+    )
+    SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM expanded, mx
+    GROUP BY window_start, mx.max_ts
+    HAVING window_start + INTERVAL '7 days' <= mx.max_ts - INTERVAL '1 hour'
+    """,
+    tags=("streaming", "sliding_window", "distinct", "chained_stateful"),
+)
+def stream_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming weekly-active-users: DISTINCT users per 7-day window
+    sliding 1 day, as TWO CHAINED STATEFUL OPERATORS — streaming dedup
+    on (window, user) feeding a windowed count — which Structured
+    Streaming supports in append mode with watermark propagation
+    (Spark 3.5+). This is the streaming twin of
+    `sliding_distinct_bitmap`: COUNT(DISTINCT) doesn't exist as a
+    streaming aggregate precisely because distinct state can't
+    decrement; the dedup stage IS that state, made explicit, bounded,
+    and expirable by the watermark.
+
+    Each event expands to its 7 windows inside the dedup key, so dedup
+    state is (window × user) pairs — bounded by the watermark closing
+    windows, exactly the daily-bitmap state the batch twin materializes.
+    Append mode emits each window once, after the watermark (max ts −
+    1 h) passes its end; the oracle states that contract (open trailing
+    windows are deliberately absent)."""
+    e = _events_stream(spark, sf_dir)
+    dedup = (
+        e.withWatermark("ts", "1 hour")
+        .select(F.window("ts", "7 days", "1 day").alias("win"), "user_id")
+        .dropDuplicates(["win", "user_id"])
+    )
+    agg = (
+        dedup.groupBy("win")
+        .agg(F.count("*").alias("n_users"))
+        .select(F.col("win.start").alias("window_start"), "n_users")
+    )
+    return run_stream_to_df(agg, output_mode="append")
