@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from beam_pyspark_runner_spark.functions.numeric import dsum, dsum_sql
+from beam_pyspark_runner_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
 from beam_pyspark_runner_spark.queries.registry import register
 from beam_pyspark_runner_spark.sources.readers import load_table
 
@@ -2413,4 +2413,59 @@ def event_sequence_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "share",
         F.col("n_users").cast("double") / F.col("total_users").cast("double"),
+    )
+
+
+@register(
+    "winsorized_mean",
+    oracle=f"""
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.1) AS lo,
+               quantile_cont(value, 0.9) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(q.lo) AS lo,
+           MAX(q.hi) AS hi,
+           {davg_sql('e.value')} AS mean_raw,
+           {davg_sql('GREATEST(q.lo, LEAST(q.hi, e.value))')}
+               AS mean_winsorized
+    FROM events e JOIN q ON q.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+    tags=("events", "statistics", "robust", "winsorize"),
+)
+def winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% winsorized mean of value per event type — the robust
+    location estimate that clips (not drops) the tails at the exact
+    p10/p90 before averaging, so a handful of fat-finger values can't
+    move the metric the way they move the raw mean (reported beside it
+    so the gap is visible). Trimming drops information; winsorizing
+    keeps the row count — the right default for monitoring metrics.
+
+    Two passes over events (percentiles, then clipped aggregate) with
+    the 5-row quantile table broadcast into the second — the clamp is
+    GREATEST/LEAST in codegen, and the clipped mean goes through exact
+    decimal accumulation. Exact interpolated percentiles sort within
+    each type's partition; at extreme cardinality the approx-sketch
+    variant (`approx_percentile_bounds`) supplies lo/hi instead and
+    pass one becomes mergeable state."""
+    e = load_table(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.1)).alias("lo"),
+        F.percentile("value", F.lit(0.9)).alias("hi"),
+    )
+    clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value")))
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.max("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+            davg(F.col("value")).alias("mean_raw"),
+            davg(clamped).alias("mean_winsorized"),
+        )
     )

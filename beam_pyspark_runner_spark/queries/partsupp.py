@@ -417,3 +417,125 @@ def q20_partsupp_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
     )
+
+
+@register(
+    "fifo_inventory_allocation",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    lots AS (
+        SELECT ps_partkey, ps_suppkey, ps_availqty,
+               SUM(ps_availqty) OVER (PARTITION BY ps_partkey
+                                      ORDER BY ps_suppkey) AS s_end
+        FROM partsupp
+    ),
+    lots2 AS (
+        SELECT ps_partkey, ps_suppkey, ps_availqty,
+               CAST(s_end AS DOUBLE) AS s_end,
+               CAST(s_end - ps_availqty AS DOUBLE) AS s_start
+        FROM lots
+    ),
+    sales AS (
+        SELECT l_partkey,
+               SUM(l_quantity) OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ) AS d_end,
+               l_quantity
+        FROM lineitem
+    ),
+    sales2 AS (
+        SELECT l_partkey, d_end, d_end - l_quantity AS d_start FROM sales
+    ),
+    alloc AS (
+        SELECT l.ps_partkey, l.ps_suppkey,
+               SUM(LEAST(l.s_end, s.d_end)
+                   - GREATEST(l.s_start, s.d_start)) AS allocated,
+               COUNT(*) AS n_sales
+        FROM lots2 l
+        JOIN sales2 s
+          ON s.l_partkey = l.ps_partkey
+         AND l.s_start < s.d_end AND s.d_start < l.s_end
+        GROUP BY 1, 2
+    )
+    SELECT l.ps_partkey, l.ps_suppkey,
+           CAST(l.ps_availqty AS BIGINT) AS availqty,
+           COALESCE(a.allocated, 0.0) AS allocated,
+           CAST(l.ps_availqty AS DOUBLE) - COALESCE(a.allocated, 0.0)
+               AS leftover,
+           CAST(COALESCE(a.n_sales, 0) AS BIGINT) AS n_sales
+    FROM lots2 l LEFT JOIN alloc a
+      ON a.ps_partkey = l.ps_partkey AND a.ps_suppkey = l.ps_suppkey
+    """,
+    tags=("partsupp", "fifo", "allocation", "interval_overlap"),
+)
+def fifo_inventory_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO allocation: which supply lots fulfilled which sales — the
+    inventory-costing question (FIFO COGS, lot traceability, expiry
+    planning) that procedural engines answer with a per-part loop. The
+    set-based trick: running totals turn BOTH sides into intervals on
+    the shared cumulative-quantity axis (lot i covers [Σqty_<i, Σqty_≤i),
+    sale j likewise), and "lot fulfills sale" = the intervals OVERLAP;
+    allocated quantity = overlap length. No loop, no recursion —
+    FIFO order is encoded once in each side's window sort.
+
+    Determinism: quantities are integral, so the double running sums
+    and overlap arithmetic are exact in any accumulation order; both
+    window sorts carry full tie-breaks.
+
+    Scale: one shuffle per side on partkey (window + join co-keyed, so
+    the join reuses the windows' partitioning); the overlap join is
+    per-part bounded (lots/part × sales/part), and the FIFO chain
+    property caps true matches at lots+sales−1 per part. Unallocated
+    lots survive via the left join — `leftover` is the per-lot
+    remaining stock."""
+    ps = synth_partsupp(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    wl = W.partitionBy("ps_partkey").orderBy("ps_suppkey")
+    lots = ps.select(
+        "ps_partkey",
+        "ps_suppkey",
+        "ps_availqty",
+        F.sum("ps_availqty").over(wl).cast("double").alias("s_end"),
+    ).withColumn("s_start", F.col("s_end") - F.col("ps_availqty"))
+    li = load_table(spark, sf_dir, "lineitem")
+    ws = W.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    sales = li.select(
+        "l_partkey",
+        F.sum("l_quantity").over(ws).alias("d_end"),
+        "l_quantity",
+    ).select(
+        "l_partkey", "d_end", (F.col("d_end") - F.col("l_quantity")).alias("d_start")
+    )
+    alloc = (
+        lots.join(
+            sales,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("s_start") < F.col("d_end"))
+            & (F.col("d_start") < F.col("s_end")),
+        )
+        .groupBy("ps_partkey", "ps_suppkey")
+        .agg(
+            F.sum(
+                F.least("s_end", "d_end") - F.greatest("s_start", "d_start")
+            ).alias("allocated"),
+            F.count("*").alias("n_sales"),
+        )
+    )
+    return (
+        lots.join(alloc, ["ps_partkey", "ps_suppkey"], "left")
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            F.col("ps_availqty").cast("long").alias("availqty"),
+            F.coalesce("allocated", F.lit(0.0)).alias("allocated"),
+            (
+                F.col("ps_availqty").cast("double")
+                - F.coalesce("allocated", F.lit(0.0))
+            ).alias("leftover"),
+            F.coalesce("n_sales", F.lit(0)).cast("long").alias("n_sales"),
+        )
+    )
