@@ -220,6 +220,42 @@ _PAIR_SQL = f"""
 """
 
 
+def _sampled_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION-sampled undirected supplier co-occurrence edges (u < v) —
+    shared by triangle_count and clustering_coefficient (same
+    deterministic md5 coin as _PAIR_SQL)."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    ).distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("v"))
+    return (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .filter(
+            F.pmod(
+                h32(F.concat_ws("-", F.col("u"), F.col("v"))),
+                F.lit(EDGE_SAMPLE_MOD),
+            )
+            == 0
+        )
+    )
+
+
+def _pair_degrees(pairs: DataFrame) -> DataFrame:
+    """(node, d) degree table of an undirected (u < v) edge list."""
+    return (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+
+
 @register(
     "triangle_count",
     oracle=f"""
@@ -257,32 +293,16 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge build), one degree agg, two broadcast-joinable degree lookups,
     the wedge self-join on src, and a semi-join closure. Every join key
     is a supplier id — no row ever carries payload."""
-    from beam_pyspark_runner_spark.functions.hashing import h32
+    pairs = _sampled_supplier_pairs(spark, sf_dir)
+    deg = _pair_degrees(pairs)
+    return _triangles_by_node(pairs, deg).select(
+        F.col("node").alias("supplier"), "n_triangles"
+    )
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    ).distinct()
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("v"))
-    pairs = (
-        a.join(b, "o")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .filter(
-            F.pmod(
-                h32(F.concat_ws("-", F.col("u"), F.col("v"))),
-                F.lit(EDGE_SAMPLE_MOD),
-            )
-            == 0
-        )
-    )
-    deg = (
-        pairs.select(F.col("u").alias("node"))
-        .unionAll(pairs.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-    )
+
+def _triangles_by_node(pairs: DataFrame, deg: DataFrame) -> DataFrame:
+    """(node, n_triangles) via degree-oriented wedge closure (see
+    triangle_count's docstring for the algorithm and its bounds)."""
     da = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     db = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     fwd = (F.col("du") < F.col("dv")) | (
@@ -314,7 +334,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return nodes.groupBy("node").agg(
         F.count("*").cast("long").alias("n_triangles")
-    ).select(F.col("node").alias("supplier"), "n_triangles")
+    )
 
 
 _LPA_ITER_SQL_TMPL = """
@@ -550,3 +570,57 @@ def bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = dist.unionAll(new).localCheckpoint()
         frontier = new
     return dist
+
+
+@register(
+    "clustering_coefficient",
+    oracle=f"""
+    WITH {_PAIR_SQL},
+    tc AS (
+        SELECT node, COUNT(*) AS t FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    )
+    SELECT d.node AS supplier,
+           CAST(d.d AS BIGINT) AS degree,
+           CAST(COALESCE(tc.t, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.d >= 2
+                THEN CAST(2 * COALESCE(tc.t, 0) AS DOUBLE)
+                     / CAST(d.d * (d.d - 1) AS DOUBLE)
+                ELSE 0.0 END AS clustering_coeff
+    FROM deg d LEFT JOIN tc ON tc.node = d.node
+    """,
+    tags=("graph", "clustering_coefficient", "triangles", "degree"),
+)
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per supplier — 2·T(v) / (d(v)·(d(v)−1)),
+    the fraction of a node's neighbor pairs that are themselves
+    connected: the standard cohesion metric (Watts–Strogatz) that
+    separates "hub of an integrated community" from "hub of strangers"
+    at equal degree. Composes the two aggregates this module already
+    builds at scale — DOULION-sampled degrees and degree-oriented
+    triangle counts (`_sampled_supplier_pairs` / `_triangles_by_node`,
+    shared with `triangle_count`) — with one left join so
+    triangle-free nodes keep coefficient 0 rather than vanishing.
+    The only floating point is the final well-defined integer/integer
+    divide."""
+    pairs = _sampled_supplier_pairs(spark, sf_dir)
+    deg = _pair_degrees(pairs)
+    tc = _triangles_by_node(pairs, deg)
+    return (
+        deg.join(tc, "node", "left")
+        .select(
+            F.col("node").alias("supplier"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.col("d") >= 2,
+                (2 * F.coalesce("n_triangles", F.lit(0))).cast("double")
+                / (F.col("d") * (F.col("d") - 1)).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )

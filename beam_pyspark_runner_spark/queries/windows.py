@@ -415,3 +415,120 @@ def max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("open_now").cast("long").alias("max_open"),
         F.max_by("open_now", "ts").cast("long").alias("eom_open"),
     )
+
+
+@register(
+    "interval_union_coverage",
+    oracle="""
+    WITH iv AS (
+        SELECT o_custkey AS custkey, o_orderkey,
+               o_orderdate AS s_ts, c.close_ts AS e_ts
+        FROM orders
+        JOIN (SELECT l_orderkey, MAX(l_shipdate) AS close_ts
+              FROM lineitem GROUP BY 1) c ON c.l_orderkey = o_orderkey
+    ),
+    flagged AS (
+        SELECT custkey, s_ts, e_ts,
+               CASE WHEN MAX(e_ts) OVER (
+                        PARTITION BY custkey
+                        ORDER BY s_ts, e_ts, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR s_ts > MAX(e_ts) OVER (
+                        PARTITION BY custkey
+                        ORDER BY s_ts, e_ts, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    )
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    numbered AS (
+        SELECT custkey, s_ts, e_ts,
+               SUM(new_island) OVER (
+                   PARTITION BY custkey ORDER BY s_ts, e_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM flagged
+    ),
+    islands AS (
+        SELECT custkey, island,
+               MIN(s_ts) AS i_start, MAX(e_ts) AS i_end,
+               COUNT(*) AS n_orders
+        FROM numbered GROUP BY 1, 2
+    )
+    SELECT custkey,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(date_diff('day', i_start, i_end)) AS BIGINT)
+               AS covered_days,
+           CAST(date_diff('day', MIN(i_start), MAX(i_end)) AS BIGINT)
+               AS span_days
+    FROM islands GROUP BY custkey
+    """,
+    tags=("window_fns", "gaps_islands", "interval_merge", "coverage"),
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge each customer's overlapping order lifetimes into maximal
+    busy ISLANDS and measure true coverage — union length, island
+    count, active span. The interval-union question ("how long was
+    this machine/account/patient actually active, double-counting
+    nothing") that a naive SUM(end−start) over-counts whenever
+    intervals overlap. Pure gaps-and-islands: an interval starts a new
+    island iff its start exceeds the running MAX(end) of everything
+    before it (any overlap or touch extends the island), island id =
+    running count of those starts, then two tiers of per-key
+    aggregation.
+
+    Ties at identical (start, end) are ordered by o_orderkey in the
+    flag window; the island-id window needs only (start, end) since
+    same-instant rows share an island by construction. Durations are
+    integer days — no float anywhere.
+
+    Scale: one shuffle on custkey; both windows and both aggregations
+    reuse that partitioning (ReusedExchange), parallelism = customers.
+    The flag-window is ROWS-framed running max — O(1) state per row,
+    no self-join against earlier intervals."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    close = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("e_ts"))
+    iv = o.join(close, o.o_orderkey == close.l_orderkey).select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.col("o_orderdate").alias("s_ts"),
+        "e_ts",
+    )
+    wf = (
+        W.partitionBy("custkey")
+        .orderBy("s_ts", "e_ts", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_end = F.max("e_ts").over(wf)
+    flagged = iv.select(
+        "custkey",
+        "s_ts",
+        "e_ts",
+        F.when(
+            prev_end.isNull() | (F.col("s_ts") > prev_end), 1
+        ).otherwise(0).alias("new_island"),
+    )
+    wn = (
+        W.partitionBy("custkey")
+        .orderBy("s_ts", "e_ts")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    numbered = flagged.select(
+        "custkey", "s_ts", "e_ts", F.sum("new_island").over(wn).alias("island")
+    )
+    islands = numbered.groupBy("custkey", "island").agg(
+        F.min("s_ts").alias("i_start"),
+        F.max("e_ts").alias("i_end"),
+        F.count("*").alias("n_orders"),
+    )
+    return islands.groupBy("custkey").agg(
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.count("*").cast("long").alias("n_islands"),
+        F.sum(F.datediff("i_end", "i_start")).cast("long").alias("covered_days"),
+        F.datediff(F.max("i_end"), F.min("i_start"))
+        .cast("long")
+        .alias("span_days"),
+    )
