@@ -2469,3 +2469,104 @@ def winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg(clamped).alias("mean_winsorized"),
         )
     )
+
+
+_FEAT_TYPES = ["click", "error", "purchase", "signup", "view"]
+_FEAT_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_FEAT_TYPES)
+    for b in _FEAT_TYPES[i + 1 :]
+]
+
+
+def _corr_leg_sql(a: str, b: str) -> str:
+    nd = "CAST(n AS DOUBLE)"
+    sa, sb = f"CAST(s_{a} AS DOUBLE)", f"CAST(s_{b} AS DOUBLE)"
+    qa, qb = f"CAST(q_{a} AS DOUBLE)", f"CAST(q_{b} AS DOUBLE)"
+    pab = f"CAST(p_{a}_{b} AS DOUBLE)"
+    return f"""
+        SELECT '{a}' AS feat_a, '{b}' AS feat_b,
+               CAST(n AS BIGINT) AS n_users,
+               ({nd} * {pab} - {sa} * {sb})
+               / sqrt(({nd} * {qa} - {sa} * {sa})
+                      * ({nd} * {qb} - {sb} * {sb})) AS pearson_r
+        FROM s"""
+
+
+@register(
+    "feature_correlation_matrix",
+    oracle=f"""
+    WITH f AS (
+        SELECT user_id,
+               {", ".join(
+                   f"COUNT(*) FILTER (WHERE event_type = '{t}') AS c_{t}"
+                   for t in _FEAT_TYPES
+               )}
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               {", ".join(f"SUM(c_{t}) AS s_{t}" for t in _FEAT_TYPES)},
+               {", ".join(f"SUM(c_{t} * c_{t}) AS q_{t}" for t in _FEAT_TYPES)},
+               {", ".join(
+                   f"SUM(c_{a} * c_{b}) AS p_{a}_{b}" for a, b in _FEAT_PAIRS
+               )}
+        FROM f
+    )
+    {" UNION ALL ".join(_corr_leg_sql(a, b) for a, b in _FEAT_PAIRS)}
+    """,
+    tags=("events", "statistics", "correlation_matrix", "features"),
+)
+def feature_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of per-user activity features (the
+    5 event-type counts) — the co-engagement / feature-redundancy
+    matrix an ML-feature pipeline screens before training (|r| ≈ 1 →
+    drop one column). Two aggregations total: raw events → per-user
+    count vector (one shuffle), then ALL 10 pairs' power sums in ONE
+    global aggregate over the user table — adding a feature adds
+    columns, never passes.
+
+    Determinism: features are integer counts, so every power sum is
+    exact int64 (magnitudes < 2^53 cast losslessly); r is derived with
+    the identical IEEE steps in both engines (sqrt is correctly
+    rounded per IEEE-754 — the price_quantity_corr discipline, here
+    with no decimals needed at all)."""
+    e = load_table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(f"c_{t}")
+            for t in _FEAT_TYPES
+        ]
+    )
+    s = f.agg(
+        F.count("*").alias("n"),
+        *[F.sum(f"c_{t}").alias(f"s_{t}") for t in _FEAT_TYPES],
+        *[
+            F.sum(F.col(f"c_{t}") * F.col(f"c_{t}")).alias(f"q_{t}")
+            for t in _FEAT_TYPES
+        ],
+        *[
+            F.sum(F.col(f"c_{a}") * F.col(f"c_{b}")).alias(f"p_{a}_{b}")
+            for a, b in _FEAT_PAIRS
+        ],
+    )
+
+    def leg(a: str, b: str) -> DataFrame:
+        nd = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        qa, qb = F.col(f"q_{a}").cast("double"), F.col(f"q_{b}").cast("double")
+        pab = F.col(f"p_{a}_{b}").cast("double")
+        r = (nd * pab - sa * sb) / F.sqrt(
+            (nd * qa - sa * sa) * (nd * qb - sb * sb)
+        )
+        return s.select(
+            F.lit(a).alias("feat_a"),
+            F.lit(b).alias("feat_b"),
+            F.col("n").cast("long").alias("n_users"),
+            r.alias("pearson_r"),
+        )
+
+    out = leg(*_FEAT_PAIRS[0])
+    for a, b in _FEAT_PAIRS[1:]:
+        out = out.unionAll(leg(a, b))
+    return out

@@ -3027,3 +3027,126 @@ def ols_trend_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "next_forecast"
         ),
     )
+
+
+@register(
+    "rolling_origin_backtest",
+    oracle="""
+    WITH m AS (
+        SELECT c_nationkey AS nationkey,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                   AS x,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS yc
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        GROUP BY 1, 2
+    ),
+    rb AS (
+        SELECT nationkey,
+               x - MIN(x) OVER (PARTITION BY nationkey) AS x0,
+               x, yc
+        FROM m
+    ),
+    w AS (
+        SELECT nationkey, x, x0, yc,
+               COUNT(*) OVER pw AS n,
+               SUM(x0) OVER pw AS sx,
+               SUM(x0 * x0) OVER pw AS sxx,
+               SUM(yc) OVER pw AS sy,
+               SUM(x0 * yc) OVER pw AS sxy
+        FROM rb
+        WINDOW pw AS (PARTITION BY nationkey ORDER BY x0
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    fit AS (
+        SELECT nationkey, x, x0, yc, n,
+               CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+               CAST(n * sxx - sx * sx AS DOUBLE) AS den,
+               CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+        FROM w WHERE n >= 2
+    )
+    SELECT nationkey, x AS month_serial, CAST(n AS BIGINT) AS n_train,
+           ((num / den) * CAST(x0 AS DOUBLE)
+            + (syd - (num / den) * sxd) / CAST(n AS DOUBLE)) / 100.0
+               AS predicted,
+           CAST(yc AS DOUBLE) / 100.0 AS actual,
+           abs(CAST(yc AS DOUBLE) / 100.0
+               - ((num / den) * CAST(x0 AS DOUBLE)
+                  + (syd - (num / den) * sxd) / CAST(n AS DOUBLE)) / 100.0)
+               AS abs_err
+    FROM fit
+    """,
+    tags=("statistics", "regression", "backtest", "expanding_window"),
+)
+def rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (expanding-window) forecast backtest: for every
+    nation-month, fit OLS on all PRIOR months only and score the
+    one-step-ahead prediction against the actual — the honest forecast
+    evaluation (each point predicted by a model that never saw it),
+    where `ols_trend_per_group` fits once on everything. The expanding
+    regression is INCREMENTAL by construction: the five sufficient
+    statistics (n, Σx, Σx², Σy, Σxy) are running window sums with the
+    frame ending at 1 PRECEDING, so all origins cost one window pass —
+    not one fit per origin.
+
+    Determinism: revenue in integer cents, month serial re-based per
+    nation (x0 ≤ span keeps every product within exact-int64/double
+    range at this scale; re-base cents to larger units when n·Σxy
+    approaches 2⁵³), so all sufficient statistics are exact integers
+    and slope/intercept/prediction derive via identical IEEE steps.
+
+    Scale: one broadcast dim join + one (key, month) partial agg; the
+    window runs on the months-sized cell table. First month per nation
+    (n_train < 2) is excluded — no model to test."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    m = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("yc")
+        )
+    )
+    rb = m.select(
+        "nationkey",
+        (F.col("x") - F.min("x").over(W.partitionBy("nationkey"))).alias("x0"),
+        "x",
+        "yc",
+    )
+    pw = (
+        W.partitionBy("nationkey")
+        .orderBy("x0")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w = rb.select(
+        "nationkey",
+        "x",
+        "x0",
+        "yc",
+        F.count("*").over(pw).alias("n"),
+        F.sum("x0").over(pw).alias("sx"),
+        F.sum(F.col("x0") * F.col("x0")).over(pw).alias("sxx"),
+        F.sum("yc").over(pw).alias("sy"),
+        F.sum(F.col("x0") * F.col("yc")).over(pw).alias("sxy"),
+    ).filter(F.col("n") >= 2)
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    pred = (slope * F.col("x0").cast("double") + intercept) / 100.0
+    actual = F.col("yc").cast("double") / 100.0
+    return w.select(
+        "nationkey",
+        F.col("x").alias("month_serial"),
+        F.col("n").cast("long").alias("n_train"),
+        pred.alias("predicted"),
+        actual.alias("actual"),
+        F.abs(actual - pred).alias("abs_err"),
+    )
