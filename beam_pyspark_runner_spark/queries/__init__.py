@@ -72,7 +72,10 @@ from beam_pyspark_runner_spark.queries import recursive  # noqa: E402,F401
 # permutation_test_diff, mann_whitney_u, max_concurrent_intervals,
 # time_weighted_average, ppjoin_prefix_filter, merkle_bucket_diff,
 # vocab_coverage_curve, bfs_shortest_hops, sliding_distinct_bitmap,
-# ols_trend_per_group — plus the
+# ols_trend_per_group, stream_sliding_distinct, event_sequence_motifs,
+# fifo_inventory_allocation, winsorized_mean, clustering_coefficient,
+# interval_union_coverage, feature_correlation_matrix,
+# rolling_origin_backtest — plus the
 # prior-session round-5 additions not in the current window (see git
 # log b155159..740484d).
 # Everything not listed keeps registration order after it;
