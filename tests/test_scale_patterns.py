@@ -1023,3 +1023,45 @@ def test_sliding_distinct_merge_reads_state_not_events(spark):
     (state is checkpointed once)."""
     plan = _query_plan(spark, "sliding_distinct_bitmap")
     assert plan.count("events.parquet") == 0, plan.count("events.parquet")
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Dynamic partition pruning: a fact table partitioned on the join
+    key must be pruned at RUNTIME by the dim-side filter — the plan
+    carries a dynamicpruning subquery on the partition column. At 100 TB
+    this is the difference between scanning 7 years and scanning the
+    months a filtered dimension actually selects."""
+    o = load_table(spark, SF_CORRECT, "orders")
+    fact_path = str(tmp_path / "orders_by_status")
+    o.write.partitionBy("o_orderstatus").mode("overwrite").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("F", "finished")], ["status", "label"]
+    )
+    key = "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        joined = fact.join(
+            dim.filter(F.col("label") == "finished"),
+            fact.o_orderstatus == dim.status,
+        ).agg(F.count("*").alias("n"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan
+        n = joined.collect()[0]["n"]
+        expected = o.filter(F.col("o_orderstatus") == "F").count()
+        assert n == expected
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """AQE partition coalescing: a tiny aggregate must not run 32
+    reduce tasks — the executed plan's shuffle read coalesces to fewer
+    partitions than spark.sql.shuffle.partitions. The runtime fix for
+    the over-partitioned-small-stage tax every static plan pays."""
+    o = load_table(spark, SF_CORRECT, "orders")
+    agg = o.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+    agg.collect()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan and "coalesced" in plan, plan
