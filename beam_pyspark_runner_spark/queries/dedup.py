@@ -1082,3 +1082,93 @@ def ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= 0.8
     )
+
+
+_SCALING_FRACTIONS = [(1, 10), (3, 10), (10, 10)]  # exact rationals
+
+
+@register(
+    "dedup_scaling_curve",
+    oracle=f"""
+    WITH d AS (
+        SELECT md5(text) AS fp,
+               {h32_sql("CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents
+    ),
+    fps AS (
+        SELECT fp, MIN(h) AS hmin,
+               {", ".join(
+                   f"COUNT(*) FILTER (WHERE h * {den} < 4294967296 * {num})"
+                   f" AS c_{num}_{den}"
+                   for num, den in _SCALING_FRACTIONS
+               )}
+        FROM d GROUP BY fp
+    )
+    {" UNION ALL ".join(
+        f'''SELECT CAST({num} AS DOUBLE) / {den} AS fraction,
+               CAST(SUM(c_{num}_{den}) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) FILTER (
+                   WHERE hmin * {den} < 4294967296 * {num}) AS BIGINT)
+                   AS n_distinct,
+               CAST(SUM(c_{num}_{den})
+                    - COUNT(*) FILTER (
+                        WHERE hmin * {den} < 4294967296 * {num}) AS DOUBLE)
+               / CAST(SUM(c_{num}_{den}) AS DOUBLE) AS dup_rate
+        FROM fps'''
+        for num, den in _SCALING_FRACTIONS
+    )}
+    """,
+    tags=("dedup", "scaling_curve", "subsample", "data_scaling"),
+)
+def dedup_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate rate as a function of corpus fraction — the data-
+    scaling ablation ("how much worse does dedup get as we ingest
+    more?") measured on NESTED deterministic subsamples (md5-hash
+    thresholds, so the 10% sample is a subset of the 30% sample and
+    every rerun sees the same docs — no RNG, no seed drift).
+
+    The scalable formulation: distinct-counts at every fraction come
+    from ONE fingerprint-keyed aggregate — a fingerprint is present in
+    sample f iff the MIN doc-hash among its duplicates clears f's
+    threshold — so there is no COUNT(DISTINCT CASE...) Expand (which
+    would replicate the corpus once per fraction), and adding a
+    fraction adds a column, not a pass. Thresholds compare h·den <
+    2³²·num in exact integer arithmetic.
+
+    Scale: one scan, one shuffle on fingerprint (hashes only, never
+    text), then a fingerprint-table aggregate per fraction row."""
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        F.md5("text").alias("fp"),
+        h32(F.col("doc_id").cast("string")).alias("h"),
+    )
+    fps = d.groupBy("fp").agg(
+        F.min("h").alias("hmin"),
+        *[
+            F.count(
+                F.when(F.col("h") * den < F.lit(4294967296) * num, 1)
+            ).alias(f"c_{num}_{den}")
+            for num, den in _SCALING_FRACTIONS
+        ],
+    )
+    legs = []
+    for num, den in _SCALING_FRACTIONS:
+        sampled = F.col("hmin") * den < F.lit(4294967296) * num
+        legs.append(
+            fps.agg(
+                F.lit(float(num) / den).alias("fraction"),
+                F.sum(f"c_{num}_{den}").cast("long").alias("n_docs"),
+                F.count(F.when(sampled, 1)).cast("long").alias("n_distinct"),
+            ).select(
+                "fraction",
+                "n_docs",
+                "n_distinct",
+                (
+                    (F.col("n_docs") - F.col("n_distinct")).cast("double")
+                    / F.col("n_docs").cast("double")
+                ).alias("dup_rate"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out

@@ -1142,3 +1142,91 @@ def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("reciprocal_rank"),
     )
+
+
+@register(
+    "triplet_mining",
+    oracle=f"""
+    WITH a AS (SELECT vec_id AS anchor_id, label AS albl, {_EMB_DBL} AS ae
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS cand_id, label AS clbl, {_EMB_DBL} AS ce
+          FROM embeddings),
+    s AS (
+        SELECT anchor_id, albl, cand_id,
+               clbl = albl AS is_pos,
+               {_cos_sql('ae', 'ce')} AS cosine
+        FROM a, c WHERE anchor_id <> cand_id
+    ),
+    r AS (
+        SELECT anchor_id, albl, cand_id, is_pos, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY anchor_id, is_pos
+                   ORDER BY cosine DESC, cand_id
+               ) AS rn
+        FROM s
+    )
+    SELECT anchor_id,
+           CAST(MAX(albl) AS BIGINT) AS label,
+           MAX(CASE WHEN is_pos THEN cand_id END) AS pos_id,
+           MAX(CASE WHEN is_pos THEN cosine END) AS pos_sim,
+           MAX(CASE WHEN NOT is_pos THEN cand_id END) AS neg_id,
+           MAX(CASE WHEN NOT is_pos THEN cosine END) AS neg_sim,
+           MAX(CASE WHEN is_pos THEN cosine END)
+               - MAX(CASE WHEN NOT is_pos THEN cosine END) AS margin
+    FROM r WHERE rn = 1
+    GROUP BY anchor_id
+    """,
+    tags=("similarity", "triplet_mining", "contrastive", "hard_negatives"),
+)
+def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-triplet mining for contrastive training (FaceNet / SimCLR
+    data prep): for each anchor, the HARDEST positive (most-similar
+    same-label vector — if even this one scores high the class is
+    coherent) and the HARDEST negative (most-similar different-label
+    vector — the confusable impostor), plus the margin between them
+    that the triplet loss will try to widen. Negative margin = the
+    anchor's nearest neighbor is from another class — exactly the
+    examples worth training on.
+
+    Plan shape is cosine_topk's scale template: anchors broadcast, the
+    corpus streams ONCE, and both argmaxes come from a single ranked
+    window partitioned by (anchor, is_positive) — WindowGroupLimit
+    keeps per-partition heaps, so nothing materializes the full scored
+    set. Determinism: identical index-order fold for the dot products
+    in both engines (functions/vectors.py), ties broken by cand_id."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("albl"),
+        F.col("embedding").alias("ae"),
+    )
+    c = spread(e).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("clbl"),
+        F.col("embedding").alias("ce"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .filter(F.col("anchor_id") != F.col("cand_id"))
+        .select(
+            "anchor_id",
+            "albl",
+            "cand_id",
+            (F.col("clbl") == F.col("albl")).alias("is_pos"),
+            cosine_similarity(F.col("ae"), F.col("ce")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("anchor_id", "is_pos").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    top = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    pos_sim = F.max(F.when(F.col("is_pos"), F.col("cosine")))
+    neg_sim = F.max(F.when(~F.col("is_pos"), F.col("cosine")))
+    return top.groupBy("anchor_id").agg(
+        F.max("albl").cast("long").alias("label"),
+        F.max(F.when(F.col("is_pos"), F.col("cand_id"))).alias("pos_id"),
+        pos_sim.alias("pos_sim"),
+        F.max(F.when(~F.col("is_pos"), F.col("cand_id"))).alias("neg_id"),
+        neg_sim.alias("neg_sim"),
+        (pos_sim - neg_sim).alias("margin"),
+    )
