@@ -75,7 +75,8 @@ from beam_pyspark_runner_spark.queries import recursive  # noqa: E402,F401
 # ols_trend_per_group, stream_sliding_distinct, event_sequence_motifs,
 # fifo_inventory_allocation, winsorized_mean, clustering_coefficient,
 # interval_union_coverage, feature_correlation_matrix,
-# rolling_origin_backtest — plus the
+# rolling_origin_backtest, dedup_scaling_curve, triplet_mining,
+# cas_dedup_savings, link_prediction_jaccard — plus the
 # prior-session round-5 additions not in the current window (see git
 # log b155159..740484d).
 # Everything not listed keeps registration order after it;

@@ -458,3 +458,57 @@ def modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.octet_length("payload")).alias("total_bytes"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@register(
+    "cas_dedup_savings",
+    oracle="""
+    WITH fp AS (
+        SELECT source, md5(text) AS fp,
+               MAX(octet_length(encode(text))) AS bytes,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY source, md5(text)
+    )
+    SELECT source,
+           CAST(SUM(n_copies) AS BIGINT) AS n_payloads,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(n_copies * bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(bytes) AS BIGINT) AS unique_bytes,
+           CAST(SUM(n_copies * bytes) - SUM(bytes) AS DOUBLE)
+               / CAST(SUM(n_copies * bytes) AS DOUBLE) AS savings_ratio
+    FROM fp GROUP BY source
+    """,
+    tags=("multimodal", "cas", "dedup", "storage"),
+)
+def cas_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed-storage planning: per source, how many bytes a
+    CAS layer (store each distinct payload once, reference it by hash —
+    git/OCI-registry/restic storage) would save on the binary payload
+    column. The digest and byte length are computed JVM-side on
+    BinaryType (payloads never reach Python and never expand); the
+    shuffle carries only (source, digest, bytes) — fixed-width rows
+    regardless of payload size, the same hashes-not-content discipline
+    as frame_hash_dedup. Two-level aggregate: digest-level collapses
+    copies, source-level sums the storage story."""
+    p = _payload_df(spark, sf_dir).join(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source"),
+        "doc_id",
+    )
+    fp = p.groupBy(
+        "source", F.md5("payload").alias("fp")
+    ).agg(
+        F.max(F.length("payload")).alias("bytes"),
+        F.count("*").alias("n_copies"),
+    )
+    return fp.groupBy("source").agg(
+        F.sum("n_copies").cast("long").alias("n_payloads"),
+        F.count("*").cast("long").alias("n_unique"),
+        F.sum(F.col("n_copies") * F.col("bytes")).cast("long").alias("total_bytes"),
+        F.sum("bytes").cast("long").alias("unique_bytes"),
+        (
+            (
+                F.sum(F.col("n_copies") * F.col("bytes")) - F.sum("bytes")
+            ).cast("double")
+            / F.sum(F.col("n_copies") * F.col("bytes")).cast("double")
+        ).alias("savings_ratio"),
+    )
