@@ -301,3 +301,39 @@ def test_bitmap_intersect_matches_python_sets(spark):
     assert got.n_purchase == len(b)
     assert got.n_both == len(a & b)
     assert got.n_either == len(a | b)
+
+
+# --- prefix-filter completeness (ppjoin_prefix_filter's load-bearing
+# arithmetic, checked against brute force on arbitrary sets) ---
+
+token_sets = st.lists(
+    st.frozensets(st.integers(0, 30), min_size=3, max_size=25),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(sets=token_sets)
+def test_prefix_filter_never_misses_a_qualifying_pair(sets):
+    """For ANY corpus: two sets with Jaccard >= 4/5 must share a token
+    within their rarity-ordered prefixes of length n - ceil(4n/5) + 1,
+    with ceil computed as the exact integer (4n+4)//5 both engines use.
+    This is the lossless-candidate-generation theorem the oracle MATCH
+    certifies on the fixture — here certified on arbitrary inputs."""
+    from collections import Counter
+
+    df = Counter(t for s in sets for t in s)
+    order = {t: (df[t], t) for s in sets for t in s}
+
+    def prefix(s):
+        ranked = sorted(s, key=lambda t: order[t])
+        plen = len(s) - (4 * len(s) + 4) // 5 + 1
+        return set(ranked[:plen])
+
+    for i, a in enumerate(sets):
+        for b in sets[i + 1 :]:
+            inter = len(a & b)
+            jac = inter / (len(a) + len(b) - inter)
+            if jac >= 0.8:
+                assert prefix(a) & prefix(b), (sorted(a), sorted(b), jac)

@@ -86,3 +86,61 @@ def test_events_load_pins_utc_session(spark):
         assert got.replace(tzinfo=None) == want.replace(tzinfo=None), (got, want)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_sweep_line_invariants(spark):
+    """max_concurrent_intervals: month peaks dominate month-end values,
+    and the timeline's final month must close at zero open orders
+    (every +1 has exactly one -1)."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+
+    rows = (
+        REGISTRY["max_concurrent_intervals"]
+        .fn(spark, SF_SMOKE)
+        .orderBy("month")
+        .collect()
+    )
+    assert rows, "empty sweep line"
+    for r in rows:
+        assert 0 <= r["eom_open"] <= r["max_open"], r
+    assert rows[-1]["eom_open"] == 0, rows[-1]
+
+
+def test_interval_union_invariants(spark):
+    """interval_union_coverage: union length never exceeds the span,
+    and islands never outnumber the intervals they merge."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+
+    for r in REGISTRY["interval_union_coverage"].fn(spark, SF_SMOKE).collect():
+        assert r["covered_days"] <= r["span_days"], r
+        assert 1 <= r["n_islands"] <= r["n_orders"], r
+
+
+def test_fifo_allocation_conserves_quantity(spark):
+    """fifo_inventory_allocation: no lot over-allocates, and per part
+    the total allocated equals min(total supply, total demand) — the
+    conservation law of FIFO matching."""
+    from collections import defaultdict
+
+    import pyspark.sql.functions as F
+
+    from beam_pyspark_runner_spark.queries import REGISTRY
+    from beam_pyspark_runner_spark.sources.readers import load_table
+
+    rows = REGISTRY["fifo_inventory_allocation"].fn(spark, SF_SMOKE).collect()
+    supply, alloc = defaultdict(float), defaultdict(float)
+    for r in rows:
+        assert -1e-9 <= r["allocated"] <= r["availqty"] + 1e-9, r
+        assert r["leftover"] >= -1e-9, r
+        supply[r["ps_partkey"]] += r["availqty"]
+        alloc[r["ps_partkey"]] += r["allocated"]
+    demand = {
+        r["l_partkey"]: r["d"]
+        for r in load_table(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("d"))
+        .collect()
+    }
+    for pk, s in supply.items():
+        expected = min(s, demand.get(pk, 0.0))
+        assert abs(alloc[pk] - expected) < 1e-6, (pk, alloc[pk], expected)
