@@ -1001,6 +1001,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
           >= 0.8
     """,
     tags=("dedup", "near_dedup", "set_similarity_join", "prefix_filter"),
+    bench=True,
 )
 def ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join (all pairs with shingle-Jaccard
@@ -1038,6 +1039,11 @@ def ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("arr"), lambda x: x["s"]).alias("toks"),
             F.size("arr").alias("n"),
         )
+        # NOT checkpointed: the three consumers (prefix explode + both
+        # verification set joins) share the groupBy's shuffle through
+        # ReusedExchange already — measured at sf0.1, pinning this with
+        # localCheckpoint DOUBLES the wall-clock (2.6 s -> 5.3 s) by
+        # materializing every per-doc array and breaking pipelining.
     )
     # prefix length for Jaccard >= 4/5: n - ceil(4n/5) + 1, all-integer.
     pref_len = F.col("n") - F.floor((4 * F.col("n") + 4) / 5) + 1

@@ -789,6 +789,7 @@ def hll_datasketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY d.day
     """,
     tags=("sketch", "bitmap", "sliding_distinct", "mergeable"),
+    bench=True,
 )
 def sliding_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT trailing-7-day distinct users per day ("weekly active
