@@ -2570,3 +2570,125 @@ def feature_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a, b in _FEAT_PAIRS[1:]:
         out = out.unionAll(leg(a, b))
     return out
+
+
+_WM_THRESHOLDS_S = [3600, 10800, 21600]  # 1h / 3h / 6h candidates
+
+
+@register(
+    "watermark_lateness_advisor",
+    oracle=f"""
+    WITH arr AS (
+        SELECT ts,
+               MAX(ts) OVER (
+                   ORDER BY date_trunc('day', ts),
+                            ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                            1, 8))::BIGINT,
+                            event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS wm
+        FROM events
+    ),
+    lat AS (
+        SELECT CASE WHEN wm > ts THEN date_diff('second', ts, wm)
+                    ELSE 0 END AS late_s
+        FROM arr
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE late_s > 0) AS n_late,
+               {", ".join(
+                   f"COUNT(*) FILTER (WHERE late_s > {t}) AS d_{t}"
+                   for t in _WM_THRESHOLDS_S
+               )}
+        FROM lat
+    )
+    {" UNION ALL ".join(
+        f'''SELECT CAST({t} AS BIGINT) AS watermark_s,
+               CAST(n AS BIGINT) AS n_events,
+               CAST(n_late AS BIGINT) AS n_late,
+               CAST(d_{t} AS BIGINT) AS n_dropped,
+               CAST(d_{t} AS DOUBLE) / CAST(n AS DOUBLE) AS drop_rate
+        FROM s'''
+        for t in _WM_THRESHOLDS_S
+    )}
+    """,
+    tags=("events", "streaming_design", "watermark", "lateness"),
+)
+def watermark_lateness_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Choose a streaming watermark from BATCH history: replay the
+    events in arrival order, track the running high watermark, measure
+    each event's lateness against it, and report how many events each
+    candidate watermark delay (1 h / 3 h / 6 h) would DROP — the
+    watermark-sizing question every Structured Streaming deployment
+    answers by guesswork, answered from data. (The fixture records no
+    arrival order — it is synthesized as a deterministic within-day
+    md5 shuffle of event ids, the "files land per day, unordered
+    within the day" model; swap in a real arrival column when one
+    exists.)
+
+    The running high watermark is a GLOBAL prefix-max over arrival
+    order — the third member of the bucketed-prefix family
+    (global_rank_bucketed: prefix count; max_concurrent_intervals:
+    prefix sum): per-day local prefix-max in parallel + prior-day
+    maxima from the tiny day table, composed with GREATEST. All three
+    thresholds come from one conditional aggregate."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        F.date_trunc("day", "ts").alias("day"),
+        h32(F.col("event_id").cast("string")).alias("h"),
+    )
+    wloc = (
+        W.partitionBy("day")
+        .orderBy("h", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = e.select(
+        "ts", "day", F.max("ts").over(wloc).alias("loc_max")
+    )
+    daymax = e.groupBy("day").agg(F.max("ts").alias("dmax"))
+    prior = daymax.select(
+        "day",
+        F.max("dmax")
+        .over(W.orderBy("day").rowsBetween(W.unboundedPreceding, -1))
+        .alias("prior_max"),
+    )
+    wm = F.greatest(
+        F.coalesce("loc_max", F.to_timestamp(F.lit("1900-01-01"))),
+        F.coalesce("prior_max", F.to_timestamp(F.lit("1900-01-01"))),
+    )
+    late_s = F.when(
+        wm > F.col("ts"),
+        F.unix_timestamp(wm) - F.unix_timestamp("ts"),
+    ).otherwise(F.lit(0))
+    s = (
+        local.join(F.broadcast(prior), "day")
+        .select(late_s.alias("late_s"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("late_s") > 0, 1)).alias("n_late"),
+            *[
+                F.count(F.when(F.col("late_s") > t, 1)).alias(f"d_{t}")
+                for t in _WM_THRESHOLDS_S
+            ],
+        )
+    )
+    legs = [
+        s.select(
+            F.lit(t).cast("long").alias("watermark_s"),
+            F.col("n").cast("long").alias("n_events"),
+            F.col("n_late").cast("long").alias("n_late"),
+            F.col(f"d_{t}").cast("long").alias("n_dropped"),
+            (F.col(f"d_{t}").cast("double") / F.col("n").cast("double")).alias(
+                "drop_rate"
+            ),
+        )
+        for t in _WM_THRESHOLDS_S
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out
