@@ -1080,3 +1080,112 @@ def stream_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("win.start").alias("window_start"), "n_users")
     )
     return run_stream_to_df(agg, output_mode="append")
+
+
+def _cep_fn(key, pdf_iter, state):
+    """applyInPandasWithState kernel: per-user 'error then purchase'
+    pattern matcher. State = (first_error_us, done); 0 = not seen.
+    Emits exactly one match per user (the FIRST purchase after the
+    FIRST error in (ts, event_id) order) then goes quiet. Micro-batches
+    replay in disjoint ascending ts ranges, so sorting each batch gives
+    a globally ordered per-user scan; the (error, purchase) pair can
+    span batches — that's what the state is for."""
+    first_error_us, first_error_id, done = (
+        state.get if state.exists else (0, 0, 0)
+    )
+    out = []
+    if not done:
+        rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        for ts, eid, etype in zip(
+            rows["ts"], rows["event_id"], rows["event_type"]
+        ):
+            us = ts.value // 1000
+            if etype == "error" and first_error_us == 0:
+                first_error_us, first_error_id = us, int(eid)
+            elif etype == "purchase" and first_error_us > 0:
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "user_id": [key[0]],
+                            "error_ts": [
+                                pd.Timestamp(first_error_us, unit="us")
+                            ],
+                            "purchase_ts": [pd.Timestamp(us, unit="us")],
+                            "lag_s": [
+                                us // 1_000_000
+                                - first_error_us // 1_000_000
+                            ],
+                        }
+                    )
+                )
+                done = 1
+                break
+    state.update((first_error_us, first_error_id, done))
+    yield from out
+
+
+@register(
+    "stream_cep_error_then_purchase",
+    oracle="""
+    WITH err AS (
+        SELECT user_id, ts AS ets, event_id AS eid,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'error'
+    ),
+    fe AS (SELECT user_id, ets, eid FROM err WHERE rn = 1),
+    pur AS (
+        SELECT p.user_id, fe.ets AS error_ts, p.ts AS pts,
+               ROW_NUMBER() OVER (PARTITION BY p.user_id
+                                  ORDER BY p.ts, p.event_id) AS rn
+        FROM events p JOIN fe ON fe.user_id = p.user_id
+        WHERE p.event_type = 'purchase'
+          AND (p.ts > fe.ets
+               OR (p.ts = fe.ets AND p.event_id > fe.eid))
+    )
+    SELECT user_id, error_ts, pts AS purchase_ts,
+           CAST(epoch(date_trunc('second', pts))
+                - epoch(date_trunc('second', error_ts)) AS BIGINT) AS lag_s
+    FROM pur WHERE rn = 1
+    """,
+    tags=("streaming", "cep", "stateful", "pattern_matching"),
+)
+def stream_cep_error_then_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CEP (complex event processing, the MATCH_RECOGNIZE /
+    FlinkCEP niche): detect per user the first 'error ... purchase'
+    sequence — did the failure precede the conversion? — with a custom
+    applyInPandasWithState machine. State per user is three scalars
+    (first-error time/id + done flag); the match is emitted ONCE, in
+    whatever micro-batch completes the pattern, and matched users'
+    machines go permanently quiet — constant state, no re-emission.
+    Production adds a state TTL (see stream_session_timeout_state's
+    timeout path) for users who never purchase; the fixture replay is
+    bounded so none is needed here.
+
+    The batch twin (`event_sequence_motifs`) answers "how many users
+    match"; this answers "tell me the moment each user matches, as it
+    happens". The oracle replays the same first-error/first-purchase-
+    after selection in SQL, tie-exact on (ts, event_id)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    e = _events_stream(spark, sf_dir)
+    result = (
+        e.filter(F.col("event_type").isin("error", "purchase"))
+        .select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _cep_fn,
+            outputStructType=(
+                "user_id bigint, error_ts timestamp, "
+                "purchase_ts timestamp, lag_s bigint"
+            ),
+            stateStructType=(
+                "first_error_us bigint, first_error_id bigint, done int"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_stream_to_df(result, output_mode="append")
