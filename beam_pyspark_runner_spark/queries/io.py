@@ -768,3 +768,57 @@ def csv_permissive_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(bad, 1)).alias("n_corrupt"),
         F.sum(F.when(~bad, F.col("n_chars"))).cast("long").alias("good_chars"),
     )
+
+
+@register(
+    "schema_evolution_merge",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS BIGINT)
+               AS n_with_price,
+           CAST(COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT)
+               AS n_with_date,
+           {dsum_sql("CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END")}
+               AS total_price_v1,
+           MAX(CASE WHEN o_orderkey % 2 = 1 THEN o_orderdate END)
+               AS latest_date_v2
+    FROM orders
+    """,
+    tags=("io", "schema_evolution", "merge_schema", "parquet"),
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift at ingest: two parquet batches written by DIFFERENT
+    producer versions — v1 ships (key, price), v2 ships (key, date) —
+    read back as ONE table via mergeSchema, each row null-filled for
+    the columns its producer didn't know about. This is the
+    weekly-reality of long-lived landing zones; the aggregate proves
+    no rows were dropped and every column survived with its values
+    intact (the oracle recomputes from the unsplit source).
+
+    Scale note: mergeSchema reconciles footers at planning time —
+    cost scales with file count, not data; production pins the merged
+    schema in a catalog after the first reconciliation rather than
+    re-merging per read. Column pruning and pushdown still apply per
+    file: a filter on a v2-only column prunes v1 files entirely
+    (AND rewrites to IS NULL semantics)."""
+    staged = _staged(sf_dir, "evolve")
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderdate"
+    )
+    v1.write.mode("overwrite").parquet(staged + "/v1")
+    v2.write.mode("overwrite").parquet(staged + "/v2")
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(staged + "/v1", staged + "/v2")
+    )
+    return merged.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count("o_totalprice").cast("long").alias("n_with_price"),
+        F.count("o_orderdate").cast("long").alias("n_with_date"),
+        dsum(F.col("o_totalprice")).alias("total_price_v1"),
+        F.max("o_orderdate").alias("latest_date_v2"),
+    )

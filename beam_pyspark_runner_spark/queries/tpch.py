@@ -740,3 +740,63 @@ def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
         F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
     )
+
+
+@register(
+    "decayed_trending_score",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(l_shipdate) AS max_d FROM lineitem),
+    terms AS (
+        SELECT l_partkey,
+               l_extendedprice * (1 - l_discount)
+                 * pow(2.0, -CAST(date_diff('day', l_shipdate, mx.max_d) // 30
+                              AS DOUBLE)) AS term
+        FROM lineitem, mx
+    )
+    SELECT l_partkey AS partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_sales,
+           {{dsum}} AS trend_score
+    FROM terms GROUP BY l_partkey
+    ORDER BY trend_score DESC, partkey
+    LIMIT 25
+    """.format(dsum=dsum_sql("term")),
+    tags=("tpch", "trending", "decay", "recency"),
+)
+def decayed_trending_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed revenue leaderboard: each sale contributes
+    revenue · 2^(−age/30 d) — a one-month half-life — so a part selling
+    NOW outranks one with the same lifetime revenue sold years ago: the
+    "trending products" ranking, computed in one pass with no window.
+    The decay makes the score incrementally maintainable: advancing the
+    reference date by one period just multiplies every stored score by
+    ½ before absorbing the new period's sales (the mergeable-state
+    property exponential decay is chosen FOR in production rankers).
+
+    Determinism: ages quantize to integer months, so every weight is an
+    exact power of two (2^-k is exactly representable down to the
+    subnormal floor and libm-identical across engines — a FRACTIONAL
+    exponent would not be); each term is IEEE-identical per row and the
+    sum accumulates in exact decimal. Top-25 via global ORDER BY +
+    LIMIT = per-partition heaps, ties broken by partkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mx = li.agg(F.max("l_shipdate").alias("max_d"))
+    age_months = F.floor(
+        F.datediff(F.col("max_d"), F.col("l_shipdate")) / 30
+    )
+    terms = li.crossJoin(F.broadcast(mx)).select(
+        "l_partkey",
+        (
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * F.pow(F.lit(2.0), -age_months.cast("double"))
+        ).alias("term"),
+    )
+    return (
+        terms.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.count("*").cast("long").alias("n_sales"),
+            dsum(F.col("term")).alias("trend_score"),
+        )
+        .orderBy(F.col("trend_score").desc(), "partkey")
+        .limit(25)
+    )
