@@ -2692,3 +2692,180 @@ def watermark_lateness_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionAll(leg)
     return out
+
+
+@register(
+    "diff_in_diff",
+    oracle=f"""
+    WITH base AS (
+        SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':exp42'),
+                               1, 8))::BIGINT % 2 = 1 AS treated,
+               ts >= TIMESTAMP '2024-01-16' AS post,
+               value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    cells AS (
+        SELECT
+            {davg_sql("CASE WHEN treated AND post THEN value END")} AS t_post,
+            {davg_sql("CASE WHEN treated AND NOT post THEN value END")} AS t_pre,
+            {davg_sql("CASE WHEN NOT treated AND post THEN value END")} AS c_post,
+            {davg_sql("CASE WHEN NOT treated AND NOT post THEN value END")} AS c_pre,
+            CAST(COUNT(*) AS BIGINT) AS n
+        FROM base
+    )
+    SELECT n, t_pre, t_post, c_pre, c_post,
+           (t_post - t_pre) - (c_post - c_pre) AS did_estimate
+    FROM cells
+    """,
+    tags=("events", "causal", "diff_in_diff", "experiment"),
+)
+def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the 2×2 (treated × pre/post) cell
+    means of purchase value and the DiD estimate (T_post − T_pre) −
+    (C_post − C_pre) — the causal-inference workhorse when you have a
+    before/after boundary but no randomized holdout; the control arm's
+    delta subtracts out the secular trend both arms share. Arms come
+    from the same salted md5 assignment as `ab_assignment_srm`; the
+    period boundary is a fixed calendar instant.
+
+    The entire estimator is ONE conditional aggregate over one scan —
+    four decimal-exact conditional means and three IEEE subtractions —
+    the same constant-state shape at any scale. (Parallel-trends
+    diagnostics = the identical query with the boundary shifted into
+    the pre-period.)"""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    base = e.select(
+        (
+            h32(F.concat(F.col("user_id").cast("string"), F.lit(":exp42"))) % 2
+            == 1
+        ).alias("treated"),
+        (F.col("ts") >= F.to_timestamp(F.lit("2024-01-16"))).alias("post"),
+        "value",
+    )
+
+    def cell(t: bool, p: bool):
+        cond = (F.col("treated") == t) & (F.col("post") == p)
+        return davg(F.when(cond, F.col("value")))
+
+    cells = base.agg(
+        cell(True, True).alias("t_post"),
+        cell(True, False).alias("t_pre"),
+        cell(False, True).alias("c_post"),
+        cell(False, False).alias("c_pre"),
+        F.count("*").cast("long").alias("n"),
+    )
+    return cells.select(
+        "n",
+        "t_pre",
+        "t_post",
+        "c_pre",
+        "c_post",
+        (
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre"))
+        ).alias("did_estimate"),
+    )
+
+
+@register(
+    "seasonal_adjusted_anomaly",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+               CAST((epoch(date_trunc('day', o_orderdate))::BIGINT
+                     / 86400 + 4) % 7 AS BIGINT) AS dow,
+               {dsum_sql('o_totalprice')} AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    dowavg AS (
+        SELECT dow, {davg_sql('rev')} AS dow_avg FROM daily GROUP BY dow
+    ),
+    overall AS (SELECT {davg_sql('rev')} AS all_avg FROM daily),
+    adj AS (
+        SELECT day, dow, rev,
+               dow_avg / all_avg AS factor,
+               rev / (dow_avg / all_avg) AS adjusted
+        FROM daily JOIN dowavg USING (dow) CROSS JOIN overall
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               {dsum_sql('adjusted')} AS s1,
+               {dsum_sql('adjusted * adjusted')} AS s2
+        FROM adj
+    )
+    SELECT day, dow, rev, factor, adjusted,
+           abs(adjusted - s1 / n)
+             > 2.0 * sqrt((n * s2 - s1 * s1) / n / n) AS is_anomaly
+    FROM adj CROSS JOIN stats
+    """,
+    tags=("events", "anomaly", "seasonality", "timeseries"),
+)
+def seasonal_adjusted_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly screen over daily revenue: divide
+    each day by its day-of-week factor (Mondays compared to a Monday
+    baseline — raw thresholds would page the on-call every weekend),
+    then flag days whose adjusted value sits >2σ from the adjusted
+    mean. Composes `seasonality_index`'s factors with the decimal-exact
+    power-sum variance of `value_outliers`, as one operator.
+
+    All aggregates (daily revenue, per-dow means, overall mean,
+    moment sums) run through exact decimal accumulation; day-of-week
+    is the engine-neutral (epoch_days + 4) % 7; the remaining ops are
+    single IEEE divides/multiplies/sqrt — bit-identical across engines
+    and partitionings. Scale: one scan → day-keyed partial agg; every
+    later stage works on the days-sized table with broadcast factor
+    and moment tables."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day"),
+        (
+            (
+                (
+                    F.unix_timestamp(F.date_trunc("day", "o_orderdate"))
+                    / 86400
+                ).cast("long")
+                + 4
+            )
+            % 7
+        ).alias("dow"),
+    ).agg(dsum(F.col("o_totalprice")).alias("rev"))
+    dowavg = daily.groupBy("dow").agg(davg(F.col("rev")).alias("dow_avg"))
+    overall = daily.agg(davg(F.col("rev")).alias("all_avg"))
+    adj = (
+        daily.join(F.broadcast(dowavg), "dow")
+        .crossJoin(F.broadcast(overall))
+        .select(
+            "day",
+            "dow",
+            "rev",
+            (F.col("dow_avg") / F.col("all_avg")).alias("factor"),
+            (F.col("rev") / (F.col("dow_avg") / F.col("all_avg"))).alias(
+                "adjusted"
+            ),
+        )
+    )
+    stats = adj.agg(
+        F.count("*").cast("long").alias("n"),
+        dsum(F.col("adjusted")).alias("s1"),
+        dsum(F.col("adjusted") * F.col("adjusted")).alias("s2"),
+    )
+    return adj.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "dow",
+        "rev",
+        "factor",
+        "adjusted",
+        (
+            F.abs(F.col("adjusted") - F.col("s1") / F.col("n"))
+            > 2.0
+            * F.sqrt(
+                (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+                / F.col("n")
+                / F.col("n")
+            )
+        ).alias("is_anomaly"),
+    )
