@@ -1230,3 +1230,98 @@ def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         neg_sim.alias("neg_sim"),
         (pos_sim - neg_sim).alias("margin"),
     )
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+    ),
+    e AS (SELECT vec_id, {_EMB_DBL} AS emb FROM embeddings),
+    q AS (
+        SELECT d.toks AS qtoks, e.emb AS qvec
+        FROM d JOIN e ON e.vec_id = d.doc_id WHERE d.doc_id = 0
+    ),
+    scored AS (
+        SELECT d.doc_id,
+               len(list_intersect(d.toks, q.qtoks)) AS kw_score,
+               {_cos_sql('e.emb', 'q.qvec')} AS vec_score
+        FROM d JOIN e ON e.vec_id = d.doc_id CROSS JOIN q
+        WHERE d.doc_id <> 0
+    ),
+    ranked AS (
+        SELECT doc_id, kw_score, vec_score,
+               ROW_NUMBER() OVER (ORDER BY kw_score DESC, doc_id) AS r_kw,
+               ROW_NUMBER() OVER (ORDER BY vec_score DESC, doc_id) AS r_vec
+        FROM scored
+    )
+    SELECT doc_id, CAST(kw_score AS BIGINT) AS kw_score, vec_score,
+           CAST(r_kw AS BIGINT) AS r_kw, CAST(r_vec AS BIGINT) AS r_vec,
+           1.0 / (60 + r_kw) + 1.0 / (60 + r_vec) AS rrf_score
+    FROM ranked
+    ORDER BY 1.0 / (60 + r_kw) + 1.0 / (60 + r_vec) DESC, doc_id
+    LIMIT 10
+    """,
+    tags=("similarity", "hybrid_search", "rrf", "retrieval"),
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al.
+    SIGIR'09, the fusion every production RAG stack ships): a keyword
+    leg (shared-distinct-token count against the query doc) and a
+    vector leg (cosine to the query embedding) are RANKED separately,
+    then fused as Σ 1/(60 + rank) — rank fusion needs no score
+    normalization, which is exactly why it beats score mixing across
+    incomparable scales. Both legs come from ONE scan of the
+    doc⋈embedding table with the 1-row query broadcast; ranks are
+    integers so the fused score is deterministic IEEE arithmetic.
+
+    Scale note: here the whole corpus is the candidate set, so the two
+    rank windows are global — in production each leg PRE-FILTERS its
+    candidates (inverted-index top-N for keywords:
+    `inverted_index_postings`; IVF probes for vectors:
+    `ivf_topk_search`) and the fusion windows run on the union of two
+    bounded candidate lists, never the corpus."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    de = d.join(e, "doc_id")
+    q = de.filter(F.col("doc_id") == 0).select(
+        F.col("toks").alias("qtoks"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        de.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            F.size(F.array_intersect("toks", "qtoks")).alias("kw_score"),
+            cosine_similarity(F.col("embedding"), F.col("qvec")).alias(
+                "vec_score"
+            ),
+        )
+    )
+    ranked = scored.select(
+        "doc_id",
+        F.col("kw_score").cast("long").alias("kw_score"),
+        "vec_score",
+        F.row_number()
+        .over(W.orderBy(F.col("kw_score").desc(), "doc_id"))
+        .cast("long")
+        .alias("r_kw"),
+        F.row_number()
+        .over(W.orderBy(F.col("vec_score").desc(), "doc_id"))
+        .cast("long")
+        .alias("r_vec"),
+    )
+    rrf = F.lit(1.0) / (60 + F.col("r_kw")) + F.lit(1.0) / (
+        60 + F.col("r_vec")
+    )
+    return (
+        ranked.withColumn("rrf_score", rrf)
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(10)
+    )
