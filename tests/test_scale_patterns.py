@@ -1065,3 +1065,50 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
     agg.collect()
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan and "coalesced" in plan, plan
+
+
+def test_retrieval_queries_broadcast_query_side(spark):
+    """triplet_mining / hybrid_search_rrf: the query side must reach the
+    corpus via broadcast (no shuffle of the corpus against an 8-row /
+    1-row table), and no per-row Python anywhere."""
+    for name in ("triplet_mining", "hybrid_search_rrf"):
+        plan = _query_plan(spark, name)
+        assert "BroadcastExchange" in plan, name
+        assert "Python" not in plan, name
+
+
+def test_runtime_bloom_filter_join_injection(spark, tmp_path):
+    """Runtime row-level filtering: with a selective dim-side filter,
+    Spark injects a bloom filter built from the dim side into the fact
+    scan (BloomFilterMightContain) — rows that cannot join are dropped
+    BEFORE the shuffle. The row-level sibling of dynamic partition
+    pruning, and at 100 TB the difference between shuffling the fact
+    table and shuffling the matching sliver."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # fixture scans are far below the 10GB production default — the
+        # whole point of the threshold is to skip tiny scans, so lower it
+        # to demonstrate the injection mechanics at fixture scale
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtimeFilter.number.threshold": "10",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF_CORRECT, "lineitem")
+        o = load_table(spark, SF_CORRECT, "orders").filter(
+            F.col("o_totalprice") > 500000
+        )
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).agg(
+            F.count("*").alias("n")
+        )
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower() or "BloomFilterMightContain" in plan, plan
+        joined.collect()
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
