@@ -2869,3 +2869,46 @@ def seasonal_adjusted_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("is_anomaly"),
     )
+
+
+@register(
+    "expected_shortfall",
+    oracle=f"""
+    WITH q AS (
+        SELECT event_type, quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           MAX(q.p95) AS p95,
+           CAST(COUNT(CASE WHEN e.value >= q.p95 THEN 1 END) AS BIGINT)
+               AS n_tail,
+           {davg_sql('CASE WHEN e.value >= q.p95 THEN e.value END')}
+               AS expected_shortfall
+    FROM events e JOIN q ON q.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+    tags=("events", "statistics", "tail_risk", "cvar"),
+)
+def expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected shortfall (CVaR): the mean of the worst 5% of values
+    per event type — the coherent tail-risk metric (Basel/actuarial
+    standard) that answers "WHEN we exceed p95, how bad is it?", which
+    the quantile alone cannot (two distributions can share a p95 and
+    have wildly different tails). Complements `winsorized_mean` (which
+    discards the tail's influence; this measures it) on the same
+    two-pass broadcast-quantile plan: exact p95 per group, 5-row table
+    broadcast into one conditional decimal-exact aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.95)).alias("p95")
+    )
+    tail = F.when(F.col("value") >= F.col("p95"), F.col("value"))
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("p95").alias("p95"),
+            F.count(tail).cast("long").alias("n_tail"),
+            davg(tail).alias("expected_shortfall"),
+        )
+    )

@@ -3150,3 +3150,73 @@ def rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         actual.alias("actual"),
         F.abs(actual - pred).alias("abs_err"),
     )
+
+
+@register(
+    "percent_of_parent",
+    oracle=f"""
+    WITH n AS (
+        SELECT r_name AS region, n_name AS nation,
+               {dsum_sql('o_totalprice')} AS rev
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        GROUP BY r_name, n_name
+    )
+    SELECT region, nation, rev,
+           rev / CAST(ROUND(SUM(CAST(rev AS DECIMAL(38,10)))
+                            OVER (PARTITION BY region), 2) AS DOUBLE)
+               AS pct_of_region,
+           CAST(ROUND(SUM(CAST(rev AS DECIMAL(38,10)))
+                      OVER (PARTITION BY region), 2) AS DOUBLE)
+           / CAST(ROUND(SUM(CAST(rev AS DECIMAL(38,10))) OVER (), 2)
+                  AS DOUBLE) AS region_pct_of_total
+    FROM n
+    """,
+    tags=("relational", "percent_of_parent", "hierarchy", "ratio_to_report"),
+)
+def percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent at two hierarchy levels — each nation's share
+    of its region and each region's share of the total — the
+    ratio_to_report / MDX "percent of parent" staple of every BI tool,
+    expressed as window sums OVER the pre-aggregated leaf table. The
+    corpus-sized work is one aggregate; both share windows run on the
+    25-row nation table (a windows-over-aggregates pattern, never
+    windows over facts). Leaf revenues are decimal-exact, so the two
+    divides are deterministic; shares per parent sum to 1 by
+    construction."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    leaf = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(na), c.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(r), na.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(dsum(F.col("o_totalprice")).alias("rev"))
+    )
+    w_region = W.partitionBy("region")
+    w_all = W.partitionBy()
+    # Window sums accumulate in exact decimal: a double SUM OVER would
+    # add region members in engine-/partition-dependent order.
+    rsum = (
+        F.sum(F.col("rev").cast("decimal(38,10)"))
+        .over(w_region)
+        .cast("decimal(38,2)")
+        .cast("double")
+    )
+    tsum = (
+        F.sum(F.col("rev").cast("decimal(38,10)"))
+        .over(w_all)
+        .cast("decimal(38,2)")
+        .cast("double")
+    )
+    return leaf.select(
+        "region",
+        "nation",
+        "rev",
+        (F.col("rev") / rsum).alias("pct_of_region"),
+        (rsum / tsum).alias("region_pct_of_total"),
+    )
