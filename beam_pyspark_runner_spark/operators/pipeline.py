@@ -52,6 +52,20 @@ from beam_pyspark_runner_spark.operators.metrics import (
 from beam_pyspark_runner_spark.plans.dag import Node, PlanContext
 
 
+def _n_fields(schema: str) -> int:
+    """Field count of a simple 'name type, name type' DDL schema string."""
+    depth = 0
+    n = 1
+    for ch in schema:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            n += 1
+    return n
+
+
 class Pipeline:
     """Builds a DAG of logical Nodes; lowering is memoized with fan-out
     persist (plans/dag.py). Pipelines are cheap objects — one per query."""
@@ -249,6 +263,60 @@ class PCol:
                 yield pd.DataFrame(out)
 
         return self._derive("MapRows", lambda ins: ins[0].mapInPandas(kernel, schema))
+
+    def map_rows_with_exception_handling(
+        self, fn: Callable[[Any], Any], schema: str
+    ) -> tuple["PCol", "PCol"]:
+        """Beam's ``ParDo(...).with_exception_handling()``: per-element
+        map whose raising elements are routed to a dead-letter output
+        instead of failing the job — returns ``(ok, errors)`` where
+        ``errors`` rows carry (element repr, "ExcType: message"). One
+        Python pass produces a tagged union; the two outputs are filter
+        branches over the shared fan-out node (persisted once, same as
+        ``partition``), so the kernel never re-runs per branch. The
+        declarative twin for parse-shaped failures is the try_-function
+        family (queries/events.py:dead_letter_split) — this form is for
+        arbitrary Python where no try_ builtin exists."""
+
+        def kernel(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                out = []
+                for row in pdf.itertuples(index=False, name=None):
+                    try:
+                        res = fn(row)
+                        res = res if isinstance(res, tuple) else (res,)
+                        out.append(res + (None, None))
+                    except Exception as e:  # noqa: BLE001 — dead-letter by design
+                        res = tuple(None for _ in range(_n_fields(schema)))
+                        out.append(
+                            res + (repr(row), f"{type(e).__name__}: {e}")
+                        )
+                yield pd.DataFrame(out)
+
+        tagged = self._derive(
+            "MapRowsWithExceptions",
+            lambda ins: ins[0].mapInPandas(
+                kernel, schema + ", __element string, __error string"
+            ),
+        )
+        ok = tagged._derive(
+            "MapRowsOk",
+            lambda ins: ins[0]
+            .filter(F.col("__error").isNull())
+            .drop("__element", "__error"),
+        )
+        errors = tagged._derive(
+            "MapRowsDeadLetter",
+            lambda ins: ins[0]
+            .filter(F.col("__error").isNotNull())
+            .select(
+                F.col("__element").alias("element"),
+                F.col("__error").alias("error"),
+            ),
+        )
+        return ok, errors
 
     def flat_map_rows(self, fn: Callable[[Any], Iterable[Any]], schema: str) -> "PCol":
         """Per-element Python flatMap; yielding None emits nothing

@@ -822,3 +822,47 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("o_totalprice")).alias("total_price_v1"),
         F.max("o_orderdate").alias("latest_date_v2"),
     )
+
+
+@register(
+    "pardo_exception_dead_letter",
+    oracle="""
+    SELECT CAST(COUNT(CASE WHEN o_orderkey % 97 <> 0 THEN 1 END) AS BIGINT)
+               AS n_ok,
+           CAST(COUNT(CASE WHEN o_orderkey % 97 = 0 THEN 1 END) AS BIGINT)
+               AS n_dead_letter,
+           CAST(SUM(CASE WHEN o_orderkey % 97 <> 0
+                         THEN 1000 // (o_orderkey % 97) END) AS BIGINT)
+               AS sum_ok_value
+    FROM orders
+    """,
+    tags=("pipeline_api", "pardo", "exception_handling", "dead_letter"),
+)
+def pardo_exception_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam's ``ParDo.with_exception_handling()`` through the pipeline
+    API: an arbitrary Python element fn whose failures (here a
+    deterministic ZeroDivisionError on keys ≡ 0 mod 97) are routed to a
+    dead-letter output instead of killing the job — the error-tolerant
+    ingestion contract for Python UDFs where no declarative ``try_``
+    builtin exists. One Arrow-batched pass tags elements; ok and
+    dead-letter branches are filters over the shared fan-out. The
+    aggregate proves the partition is exact: every input row lands in
+    exactly one output, and the ok-side values are untouched."""
+    from beam_pyspark_runner_spark.operators.pipeline import Pipeline
+
+    p = Pipeline(spark)
+    src = p.from_df(
+        load_table(spark, sf_dir, "orders").select("o_orderkey")
+    )
+    ok, err = src.map_rows_with_exception_handling(
+        lambda row: (row[0], 1000 // (row[0] % 97)),
+        schema="o_orderkey bigint, inv bigint",
+    )
+    ok_agg = ok.to_df().agg(
+        F.count("*").cast("long").alias("n_ok"),
+        F.sum("inv").cast("long").alias("sum_ok_value"),
+    )
+    err_agg = err.to_df().agg(F.count("*").cast("long").alias("n_dead_letter"))
+    return ok_agg.crossJoin(err_agg).select(
+        "n_ok", "n_dead_letter", "sum_ok_value"
+    )

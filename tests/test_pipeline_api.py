@@ -673,3 +673,23 @@ def test_composite_transform_apply_and_pipe(spark):
 
     with pytest.raises(TypeError):
         src.apply(lambda pc: 42)
+
+
+def test_map_rows_with_exception_handling_partitions_exactly(spark):
+    """Every element lands in exactly one of (ok, dead-letter); error
+    rows carry the element repr and 'ExcType: message'."""
+    from beam_pyspark_runner_spark.operators.pipeline import Pipeline
+
+    p = Pipeline(spark)
+    src = p.create([(i,) for i in range(20)], schema="k long")
+    ok, err = src.map_rows_with_exception_handling(
+        lambda row: (row[0], 100 // (row[0] % 4)), schema="k long, q long"
+    )
+    ok_rows = ok.collect()
+    err_rows = err.collect()
+    assert len(ok_rows) + len(err_rows) == 20
+    assert {r["k"] for r in ok_rows} == {i for i in range(20) if i % 4}
+    assert all(
+        r["error"].startswith("ZeroDivisionError:") for r in err_rows
+    )
+    assert all(r["element"] == f"({int(r['element'][1:-2])},)" for r in err_rows)
