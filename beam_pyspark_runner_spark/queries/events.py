@@ -2912,3 +2912,59 @@ def expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg(tail).alias("expected_shortfall"),
         )
     )
+
+
+@register(
+    "cumulative_distinct_curve",
+    oracle="""
+    WITH first_day AS (
+        SELECT user_id,
+               MIN(CAST(date_trunc('day', ts) AS DATE)) AS day
+        FROM events GROUP BY user_id
+    ),
+    daily_new AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM first_day GROUP BY day
+    ),
+    days AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    )
+    SELECT d.day,
+           COALESCE(n.new_users, 0) AS new_users,
+           CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day)
+                AS BIGINT) AS cum_users
+    FROM days d LEFT JOIN daily_new n ON n.day = d.day
+    """,
+    tags=("events", "cumulative_distinct", "growth", "curve"),
+)
+def cumulative_distinct_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique-users-to-date curve: cumulative distinct users per day —
+    the top-line growth chart. Cumulative DISTINCT is not a window
+    aggregate (distinct can't re-count per frame); the scalable
+    identity: a user contributes to the cumulative count from their
+    FIRST active day onward, so one user-keyed aggregate (min day) +
+    one days-sized running sum over daily first-appearance counts
+    gives the exact curve — raw events are scanned once, never
+    per-day. Zero-new days keep a row (left join against the day
+    spine) so the curve is gapless. The running sum is a window over
+    the days-sized table (bucket by month via the bucketed-prefix
+    family when the spine itself is huge)."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    first_day = e.groupBy("user_id").agg(F.min(day).alias("day"))
+    daily_new = first_day.groupBy("day").agg(
+        F.count("*").cast("long").alias("new_users")
+    )
+    days = e.select(day.alias("day")).distinct()
+    joined = days.join(daily_new, "day", "left").select(
+        "day", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    return joined.select(
+        "day",
+        "new_users",
+        F.sum("new_users")
+        .over(W.orderBy("day").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_users"),
+    )

@@ -3220,3 +3220,56 @@ def percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rev") / rsum).alias("pct_of_region"),
         (rsum / tsum).alias("region_pct_of_total"),
     )
+
+
+@register(
+    "mode_per_group",
+    oracle="""
+    WITH c AS (
+        SELECT c_nationkey AS nationkey, c_mktsegment,
+               COUNT(*) AS n
+        FROM customer GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT nationkey, c_mktsegment, n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY nationkey
+                   ORDER BY n DESC, length(c_mktsegment) ASC,
+                            c_mktsegment DESC
+               ) AS rn,
+               SUM(n) OVER (PARTITION BY nationkey) AS total
+        FROM c
+    )
+    SELECT nationkey,
+           c_mktsegment AS modal_segment,
+           CAST(n AS BIGINT) AS modal_count,
+           CAST(total AS BIGINT) AS n_total
+    FROM r WHERE rn = 1
+    """,
+    tags=("relational", "mode", "aggregate", "deterministic_ties"),
+)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE (most frequent value) per group with a TOTAL tie order —
+    the builtin `mode()` in both engines picks an arbitrary winner on
+    ties, which value-hash comparison (and any reproducible pipeline)
+    cannot tolerate. Formulation: count per (group, value), then
+    max_by over the composite (count, tie-break) — two partial-agg
+    shuffles, state one row per (group, value), no window. The
+    tie-break (shorter string first, then lexicographically last) is
+    arbitrary but TOTAL — the property that matters. (The oracle uses
+    the ROW_NUMBER emulation: DuckDB's arg_max lacks composite keys —
+    the same gap `golden_record_survivorship` documents.)"""
+    c = load_table(spark, sf_dir, "customer")
+    counts = c.groupBy(
+        F.col("c_nationkey").alias("nationkey"), "c_mktsegment"
+    ).agg(F.count("*").alias("n"))
+    key = F.struct(
+        F.col("n"),
+        (-F.length("c_mktsegment")).alias("neg_len"),
+        F.col("c_mktsegment"),
+    )
+    return counts.groupBy("nationkey").agg(
+        F.max_by("c_mktsegment", key).alias("modal_segment"),
+        F.max("n").cast("long").alias("modal_count"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
