@@ -3273,3 +3273,57 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("modal_count"),
         F.sum("n").cast("long").alias("n_total"),
     )
+
+
+@register(
+    "weighted_median",
+    oracle="""
+    WITH v AS (
+        SELECT l_returnflag, l_extendedprice AS price,
+               SUM(l_quantity) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT l_returnflag, price, w,
+               SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price) AS cw,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+        FROM v
+    )
+    SELECT l_returnflag,
+           MIN(price) FILTER (WHERE 2 * cw >= tw) AS weighted_median,
+           CAST(MAX(tw) AS DOUBLE) AS total_weight,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_prices
+    FROM c GROUP BY l_returnflag
+    """,
+    tags=("relational", "weighted_median", "quantile", "aggregate"),
+)
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the weighted
+    quantile neither engine ships as a builtin: the price at which
+    half the UNITS (not half the rows) are cheaper. Mann–Whitney's
+    scalability trick reused: weights collapse onto the DISTINCT-VALUE
+    table first (one group-keyed partial agg), so the cumulative
+    window sorts |distinct prices| rows per group, never raw rows; the
+    median is the first value whose doubled running weight reaches the
+    group total. Quantities are integral doubles → every sum is exact
+    in any order; lower-median convention (2·cw ≥ tw) stated
+    explicitly so both engines agree at exact-half boundaries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("price")).agg(
+        F.sum("l_quantity").alias("w")
+    )
+    wc = W.partitionBy("l_returnflag").orderBy("price")
+    c = v.select(
+        "l_returnflag",
+        "price",
+        "w",
+        F.sum("w").over(wc.rowsBetween(W.unboundedPreceding, 0)).alias("cw"),
+        F.sum("w").over(W.partitionBy("l_returnflag")).alias("tw"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("price"))).alias(
+            "weighted_median"
+        ),
+        F.max("tw").cast("double").alias("total_weight"),
+        F.count("*").cast("long").alias("n_distinct_prices"),
+    )
