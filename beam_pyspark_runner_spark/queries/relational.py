@@ -3327,3 +3327,65 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("tw").cast("double").alias("total_weight"),
         F.count("*").cast("long").alias("n_distinct_prices"),
     )
+
+
+@register(
+    "gini_coefficient",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+        FROM c
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS tot,
+               CAST(SUM(i * cents) AS BIGINT) AS ranked_sum
+        FROM r
+    )
+    SELECT n, CAST(tot AS DOUBLE) / 100.0 AS total_revenue,
+           (2.0 * CAST(ranked_sum AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)))
+           - (CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)) AS gini
+    FROM s
+    """,
+    tags=("relational", "gini", "concentration", "inequality"),
+)
+def gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the single-number
+    inequality metric behind `revenue_concentration_8020`'s curve,
+    from the rank identity G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+    ascending-sorted values: no pairwise |xᵢ−xⱼ| double loop. Revenue
+    in integer cents so every sum (including the rank-weighted one) is
+    exact int64; the global rank runs on the CUSTOMER AGGREGATE
+    (entities, not orders) — at extreme entity counts the rank swaps
+    in `global_rank_bucketed`'s two-phase trick unchanged. Ranks are
+    total-ordered by (value, custkey), which leaves G unchanged among
+    tied values but keeps both engines identical."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    r = c.select(
+        "cents",
+        F.row_number().over(W.orderBy("cents", "o_custkey")).alias("i"),
+    )
+    s = r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("tot"),
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("ranked_sum"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        "n",
+        (F.col("tot").cast("double") / 100.0).alias("total_revenue"),
+        (
+            2.0 * F.col("ranked_sum").cast("double") / (nd * F.col("tot").cast("double"))
+            - (F.col("n") + 1).cast("double") / nd
+        ).alias("gini"),
+    )
