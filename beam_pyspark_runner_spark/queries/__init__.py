@@ -81,7 +81,7 @@ from beam_pyspark_runner_spark.queries import recursive  # noqa: E402,F401
 # decayed_trending_score, diff_in_diff, seasonal_adjusted_anomaly,
 # hybrid_search_rrf, percent_of_parent, expected_shortfall,
 # pardo_exception_dead_letter, mode_per_group, cumulative_distinct_curve,
-# weighted_median, gini_coefficient — plus the
+# weighted_median, gini_coefficient, asof_join_nearest — plus the
 # prior-session round-5 additions not in the current window (see git
 # log b155159..740484d).
 # Everything not listed keeps registration order after it;

@@ -972,3 +972,116 @@ def join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(prod > 5, 1)).alias("keys_over_fanout_5"),
         F.count(F.when(F.col("nr") == 0, 1)).alias("unmatched_left_keys"),
     )
+
+
+@register(
+    "asof_join_nearest",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey, o_custkey % 50 AS k,
+               TIMESTAMP '2024-01-01' + to_seconds(o_orderkey % 2592000) AS ts,
+               1 AS is_left,
+               CAST(NULL AS BIGINT) AS event_id,
+               CAST(NULL AS TIMESTAMP) AS event_ts
+        FROM orders
+    ),
+    e AS (
+        SELECT CAST(NULL AS BIGINT) AS o_orderkey,
+               CAST(NULL AS BIGINT) AS o_custkey,
+               user_id AS k, ts, 0 AS is_left, event_id, ts AS event_ts
+        FROM events
+    ),
+    u AS (SELECT * FROM o UNION ALL SELECT * FROM e),
+    w AS (
+        SELECT *,
+               last_value(event_id IGNORE NULLS) OVER wb AS prev_id,
+               last_value(event_ts IGNORE NULLS) OVER wb AS prev_ts,
+               first_value(event_id IGNORE NULLS) OVER wf AS next_id,
+               first_value(event_ts IGNORE NULLS) OVER wf AS next_ts
+        FROM u
+        WINDOW wb AS (PARTITION BY k ORDER BY ts, is_left, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY k ORDER BY ts, is_left, event_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN next_id IS NULL THEN prev_id
+                WHEN prev_id IS NULL THEN next_id
+                WHEN date_diff('second', prev_ts, ts)
+                     <= date_diff('second', ts, next_ts) THEN prev_id
+                ELSE next_id END AS nearest_event_id,
+           CASE WHEN next_id IS NULL THEN prev_ts
+                WHEN prev_id IS NULL THEN next_ts
+                WHEN date_diff('second', prev_ts, ts)
+                     <= date_diff('second', ts, next_ts) THEN prev_ts
+                ELSE next_ts END AS nearest_event_ts
+    FROM w
+    WHERE is_left = 1 AND (prev_id IS NOT NULL OR next_id IS NOT NULL)
+    """,
+    tags=("join", "asof", "nearest"),
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction (pandas merge_asof
+    direction='nearest'): each order matches its closest event in time
+    per user — whichever side of the order it falls on. Same
+    union-the-sides single-shuffle plan as `asof_join`, with TWO window
+    passes over the identical sort (backward carry = last non-null over
+    the preceding frame, forward carry = first non-null over the
+    following frame — the second window reuses the first's shuffle and
+    sort), then an integer-second distance compare; ties at equal
+    distance prefer the earlier event, equal-timestamp events count as
+    distance 0 via the backward carry. Still one shuffle over |L|+|R|
+    rows — the join-then-min-distance formulation would be |L|×|R|."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_custkey") % 50).alias("k"),
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit("2024-01-01").cast("timestamp"))
+            + (F.col("o_orderkey") % 2592000)
+        ).alias("ts"),
+        F.lit(1).alias("is_left"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("event_ts"),
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("long").alias("o_custkey"),
+        F.col("user_id").alias("k"),
+        "ts",
+        F.lit(0).alias("is_left"),
+        F.col("event_id"),
+        F.col("ts").alias("event_ts"),
+    )
+    base = W.partitionBy("k").orderBy(F.col("ts"), F.col("is_left"), F.col("event_id"))
+    wb = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wf = base.rowsBetween(W.currentRow, W.unboundedFollowing)
+    u = (
+        o.unionByName(e)
+        .withColumn("prev_id", F.last("event_id", ignorenulls=True).over(wb))
+        .withColumn("prev_ts", F.last("event_ts", ignorenulls=True).over(wb))
+        .withColumn("next_id", F.first("event_id", ignorenulls=True).over(wf))
+        .withColumn("next_ts", F.first("event_ts", ignorenulls=True).over(wf))
+    )
+    d_prev = F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+    d_next = F.unix_timestamp("next_ts") - F.unix_timestamp("ts")
+    pick_prev = (
+        F.col("next_id").isNull()
+        | (F.col("prev_id").isNotNull() & (d_prev <= d_next))
+    )
+    return (
+        u.filter(
+            (F.col("is_left") == 1)
+            & (F.col("prev_id").isNotNull() | F.col("next_id").isNotNull())
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(pick_prev, F.col("prev_id"))
+            .otherwise(F.col("next_id"))
+            .alias("nearest_event_id"),
+            F.when(pick_prev, F.col("prev_ts"))
+            .otherwise(F.col("next_ts"))
+            .alias("nearest_event_ts"),
+        )
+    )
