@@ -283,10 +283,20 @@ class PCol:
 
             for pdf in batches:
                 out = []
+                n_fields = _n_fields(schema)
                 for row in pdf.itertuples(index=False, name=None):
                     try:
                         res = fn(row)
                         res = res if isinstance(res, tuple) else (res,)
+                        if len(res) != n_fields:
+                            # A wrong-arity (or list) return would mis-shape
+                            # pd.DataFrame(out) and fail the WHOLE Arrow batch
+                            # with an opaque column-count error; raise inside
+                            # the try so only THIS element dead-letters.
+                            raise ValueError(
+                                f"fn returned {len(res)} fields, schema "
+                                f"declares {n_fields}"
+                            )
                         out.append(res + (None, None))
                     except Exception as e:  # noqa: BLE001 — dead-letter by design
                         res = tuple(None for _ in range(_n_fields(schema)))

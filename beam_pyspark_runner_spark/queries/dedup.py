@@ -828,6 +828,14 @@ def _est_sum_sql() -> str:
     )
 
 
+# Estimator parameters DERIVED from the seed list so a changed
+# MINHASH_SEEDS length can't silently skew the estimate or the bound:
+# ĵ = matches / n_perm, and the acceptance envelope is the worst-case
+# 3σ width 3·√(j(1−j)/n) ≤ 3·0.5/√n = 1.5/√n (0.375 for n = 16).
+_N_PERM = len(MINHASH_SEEDS)
+_MINHASH_BOUND = 1.5 / _N_PERM**0.5
+
+
 @register(
     "minhash_estimate_vs_exact",
     oracle=f"""
@@ -850,8 +858,9 @@ def _est_sum_sql() -> str:
               / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= {JACCARD_THRESHOLD}
     )
     SELECT e.doc_a, e.doc_b, e.j AS exact_jaccard,
-           ({_est_sum_sql()}) / 16.0 AS minhash_estimate,
-           abs(({_est_sum_sql()}) / 16.0 - e.j) <= 0.35 AS within_bound
+           ({_est_sum_sql()}) / {float(_N_PERM)} AS minhash_estimate,
+           abs(({_est_sum_sql()}) / {float(_N_PERM)} - e.j) <= {_MINHASH_BOUND}
+               AS within_bound
     FROM exact e
     JOIN sig sa ON sa.doc_id = e.doc_a
     JOIN sig sb ON sb.doc_id = e.doc_b
@@ -862,9 +871,10 @@ def minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimator adjudication for the MinHash path (the
     cms_estimate_vs_exact pattern applied to near-dup): for every true
     near-dup pair (exact n-gram Jaccard ≥ threshold), the
-    signature-agreement estimate ĵ = matches/16 sits next to the exact
-    j, with |ĵ − j| pinned inside the ~3σ envelope for 16 permutations
-    (σ = √(j(1−j)/16) ≤ 0.125) as a hashed boolean. This is the
+    signature-agreement estimate ĵ = matches/n_perm sits next to the
+    exact j, with |ĵ − j| pinned inside the worst-case 3σ envelope
+    1.5/√n_perm (0.375 for the 16-seed default; both the divisor and
+    the bound derive from len(MINHASH_SEEDS)) as a hashed boolean. This is the
     measurement that justifies trusting LSH candidates at 100 TB,
     where the exact join that produced `j` here is unaffordable —
     the estimator is certified on the small scale, then stands in at
@@ -909,14 +919,16 @@ def minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
         for i in range(len(MINHASH_SEEDS))
     )
-    est = matches.cast("double") / F.lit(16.0)
+    est = matches.cast("double") / F.lit(float(_N_PERM))
     return (
         exact.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
         .select(
             "doc_a", "doc_b", "exact_jaccard",
             est.alias("minhash_estimate"),
-            (F.abs(est - F.col("exact_jaccard")) <= 0.35).alias("within_bound"),
+            (F.abs(est - F.col("exact_jaccard")) <= _MINHASH_BOUND).alias(
+                "within_bound"
+            ),
         )
     )
 

@@ -617,7 +617,9 @@ def bitmap_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT COUNT(*) FROM b) AS n_purchase,
            i.n_both,
            u.n_either,
-           CAST(i.n_both AS DOUBLE) / CAST(u.n_either AS DOUBLE) AS jaccard
+           CASE WHEN u.n_either > 0
+                THEN CAST(i.n_both AS DOUBLE) / CAST(u.n_either AS DOUBLE)
+           END AS jaccard
     FROM i, u
     """,
     tags=("sketch", "bitmap", "set_intersection", "mergeable", "audience_overlap"),
@@ -669,9 +671,14 @@ def bitmap_intersect_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_purchase",
         (F.col("n_click") + F.col("n_purchase") - F.col("n_either")).alias("n_both"),
         "n_either",
-        (
-            (F.col("n_click") + F.col("n_purchase") - F.col("n_either")).cast("double")
-            / F.col("n_either").cast("double")
+        # Explicit NULL contract on an empty universe (n_either = 0):
+        # 0/0 would otherwise degrade the single-row result to NaN.
+        F.when(
+            F.col("n_either") > 0,
+            (F.col("n_click") + F.col("n_purchase") - F.col("n_either")).cast(
+                "double"
+            )
+            / F.col("n_either").cast("double"),
         ).alias("jaccard"),
     )
 

@@ -1955,9 +1955,18 @@ def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length("text") >= 8
     ).select("doc_id", "text", F.length("text").alias("len"))
+    # len == 8 guard: sequence(2, len-7) = sequence(2, 1) would produce a
+    # DESCENDING [2, 1] in Spark (start > stop defaults step to -1) while
+    # the DuckDB oracle's range(2, len-6) is empty — emit an empty array
+    # instead so both engines agree that an 8-char doc has no interior
+    # boundary candidates (it still gets its final bound via the union).
     pos = docs.select(
         "doc_id", "text", "len",
-        F.explode(F.sequence(F.lit(2), F.col("len") - 7)).alias("p"),
+        F.explode(
+            F.when(
+                F.col("len") >= 9, F.sequence(F.lit(2), F.col("len") - 7)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("p"),
     )
     bounds = (
         pos.filter(

@@ -693,3 +693,28 @@ def test_map_rows_with_exception_handling_partitions_exactly(spark):
         r["error"].startswith("ZeroDivisionError:") for r in err_rows
     )
     assert all(r["element"] == f"({int(r['element'][1:-2])},)" for r in err_rows)
+
+
+def test_map_rows_exception_handling_wrong_arity_dead_letters(spark):
+    """A wrong-arity tuple (or a list) return from fn must dead-letter
+    THAT element with a descriptive error instead of mis-shaping the
+    whole Arrow batch into an opaque column-count failure (ADVICE r5)."""
+    from beam_pyspark_runner_spark.operators.pipeline import Pipeline
+
+    p = Pipeline(spark)
+    src = p.create([(i,) for i in range(6)], schema="k long")
+
+    def fn(row):
+        if row[0] == 2:
+            return (row[0],)  # one field short of the declared schema
+        if row[0] == 4:
+            return [row[0], row[0] * 10]  # a list is not a tuple
+        return (row[0], row[0] * 10)
+
+    ok, err = src.map_rows_with_exception_handling(fn, schema="k long, q long")
+    ok_rows = ok.collect()
+    err_rows = err.collect()
+    assert {r["k"] for r in ok_rows} == {0, 1, 3, 5}
+    assert len(err_rows) == 2
+    assert all(r["error"].startswith("ValueError:") for r in err_rows)
+    assert any("1 fields" in r["error"] for r in err_rows)

@@ -337,3 +337,53 @@ def test_prefix_filter_never_misses_a_qualifying_pair(sets):
             jac = inter / (len(a) + len(b) - inter)
             if jac >= 0.8:
                 assert prefix(a) & prefix(b), (sorted(a), sorted(b), jac)
+
+
+def test_cdc_short_doc_edge_matches_oracle(spark, tmp_path):
+    """content_defined_chunking on docs of length 7..12 — including the
+    length-8 edge where Spark's sequence(2, len-7) would have produced a
+    DESCENDING [2, 1] while DuckDB's range(2, len-6) is empty (ADVICE
+    r5). The guard makes both engines agree: an 8-char doc has no
+    interior boundary candidates, so it is one whole chunk."""
+    import duckdb
+    import pandas as pd
+
+    from beam_pyspark_runner_spark.queries.text import content_defined_chunking
+    from beam_pyspark_runner_spark.queries import REGISTRY
+    from tests.oracle_check import compare
+
+    texts = ["abcdefg"[:n] if n <= 7 else "abcdefghijkl"[:n] for n in range(7, 13)]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "src1",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"COPY (SELECT * FROM pdf) TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)"
+    )
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    out = compare(
+        spark,
+        con,
+        "content_defined_chunking",
+        content_defined_chunking,
+        REGISTRY["content_defined_chunking"].oracle,
+        str(tmp_path),
+    )
+    assert out["status"] == "MATCH", out
+    rows = {
+        r["doc_id"]: r
+        for r in content_defined_chunking(spark, str(tmp_path)).collect()
+    }
+    assert 0 not in rows  # the 7-char doc is filtered out entirely
+    assert rows[1]["n_chunks"] >= 1 and rows[1]["total_chars"] == 8
+    # conservation: chunk lengths re-add to the document length
+    for doc_id, r in rows.items():
+        assert r["total_chars"] == 7 + doc_id  # len of doc
