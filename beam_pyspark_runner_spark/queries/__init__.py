@@ -27,65 +27,19 @@ from beam_pyspark_runner_spark.queries import partsupp  # noqa: E402,F401
 from beam_pyspark_runner_spark.queries import recursive  # noqa: E402,F401
 
 # The external driver's correctness gate checks the FIRST 50 registry
-# entries (dict iteration order). Round-5 rotation (per the round-4
-# verdict's #1 ask): 5 sentinels/anchors + 4 continuity picks from the
-# round-4 greens (one per big family: streaming/join/TPC-H/text) +
-# approx_distinct (newly oracle-able via deterministic error bounds —
-# its only driver row ever was a round-1 `no_oracle` red) + the 40
-# queries that have never had first-hand driver signal (all locally
-# oracle-verified at sf0.01 and sf0.1; see tests/oracle_check.py).
-# After this round every registered query except cosine_topk_vectorized
-# (rows-only by design, stays out per protocol) and any net-new round-5
-# queries (slotted into the next rotation) has first-hand driver signal.
-# ROUND-6 ROTATION QUEUE (net-new this round, all locally oracle-MATCH
-# at sf0.01 AND sf0.1): label_prop_weighted, skyline_pareto,
-# group_median_mad, inverted_index_postings, source_gini_diversity,
-# bitmap_intersect_exact, stream_windowed_topk, first_touch_attribution,
-# dead_letter_split, embedding_scalar_quantize, ntile_quartile_stats,
-# sql_pipe_syntax, token_lift_pairs, quantile_normalize,
-# dq_contract_check, incremental_agg_merge, pandas_cogroup_reconcile,
-# cuped_variance_reduction, golden_record_survivorship,
-# entry_path_analysis, modality_router, wow_growth, id_gap_islands,
-# user_feature_matrix, stream_dead_letter_route, incremental_dedup_delta,
-# python_datasource_sink, parquet_codec_roundtrip,
-# label_centroid_dispersion, dataset_card_report, approx_top_k_events,
-# hll_datasketch_union, listagg_ordered, rfm_segmentation,
-# benford_first_digit, revenue_concentration_8020,
-# incremental_daily_close, item_cf_recommend,
-# duplicate_payment_detection, feature_hashing_stats, keyword_in_context,
-# negative_sampling_pairs, table_diff_reconcile, column_profile,
-# ab_assignment_srm, asof_join_tolerance, stream_ab_metrics,
-# latency_percentiles, date_dimension_rollup, chi_square_independence,
-# source_precedence_dedup, gdpr_delete_cascade, minhash_estimate_vs_exact,
-# unicode_nfc_clean, record_linkage_score, keyset_pagination,
-# event_run_length_encode, growth_accounting, diversified_topk,
-# distribution_drift_chisq, join_fanout_audit, trending_terms_rankshift,
-# qq_deciles_compare, cohort_ltv_curve, revenue_waterfall,
-# temporal_group_split, smoothed_ctr, classifier_eval_f1,
-# user_survival_curve, retrieval_eval_mrr, changepoint_detector,
-# partition_skew_report, functional_dependency_check, sql_udf_scalar, approx_percentile_bounds, boilerplate_line_removal,
-# lm_fluency_score, doc_length_pow2_histogram, degree_distribution,
-# csv_permissive_recovery, content_defined_chunking, cohorted_funnel,
-# metric_driver_decomposition, abc_classification, containment_pairs,
-# wilson_lower_bound_ranking, seasonality_index, interarrival_burstiness,
-# cohens_kappa_agreement, poisson_bootstrap_ci, loo_target_encoding,
-# permutation_test_diff, mann_whitney_u, max_concurrent_intervals,
-# time_weighted_average, ppjoin_prefix_filter, merkle_bucket_diff,
-# vocab_coverage_curve, bfs_shortest_hops, sliding_distinct_bitmap,
-# ols_trend_per_group, stream_sliding_distinct, event_sequence_motifs,
-# fifo_inventory_allocation, winsorized_mean, clustering_coefficient,
-# interval_union_coverage, feature_correlation_matrix,
-# rolling_origin_backtest, dedup_scaling_curve, triplet_mining,
-# cas_dedup_savings, link_prediction_jaccard, watermark_lateness_advisor,
-# stream_cep_error_then_purchase, schema_evolution_merge,
-# decayed_trending_score, diff_in_diff, seasonal_adjusted_anomaly,
-# hybrid_search_rrf, percent_of_parent, expected_shortfall,
-# pardo_exception_dead_letter, mode_per_group, cumulative_distinct_curve,
-# weighted_median, gini_coefficient, asof_join_nearest — plus the
-# prior-session round-5 additions not in the current window (see git
-# log b155159..740484d).
-# Everything not listed keeps registration order after it;
-# tests/test_oracle_harness.py pins the invariants.
+# entries (dict iteration order). Round-6 rotation (per the round-5
+# verdict's #1 ask): the 5 sentinel family anchors + 45 of the 150
+# oracle-bearing queries that have never had first-hand driver signal,
+# leading with the highest-complexity round-5 work the verdict named
+# (ppjoin_prefix_filter, semantic_dedup, ivfpq_topk_search,
+# stream_cep_error_then_purchase, incremental_daily_close,
+# label_prop_weighted, the recursive-CTE/LATERAL trio,
+# hybrid_search_rrf, content_defined_chunking, sql_udf_scalar) and the
+# three queries whose ADVICE-r5 fixes this round should be driver-
+# validated (minhash_estimate_vs_exact, bitmap_intersect_exact,
+# pardo_exception_dead_letter). All 45 are locally oracle-MATCH at
+# sf0.01 AND sf0.1 (tests/oracle_check.py).
+# ROUND-7 ROTATION QUEUE: see the comment block right after this tuple.
 DRIVER_WINDOW: tuple[str, ...] = (
     # sentinels: continuity + single-representative family anchors
     # (metrics/UDTF/pandas-UDF each have one canonical query — pinned)
@@ -94,68 +48,104 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "metrics_counters",
     "udtf_token_positions",
     "pandas_udf_density_score",
-    # continuity picks (round-4 greens, one per major family)
-    "stream_tumbling_agg",
-    "asof_join",
-    "q9_product_profit",
-    "quality_filter",
-    # newly oracle-able (deterministic-bound oracle, round-5)
-    "approx_distinct",
-    # --- the 40 never-driver-checked queries ---
-    # joins
-    "cross_join_small_dims",
-    "null_safe_join",
-    # relational / window functions
-    "first_last_per_group",
-    "analytic_functions",
-    "above_group_avg",
-    "range_interval_frame",
-    # pipeline API
-    "pipeline_windowed_count",
-    # event analytics
-    "event_type_pivot",
-    "cohort_retention",
-    "top_sessions",
-    "session_window_batch",
-    "resample_fill_gaps",
-    # io
-    "xml_roundtrip",
-    # dedup
-    "dedup_exact_normalized",
-    "edit_distance_pairs",
-    "doc_fingerprint",
-    # similarity / clustering
-    "kmeans_lloyd_step",
-    # text / training-data ops
-    "text_stats",
-    "token_count_regex",
-    "lang_id_heuristic",
-    "lang_distribution",
-    "chunk_documents",
-    "train_val_split",
-    "source_quota_sample",
-    "repetition_filter",
-    "udtf_dynamic_split",
-    # streaming
-    "stream_sliding_agg",
-    "stream_dedup_ids",
-    "stream_dedup_within_watermark",
-    "stream_cdc_upsert",
-    # multimodal
-    "audio_feature_stub",
-    # sketches
-    "cms_build",
-    "bloom_build",
-    "hll_distinct_estimate",
-    "cms_heavy_hitters",
-    "exact_heavy_hitters",
-    "bitmap_distinct_exact",
-    # connectors
-    "python_datasource_scan",
-    # partsupp TPC-H
-    "q16_partsupp_supplier_counts",
-    "q20_partsupp_excess",
+    # --- verdict-named highest-complexity round-5 work ---
+    "ppjoin_prefix_filter",
+    "semantic_dedup",
+    "ivfpq_topk_search",
+    "stream_cep_error_then_purchase",
+    "incremental_daily_close",
+    "label_prop_weighted",
+    "recursive_cte_hierarchy",
+    "recursive_cte_reachability",
+    "lateral_recent_orders",
+    "hybrid_search_rrf",
+    "content_defined_chunking",
+    "sql_udf_scalar",
+    # --- ADVICE-r5 fixes to driver-validate ---
+    "minhash_estimate_vs_exact",
+    "bitmap_intersect_exact",
+    "pardo_exception_dead_letter",
+    # --- dedup ---
+    "incremental_dedup_delta",
+    "source_precedence_dedup",
+    "containment_pairs",
+    "dedup_scaling_curve",
+    # --- similarity / ANN ---
+    "pq_encode",
+    "pq_adc_topk",
+    "embedding_scalar_quantize",
+    "triplet_mining",
+    "retrieval_eval_mrr",
+    # --- graph ---
+    "triangle_count",
+    "degree_distribution",
+    "bfs_shortest_hops",
+    "clustering_coefficient",
+    # --- streaming ---
+    "stream_windowed_topk",
+    "stream_dead_letter_route",
+    "stream_ab_metrics",
+    # --- text / training-data ops ---
+    "boilerplate_line_removal",
+    "lm_fluency_score",
+    "vocab_coverage_curve",
+    "inverted_index_postings",
+    # --- io / connectors ---
+    "python_datasource_sink",
+    "parquet_codec_roundtrip",
+    "csv_permissive_recovery",
+    "schema_evolution_merge",
+    # --- relational stats / joins / window-fn / multimodal / tpch
+    # (family anchors so the window keeps spanning every operator
+    # family the harness pins) ---
+    "weighted_median",
+    "gini_coefficient",
+    "asof_join_nearest",
+    "modality_router",
+    "diversified_topk",
+    "decayed_trending_score",
 )
+
+# ROUND-7 ROTATION QUEUE — the remaining never-driver-checked queries
+# (cosine_topk_vectorized stays out: rows-only by design). Net-new
+# round-6 registrations are appended at the END of this list as they
+# land (the r5 discipline, continued):
+# price_quantity_corr, skyline_pareto, group_median_mad,
+# ntile_quartile_stats, sql_pipe_syntax, quantile_normalize,
+# dq_contract_check, incremental_agg_merge, listagg_ordered,
+# rfm_segmentation, benford_first_digit, revenue_concentration_8020,
+# duplicate_payment_detection, table_diff_reconcile, column_profile,
+# latency_percentiles, date_dimension_rollup, gdpr_delete_cascade,
+# keyset_pagination, qq_deciles_compare, cohort_ltv_curve,
+# revenue_waterfall, partition_skew_report, functional_dependency_check,
+# approx_percentile_bounds, metric_driver_decomposition, abc_classification,
+# loo_target_encoding, merkle_bucket_diff, ols_trend_per_group,
+# rolling_origin_backtest, percent_of_parent, mode_per_group,
+# pandas_cogroup_reconcile, item_cf_recommend,
+# negative_sampling_pairs, asof_join_tolerance, record_linkage_score,
+# join_fanout_audit, max_concurrent_intervals, interval_union_coverage,
+# pipeline_windowed_custom_combine, event_transition_matrix, value_outliers,
+# ewma_user_value, first_touch_attribution, dead_letter_split,
+# cuped_variance_reduction, golden_record_survivorship, entry_path_analysis,
+# wow_growth, id_gap_islands, user_feature_matrix, ab_assignment_srm,
+# chi_square_independence, event_run_length_encode, growth_accounting,
+# distribution_drift_chisq, temporal_group_split, smoothed_ctr,
+# user_survival_curve, changepoint_detector, cohorted_funnel,
+# wilson_lower_bound_ranking, seasonality_index, interarrival_burstiness,
+# poisson_bootstrap_ci, permutation_test_diff, mann_whitney_u,
+# time_weighted_average, event_sequence_motifs, winsorized_mean,
+# feature_correlation_matrix, watermark_lateness_advisor, diff_in_diff,
+# seasonal_adjusted_anomaly, expected_shortfall, cumulative_distinct_curve,
+# label_centroid_dispersion, bpe_pair_counts, bigram_lm_probs,
+# mixture_weights, vocab_id_encode, source_gini_diversity, token_lift_pairs,
+# dataset_card_report, feature_hashing_stats, keyword_in_context,
+# unicode_nfc_clean, trending_terms_rankshift, classifier_eval_f1,
+# doc_length_pow2_histogram, cohens_kappa_agreement,
+# stream_windowed_custom_combine, stream_append_mode_tumbling,
+# frame_hash_dedup, cas_dedup_savings, approx_top_k_events,
+# hll_datasketch_union, sliding_distinct_bitmap, python_stream_source_agg,
+# fifo_inventory_allocation, dup_ngram_spans, link_prediction_jaccard,
+# stream_sliding_distinct
 
 
 def _apply_driver_window() -> None:

