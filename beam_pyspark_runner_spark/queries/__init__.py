@@ -145,7 +145,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # frame_hash_dedup, cas_dedup_savings, approx_top_k_events,
 # hll_datasketch_union, sliding_distinct_bitmap, python_stream_source_agg,
 # fifo_inventory_allocation, dup_ngram_spans, link_prediction_jaccard,
-# stream_sliding_distinct
+# stream_sliding_distinct,
+# -- net-new round 6 --
+# ngram_novelty_rate, dsir_importance_weights, tokenizer_fertility,
+# simpson_diversity_per_source, zipf_slope_fit, bpe_merge_apply,
+# ks_statistic_drift, k_core_decomposition, ann_recall_at_k,
+# k_anonymity_audit, paired_modality_audit
 
 
 def _apply_driver_window() -> None:

@@ -2968,3 +2968,87 @@ def cumulative_distinct_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cum_users"),
     )
+
+
+@register(
+    "ks_statistic_drift",
+    oracle="""
+    WITH base AS (
+        SELECT value, event_type = 'purchase' AS grp
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    vals AS (
+        SELECT value,
+               COUNT(*) FILTER (WHERE grp) AS c1,
+               COUNT(*) FILTER (WHERE NOT grp) AS c0
+        FROM base GROUP BY value
+    ),
+    tot AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c0) AS BIGINT) AS n0
+        FROM vals
+    ),
+    cdf AS (
+        SELECT value,
+               CAST(SUM(c1) OVER (ORDER BY value) AS DOUBLE)
+                   / CAST(tot.n1 AS DOUBLE) AS f1,
+               CAST(SUM(c0) OVER (ORDER BY value) AS DOUBLE)
+                   / CAST(tot.n0 AS DOUBLE) AS f0
+        FROM vals, tot
+    ),
+    d AS (SELECT value, abs(f1 - f0) AS gap FROM cdf),
+    m AS (SELECT MAX(gap) AS ks FROM d)
+    SELECT tot.n1, tot.n0, m.ks,
+           (SELECT MIN(value) FROM d WHERE d.gap = m.ks) AS ks_at_value
+    FROM tot, m
+    """,
+    tags=("events", "kolmogorov_smirnov", "drift", "distribution_compare",
+          "nonparametric"),
+)
+def ks_statistic_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the purchase and
+    view value distributions: D = max over values of |F̂₁(v) − F̂₂(v)|,
+    with the value attaining it (min such value, for determinism).
+    Where chi-square drift (distribution_drift_chisq) needs binning and
+    a bin-sensitivity story, KS is binning-free — the standard monitor
+    for "did this feature's distribution move" in training-data QA.
+    Computed exactly on the DISTINCT-VALUE table: per-value group
+    counts, one running sum per side, one division each — so the sort
+    touches |distinct values| rows, never raw rows (the mann_whitney_u
+    discipline; at 100 TB the value table for a monitored feature is
+    millions of rows, and a t-digest sketch replaces this only when it
+    isn't). All arithmetic is integer sums + IEEE division: D and its
+    argmax value-hash exactly."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select("value", (F.col("event_type") == "purchase").alias("grp"))
+    vals = e.groupBy("value").agg(
+        F.count(F.when(F.col("grp"), 1)).alias("c1"),
+        F.count(F.when(~F.col("grp"), 1)).alias("c0"),
+    )
+    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, 0)
+    tot = vals.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c0").cast("long").alias("n0"),
+    )
+    cdf = vals.crossJoin(F.broadcast(tot)).select(
+        "value",
+        "n1",
+        "n0",
+        (
+            F.sum("c1").over(w).cast("double") / F.col("n1").cast("double")
+        ).alias("f1"),
+        (
+            F.sum("c0").over(w).cast("double") / F.col("n0").cast("double")
+        ).alias("f0"),
+    )
+    d = cdf.select(
+        "value", "n1", "n0", F.abs(F.col("f1") - F.col("f0")).alias("gap")
+    )
+    m = d.groupBy("n1", "n0").agg(F.max("gap").alias("ks"))
+    return (
+        d.join(F.broadcast(m), ["n1", "n0"])
+        .filter(F.col("gap") == F.col("ks"))
+        .groupBy("n1", "n0", "ks")
+        .agg(F.min("value").alias("ks_at_value"))
+        .select("n1", "n0", "ks", "ks_at_value")
+    )

@@ -708,3 +708,75 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("jaccard").desc(), "node_a", "node_b"
     ).limit(20)
+
+
+K_CORE = 4  # peel threshold; 3 unrolled rounds
+
+
+@register(
+    "k_core_decomposition",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    pairs AS (
+        SELECT u, v FROM (
+            SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        )
+        WHERE ('0x' || substr(md5(CAST(u AS VARCHAR) || '-' || CAST(v AS VARCHAR)), 1, 8))::BIGINT
+              % {EDGE_SAMPLE_MOD} = 0
+    ),
+    d1 AS (SELECT node, COUNT(*) AS d FROM (
+               SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+           ) GROUP BY node),
+    k1 AS (SELECT node FROM d1 WHERE d >= {K_CORE}),
+    p1 AS (SELECT u, v FROM pairs
+           WHERE u IN (SELECT node FROM k1) AND v IN (SELECT node FROM k1)),
+    d2 AS (SELECT node, COUNT(*) AS d FROM (
+               SELECT u AS node FROM p1 UNION ALL SELECT v FROM p1
+           ) GROUP BY node),
+    k2 AS (SELECT node FROM d2 WHERE d >= {K_CORE}),
+    p2 AS (SELECT u, v FROM p1
+           WHERE u IN (SELECT node FROM k2) AND v IN (SELECT node FROM k2)),
+    d3 AS (SELECT node, COUNT(*) AS d FROM (
+               SELECT u AS node FROM p2 UNION ALL SELECT v FROM p2
+           ) GROUP BY node),
+    k3 AS (SELECT node FROM d3 WHERE d >= {K_CORE}),
+    p3 AS (SELECT u, v FROM p2
+           WHERE u IN (SELECT node FROM k3) AND v IN (SELECT node FROM k3))
+    SELECT node AS supplier, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM (SELECT u AS node FROM p3 UNION ALL SELECT v FROM p3)
+    GROUP BY node
+    """,
+    tags=("graph", "k_core", "iterative", "peeling", "degree"),
+)
+def k_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{K_CORE}-core of the sampled supplier co-occurrence graph via
+    THREE unrolled peeling rounds: repeatedly drop nodes whose current
+    degree is below {K_CORE} and the edges they carry — the standard
+    coreness screen that separates a graph's cohesive backbone from
+    its tendrils (community seeding, influence pruning, fraud-ring
+    triage). Peeling is the textbook case of an algorithm whose WORK
+    SHRINKS each round: every iteration is one degree partial-agg over
+    the surviving edges plus two semi joins against the
+    node-cardinality survivor list — broadcast at any edge scale,
+    since survivors number |nodes|, not |edges|. Three rounds unrolled
+    keep the whole cascade one declarative Catalyst plan (the
+    pagerank_3iter discipline); unbounded peeling to a fixpoint would
+    reuse the dedup_components checkpoint loop. Emits surviving nodes
+    with their residual in-core degree (a capped peel may leave
+    sub-{K_CORE} residuals; the cap is part of the contract, exactly
+    mirrored by the oracle)."""
+    pairs = _sampled_supplier_pairs(spark, sf_dir)
+    for _ in range(3):
+        deg = _pair_degrees(pairs)
+        keep = deg.filter(F.col("d") >= K_CORE).select("node")
+        pairs = pairs.join(
+            F.broadcast(keep.withColumnRenamed("node", "u")), "u", "left_semi"
+        ).join(
+            F.broadcast(keep.withColumnRenamed("node", "v")), "v", "left_semi"
+        )
+    return _pair_degrees(pairs).select(
+        F.col("node").alias("supplier"),
+        F.col("d").cast("long").alias("core_degree"),
+    )

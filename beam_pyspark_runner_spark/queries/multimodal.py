@@ -512,3 +512,59 @@ def cas_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.col("n_copies") * F.col("bytes")).cast("double")
         ).alias("savings_ratio"),
     )
+
+
+EXPECTED_DIM = 64  # contract dimension for paired embeddings
+
+
+@register(
+    "paired_modality_audit",
+    oracle=f"""
+    WITH d AS (SELECT doc_id FROM documents),
+    e AS (SELECT vec_id, len(embedding) AS dim FROM embeddings),
+    j AS (
+        SELECT d.doc_id, e.vec_id, e.dim
+        FROM d FULL OUTER JOIN e ON d.doc_id = e.vec_id
+    )
+    SELECT CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL THEN 'paired'
+                WHEN vec_id IS NULL THEN 'doc_only'
+                ELSE 'vec_only' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(COUNT(*) FILTER (WHERE dim = {EXPECTED_DIM}) AS BIGINT)
+               AS n_dim_ok
+    FROM j GROUP BY 1
+    """,
+    tags=("multimodal", "referential_integrity", "audit", "pairing",
+          "training_data_qa"),
+)
+def paired_modality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality PAIRING audit: a contrastive (text, embedding)
+    training set is only as good as its alignment, so before any
+    CLIP-style run the pipeline must answer — how many documents have
+    no paired vector (doc_only), how many vectors are orphaned
+    (vec_only), and do the paired vectors honor the {EXPECTED_DIM}-dim
+    contract. Silent pairing drift (an upstream job dropping rows on
+    one side) is the classic cause of misaligned batches; this is the
+    gate that catches it. One full outer join on the pairing key +
+    one tiny categorical agg; at 100 TB both sides shuffle once on
+    the id — or zero times when both are bucketed on it (the
+    bucketed-join discipline), which is how a pairing audit should be
+    deployed against petabyte modality stores."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.size("embedding").alias("dim")
+    )
+    j = d.join(e, d["doc_id"] == e["vec_id"], "full_outer")
+    status = (
+        F.when(
+            F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull(), "paired"
+        )
+        .when(F.col("vec_id").isNull(), "doc_only")
+        .otherwise("vec_only")
+    )
+    return j.groupBy(status.alias("status")).agg(
+        F.count("*").cast("long").alias("n_records"),
+        F.count(F.when(F.col("dim") == EXPECTED_DIM, 1))
+        .cast("long")
+        .alias("n_dim_ok"),
+    )

@@ -3389,3 +3389,60 @@ def gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("n") + 1).cast("double") / nd
         ).alias("gini"),
     )
+
+
+K_ANONYMITY = 5  # privacy threshold for the k-anonymity audit
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment, FLOOR(c_acctbal / 1000) AS bal_band,
+               COUNT(*) AS grp
+        FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(grp) AS BIGINT) AS k_achieved,
+           CAST(COUNT(*) FILTER (WHERE grp < {K_ANONYMITY}) AS BIGINT)
+               AS n_risky_groups,
+           CAST(COALESCE(SUM(grp) FILTER (WHERE grp < {K_ANONYMITY}), 0)
+                AS BIGINT) AS n_rows_at_risk,
+           CAST(COALESCE(SUM(grp) FILTER (WHERE grp < {K_ANONYMITY}), 0)
+                AS DOUBLE) / CAST(SUM(grp) AS DOUBLE) AS at_risk_fraction
+    FROM g
+    """,
+    tags=("privacy", "k_anonymity", "audit", "quasi_identifier",
+          "training_data_qa"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ANONYMITY audit over the quasi-identifier triple (nation,
+    market segment, $1000 balance band): the k actually achieved (the
+    smallest QI group), how many groups fall below k={K_ANONYMITY},
+    and what fraction of rows they cover — the re-identification
+    exposure report a dataset needs BEFORE release or training-set
+    inclusion (Sweeney 2002: 87% of the US population is unique under
+    ZIP+birthdate+sex; quasi-identifiers leak even when direct PII is
+    scrubbed, which is why this runs alongside pii_redact, not instead
+    of it). The at-risk fraction is what generalization/suppression
+    passes then minimize. Shape: one partial-agg groupBy on the QI
+    tuple, then a constant-state summary — two shuffles of
+    group-cardinality rows at any data size, and the QI groupBy is
+    the same key the suppression rewrite itself needs, so the audit's
+    shuffle is reusable work."""
+    g = load_table(spark, sf_dir, "customer").groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+    ).agg(F.count("*").alias("grp"))
+    risky = F.when(F.col("grp") < K_ANONYMITY, F.col("grp"))
+    return g.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.min("grp").cast("long").alias("k_achieved"),
+        F.count(risky).cast("long").alias("n_risky_groups"),
+        F.coalesce(F.sum(risky), F.lit(0)).cast("long").alias("n_rows_at_risk"),
+        (
+            F.coalesce(F.sum(risky), F.lit(0)).cast("double")
+            / F.sum("grp").cast("double")
+        ).alias("at_risk_fraction"),
+    )

@@ -1325,3 +1325,87 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_score").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ann_recall_at_k composes the ALREADY-REGISTERED ivf oracle as a CTE so
+# the audited plan and the audit can never drift apart.
+from beam_pyspark_runner_spark.queries.registry import REGISTRY as _REG
+
+
+@register(
+    "ann_recall_at_k",
+    oracle=f"""
+    WITH ivf AS ({_REG['ivf_topk_search'].oracle}),
+    e AS (SELECT vec_id, {_EMB_DBL} AS emb FROM embeddings),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_cos_sql('q.emb', 'v.emb')} DESC,
+                                               v.vec_id) AS rnk
+            FROM e q JOIN e v ON v.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rnk <= {IVF_TOP_K}
+    )
+    SELECT x.query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(i.neighbor_id) AS DOUBLE) / {IVF_TOP_K}.0 AS recall_at_k
+    FROM exact x
+    LEFT JOIN ivf i ON i.query_id = x.query_id
+                   AND i.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id
+    """,
+    tags=("similarity", "ann", "recall", "evaluation", "adjudication"),
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{IVF_TOP_K} of the IVF index against EXACT brute-force
+    cosine top-{IVF_TOP_K}, per query — the estimator-adjudication
+    pattern (cms_estimate_vs_exact, minhash_estimate_vs_exact) applied
+    to ANN: the approximate index is certified against exhaustive
+    ground truth at tuning scale, then trusted at serving scale where
+    exhaustive search is unaffordable. This is the number an N_PROBE /
+    N_CENTROIDS tuning loop optimizes; shipping an ANN index without
+    it is shipping an unmeasured recall cliff. The IVF side IS
+    ivf_topk_search (the registered plan is invoked, and its
+    registered oracle is composed verbatim into this oracle's CTE, so
+    audit and audited plan cannot drift). The exact side is
+    brute-force over the {N_QUERIES}-query set only — broadcast
+    queries × one corpus stream, per-query top-k; corpus-quadratic
+    never happens."""
+    from pyspark.sql import Window as W
+
+    ivf = _REG["ivf_topk_search"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    exact = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_similarity(F.col("qemb"), F.col("emb")).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= IVF_TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    hit = ivf.withColumn("hit", F.lit(1))
+    return (
+        exact.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("long").alias("n_hits"),
+            (F.count("hit").cast("double") / float(IVF_TOP_K)).alias(
+                "recall_at_k"
+            ),
+        )
+    )

@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from beam_pyspark_runner_spark.functions.hashing import h32_sql
 from beam_pyspark_runner_spark.functions.numeric import davg_sql, davg
 from beam_pyspark_runner_spark.queries.registry import register
 from beam_pyspark_runner_spark.sources.readers import load_table
@@ -2172,4 +2173,489 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "coverage",
         F.col("covered").cast("double") / F.col("total").cast("double"),
+    )
+
+
+# --- corpus novelty (Rae et al. 2021 "Gopher" §A.4 novelty metric) ---------
+
+
+@register(
+    "ngram_novelty_rate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM toks
+    ),
+    first AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s),
+    novel AS (SELECT first_doc AS doc_id, COUNT(*) AS n_novel FROM first GROUP BY 1),
+    totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST(COALESCE(n.n_novel, 0) AS DOUBLE)
+               / CAST(t.n_grams AS DOUBLE) AS novelty_rate
+    FROM totals t LEFT JOIN novel n USING (doc_id)
+    """,
+    tags=("text", "ngram", "novelty", "dedup_adjacent", "corpus_quality"),
+)
+def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY rate (the Gopher/MassiveText metric,
+    Rae et al. 2021): the fraction of a document's distinct word
+    3-grams whose globally FIRST occurrence (min doc_id over the whole
+    corpus) is this document. Corpora with sagging novelty curves are
+    dominated by templated/duplicated text that exact and near dedup
+    both miss — this is the diagnostic that says whether more dedup
+    budget is warranted, and in arrival order it doubles as the
+    "how much of today's crawl is new" monitor.
+
+    Scale shape: the wordcount discipline — one gram-keyed shuffle to
+    find each gram's first doc (partial-agg min, so the explode never
+    shuffles raw fan-out), two doc-keyed counts, one doc-cardinality
+    join. No pairwise anything: cost is O(corpus grams) map-side at
+    100 TB. Shares the shingle lineage with the dedup family
+    (queries/dedup.py _shingle_df)."""
+    from beam_pyspark_runner_spark.queries.dedup import _shingle_df
+
+    sh = _shingle_df(spark, sf_dir)
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").alias("n_novel")
+    )
+    totals = sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return totals.join(novel, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        (
+            F.coalesce("n_novel", F.lit(0)).cast("double")
+            / F.col("n_grams").cast("double")
+        ).alias("novelty_rate"),
+    )
+
+
+# --- DSIR-style hashed-feature importance weights (Xie et al. 2023) --------
+DSIR_BUCKETS = 64
+_DSIR_SCALE = 1 << 20  # log2-quantization resolution for the ratio
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id, lang,
+               ({h32_sql('w')}) % {DSIR_BUCKETS} AS b
+        FROM tok
+    ),
+    dist AS (
+        SELECT b,
+               COUNT(*) AS n_raw,
+               COUNT(*) FILTER (WHERE lang = 'en') AS n_tgt
+        FROM bucketed GROUP BY b
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_raw) AS BIGINT) AS r, CAST(SUM(n_tgt) AS BIGINT) AS t
+        FROM dist
+    ),
+    q AS (
+        SELECT b,
+               CAST(length(bin(CAST(FLOOR(
+                   ((CAST(n_tgt AS DOUBLE) + 1) / (CAST(t AS DOUBLE) + {DSIR_BUCKETS}))
+                   / ((CAST(n_raw AS DOUBLE) + 1) / (CAST(r AS DOUBLE) + {DSIR_BUCKETS}))
+                   * {_DSIR_SCALE}.0) AS BIGINT))) AS BIGINT) - 21 AS qlog
+        FROM dist, tot
+    ),
+    per_doc AS (
+        SELECT doc_id, b, COUNT(*) AS c FROM bucketed GROUP BY doc_id, b
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.c) AS BIGINT) AS n_tokens,
+           CAST(SUM(d.c * q.qlog) AS BIGINT) AS importance_q
+    FROM per_doc d JOIN q USING (b)
+    GROUP BY d.doc_id
+    """,
+    tags=("text", "importance_sampling", "dsir", "hashed_features",
+          "data_selection"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by how much more likely its hashed-token features are
+    under a TARGET distribution (here the lang='en' slice standing in
+    for the curated target) than under the RAW corpus —
+    log w(doc) = Σ_features log(p_target[b] / p_raw[b]).
+    The log is computed as an INTEGER BIT LENGTH of the
+    2^20-scaled ratio (the doc_length_pow2_histogram idiom), i.e.
+    log2 quantized to ±1 — because IEEE ln() differs by ulps across
+    engines, while division, floor and bin() do not; resampling only
+    needs the relative ORDER of weights, which a monotone quantized
+    log preserves up to quantization ties. Output is therefore pure
+    integers and value-hashes exactly.
+
+    Scale shape: the feature distributions are {DSIR_BUCKETS} rows
+    built in ONE corpus pass (two conditional partial-agg counts);
+    per-doc scoring is one (doc, bucket) partial agg joined to the
+    broadcast 64-row quantized-ratio table. Nothing pairwise, nothing
+    Python; at 100 TB this is two wordcount-shaped passes."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("w"),
+    )
+    bucketed = tok.select(
+        "doc_id", "lang", F.pmod(h32(F.col("w")), F.lit(DSIR_BUCKETS)).alias("b")
+    )
+    dist = bucketed.groupBy("b").agg(
+        F.count("*").alias("n_raw"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("n_tgt"),
+    )
+    tot = dist.agg(
+        F.sum("n_raw").cast("long").alias("r"),
+        F.sum("n_tgt").cast("long").alias("t"),
+    )
+    ratio = (
+        (F.col("n_tgt").cast("double") + 1)
+        / (F.col("t").cast("double") + DSIR_BUCKETS)
+    ) / (
+        (F.col("n_raw").cast("double") + 1)
+        / (F.col("r").cast("double") + DSIR_BUCKETS)
+    )
+    q = dist.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.length(
+                F.bin(F.floor(ratio * float(_DSIR_SCALE)).cast("bigint"))
+            ).cast("long")
+            - 21
+        ).alias("qlog"),
+    )
+    per_doc = bucketed.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    return (
+        per_doc.join(F.broadcast(q), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("qlog")).cast("long").alias("importance_q"),
+        )
+    )
+
+
+@register(
+    "tokenizer_fertility",
+    oracle="""
+    WITH t AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS n_ws,
+               len(regexp_extract_all(text, '[a-z0-9]+')) AS n_sub,
+               length(replace(text, ' ', '')) AS n_text_chars
+        FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(n_ws) AS BIGINT) AS n_words,
+           CAST(SUM(n_sub) AS BIGINT) AS n_subtokens,
+           CAST(SUM(n_sub) AS DOUBLE) / CAST(SUM(n_ws) AS DOUBLE) AS fertility,
+           CAST(SUM(n_text_chars) AS DOUBLE) / CAST(SUM(n_sub) AS DOUBLE)
+               AS chars_per_subtoken
+    FROM t GROUP BY lang
+    """,
+    tags=("text", "tokenizer", "fertility", "per_language", "budgeting"),
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language: subword tokens emitted per
+    whitespace word (here the regex tokenizer standing in for BPE) and
+    characters consumed per subword token. Fertility is the standard
+    multilingual-tokenizer efficiency metric (cf. the XLM-R and BLOOM
+    tokenizer analyses): a language with fertility 2× pays twice the
+    sequence length — and twice the training compute — for the same
+    text, so per-language token budgets and sampling temperatures are
+    set from exactly this table. Narrow map + one tiny per-lang
+    aggregate; ratios are single IEEE divisions of exact integer sums
+    (hash-stable)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        F.size(F.split("text", " ")).alias("n_ws"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("n_sub"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias(
+            "n_text_chars"
+        ),
+    )
+    return t.groupBy("lang").agg(
+        F.sum("n_ws").cast("long").alias("n_words"),
+        F.sum("n_sub").cast("long").alias("n_subtokens"),
+        (F.sum("n_sub").cast("double") / F.sum("n_ws").cast("double")).alias(
+            "fertility"
+        ),
+        (
+            F.sum("n_text_chars").cast("double") / F.sum("n_sub").cast("double")
+        ).alias("chars_per_subtoken"),
+    )
+
+
+@register(
+    "simpson_diversity_per_source",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w
+        FROM documents
+    ),
+    wc AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY source, w),
+    agg AS (
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS DOUBLE) AS s2
+        FROM wc GROUP BY source
+    )
+    SELECT source, n_tokens, n_types,
+           s2 / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+               AS simpson,
+           (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) / s2
+               AS effective_vocab
+    FROM agg
+    """,
+    tags=("text", "diversity", "simpson_index", "per_source",
+          "corpus_quality"),
+)
+def simpson_diversity_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical DIVERSITY per source via the Simpson index Σp² and its
+    inverse (the "effective vocabulary size" — how many equally-likely
+    token types would produce the same repeat probability). Boilerplate
+    -heavy sources collapse to a tiny effective vocabulary long before
+    their raw type count shows it, so this is the per-source signal
+    mixture builders threshold on. Deliberately NOT Shannon entropy:
+    Σp² = Σc²/N² needs only integer sums and IEEE division (value-
+    hashes exactly), where ln() differs by ulps across engines —
+    and the two indices induce the same diversity ordering for the
+    screening use-case. c² is accumulated in DECIMAL (HUGEINT on the
+    oracle side): at 100 TB a source's top token count squared
+    overflows a bigint; the conversion to double is one correctly-
+    rounded step in both engines. Shape: wordcount shuffle on
+    (source, token), then a per-source partial agg — two passes, no
+    Python."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("w"),
+    )
+    wc = tok.groupBy("source", "w").agg(F.count("*").alias("c"))
+    c_dec = F.col("c").cast("decimal(19,0)")
+    agg = wc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(c_dec * c_dec).cast("double").alias("s2"),
+    )
+    n_d = F.col("n_tokens").cast("double")
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        (F.col("s2") / (n_d * n_d)).alias("simpson"),
+        ((n_d * n_d) / F.col("s2")).alias("effective_vocab"),
+    )
+
+
+@register(
+    "zipf_slope_fit",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w
+        FROM documents
+    ),
+    wc AS (SELECT lang, w, COUNT(*) AS c FROM tok GROUP BY lang, w),
+    ranked AS (
+        SELECT lang,
+               CAST(length(bin(ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY c DESC, w))) AS BIGINT) AS x,
+               CAST(length(bin(c)) AS BIGINT) AS y
+        FROM wc
+    ),
+    s AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_types,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM ranked GROUP BY lang
+    )
+    SELECT lang, n_types,
+           CASE WHEN n_types * sxx - sx * sx > 0
+                THEN CAST(n_types * sxy - sx * sy AS DOUBLE)
+                     / CAST(n_types * sxx - sx * sx AS DOUBLE)
+           END AS zipf_slope
+    FROM s
+    """,
+    tags=("text", "zipf", "rank_frequency", "ols", "per_language",
+          "corpus_quality"),
+)
+def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope per language: OLS of log2(freq) on
+    log2(rank) over the token frequency table. Natural text sits near
+    slope −1 (Zipf's law); machine-generated or template text bends the
+    curve, so the fitted slope is a corpus-naturalness check next to
+    lm_fluency_score. Both logs are INTEGER BIT LENGTHS
+    (len(bin(x)) = ⌊log2 x⌋+1 — the doc_length_pow2_histogram idiom):
+    the OLS sums are then exact integers and the slope is one division,
+    so the result value-hashes across engines where float log2 cannot.
+    Shape: wordcount shuffle on (lang, token); the rank window runs
+    per-language over the VOCABULARY table (≈1e5 rows at any corpus
+    size — counts carry the corpus weight), the same bounded-window
+    argument as bpe_pair_counts; then a per-lang 5-sum partial agg.
+    Degenerate vocabularies where every x is equal (denominator 0)
+    return NULL by contract."""
+    from pyspark.sql import Window as W
+
+    tok = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("w"),
+    )
+    wc = tok.groupBy("lang", "w").agg(F.count("*").alias("c"))
+    win = W.partitionBy("lang").orderBy(F.col("c").desc(), F.col("w"))
+    ranked = wc.select(
+        "lang",
+        F.length(F.bin(F.row_number().over(win))).cast("long").alias("x"),
+        F.length(F.bin(F.col("c"))).cast("long").alias("y"),
+    )
+    s = ranked.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n_types") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n_types") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "lang",
+        "n_types",
+        F.when(den > 0, num.cast("double") / den.cast("double")).alias(
+            "zipf_slope"
+        ),
+    )
+
+
+@register(
+    "bpe_merge_apply",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS w FROM documents
+    ),
+    wc AS (
+      SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS spaced,
+             COUNT(*) AS freq
+      FROM words WHERE length(w) >= 2 GROUP BY 1
+    ),
+    pairs1 AS (
+      SELECT t[i] || ' ' || t[i+1] AS pair, freq
+      FROM (SELECT string_split(spaced, ' ') AS t, freq FROM wc),
+           (SELECT 1) dummy, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+    ),
+    top1 AS (
+      SELECT pair FROM (SELECT pair, SUM(freq) AS total FROM pairs1 GROUP BY 1)
+      ORDER BY total DESC, pair LIMIT 1
+    ),
+    merged AS (
+      SELECT replace(wc.spaced, top1.pair, replace(top1.pair, ' ', '')) AS spaced,
+             wc.freq
+      FROM wc, top1
+    ),
+    pairs2 AS (
+      SELECT t[i] || '+' || t[i+1] AS pair, freq
+      FROM (SELECT string_split(spaced, ' ') AS t, freq FROM merged
+            WHERE len(string_split(spaced, ' ')) >= 2),
+           (SELECT 1) dummy, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+    )
+    SELECT pair, total, rnk FROM (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS total,
+             ROW_NUMBER() OVER (ORDER BY SUM(freq) DESC, pair) AS rnk
+      FROM pairs2 GROUP BY pair
+    ) WHERE rnk <= 10
+    """,
+    tags=("text", "tokenizer", "bpe", "iterative", "vocab"),
+)
+def bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND BPE training iteration (Sennrich et al. 2016):
+    bpe_pair_counts finds the best merge; this query APPLIES it — every
+    word (as a space-separated symbol sequence) has the winning
+    adjacent pair fused into one multi-character symbol, then adjacent
+    pairs are re-counted over the merged sequences and the next merge
+    candidates ranked. This is the loop body of tokenizer training
+    expressed relationally: the winning pair is a 1-row subquery
+    broadcast onto the vocabulary, the merge itself is a string
+    replace (left-to-right non-overlapping in both engines — exactly
+    BPE's greedy application order), and re-counting is the same
+    vocab-sized HOF expansion as iteration 1. Further iterations
+    would repeat only these vocab-sized stages; the corpus is touched
+    once, in the initial word count — the property that makes BPE
+    training tractable at 100 TB. Output pairs use '+' as the symbol
+    separator so multi-char symbols stay unambiguous."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), 0)
+        ).alias("w")
+    ).filter(F.length("w") >= 2)
+    wc = words.groupBy(
+        F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("spaced")
+    ).agg(F.count("*").alias("freq"))
+
+    def adjacent_pairs(df, sep):
+        return df.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(spaced, ' ')) - 1), "
+                    f"i -> concat(element_at(split(spaced, ' '), i), '{sep}', "
+                    "element_at(split(spaced, ' '), i + 1)))"
+                )
+            ).alias("pair"),
+        )
+
+    from pyspark.sql import Window as W
+
+    w1 = W.orderBy(F.col("total").desc(), F.col("pair"))
+    top1 = (
+        adjacent_pairs(wc, " ")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("total"))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(F.col("pair").alias("best_pair"))
+    )
+    merged = wc.crossJoin(F.broadcast(top1)).select(
+        F.replace(
+            F.col("spaced"),
+            F.col("best_pair"),
+            F.replace(F.col("best_pair"), F.lit(" "), F.lit("")),
+        ).alias("spaced"),
+        "freq",
+    ).filter(F.size(F.split("spaced", " ")) >= 2)
+    totals = adjacent_pairs(merged, "+").groupBy("pair").agg(
+        F.sum("freq").alias("total")
+    )
+    w2 = W.orderBy(F.col("total").desc(), F.col("pair"))
+    return (
+        totals.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "pair",
+            F.col("total").cast("long").alias("total"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
     )
