@@ -1160,3 +1160,48 @@ def test_label_prop_plan_shape(spark):
     }
     assert keys <= {"src", "dst", "node", "l_orderkey"}, keys
     assert "ReusedExchange" in plan, plan
+
+
+def test_dsir_and_novelty_stay_jvm_with_bounded_shuffles(spark):
+    """The two new corpus-wide text ops must be pure codegen (no Python
+    node) and shuffle only on their aggregation keys — the wordcount
+    discipline that makes them two-pass at 100 TB."""
+    import re
+
+    for name, allowed in (
+        ("dsir_importance_weights", {"b", "doc_id"}),
+        ("ngram_novelty_rate", {"s", "doc_id", "first_doc"}),
+    ):
+        plan = _executed_plan_of(spark, name)
+        assert "Python" not in plan, (name, plan[:500])
+        assert "CartesianProduct" not in plan, name
+        keys = {
+            k.split(",")[0].split("#")[0].strip()
+            for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        }
+        assert keys <= allowed, (name, keys)
+
+
+def test_ann_recall_exact_side_broadcasts_queries(spark):
+    """ann_recall_at_k: the brute-force certification side must broadcast
+    the query set over one corpus stream (BroadcastNestedLoopJoin), never
+    a corpus-quadratic CartesianProduct; the IVF side keeps its own
+    pinned shape."""
+    plan = _executed_plan_of(spark, "ann_recall_at_k")
+    assert "CartesianProduct" not in plan, plan[:800]
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Python" not in plan
+
+
+def test_k_core_rounds_are_checkpoint_pinned(spark):
+    """k_core_decomposition: each peel round materializes via
+    localCheckpoint, so the executed plan is LINEAR — a logical-RDD scan
+    plus one degree aggregate — instead of the exponential re-derivation
+    of the base self-join (which measured 27 s / 1.3 MB plan at sf0.1)."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+
+    df = REGISTRY["k_core_decomposition"].fn(spark, SF_CORRECT)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 20_000, f"plan blew up: {len(plan)} chars"
+    assert "Scan ExistingRDD" in plan, plan
