@@ -150,7 +150,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # ngram_novelty_rate, dsir_importance_weights, tokenizer_fertility,
 # simpson_diversity_per_source, zipf_slope_fit, bpe_merge_apply,
 # ks_statistic_drift, k_core_decomposition, ann_recall_at_k,
-# k_anonymity_audit, paired_modality_audit
+# k_anonymity_audit, paired_modality_audit,
+# substring_contamination_winnowed, source_overlap_matrix,
+# temperature_sampling_weights
 
 
 def _apply_driver_window() -> None:

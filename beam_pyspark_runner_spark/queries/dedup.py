@@ -1190,3 +1190,193 @@ def dedup_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionAll(leg)
     return out
+
+
+# Winnowing-style gated-window fingerprints (Schleimer et al. SIGMOD'03)
+WINNOW_WINDOW = 32  # character window width
+WINNOW_GATE = 16  # keep a window iff h32(window) % GATE == 0
+WINNOW_MAX_DF = 50  # boilerplate guard: drop fingerprints in > this many train docs
+
+
+@register(
+    "substring_contamination_winnowed",
+    oracle=f"""
+    WITH bench AS (
+        SELECT doc_id FROM documents
+        WHERE (('0x' || substr(md5('bench-' || doc_id), 1, 8))::BIGINT)
+              % {DECONTAM_BENCH_MOD} = 0
+    ),
+    fps AS (
+        SELECT doc_id, fp FROM (
+            SELECT DISTINCT doc_id,
+                   md5(substring(text, CAST(p AS INTEGER), {WINNOW_WINDOW})) AS fp
+            FROM (SELECT doc_id, text,
+                         unnest(range(1, length(text) - {WINNOW_WINDOW - 2})) AS p
+                  FROM documents
+                  WHERE length(text) >= {WINNOW_WINDOW})
+        )
+        WHERE (('0x' || substr(fp, 1, 8))::BIGINT) % {WINNOW_GATE} = 0
+    ),
+    bench_fp AS (
+        SELECT f.doc_id AS bench_doc, f.fp FROM fps f JOIN bench USING (doc_id)
+    ),
+    train_fp AS (
+        SELECT f.doc_id AS train_doc, f.fp FROM fps f
+        WHERE f.doc_id NOT IN (SELECT doc_id FROM bench)
+    ),
+    common AS (
+        SELECT fp FROM train_fp GROUP BY fp HAVING COUNT(*) <= {WINNOW_MAX_DF}
+    )
+    SELECT t.train_doc, b.bench_doc, CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+    FROM train_fp t
+    JOIN common USING (fp)
+    JOIN bench_fp b ON t.fp = b.fp
+    GROUP BY t.train_doc, b.bench_doc
+    """,
+    tags=("dedup", "decontamination", "winnowing", "substring",
+          "fingerprint"),
+)
+def substring_contamination_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING contamination via winnowed fingerprints
+    (Schleimer et al. 2003's MOSS scheme; the Lee et al. 2022 /
+    GPT-3-style complement to shingle-count decontamination): every
+    {WINNOW_WINDOW}-char window is hashed, but only windows whose hash
+    passes a content gate (h % {WINNOW_GATE} == 0) become fingerprints
+    — so a verbatim span shared between a training document and the
+    benchmark sample yields the SAME gated windows on both sides
+    regardless of alignment, at 1/{WINNOW_GATE} the fan-out of
+    exhaustive windows. Where benchmark_decontaminate counts shared
+    word shingles (robust to small edits), this catches long verbatim
+    copies shingles dilute — eval answer keys quoted inside crawl
+    pages. Same deterministic bench- hash sample, so the two passes
+    are directly comparable per pair. Fingerprints present in more
+    than {WINNOW_MAX_DF} training docs are dropped before the join
+    (boilerplate/license text — the same df-guard that bounds
+    ppjoin's candidate space): join fan-in is bounded by rare-
+    fingerprint df × benchmark size, and the corpus is scanned once.
+    """
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= WINNOW_WINDOW
+    )
+    fps = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - (WINNOW_WINDOW - 1))
+            ).alias("p"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.md5(F.expr(f"substring(text, p, {WINNOW_WINDOW})")).alias("fp"),
+        )
+        .distinct()
+        # gate on the fingerprint's OWN hex prefix (no second hash), the
+        # exact twin of the oracle's ('0x' || substr(fp,1,8))::BIGINT
+        .filter(
+            F.pmod(
+                F.conv(F.substring("fp", 1, 8), 16, 10).cast("long"),
+                F.lit(WINNOW_GATE),
+            )
+            == 0
+        )
+    )
+    is_bench = (
+        h32(F.concat_ws("-", F.lit("bench"), F.col("doc_id"))) % DECONTAM_BENCH_MOD
+        == 0
+    )
+    bench_ids = (
+        load_table(spark, sf_dir, "documents").select("doc_id").filter(is_bench)
+    )
+    bench_fp = fps.join(F.broadcast(bench_ids), "doc_id").select(
+        F.col("doc_id").alias("bench_doc"), "fp"
+    )
+    train_fp = fps.join(F.broadcast(bench_ids), "doc_id", "left_anti").select(
+        F.col("doc_id").alias("train_doc"), "fp"
+    )
+    common = (
+        train_fp.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= WINNOW_MAX_DF)
+        .select("fp")
+    )
+    return (
+        train_fp.join(common, "fp")
+        .join(bench_fp, "fp")
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.count("*").cast("long").alias("n_shared_fp"))
+    )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle="""
+    WITH fp AS (
+        SELECT DISTINCT source,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+        FROM documents
+    ),
+    tot AS (SELECT source, COUNT(*) AS n FROM fp GROUP BY source)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           CAST(ta.n AS BIGINT) AS n_a,
+           CAST(tb.n AS BIGINT) AS n_b
+    FROM fp a
+    JOIN fp b ON a.f = b.f AND a.source < b.source
+    JOIN tot ta ON ta.source = a.source
+    JOIN tot tb ON tb.source = b.source
+    GROUP BY a.source, b.source, ta.n, tb.n
+    """,
+    tags=("dedup", "cross_source", "leakage_matrix", "provenance"),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate LEAKAGE matrix: for every source pair, how
+    many normalized content fingerprints they share (plus each side's
+    distinct-fingerprint total). This is the provenance view dedup
+    reports need — "CommonCrawl dump N re-contains 40% of dump N-1" is
+    a per-pair number, and licensing/contractual audits ask exactly
+    this shape. Fingerprints reuse dedup_exact_normalized's
+    canonicalization, so the matrix is consistent with what the dedup
+    pass actually removes. Shape: one distinct on (source, fp), one
+    fp-keyed self-join whose fan-in per fingerprint is bounded by the
+    SOURCE count (≤ |sources|² pairs per fp, with |sources| in the
+    dozens), one pair agg — at 100 TB the join key is the 128-bit
+    hash, never text."""
+    fp = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.md5(
+                F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+            ).alias("f"),
+        )
+        .distinct()
+    )
+    tot = fp.groupBy("source").agg(F.count("*").alias("n"))
+    a = fp.alias("a")
+    b = fp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.f") == F.col("b.f"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a", "source_b", "n_shared",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+        )
+    )

@@ -2659,3 +2659,66 @@ def bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+@register(
+    "temperature_sampling_weights",
+    oracle="""
+    WITH per_lang AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    w AS (
+        SELECT lang, n_docs, n_tokens,
+               CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS isq
+        FROM per_lang
+    ),
+    tot AS (SELECT CAST(SUM(isq) AS BIGINT) AS s, CAST(SUM(n_tokens) AS BIGINT) AS nt
+            FROM w)
+    SELECT lang, n_docs, n_tokens,
+           CAST(isq AS DOUBLE) / CAST(tot.s AS DOUBLE) AS sample_weight,
+           (CAST(isq AS DOUBLE) / CAST(tot.s AS DOUBLE))
+               / (CAST(n_tokens AS DOUBLE) / CAST(tot.nt AS DOUBLE))
+               AS upsample_factor
+    FROM w, tot
+    """,
+    tags=("text", "mixture", "temperature_sampling", "per_language",
+          "data_selection"),
+)
+def temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language sampling weights (the multilingual-LM
+    mixture rule, mBERT/XLM-R/mT5 lineage): sampling probability
+    q_l ∝ p_l^α with α = 0.5, which upsamples low-resource languages
+    relative to their natural share without flattening the mixture.
+    α = 0.5 is computed as an INTEGER SQUARE ROOT — IEEE sqrt is
+    correctly rounded (identical in both engines), and flooring it to
+    a BIGINT makes the normalizing sum order-independent and exact,
+    where a sum of raw sqrt doubles would be partial-order-dependent
+    and hash-fragile; at corpus scale floor(√n_tokens) loses under
+    1/√n relative precision — noise next to the α choice itself.
+    Emits each language's weight and its upsample factor vs natural
+    share (the number that says "Swahili is seen 4× its raw rate").
+    One scan, one per-lang agg, one broadcast scalar — the mixture
+    table mixture_weights consumes upstream."""
+    per_lang = load_table(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    w = per_lang.withColumn(
+        "isq", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
+    )
+    tot = w.agg(
+        F.sum("isq").cast("long").alias("s"),
+        F.sum("n_tokens").cast("long").alias("nt"),
+    )
+    sw = F.col("isq").cast("double") / F.col("s").cast("double")
+    natural = F.col("n_tokens").cast("double") / F.col("nt").cast("double")
+    return w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        sw.alias("sample_weight"),
+        (sw / natural).alias("upsample_factor"),
+    )
