@@ -152,7 +152,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # ks_statistic_drift, k_core_decomposition, ann_recall_at_k,
 # k_anonymity_audit, paired_modality_audit,
 # substring_contamination_winnowed, source_overlap_matrix,
-# temperature_sampling_weights
+# temperature_sampling_weights, sql_scripting_threshold_walk,
+# grid_radius_join
 
 
 def _apply_driver_window() -> None:

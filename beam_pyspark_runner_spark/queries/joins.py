@@ -1085,3 +1085,106 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nearest_event_ts"),
         )
     )
+
+
+GRID_RADIUS_M = 5000  # radius and grid-cell size, integer meters
+_COORD_MOD = 1_000_000  # coordinates live in [0, 1000 km) as integer meters
+
+
+@register(
+    "grid_radius_join",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               (('0x' || substr(md5('gx-' || c_custkey), 1, 8))::BIGINT)
+                   % {_COORD_MOD} AS x,
+               (('0x' || substr(md5('gy-' || c_custkey), 1, 8))::BIGINT)
+                   % {_COORD_MOD} AS y
+        FROM customer
+    ),
+    cells AS (
+        SELECT id, x, y,
+               x // {GRID_RADIUS_M} AS cx, y // {GRID_RADIUS_M} AS cy
+        FROM pts
+    ),
+    expanded AS (
+        SELECT c.id, c.x, c.y, c.cx + dx.d AS cx, c.cy + dy.d AS cy
+        FROM cells c,
+             (VALUES (-1), (0), (1)) dx(d),
+             (VALUES (-1), (0), (1)) dy(d)
+    )
+    SELECT a.id AS cust_a, b.id AS cust_b,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist_sq_m
+    FROM expanded a
+    JOIN cells b ON a.cx = b.cx AND a.cy = b.cy AND a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= {GRID_RADIUS_M} * {GRID_RADIUS_M}
+    """,
+    tags=("join", "spatial", "grid_bucketing", "radius_join", "self_join"),
+)
+def grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial RADIUS self-join via grid bucketing: all point pairs
+    within {GRID_RADIUS_M} m of each other, where each point gets
+    deterministic planar integer-meter coordinates hashed from its key
+    (the fixture has no geo columns; the PLAN is the deliverable).
+    The pattern is the scalable form of "find nearby pairs": cell size
+    = radius, so any qualifying pair shares one of 9 neighboring
+    cells — the LEFT side explodes to its 3×3 cell neighborhood (9×,
+    constant), the RIGHT side stays at its home cell, the join is a
+    plain equi-join on cell id, and the exact distance filter runs
+    only within matched cells. Candidate fan-in is bounded by points-
+    per-cell² summed over cells — local density, never corpus² — the
+    same df-bounding argument as ppjoin's prefixes, in 2-D. A pair
+    matches exactly once (the right side's home cell is unique), so
+    no post-join dedup. All-integer squared distances: value-hashes
+    exactly, no trig, no floats (a geodesic variant swaps the metric;
+    the bucketing is unchanged)."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        F.pmod(
+            h32(F.concat_ws("-", F.lit("gx"), F.col("c_custkey"))),
+            F.lit(_COORD_MOD),
+        ).alias("x"),
+        F.pmod(
+            h32(F.concat_ws("-", F.lit("gy"), F.col("c_custkey"))),
+            F.lit(_COORD_MOD),
+        ).alias("y"),
+    )
+    cells = pts.select(
+        "id", "x", "y",
+        F.floor(F.col("x") / GRID_RADIUS_M).alias("cx"),
+        F.floor(F.col("y") / GRID_RADIUS_M).alias("cy"),
+    )
+    offsets = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    expanded = (
+        cells.select(
+            "id", "x", "y", "cx", "cy", F.explode(offsets).alias("dx")
+        )
+        .select(
+            "id", "x", "y", "dx", "cy", (F.col("cx") + F.col("dx")).alias("cx"),
+            F.explode(offsets).alias("dy"),
+        )
+        .select("id", "x", "y", "cx", (F.col("cy") + F.col("dy")).alias("cy"))
+    )
+    a = expanded.alias("a")
+    b = cells.alias("b")
+    dist_sq = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
+        F.col("a.y") - F.col("b.y")
+    ) * (F.col("a.y") - F.col("b.y"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cx") == F.col("b.cx"))
+            & (F.col("a.cy") == F.col("b.cy"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(dist_sq <= GRID_RADIUS_M * GRID_RADIUS_M)
+        .select(
+            F.col("a.id").alias("cust_a"),
+            F.col("b.id").alias("cust_b"),
+            dist_sq.alias("dist_sq_m"),
+        )
+    )

@@ -3446,3 +3446,65 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("grp").cast("double")
         ).alias("at_risk_fraction"),
     )
+
+
+@register(
+    "sql_scripting_threshold_walk",
+    oracle="""
+    WITH bands AS (
+        SELECT CAST(FLOOR(o_totalprice / 100) AS BIGINT) AS band,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM bands),
+    c AS (
+        SELECT band,
+               CAST(SUM(cents) OVER (ORDER BY band DESC) AS BIGINT) AS cum
+        FROM bands
+    )
+    SELECT band * 100 AS threshold, cum AS above_cents, tot.t AS total_cents,
+           CAST(cum AS DOUBLE) / CAST(tot.t AS DOUBLE) AS above_fraction
+    FROM c, tot WHERE cum * 5 >= tot.t ORDER BY band DESC LIMIT 1
+    """,
+    tags=("sql_scripting", "procedural", "spark4", "control_flow"),
+)
+def sql_scripting_threshold_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (BEGIN/DECLARE/FOR/IF/LEAVE — the
+    ISO/IEC 9075-4 procedural surface, new in Spark 4.0): find the
+    lowest $100 price threshold whose orders carry ≥ 20% of total
+    revenue by WALKING revenue bands top-down in a labeled FOR loop
+    with an early LEAVE. The scale discipline procedural SQL demands
+    is in the script's structure: the CORPUS is touched exactly once
+    (one banded aggregate into a temp view), and the loop iterates
+    over the band table — bounded by price range / 100, independent
+    of row count — so the procedural tail costs scalar work per band.
+    The oracle is the set-based twin (descending cumulative window +
+    first-hit filter), proving the script and the relational form
+    compute the same answer; revenue is integer cents throughout, so
+    the 20% test (cum·5 ≥ total) is exact in both engines."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "bprs_script_orders"
+    )
+    return spark.sql("""
+    BEGIN
+      DECLARE above BIGINT = 0;
+      DECLARE thr BIGINT = 0;
+      DECLARE tot BIGINT;
+      CREATE OR REPLACE TEMPORARY VIEW bprs_script_bands AS
+        SELECT CAST(FLOOR(o_totalprice / 100) AS BIGINT) AS band,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM bprs_script_orders GROUP BY 1;
+      SET tot = (SELECT SUM(cents) FROM bprs_script_bands);
+      walk: FOR r AS SELECT band, cents FROM bprs_script_bands
+                     ORDER BY band DESC DO
+        SET above = above + r.cents;
+        SET thr = r.band * 100;
+        IF above * 5 >= tot THEN
+          LEAVE walk;
+        END IF;
+      END FOR walk;
+      SELECT thr AS threshold, above AS above_cents, tot AS total_cents,
+             CAST(above AS DOUBLE) / CAST(tot AS DOUBLE) AS above_fraction;
+    END
+    """)
