@@ -1226,3 +1226,97 @@ def stream_cep_error_then_purchase(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return run_stream_to_df(result, output_mode="append")
+
+
+@register(
+    "stream_scd2_pointintime_enrich",
+    oracle=f"""
+    WITH dim AS (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rk
+        FROM orders
+    ),
+    versions AS (
+        SELECT o_custkey, o_orderkey, rk,
+               TIMESTAMP '2024-01-01' + (rk - 1) * INTERVAL 3 DAY AS valid_from,
+               CASE WHEN rk = MAX(rk) OVER (PARTITION BY o_custkey)
+                    THEN NULL
+                    ELSE TIMESTAMP '2024-01-01' + rk * INTERVAL 3 DAY
+               END AS valid_to
+        FROM dim
+    ),
+    joined AS (
+        SELECT v.rk,
+               CASE WHEN v.valid_to IS NULL THEN 'current' ELSE 'expired' END
+                   AS state,
+               e.value
+        FROM events e
+        JOIN versions v
+          ON v.o_custkey = e.user_id
+         AND e.ts >= v.valid_from
+         AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+    )
+    SELECT rk AS version_rank, state,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM joined GROUP BY rk, state
+    """,
+    tags=("streaming", "scd2", "point_in_time", "stream_static_join",
+          "enrichment"),
+)
+def stream_scd2_pointintime_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME-correct dimension enrichment of a stream: each
+    event joins the SCD-2 version of its customer that was valid AT
+    THE EVENT'S OWN event time — the feature-store correctness rule
+    (training-serving skew starts exactly where a pipeline joins
+    "current" attributes onto historical events). The dimension is the
+    scd2_history interval build; versions are re-anchored onto the
+    event stream's era (fixture order dates predate the events — 3-day
+    validity steps from 2024-01-01), which keeps the interval matching
+    real: January events hit ~10 distinct versions per customer, with
+    later events falling through to the open-ended current row.
+
+    Scale shape: the stream-static interval join is STATELESS (no
+    watermark state — the dim is a batch side, broadcast here; range-
+    partitioned on the entity key when it outgrows broadcast), so the
+    stream passes through micro-batch by micro-batch; the per-version
+    rollup is the only stateful operator. Every event matches exactly
+    one version (the intervals partition the timeline), pinned by the
+    batch oracle's equality."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    rk = F.row_number().over(w)
+    max_rk = F.max("rk").over(W.partitionBy("o_custkey"))
+    anchor = F.lit("2024-01-01").cast("timestamp")
+    dim = o.select("o_custkey", "o_orderkey", rk.alias("rk")).select(
+        "o_custkey",
+        "rk",
+        (anchor + F.expr("make_dt_interval(3 * (rk - 1))")).alias("valid_from"),
+        F.when(
+            F.col("rk") == max_rk, F.lit(None).cast("timestamp")
+        ).otherwise(anchor + F.expr("make_dt_interval(3 * rk)")).alias(
+            "valid_to"
+        ),
+    )
+    e = _events_stream(spark, sf_dir, max_files_per_trigger=2)
+    joined = e.join(
+        F.broadcast(dim),
+        (F.col("user_id") == F.col("o_custkey"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    ).select(
+        F.col("rk").alias("version_rank"),
+        F.when(F.col("valid_to").isNull(), "current")
+        .otherwise("expired")
+        .alias("state"),
+        "value",
+    )
+    agg = joined.withColumn(
+        "version_rank", F.col("version_rank").cast("long")
+    ).groupBy("version_rank", "state").agg(
+        F.count("*").alias("n_events"), dsum("value").alias("total_value")
+    )
+    return run_stream_to_df(agg, output_mode="complete")
