@@ -1188,3 +1188,100 @@ def grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist_sq.alias("dist_sq_m"),
         )
     )
+
+
+BITEMPORAL_AUDIT_TS = "2024-01-10"  # knowledge-time cutoff for the audit leg
+BITEMPORAL_LAG_DAYS = 1  # dim updates become KNOWN this long after validity
+
+
+@register(
+    "bitemporal_asof_join",
+    oracle=f"""
+    WITH dim AS (
+        SELECT o_custkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rk
+        FROM orders
+    ),
+    versions AS (
+        SELECT o_custkey, rk,
+               TIMESTAMP '2024-01-01' + (rk - 1) * INTERVAL 3 DAY AS valid_from,
+               TIMESTAMP '2024-01-01' + (rk - 1) * INTERVAL 3 DAY
+                   + INTERVAL {BITEMPORAL_LAG_DAYS} DAY AS recorded_at
+        FROM dim
+    ),
+    j AS (
+        SELECT e.event_id,
+               MAX(v.rk) AS rk_now,
+               MAX(CASE WHEN v.recorded_at <= TIMESTAMP '{BITEMPORAL_AUDIT_TS}'
+                        THEN v.rk END) AS rk_audit
+        FROM events e
+        LEFT JOIN versions v
+          ON v.o_custkey = e.user_id AND v.valid_from <= e.ts
+        GROUP BY e.event_id
+    )
+    SELECT rk_audit AS version_rank,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (
+               WHERE rk_now IS DISTINCT FROM rk_audit) AS BIGINT) AS n_stale
+    FROM j GROUP BY rk_audit
+    """,
+    tags=("join", "bitemporal", "asof", "point_in_time", "feature_store"),
+)
+def bitemporal_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL as-of enrichment: for every event, the dimension
+    version that was valid AT THE EVENT'S time (valid time) **as known
+    at a fixed audit timestamp** (knowledge time) — the two-axis query
+    that makes yesterday's feature values reproducible today. Versions
+    become KNOWN {BITEMPORAL_LAG_DAYS} day after they become valid
+    (late-arriving dimension updates — the realistic case), so the
+    audit leg lags the full-knowledge leg wherever an update hadn't
+    landed yet; ``n_stale`` counts exactly those events, the
+    training-serving-skew exposure a feature platform must report.
+    Both legs come from ONE join pass: qualifying versions per event,
+    then an unconditional MAX(rk) (current knowledge) next to a
+    knowledge-filtered conditional MAX (audit knowledge) in the same
+    aggregate — no second scan, no second shuffle. Join fan-in is
+    bounded by versions-per-entity; the event-keyed aggregate is the
+    only corpus-sized shuffle. NULL version_rank = events before any
+    known version (reported, not dropped)."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    )
+    anchor = F.lit("2024-01-01").cast("timestamp")
+    versions = o.select("o_custkey", rk.alias("rk")).select(
+        "o_custkey",
+        "rk",
+        (anchor + F.expr("make_dt_interval(3 * (rk - 1))")).alias("valid_from"),
+        (
+            anchor
+            + F.expr(f"make_dt_interval(3 * (rk - 1) + {BITEMPORAL_LAG_DAYS})")
+        ).alias("recorded_at"),
+    )
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    audit = F.lit(BITEMPORAL_AUDIT_TS).cast("timestamp")
+    j = (
+        e.join(
+            F.broadcast(versions),
+            (F.col("user_id") == F.col("o_custkey"))
+            & (F.col("valid_from") <= F.col("ts")),
+            "left",
+        )
+        .groupBy("event_id")
+        .agg(
+            F.max("rk").alias("rk_now"),
+            F.max(F.when(F.col("recorded_at") <= audit, F.col("rk"))).alias(
+                "rk_audit"
+            ),
+        )
+    )
+    stale = F.when(
+        ~F.col("rk_now").eqNullSafe(F.col("rk_audit")), 1
+    )
+    return j.groupBy(F.col("rk_audit").cast("long").alias("version_rank")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count(stale).cast("long").alias("n_stale"),
+    )
