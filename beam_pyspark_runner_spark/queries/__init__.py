@@ -153,7 +153,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # k_anonymity_audit, paired_modality_audit,
 # substring_contamination_winnowed, source_overlap_matrix,
 # temperature_sampling_weights, sql_scripting_threshold_walk,
-# grid_radius_join, stream_scd2_pointintime_enrich, bitemporal_asof_join
+# grid_radius_join, stream_scd2_pointintime_enrich, bitemporal_asof_join,
+# linear_classifier_inference
 
 
 def _apply_driver_window() -> None:

@@ -2722,3 +2722,92 @@ def temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         sw.alias("sample_weight"),
         (sw / natural).alias("upsample_factor"),
     )
+
+
+CLF_BUCKETS = 64  # hashed feature space for the linear classifier
+CLF_THRESHOLD_MILLI = 0  # keep docs with score > 0
+
+
+@register(
+    "linear_classifier_inference",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, ({h32_sql('w')}) % {CLF_BUCKETS} AS b, COUNT(*) AS c
+        FROM tok GROUP BY doc_id, b
+    ),
+    weights AS (
+        SELECT b,
+               (('0x' || substr(md5('w-' || b), 1, 8))::BIGINT) % 2001 - 1000
+                   AS w_milli
+        FROM (SELECT unnest(range(0, {CLF_BUCKETS})) AS b)
+    )
+    SELECT f.doc_id,
+           CAST(SUM(f.c) AS BIGINT) AS n_tokens,
+           CAST(SUM(f.c * w.w_milli) AS BIGINT) AS score_milli,
+           CAST(SUM(f.c * w.w_milli) AS DOUBLE)
+               / (1000.0 * CAST(SUM(f.c) AS DOUBLE)) AS mean_score,
+           SUM(f.c * w.w_milli) > {CLF_THRESHOLD_MILLI} AS keep
+    FROM feats f JOIN weights w USING (b)
+    GROUP BY f.doc_id
+    """,
+    tags=("text", "classifier_inference", "hashed_features", "quality_filter",
+          "model_scoring"),
+)
+def linear_classifier_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-classifier INFERENCE at corpus scale — the fastText/CCNet
+    quality-classifier serving shape: a trained model is just a weight
+    vector over hashed token features, so scoring a 100 TB corpus is
+    one wordcount-shaped pass with the {CLF_BUCKETS}-row weight table
+    BROADCAST into the per-(doc, bucket) aggregate. No model server,
+    no Python in the loop, no per-row UDF — model inference as a join.
+    Weights here are synthesized deterministically in integer
+    MILLI-units (hash of the bucket id), and the dot product is pure
+    integer arithmetic until one final division — so scores value-hash
+    exactly, the property a real deployment gets by fixed-point-
+    quantizing its classifier (standard for reproducible data
+    filtering). Emits per-doc token count, raw integer score, mean
+    per-token score, and the keep decision at threshold
+    {CLF_THRESHOLD_MILLI}. Feature extraction is shared verbatim with
+    dsir_importance_weights — one hashed-feature lineage serves both
+    selection and classification."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("w"),
+    )
+    feats = tok.groupBy(
+        "doc_id", F.pmod(h32(F.col("w")), F.lit(CLF_BUCKETS)).alias("b")
+    ).agg(F.count("*").alias("c"))
+    weights = spark.range(CLF_BUCKETS).select(
+        F.col("id").alias("b"),
+        (
+            F.pmod(
+                h32(F.concat_ws("-", F.lit("w"), F.col("id"))), F.lit(2001)
+            )
+            - 1000
+        ).alias("w_milli"),
+    )
+    return (
+        feats.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("w_milli")).cast("long").alias(
+                "score_milli"
+            ),
+            (
+                F.sum(F.col("c") * F.col("w_milli")).cast("double")
+                / (F.lit(1000.0) * F.sum("c").cast("double"))
+            ).alias("mean_score"),
+            (
+                F.sum(F.col("c") * F.col("w_milli")) > CLF_THRESHOLD_MILLI
+            ).alias("keep"),
+        )
+    )
