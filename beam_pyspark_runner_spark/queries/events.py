@@ -3052,3 +3052,193 @@ def ks_statistic_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("value").alias("ks_at_value"))
         .select("n1", "n0", "ks", "ks_at_value")
     )
+
+
+MARKOV_STEPS = 6  # bounded conversion horizon (transitions)
+_MARKOV_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _markov_iter_sql(prev: str, curr: str, absorbed: str) -> str:
+    """One Markov step: split the (variant, state) mass vector into the
+    purchase-absorbed slice and the next transient vector — the
+    pagerank _iter_sql recipe (decimal-exact sums) over variants."""
+    return f"""
+    {curr}_c AS (
+        SELECT v.variant, t.to_state,
+               CAST(SUM(CAST(t.p * v.r AS DECIMAL(38,10))) AS DOUBLE) AS r
+        FROM {prev} v
+        JOIN tv t ON t.variant = v.variant AND t.from_state = v.state
+        GROUP BY v.variant, t.to_state
+    ),
+    {absorbed} AS (
+        SELECT variant, r FROM {curr}_c WHERE to_state = 'purchase'
+    ),
+    {curr} AS (
+        SELECT variant, to_state AS state, r FROM {curr}_c
+        WHERE to_state <> 'purchase'
+    )"""
+
+
+def _markov_oracle() -> str:
+    steps = []
+    absorbs = []
+    for k in range(1, MARKOV_STEPS + 1):
+        steps.append(_markov_iter_sql(f"v{k - 1}", f"v{k}", f"a{k}"))
+        absorbs.append(f"SELECT variant, r FROM a{k}")
+    union = " UNION ALL ".join(absorbs)
+    chans = ", ".join(f"('{c}')" for c in _MARKOV_CHANNELS)
+    return f"""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               COALESCE(LAG(event_type) OVER w, 'start') AS from_state,
+               COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS purchases_before
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    pairs AS (
+        SELECT from_state, event_type AS to_state FROM ordered
+        WHERE purchases_before = 0
+    ),
+    t AS (
+        SELECT from_state, to_state,
+               CAST(COUNT(*) AS DOUBLE)
+                   / CAST(SUM(COUNT(*)) OVER (PARTITION BY from_state)
+                          AS DOUBLE) AS p
+        FROM pairs GROUP BY from_state, to_state
+    ),
+    variants AS (SELECT 'none' AS variant UNION ALL
+                 SELECT v FROM (VALUES {chans}) x(v)),
+    tv AS (
+        SELECT va.variant, t.from_state, t.to_state, t.p
+        FROM t, variants va
+        WHERE t.from_state <> va.variant
+    ),
+    v0 AS (SELECT variant, 'start' AS state, 1.0 AS r FROM variants),
+    {','.join(steps)},
+    conv AS (
+        SELECT variant,
+               CAST(SUM(CAST(r AS DECIMAL(38,10))) AS DOUBLE) AS p_conv
+        FROM ({union}) GROUP BY variant
+    ),
+    eff AS (
+        SELECT c.variant AS channel,
+               1.0 - c.p_conv / f.p_conv AS removal_effect
+        FROM conv c, (SELECT p_conv FROM conv WHERE variant = 'none') f
+        WHERE c.variant <> 'none'
+    )
+    SELECT channel, removal_effect,
+           removal_effect
+             / CAST((SELECT SUM(CAST(removal_effect AS DECIMAL(38,10)))
+                     FROM eff) AS DOUBLE) AS attribution_share
+    FROM eff
+    """
+
+
+@register(
+    "markov_removal_attribution",
+    oracle=_markov_oracle(),
+    tags=("events", "attribution", "markov", "iterative", "removal_effect"),
+)
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov REMOVAL-EFFECT attribution (Anderl et al. 2014) — the
+    principled successor to first/last-touch: build the first-order
+    journey chain (paths truncated at first purchase), then for each
+    channel ask how much conversion probability DISAPPEARS when that
+    channel absorbs its visitors (its outgoing transitions removed);
+    attribution share = each channel's removal effect over the total.
+    Conversion probability is the {MARKOV_STEPS}-step bounded-horizon
+    absorption into 'purchase', iterated with the pagerank recipe:
+    every per-step sum is decimal-exact, so the doubles hash across
+    engines. ALL FIVE chain variants (full + 4 removals) ride ONE
+    iteration lineage keyed by variant — the corpus is touched exactly
+    once (the transition-pair count, one shuffle); everything after is
+    |variants|×|states|-sized (≤ 25 rows) with broadcast joins, so at
+    100 TB the attribution costs one aggregate no matter how many
+    what-if variants run beside it."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    before = F.coalesce(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(
+            w.rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    pairs = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("to_state"),
+            F.lag("event_type", 1, "start").over(w).alias("from_state"),
+            before.alias("purchases_before"),
+        )
+        .filter(F.col("purchases_before") == 0)
+        .select("from_state", "to_state")
+    )
+    cnt = pairs.groupBy("from_state", "to_state").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("from_state").agg(F.sum("c").alias("tot"))
+    t = cnt.join(F.broadcast(tot), "from_state").select(
+        "from_state",
+        "to_state",
+        (F.col("c").cast("double") / F.col("tot").cast("double")).alias("p"),
+    )
+    variants = spark.createDataFrame(
+        [("none",)] + [(c,) for c in _MARKOV_CHANNELS], "variant string"
+    )
+    tv = t.crossJoin(F.broadcast(variants)).filter(
+        F.col("from_state") != F.col("variant")
+    )
+    acc = "decimal(38,10)"
+
+    def dsum_d(col):
+        return F.sum(col.cast(acc)).cast("double")
+
+    v = variants.select(
+        "variant", F.lit("start").alias("state"), F.lit(1.0).alias("r")
+    )
+    absorbed = []
+    for _ in range(MARKOV_STEPS):
+        contrib = v.alias("v").join(
+            F.broadcast(tv.alias("t")),
+            (F.col("v.variant") == F.col("t.variant"))
+            & (F.col("v.state") == F.col("t.from_state")),
+        ).select(
+            F.col("t.variant").alias("variant"),
+            F.col("t.to_state").alias("to_state"),
+            (F.col("t.p") * F.col("v.r")).alias("pr"),
+        )
+        stepped = contrib.groupBy("variant", "to_state").agg(
+            dsum_d(F.col("pr")).alias("r")
+        )
+        absorbed.append(
+            stepped.filter(F.col("to_state") == "purchase").select(
+                "variant", "r"
+            )
+        )
+        v = stepped.filter(F.col("to_state") != "purchase").select(
+            "variant", F.col("to_state").alias("state"), "r"
+        )
+    allabs = absorbed[0]
+    for a in absorbed[1:]:
+        allabs = allabs.unionAll(a)
+    conv = allabs.groupBy("variant").agg(dsum_d(F.col("r")).alias("p_conv"))
+    full = conv.filter(F.col("variant") == "none").select(
+        F.col("p_conv").alias("p_full")
+    )
+    eff = (
+        conv.filter(F.col("variant") != "none")
+        .crossJoin(F.broadcast(full))
+        .select(
+            F.col("variant").alias("channel"),
+            (F.lit(1.0) - F.col("p_conv") / F.col("p_full")).alias(
+                "removal_effect"
+            ),
+        )
+    )
+    tot_eff = eff.agg(dsum_d(F.col("removal_effect")).alias("s"))
+    return eff.crossJoin(F.broadcast(tot_eff)).select(
+        "channel",
+        "removal_effect",
+        (F.col("removal_effect") / F.col("s")).alias("attribution_share"),
+    )
