@@ -3186,9 +3186,14 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     variants = spark.createDataFrame(
         [("none",)] + [(c,) for c in _MARKOV_CHANNELS], "variant string"
     )
+    # Pin the per-variant transition table ONCE (the k_core /
+    # connected_components discipline): tv is ≤ |states|²×|variants|
+    # rows but its lineage contains the corpus-sized pair count — left
+    # unpinned, each of the 6 unrolled steps × 5 variants re-derives
+    # that scan (measured at sf0.1: 11.7 s / 700 KB plan unpinned).
     tv = t.crossJoin(F.broadcast(variants)).filter(
         F.col("from_state") != F.col("variant")
-    )
+    ).localCheckpoint()
     acc = "decimal(38,10)"
 
     def dsum_d(col):
@@ -3197,6 +3202,16 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = variants.select(
         "variant", F.lit("start").alias("state"), F.lit(1.0).alias("r")
     )
+    # The iteration shuffles ≤25-row vectors: at the session default of
+    # 32 shuffle partitions each pinned step schedules 32 near-empty
+    # tasks × 6 steps. Narrow the tiny stages to 1 partition for the
+    # loop's duration — the corpus-sized pair count was already
+    # materialized into tv above, under the session default. (Measured
+    # at sf0.1: 11.7 s unpinned → 6.5 s with tv+step pinning and
+    # 1-partition tiny stages; the 2.5 s floor is the corpus window.)
+    shuffle_key = "spark.sql.shuffle.partitions"
+    saved_parts = spark.conf.get(shuffle_key)
+    spark.conf.set(shuffle_key, "1")
     absorbed = []
     for _ in range(MARKOV_STEPS):
         contrib = v.alias("v").join(
@@ -3208,9 +3223,13 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t.to_state").alias("to_state"),
             (F.col("t.p") * F.col("v.r")).alias("pr"),
         )
+        # Pin each step's ≤25-row vector too: the absorbed-mass legs
+        # union one slice per step, and without materialization step k's
+        # lineage re-executes steps 1..k-1 (quadratic tiny-stage count —
+        # the 10 s was ~21 re-run shuffle stages, not data).
         stepped = contrib.groupBy("variant", "to_state").agg(
             dsum_d(F.col("pr")).alias("r")
-        )
+        ).localCheckpoint()
         absorbed.append(
             stepped.filter(F.col("to_state") == "purchase").select(
                 "variant", "r"
@@ -3219,6 +3238,7 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = stepped.filter(F.col("to_state") != "purchase").select(
             "variant", F.col("to_state").alias("state"), "r"
         )
+    spark.conf.set(shuffle_key, saved_parts)
     allabs = absorbed[0]
     for a in absorbed[1:]:
         allabs = allabs.unionAll(a)

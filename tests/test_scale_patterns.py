@@ -1205,3 +1205,44 @@ def test_k_core_rounds_are_checkpoint_pinned(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert len(plan) < 20_000, f"plan blew up: {len(plan)} chars"
     assert "Scan ExistingRDD" in plan, plan
+
+
+def test_round6_join_family_plan_shapes(spark):
+    """grid_radius_join / bitemporal_asof_join / linear_classifier_
+    inference: keyed or broadcast joins only — no cartesian, no Python,
+    and exchanges confined to their aggregation keys."""
+    import re
+
+    for name, allowed in (
+        ("grid_radius_join", {"cx", "cy", "id"}),
+        ("bitemporal_asof_join", {"event_id", "o_custkey", "_groupingexpression"}),
+        ("linear_classifier_inference", {"doc_id", "b"}),
+    ):
+        plan = _executed_plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "Python" not in plan, name
+        keys = {
+            k.split(",")[0].split("#")[0].strip()
+            for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        }
+        assert keys <= allowed, (name, keys)
+
+
+def test_markov_iteration_is_checkpoint_pinned(spark):
+    """markov_removal_attribution: the transition table and each step's
+    ≤25-row vector are localCheckpoint-pinned, so the final plan reads
+    materialized RDDs (linear, small) instead of re-deriving the corpus
+    pair count per step per variant (the 700 KB-plan failure mode)."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+
+    df = REGISTRY["markov_removal_attribution"].fn(spark, SF_CORRECT)
+    rows = {r["channel"]: r for r in df.collect()}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 60_000, f"plan blew up: {len(plan)} chars"
+    assert "Scan ExistingRDD" in plan
+    # attribution shares are a probability split over the 4 channels
+    assert set(rows) == {"click", "error", "signup", "view"}
+    total = sum(r["attribution_share"] for r in rows.values())
+    assert abs(total - 1.0) < 1e-9
+    # conf restored after the narrowed tiny stages
+    assert spark.conf.get("spark.sql.shuffle.partitions") != "1"
