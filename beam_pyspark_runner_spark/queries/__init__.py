@@ -154,7 +154,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # substring_contamination_winnowed, source_overlap_matrix,
 # temperature_sampling_weights, sql_scripting_threshold_walk,
 # grid_radius_join, stream_scd2_pointintime_enrich, bitemporal_asof_join,
-# linear_classifier_inference, markov_removal_attribution
+# linear_classifier_inference, markov_removal_attribution,
+# two_phase_global_quantiles
 
 
 def _apply_driver_window() -> None:

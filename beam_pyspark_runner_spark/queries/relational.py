@@ -3508,3 +3508,78 @@ def sql_scripting_threshold_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(above AS DOUBLE) / CAST(tot AS DOUBLE) AS above_fraction;
     END
     """)
+
+
+_TPQ_BUCKET = 10.0  # histogram bucket width for the two-phase quantile
+_TPQ_QS = ((50, 2), (95, 20))  # (percent, divisor): rank = ceil(pct*N/100)
+
+
+@register(
+    "two_phase_global_quantiles",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS n FROM lineitem),
+    targets AS (
+        SELECT 50 AS pct, CAST(CEIL(0.50 * n.n) AS BIGINT) AS rank FROM n
+        UNION ALL
+        SELECT 95, CAST(CEIL(0.95 * n.n) AS BIGINT) FROM n
+    ),
+    ranked AS (
+        SELECT l_extendedprice,
+               ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn
+        FROM lineitem
+    )
+    SELECT t.pct, t.rank, r.l_extendedprice AS value
+    FROM targets t JOIN ranked r ON r.rn = t.rank
+    """,
+    tags=("statistics", "quantile", "two_phase", "no_global_sort",
+          "exact"),
+)
+def two_phase_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global quantiles (p50/p95 as the r-th smallest value,
+    r = ⌈q·N⌉ — type-1, the unambiguous discrete definition) WITHOUT a
+    global sort: phase 1 is one histogram aggregate (bucket width
+    {_TPQ_BUCKET}); the cumulative walk over the bucket table (tiny —
+    value-range/width rows) locates each target rank's bucket and its
+    in-bucket offset; phase 2 sorts ONLY inside the target buckets and
+    row_numbers to the offset. This is how exact order statistics are
+    actually computed at 100 TB — a global ORDER BY funnels everything
+    through one task, approx_percentile gives up exactness, and the
+    two-phase plan costs two scans + a sort bounded by one bucket's
+    rows (recurse on the bucket if even that is too wide). The target
+    buckets arrive at phase 2 as a BROADCAST join on the bucket id —
+    no collect, no driver loop. The oracle is the brute-force ORDER BY
+    ... OFFSET definition, so a MATCH certifies both the rank
+    arithmetic and the bucket/offset bookkeeping."""
+    from pyspark.sql import Window as W
+
+    pr = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice",
+        F.floor(F.col("l_extendedprice") / _TPQ_BUCKET).alias("b"),
+    )
+    hist = pr.groupBy("b").agg(F.count("*").alias("c"))
+    wb = W.orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.select(
+        "b", "c", F.sum("c").over(wb).alias("cum"),
+        F.sum("c").over(W.orderBy(F.lit(1)).rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing)).alias("n"),
+    )
+    targets = None
+    for pct, _ in _TPQ_QS:
+        r = F.ceil(F.lit(pct / 100.0) * F.col("n")).cast("long")
+        t = (
+            cum.filter((F.col("cum") >= r) & (F.col("cum") - F.col("c") < r))
+            .select(
+                F.lit(pct).cast("int").alias("pct"),
+                r.alias("rank"),
+                F.col("b").alias("tb"),
+                (r - (F.col("cum") - F.col("c"))).alias("offset"),
+            )
+        )
+        targets = t if targets is None else targets.unionAll(t)
+    win = W.partitionBy("pct").orderBy("l_extendedprice")
+    return (
+        pr.join(F.broadcast(targets), pr["b"] == targets["tb"])
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == F.col("offset"))
+        .select("pct", "rank", F.col("l_extendedprice").alias("value"))
+    )
