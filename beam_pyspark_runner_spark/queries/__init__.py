@@ -155,7 +155,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # temperature_sampling_weights, sql_scripting_threshold_walk,
 # grid_radius_join, stream_scd2_pointintime_enrich, bitemporal_asof_join,
 # linear_classifier_inference, markov_removal_attribution,
-# two_phase_global_quantiles
+# two_phase_global_quantiles, incremental_minhash_upsert
 
 
 def _apply_driver_window() -> None:

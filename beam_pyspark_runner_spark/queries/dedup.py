@@ -1391,3 +1391,83 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_b").cast("long").alias("n_b"),
         )
     )
+
+
+DELTA_DOC_MOD = 10  # doc_id % MOD == 0 simulates the re-ingested delta
+
+
+def _sig_sql_over(docs_cte: str) -> str:
+    """Minhash signature SQL over an arbitrary (doc_id, text) CTE."""
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_SEEDS)
+    )
+    return f"""
+    toks2 AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM {docs_cte}
+        WHERE len(string_split(text, ' ')) >= {SHINGLE_K}
+    ),
+    sh2 AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - {SHINGLE_K - 2}),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM toks2
+    ),
+    hashes2 AS (SELECT doc_id, {h32_sql('s')} AS h FROM sh2),
+    sig2 AS (SELECT doc_id, {mins} FROM hashes2 GROUP BY doc_id)
+    """
+
+
+@register(
+    "incremental_minhash_upsert",
+    oracle=f"""
+    WITH current_docs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {DELTA_DOC_MOD} = 0
+                    THEN text || ' updated v2' ELSE text END AS text
+        FROM documents
+    ),
+    {_sig_sql_over('current_docs')}
+    SELECT doc_id, {', '.join(f'm{i}' for i in range(len(MINHASH_SEEDS)))}
+    FROM sig2
+    """,
+    tags=("dedup", "minhash", "incremental", "index_maintenance", "upsert"),
+)
+def incremental_minhash_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL maintenance of the MinHash signature index: when a
+    slice of documents is re-ingested with changed content (here every
+    {DELTA_DOC_MOD}th doc gains an ' updated v2' suffix), only the
+    DELTA's signatures are recomputed and UPSERTED into the standing
+    index (operators/merge.py merge_upsert, broadcast-delta plan) —
+    the daily reality of a 100 TB dedup index, where resignaturing the
+    full corpus per ingest is the cost you build the index to avoid.
+    The oracle is the FULL REBUILD over the post-update corpus, so a
+    MATCH proves maintenance ≡ rebuild — the invariant that lets the
+    LSH banding layer (minhash_lsh_candidates) consume the maintained
+    table without ever knowing deltas exist. Delta cost: signature
+    aggregation over delta shingles only (one partial-agg shuffle of
+    |delta| rows) plus the broadcast anti-join of the upsert."""
+    from beam_pyspark_runner_spark.operators.merge import merge_upsert
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def signatures(docs):
+        sh = (
+            docs.filter(F.size(F.split(F.col("text"), " ")) >= SHINGLE_K)
+            .select("doc_id", F.explode(_shingles(F.col("text"))).alias("s"))
+        )
+        h = h32(F.col("s"))
+        mins = [
+            F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"m{i}")
+            for i, (a, b) in enumerate(MINHASH_SEEDS)
+        ]
+        return sh.groupBy("doc_id").agg(*mins)
+
+    base_index = signatures(d)  # the standing index (pre-update corpus)
+    delta = d.filter(F.pmod(F.col("doc_id"), DELTA_DOC_MOD) == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" updated v2")).alias("text")
+    )
+    delta_sigs = signatures(delta)
+    return merge_upsert(
+        base_index, delta_sigs, ["doc_id"], broadcast_updates=True
+    )
