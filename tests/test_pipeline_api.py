@@ -718,3 +718,18 @@ def test_map_rows_exception_handling_wrong_arity_dead_letters(spark):
     assert len(err_rows) == 2
     assert all(r["error"].startswith("ValueError:") for r in err_rows)
     assert any("1 fields" in r["error"] for r in err_rows)
+
+
+def test_as_multimap_groups_duplicate_keys(spark):
+    """AsMultimap (Beam view the reference NotImplementedErrors on):
+    duplicate keys accumulate into lists; singleton keys get 1-lists."""
+    from beam_pyspark_runner_spark.operators.pipeline import Pipeline
+
+    p = Pipeline(spark)
+    src = p.create(
+        [("a", 1), ("b", 2), ("a", 3), ("c", 4)], schema="k string, v long"
+    )
+    mm = src.as_multimap()
+    assert {k: sorted(v) for k, v in mm.items()} == {
+        "a": [1, 3], "b": [2], "c": [4]
+    }
