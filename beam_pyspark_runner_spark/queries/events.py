@@ -3262,3 +3262,75 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "removal_effect",
         (F.col("removal_effect") / F.col("s")).alias("attribution_share"),
     )
+
+
+SLO_TARGET_MILLI = 800  # error-rate SLO: at most 800/1000 ... see docstring
+SLO_BAD_PER_MILLE = 220  # alert when daily error share exceeds 22.0%
+
+
+@register(
+    "slo_error_budget_burn",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS n_total,
+               COUNT(*) FILTER (WHERE event_type = 'error') AS n_error
+        FROM events GROUP BY 1
+    ),
+    rates AS (
+        SELECT day, CAST(n_total AS BIGINT) AS n_total,
+               CAST(n_error AS BIGINT) AS n_error,
+               CAST(n_error AS DOUBLE) / CAST(n_total AS DOUBLE) AS error_rate,
+               (CAST(n_error AS DOUBLE) / CAST(n_total AS DOUBLE))
+                   / ({SLO_BAD_PER_MILLE} / 1000.0) AS burn_rate,
+               n_error * 1000 > n_total * {SLO_BAD_PER_MILLE} AS alert
+        FROM daily
+    )
+    SELECT day, n_total, n_error, error_rate, burn_rate, alert,
+           CAST(SUM(n_error) OVER (ORDER BY day) AS BIGINT)
+               AS cum_errors,
+           CAST(SUM(n_error) OVER (ORDER BY day) AS DOUBLE)
+               / (CAST(SUM(n_total) OVER (ORDER BY day) AS DOUBLE)
+                  * ({SLO_BAD_PER_MILLE} / 1000.0)) AS budget_consumed
+    FROM rates
+    """,
+    tags=("events", "slo", "error_budget", "burn_rate", "reliability"),
+)
+def slo_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO ERROR-BUDGET accounting (the SRE burn-rate method): daily
+    error share against a {SLO_BAD_PER_MILLE}/1000 objective, the
+    burn-rate multiple (1.0 = exactly on budget; alerting policies
+    page at sustained multiples), a threshold alert computed in
+    INTEGER cross-multiplication (n_error·1000 > n_total·threshold —
+    no float boundary), and the running fraction of the period's
+    budget consumed. This is the reliability twin of the drift
+    monitors (ks_statistic_drift / distribution_drift_chisq): same
+    one-scan conditional aggregate, days-sized running windows, exact
+    integer counts with one division per ratio. At 100 TB of logs the
+    daily rollup is the only corpus-sized stage; everything after
+    operates on |days| rows."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_error"),
+    )
+    target = SLO_BAD_PER_MILLE / 1000.0
+    rate = F.col("n_error").cast("double") / F.col("n_total").cast("double")
+    wd = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("n_error").cast("long").alias("n_error"),
+        rate.alias("error_rate"),
+        (rate / target).alias("burn_rate"),
+        (F.col("n_error") * 1000 > F.col("n_total") * SLO_BAD_PER_MILLE).alias(
+            "alert"
+        ),
+        F.sum("n_error").over(wd).cast("long").alias("cum_errors"),
+        (
+            F.sum("n_error").over(wd).cast("double")
+            / (F.sum("n_total").over(wd).cast("double") * target)
+        ).alias("budget_consumed"),
+    )
