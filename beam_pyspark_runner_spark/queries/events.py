@@ -3213,32 +3213,38 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     saved_parts = spark.conf.get(shuffle_key)
     spark.conf.set(shuffle_key, "1")
     absorbed = []
-    for _ in range(MARKOV_STEPS):
-        contrib = v.alias("v").join(
-            F.broadcast(tv.alias("t")),
-            (F.col("v.variant") == F.col("t.variant"))
-            & (F.col("v.state") == F.col("t.from_state")),
-        ).select(
-            F.col("t.variant").alias("variant"),
-            F.col("t.to_state").alias("to_state"),
-            (F.col("t.p") * F.col("v.r")).alias("pr"),
-        )
-        # Pin each step's ≤25-row vector too: the absorbed-mass legs
-        # union one slice per step, and without materialization step k's
-        # lineage re-executes steps 1..k-1 (quadratic tiny-stage count —
-        # the 10 s was ~21 re-run shuffle stages, not data).
-        stepped = contrib.groupBy("variant", "to_state").agg(
-            dsum_d(F.col("pr")).alias("r")
-        ).localCheckpoint()
-        absorbed.append(
-            stepped.filter(F.col("to_state") == "purchase").select(
-                "variant", "r"
+    # localCheckpoint is eager, so a mid-loop job failure would
+    # otherwise leave the SHARED session at 1 shuffle partition —
+    # always restore.
+    try:
+        for _ in range(MARKOV_STEPS):
+            contrib = v.alias("v").join(
+                F.broadcast(tv.alias("t")),
+                (F.col("v.variant") == F.col("t.variant"))
+                & (F.col("v.state") == F.col("t.from_state")),
+            ).select(
+                F.col("t.variant").alias("variant"),
+                F.col("t.to_state").alias("to_state"),
+                (F.col("t.p") * F.col("v.r")).alias("pr"),
             )
-        )
-        v = stepped.filter(F.col("to_state") != "purchase").select(
-            "variant", F.col("to_state").alias("state"), "r"
-        )
-    spark.conf.set(shuffle_key, saved_parts)
+            # Pin each step's ≤25-row vector too: the absorbed-mass
+            # legs union one slice per step, and without
+            # materialization step k's lineage re-executes steps
+            # 1..k-1 (quadratic tiny-stage count — the 10 s was ~21
+            # re-run shuffle stages, not data).
+            stepped = contrib.groupBy("variant", "to_state").agg(
+                dsum_d(F.col("pr")).alias("r")
+            ).localCheckpoint()
+            absorbed.append(
+                stepped.filter(F.col("to_state") == "purchase").select(
+                    "variant", "r"
+                )
+            )
+            v = stepped.filter(F.col("to_state") != "purchase").select(
+                "variant", F.col("to_state").alias("state"), "r"
+            )
+    finally:
+        spark.conf.set(shuffle_key, saved_parts)
     allabs = absorbed[0]
     for a in absorbed[1:]:
         allabs = allabs.unionAll(a)

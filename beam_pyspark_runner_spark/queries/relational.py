@@ -3482,11 +3482,12 @@ def sql_scripting_threshold_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-hit filter), proving the script and the relational form
     compute the same answer; revenue is integer cents throughout, so
     the 20% test (cum·5 ≥ total) is exact in both engines."""
+    saved_scripting = spark.conf.get("spark.sql.scripting.enabled", None)
     spark.conf.set("spark.sql.scripting.enabled", "true")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(
         "bprs_script_orders"
     )
-    return spark.sql("""
+    script = """
     BEGIN
       DECLARE above BIGINT = 0;
       DECLARE thr BIGINT = 0;
@@ -3507,7 +3508,21 @@ def sql_scripting_threshold_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT thr AS threshold, above AS above_cents, tot AS total_cents,
              CAST(above AS DOUBLE) / CAST(tot AS DOUBLE) AS above_fraction;
     END
-    """)
+    """
+    # The script runs eagerly inside spark.sql(); localCheckpoint pins
+    # its 1-row result so the temp views and the scripting conf — both
+    # SHARED-session state — can be restored before returning (leaving
+    # either mutated is a side effect no other registered query makes).
+    try:
+        out = spark.sql(script).localCheckpoint()
+    finally:
+        if saved_scripting is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", saved_scripting)
+        for view in ("bprs_script_orders", "bprs_script_bands"):
+            spark.catalog.dropTempView(view)
+    return out
 
 
 _TPQ_BUCKET = 10.0  # histogram bucket width for the two-phase quantile

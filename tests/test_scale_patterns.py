@@ -1246,3 +1246,55 @@ def test_markov_iteration_is_checkpoint_pinned(spark):
     assert abs(total - 1.0) < 1e-9
     # conf restored after the narrowed tiny stages
     assert spark.conf.get("spark.sql.shuffle.partitions") != "1"
+
+
+def test_markov_conf_restored_on_midloop_failure(spark, monkeypatch):
+    """ADVICE-r6: markov_removal_attribution narrows
+    spark.sql.shuffle.partitions to 1 for its tiny iteration stages;
+    localCheckpoint is EAGER, so a mid-loop job failure used to leave
+    the shared session serialized at 1 partition. Inject a failure on
+    the first IN-LOOP localCheckpoint (the transition-table pin runs
+    before the conf is narrowed) and assert the finally restores the
+    session default."""
+    # patch the CONCRETE class: in PySpark 4 pyspark.sql.DataFrame is
+    # the abstract base; classic sessions instantiate the subclass.
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from beam_pyspark_runner_spark.queries import REGISTRY
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    assert before != "1"
+    real_lcp = DataFrame.localCheckpoint
+    calls = {"n": 0}
+
+    def exploding_lcp(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 2:  # call 1 = tv pin (pre-narrowing)
+            raise RuntimeError("injected mid-loop failure")
+        return real_lcp(self, *a, **kw)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", exploding_lcp)
+    with pytest.raises(RuntimeError, match="injected"):
+        REGISTRY["markov_removal_attribution"].fn(spark, SF_CORRECT)
+    monkeypatch.undo()
+    assert calls["n"] >= 2, "injection never reached the loop"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_sql_scripting_restores_session_state(spark):
+    """ADVICE-r6: sql_scripting_threshold_walk must not leak
+    spark.sql.scripting.enabled or its bprs_script_* temp views into
+    the shared session (state no other registered query mutates). The
+    returned DataFrame is localCheckpoint-pinned so it stays collectable
+    after the views are dropped."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+
+    saved = spark.conf.get("spark.sql.scripting.enabled", None)
+    df = REGISTRY["sql_scripting_threshold_walk"].fn(spark, SF_CORRECT)
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["above_fraction"] >= 0.2
+    assert spark.conf.get("spark.sql.scripting.enabled", None) == saved
+    existing = {t.name for t in spark.catalog.listTables()}
+    assert "bprs_script_orders" not in existing
+    assert "bprs_script_bands" not in existing
