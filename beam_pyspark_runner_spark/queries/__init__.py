@@ -27,19 +27,18 @@ from beam_pyspark_runner_spark.queries import partsupp  # noqa: E402,F401
 from beam_pyspark_runner_spark.queries import recursive  # noqa: E402,F401
 
 # The external driver's correctness gate checks the FIRST 50 registry
-# entries (dict iteration order). Round-6 rotation (per the round-5
-# verdict's #1 ask): the 5 sentinel family anchors + 45 of the 150
-# oracle-bearing queries that have never had first-hand driver signal,
-# leading with the highest-complexity round-5 work the verdict named
-# (ppjoin_prefix_filter, semantic_dedup, ivfpq_topk_search,
-# stream_cep_error_then_purchase, incremental_daily_close,
-# label_prop_weighted, the recursive-CTE/LATERAL trio,
-# hybrid_search_rrf, content_defined_chunking, sql_udf_scalar) and the
-# three queries whose ADVICE-r5 fixes this round should be driver-
-# validated (minhash_estimate_vs_exact, bitmap_intersect_exact,
-# pardo_exception_dead_letter). All 45 are locally oracle-MATCH at
-# sf0.01 AND sf0.1 (tests/oracle_check.py).
-# ROUND-7 ROTATION QUEUE: see the comment block right after this tuple.
+# entries (dict iteration order). Round-7 rotation (per the round-6
+# verdict's #1 ask): the 5 sentinel family anchors + all 22 net-new
+# round-6 registrations (none has driver signal yet — the verdict's
+# independent oracle run covered them 22/22 MATCH) + the head of the
+# never-driver-checked backlog. Per verdict #7, the three session-
+# state-mutating queries whose ADVICE-r6 try/finally fixes land this
+# round (markov_removal_attribution, sql_scripting_threshold_walk,
+# stream_scd2_pointintime_enrich) sit ADJACENT at the top of the
+# rotation so a leak from any one would poison its neighbor and show
+# up as a driver mismatch. All 45 are locally oracle-MATCH at sf0.01
+# AND sf0.1 (tests/oracle_check.py).
+# ROUND-8 ROTATION QUEUE: see the comment block right after this tuple.
 DRIVER_WINDOW: tuple[str, ...] = (
     # sentinels: continuity + single-representative family anchors
     # (metrics/UDTF/pandas-UDF each have one canonical query — pinned)
@@ -48,83 +47,75 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "metrics_counters",
     "udtf_token_positions",
     "pandas_udf_density_score",
-    # --- verdict-named highest-complexity round-5 work ---
-    "ppjoin_prefix_filter",
-    "semantic_dedup",
-    "ivfpq_topk_search",
-    "stream_cep_error_then_purchase",
-    "incremental_daily_close",
-    "label_prop_weighted",
-    "recursive_cte_hierarchy",
-    "recursive_cte_reachability",
-    "lateral_recent_orders",
-    "hybrid_search_rrf",
-    "content_defined_chunking",
-    "sql_udf_scalar",
-    # --- ADVICE-r5 fixes to driver-validate ---
-    "minhash_estimate_vs_exact",
-    "bitmap_intersect_exact",
-    "pardo_exception_dead_letter",
-    # --- dedup ---
-    "incremental_dedup_delta",
-    "source_precedence_dedup",
-    "containment_pairs",
-    "dedup_scaling_curve",
-    # --- similarity / ANN ---
-    "pq_encode",
-    "pq_adc_topk",
-    "embedding_scalar_quantize",
-    "triplet_mining",
-    "retrieval_eval_mrr",
-    # --- graph ---
-    "triangle_count",
-    "degree_distribution",
-    "bfs_shortest_hops",
-    "clustering_coefficient",
-    # --- streaming ---
-    "stream_windowed_topk",
-    "stream_dead_letter_route",
-    "stream_ab_metrics",
-    # --- text / training-data ops ---
-    "boilerplate_line_removal",
-    "lm_fluency_score",
-    "vocab_coverage_curve",
-    "inverted_index_postings",
-    # --- io / connectors ---
-    "python_datasource_sink",
-    "parquet_codec_roundtrip",
-    "csv_permissive_recovery",
-    "schema_evolution_merge",
-    # --- relational stats / joins / window-fn / multimodal / tpch
-    # (family anchors so the window keeps spanning every operator
-    # family the harness pins) ---
-    "weighted_median",
-    "gini_coefficient",
-    "asof_join_nearest",
-    "modality_router",
-    "diversified_topk",
-    "decayed_trending_score",
+    # --- ADVICE-r6 session-state fixes, deliberately adjacent ---
+    "markov_removal_attribution",
+    "sql_scripting_threshold_walk",
+    "stream_scd2_pointintime_enrich",
+    # --- remaining round-6 additions (verdict-named first) ---
+    "two_phase_global_quantiles",
+    "grid_radius_join",
+    "bitemporal_asof_join",
+    "incremental_minhash_upsert",
+    "substring_contamination_winnowed",
+    "source_overlap_matrix",
+    "k_core_decomposition",
+    "ann_recall_at_k",
+    "linear_classifier_inference",
+    "ngram_novelty_rate",
+    "dsir_importance_weights",
+    "tokenizer_fertility",
+    "simpson_diversity_per_source",
+    "zipf_slope_fit",
+    "bpe_merge_apply",
+    "temperature_sampling_weights",
+    "ks_statistic_drift",
+    "k_anonymity_audit",
+    "paired_modality_audit",
+    # --- backlog head (never driver-checked, registration order) ---
+    "price_quantity_corr",
+    "skyline_pareto",
+    "group_median_mad",
+    "ntile_quartile_stats",
+    "sql_pipe_syntax",
+    "quantile_normalize",
+    "dq_contract_check",
+    "incremental_agg_merge",
+    "listagg_ordered",
+    "rfm_segmentation",
+    "benford_first_digit",
+    "revenue_concentration_8020",
+    "duplicate_payment_detection",
+    "table_diff_reconcile",
+    "column_profile",
+    "latency_percentiles",
+    "date_dimension_rollup",
+    "gdpr_delete_cascade",
+    "keyset_pagination",
+    # --- family anchors keeping the window spanning every operator
+    # family the harness pins (sketch / event_time from the backlog;
+    # array_fns / tpch have no never-checked members left, so
+    # already-green anchors hold those slots — q18_large_orders also
+    # re-measures the r6 bench-regressed query with fresh signal) ---
+    "hll_datasketch_union",
+    "event_transition_matrix",
+    "array_functions",
+    "q18_large_orders",
 )
 
-# ROUND-7 ROTATION QUEUE — the remaining never-driver-checked queries
+# ROUND-8 ROTATION QUEUE — the remaining never-driver-checked queries
 # (cosine_topk_vectorized stays out: rows-only by design). Net-new
-# round-6 registrations are appended at the END of this list as they
+# round-7 registrations are appended at the END of this list as they
 # land (the r5 discipline, continued):
-# price_quantity_corr, skyline_pareto, group_median_mad,
-# ntile_quartile_stats, sql_pipe_syntax, quantile_normalize,
-# dq_contract_check, incremental_agg_merge, listagg_ordered,
-# rfm_segmentation, benford_first_digit, revenue_concentration_8020,
-# duplicate_payment_detection, table_diff_reconcile, column_profile,
-# latency_percentiles, date_dimension_rollup, gdpr_delete_cascade,
-# keyset_pagination, qq_deciles_compare, cohort_ltv_curve,
-# revenue_waterfall, partition_skew_report, functional_dependency_check,
+# qq_deciles_compare, cohort_ltv_curve, revenue_waterfall,
+# partition_skew_report,
+# functional_dependency_check,
 # approx_percentile_bounds, metric_driver_decomposition, abc_classification,
 # loo_target_encoding, merkle_bucket_diff, ols_trend_per_group,
 # rolling_origin_backtest, percent_of_parent, mode_per_group,
 # pandas_cogroup_reconcile, item_cf_recommend,
 # negative_sampling_pairs, asof_join_tolerance, record_linkage_score,
 # join_fanout_audit, max_concurrent_intervals, interval_union_coverage,
-# pipeline_windowed_custom_combine, event_transition_matrix, value_outliers,
+# pipeline_windowed_custom_combine, value_outliers,
 # ewma_user_value, first_touch_attribution, dead_letter_split,
 # cuped_variance_reduction, golden_record_survivorship, entry_path_analysis,
 # wow_growth, id_gap_islands, user_feature_matrix, ab_assignment_srm,
@@ -143,19 +134,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # doc_length_pow2_histogram, cohens_kappa_agreement,
 # stream_windowed_custom_combine, stream_append_mode_tumbling,
 # frame_hash_dedup, cas_dedup_savings, approx_top_k_events,
-# hll_datasketch_union, sliding_distinct_bitmap, python_stream_source_agg,
+# sliding_distinct_bitmap, python_stream_source_agg,
 # fifo_inventory_allocation, dup_ngram_spans, link_prediction_jaccard,
-# stream_sliding_distinct,
-# -- net-new round 6 --
-# ngram_novelty_rate, dsir_importance_weights, tokenizer_fertility,
-# simpson_diversity_per_source, zipf_slope_fit, bpe_merge_apply,
-# ks_statistic_drift, k_core_decomposition, ann_recall_at_k,
-# k_anonymity_audit, paired_modality_audit,
-# substring_contamination_winnowed, source_overlap_matrix,
-# temperature_sampling_weights, sql_scripting_threshold_walk,
-# grid_radius_join, stream_scd2_pointintime_enrich, bitemporal_asof_join,
-# linear_classifier_inference, markov_removal_attribution,
-# two_phase_global_quantiles, incremental_minhash_upsert
+# stream_sliding_distinct
 
 
 def _apply_driver_window() -> None:

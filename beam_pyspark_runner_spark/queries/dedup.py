@@ -1340,7 +1340,12 @@ def substring_contamination_winnowed(spark: SparkSession, sf_dir: str) -> DataFr
     JOIN tot tb ON tb.source = b.source
     GROUP BY a.source, b.source, ta.n, tb.n
     """,
-    tags=("dedup", "cross_source", "leakage_matrix", "provenance"),
+    # empty_ok_at_small_sf: at sf0.01 no two sources share a duplicated
+    # doc, so the oracle match there is trivially satisfiable — real
+    # certification is the sf0.1 gate (7 rows) + the non-empty pin in
+    # tests/test_scale_oracle_gate.py.
+    tags=("dedup", "cross_source", "leakage_matrix", "provenance",
+          "empty_ok_at_small_sf"),
 )
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplicate LEAKAGE matrix: for every source pair, how

@@ -85,7 +85,10 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_name FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
-    tags=("join", "anti", "subquery_not_exists"),
+    # empty_ok_at_small_sf: every sf0.01 customer has an order, so the
+    # anti-join is legitimately empty there; the sf0.1 gate (where
+    # order-less customers exist) is the non-trivial certification.
+    tags=("join", "anti", "subquery_not_exists", "empty_ok_at_small_sf"),
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")

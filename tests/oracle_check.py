@@ -167,6 +167,18 @@ if __name__ == "__main__":
             r = compare(spark, con, name, q.fn, q.oracle, sf_dir)
         except Exception as e:  # noqa: BLE001
             r = {"name": name, "status": "ERROR", "error": str(e)[:300]}
+        # Trivially-green guard (round-6 verdict #4): a 0-row MATCH
+        # certifies nothing — any wrong-but-empty plan would also
+        # "match". Queries that are LEGITIMATELY empty at the small
+        # gate carry the empty_ok_at_small_sf tag (each with a
+        # non-empty sf0.1 pin elsewhere); anything else that comes
+        # back empty is a gate failure, not a pass.
+        if (
+            r["status"] in ("MATCH", "rows_only")
+            and r.get("spark_rows") == 0
+            and "empty_ok_at_small_sf" not in q.tags
+        ):
+            r["status"] = "EMPTY_UNTAGGED"
         print(r)
         if r["status"] not in ("MATCH", "rows_only"):
             failures.append(name)

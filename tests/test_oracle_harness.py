@@ -79,3 +79,28 @@ def test_driver_window_queries_all_have_full_oracles():
 
     for name in DRIVER_WINDOW:
         assert REGISTRY[name].oracle is not None, name
+
+
+def test_empty_at_small_sf_queries_are_nonempty_at_scale(spark):
+    """Round-6 verdict #4: queries tagged empty_ok_at_small_sf return 0
+    rows at the sf0.01 gate, where their oracle match is trivially
+    satisfiable. This pin is their real certification: at sf0.1 each
+    must be NON-empty and still oracle-MATCH — and the tag list must
+    stay exactly the set of queries that are legitimately empty small,
+    so the tag can't quietly spread to mask real regressions."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+    from tests.oracle_check import compare, duckdb_conn
+
+    tagged = sorted(
+        n for n, q in REGISTRY.items() if "empty_ok_at_small_sf" in q.tags
+    )
+    assert tagged == ["join_anti", "source_overlap_matrix"]
+    con = duckdb_conn("/root/testdata/sf0.1")
+    try:
+        for name in tagged:
+            q = REGISTRY[name]
+            r = compare(spark, con, name, q.fn, q.oracle, "/root/testdata/sf0.1")
+            assert r["status"] == "MATCH", r
+            assert r["spark_rows"] > 0, (name, "still empty at sf0.1")
+    finally:
+        con.close()

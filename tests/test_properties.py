@@ -14,10 +14,12 @@ from __future__ import annotations
 from collections import Counter, defaultdict
 
 import pyspark.sql.functions as F
-from hypothesis import HealthCheck, given, settings
+import pytest
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from beam_pyspark_runner_spark.operators.pipeline import Pipeline
+from beam_pyspark_runner_spark.sources.readers import load_table
 
 _settings = settings(
     max_examples=8,
@@ -550,3 +552,77 @@ def test_mann_whitney_all_ties_and_empty_group(spark, tmp_path):
     )
     (row0,) = got0
     assert row0[0] == 0 and row0[3] == 0.0
+
+
+# --- grid-radius-join completeness (round-6 verdict #6) ---
+
+_grid_pts = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(pts=_grid_pts, r=st.integers(1, 10))
+@example(pts=[(0, 0), (5, 0)], r=5)  # pair at EXACTLY radius² (qualifies)
+@example(pts=[(4, 0), (5, 0)], r=5)  # 1 apart, straddling a cell boundary
+@example(pts=[(5, 5), (10, 10)], r=5)  # both ON boundaries, diagonal > r
+@example(pts=[(0, 0), (3, 4)], r=5)  # 3-4-5 triangle: dist² == r² exactly
+def test_grid_candidates_superset_of_qualifying_pairs(pts, r):
+    """The load-bearing lemma of grid_radius_join, certified on
+    arbitrary inputs: with cell size == radius, ANY pair within the
+    radius (dist² <= r², boundary INCLUSIVE) lands in adjacent cells
+    (|Δcx| <= 1 and |Δcy| <= 1), so the 3×3 neighborhood expansion
+    never drops a qualifying pair — the 1-D argument is |x1-x2| <= r
+    ⇒ |⌊x1/r⌋-⌊x2/r⌋| <= 1, which holds with equality cases exactly
+    at cell boundaries."""
+    cells = [(x // r, y // r) for x, y in pts]
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            (x1, y1), (x2, y2) = pts[i], pts[j]
+            if (x1 - x2) ** 2 + (y1 - y2) ** 2 <= r * r:
+                assert abs(cells[i][0] - cells[j][0]) <= 1, (pts[i], pts[j], r)
+                assert abs(cells[i][1] - cells[j][1]) <= 1, (pts[i], pts[j], r)
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_grid_radius_join_equals_bruteforce(spark, sf_dir):
+    """grid_radius_join vs exhaustive brute force on the SAME
+    deterministic hashed coordinates: exact SET EQUALITY — every
+    brute-force qualifying pair is produced (completeness: the lemma
+    above, now on real data), no pair is produced twice (home-cell
+    uniqueness), and none outside the radius sneaks through."""
+    import numpy as np
+
+    from beam_pyspark_runner_spark.functions.hashing import h32
+    from beam_pyspark_runner_spark.queries import REGISTRY
+    from beam_pyspark_runner_spark.queries.joins import GRID_RADIUS_M, _COORD_MOD
+
+    got = {
+        (r.cust_a, r.cust_b, r.dist_sq_m)
+        for r in REGISTRY["grid_radius_join"].fn(spark, sf_dir).collect()
+    }
+    pts = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.pmod(h32(F.concat_ws("-", F.lit("gx"), F.col("c_custkey"))),
+                   F.lit(_COORD_MOD)).alias("x"),
+            F.pmod(h32(F.concat_ws("-", F.lit("gy"), F.col("c_custkey"))),
+                   F.lit(_COORD_MOD)).alias("y"),
+        )
+        .collect()
+    )
+    ids = np.array([p.id for p in pts])
+    xs = np.array([p.x for p in pts], dtype=np.int64)
+    ys = np.array([p.y for p in pts], dtype=np.int64)
+    dx = xs[:, None] - xs[None, :]
+    dy = ys[:, None] - ys[None, :]
+    d2 = dx * dx + dy * dy
+    qual = (d2 <= GRID_RADIUS_M * GRID_RADIUS_M) & (ids[:, None] < ids[None, :])
+    ii, jj = np.nonzero(qual)
+    brute = {
+        (int(ids[i]), int(ids[j]), int(d2[i, j])) for i, j in zip(ii, jj)
+    }
+    assert got == brute

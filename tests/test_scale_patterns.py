@@ -1298,3 +1298,42 @@ def test_sql_scripting_restores_session_state(spark):
     existing = {t.name for t in spark.catalog.listTables()}
     assert "bprs_script_orders" not in existing
     assert "bprs_script_bands" not in existing
+
+
+def test_two_phase_quantiles_has_no_global_sort(spark):
+    """two_phase_global_quantiles (round-6 verdict #5): the whole point
+    is EXACT order statistics without ORDER BY over the corpus. Pin it:
+    no range-partitioning exchange anywhere in the executed plan (that
+    is what a global sort compiles to), data exchanges confined to the
+    histogram bucket key / the pct window key, and the only
+    single-partition exchange feeds the bucket-histogram walk — never
+    corpus rows."""
+    import re
+
+    plan = _executed_plan_of(spark, "two_phase_global_quantiles")
+    assert "rangepartitioning" not in plan, plan[:800]
+    assert "CartesianProduct" not in plan
+    keys = {
+        k.split(",")[0].split("#")[0].strip()
+        for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    assert keys <= {"b", "pct"}, keys
+
+
+def test_winnowed_contamination_exchanges_confined_to_keys(spark):
+    """substring_contamination_winnowed (round-6 verdict #5): the
+    MOSS-style pass must stay a keyed pipeline — fingerprint/doc keys
+    only. No cartesian, no Python, no range partitioning; every hash
+    exchange is on the (doc_id, fp) dedup, the fp-keyed df-cap/join,
+    or the final (train_doc, bench_doc) pair count."""
+    import re
+
+    plan = _executed_plan_of(spark, "substring_contamination_winnowed")
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert "rangepartitioning" not in plan
+    keys = {
+        k.split(",")[0].split("#")[0].strip()
+        for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    assert keys <= {"doc_id", "fp", "train_doc", "bench_doc"}, keys
