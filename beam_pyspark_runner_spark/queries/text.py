@@ -2811,3 +2811,351 @@ def linear_classifier_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+# --- BM25 retrieval (round 7) ---
+# Fixed keyword query: terms known to exist in the synthetic vocab.
+BM25_QUERY = ("table", "hash", "merge")
+BM25_TOPK = 20
+# k1 = 6/5, b = 3/4 (the Robertson defaults as exact rationals).
+# Per-term saturation tf·(k1+1)/(tf + k1·(1−b) + k1·b·dl/avgdl) with
+# avgdl = A/N (A = corpus tokens, N = docs) multiplies through by 10·A
+# into the integer ratio 22·A·tf / (10·A·tf + 3·A + 9·dl·N); idf uses
+# the log-free rank-equivalent rational (2N − 2df + 1)/(2df + 1) —
+# libm log() differs by ulps across engines (the repo-wide
+# sqrt-yes/log-no line), a ratio of integers does not.
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    corpus AS (SELECT SUM(dl) AS a, COUNT(*) AS n FROM dl),
+    qtf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        WHERE token IN {BM25_QUERY!r} GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM qtf GROUP BY token),
+    term_scores AS (
+        SELECT q.doc_id, q.token,
+               CAST(22 * c.a * q.tf * (2 * c.n - 2 * f.df + 1) AS DOUBLE)
+               / CAST((10 * c.a * q.tf + 3 * c.a + 9 * d.dl * c.n)
+                      * (2 * f.df + 1) AS DOUBLE) AS s
+        FROM qtf q
+        JOIN dfreq f ON f.token = q.token
+        JOIN dl d ON d.doc_id = q.doc_id
+        CROSS JOIN corpus c
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               COALESCE(MAX(CASE WHEN token = '{BM25_QUERY[0]}' THEN s END), 0.0)
+               + COALESCE(MAX(CASE WHEN token = '{BM25_QUERY[1]}' THEN s END), 0.0)
+               + COALESCE(MAX(CASE WHEN token = '{BM25_QUERY[2]}' THEN s END), 0.0)
+                   AS score,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+        FROM term_scores GROUP BY doc_id
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS rank,
+           doc_id, score, n_terms_hit
+    FROM per_doc
+    ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}
+    """,
+    tags=("text", "search", "bm25", "retrieval", "top_k"),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-{BM25_TOPK} retrieval for a fixed keyword query —
+    the ranking function behind every large-scale lexical search /
+    dedup-by-query pass (Robertson & Zaragoza 2009), composed from the
+    same primitives as inverted_index_postings. All scoring inputs are
+    INTEGER sufficient statistics (tf, df, dl, corpus totals), combined
+    as one exact integer ratio per (doc, term) — k1=6/5, b=3/4
+    multiplied through, idf as the log-free rank-equivalent rational —
+    and the per-doc score sums its ≤|query| term ratios in ONE FIXED
+    literal order, so the double result is bit-identical across
+    engines. Scale shape: corpus tokenized once; the tf table is
+    filtered to query terms BEFORE any shuffle (a 3-term query keeps
+    ~3/|vocab| of tokens); df and the 1-row corpus totals ride
+    broadcasts; the only wide ops are two keyed partial aggs and the
+    global top-{BM25_TOPK} (TakeOrdered — never a full sort). Numerators
+    stay < 2⁶³ through ~10¹² corpus tokens; past that, swap the longs
+    for decimal(38,0) — same plan. The dl join shuffles on doc_id;
+    at 100 TB pre-bucket the token table by doc_id so tf, dl, and the
+    join co-locate with zero exchanges."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = dl.agg(
+        F.sum("dl").cast("long").alias("a"), F.count("*").alias("n")
+    )
+    qtf = (
+        tok.filter(F.col("token").isin(*BM25_QUERY))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = qtf.groupBy("token").agg(F.count("*").alias("df"))
+    s = (
+        (
+            22 * F.col("a") * F.col("tf")
+            * (2 * F.col("n") - 2 * F.col("df") + 1)
+        ).cast("double")
+        / (
+            (10 * F.col("a") * F.col("tf") + 3 * F.col("a")
+             + 9 * F.col("dl") * F.col("n"))
+            * (2 * F.col("df") + 1)
+        ).cast("double")
+    )
+    term_scores = (
+        qtf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", "token", s.alias("s"))
+    )
+    def _term(t):
+        return F.coalesce(
+            F.max(F.when(F.col("token") == t, F.col("s"))), F.lit(0.0)
+        )
+
+    per_doc = term_scores.groupBy("doc_id").agg(
+        (
+            _term(BM25_QUERY[0]) + _term(BM25_QUERY[1]) + _term(BM25_QUERY[2])
+        ).alias("score"),
+        F.count("*").cast("long").alias("n_terms_hit"),
+    )
+    from pyspark.sql import Window as W
+
+    top = per_doc.orderBy(F.desc("score"), "doc_id").limit(BM25_TOPK)
+    return top.select(
+        F.row_number()
+        .over(W.orderBy(F.desc("score"), "doc_id"))
+        .cast("long")
+        .alias("rank"),
+        "doc_id", "score", "n_terms_hit",
+    )
+
+
+# --- Gopher quality-rule audit (round 7) ---
+# Word-level adaptation of the Rae et al. 2021 (Gopher §A1.1) document
+# filters, sized to the fixture corpus (docs ~30 words): word-count
+# bounds, mean-word-length bounds, top-token fraction, duplicate-
+# trigram fraction, type-token ratio. All thresholds are tested by
+# integer cross-multiplication — no float ratio ever materializes.
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 20, 1000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 4, 8  # mean word length bounds
+GOPHER_TOP_TOK_PCT = 20  # top token may not exceed 20% of tokens
+GOPHER_DUP_TRI_PCT = 0  # ANY duplicated trigram fails the rule
+GOPHER_TTR_PCT = 30  # distinct/total tokens must be >= 30%
+
+
+@register(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH d AS (
+        SELECT source, string_split(text, ' ') AS l FROM documents
+    ),
+    m AS (
+        SELECT source,
+               len(l) AS n,
+               list_sum(list_transform(l, x -> length(x))) AS sum_len,
+               len(list_distinct(l)) AS n_distinct,
+               list_max(list_transform(list_distinct(l),
+                        t -> len(list_filter(l, x -> x = t)))) AS top_tok,
+               len(list_transform(range(1, len(l) - 1),
+                   i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS n_tri,
+               len(list_distinct(list_transform(range(1, len(l) - 1),
+                   i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS d_tri
+        FROM d
+    ),
+    r AS (
+        SELECT source,
+               (n < {GOPHER_MIN_WORDS} OR n > {GOPHER_MAX_WORDS}) AS f_len,
+               (sum_len < {GOPHER_MIN_MWL} * n
+                OR sum_len > {GOPHER_MAX_MWL} * n) AS f_mwl,
+               (100 * top_tok > {GOPHER_TOP_TOK_PCT} * n) AS f_top,
+               (n_tri > 0 AND 100 * (n_tri - d_tri)
+                    > {GOPHER_DUP_TRI_PCT} * n_tri) AS f_tri,
+               (100 * n_distinct < {GOPHER_TTR_PCT} * n) AS f_ttr
+        FROM m
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
+           CAST(SUM(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_word_len,
+           CAST(SUM(CASE WHEN f_top THEN 1 ELSE 0 END) AS BIGINT) AS fail_top_token,
+           CAST(SUM(CASE WHEN f_tri THEN 1 ELSE 0 END) AS BIGINT) AS fail_dup_trigram,
+           CAST(SUM(CASE WHEN f_ttr THEN 1 ELSE 0 END) AS BIGINT) AS fail_ttr,
+           CAST(SUM(CASE WHEN NOT (f_len OR f_mwl OR f_top OR f_tri OR f_ttr)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+    FROM r GROUP BY source
+    """,
+    tags=("text_analysis", "quality_score", "gopher_rules", "audit",
+          "higher_order_fns"),
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality AUDIT: which rule rejects how many documents,
+    per source — the report a curator reads before tuning thresholds
+    (quality_filter / repetition_filter are the per-doc FILTERS; this is
+    the corpus-level accounting that says WHY docs die). Five rules —
+    word-count bounds, mean-word-length bounds, top-token fraction,
+    duplicate-trigram fraction, type-token ratio — each tested by
+    integer cross-multiplication (100·x > pct·n), so no float ratio
+    exists to drift between engines. Scale shape: every per-doc
+    statistic (including the trigram multiset) is computed INSIDE the
+    row with array higher-order functions — tokenize once per doc in
+    codegen, O(distinct×tokens) worst case like repetition_filter, no
+    explode — so the corpus scan is narrow and the only shuffle is the
+    |sources|-group final agg. The trigram builder guards n<3 (Spark's
+    sequence(1, n-2) turns DESCENDING for n<3 — the CDC r5 bug class —
+    DuckDB's range(1, n-1) is just empty)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.split("text", " ").alias("l")
+    )
+    n = F.size("l")
+    tri = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("l", i),
+                F.element_at("l", i + 1),
+                F.element_at("l", i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    m = d.select(
+        "source",
+        n.alias("n"),
+        F.aggregate(
+            F.transform("l", lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+        F.size(F.array_distinct("l")).alias("n_distinct"),
+        F.array_max(
+            F.transform(
+                F.array_distinct("l"),
+                lambda t: F.size(F.filter("l", lambda x: x == t)),
+            )
+        ).alias("top_tok"),
+        F.size(tri).alias("n_tri"),
+        F.size(F.array_distinct(tri)).alias("d_tri"),
+    )
+    f_len = (F.col("n") < GOPHER_MIN_WORDS) | (F.col("n") > GOPHER_MAX_WORDS)
+    f_mwl = (F.col("sum_len") < GOPHER_MIN_MWL * F.col("n")) | (
+        F.col("sum_len") > GOPHER_MAX_MWL * F.col("n")
+    )
+    f_top = 100 * F.col("top_tok") > GOPHER_TOP_TOK_PCT * F.col("n")
+    f_tri = (F.col("n_tri") > 0) & (
+        100 * (F.col("n_tri") - F.col("d_tri"))
+        > GOPHER_DUP_TRI_PCT * F.col("n_tri")
+    )
+    f_ttr = 100 * F.col("n_distinct") < GOPHER_TTR_PCT * F.col("n")
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    return m.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        cnt(f_len).alias("fail_word_count"),
+        cnt(f_mwl).alias("fail_mean_word_len"),
+        cnt(f_top).alias("fail_top_token"),
+        cnt(f_tri).alias("fail_dup_trigram"),
+        cnt(f_ttr).alias("fail_ttr"),
+        cnt(~(f_len | f_mwl | f_top | f_tri | f_ttr)).alias("pass_all"),
+    )
+
+
+# --- shard manifest packing (round 7) ---
+SHARD_BUDGET_BYTES = 1000  # target shard size (sized to the fixture)
+SHARD_BUCKET = 64  # doc_id-range bucket width for the two-phase prefix sum
+
+
+@register(
+    "shard_manifest_packing",
+    oracle=f"""
+    WITH cum AS (
+        SELECT source, doc_id, n_chars,
+               COALESCE(SUM(n_chars) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM documents
+    ),
+    assigned AS (
+        SELECT source, doc_id, n_chars,
+               cum_before // {SHARD_BUDGET_BYTES} AS shard_id
+        FROM cum
+    )
+    SELECT source, CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS shard_bytes,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM assigned GROUP BY source, shard_id
+    """,
+    tags=("text", "training_set", "shard_packing", "manifest",
+          "two_phase", "no_global_sort"),
+)
+def shard_manifest_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style SHARD MANIFEST: pack each source's documents —
+    in deterministic doc_id order — into ~{SHARD_BUDGET_BYTES}-byte
+    shards (shard = cumulative-bytes-before ÷ budget, the standard
+    streaming bin assignment), and emit per-shard accounting (doc
+    count, bytes, id range) — the file-layout step between curation
+    and the training job. The oracle is ONE running-sum window per
+    source; the Spark plan is the TWO-PHASE prefix sum that survives
+    100 TB: phase 1 aggregates byte totals per (source, doc_id-range
+    bucket of {SHARD_BUCKET}); a window over that TINY bucket table
+    yields each bucket's starting offset; phase 2 adds a within-bucket
+    running sum — so no window ever orders more than one bucket's rows,
+    and no source's full history serializes through one task (the same
+    discipline as two_phase_global_quantiles; prefix sums decompose by
+    associativity, so the two forms are exactly equal on integers)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    b = d.withColumn("bkt", (F.col("doc_id") / SHARD_BUCKET).cast("long"))
+    bkt_tot = b.groupBy("source", "bkt").agg(
+        F.sum("n_chars").alias("bkt_bytes")
+    )
+    w_bkt = (
+        W.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = bkt_tot.select(
+        "source", "bkt",
+        F.coalesce(F.sum("bkt_bytes").over(w_bkt), F.lit(0)).alias("bkt_off"),
+    )
+    w_in = (
+        W.partitionBy("source", "bkt")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    assigned = (
+        b.withColumn(
+            "in_off", F.coalesce(F.sum("n_chars").over(w_in), F.lit(0))
+        )
+        .join(offsets, ["source", "bkt"])
+        .withColumn(
+            "shard_id",
+            F.floor(
+                (F.col("bkt_off") + F.col("in_off")) / SHARD_BUDGET_BYTES
+            ),
+        )
+    )
+    return assigned.groupBy("source", "shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("shard_bytes"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )
