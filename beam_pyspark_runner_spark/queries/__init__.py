@@ -136,7 +136,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # frame_hash_dedup, cas_dedup_savings, approx_top_k_events,
 # sliding_distinct_bitmap, python_stream_source_agg,
 # fifo_inventory_allocation, dup_ngram_spans, link_prediction_jaccard,
-# stream_sliding_distinct
+# stream_sliding_distinct,
+# -- net-new round 7 --
+# bm25_topk, gopher_quality_rules, shard_manifest_packing,
+# classifier_calibration_bins, embedding_covariance_matrix,
+# binned_interval_join
 
 
 def _apply_driver_window() -> None:

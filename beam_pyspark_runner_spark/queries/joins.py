@@ -1288,3 +1288,91 @@ def bitemporal_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_events"),
         F.count(stale).cast("long").alias("n_stale"),
     )
+
+
+# --- binned interval join (round 7) ---
+IVL_BIN_DAYS = 64  # bin width; must be >= max interval length (30 d)
+IVL_EPOCH = "1992-01-01"  # day-number origin for bin arithmetic
+
+
+@register(
+    "binned_interval_join",
+    oracle=f"""
+    WITH ivl AS (
+        SELECT l_quantity,
+               date_diff('day', TIMESTAMP '{IVL_EPOCH}', l_shipdate) AS s,
+               date_diff('day', TIMESTAMP '{IVL_EPOCH}', l_shipdate)
+                   + 1 + (l_orderkey + l_linenumber) % 30 AS e
+        FROM lineitem
+    ),
+    pts AS (
+        SELECT DISTINCT o_orderdate AS d,
+               date_diff('day', TIMESTAMP '{IVL_EPOCH}', o_orderdate) AS dd
+        FROM orders
+    )
+    SELECT p.d AS order_date,
+           CAST(COUNT(*) AS BIGINT) AS n_inflight,
+           {dsum_sql('i.l_quantity')} AS qty_inflight
+    FROM pts p JOIN ivl i ON i.s <= p.dd AND p.dd <= i.e
+    GROUP BY p.d
+    """,
+    tags=("join", "interval_join", "range_join", "binning", "event_time"),
+)
+def binned_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval RANGE JOIN rewritten as an EQUI-join via date
+    binning — the 1-D sibling of grid_radius_join and the standard
+    rescue for Spark's worst join shape: a raw BETWEEN predicate
+    compiles to BroadcastNestedLoopJoin (or cartesian), O(|points|·
+    |intervals|) comparisons. With bin width {IVL_BIN_DAYS} d >= the
+    max interval length (30 d), every interval covers at most 2 bins
+    (explode is a <=2x constant expansion), every point lives in
+    exactly 1 bin, so bin-equality is a complete candidate filter and
+    each qualifying (point, interval) pair is matched EXACTLY once —
+    no dedup pass. The exact BETWEEN runs only within matched bins.
+    Business shape: shipments in flight per order date (interval =
+    ship date + deterministic 1..30-day transit). Scale: both sides
+    shuffle once on the bin key; candidate fan-in is bounded by rows
+    per bin (local temporal density), never |points|x|intervals|;
+    quantities accumulate in exact decimal."""
+    def day(c):
+        return F.datediff(
+            F.col(c).cast("date"), F.lit(IVL_EPOCH).cast("date")
+        ).cast("long")
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"
+    )
+    ivl = li.select(
+        "l_quantity",
+        day("l_shipdate").alias("s"),
+        (
+            day("l_shipdate")
+            + 1
+            + F.pmod(F.col("l_orderkey") + F.col("l_linenumber"), F.lit(30))
+        ).alias("e"),
+    )
+    ivl_binned = ivl.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / IVL_BIN_DAYS),
+                F.floor(F.col("e") / IVL_BIN_DAYS),
+            )
+        ),
+    )
+    pts = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").alias("d"))
+        .distinct()
+        .select("d", day("d").alias("dd"))
+        .withColumn("bin", F.floor(F.col("dd") / IVL_BIN_DAYS))
+    )
+    return (
+        pts.join(ivl_binned, "bin")
+        .filter((F.col("s") <= F.col("dd")) & (F.col("dd") <= F.col("e")))
+        .groupBy(F.col("d").alias("order_date"))
+        .agg(
+            F.count("*").cast("long").alias("n_inflight"),
+            dsum("l_quantity").alias("qty_inflight"),
+        )
+    )

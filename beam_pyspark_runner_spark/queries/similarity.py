@@ -1409,3 +1409,113 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- distributed covariance / gram matrix (round 7) ---
+EMB_DIM = 64  # fixture embedding dimensionality
+
+
+@register(
+    "embedding_covariance_matrix",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+    cells AS (
+        SELECT i.range AS i, j.range AS j,
+               {dsum_sql("CAST(e.embedding[CAST(i.range AS INT) + 1] AS DOUBLE)"
+                         " * CAST(e.embedding[CAST(j.range AS INT) + 1] AS DOUBLE)")}
+                   AS s
+        FROM embeddings e, range(0, {EMB_DIM}) i, range(0, {EMB_DIM}) j
+        WHERE j.range >= i.range
+        GROUP BY i.range, j.range
+    ),
+    dims AS (
+        SELECT d.range AS i,
+               {dsum_sql("CAST(e.embedding[CAST(d.range AS INT) + 1] AS DOUBLE)")}
+                   AS m
+        FROM embeddings e, range(0, {EMB_DIM}) d
+        GROUP BY d.range
+    )
+    SELECT c.i, c.j, c.s AS gram,
+           c.s / n.n - (di.m / n.n) * (dj.m / n.n) AS cov,
+           CAST(n.n AS BIGINT) AS n_vecs
+    FROM cells c
+    JOIN dims di ON di.i = c.i
+    JOIN dims dj ON dj.i = c.j
+    CROSS JOIN n
+    """,
+    tags=("similarity", "linear_algebra", "covariance", "gram_matrix",
+          "higher_order_fns"),
+)
+def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed d×d GRAM + COVARIANCE matrix over the embedding
+    corpus — the sufficient statistic behind PCA / whitening / SemDeDup
+    epsilon calibration, and the canonical 'tall-skinny XᵀX' pattern:
+    never materialize pairs of ROWS, aggregate pairs of DIMENSIONS.
+    The {EMB_DIM}·({EMB_DIM}+1)/2 upper-triangle products are built
+    IN-ROW with nested array transforms (one generator, no self-join,
+    no second corpus scan), then partial-aggregated per partition into
+    at most {EMB_DIM}²/2 groups — so the shuffle carries ~2080 rows per
+    partition regardless of corpus size, and the corpus is scanned
+    exactly once. Products accumulate through exact decimal (functions/
+    numeric.dsum), so no float summation order exists; the covariance
+    entry s/n − (mᵢ/n)(mⱼ/n) is one fixed double expression both
+    engines evaluate identically. Per-dimension means ride a
+    {EMB_DIM}-row broadcast. At 100 TB this plan is unchanged — the
+    only growth is the number of partial-agg states, which is constant
+    per partition."""
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+    emb = F.col("embedding")
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                emb,
+                lambda v, i: F.transform(
+                    emb,
+                    lambda w, j: F.struct(
+                        i.cast("long").alias("i"),
+                        j.cast("long").alias("j"),
+                        (v.cast("double") * w.cast("double")).alias("p"),
+                    ),
+                ),
+            )
+        ),
+        lambda s: s["j"] >= s["i"],
+    )
+    cells = (
+        e.select(F.explode(pair_structs).alias("c"))
+        .select("c.i", "c.j", "c.p")
+        .groupBy("i", "j")
+        .agg(dsum("p").alias("s"))
+    )
+    dims = (
+        e.select(
+            F.explode(
+                F.transform(
+                    emb,
+                    lambda v, i: F.struct(
+                        i.cast("long").alias("i"),
+                        v.cast("double").alias("v"),
+                    ),
+                )
+            ).alias("d")
+        )
+        .select("d.i", "d.v")
+        .groupBy("i")
+        .agg(dsum("v").alias("m"))
+    )
+    n = e.agg(F.count("*").alias("n"))
+    di = dims.select(F.col("i").alias("di_i"), F.col("m").alias("mi"))
+    dj = dims.select(F.col("i").alias("dj_i"), F.col("m").alias("mj"))
+    return (
+        cells.join(F.broadcast(di), cells["i"] == di["di_i"])
+        .join(F.broadcast(dj), cells["j"] == dj["dj_i"])
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i", "j", F.col("s").alias("gram"),
+            (
+                F.col("s") / F.col("n")
+                - (F.col("mi") / F.col("n")) * (F.col("mj") / F.col("n"))
+            ).alias("cov"),
+            F.col("n").cast("long").alias("n_vecs"),
+        )
+    )

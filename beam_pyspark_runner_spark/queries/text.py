@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from beam_pyspark_runner_spark.functions.hashing import h32_sql
-from beam_pyspark_runner_spark.functions.numeric import davg_sql, davg
+from beam_pyspark_runner_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
 from beam_pyspark_runner_spark.queries.registry import register
 from beam_pyspark_runner_spark.sources.readers import load_table
 
@@ -3158,4 +3158,101 @@ def shard_manifest_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("shard_bytes"),
         F.min("doc_id").cast("long").alias("first_doc"),
         F.max("doc_id").cast("long").alias("last_doc"),
+    )
+
+
+# --- classifier calibration / reliability report (round 7) ---
+CALIB_BINS = 10  # fixed-width bins over mean_score in [-1, 1]
+
+
+@register(
+    "classifier_calibration_bins",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, ({h32_sql('w')}) % {CLF_BUCKETS} AS b, COUNT(*) AS c
+        FROM tok GROUP BY doc_id, b
+    ),
+    weights AS (
+        SELECT b,
+               (('0x' || substr(md5('w-' || b), 1, 8))::BIGINT) % 2001 - 1000
+                   AS w_milli
+        FROM (SELECT unnest(range(0, {CLF_BUCKETS})) AS b)
+    ),
+    scored AS (
+        SELECT f.doc_id,
+               SUM(f.c) AS n_tokens,
+               SUM(f.c * w.w_milli) AS s_milli,
+               CAST(SUM(f.c * w.w_milli) AS DOUBLE)
+                   / (1000.0 * CAST(SUM(f.c) AS DOUBLE)) AS mean_score
+        FROM feats f JOIN weights w USING (b)
+        GROUP BY f.doc_id
+    ),
+    labeled AS (
+        SELECT s.*, (d.lang = 'en') AS label
+        FROM scored s JOIN documents d USING (doc_id)
+    ),
+    binned AS (
+        SELECT LEAST((s_milli + 1000 * n_tokens)
+                         // ((2000 // {CALIB_BINS}) * n_tokens),
+                     {CALIB_BINS - 1}) AS bin,
+               mean_score, label
+        FROM labeled
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS observed_rate,
+           {dsum_sql('mean_score')} / CAST(COUNT(*) AS DOUBLE) AS avg_score
+    FROM binned GROUP BY bin
+    """,
+    tags=("text", "classifier_eval", "calibration", "reliability",
+          "model_scoring"),
+)
+def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability report for the corpus quality
+    classifier: bin documents by predicted score, compare each bin's
+    OBSERVED positive rate (gold label: lang == 'en', the independent
+    signal available at audit time) against its average predicted
+    score — the table behind a reliability diagram and the threshold-
+    picking step every classifier-driven curation pass needs (cf.
+    classifier_eval_f1, which fixes ONE threshold; this shows all of
+    them). Composes the registered linear_classifier_inference lineage
+    (same hashed features, same integer milli weights). Bin assignment
+    is EXACT integer arithmetic — (s + 1000n) div (200n) on longs, no
+    float boundary can disagree between engines — and per-bin average
+    score goes through exact decimal (dsum). Scale: inherits the
+    classifier's one-scan shape; adds one broadcast-sized lang join
+    keyed on doc_id and a {CALIB_BINS}-group agg."""
+    scored = linear_classifier_inference(spark, sf_dir).select(
+        "doc_id", "n_tokens", "score_milli", "mean_score"
+    )
+    lang = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("lang") == "en").alias("label")
+    )
+    width = 2000 // CALIB_BINS
+    binned = scored.join(lang, "doc_id").select(
+        F.least(
+            F.expr(
+                f"(score_milli + 1000 * n_tokens) div ({width} * n_tokens)"
+            ),
+            F.lit(CALIB_BINS - 1),
+        ).cast("long").alias("bin"),
+        "mean_score",
+        "label",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("long").alias(
+            "n_pos"
+        ),
+        (
+            F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("observed_rate"),
+        (dsum("mean_score") / F.count("*").cast("double")).alias("avg_score"),
     )

@@ -1337,3 +1337,37 @@ def test_winnowed_contamination_exchanges_confined_to_keys(spark):
         for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     }
     assert keys <= {"doc_id", "fp", "train_doc", "bench_doc"}, keys
+
+
+def test_round7_new_query_plan_shapes(spark):
+    """Round-7 additions keep their 100 TB contracts: bm25's df/corpus
+    statistics ride broadcasts (the corpus-sized tf table is never on
+    the build side of a shuffle join), the covariance matrix contains
+    NO join over corpus rows (dimension-keyed aggregation only, the
+    broadcasts are d-row), and the binned interval join is a keyed
+    equi-join — no BroadcastNestedLoopJoin, which is what the raw
+    BETWEEN predicate would have compiled to."""
+    import re
+
+    plan = _executed_plan_of(spark, "bm25_topk")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # dfreq/corpus joins all broadcast
+    assert "Python" not in plan
+
+    plan = _executed_plan_of(spark, "embedding_covariance_matrix")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    keys = {
+        k.split(",")[0].split("#")[0].strip()
+        for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    assert keys <= {"i", "j"}, keys  # only dimension-keyed aggregation
+
+    plan = _executed_plan_of(spark, "binned_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    keys = {
+        k.split(",")[0].split("#")[0].strip()
+        for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    assert keys <= {"bin", "d", "order_date"}, keys
