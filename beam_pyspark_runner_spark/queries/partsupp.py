@@ -196,17 +196,24 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN region r ON r.r_regionkey = n.n_regionkey
         WHERE r.r_name = 'ASIA'
     )
-    SELECT ps_partkey, {dsum_sql('value')} AS part_value
-    FROM scoped
-    GROUP BY ps_partkey
-    HAVING {dsum_sql('value')} >
-           (SELECT {dsum_sql('value')} * 0.0015 FROM scoped)
+    , pp AS (
+        SELECT ps_partkey, {dsum_sql('value')} AS part_value
+        FROM scoped GROUP BY ps_partkey
+    ),
+    st AS (
+        SELECT 2.0 * CAST(SUM(CAST(part_value AS DECIMAL(38,2))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS thr
+        FROM pp
+    )
+    SELECT ps_partkey, part_value FROM pp, st WHERE part_value > thr
     """,
     tags=("tpch", "partsupp", "having", "scalar_subquery"),
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 (important stock): parts whose ASIA-held inventory value
-    exceeds a fraction of the regional total.
+    exceeds 2x the mean per-part value (scale-invariant twist on the
+    spec's 0.0001/SF fraction — same HAVING-over-scalar-subquery shape,
+    but selectivity holds at every SF instead of emptying out).
 
     Plan shape: partsupp filtered to the region through broadcast
     supplier→nation→region; ONE aggregation pass per grouping (the
@@ -227,7 +234,20 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_part = scoped.groupBy("ps_partkey").agg(dsum("value").alias("part_value"))
-    total = scoped.agg((dsum("value") * 0.0015).alias("threshold"))
+    # Threshold = 2x the MEAN per-part value — scale-INVARIANT selectivity
+    # (~14% of parts at sf0.01 and sf0.1 alike). The original fixed
+    # fraction-of-total (TPC-H's 0.0001/SF without the /SF) shrank per
+    # part as 1/|parts| and returned 0 rows at sf0.1 — caught by the
+    # r7 EMPTY_UNTAGGED oracle-gate guard. part_value is dsum output
+    # (exactly 2 decimals), so the decimal(38,2) re-aggregation is
+    # cast-exact and the mean stays bit-identical across engines.
+    total = scoped.groupBy("ps_partkey").agg(dsum("value").alias("pv")).agg(
+        (
+            F.lit(2.0)
+            * F.sum(F.col("pv").cast("decimal(38,2)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("threshold")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(F.col("part_value") > F.col("threshold"))

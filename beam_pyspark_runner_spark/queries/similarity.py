@@ -1415,10 +1415,10 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_DIM = 64  # fixture embedding dimensionality
 
 
-@register(
-    "embedding_covariance_matrix",
-    oracle=f"""
-    WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+# Shared CTE block: the covariance matrix as a DuckDB relation, reused
+# verbatim by the covariance query's oracle and as the input of the
+# PCA power-iteration oracle (one definition, two certifications).
+_COV_CTES = f"""nv AS (SELECT COUNT(*) AS n FROM embeddings),
     cells AS (
         SELECT i.range AS i, j.range AS j,
                {dsum_sql("CAST(e.embedding[CAST(i.range AS INT) + 1] AS DOUBLE)"
@@ -1434,14 +1434,23 @@ EMB_DIM = 64  # fixture embedding dimensionality
                    AS m
         FROM embeddings e, range(0, {EMB_DIM}) d
         GROUP BY d.range
-    )
-    SELECT c.i, c.j, c.s AS gram,
-           c.s / n.n - (di.m / n.n) * (dj.m / n.n) AS cov,
-           CAST(n.n AS BIGINT) AS n_vecs
-    FROM cells c
-    JOIN dims di ON di.i = c.i
-    JOIN dims dj ON dj.i = c.j
-    CROSS JOIN n
+    ),
+    covm AS (
+        SELECT c.i, c.j, c.s AS gram,
+               c.s / nv.n - (di.m / nv.n) * (dj.m / nv.n) AS cov,
+               CAST(nv.n AS BIGINT) AS n_vecs
+        FROM cells c
+        JOIN dims di ON di.i = c.i
+        JOIN dims dj ON dj.i = c.j
+        CROSS JOIN nv
+    )"""
+
+
+@register(
+    "embedding_covariance_matrix",
+    oracle=f"""
+    WITH {_COV_CTES}
+    SELECT i, j, gram, cov, n_vecs FROM covm
     """,
     tags=("similarity", "linear_algebra", "covariance", "gram_matrix",
           "higher_order_fns"),
@@ -1518,4 +1527,222 @@ def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
             F.col("n").cast("long").alias("n_vecs"),
         )
+    )
+
+
+# --- ColBERT-style late-interaction retrieval (round 7) ---
+MAXSIM_DOC_SIZE = 8  # vectors per pseudo-document (vec_id div 8)
+MAXSIM_QTOKENS = 4  # query token vectors: vec_id 0..3 (doc 0, excluded)
+MAXSIM_TOPK = 10
+
+
+@register(
+    "colbert_maxsim_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, vec_id // {MAXSIM_DOC_SIZE} AS doc_id,
+               {_EMB_DBL} AS ce
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, ce AS qe FROM v
+          WHERE vec_id < {MAXSIM_QTOKENS}),
+    pairs AS (
+        SELECT c.doc_id, q.q_id, MAX({_cos_sql('q.qe', 'c.ce')}) AS best
+        FROM v c, q WHERE c.doc_id > 0
+        GROUP BY c.doc_id, q.q_id
+    ),
+    scored AS (
+        SELECT doc_id,
+               COALESCE(MAX(CASE WHEN q_id = 0 THEN best END), 0.0)
+               + COALESCE(MAX(CASE WHEN q_id = 1 THEN best END), 0.0)
+               + COALESCE(MAX(CASE WHEN q_id = 2 THEN best END), 0.0)
+               + COALESCE(MAX(CASE WHEN q_id = 3 THEN best END), 0.0)
+                   AS maxsim_score
+        FROM pairs GROUP BY doc_id
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY maxsim_score DESC, doc_id)
+                AS BIGINT) AS rnk,
+           doc_id, maxsim_score
+    FROM scored ORDER BY maxsim_score DESC, doc_id LIMIT {MAXSIM_TOPK}
+    """,
+    tags=("similarity", "retrieval", "late_interaction", "maxsim",
+          "multi_vector", "top_k"),
+)
+def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style LATE-INTERACTION retrieval (Khattab & Zaharia,
+    SIGIR'20): documents are SETS of token vectors (here: {MAXSIM_DOC_SIZE}
+    consecutive embeddings per pseudo-doc), and a doc's score is
+    MaxSim — for each query token, the best-matching doc vector's
+    cosine, summed over query tokens. This is the multi-vector shape
+    single-vector cosine_topk can't express: a doc matches if SOME of
+    its vectors match EACH query facet. Determinism: per-pair cosine
+    rides the index-order fold (functions/vectors.py), MAX is order-
+    independent, and the final score sums its {MAXSIM_QTOKENS} per-token
+    maxima in one fixed literal order — bit-identical doubles. Scale:
+    the query token set is a {MAXSIM_QTOKENS}-row broadcast; the corpus
+    streams ONCE with a constant ×{MAXSIM_QTOKENS} fan-out absorbed by
+    the map-side partial MAX per (doc, token); shuffle carries one row
+    per (doc, query-token); top-{MAXSIM_TOPK} is TakeOrdered. Production
+    ColBERT replaces the exhaustive pass with per-token ANN candidate
+    generation (ivf_topk_search's plan) feeding this same MaxSim
+    aggregation — the aggregation layer is what this query certifies."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.floor(F.col("vec_id") / MAXSIM_DOC_SIZE).alias("doc_id"),
+        F.col("embedding").alias("ce"),
+    )
+    q = (
+        e.filter(F.col("vec_id") < MAXSIM_QTOKENS)
+        .select(F.col("vec_id").alias("q_id"), F.col("ce").alias("qe"))
+    )
+    pairs = (
+        spread(e).filter(F.col("doc_id") > 0)
+        .crossJoin(F.broadcast(q))
+        .groupBy("doc_id", "q_id")
+        .agg(
+            F.max(cosine_similarity(F.col("qe"), F.col("ce"))).alias("best")
+        )
+    )
+
+    def _tok(i):
+        return F.coalesce(
+            F.max(F.when(F.col("q_id") == i, F.col("best"))), F.lit(0.0)
+        )
+
+    scored = pairs.groupBy("doc_id").agg(
+        (_tok(0) + _tok(1) + _tok(2) + _tok(3)).alias("maxsim_score")
+    )
+    top = scored.orderBy(F.desc("maxsim_score"), "doc_id").limit(MAXSIM_TOPK)
+    return top.select(
+        F.row_number()
+        .over(W.orderBy(F.desc("maxsim_score"), "doc_id"))
+        .cast("long")
+        .alias("rnk"),
+        "doc_id",
+        "maxsim_score",
+    )
+
+
+# --- PCA top component via power iteration (round 7) ---
+PCA_ITERS = 8
+
+
+def _psum_sql(expr: str) -> str:
+    """Exact-decimal sum at scale 10 straight to double — for unit-scale
+    linalg values (|sum| < ~1e5) the unscaled decimal stays far below
+    2^53, so both engines do one exact int conversion + one correctly
+    rounded divide (dsum's 2-digit output rounding exists for money-
+    scale sums and would destroy unit-norm components)."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,10))) AS DOUBLE)"
+
+
+def _psum(c):
+    return F.sum(c.cast("decimal(38,10)")).cast("double")
+
+
+def _pca_oracle() -> str:
+    seed = unit_hash_sql("'pca-seed-' || d.range")
+    ctes = [
+        "fullm AS MATERIALIZED (SELECT i, j, cov FROM covm UNION ALL "
+        "SELECT j AS i, i AS j, cov FROM covm WHERE i <> j)",
+        f"v0 AS (SELECT d.range AS i, ({seed}) AS x FROM range(0, {EMB_DIM}) d)",
+    ]
+    for k in range(1, PCA_ITERS + 1):
+        ctes.append(
+            f"w{k} AS MATERIALIZED (SELECT f.i AS i, {_psum_sql('f.cov * v.x')} AS w "
+            f"FROM fullm f JOIN v{k - 1} v ON v.i = f.j GROUP BY f.i)"
+        )
+        ctes.append(f"n{k} AS MATERIALIZED (SELECT sqrt({_psum_sql('w * w')}) AS nrm FROM w{k})")
+        ctes.append(f"v{k} AS MATERIALIZED (SELECT i, w / nrm AS x FROM w{k}, n{k})")
+    k = PCA_ITERS
+    ctes.append(
+        f"wf AS (SELECT f.i AS i, {_psum_sql('f.cov * v.x')} AS w "
+        f"FROM fullm f JOIN v{k} v ON v.i = f.j GROUP BY f.i)"
+    )
+    ctes.append(
+        f"lam AS (SELECT {_psum_sql('v.x * w.w')} AS ev "
+        f"FROM v{k} v JOIN wf w ON w.i = v.i)"
+    )
+    return (
+        f"WITH {_COV_CTES},\n    "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT v.i, v.x AS loading, lam.ev AS eigenvalue "
+        f"FROM v{k} v, lam"
+    )
+
+
+@register(
+    "pca_power_iteration",
+    oracle=_pca_oracle(),
+    tags=("similarity", "linear_algebra", "pca", "power_iteration",
+          "iterative"),
+)
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP PRINCIPAL COMPONENT of the embedding corpus by {PCA_ITERS}
+    power iterations over the DISTRIBUTED covariance matrix — the PCA /
+    whitening / spectral-dedup primitive, done the way it scales: the
+    corpus is reduced ONCE to the d×d covariance sufficient statistic
+    (embedding_covariance_matrix's lineage, localCheckpoint-pinned so
+    the iteration never re-derives the corpus scan — the k-core/Markov
+    discipline), and every iteration is a matrix-vector product over
+    the TINY {EMB_DIM}²-cell table: join on j, decimal-exact sum per i,
+    one sqrt normalize. Iteration cost is independent of corpus size;
+    at 100 TB only the one-pass covariance build grows. Determinism:
+    the seed vector is md5-derived, every reduction runs through
+    scale-10 decimal (_psum — unit-norm values would not survive
+    dsum's money-scale output rounding), normalize is one divide, so
+    the eight iterations and the final Rayleigh quotient are
+    bit-identical across engines; the fixed seed also fixes the
+    eigenvector's sign. The oracle is the same iteration UNROLLED into
+    {3 * PCA_ITERS + 4} CTEs, generated from one shared covariance CTE
+    block."""
+    cov = embedding_covariance_matrix(spark, sf_dir).select("i", "j", "cov")
+    full = cov.unionAll(
+        cov.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    ).localCheckpoint()
+    v = spark.range(EMB_DIM).select(
+        F.col("id").alias("i"),
+        unit_hash(
+            F.concat_ws("-", F.lit("pca-seed"), F.col("id").cast("string"))
+        ).alias("x"),
+    )
+    # Narrow the 64-row iteration stages to 1 partition for the loop's
+    # duration (the markov_removal_attribution pattern, try/finally-
+    # restored): the corpus-sized work is already pinned in `full`.
+    shuffle_key = "spark.sql.shuffle.partitions"
+    saved_parts = spark.conf.get(shuffle_key)
+    spark.conf.set(shuffle_key, "1")
+    try:
+        for _ in range(PCA_ITERS):
+            w = (
+                full.alias("f")
+                .join(F.broadcast(v.alias("v")), F.col("v.i") == F.col("f.j"))
+                .groupBy(F.col("f.i").alias("i"))
+                .agg(_psum(F.col("f.cov") * F.col("v.x")).alias("w"))
+            )
+            nrm = w.agg(F.sqrt(_psum(F.col("w") * F.col("w"))).alias("nrm"))
+            # checkpoint each step: without it, the nested broadcast
+            # subplans compound (measured 83 s vs 11.6 s pinned)
+            v = (
+                w.crossJoin(F.broadcast(nrm))
+                .select("i", (F.col("w") / F.col("nrm")).alias("x"))
+                .localCheckpoint()
+            )
+    finally:
+        spark.conf.set(shuffle_key, saved_parts)
+    wf = (
+        full.alias("f")
+        .join(F.broadcast(v.alias("v")), F.col("v.i") == F.col("f.j"))
+        .groupBy(F.col("f.i").alias("i"))
+        .agg(_psum(F.col("f.cov") * F.col("v.x")).alias("w"))
+    )
+    lam = (
+        v.alias("v")
+        .join(wf.alias("w"), F.col("w.i") == F.col("v.i"))
+        .agg(_psum(F.col("v.x") * F.col("w.w")).alias("eigenvalue"))
+    )
+    return v.crossJoin(F.broadcast(lam)).select(
+        "i", F.col("x").alias("loading"), "eigenvalue"
     )
