@@ -140,7 +140,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # -- net-new round 7 --
 # bm25_topk, gopher_quality_rules, shard_manifest_packing,
 # classifier_calibration_bins, embedding_covariance_matrix,
-# binned_interval_join, colbert_maxsim_topk, pca_power_iteration
+# binned_interval_join, colbert_maxsim_topk, pca_power_iteration,
+# stream_chained_window_aggs, rendezvous_shard_rebalance
 
 
 def _apply_driver_window() -> None:

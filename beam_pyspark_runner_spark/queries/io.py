@@ -866,3 +866,92 @@ def pardo_exception_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ok_agg.crossJoin(err_agg).select(
         "n_ok", "n_dead_letter", "sum_ok_value"
     )
+
+
+# --- rendezvous-hash shard rebalance (round 7) ---
+RV_SHARDS = 8  # shard count before the scale-out
+
+
+@register(
+    "rendezvous_shard_rebalance",
+    oracle=f"""
+    WITH scored AS (
+        SELECT d.doc_id, s.range AS shard,
+               (('0x' || substr(md5('rv-' || d.doc_id || '-' || s.range),
+                               1, 8))::BIGINT) AS h
+        FROM documents d, range(0, {RV_SHARDS + 1}) s
+    ),
+    assigned AS (
+        SELECT doc_id,
+               MAX(CASE WHEN shard < {RV_SHARDS} THEN {{'h': h, 's': shard}} END).s
+                   AS old_shard,
+               MAX({{'h': h, 's': shard}}).s AS new_shard
+        FROM scored GROUP BY doc_id
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM assigned)
+    SELECT CAST(a.old_shard AS BIGINT) AS old_shard,
+           CAST(a.new_shard AS BIGINT) AS new_shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS DOUBLE) / CAST(tot.n AS DOUBLE) AS frac
+    FROM assigned a, tot
+    GROUP BY a.old_shard, a.new_shard, tot.n
+    """,
+    tags=("data_layout", "consistent_hashing", "rendezvous", "rebalance",
+          "storage_ops"),
+)
+def rendezvous_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENDEZVOUS (highest-random-weight) consistent hashing, certified
+    by its defining property: each doc goes to argmax_s h(doc, s), and
+    when a {RV_SHARDS + 1}th shard joins, the ONLY docs that move are
+    those whose new shard wins their argmax — an expected 1/{RV_SHARDS + 1}
+    of the corpus, every other row's assignment provably unchanged
+    (modulo hashing, `hash(key) % N`, would remap ~all rows — the
+    difference between a cache stampede and a quiet scale-out). The
+    emitted movement matrix is near-diagonal with one thin column into
+    shard {RV_SHARDS}. Both assignments ride ONE corpus pass: the
+    argmax over the old shard set and over the full set come from the
+    same exploded scores via conditional MAX of (hash, shard) structs
+    — lexicographic, so ties (md5-improbable) break identically in
+    both engines. Scale: a constant x{RV_SHARDS + 1} in-row fan-out,
+    map-side partial MAX per doc, one doc-keyed shuffle, then a
+    |shards|²-bounded matrix agg."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    scored = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(RV_SHARDS))
+        ).alias("shard"),
+    ).select(
+        "doc_id",
+        "shard",
+        h32(
+            F.concat_ws(
+                "-", F.lit("rv"), F.col("doc_id").cast("string"),
+                F.col("shard").cast("string"),
+            )
+        ).alias("h"),
+    )
+    assigned = scored.groupBy("doc_id").agg(
+        F.max(
+            F.when(
+                F.col("shard") < RV_SHARDS, F.struct("h", "shard")
+            )
+        )["shard"].alias("old_shard"),
+        F.max(F.struct("h", "shard"))["shard"].alias("new_shard"),
+    )
+    tot = assigned.agg(F.count("*").alias("n"))
+    return (
+        assigned.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.col("old_shard").cast("long").alias("old_shard"),
+            F.col("new_shard").cast("long").alias("new_shard"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            (F.count("*").cast("double") / F.max("n").cast("double")).alias(
+                "frac"
+            ),
+        )
+    )

@@ -1320,3 +1320,61 @@ def stream_scd2_pointintime_enrich(spark: SparkSession, sf_dir: str) -> DataFram
         F.count("*").alias("n_events"), dsum("value").alias("total_value")
     )
     return run_stream_to_df(agg, output_mode="complete")
+
+
+@register(
+    "stream_chained_window_aggs",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(ts) AS max_ts FROM events),
+    h AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS hs,
+               COUNT(*) AS n FROM events GROUP BY 1
+    )
+    SELECT time_bucket(INTERVAL '1 day', hs) AS day_start,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(MAX(n) AS BIGINT) AS peak_hour_events,
+           CAST(SUM(n) AS BIGINT) AS total_events
+    FROM h, mx
+    GROUP BY 1, mx.max_ts
+    HAVING time_bucket(INTERVAL '1 day', MIN(hs)) + INTERVAL '1 day'
+           <= mx.max_ts - INTERVAL '1 hour'
+    """,
+    tags=("streaming", "event_time", "chained_aggregation",
+          "multiple_stateful_operators", "append_mode", "spark4"),
+)
+def stream_chained_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming aggregations (multiple stateful
+    operators in one query — allowed since Spark 3.4/4 for time-window
+    chains): hourly event counts re-aggregated into daily rollups
+    (hours seen, peak hour, daily total) in ONE streaming pipeline via
+    ``window(window_time(window), '1 day')``. Before this capability
+    the daily layer needed a second job reading the hourly sink —
+    double the infrastructure and an extra at-least-once boundary.
+    Emission semantics compose: an hourly row reaches the daily agg
+    when its window closes, and a daily row is emitted once the
+    watermark (max ts − 1 h) passes the DAY's end — by then every
+    member hour has closed, so the daily row is complete and final
+    (append mode's exactly-once contract, one level up). The oracle
+    states exactly that: all days whose end <= the final watermark.
+    State is two bounded stores: open hours and open days."""
+    e = _events_stream(spark, sf_dir)
+    hourly = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    daily = (
+        hourly.groupBy(F.window(F.window_time("window"), "1 day"))
+        .agg(
+            F.count("*").cast("long").alias("n_hours"),
+            F.max("n").cast("long").alias("peak_hour_events"),
+            F.sum("n").cast("long").alias("total_events"),
+        )
+        .select(
+            F.col("window.start").alias("day_start"),
+            "n_hours",
+            "peak_hour_events",
+            "total_events",
+        )
+    )
+    return run_stream_to_df(daily, output_mode="append")

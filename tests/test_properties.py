@@ -626,3 +626,26 @@ def test_grid_radius_join_equals_bruteforce(spark, sf_dir):
         (int(ids[i]), int(ids[j]), int(d2[i, j])) for i, j in zip(ii, jj)
     }
     assert got == brute
+
+
+def test_rendezvous_rebalance_moves_only_into_new_shard(spark):
+    """The defining rendezvous-hashing property, asserted exactly: when
+    a shard joins, every reassigned doc moves TO the new shard (an old
+    shard can never newly win an argmax it already lost), and the moved
+    fraction is ~1/(N+1) — binomial bounds wide enough for the fixture,
+    fatal for a mod-N implementation (which moves ~N/(N+1))."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+    from beam_pyspark_runner_spark.queries.io import RV_SHARDS
+
+    rows = REGISTRY["rendezvous_shard_rebalance"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    total = sum(r.n_docs for r in rows)
+    moved = sum(r.n_docs for r in rows if r.old_shard != r.new_shard)
+    stray = [
+        r for r in rows
+        if r.old_shard != r.new_shard and r.new_shard != RV_SHARDS
+    ]
+    assert not stray, stray
+    frac = moved / total
+    assert 0.04 < frac < 0.25, frac  # E=1/9≈0.11; mod-N would be ~0.89
