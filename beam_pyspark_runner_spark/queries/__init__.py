@@ -141,7 +141,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # bm25_topk, gopher_quality_rules, shard_manifest_packing,
 # classifier_calibration_bins, embedding_covariance_matrix,
 # binned_interval_join, colbert_maxsim_topk, pca_power_iteration,
-# stream_chained_window_aggs, rendezvous_shard_rebalance
+# stream_chained_window_aggs, rendezvous_shard_rebalance,
+# matryoshka_recall_curve, priority_sample_sources, flesch_readability,
+# theil_sen_slope, balanced_range_bounds, delta_encoding_bits,
+# l_diversity_audit
 
 
 def _apply_driver_window() -> None:

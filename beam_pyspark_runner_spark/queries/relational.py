@@ -3598,3 +3598,315 @@ def two_phase_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == F.col("offset"))
         .select("pct", "rank", F.col("l_extendedprice").alias("value"))
     )
+
+
+# --- Theil-Sen robust trend (round 7) ----------------------------------------
+TS_START = "1996-01-01"  # bound the month span so pairs stay group-local
+
+
+@register(
+    "theil_sen_slope",
+    oracle=f"""
+    WITH m AS (
+        SELECT n.n_name AS n_name,
+               (date_part('year', o.o_orderdate) - 1996) * 12
+                 + date_part('month', o.o_orderdate) AS m,
+               SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= DATE '{TS_START}'
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.n_name AS n_name,
+               (CAST(b.cents - a.cents AS DOUBLE) / (b.m - a.m)) / 100.0
+                   AS slope,
+               a.m AS m1, b.m AS m2
+        FROM m a JOIN m b ON a.n_name = b.n_name AND a.m < b.m
+    ),
+    ranked AS (
+        SELECT n_name, slope,
+               ROW_NUMBER() OVER (PARTITION BY n_name
+                                  ORDER BY slope, m1, m2) AS rn,
+               COUNT(*) OVER (PARTITION BY n_name) AS cnt
+        FROM pairs
+    )
+    SELECT n_name, CAST(cnt AS BIGINT) AS n_pairs, slope AS ts_slope
+    FROM ranked WHERE rn = (cnt + 1) // 2
+    """,
+    tags=("robust_statistics", "trend", "theil_sen", "pairwise"),
+)
+def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator of the monthly-revenue trend per nation: the
+    median over all month pairs (i<j) of pairwise slopes — the classic
+    29%-breakdown robust alternative to OLS (ols_trend_per_group is the
+    fragile twin this guards against: one corrupted month moves OLS
+    arbitrarily, Theil-Sen not at all). Median = lower median by ranked
+    row_number, so the result is exactly one of the computed slopes —
+    hash-stable across engines with no interpolation arithmetic.
+
+    Scale: the corpus is touched once (groupBy nation x month); the
+    pairwise stage runs on the AGGREGATED frame — months-per-group is
+    calendar-bounded (<=36 here), so pairs/group <= 630 regardless of
+    row count, and the self-join is an equi-join on the group key. The
+    100 TB cost is the first groupBy; everything after is constant-size
+    per group. Reference: no counterpart (its agg surface is
+    CombinePerKey sums, transform_evaluators.py:84-100)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(TS_START).cast("date")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    m = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - F.lit(1996)) * 12
+                + F.month("o_orderdate")
+            ).alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    a = m.alias("a")
+    b = m.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.n_name") == F.col("b.n_name")) & (F.col("a.m") < F.col("b.m")),
+    ).select(
+        F.col("a.n_name").alias("n_name"),
+        (
+            (
+                (F.col("b.cents") - F.col("a.cents")).cast("double")
+                / (F.col("b.m") - F.col("a.m"))
+            )
+            / F.lit(100.0)
+        ).alias("slope"),
+        F.col("a.m").alias("m1"),
+        F.col("b.m").alias("m2"),
+    )
+    win = W.partitionBy("n_name").orderBy("slope", "m1", "m2")
+    ranked = pairs.select(
+        "n_name",
+        "slope",
+        F.row_number().over(win).alias("rn"),
+        F.count("*").over(W.partitionBy("n_name")).alias("cnt"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(cnt + 1) div 2")
+    ).select(
+        "n_name", F.col("cnt").cast("long").alias("n_pairs"),
+        F.col("slope").alias("ts_slope"),
+    )
+
+
+# --- balanced range-partition planning (round 7) -----------------------------
+RB_BUCKETS = 8
+RB_SAMPLE_MOD = 20  # keep 1-in-20 rows in the bounds sample
+
+
+@register(
+    "balanced_range_bounds",
+    oracle=f"""
+    WITH s AS (
+        SELECT l_extendedprice, l_orderkey, l_linenumber
+        FROM lineitem
+        WHERE (('0x' || substr(md5('rb-' || l_orderkey || '-' || l_linenumber),
+                1, 8))::BIGINT) % {RB_SAMPLE_MOD} = 0
+    ),
+    tiles AS (
+        SELECT l_extendedprice,
+               NTILE({RB_BUCKETS}) OVER (
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS tile
+        FROM s
+    ),
+    cuts AS (
+        SELECT list_sort(list(cut)) AS cuts FROM (
+            SELECT MAX(l_extendedprice) AS cut FROM tiles
+            WHERE tile < {RB_BUCKETS} GROUP BY tile)
+    ),
+    assigned AS (
+        SELECT CAST(len(list_filter(cuts.cuts, b -> l.l_extendedprice > b))
+                    AS BIGINT) AS bucket
+        FROM lineitem l, cuts
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS DOUBLE)
+               / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS share
+    FROM assigned GROUP BY bucket
+    """,
+    tags=("partitioning", "range_bounds", "sampling", "scale_pattern"),
+)
+def balanced_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """repartitionByRange planning made visible: derive {RB_BUCKETS}
+    range-bucket cut points from a deterministic 1-in-{RB_SAMPLE_MOD}
+    md5 sample (exactly what RangePartitioner's reservoir sketch does,
+    but reproducible across engines and cluster sizes), then certify
+    the plan by counting the FULL table into those buckets and
+    reporting each bucket's share vs the ideal 1/{RB_BUCKETS}. This is
+    the audit you run before a 100 TB global sort / range-bucketed
+    write: a skewed share column means resample before committing the
+    shuffle. Cost shape: the sample is scan-filtered map-side (no
+    shuffle until the tiny sample sorts), cut points are a 7-row
+    broadcast, and the full-table pass is one scan + one
+    {RB_BUCKETS}-row groupBy — the bucket assignment fold runs in
+    codegen over the broadcast array. Reference: no counterpart (its
+    runner hash-partitions only, pyspark_runner.py)."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.filter(
+        h32(
+            F.concat_ws("-", F.lit("rb"), F.col("l_orderkey"),
+                        F.col("l_linenumber"))
+        )
+        % RB_SAMPLE_MOD
+        == 0
+    ).select("l_extendedprice", "l_orderkey", "l_linenumber")
+    tiles = s.select(
+        "l_extendedprice",
+        F.ntile(RB_BUCKETS)
+        .over(W.orderBy("l_extendedprice", "l_orderkey", "l_linenumber"))
+        .alias("tile"),
+    )
+    cuts = (
+        tiles.filter(F.col("tile") < RB_BUCKETS)
+        .groupBy("tile")
+        .agg(F.max("l_extendedprice").alias("cut"))
+        .agg(F.array_sort(F.collect_list("cut")).alias("cuts"))
+    )
+    assigned = li.crossJoin(F.broadcast(cuts)).select(
+        F.aggregate(
+            "cuts",
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col("l_extendedprice") > b, 1).otherwise(0),
+        )
+        .cast("long")
+        .alias("bucket")
+    )
+    counted = assigned.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    return counted.select(
+        "bucket",
+        "n_rows",
+        (
+            F.col("n_rows").cast("double")
+            / F.sum("n_rows").over(W.partitionBy()).cast("double")
+        ).alias("share"),
+    )
+
+
+# --- delta-encoding size estimate (round 7) ----------------------------------
+@register(
+    "delta_encoding_bits",
+    oracle="""
+    WITH d AS (
+        SELECT source, doc_id,
+               doc_id - LAG(doc_id) OVER (
+                   PARTITION BY source ORDER BY doc_id) AS delta
+        FROM documents
+    ),
+    g AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_ids,
+               CAST(MAX(len(bin(doc_id))) AS BIGINT) AS raw_bits_per_id,
+               CAST(SUM(len(bin(delta))) AS BIGINT) AS delta_bits
+        FROM d GROUP BY source
+    ),
+    gr AS (SELECT MAX(raw_bits_per_id) AS graw FROM g)
+    SELECT source, n_ids, raw_bits_per_id,
+           CAST(delta_bits + graw AS BIGINT) AS encoded_bits,
+           CAST(delta_bits + graw AS DOUBLE)
+             / (CAST(n_ids AS DOUBLE) * graw) AS compression_ratio
+    FROM g, gr
+    """,
+    tags=("io", "encoding", "compression_planning", "scale_pattern"),
+)
+def delta_encoding_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-encoding budget for a sorted id column, per source: bits to
+    store each gap at its minimal width (len(bin(gap)) = floor(log2)+1 —
+    the repo's integer-log idiom) vs fixed-width absolutes, the
+    first id of each run stored raw. This is the layout-planning audit
+    behind parquet DELTA_BINARY_PACKED / postings-list varint choices:
+    a compression_ratio near 1 says the ids are scattered and delta
+    coding won't pay; near 0 says dense runs, encode away. One window
+    pass partitioned by source (the same sort the encoder itself
+    needs), then a per-source agg — no extra shuffle at any scale."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        (
+            F.col("doc_id")
+            - F.lag("doc_id").over(W.partitionBy("source").orderBy("doc_id"))
+        ).alias("delta"),
+    )
+    g = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_ids"),
+        F.max(F.length(F.bin("doc_id"))).cast("long").alias("raw_bits_per_id"),
+        F.sum(
+            F.when(F.col("delta").isNull(), F.lit(None)).otherwise(
+                F.length(F.bin("delta"))
+            )
+        ).alias("delta_bits"),
+    )
+    # the NULL first-delta row is charged at the raw fixed width
+    global_raw = g.agg(F.max("raw_bits_per_id").alias("graw"))
+    return g.crossJoin(F.broadcast(global_raw)).select(
+        "source",
+        "n_ids",
+        "raw_bits_per_id",
+        (F.col("delta_bits") + F.col("graw")).cast("long").alias("encoded_bits"),
+        (
+            (F.col("delta_bits") + F.col("graw")).cast("double")
+            / (F.col("n_ids").cast("double") * F.col("graw"))
+        ).alias("compression_ratio"),
+    )
+
+
+# --- l-diversity audit (round 7, companion to k_anonymity_audit) -------------
+@register(
+    "l_diversity_audit",
+    oracle="""
+    WITH g AS (
+        SELECT c_nationkey, FLOOR(c_acctbal / 1000) AS bal_band,
+               COUNT(DISTINCT c_mktsegment) AS l,
+               COUNT(*) AS n
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(l AS BIGINT) AS l,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n) AS BIGINT) AS n_rows
+    FROM g GROUP BY l
+    """,
+    tags=("privacy", "l_diversity", "audit", "quasi_identifier",
+          "training_data_qa"),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-DIVERSITY audit (Machanavajjhala et al. 2007): k-anonymity's
+    blind spot is a QI group whose sensitive values are all IDENTICAL —
+    large enough to pass k, yet disclosing the attribute outright. Per
+    QI group (nation, $1000 balance band) count the DISTINCT sensitive
+    values (market segment) and report the corpus as a histogram of l:
+    the l=1 row is the homogeneity-attack exposure k_anonymity_audit
+    cannot see. Shape: one groupBy on the QI tuple with a
+    distinct-count (partial-agg friendly: Spark expands it to a
+    two-level agg), then an l-keyed rollup of group-cardinality rows —
+    corpus touched once at any scale."""
+    g = load_table(spark, sf_dir, "customer").groupBy(
+        "c_nationkey", F.floor(F.col("c_acctbal") / 1000).alias("bal_band")
+    ).agg(
+        F.countDistinct("c_mktsegment").alias("l"),
+        F.count("*").alias("n"),
+    )
+    return g.groupBy(F.col("l").cast("long").alias("l")).agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("n").cast("long").alias("n_rows"),
+    )

@@ -1746,3 +1746,113 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.crossJoin(F.broadcast(lam)).select(
         "i", F.col("x").alias("loading"), "eigenvalue"
     )
+
+
+# --- Matryoshka truncation recall (MRL audit, round 7) -----------------------
+MRL_DIMS = (64, 32, 16, 8)
+
+_MRL_SCORED_SQL = "\n      UNION ALL ".join(
+    f"SELECT query_id, neighbor_id, {d} AS dim, "
+    f"{_cos_sql(f'(qe[1:{d}])', f'(ce[1:{d}])')} AS cosine FROM pairs"
+    for d in MRL_DIMS
+)
+
+
+@register(
+    "matryoshka_recall_curve",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, {_EMB_DBL} AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, {_EMB_DBL} AS ce FROM embeddings),
+    pairs AS (SELECT query_id, neighbor_id, qe, ce FROM q, c
+              WHERE query_id <> neighbor_id),
+    scored AS ({_MRL_SCORED_SQL}),
+    topk AS (SELECT query_id, neighbor_id, dim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, dim
+                                     ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored) WHERE rnk <= {TOP_K}),
+    fulltop AS (SELECT query_id, neighbor_id FROM topk WHERE dim = {DIM})
+    SELECT t.dim AS dim,
+           CAST(SUM(CASE WHEN f.query_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_hits,
+           CAST(SUM(CASE WHEN f.query_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+               / {N_QUERIES * TOP_K}.0 AS recall_at_k
+    FROM topk t LEFT JOIN fulltop f
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY t.dim
+    """,
+    tags=("similarity", "matryoshka", "recall", "llm_data"),
+)
+def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation audit: recall@k of prefix-truncated
+    embeddings (dims 32/16/8) against the full-dim exact top-k (Kusupati
+    et al., MRL). The curve tells a curation pipeline how small the
+    coarse-search prefix can go before IVF/ANN recall targets break.
+
+    One corpus scan, one broadcast crossJoin with the 8-vector query set;
+    all |MRL_DIMS| prefix cosines are computed per pair in the SAME
+    codegen stage (slice + fold, no Python), then exploded to (dim, cos)
+    rows so a single ranked window takes top-k per (query, dim). At
+    100 TB the pair stage is |Q|x|C| with |Q| broadcast — identical cost
+    shape to cosine_topk, 4 extra folds per row, no extra shuffle: the
+    explode keys the window by (query_id, dim) so one exchange serves
+    all four curves. No reference counterpart (reference has no vector
+    surface; transform_evaluators.py:15-100 is the closest grouping
+    machinery)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = spread(e).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("dim"),
+                        cosine_similarity(
+                            F.slice("qe", 1, d), F.slice("ce", 1, d)
+                        ).alias("cosine"),
+                    )
+                    for d in MRL_DIMS
+                ]
+            )
+        ).alias("x"),
+    ).select("query_id", "neighbor_id", "x.dim", "x.cosine")
+    w = W.partitionBy("query_id", "dim").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    topk = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "dim")
+    )
+    fulltop = topk.filter(F.col("dim") == DIM).select(
+        F.col("query_id").alias("f_query_id"),
+        F.col("neighbor_id").alias("hit_id"),
+    )
+    return (
+        topk.join(
+            F.broadcast(fulltop),
+            (F.col("query_id") == F.col("f_query_id"))
+            & (F.col("neighbor_id") == F.col("hit_id")),
+            "left",
+        )
+        .select("dim", "hit_id")
+        .groupBy("dim")
+        .agg(
+            F.sum(F.when(F.col("hit_id").isNull(), 0).otherwise(1)).alias("n_hits")
+        )
+        .select(
+            "dim",
+            "n_hits",
+            (F.col("n_hits") / F.lit(float(N_QUERIES * TOP_K))).alias("recall_at_k"),
+        )
+    )

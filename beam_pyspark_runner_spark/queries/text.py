@@ -3256,3 +3256,155 @@ def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("observed_rate"),
         (dsum("mean_score") / F.count("*").cast("double")).alias("avg_score"),
     )
+
+
+# --- priority sampling audit (Duffield-Lund-Thorup, round 7) -----------------
+PRI_K = 8  # sample size per source
+
+
+@register(
+    "priority_sample_sources",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS w,
+               CAST(n_chars AS DOUBLE) * 4294967296.0
+                 / ((('0x' || substr(md5('pri-' || doc_id), 1, 8))::BIGINT) + 1)
+                 AS priority
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY priority DESC, doc_id) AS rn
+        FROM w
+    ),
+    tau AS (SELECT source, priority AS tau FROM ranked WHERE rn = {PRI_K} + 1),
+    truth AS (SELECT source,
+                     CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT)
+                         AS true_total_chars
+              FROM documents GROUP BY source)
+    SELECT r.source AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           SUM(CASE WHEN r.w > t.tau THEN r.w ELSE t.tau END)
+               AS ht_total_chars,
+           MAX(truth.true_total_chars) AS true_total_chars
+    FROM ranked r
+    JOIN tau t ON r.source = t.source
+    JOIN truth ON r.source = truth.source
+    WHERE r.rn <= {PRI_K}
+    GROUP BY r.source
+    """,
+    tags=("text_analysis", "sampling", "priority_sampling", "llm_data"),
+)
+def priority_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup, JACM 2007): per source
+    keep the k docs with highest priority q_i = w_i / u_i (w = n_chars,
+    u = md5-uniform in (0,1]), threshold tau = the (k+1)-th priority, and
+    the Horvitz-Thompson estimate Σ max(w_i, tau) over the sample — the
+    variance-optimal fixed-size weighted sample for subset-sum queries.
+    The audit emits the HT estimate next to the true per-source total so
+    a curation pipeline can certify its sampling error before swapping
+    the sample in for the corpus. Plan: one scan, one window rank per
+    source (WindowGroupLimit pushes the k+1 cutoff map-side), then a
+    |sources|-row broadcast join of tau and the truth totals — nothing
+    driver-side, no RNG (md5 order is cluster-size invariant). No
+    reference counterpart (combiners.Sample at combiners.py is unweighted;
+    cited by deterministic_sample)."""
+    from pyspark.sql import Window as W
+
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    d = load_table(spark, sf_dir, "documents")
+    u_den = (
+        h32(F.concat_ws("-", F.lit("pri"), F.col("doc_id"))) + F.lit(1)
+    ).cast("double")
+    w = d.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("double").alias("w"),
+        (F.col("n_chars").cast("double") * F.lit(4294967296.0) / u_den).alias(
+            "priority"
+        ),
+    )
+    win = W.partitionBy("source").orderBy(F.col("priority").desc(), "doc_id")
+    ranked = w.withColumn("rn", F.row_number().over(win)).filter(
+        F.col("rn") <= PRI_K + 1
+    )
+    tau = ranked.filter(F.col("rn") == PRI_K + 1).select(
+        F.col("source").alias("t_source"), F.col("priority").alias("tau")
+    )
+    truth = d.groupBy(F.col("source").alias("g_source")).agg(
+        F.sum(F.col("n_chars").cast("long")).alias("true_total_chars")
+    )
+    return (
+        ranked.filter(F.col("rn") <= PRI_K)
+        .join(F.broadcast(tau), F.col("source") == F.col("t_source"))
+        .join(F.broadcast(truth), F.col("source") == F.col("g_source"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_sampled"),
+            F.sum(
+                F.when(F.col("w") > F.col("tau"), F.col("w")).otherwise(
+                    F.col("tau")
+                )
+            ).alias("ht_total_chars"),
+            F.max("true_total_chars").alias("true_total_chars"),
+        )
+    )
+
+
+# --- Flesch-style readability (round 7) --------------------------------------
+@register(
+    "flesch_readability",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+                   AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id, source, n_words, n_syllables,
+           206.835 - 1.015 * CAST(n_words AS DOUBLE)
+                   - 84.6 * (CAST(n_syllables AS DOUBLE)
+                             / CAST(n_words AS DOUBLE)) AS flesch
+    FROM t
+    """,
+    tags=("text_analysis", "quality", "readability"),
+)
+def flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document: 206.835 - 1.015*(words/sentences)
+    - 84.6*(syllables/word), with vowel-cluster runs as the standard
+    syllable estimate and each synthetic doc scored as one sentence (the
+    corpus has no sentence punctuation — documented fixture limit; on
+    real text swap the sentence count for a terminator regex count).
+    Companion to lm_fluency_score / gopher_quality_rules in the quality-
+    scoring stack. Pure JVM regex + arithmetic in one codegen stage —
+    embarrassingly parallel, no shuffle at any scale."""
+    from beam_pyspark_runner_spark.sources.readers import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    n_words = F.size(F.split(F.col("text"), " ")).cast("long")
+    n_syll = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[aeiou]+"), 0)
+    ).cast("long")
+    t = d.select(
+        "doc_id",
+        "source",
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+    )
+    return t.select(
+        "doc_id",
+        "source",
+        "n_words",
+        "n_syllables",
+        (
+            F.lit(206.835)
+            - F.lit(1.015) * F.col("n_words").cast("double")
+            - F.lit(84.6)
+            * (
+                F.col("n_syllables").cast("double")
+                / F.col("n_words").cast("double")
+            )
+        ).alias("flesch"),
+    )
