@@ -144,7 +144,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # stream_chained_window_aggs, rendezvous_shard_rebalance,
 # matryoshka_recall_curve, priority_sample_sources, flesch_readability,
 # theil_sen_slope, balanced_range_bounds, delta_encoding_bits,
-# l_diversity_audit
+# l_diversity_audit, dict_encoding_estimate, zorder_pruning_audit,
+# join_cardinality_estimate, quantile_prune_per_source
 
 
 def _apply_driver_window() -> None:

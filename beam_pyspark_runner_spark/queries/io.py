@@ -955,3 +955,210 @@ def rendezvous_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- dictionary-encoding size estimate (round 7) -----------------------------
+@register(
+    "dict_encoding_estimate",
+    oracle="""
+    WITH vals AS (
+        SELECT 'source' AS col, source AS v FROM documents
+        UNION ALL
+        SELECT 'lang' AS col, lang AS v FROM documents
+    ),
+    base AS (
+        SELECT col,
+               CAST(COUNT(*) AS BIGINT) AS n_values,
+               CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+               CAST(SUM(8 * len(v)) AS BIGINT) AS plain_bits
+        FROM vals GROUP BY col
+    ),
+    dl AS (
+        SELECT col, CAST(SUM(8 * len(v)) AS BIGINT) AS distinct_bits
+        FROM (SELECT DISTINCT col, v FROM vals) GROUP BY col
+    )
+    SELECT b.col AS col, n_values, n_distinct, plain_bits,
+           CAST(distinct_bits
+                + n_values * len(bin(n_distinct - 1)) AS BIGINT) AS dict_bits,
+           CAST(distinct_bits
+                + n_values * len(bin(n_distinct - 1)) AS DOUBLE)
+             / CAST(plain_bits AS DOUBLE) AS dict_ratio
+    FROM base b JOIN dl ON b.col = dl.col
+    """,
+    tags=("io", "encoding", "compression_planning", "scale_pattern"),
+)
+def dict_encoding_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encoding budget per column: plain bits (8·len per
+    value) vs dictionary bits (each distinct value stored once + one
+    ⌈log2 ndv⌉-bit code per row — len(bin(ndv-1)), the repo's integer-
+    log idiom). The write-path twin of delta_encoding_bits: parquet
+    writers flip from dict to plain when the dictionary outgrows the
+    page budget, and this audit predicts that flip from two cheap
+    aggregates — exactly the stats a 100 TB layout planner reads off
+    the column metadata before choosing encodings. Shape: one unpivoted
+    scan → per-column agg, plus a distinct-value agg; both shuffle only
+    (col, value) pairs."""
+    d = readers.load_table(spark, sf_dir, "documents")
+    vals = d.select(F.lit("source").alias("col"), F.col("source").alias("v")).unionAll(
+        d.select(F.lit("lang").alias("col"), F.col("lang").alias("v"))
+    )
+    base = vals.groupBy("col").agg(
+        F.count("*").cast("long").alias("n_values"),
+        F.countDistinct("v").cast("long").alias("n_distinct"),
+        F.sum(8 * F.length("v")).cast("long").alias("plain_bits"),
+    )
+    dl = (
+        vals.distinct()
+        .groupBy("col")
+        .agg(F.sum(8 * F.length("v")).cast("long").alias("distinct_bits"))
+        .withColumnRenamed("col", "d_col")
+    )
+    dict_bits = (
+        F.col("distinct_bits")
+        + F.col("n_values") * F.length(F.bin(F.col("n_distinct") - 1))
+    ).cast("long")
+    return (
+        base.join(F.broadcast(dl), F.col("col") == F.col("d_col"))
+        .select(
+            "col",
+            "n_values",
+            "n_distinct",
+            "plain_bits",
+            dict_bits.alias("dict_bits"),
+            (dict_bits.cast("double") / F.col("plain_bits").cast("double")).alias(
+                "dict_ratio"
+            ),
+        )
+    )
+
+
+# --- z-order pruning audit (round 7) -----------------------------------------
+ZP_FILES = 32
+_ZP_INTERLEAVE_SPARK = """
+    aggregate(sequence(0, 15), 0L, (acc, i) -> acc
+        + shiftleft(shiftright(price_cell, i) & 1, 2 * i)
+        + shiftleft(shiftright(cust_cell, i) & 1, 2 * i + 1))
+"""
+_ZP_INTERLEAVE_DUCK = (
+    "list_reduce(list_transform(range(0, 16), i ->"
+    " (((price_cell >> i) & 1) << (2 * i))"
+    " + (((cust_cell >> i) & 1) << (2 * i + 1))), (a, b) -> a + b)"
+)
+# probe predicates shared by both engines
+ZP_PRICE_LO, ZP_PRICE_HI = 20, 28
+ZP_CUST_LO, ZP_CUST_HI = 64, 96
+
+
+@register(
+    "zorder_pruning_audit",
+    oracle=f"""
+    WITH cells AS (
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice / 2500) AS BIGINT) AS price_cell,
+               o_custkey % 256 AS cust_cell
+        FROM orders
+    ),
+    keyed AS (
+        SELECT 'linear' AS layout, price_cell, cust_cell,
+               price_cell AS k1, cust_cell AS k2, o_orderkey FROM cells
+        UNION ALL
+        SELECT 'zorder' AS layout, price_cell, cust_cell,
+               {_ZP_INTERLEAVE_DUCK} AS k1, 0 AS k2, o_orderkey FROM cells
+    ),
+    files AS (
+        SELECT layout, price_cell, cust_cell,
+               NTILE({ZP_FILES}) OVER (PARTITION BY layout
+                                       ORDER BY k1, k2, o_orderkey) AS f
+        FROM keyed
+    ),
+    stats AS (
+        SELECT layout, f,
+               MIN(price_cell) AS pmin, MAX(price_cell) AS pmax,
+               MIN(cust_cell) AS cmin, MAX(cust_cell) AS cmax
+        FROM files GROUP BY layout, f
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(COUNT(*) FILTER (WHERE pmin <= {ZP_PRICE_HI}
+                                   AND pmax >= {ZP_PRICE_LO}) AS BIGINT)
+               AS files_price_probe,
+           CAST(COUNT(*) FILTER (WHERE cmin <= {ZP_CUST_HI}
+                                   AND cmax >= {ZP_CUST_LO}) AS BIGINT)
+               AS files_cust_probe,
+           CAST(COUNT(*) FILTER (WHERE pmin <= {ZP_PRICE_HI}
+                                   AND pmax >= {ZP_PRICE_LO}
+                                   AND cmin <= {ZP_CUST_HI}
+                                   AND cmax >= {ZP_CUST_LO}) AS BIGINT)
+               AS files_both_probe
+    FROM stats GROUP BY layout
+    """,
+    tags=("io", "data_layout", "zorder", "pruning", "scale_pattern"),
+)
+def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The missing half of zorder_key: PROVE the layout prunes. Assign
+    rows to {ZP_FILES} equal-size files under two layouts — linear sort
+    on price then customer, vs Morton-interleaved z-order — compute each
+    file's min/max footer stats for both dimensions, and count the files
+    a scan must touch under a price-only probe, a customer-only probe,
+    and the conjunction. Linear wins the leading-column probe outright
+    but degenerates to a full scan on the trailing column; z-order
+    prunes BOTH — the number this audit prints is the scan-cost
+    argument for an OPTIMIZE ZORDER rewrite of a 100 TB table. The
+    equal-count ntile here stands in for the write-path
+    repartitionByRange(z) exercised by partitioned_write_prune; at
+    production scale the assignment comes from range bounds sampled à
+    la balanced_range_bounds, not a global window sort."""
+    o = readers.load_table(spark, sf_dir, "orders")
+    cells = o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") / 2500).cast("long").alias("price_cell"),
+        (F.col("o_custkey") % 256).alias("cust_cell"),
+    )
+    z = F.expr(_ZP_INTERLEAVE_SPARK)
+    keyed = cells.select(
+        F.lit("linear").alias("layout"),
+        "price_cell",
+        "cust_cell",
+        F.col("price_cell").alias("k1"),
+        F.col("cust_cell").alias("k2"),
+        "o_orderkey",
+    ).unionAll(
+        cells.select(
+            F.lit("zorder").alias("layout"),
+            "price_cell",
+            "cust_cell",
+            z.alias("k1"),
+            F.lit(0).cast("long").alias("k2"),
+            "o_orderkey",
+        )
+    )
+    from pyspark.sql import Window as W
+
+    files = keyed.select(
+        "layout",
+        "price_cell",
+        "cust_cell",
+        F.ntile(ZP_FILES)
+        .over(W.partitionBy("layout").orderBy("k1", "k2", "o_orderkey"))
+        .alias("f"),
+    )
+    stats = files.groupBy("layout", "f").agg(
+        F.min("price_cell").alias("pmin"),
+        F.max("price_cell").alias("pmax"),
+        F.min("cust_cell").alias("cmin"),
+        F.max("cust_cell").alias("cmax"),
+    )
+    price_hit = (F.col("pmin") <= ZP_PRICE_HI) & (F.col("pmax") >= ZP_PRICE_LO)
+    cust_hit = (F.col("cmin") <= ZP_CUST_HI) & (F.col("cmax") >= ZP_CUST_LO)
+    return stats.groupBy("layout").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum(F.when(price_hit, 1).otherwise(0)).cast("long").alias(
+            "files_price_probe"
+        ),
+        F.sum(F.when(cust_hit, 1).otherwise(0)).cast("long").alias(
+            "files_cust_probe"
+        ),
+        F.sum(F.when(price_hit & cust_hit, 1).otherwise(0)).cast("long").alias(
+            "files_both_probe"
+        ),
+    )

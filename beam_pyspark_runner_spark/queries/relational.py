@@ -3910,3 +3910,90 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_groups"),
         F.sum("n").cast("long").alias("n_rows"),
     )
+
+
+# --- join cardinality estimation audit (round 7) -----------------------------
+JCE_MCVS = 20  # most-common-value list size, à la ANALYZE statistics
+
+
+@register(
+    "join_cardinality_estimate",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events
+        GROUP BY user_id
+    ),
+    r AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS rn FROM c
+    ),
+    s AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS ndv,
+               CAST(SUM(c * c) AS BIGINT) AS actual_pairs,
+               CAST(SUM(CASE WHEN rn <= {JCE_MCVS} THEN c ELSE 0 END)
+                    AS BIGINT) AS mcv_rows,
+               CAST(SUM(CASE WHEN rn <= {JCE_MCVS} THEN c * c ELSE 0 END)
+                    AS BIGINT) AS mcv_pairs
+        FROM r
+    )
+    SELECT n_rows, ndv, actual_pairs,
+           CAST(n_rows AS DOUBLE) * n_rows / ndv AS est_uniform,
+           mcv_pairs + CAST(n_rows - mcv_rows AS DOUBLE)
+               * (n_rows - mcv_rows) / (ndv - {JCE_MCVS}) AS est_mcv,
+           (CAST(n_rows AS DOUBLE) * n_rows / ndv)
+               / actual_pairs AS err_uniform,
+           (mcv_pairs + CAST(n_rows - mcv_rows AS DOUBLE)
+               * (n_rows - mcv_rows) / (ndv - {JCE_MCVS}))
+               / actual_pairs AS err_mcv
+    FROM s
+    """,
+    tags=("optimizer", "statistics", "cardinality", "scale_pattern"),
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation the way an optimizer's ANALYZE does
+    it, audited against ground truth: for the events-on-user_id
+    self-join (the sessionization shape), compare the textbook uniform
+    estimate N²/ndv with the MCV-aware estimate (top-{JCE_MCVS} key
+    frequencies exact, uniform tail) against the exact Σc². The err_*
+    ratios are the misplanning factor — a skewed key set sends
+    err_uniform far above 1, which is precisely when a 100 TB join
+    needs the salted/AQE path (salted_skew_join) instead of a plain
+    shuffle. Cost: one groupBy to the per-key frame, then a rank window
+    over KEY CARDINALITY rows (not data rows) for the MCV cut — the
+    same frame ANALYZE itself materializes; production heavy-hitter
+    stats at streaming scale come from cms_heavy_hitters instead."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    r = c.select(
+        "c", F.row_number().over(W.orderBy(F.col("c").desc(), "user_id")).alias("rn")
+    )
+    is_mcv = F.col("rn") <= JCE_MCVS
+    s = r.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("ndv"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("actual_pairs"),
+        F.sum(F.when(is_mcv, F.col("c")).otherwise(0)).cast("long").alias("mcv_rows"),
+        F.sum(F.when(is_mcv, F.col("c") * F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("mcv_pairs"),
+    )
+    est_uniform = (
+        F.col("n_rows").cast("double") * F.col("n_rows") / F.col("ndv")
+    )
+    est_mcv = F.col("mcv_pairs") + (
+        (F.col("n_rows") - F.col("mcv_rows")).cast("double")
+        * (F.col("n_rows") - F.col("mcv_rows"))
+        / (F.col("ndv") - JCE_MCVS)
+    )
+    return s.select(
+        "n_rows",
+        "ndv",
+        "actual_pairs",
+        est_uniform.alias("est_uniform"),
+        est_mcv.alias("est_mcv"),
+        (est_uniform / F.col("actual_pairs")).alias("err_uniform"),
+        (est_mcv / F.col("actual_pairs")).alias("err_mcv"),
+    )

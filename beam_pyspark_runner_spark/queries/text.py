@@ -3408,3 +3408,68 @@ def flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("flesch"),
     )
+
+
+# --- per-source quantile pruning (round 7) -----------------------------------
+@register(
+    "quantile_prune_per_source",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(n_chars AS DOUBLE) / len(string_split(text, ' '))
+                   AS score
+        FROM documents
+    ),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY score, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM t
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(MAX(n) // 4 AS BIGINT) AS n_pruned,
+           MAX(CASE WHEN rn <= n // 4 THEN score END) AS cutoff_score
+    FROM r GROUP BY source
+    """,
+    tags=("text_analysis", "quality", "pruning", "llm_data"),
+)
+def quantile_prune_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-quartile data pruning per source, the standard
+    classifier-threshold curation move (keep the top 75% of each source
+    by quality score so no single source is wiped out by a global
+    cutoff): score = mean word length here as the stand-in for the
+    model score linear_classifier_inference produces. The EXACT
+    per-source cutoff comes from a ranked window — rank <= n/4 prunes —
+    and the emitted (source, cutoff_score) table is what the production
+    pipeline then applies as a cheap broadcast filter on the full
+    corpus, so the expensive ranked pass runs once per stats refresh,
+    not per scan. One window per source; at 100 TB swap the exact rank
+    for two_phase_global_quantiles' bucket-histogram shape per source."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        (
+            F.col("n_chars").cast("double")
+            / F.size(F.split(F.col("text"), " "))
+        ).alias("score"),
+    )
+    from pyspark.sql import Window as W
+
+    r = t.select(
+        "source",
+        "score",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("score", "doc_id"))
+        .alias("rn"),
+        F.count("*").over(W.partitionBy("source")).alias("n"),
+    )
+    return r.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.expr("max(n) div 4").cast("long").alias("n_pruned"),
+        F.max(
+            F.when(F.col("rn") <= F.expr("n div 4"), F.col("score"))
+        ).alias("cutoff_score"),
+    )
