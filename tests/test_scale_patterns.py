@@ -1371,3 +1371,56 @@ def test_round7_new_query_plan_shapes(spark):
         for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     }
     assert keys <= {"bin", "d", "order_date"}, keys
+
+
+def test_round7_session_additions_plan_shapes(spark):
+    """The round-7 session-2 additions keep their 100 TB contracts:
+    matryoshka scores every truncation dim in ONE broadcast-nested-loop
+    pass (no cartesian, no per-dim corpus rescan exchange); priority
+    sampling's tau/truth joins ride broadcasts; balanced_range_bounds
+    sorts only the 1-in-20 SAMPLE (any range exchange must be fed by
+    the sample filter, and the full-table pass is exchange-free up to
+    the 8-row bucket agg); the cardinality audit's rank window runs on
+    the per-key frame, not data rows."""
+    import re
+
+    plan = _executed_plan_of(spark, "matryoshka_recall_curve")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Python" not in plan
+    keys = {
+        k.split(",")[0].split("#")[0].strip()
+        for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    assert keys <= {"query_id", "dim"}, keys
+
+    plan = _executed_plan_of(spark, "priority_sample_sources")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # tau + truth joins broadcast
+    assert "Python" not in plan
+
+    plan = _executed_plan_of(spark, "balanced_range_bounds")
+    assert "CartesianProduct" not in plan
+    # the FULL-table bucket assignment must never global-sort: no
+    # rangepartitioning exchange anywhere, and every Sort node is a
+    # non-global (within-partition) sort — the only sorts in the plan
+    # belong to the ntile window over the 1-in-20 md5 sample, which
+    # rides an Exchange SinglePartition of sample-sized input
+    assert "rangepartitioning" not in plan, plan[:800]
+    for line in plan.splitlines():
+        if line.strip().startswith(("Sort [", "+- Sort [", "*(")) and "Sort [" in line:
+            assert "], false, 0" in line, line
+    keys = {
+        k.split(",")[0].split("#")[0].strip()
+        for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    assert keys <= {"tile", "bucket"}, keys
+
+    plan = _executed_plan_of(spark, "join_cardinality_estimate")
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    keys = {
+        k.split(",")[0].split("#")[0].strip()
+        for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    assert keys <= {"user_id"}, keys
