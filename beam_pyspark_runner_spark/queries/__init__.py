@@ -145,7 +145,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # matryoshka_recall_curve, priority_sample_sources, flesch_readability,
 # theil_sen_slope, balanced_range_bounds, delta_encoding_bits,
 # l_diversity_audit, dict_encoding_estimate, zorder_pruning_audit,
-# join_cardinality_estimate, quantile_prune_per_source
+# join_cardinality_estimate, quantile_prune_per_source,
+# kendall_tau_trend, holt_linear_forecast, shuffle_skew_advisor,
+# hits_hubs_authorities
 
 
 def _apply_driver_window() -> None:

@@ -784,3 +784,105 @@ def k_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("supplier"),
         F.col("d").cast("long").alias("core_degree"),
     )
+
+
+# --- HITS hubs & authorities (round 7) ---------------------------------------
+def _hits_half_sql(vec: str, vec_col: str, key: str, other: str, out: str) -> str:
+    """One normalized HITS half-step as two CTEs: decimal-exact sum of
+    wn*score grouped by `key`, then L1 normalization (decimal-exact
+    total, single double division)."""
+    return f"""
+    {out}r AS (
+        SELECT {key}, CAST(SUM(CAST(e.wn * {vec}.{vec_col} AS DECIMAL(38,10)))
+                           AS DOUBLE) AS raw
+        FROM e JOIN {vec} USING ({other}) GROUP BY {key}
+    ),
+    {out}n AS (SELECT CAST(SUM(CAST(raw AS DECIMAL(38,10))) AS DOUBLE) AS t
+               FROM {out}r),
+    {out} AS (SELECT {key}, raw / t AS {vec_col} FROM {out}r, {out}n)"""
+
+
+@register(
+    "hits_hubs_authorities",
+    oracle=f"""
+    WITH edges AS (
+        SELECT o.o_custkey AS c, li.l_suppkey AS s, COUNT(*) AS w
+        FROM orders o JOIN lineitem li ON o.o_orderkey = li.l_orderkey
+        GROUP BY 1, 2
+    ),
+    tw AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM edges),
+    e AS (SELECT c, s, CAST(w AS DOUBLE) / tw AS wn FROM edges, tw),
+    a1r AS (
+        SELECT s, CAST(SUM(CAST(wn AS DECIMAL(38,10))) AS DOUBLE) AS raw
+        FROM e GROUP BY s
+    ),
+    a1n AS (SELECT CAST(SUM(CAST(raw AS DECIMAL(38,10))) AS DOUBLE) AS t
+            FROM a1r),
+    a1 AS (SELECT s, raw / t AS score FROM a1r, a1n),
+    {_hits_half_sql('a1', 'score', 'c', 's', 'h1')},
+    {_hits_half_sql('h1', 'score', 's', 'c', 'a2')},
+    {_hits_half_sql('a2', 'score', 'c', 's', 'h2')}
+    SELECT 'authority' AS role, s AS node_id, score FROM a2
+    UNION ALL
+    SELECT 'hub' AS role, c AS node_id, score FROM h2
+    """,
+    tags=("graph", "hits", "iterative", "bipartite"),
+)
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) on the bipartite customer→supplier order
+    graph: authority(s) = Σ_c w·hub(c), hub(c) = Σ_s w·authority(s),
+    two full mutual-reinforcement iterations, L1-normalized between
+    half-steps so every score stays in [0,1] (keeping the decimal-exact
+    accumulators inside their 2^53 conversion bound — the pagerank
+    file-header contract). High-authority suppliers are the ones
+    important customers concentrate on; high-hub customers are the
+    broad buyers whose endorsement carries — the query-independent
+    salience pair PageRank's single score conflates.
+
+    Scale shape: the edge list is ONE orders⋈lineitem join grouped to
+    (customer, supplier) — no self-join, fan-in bounded by order line
+    count; each half-step is one equi-join of the edge list against the
+    score vector plus a key-partial agg (the pagerank iteration shape),
+    and the L1 norm is a 1-row broadcast. Exchange reuse dedups the
+    repeated edge subtree exactly as in pagerank_3iter. Reference has
+    no graph surface (transform_evaluators.py:84-100 is flat
+    CombinePerKey)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.count("*").alias("w"))
+    )
+    tw = edges.agg(F.sum("w").cast("long").alias("tw"))
+    e = edges.crossJoin(F.broadcast(tw)).select(
+        "c", "s", (F.col("w").cast("double") / F.col("tw")).alias("wn")
+    )
+
+    def half(vec: DataFrame, join_key: str, group_key: str) -> DataFrame:
+        """vec: (join_key, score) → normalized (group_key, score)."""
+        raw = (
+            e.join(vec, join_key)
+            .groupBy(group_key)
+            .agg(_dsum_exact(F.col("wn") * F.col("score")).alias("raw"))
+        )
+        norm = raw.agg(_dsum_exact(F.col("raw")).alias("t"))
+        return raw.crossJoin(F.broadcast(norm)).select(
+            group_key, (F.col("raw") / F.col("t")).alias("score")
+        )
+
+    a1r = e.groupBy("s").agg(_dsum_exact(F.col("wn")).alias("raw"))  # hub0 = 1
+    a1n = a1r.agg(_dsum_exact(F.col("raw")).alias("t"))
+    a1 = a1r.crossJoin(F.broadcast(a1n)).select(
+        "s", (F.col("raw") / F.col("t")).alias("score")
+    )
+    h1 = half(a1, "s", "c")
+    a2 = half(h1, "c", "s")
+    h2 = half(a2, "s", "c")
+    return a2.select(
+        F.lit("authority").alias("role"),
+        F.col("s").alias("node_id"),
+        "score",
+    ).unionAll(
+        h2.select(F.lit("hub").alias("role"), F.col("c").alias("node_id"), "score")
+    )

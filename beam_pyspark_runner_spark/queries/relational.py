@@ -3997,3 +3997,291 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (est_uniform / F.col("actual_pairs")).alias("err_uniform"),
         (est_mcv / F.col("actual_pairs")).alias("err_mcv"),
     )
+
+
+# --- Kendall tau rank-correlation trend (round 7) ----------------------------
+@register(
+    "kendall_tau_trend",
+    oracle=f"""
+    WITH m AS (
+        SELECT n.n_name AS n_name,
+               (date_part('year', o.o_orderdate) - 1996) * 12
+                 + date_part('month', o.o_orderdate) AS m,
+               SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= DATE '{TS_START}'
+        GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT a.n_name AS n_name,
+               CAST(COUNT(*) FILTER (WHERE b.cents > a.cents) AS BIGINT)
+                   AS concordant,
+               CAST(COUNT(*) FILTER (WHERE b.cents < a.cents) AS BIGINT)
+                   AS discordant,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM m a JOIN m b ON a.n_name = b.n_name AND a.m < b.m
+        GROUP BY 1
+    )
+    SELECT n_name, concordant, discordant,
+           CAST(concordant - discordant AS DOUBLE) / n_pairs AS kendall_tau
+    FROM p
+    """,
+    tags=("robust_statistics", "trend", "rank_correlation", "pairwise"),
+)
+def kendall_tau_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-a between time and monthly revenue per nation: the
+    fraction of month pairs moving with (concordant) minus against
+    (discordant) the clock — the nonparametric monotone-trend test that
+    complements theil_sen_slope's magnitude with a direction
+    confidence (Mann-Kendall test statistic, standard in drift
+    monitoring). Same scale contract as theil_sen_slope: corpus
+    touched once for the month aggregate; the pairwise stage is an
+    equi-join on the group key over the calendar-bounded aggregate,
+    integer counts only until the final division."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(TS_START).cast("date")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    m = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - F.lit(1996)) * 12
+                + F.month("o_orderdate")
+            ).alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    a = m.alias("a")
+    b = m.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.n_name") == F.col("b.n_name"))
+            & (F.col("a.m") < F.col("b.m")),
+        )
+        .groupBy(F.col("a.n_name").alias("n_name"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.cents") > F.col("a.cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("concordant"),
+            F.sum(
+                F.when(F.col("b.cents") < F.col("a.cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("discordant"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+    )
+    return p.select(
+        "n_name",
+        "concordant",
+        "discordant",
+        (
+            (F.col("concordant") - F.col("discordant")).cast("double")
+            / F.col("n_pairs")
+        ).alias("kendall_tau"),
+    )
+
+
+# --- Holt double-exponential forecast (round 7) ------------------------------
+# alpha = 1/2 and beta = 1/4 are EXACT binary fractions: every smoothing
+# step is a correctly-rounded IEEE multiply/add identical across engines,
+# so the recursion value-hashes with no decimal pinning needed.
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.25
+
+
+@register(
+    "holt_linear_forecast",
+    oracle=f"""
+    WITH RECURSIVE mm AS (
+        SELECT n.n_name AS n_name,
+               (date_part('year', o.o_orderdate) - 1996) * 12
+                 + date_part('month', o.o_orderdate) AS m,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) AS y
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= DATE '{TS_START}'
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY m) AS rn,
+               COUNT(*) OVER (PARTITION BY n_name) AS t_max
+        FROM mm
+    ),
+    step AS (
+        SELECT a.n_name, 1 AS t, a.t_max,
+               a.y AS l, b.y - a.y AS b
+        FROM r a JOIN r b ON a.n_name = b.n_name AND b.rn = 2
+        WHERE a.rn = 1
+        UNION ALL
+        SELECT s.n_name, s.t + 1, s.t_max,
+               r.y * {HOLT_ALPHA} + (s.l + s.b) * {1 - HOLT_ALPHA},
+               (r.y * {HOLT_ALPHA} + (s.l + s.b) * {1 - HOLT_ALPHA} - s.l)
+                   * {HOLT_BETA} + s.b * {1 - HOLT_BETA}
+        FROM step s JOIN r ON r.n_name = s.n_name AND r.rn = s.t + 1
+        WHERE s.t < s.t_max
+    )
+    SELECT n_name, CAST(t_max AS BIGINT) AS n_months,
+           l AS level, b AS trend, l + b AS forecast_next
+    FROM step WHERE t = t_max
+    """,
+    tags=("forecast", "exponential_smoothing", "time_series"),
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per nation (level+trend, the
+    no-seasonality Holt-Winters): l_t = αy_t + (1-α)(l+b),
+    b_t = β(l_t - l) + (1-β)b, one-step-ahead forecast l+b. α=1/2 and
+    β=1/4 are exact binary fractions so the whole recursion is
+    bit-reproducible — the oracle replays it as a recursive CTE while
+    Spark runs it as ONE higher-order fold (aggregate over the sorted
+    month array) inside codegen: the corpus collapses to ≤36 rows per
+    group in the first groupBy, the fold is group-local with zero
+    extra shuffles, and nothing iterates driver-side. The
+    classical-decomposition counterpart is seasonality_index; this is
+    the adaptive-trend forecaster a capacity planner runs per key at
+    100 TB (group count scales out, series length stays bounded)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(TS_START).cast("date")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    mm = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - F.lit(1996)) * 12
+                + F.month("o_orderdate")
+            ).alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    series = mm.groupBy("n_name").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "y"))), lambda p: p["y"]
+        ).alias("ys")
+    )
+    a, bcoef = HOLT_ALPHA, HOLT_BETA
+    init = F.struct(
+        F.element_at("ys", 1).alias("l"),
+        (F.element_at("ys", 2) - F.element_at("ys", 1)).alias("b"),
+    )
+    fold = F.aggregate(
+        F.slice("ys", 2, F.size("ys") - 1),
+        init,
+        lambda acc, y: F.struct(
+            (y * F.lit(a) + (acc["l"] + acc["b"]) * F.lit(1 - a)).alias("l"),
+            (
+                (
+                    y * F.lit(a)
+                    + (acc["l"] + acc["b"]) * F.lit(1 - a)
+                    - acc["l"]
+                )
+                * F.lit(bcoef)
+                + acc["b"] * F.lit(1 - bcoef)
+            ).alias("b"),
+        ),
+    )
+    return series.select(
+        "n_name",
+        F.size("ys").cast("long").alias("n_months"),
+        fold.getField("l").alias("level"),
+        fold.getField("b").alias("trend"),
+        (fold.getField("l") + fold.getField("b")).alias("forecast_next"),
+    )
+
+
+# --- AQE skew-split simulation (round 7) -------------------------------------
+SKEW_PARTS = 32  # modeled shuffle partition count
+SKEW_FACTOR = 5  # spark.sql.adaptive.skewJoin.skewedPartitionFactor default
+
+
+@register(
+    "shuffle_skew_advisor",
+    oracle=f"""
+    WITH p AS (
+        SELECT (('0x' || substr(md5('sk-' || user_id), 1, 8))::BIGINT)
+                   % {SKEW_PARTS} AS part,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY 1
+    ),
+    med AS (
+        SELECT n_rows AS median_rows FROM (
+            SELECT n_rows, ROW_NUMBER() OVER (ORDER BY n_rows, part) AS rn,
+                   COUNT(*) OVER () AS cnt
+            FROM p
+        ) WHERE rn = (cnt + 1) // 2
+    )
+    SELECT part, n_rows, median_rows,
+           n_rows > {SKEW_FACTOR} * median_rows AS is_skewed,
+           CAST(CASE WHEN n_rows > {SKEW_FACTOR} * median_rows
+                     THEN (n_rows + median_rows - 1) // median_rows
+                     ELSE 1 END AS BIGINT) AS split_factor
+    FROM p, med
+    """,
+    tags=("skew", "aqe", "partitioning", "scale_pattern"),
+)
+def shuffle_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE's skew-join detection replayed as an auditable query: model
+    the {SKEW_PARTS}-way hash shuffle of events on user_id, find the
+    median partition size, flag partitions over {SKEW_FACTOR}x median
+    (the spark.sql.adaptive.skewJoin.skewedPartitionFactor default) and
+    emit the split factor AQE would apply (⌈size/median⌉). Running this
+    against last night's key distribution tells you BEFORE the 100 TB
+    join whether to pre-salt (salted_skew_join) or trust AQE's runtime
+    split — and the per-partition table is the evidence for tuning the
+    factor. Cost: one groupBy to {SKEW_PARTS} rows, then constant-size
+    work; the md5 stand-in for Spark's internal murmur keeps the oracle
+    cross-engine."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    p = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            (h32(F.concat_ws("-", F.lit("sk"), F.col("user_id"))) % SKEW_PARTS)
+            .alias("part")
+        )
+        .agg(F.count("*").cast("long").alias("n_rows"))
+    )
+    ranked = p.select(
+        "n_rows",
+        F.row_number().over(W.orderBy("n_rows", "part")).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("cnt"),
+    )
+    med = ranked.filter(F.col("rn") == F.expr("(cnt + 1) div 2")).select(
+        F.col("n_rows").alias("median_rows")
+    )
+    skewed = F.col("n_rows") > SKEW_FACTOR * F.col("median_rows")
+    return p.crossJoin(F.broadcast(med)).select(
+        "part",
+        "n_rows",
+        "median_rows",
+        skewed.alias("is_skewed"),
+        F.when(
+            skewed,
+            F.expr(f"(n_rows + median_rows - 1) div median_rows"),
+        )
+        .otherwise(1)
+        .cast("long")
+        .alias("split_factor"),
+    )
