@@ -147,7 +147,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # l_diversity_audit, dict_encoding_estimate, zorder_pruning_audit,
 # join_cardinality_estimate, quantile_prune_per_source,
 # kendall_tau_trend, holt_linear_forecast, shuffle_skew_advisor,
-# hits_hubs_authorities
+# hits_hubs_authorities, stream_stream_left_outer, batch_match_recognize,
+# mixture_epoch_plan
 
 
 def _apply_driver_window() -> None:

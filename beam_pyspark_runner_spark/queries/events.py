@@ -3340,3 +3340,74 @@ def slo_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("n_total").over(wd).cast("double") * target)
         ).alias("budget_consumed"),
     )
+
+
+# --- batch MATCH_RECOGNIZE-style sequence regex (round 7) --------------------
+@register(
+    "batch_match_recognize",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                   AS seq
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS BIGINT)
+               AS n_view_to_purchase,
+           CAST(COALESCE(list_max(list_transform(
+                regexp_extract_all(seq, 'e+'), x -> len(x))), 0) AS BIGINT)
+               AS max_error_burst
+    FROM s
+    """,
+    tags=("events", "sequence", "match_recognize", "regex"),
+)
+def batch_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MATCH_RECOGNIZE (the Trino/Flink row-pattern operator,
+    SQL:2016): encode each user's event history as a character sequence
+    (one initial per event, event-time order) and run row patterns as
+    ordinary regexes over it — 'v[^p]*p' counts view→purchase
+    conversions (non-overlapping, first-purchase semantics exactly like
+    MATCH_RECOGNIZE's AFTER MATCH SKIP PAST LAST ROW), 'e+' measures
+    the longest error burst. The encode step is ONE groupBy per user
+    with an ordered in-group concat; per-user history length is the
+    only state, the regex engine runs inside codegen, and no self-join
+    or window cascade touches the corpus — the 100 TB-safe way to ask
+    ordered-pattern questions the funnel/CEP family (funnel_stages,
+    stream_cep_error_then_purchase) answers with joins. Reference has
+    no sequence surface."""
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.select(
+            "user_id",
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("ch")).alias(
+                "x"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("x")), lambda p: p["ch"]),
+                "",
+            ).alias("seq")
+        )
+    )
+    return s.select(
+        "user_id",
+        F.length("seq").cast("long").alias("seq_len"),
+        F.size(F.regexp_extract_all(F.col("seq"), F.lit("v[^p]*p"), 0))
+        .cast("long")
+        .alias("n_view_to_purchase"),
+        F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.regexp_extract_all(F.col("seq"), F.lit("e+"), 0),
+                    lambda x: F.length(x),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("max_error_burst"),
+    )

@@ -1378,3 +1378,91 @@ def stream_chained_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_df(daily, output_mode="append")
+
+
+# --- left-outer stream-stream join (round 7) ---------------------------------
+@register(
+    "stream_stream_left_outer",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS max_ts FROM events),
+    v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+          FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+          FROM events WHERE event_type = 'purchase')
+    SELECT v.user_id AS user_id, v.view_id AS view_id,
+           p.purchase_id AS purchase_id,
+           p.purchase_id IS NOT NULL AS matched
+    FROM v
+    LEFT JOIN p
+      ON v.user_id = p.user_id
+     AND p.purchase_ts >= v.view_ts
+     AND p.purchase_ts <= v.view_ts + INTERVAL 10 MINUTE
+    , mx
+    WHERE v.view_ts <= mx.max_ts - INTERVAL 2 HOURS
+    """,
+    tags=("streaming", "stream_stream_join", "outer_join", "watermark"),
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the semantics the inner
+    variant (stream_stream_join) cannot give you: views with NO
+    purchase inside the 10-minute window still emit, with a null
+    purchase side, once the watermark proves no match can arrive. The
+    state store holds a view row only until watermark > view_ts + 10min
+    (join bound) + 1h (delay); eviction then emits the unmatched row
+    exactly once — bounded state, exactly-once nulls, the abandoned-
+    browse feed a marketing pipeline actually wants. Tail contract:
+    rows younger than the final watermark stay in state and are NOT
+    emitted, so both the streamed result and the oracle restrict to
+    view_ts <= max_ts - 2h — strictly inside the flushed region (1h
+    delay + 10min bound + margin), where stream and batch left-join
+    agree row-for-row at any scale."""
+    e = _events_stream(spark, sf_dir, max_files_per_trigger=2)
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")
+        ),
+        "left_outer",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "view_ts",
+        "purchase_id",
+    )
+    out = run_stream_to_df(joined, output_mode="append")
+    # batch-side tail restriction to the flushed region (see docstring)
+    mx = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max("ts").alias("max_ts"))
+    )
+    return (
+        out.crossJoin(F.broadcast(mx))
+        .filter(F.col("view_ts") <= F.col("max_ts") - F.expr("INTERVAL 2 HOURS"))
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            F.col("purchase_id").isNotNull().alias("matched"),
+        )
+    )

@@ -3473,3 +3473,101 @@ def quantile_prune_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn") <= F.expr("n div 4"), F.col("score"))
         ).alias("cutoff_score"),
     )
+
+
+# --- equal-mixture epoch planning (round 7) ----------------------------------
+MIX_BUDGET = 10_000_000  # training-token budget for the plan
+MIX_MAX_EPOCHS = 4.0  # repeat cap per source before quality degrades
+
+
+@register(
+    "mixture_epoch_plan",
+    oracle=f"""
+    WITH t AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources FROM t),
+    flag AS (
+        SELECT t.source, t.tokens,
+               {MIX_BUDGET}.0 / n_sources AS alloc0,
+               {MIX_BUDGET}.0 / n_sources > {MIX_MAX_EPOCHS} * t.tokens
+                   AS capped
+        FROM t, n
+    ),
+    g AS (
+        SELECT CAST(SUM(CASE WHEN capped THEN tokens ELSE 0 END) AS BIGINT)
+                   AS capped_tokens,
+               CAST(SUM(CASE WHEN capped THEN 0 ELSE tokens END) AS BIGINT)
+                   AS uncapped_tokens,
+               CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_capped
+        FROM flag
+    )
+    SELECT source, tokens, alloc0,
+           alloc0 / tokens AS epochs_raw,
+           capped,
+           CASE WHEN capped THEN {MIX_MAX_EPOCHS}
+                ELSE (alloc0 + (alloc0 * n_capped
+                                - {MIX_MAX_EPOCHS} * capped_tokens)
+                               * tokens / uncapped_tokens) / tokens
+           END AS epochs_final
+    FROM flag, g
+    """,
+    tags=("text_analysis", "mixture", "data_curation", "llm_data"),
+)
+def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-mixture epoch plan under a token budget: give each source
+    budget/n tokens; a source too small to absorb its share without
+    exceeding {MIX_MAX_EPOCHS} epochs is capped there, and the freed
+    budget is redistributed over the uncapped sources proportionally to
+    their size (one redistribution round, documented). This is the
+    repeat-factor table a pretraining run derives from corpus stats
+    (cf. the data-constrained scaling literature's ~4-epoch usefulness
+    cliff); temperature_sampling_weights is the sampling-probability
+    twin, this one emits concrete epoch multipliers. Cost: one token
+    count per source, then constant-size arithmetic over the
+    |sources|-row frame with a 1-row broadcast of the global sums."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("tokens")
+    )
+    n = t.agg(F.count("*").cast("long").alias("n_sources"))
+    alloc0 = F.lit(float(MIX_BUDGET)) / F.col("n_sources")
+    capped = alloc0 > F.lit(MIX_MAX_EPOCHS) * F.col("tokens")
+    flag = t.crossJoin(F.broadcast(n)).select(
+        "source",
+        "tokens",
+        alloc0.alias("alloc0"),
+        capped.alias("capped"),
+    )
+    g = flag.agg(
+        F.sum(F.when(F.col("capped"), F.col("tokens")).otherwise(0))
+        .cast("long")
+        .alias("capped_tokens"),
+        F.sum(F.when(F.col("capped"), 0).otherwise(F.col("tokens")))
+        .cast("long")
+        .alias("uncapped_tokens"),
+        F.sum(F.when(F.col("capped"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_capped"),
+    )
+    leftover = F.col("alloc0") * F.col("n_capped") - F.lit(
+        MIX_MAX_EPOCHS
+    ) * F.col("capped_tokens")
+    epochs_final = F.when(F.col("capped"), F.lit(MIX_MAX_EPOCHS)).otherwise(
+        (
+            F.col("alloc0")
+            + leftover * F.col("tokens") / F.col("uncapped_tokens")
+        )
+        / F.col("tokens")
+    )
+    return flag.crossJoin(F.broadcast(g)).select(
+        "source",
+        "tokens",
+        "alloc0",
+        (F.col("alloc0") / F.col("tokens")).alias("epochs_raw"),
+        "capped",
+        epochs_final.alias("epochs_final"),
+    )
