@@ -649,3 +649,188 @@ def test_rendezvous_rebalance_moves_only_into_new_shard(spark):
     assert not stray, stray
     frac = moved / total
     assert 0.04 < frac < 0.25, frac  # E=1/9≈0.11; mod-N would be ~0.89
+
+
+# --- round-7 session-2 operator properties -----------------------------------
+
+
+def test_theil_sen_robust_where_ols_is_not(spark):
+    """The load-bearing claim of theil_sen_slope: corrupting ONE month
+    by 100x moves the Theil-Sen slope far less than the OLS slope on
+    the same series. Replayed in plain Python on the real sf0.01
+    monthly aggregate for one nation."""
+    import duckdb
+
+    from tests.conftest import SF_CORRECT
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH m AS (
+            SELECT (date_part('year', o.o_orderdate) - 1996) * 12
+                     + date_part('month', o.o_orderdate) AS m,
+                   SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+            FROM read_parquet('{SF_CORRECT}/orders.parquet') o
+            JOIN read_parquet('{SF_CORRECT}/customer.parquet') c
+              ON o.o_custkey = c.c_custkey
+            WHERE c.c_nationkey = 0 AND o.o_orderdate >= DATE '1996-01-01'
+            GROUP BY 1 ORDER BY 1
+        ) SELECT m, cents FROM m
+        """
+    ).fetchall()
+    assert len(rows) >= 12
+
+    def ts_slope(pts):
+        slopes = sorted(
+            (y2 - y1) / (x2 - x1)
+            for i, (x1, y1) in enumerate(pts)
+            for (x2, y2) in pts[i + 1 :]
+        )
+        return slopes[(len(slopes) + 1) // 2 - 1]
+
+    def ols_slope(pts):
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        return (n * sxy - sx * sy) / (n * sxx - sx * sx)
+
+    clean = [(float(m), float(c)) for m, c in rows]
+    # corrupt the LAST month (maximal OLS leverage; a mid-x point would
+    # have zero slope leverage since x == x̄ there)
+    corrupted = list(clean)
+    corrupted[-1] = (corrupted[-1][0], corrupted[-1][1] * 100.0)
+    d_ts = abs(ts_slope(corrupted) - ts_slope(clean))
+    d_ols = abs(ols_slope(corrupted) - ols_slope(clean))
+    assert d_ols > 10 * d_ts, (d_ts, d_ols)
+
+
+def test_holt_fold_matches_python_recursion(spark):
+    """holt_linear_forecast's codegen fold reproduces the textbook
+    recursion EXACTLY (same IEEE ops in the same order): replay the
+    smoothing in plain Python on each nation's monthly series and
+    compare level/trend bit-for-bit."""
+    import duckdb
+
+    from beam_pyspark_runner_spark.queries import REGISTRY
+    from tests.conftest import SF_CORRECT
+
+    got = {
+        r["n_name"]: r
+        for r in REGISTRY["holt_linear_forecast"].fn(spark, SF_CORRECT).collect()
+    }
+    con = duckdb.connect()
+    series = con.execute(
+        f"""
+        WITH m AS (
+            SELECT n.n_name AS n_name,
+                   (date_part('year', o.o_orderdate) - 1996) * 12
+                     + date_part('month', o.o_orderdate) AS m,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                        AS DOUBLE) AS y
+            FROM read_parquet('{SF_CORRECT}/orders.parquet') o
+            JOIN read_parquet('{SF_CORRECT}/customer.parquet') c
+              ON o.o_custkey = c.c_custkey
+            JOIN read_parquet('{SF_CORRECT}/nation.parquet') n
+              ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_orderdate >= DATE '1996-01-01'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        ) SELECT n_name, list(y ORDER BY m) FROM m GROUP BY n_name
+        """
+    ).fetchall()
+    assert len(series) == len(got)
+    for n_name, ys in series:
+        l, b = ys[0], ys[1] - ys[0]
+        for y in ys[1:]:
+            l_new = y * 0.5 + (l + b) * 0.5
+            b = (y * 0.5 + (l + b) * 0.5 - l) * 0.25 + b * 0.75
+            l = l_new
+        assert got[n_name]["level"] == l, n_name
+        assert got[n_name]["trend"] == b, n_name
+        assert got[n_name]["forecast_next"] == l + b, n_name
+
+
+def test_matryoshka_full_dim_recall_is_one(spark):
+    """recall@k of the untruncated embedding against itself is exactly
+    1.0 by construction — and every truncated recall is a valid
+    fraction of the 80 query-slot pairs."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+    from tests.conftest import SF_CORRECT
+
+    rows = {
+        r["dim"]: r
+        for r in REGISTRY["matryoshka_recall_curve"].fn(spark, SF_CORRECT).collect()
+    }
+    assert set(rows) == {64, 32, 16, 8}
+    assert rows[64]["recall_at_k"] == 1.0
+    for d, r in rows.items():
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert r["n_hits"] == round(r["recall_at_k"] * 80)
+
+
+def test_priority_sample_invariants(spark):
+    """Every source yields exactly PRI_K sampled docs, and the
+    Horvitz-Thompson estimate is positive and finite; two runs are
+    bit-identical (md5 determinism, no RNG)."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+    from beam_pyspark_runner_spark.queries.text import PRI_K
+    from tests.conftest import SF_CORRECT
+
+    fn = REGISTRY["priority_sample_sources"].fn
+    a = {r["source"]: r for r in fn(spark, SF_CORRECT).collect()}
+    b = {r["source"]: r for r in fn(spark, SF_CORRECT).collect()}
+    assert a == b
+    for src, r in a.items():
+        assert r["n_sampled"] == PRI_K, src
+        assert r["ht_total_chars"] > 0
+        assert r["true_total_chars"] > 0
+
+
+def test_match_recognize_matches_python_re(spark):
+    """batch_match_recognize == plain-Python re over the same encoded
+    sequences (ordering ties broken identically by (ts, event_id))."""
+    import re as _re
+
+    from beam_pyspark_runner_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r["user_id"]: r
+        for r in REGISTRY["batch_match_recognize"].fn(spark, SF_SMOKE).collect()
+    }
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    seqs = defaultdict(list)
+    for r in ev:
+        seqs[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"][0]))
+    assert set(got) == set(seqs)
+    for uid, items in seqs.items():
+        seq = "".join(ch for _, _, ch in sorted(items))
+        assert got[uid]["seq_len"] == len(seq)
+        assert got[uid]["n_view_to_purchase"] == len(
+            _re.findall("v[^p]*p", seq)
+        ), uid
+        bursts = _re.findall("e+", seq)
+        assert got[uid]["max_error_burst"] == max(
+            (len(x) for x in bursts), default=0
+        ), uid
+
+
+def test_stream_left_outer_emits_nulls(spark):
+    """The outer join's whole point: unmatched views MUST surface with a
+    null purchase side (matched=false rows exist), and matched rows
+    agree with the inner-join variant's semantics (every matched row's
+    purchase_id is non-null)."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+    from tests.conftest import SF_CORRECT
+
+    rows = REGISTRY["stream_stream_left_outer"].fn(spark, SF_CORRECT).collect()
+    matched = [r for r in rows if r["matched"]]
+    unmatched = [r for r in rows if not r["matched"]]
+    assert matched and unmatched, (len(matched), len(unmatched))
+    assert all(r["purchase_id"] is not None for r in matched)
+    assert all(r["purchase_id"] is None for r in unmatched)
