@@ -148,7 +148,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # join_cardinality_estimate, quantile_prune_per_source,
 # kendall_tau_trend, holt_linear_forecast, shuffle_skew_advisor,
 # hits_hubs_authorities, stream_stream_left_outer, batch_match_recognize,
-# mixture_epoch_plan
+# mixture_epoch_plan, lsh_band_sweep, als_user_factor_solve,
+# rolling_ols_slope
 
 
 def _apply_driver_window() -> None:

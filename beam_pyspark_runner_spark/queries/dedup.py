@@ -1476,3 +1476,175 @@ def incremental_minhash_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(
         base_index, delta_sigs, ["doc_id"], broadcast_updates=True
     )
+
+
+# --- LSH band-configuration sweep (round 7) ----------------------------------
+# (n_bands, rows_per_band) with n_bands * rows_per_band == 16: more bands
+# = lower s-curve threshold = more candidates (higher recall, lower
+# precision); fewer bands = the opposite. The sweep measures the actual
+# trade-off on the corpus instead of trusting the (1/b)^(1/r) formula.
+LSH_SWEEP_CONFIGS = ((8, 2), (4, 4), (2, 8))
+
+
+def _sweep_bands_sql() -> str:
+    selects = []
+    for nb, rpb in LSH_SWEEP_CONFIGS:
+        for band in range(nb):
+            cols = ", ".join(f"m{band * rpb + j}" for j in range(rpb))
+            selects.append(
+                f"SELECT doc_id, {nb} AS nb, {band} AS band,"
+                f" md5(concat_ws(',', {cols})) AS bh FROM sig"
+            )
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "lsh_band_sweep",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    {_minhash_sig_sql()},
+    bands AS ({_sweep_bands_sql()}),
+    cand AS (
+        SELECT DISTINCT a.nb, a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.nb = b.nb AND a.band = b.band AND a.bh = b.bh
+         AND a.doc_id < b.doc_id
+    ),
+    pool AS (SELECT DISTINCT doc_a, doc_b FROM cand),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT p.doc_a, p.doc_b,
+               COALESCE(CAST(i.n_inter AS DOUBLE)
+                        / CAST(sa.n + sb.n - i.n_inter AS DOUBLE), 0.0)
+                   >= {JACCARD_THRESHOLD} AS is_true
+        FROM pool p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+        LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    ),
+    tot AS (SELECT CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+                AS pool_true FROM truth)
+    SELECT c.nb AS n_bands,
+           CAST(16 / c.nb AS BIGINT) AS rows_per_band,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN t.is_true THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true,
+           CAST(SUM(CASE WHEN t.is_true THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS precision,
+           CAST(SUM(CASE WHEN t.is_true THEN 1 ELSE 0 END) AS DOUBLE)
+               / tot.pool_true AS pool_recall
+    FROM cand c
+    JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    , tot
+    GROUP BY c.nb, tot.pool_true
+    """,
+    tags=("dedup", "minhash", "lsh", "parameter_tuning", "llm_data"),
+)
+def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding parameter sweep, measured not modeled: the SAME 16
+    minhash permutations re-banded three ways — (8 bands × 2 rows),
+    (4×4), (2×8) — with per-config candidate volume, precision against
+    exact Jaccard ≥ {JACCARD_THRESHOLD}, and recall against the pooled
+    truth (every true pair any config surfaced — the standard IR
+    pooling protocol, since the all-pairs truth is exactly what LSH
+    exists to avoid). This is the tuning table that picks the
+    production banding before a 100 TB dedup run: run the sweep on a
+    sample, read off the precision/recall corner, deploy that config.
+    Cost shape: ONE shingle pass and ONE signature aggregation feed all
+    three configs (the banding explode is free re-use of the 16
+    columns); candidates stay bucket-bounded per config; the exact-
+    Jaccard stage runs only on the pooled candidate set. Signature
+    lineage identical to minhash_lsh_candidates (its 4×4 config is the
+    middle row, cross-checkable)."""
+    sig = _minhash_signature(spark, sf_dir)
+    band_structs = []
+    for nb, rpb in LSH_SWEEP_CONFIGS:
+        for band in range(nb):
+            cols = [f"m{band * rpb + j}" for j in range(rpb)]
+            band_structs.append(
+                F.struct(
+                    F.lit(nb).alias("nb"),
+                    F.lit(band).alias("band"),
+                    F.md5(F.concat_ws(",", *cols)).alias("bh"),
+                )
+            )
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("x")
+    ).select("doc_id", "x.nb", "x.band", "x.bh")
+    buckets = (
+        bands.groupBy("nb", "band", "bh")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)),"
+        " y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    cand = (
+        buckets.select("nb", F.explode(pair_expr).alias("p"))
+        .select("nb", "p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    pool = cand.select("doc_a", "doc_b").distinct()
+    sh = _shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa_sz = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb_sz = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb_sz"))
+    jacc = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb_sz") - F.col("n_inter")
+    ).cast("double")
+    truth = (
+        pool.join(F.broadcast(sa_sz), "doc_a")
+        .join(F.broadcast(sb_sz), "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.coalesce(jacc, F.lit(0.0)) >= JACCARD_THRESHOLD).alias("is_true"),
+        )
+    )
+    tot = truth.agg(
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0))
+        .cast("long")
+        .alias("pool_true")
+    )
+    return (
+        cand.join(F.broadcast(truth), ["doc_a", "doc_b"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("nb").alias("n_bands"), "pool_true")
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.sum(F.when(F.col("is_true"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_true"),
+        )
+        .select(
+            "n_bands",
+            (F.lit(16) / F.col("n_bands")).cast("long").alias("rows_per_band"),
+            "n_candidates",
+            "n_true",
+            (F.col("n_true").cast("double") / F.col("n_candidates")).alias(
+                "precision"
+            ),
+            (F.col("n_true").cast("double") / F.col("pool_true")).alias(
+                "pool_recall"
+            ),
+        )
+    )

@@ -4285,3 +4285,100 @@ def shuffle_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("split_factor"),
     )
+
+
+# --- rolling 12-month OLS slope (round 7) ------------------------------------
+ROLL_WIN = 12
+
+
+@register(
+    "rolling_ols_slope",
+    oracle=f"""
+    WITH m AS (
+        SELECT n.n_name AS n_name,
+               (date_part('year', o.o_orderdate) - 1996) * 12
+                 + date_part('month', o.o_orderdate) AS m,
+               SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= DATE '{TS_START}'
+        GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT n_name, m,
+               CAST(COUNT(*) OVER win AS BIGINT) AS n,
+               CAST(SUM(m) OVER win AS BIGINT) AS sx,
+               CAST(SUM(cents) OVER win AS BIGINT) AS sy,
+               CAST(SUM(m * cents) OVER win AS BIGINT) AS sxy,
+               CAST(SUM(m * m) OVER win AS BIGINT) AS sxx
+        FROM m
+        WINDOW win AS (PARTITION BY n_name ORDER BY m
+                       ROWS BETWEEN {ROLL_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT n_name, CAST(m AS BIGINT) AS m,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_month
+    FROM w WHERE n = {ROLL_WIN}
+    """,
+    tags=("statistics", "trend", "rolling_window", "time_series"),
+)
+def rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {ROLL_WIN}-month OLS revenue slope per nation — the
+    windowed companion to ols_trend_per_group (whole-series) and
+    theil_sen_slope (robust): every month gets the local trend over the
+    trailing year. All five sufficient statistics (n, Σx, Σy, Σxy, Σx²)
+    are EXACT INTEGER window sums over the month frame — one double
+    division at the end, so the rolling slopes value-hash across
+    engines with no decimal pinning. Cost: the corpus collapses to
+    nation×month in one groupBy; the five window sums share one
+    (nation, month-ordered) frame over ≤67 rows per group — window
+    arithmetic never touches corpus rows, the 100 TB-correct shape for
+    per-key rolling regression."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(TS_START).cast("date")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    m = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - F.lit(1996)) * 12
+                + F.month("o_orderdate")
+            ).alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    win = (
+        W.partitionBy("n_name")
+        .orderBy("m")
+        .rowsBetween(-(ROLL_WIN - 1), W.currentRow)
+    )
+    w = m.select(
+        "n_name",
+        "m",
+        F.count("*").over(win).cast("long").alias("n"),
+        F.sum("m").over(win).cast("long").alias("sx"),
+        F.sum("cents").over(win).cast("long").alias("sy"),
+        F.sum(F.col("m") * F.col("cents")).over(win).cast("long").alias("sxy"),
+        F.sum(F.col("m") * F.col("m")).over(win).cast("long").alias("sxx"),
+    )
+    return w.filter(F.col("n") == ROLL_WIN).select(
+        "n_name",
+        F.col("m").cast("long").alias("m"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        ).alias("slope_cents_per_month"),
+    )

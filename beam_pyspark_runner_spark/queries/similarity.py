@@ -1856,3 +1856,119 @@ def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits") / F.lit(float(N_QUERIES * TOP_K))).alias("recall_at_k"),
         )
     )
+
+
+# --- ALS half-step: closed-form user-factor solve (round 7) ------------------
+ALS_LAMBDA = 0.1  # ridge regularizer
+_ALS_ACC = "decimal(38,10)"
+
+
+def _als_psum(col: Column) -> Column:
+    """Order-independent decimal-exact sum (pagerank's _dsum_exact
+    contract): terms are bounded (|v| < 0.5, ratings < 1e4), so the
+    unscaled accumulator stays far inside the 2^53 conversion bound."""
+    return F.sum(col.cast(_ALS_ACC)).cast("double")
+
+
+def _als_psum_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,10))) AS DOUBLE)"
+
+
+@register(
+    "als_user_factor_solve",
+    oracle=f"""
+    WITH r AS (
+        SELECT o.o_custkey AS user_id, li.l_suppkey AS item_id,
+               CAST(COUNT(*) AS DOUBLE) AS rating
+        FROM orders o JOIN lineitem li ON o.o_orderkey = li.l_orderkey
+        GROUP BY 1, 2
+    ),
+    v AS (
+        SELECT item_id,
+               {unit_hash_sql("'alsv-' || item_id || '-0'")} AS v0,
+               {unit_hash_sql("'alsv-' || item_id || '-1'")} AS v1
+        FROM (SELECT DISTINCT item_id FROM r)
+    ),
+    g AS (
+        SELECT r.user_id,
+               {_als_psum_sql('v.v0 * v.v0')} AS a00,
+               {_als_psum_sql('v.v0 * v.v1')} AS a01,
+               {_als_psum_sql('v.v1 * v.v1')} AS a11,
+               {_als_psum_sql('r.rating * v.v0')} AS b0,
+               {_als_psum_sql('r.rating * v.v1')} AS b1,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM r JOIN v ON r.item_id = v.item_id
+        GROUP BY 1
+    )
+    SELECT user_id, n_items,
+           (b0 * (a11 + {ALS_LAMBDA}) - b1 * a01)
+             / ((a00 + {ALS_LAMBDA}) * (a11 + {ALS_LAMBDA}) - a01 * a01)
+               AS u0,
+           (b1 * (a00 + {ALS_LAMBDA}) - b0 * a01)
+             / ((a00 + {ALS_LAMBDA}) * (a11 + {ALS_LAMBDA}) - a01 * a01)
+               AS u1
+    FROM g
+    """,
+    tags=("similarity", "als", "iterative", "ml_training"),
+)
+def als_user_factor_solve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One ALS alternation (Koren/Bell/Volinsky's matrix-factorization
+    recommender), k=2: with item factors fixed (md5-seeded, so both
+    engines rebuild them identically), each user's factor vector is the
+    ridge normal-equation solution u = (VᵀV + λI)⁻¹Vᵀr — solved in
+    CLOSED FORM per user via the 2×2 adjugate, entirely inside codegen.
+    This is the distributed-ALS inner loop exactly as production
+    recommenders run it: per-user Gram sums are partial-aggregated
+    (decimal-exact, order-independent), the solve is five arithmetic
+    ops per user, and NOTHING iterates driver-side; alternating back
+    to items is the same query with the roles swapped. Cost: one
+    ratings groupBy + one broadcast-sized factor join per sweep —
+    the kmeans_lloyd_step template applied to factorization.
+    Reference has no ML surface."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    r = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_suppkey").alias("item_id"),
+        )
+        .agg(F.count("*").cast("double").alias("rating"))
+    )
+    v = r.select("item_id").distinct().select(
+        "item_id",
+        unit_hash(
+            F.concat_ws("-", F.lit("alsv"), F.col("item_id"), F.lit("0"))
+        ).alias("v0"),
+        unit_hash(
+            F.concat_ws("-", F.lit("alsv"), F.col("item_id"), F.lit("1"))
+        ).alias("v1"),
+    )
+    g = (
+        r.join(F.broadcast(v), "item_id")
+        .groupBy("user_id")
+        .agg(
+            _als_psum(F.col("v0") * F.col("v0")).alias("a00"),
+            _als_psum(F.col("v0") * F.col("v1")).alias("a01"),
+            _als_psum(F.col("v1") * F.col("v1")).alias("a11"),
+            _als_psum(F.col("rating") * F.col("v0")).alias("b0"),
+            _als_psum(F.col("rating") * F.col("v1")).alias("b1"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+    lam = F.lit(ALS_LAMBDA)
+    det = (F.col("a00") + lam) * (F.col("a11") + lam) - F.col("a01") * F.col(
+        "a01"
+    )
+    return g.select(
+        "user_id",
+        "n_items",
+        (
+            (F.col("b0") * (F.col("a11") + lam) - F.col("b1") * F.col("a01"))
+            / det
+        ).alias("u0"),
+        (
+            (F.col("b1") * (F.col("a00") + lam) - F.col("b0") * F.col("a01"))
+            / det
+        ).alias("u1"),
+    )
