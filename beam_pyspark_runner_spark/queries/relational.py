@@ -4382,3 +4382,130 @@ def rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("slope_cents_per_month"),
     )
+
+
+# --- regression stump training (round 7) -------------------------------------
+@register(
+    "regression_stump_train",
+    oracle=f"""
+    WITH m AS (
+        SELECT (date_part('year', o_orderdate) - 1996) * 12
+                 + date_part('month', o_orderdate) AS m,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sy,
+               CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             * CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+        FROM orders WHERE o_orderdate >= DATE '{TS_START}'
+        GROUP BY 1
+    ),
+    pre AS (
+        SELECT m,
+               CAST(SUM(n) OVER w AS BIGINT) AS cn,
+               CAST(SUM(sy) OVER w AS BIGINT) AS csy,
+               CAST(SUM(syy) OVER w AS DECIMAL(38,0)) AS csyy,
+               CAST(SUM(n) OVER () AS BIGINT) AS tn,
+               CAST(SUM(sy) OVER () AS BIGINT) AS tsy,
+               CAST(SUM(syy) OVER () AS DECIMAL(38,0)) AS tsyy
+        FROM m
+        WINDOW w AS (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)
+    ),
+    splits AS (
+        SELECT m AS threshold_month,
+               (CAST(csyy AS DOUBLE) - CAST(csy AS DOUBLE) * csy / cn)
+             + (CAST(tsyy - csyy AS DOUBLE)
+                - CAST(tsy - csy AS DOUBLE) * (tsy - csy) / (tn - cn))
+                   AS sse_split,
+               CAST(tsyy AS DOUBLE)
+                   - CAST(tsy AS DOUBLE) * tsy / tn AS sse_root,
+               cn AS n_left, tn - cn AS n_right
+        FROM pre WHERE cn < tn
+    ),
+    best AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY sse_split, threshold_month)
+                      AS rk
+        FROM splits
+    )
+    SELECT CAST(threshold_month AS BIGINT) AS threshold_month,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           sse_root, sse_split, sse_root - sse_split AS gain
+    FROM best WHERE rk = 1
+    """,
+    tags=("ml_training", "decision_tree", "regression", "sufficient_stats"),
+)
+def regression_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a regression stump (depth-1 CART) on order value vs month:
+    the split threshold minimizing left+right SSE, where each side's
+    SSE comes from the sufficient statistics identity Σy² − (Σy)²/n —
+    no residual pass, no per-split scan. The corpus collapses to one
+    (month, n, Σy, Σy²) aggregate; every candidate threshold is then a
+    PREFIX SUM over that ≤84-row frame, so evaluating all splits costs
+    one tiny window pass regardless of data size — exactly how
+    distributed GBDT frameworks (XGBoost/LightGBM's histogram method)
+    evaluate splits, expressed relationally. n and Σy stay in exact
+    BIGINT; Σy² (cents² ≈ 1e15/row — past BIGINT by sf0.01) accumulates
+    in exact DECIMAL(38,0) with ONE correctly-rounded double conversion
+    at use, so the argmin and gain still value-hash across engines.
+    Deterministic tie-break on the earlier month. The boosting loop =
+    re-run on residuals; the feature loop = one such pass per
+    histogrammed feature."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(TS_START).cast("date")
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    m = o.groupBy(
+        (
+            (F.year("o_orderdate") - F.lit(1996)) * 12 + F.month("o_orderdate")
+        ).alias("m")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(cents).alias("sy"),
+        F.sum((cents * cents).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    wcum = W.orderBy("m").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy()
+    pre = m.select(
+        "m",
+        F.sum("n").over(wcum).cast("long").alias("cn"),
+        F.sum("sy").over(wcum).cast("long").alias("csy"),
+        F.sum("syy").over(wcum).cast("decimal(38,0)").alias("csyy"),
+        F.sum("n").over(wall).cast("long").alias("tn"),
+        F.sum("sy").over(wall).cast("long").alias("tsy"),
+        F.sum("syy").over(wall).cast("decimal(38,0)").alias("tsyy"),
+    )
+    sse_left = F.col("csyy").cast("double") - F.col("csy").cast(
+        "double"
+    ) * F.col("csy") / F.col("cn")
+    sse_right = (F.col("tsyy") - F.col("csyy")).cast("double") - (
+        F.col("tsy") - F.col("csy")
+    ).cast("double") * (F.col("tsy") - F.col("csy")) / (
+        F.col("tn") - F.col("cn")
+    )
+    splits = pre.filter(F.col("cn") < F.col("tn")).select(
+        F.col("m").alias("threshold_month"),
+        (sse_left + sse_right).alias("sse_split"),
+        (
+            F.col("tsyy").cast("double")
+            - F.col("tsy").cast("double") * F.col("tsy") / F.col("tn")
+        ).alias("sse_root"),
+        F.col("cn").alias("n_left"),
+        (F.col("tn") - F.col("cn")).alias("n_right"),
+    )
+    best = splits.select(
+        "*",
+        F.row_number()
+        .over(W.orderBy("sse_split", "threshold_month"))
+        .alias("rk"),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        F.col("threshold_month").cast("long").alias("threshold_month"),
+        F.col("n_left").cast("long").alias("n_left"),
+        F.col("n_right").cast("long").alias("n_right"),
+        "sse_root",
+        "sse_split",
+        (F.col("sse_root") - F.col("sse_split")).alias("gain"),
+    )
