@@ -1424,3 +1424,38 @@ def test_round7_session_additions_plan_shapes(spark):
         for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     }
     assert keys <= {"user_id"}, keys
+
+
+def test_round7_ml_and_sweep_plan_shapes(spark):
+    """lsh_band_sweep must feed all three band configs from ONE
+    signature aggregation (exchanges on the shingle/bucket/pair keys
+    only — a per-config re-aggregation would show extra doc_id
+    exchanges); ALS keeps the factor join broadcast (corpus never on a
+    shuffle-join build side) and solves in codegen (no Python); the
+    stump evaluates every split without any corpus-row window (its only
+    exchanges build the month histogram and the single-partition
+    84-row prefix frame)."""
+    import re
+
+    plan = _executed_plan_of(spark, "lsh_band_sweep")
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+    plan = _executed_plan_of(spark, "als_user_factor_solve")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # item-factor join broadcast
+    assert "Python" not in plan
+    keys = {
+        k.split(",")[0].split("#")[0].strip()
+        for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    assert keys <= {"user_id", "item_id", "o_custkey", "o_orderkey", "l_orderkey"}, keys
+
+    plan = _executed_plan_of(spark, "regression_stump_train")
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    keys = {
+        k.split(",")[0].split("#")[0].strip()
+        for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    assert keys <= {"m", "_groupingexpression"}, keys  # month expr key
