@@ -3411,3 +3411,104 @@ def batch_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_error_burst"),
     )
+
+
+# --- UDTF with TABLE argument + PARTITION BY (round 7) -----------------------
+UDTF_SESSION_GAP_S = 1800  # 30-minute session gap
+
+
+@register(
+    "udtf_table_arg_sessions",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS pts
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, ts,
+               CASE WHEN pts IS NULL
+                      OR ts > pts + INTERVAL {UDTF_SESSION_GAP_S} SECONDS
+                    THEN 1 ELSE 0 END AS is_new
+        FROM o
+    ),
+    s AS (
+        SELECT user_id,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+    ),
+    g AS (SELECT user_id, sid, COUNT(*) AS n FROM s GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(MAX(n) AS BIGINT) AS max_session_events
+    FROM g GROUP BY user_id
+    """,
+    tags=("udtf", "table_argument", "sessionization", "spark4"),
+)
+def udtf_table_arg_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic UDTF over a TABLE argument (Spark 4, SPARK-44749):
+    the function consumes `TABLE(events) PARTITION BY user_id ORDER BY
+    ts`, so the ENGINE shuffles and orders each user's history and the
+    Python class sees one clean partition stream — the API that turns
+    'per-key ordered walk' logic (sessionization here: 30-min gap,
+    session count + largest session) into a reusable SQL table
+    function. This is the imperative twin of the pure-SQL
+    sessionization family (sessionization, session_window_batch): same
+    semantics — the oracle IS that SQL — but the walk runs in Python
+    where a real pipeline would put unexpressible per-row logic
+    (tokenizers, device parsers). One engine-managed shuffle on the
+    partition key; state is one user's scalars, never the corpus.
+    Reference analogue: a stateful DoFn over GroupByKey output
+    (transform_evaluators.py:62-68), minus the engine-ordered input
+    guarantee."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="user_id bigint, n_sessions bigint, max_session_events bigint"
+    )
+    class SessionSummary:
+        def __init__(self):
+            self._user = None
+            self._last = None
+            self._sessions = 0
+            self._cur = 0
+            self._best = 0
+
+        def eval(self, row):
+            self._user = row.user_id
+            ts = row.ts
+            if (
+                self._last is None
+                or (ts - self._last).total_seconds() > UDTF_SESSION_GAP_S
+            ):
+                self._sessions += 1
+                if self._cur > self._best:
+                    self._best = self._cur
+                self._cur = 1
+            else:
+                self._cur += 1
+            self._last = ts
+
+        def terminate(self):
+            if self._user is not None:
+                if self._cur > self._best:
+                    self._best = self._cur
+                yield self._user, self._sessions, self._best
+
+    spark.udtf.register("bprs_session_summary", SessionSummary)
+    load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    ).createOrReplaceTempView("bprs_udtf_events")
+    try:
+        return spark.sql(
+            """
+            SELECT s.user_id, s.n_sessions, s.max_session_events
+            FROM bprs_session_summary(
+                TABLE(bprs_udtf_events)
+                PARTITION BY user_id ORDER BY (ts, event_id)) s
+            """
+        )
+    finally:
+        spark.catalog.dropTempView("bprs_udtf_events")
