@@ -149,7 +149,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # kendall_tau_trend, holt_linear_forecast, shuffle_skew_advisor,
 # hits_hubs_authorities, stream_stream_left_outer, batch_match_recognize,
 # mixture_epoch_plan, lsh_band_sweep, als_user_factor_solve,
-# rolling_ols_slope, regression_stump_train, udtf_table_arg_sessions
+# rolling_ols_slope, regression_stump_train, udtf_table_arg_sessions,
+# conformal_interval_audit
 
 
 def _apply_driver_window() -> None:

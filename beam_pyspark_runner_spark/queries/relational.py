@@ -4509,3 +4509,132 @@ def regression_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sse_split",
         (F.col("sse_root") - F.col("sse_split")).alias("gain"),
     )
+
+
+# --- split-conformal interval audit (round 7) --------------------------------
+CONF_ALPHA_NUM, CONF_ALPHA_DEN = 9, 10  # 1 - alpha = 9/10 target coverage
+
+
+@register(
+    "conformal_interval_audit",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_orderkey,
+               (date_part('year', o_orderdate) - 1996) * 12
+                 + date_part('month', o_orderdate) AS m,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               (('0x' || substr(md5('cf-' || o_orderkey), 1, 8))::BIGINT) % 4
+                   AS fold
+        FROM orders WHERE o_orderdate >= DATE '{TS_START}'
+    ),
+    mu AS (
+        SELECT m, CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS mu
+        FROM o WHERE fold <= 1 GROUP BY m
+    ),
+    cal AS (
+        SELECT abs(o.cents - mu.mu) AS r, o.o_orderkey
+        FROM o JOIN mu ON o.m = mu.m WHERE o.fold = 2
+    ),
+    calq AS (
+        SELECT r AS q_resid FROM (
+            SELECT r, o_orderkey,
+                   ROW_NUMBER() OVER (ORDER BY r, o_orderkey) AS rn,
+                   COUNT(*) OVER () AS n_cal
+            FROM cal
+        ) WHERE rn = LEAST(n_cal,
+                           ({CONF_ALPHA_NUM} * (n_cal + 1)
+                            + {CONF_ALPHA_DEN} - 1) // {CONF_ALPHA_DEN})
+    ),
+    test AS (
+        SELECT abs(o.cents - mu.mu) AS r
+        FROM o JOIN mu ON o.m = mu.m WHERE o.fold = 3
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cal) AS n_cal,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           calq.q_resid AS q_resid,
+           CAST(SUM(CASE WHEN test.r <= calq.q_resid THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS coverage
+    FROM test, calq GROUP BY calq.q_resid
+    """,
+    tags=("ml_eval", "conformal", "uncertainty", "statistics"),
+)
+def conformal_interval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk; Lei et al. JASA'18),
+    audited end-to-end: fit a per-month mean model on the train folds
+    (md5 folds 0-1), take the ⌈(n+1)·0.9⌉-th smallest absolute residual
+    on the CALIBRATION fold as the interval half-width q — the
+    finite-sample distribution-free guarantee P(|y−ŷ| ≤ q) ≥ 0.9 — then
+    measure realized coverage on the held-out TEST fold. Coverage far
+    from 0.9 means leakage or drift; this is the uncertainty-QA gate a
+    model-scoring pipeline runs before shipping intervals. Everything
+    is rank-based: the quantile is ONE order statistic (row_number over
+    the calibration frame, integer-ceil rank arithmetic), no
+    interpolation, so both engines agree bit-for-bit. Cost: one scan
+    fans into three fold-filtered aggregates; the month-mean model is
+    a broadcast-sized table; the rank window runs over the calibration
+    fold only (at 100 TB: sample the calibration fold or swap in
+    two_phase_global_quantiles' bucket walk)."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(TS_START).cast("date"))
+        .select(
+            "o_orderkey",
+            (
+                (F.year("o_orderdate") - F.lit(1996)) * 12
+                + F.month("o_orderdate")
+            ).alias("m"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            (h32(F.concat_ws("-", F.lit("cf"), F.col("o_orderkey"))) % 4).alias(
+                "fold"
+            ),
+        )
+    )
+    mu = (
+        o.filter(F.col("fold") <= 1)
+        .groupBy("m")
+        .agg(
+            (F.sum("cents").cast("double") / F.count("*")).alias("mu")
+        )
+    )
+    cal = (
+        o.filter(F.col("fold") == 2)
+        .join(F.broadcast(mu), "m")
+        .select(F.abs(F.col("cents") - F.col("mu")).alias("r"), "o_orderkey")
+    )
+    ranked = cal.select(
+        "r",
+        F.row_number().over(W.orderBy("r", "o_orderkey")).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("n_cal"),
+    )
+    target_rn = F.least(
+        F.col("n_cal"),
+        F.expr(
+            f"({CONF_ALPHA_NUM} * (n_cal + 1) + {CONF_ALPHA_DEN} - 1)"
+            f" div {CONF_ALPHA_DEN}"
+        ),
+    )
+    calq = ranked.filter(F.col("rn") == target_rn).select(
+        F.col("r").alias("q_resid"), F.col("n_cal")
+    )
+    test = (
+        o.filter(F.col("fold") == 3)
+        .join(F.broadcast(mu), "m")
+        .select(F.abs(F.col("cents") - F.col("mu")).alias("r"))
+    )
+    return (
+        test.crossJoin(F.broadcast(calq))
+        .groupBy("q_resid")
+        .agg(
+            F.max("n_cal").cast("long").alias("n_cal"),
+            F.count("*").cast("long").alias("n_test"),
+            (
+                F.sum(
+                    F.when(F.col("r") <= F.col("q_resid"), 1).otherwise(0)
+                ).cast("double")
+                / F.count("*")
+            ).alias("coverage"),
+        )
+        .select("n_cal", "n_test", "q_resid", "coverage")
+    )
