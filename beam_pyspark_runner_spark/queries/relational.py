@@ -4638,3 +4638,145 @@ def conformal_interval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_cal", "n_test", "q_resid", "coverage")
     )
+
+
+# --- CUSUM sequential drift detector (round 7) -------------------------------
+# Binary-exact tuning constants (k and h as exact-binary multiples of the
+# baseline mean) keep every CUSUM step a correctly-rounded IEEE op.
+CUSUM_K_FRAC = 0.25  # slack (allowance) as a fraction of baseline mean
+CUSUM_H_FRAC = 1.5  # alarm threshold as a fraction of baseline mean
+CUSUM_BASELINE = 12  # months used for the baseline mean
+
+
+@register(
+    "cusum_drift_detector",
+    oracle=f"""
+    WITH RECURSIVE mm AS (
+        SELECT n.n_name AS n_name,
+               (date_part('year', o.o_orderdate) - 1996) * 12
+                 + date_part('month', o.o_orderdate) AS m,
+               SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= DATE '{TS_START}'
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY m) AS rn,
+               COUNT(*) OVER (PARTITION BY n_name) AS t_max
+        FROM mm
+    ),
+    base AS (
+        SELECT n_name,
+               CAST(SUM(cents) AS BIGINT) / {float(CUSUM_BASELINE)} AS mu
+        FROM r WHERE rn <= {CUSUM_BASELINE} GROUP BY n_name
+    ),
+    step AS (
+        SELECT r.n_name, {CUSUM_BASELINE} AS t, r.t_max, base.mu,
+               CAST(0.0 AS DOUBLE) AS s, CAST(0.0 AS DOUBLE) AS mx,
+               CAST(NULL AS BIGINT) AS alarm_month
+        FROM r JOIN base ON r.n_name = base.n_name
+        WHERE r.rn = {CUSUM_BASELINE}
+        UNION ALL
+        SELECT s.n_name, s.t + 1, s.t_max, s.mu,
+               GREATEST(0.0, s.s + (r.cents - s.mu)
+                             - s.mu * {CUSUM_K_FRAC}),
+               GREATEST(s.mx, GREATEST(0.0, s.s + (r.cents - s.mu)
+                                            - s.mu * {CUSUM_K_FRAC})),
+               COALESCE(s.alarm_month,
+                        CASE WHEN GREATEST(0.0, s.s + (r.cents - s.mu)
+                                                - s.mu * {CUSUM_K_FRAC})
+                                  > s.mu * {CUSUM_H_FRAC}
+                             THEN CAST(r.m AS BIGINT) END)
+        FROM step s JOIN r ON r.n_name = s.n_name AND r.rn = s.t + 1
+        WHERE s.t < s.t_max
+    )
+    SELECT n_name, mu, mx AS max_cusum, alarm_month
+    FROM step WHERE t = t_max
+    """,
+    tags=("statistics", "drift", "cusum", "sequential", "time_series"),
+)
+def cusum_drift_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM (Page 1954) per nation: after a
+    {CUSUM_BASELINE}-month baseline mean μ, accumulate
+    S_t = max(0, S_(t-1) + (y_t − μ) − kμ) and alarm the first month
+    S_t > hμ — the sequential detector with optimal average run length
+    for sustained small shifts, where changepoint_detector's windowed
+    screen needs the shift to dominate a 3-day frame. k={CUSUM_K_FRAC}
+    and h={CUSUM_H_FRAC} are exact binary fractions of μ, and μ itself
+    is an exact integer sum with one division, so the whole recursion
+    is bit-reproducible — Spark runs it as one codegen fold over the
+    sorted month array (the holt_linear_forecast template), the oracle
+    replays it as a recursive CTE. Corpus cost is the one month
+    aggregate; the sequential walk never leaves the ≤67-element
+    per-group array."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(TS_START).cast("date")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    mm = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - F.lit(1996)) * 12
+                + F.month("o_orderdate")
+            ).alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    series = mm.groupBy("n_name").agg(
+        F.array_sort(F.collect_list(F.struct("m", "cents"))).alias("arr")
+    )
+    mu = (
+        F.aggregate(
+            F.slice("arr", 1, CUSUM_BASELINE),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc + p["cents"],
+        )
+        / F.lit(float(CUSUM_BASELINE))
+    )
+    with_mu = series.select("n_name", "arr", mu.alias("mu"))
+    k = F.col("mu") * F.lit(CUSUM_K_FRAC)
+    h = F.col("mu") * F.lit(CUSUM_H_FRAC)
+    init = F.struct(
+        F.lit(0.0).alias("s"),
+        F.lit(0.0).alias("mx"),
+        F.lit(None).cast("long").alias("alarm_month"),
+    )
+
+    def _step(acc, p):
+        s_new = F.greatest(
+            F.lit(0.0), acc["s"] + (p["cents"] - F.col("mu")) - k
+        )
+        return F.struct(
+            s_new.alias("s"),
+            F.greatest(acc["mx"], s_new).alias("mx"),
+            F.coalesce(
+                acc["alarm_month"],
+                F.when(s_new > h, p["m"].cast("long")),
+            ).alias("alarm_month"),
+        )
+
+    fold = F.aggregate(
+        F.slice(
+            "arr",
+            CUSUM_BASELINE + 1,
+            F.greatest(F.size("arr") - CUSUM_BASELINE, F.lit(0)),
+        ),
+        init,
+        _step,
+    )
+    return with_mu.select(
+        "n_name",
+        "mu",
+        fold.getField("mx").alias("max_cusum"),
+        fold.getField("alarm_month").alias("alarm_month"),
+    )
