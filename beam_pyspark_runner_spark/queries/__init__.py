@@ -150,7 +150,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # hits_hubs_authorities, stream_stream_left_outer, batch_match_recognize,
 # mixture_epoch_plan, lsh_band_sweep, als_user_factor_solve,
 # rolling_ols_slope, regression_stump_train, udtf_table_arg_sessions,
-# conformal_interval_audit, cusum_drift_detector
+# conformal_interval_audit, cusum_drift_detector, anova_oneway,
+# quantile_treatment_effect
 
 
 def _apply_driver_window() -> None:

@@ -3512,3 +3512,91 @@ def udtf_table_arg_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.catalog.dropTempView("bprs_udtf_events")
+
+
+# --- quantile treatment effect (round 7) -------------------------------------
+@register(
+    "quantile_treatment_effect",
+    oracle="""
+    WITH a AS (
+        SELECT CASE WHEN (('0x' || substr(md5('qte-' || user_id), 1, 8))
+                          ::BIGINT) % 2 = 0
+                    THEN 'control' ELSE 'treatment' END AS variant,
+               value, event_id
+        FROM events
+    ),
+    r AS (
+        SELECT variant, value,
+               ROW_NUMBER() OVER (PARTITION BY variant
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY variant) AS n
+        FROM a
+    ),
+    d AS (SELECT unnest(range(1, 10)) AS decile),
+    q AS (
+        SELECT d.decile, r.variant, r.value
+        FROM r JOIN d ON r.rn = (d.decile * r.n + 9) // 10
+    )
+    SELECT t.decile AS decile,
+           t.value AS q_treatment,
+           c.value AS q_control,
+           t.value - c.value AS qte
+    FROM (SELECT decile, value FROM q WHERE variant = 'treatment') t
+    JOIN (SELECT decile, value FROM q WHERE variant = 'control') c
+      ON t.decile = c.decile
+    """,
+    tags=("ab_testing", "quantile", "treatment_effect", "statistics"),
+)
+def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: the per-decile difference between the
+    treatment and control value distributions (hash-assigned variants,
+    the stream_ab_metrics convention) — the distributional view that
+    mean-based readouts (diff_in_diff, cuped_variance_reduction) cannot
+    give: a treatment that helps the p90 while hurting the p10 nets to
+    zero in a t-test and shows up immediately here (Koenker's quantile
+    regression, evaluated nonparametrically). Every decile is ONE exact
+    order statistic (rank = ⌈d·n/10⌉, integer arithmetic, event_id
+    tie-break) — no interpolation, hash-stable. Cost: one rank window
+    per variant over the metric column, then a 9-row join; at 100 TB
+    swap the exact rank for the two_phase_global_quantiles bucket walk
+    per variant."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    a = load_table(spark, sf_dir, "events").select(
+        F.when(
+            h32(F.concat_ws("-", F.lit("qte"), F.col("user_id"))) % 2 == 0,
+            F.lit("control"),
+        )
+        .otherwise(F.lit("treatment"))
+        .alias("variant"),
+        "value",
+        "event_id",
+    )
+    r = a.select(
+        "variant",
+        "value",
+        F.row_number()
+        .over(W.partitionBy("variant").orderBy("value", "event_id"))
+        .alias("rn"),
+        F.count("*").over(W.partitionBy("variant")).alias("n"),
+    )
+    d = spark.range(1, 10).select(F.col("id").cast("long").alias("decile"))
+    q = r.join(
+        F.broadcast(d),
+        F.col("rn") == F.expr("(decile * n + 9) div 10"),
+    ).select("decile", "variant", "value")
+    t = q.filter(F.col("variant") == "treatment").select(
+        "decile", F.col("value").alias("q_treatment")
+    )
+    c = q.filter(F.col("variant") == "control").select(
+        F.col("decile").alias("c_decile"), F.col("value").alias("q_control")
+    )
+    return (
+        t.join(F.broadcast(c), F.col("decile") == F.col("c_decile"))
+        .select(
+            "decile",
+            "q_treatment",
+            "q_control",
+            (F.col("q_treatment") - F.col("q_control")).alias("qte"),
+        )
+    )

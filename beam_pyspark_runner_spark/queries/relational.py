@@ -4780,3 +4780,110 @@ def cusum_drift_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold.getField("mx").alias("max_cusum"),
         fold.getField("alarm_month").alias("alarm_month"),
     )
+
+
+# --- one-way ANOVA (round 7) -------------------------------------------------
+@register(
+    "anova_oneway",
+    oracle="""
+    WITH g AS (
+        SELECT r.r_name AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS sy,
+               CAST(SUM(CAST(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                             * CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                             AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1
+    ),
+    gg AS (SELECT grp, CAST(sy AS DOUBLE) * sy / n AS gm FROM g),
+    t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS tn,
+               CAST(SUM(sy) AS BIGINT) AS tsy,
+               CAST(SUM(syy) AS DECIMAL(38,0)) AS tsyy,
+               (SELECT list_reduce(list(gm ORDER BY grp), (a, b) -> a + b)
+                FROM gg) AS sum_gm
+        FROM g
+    )
+    SELECT k AS n_groups, tn AS n_rows,
+           sum_gm - CAST(tsy AS DOUBLE) * tsy / tn AS ss_between,
+           CAST(tsyy AS DOUBLE) - sum_gm AS ss_within,
+           (sum_gm - CAST(tsy AS DOUBLE) * tsy / tn) / (k - 1)
+             / ((CAST(tsyy AS DOUBLE) - sum_gm) / (tn - k)) AS f_stat
+    FROM t
+    """,
+    tags=("statistics", "anova", "hypothesis_test"),
+)
+def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order value across regions: the F statistic
+    (between-group over within-group mean square) from sufficient
+    statistics only — each group contributes (n, Σy, Σy²), SS_between =
+    Σ(Σy_g)²/n_g − (Σy)²/N and SS_within = Σy² − Σ(Σy_g)²/n_g. The
+    group-mean-squares term Σ(Σy_g)²/n_g sums k=5 DOUBLES, so it folds
+    in GROUP-NAME ORDER on both engines (sorted collect + left fold vs
+    DuckDB's ordered list_reduce) — engine-chosen aggregation order
+    over doubles is exactly the nondeterminism the repo's decimal/fold
+    discipline exists to kill, demonstrated here at k=5. Σy² rides
+    exact DECIMAL(38,0) (BIGINT overflows by sf0.01, the
+    regression_stump_train lesson). Corpus cost: one groupBy to 5
+    rows; everything after is constant-size."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    g = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("grp"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(cents).cast("long").alias("sy"),
+            F.sum((cents * cents).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("syy"),
+        )
+    )
+    t = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("sy").cast("long").alias("tsy"),
+        F.sum("syy").cast("decimal(38,0)").alias("tsyy"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("grp"),
+                        (
+                            F.col("sy").cast("double")
+                            * F.col("sy")
+                            / F.col("n")
+                        ).alias("gm"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["gm"],
+        ).alias("sum_gm"),
+    )
+    ss_between = F.col("sum_gm") - F.col("tsy").cast("double") * F.col(
+        "tsy"
+    ) / F.col("tn")
+    ss_within = F.col("tsyy").cast("double") - F.col("sum_gm")
+    return t.select(
+        F.col("k").alias("n_groups"),
+        F.col("tn").alias("n_rows"),
+        ss_between.alias("ss_between"),
+        ss_within.alias("ss_within"),
+        (
+            ss_between
+            / (F.col("k") - 1)
+            / (ss_within / (F.col("tn") - F.col("k")))
+        ).alias("f_stat"),
+    )
