@@ -834,3 +834,55 @@ def test_stream_left_outer_emits_nulls(spark):
     assert matched and unmatched, (len(matched), len(unmatched))
     assert all(r["purchase_id"] is not None for r in matched)
     assert all(r["purchase_id"] is None for r in unmatched)
+
+
+def test_cusum_fold_matches_python_recursion(spark):
+    """cusum_drift_detector's codegen fold == the textbook recursion in
+    plain Python, bit-for-bit, including the first-alarm month."""
+    import duckdb
+
+    from beam_pyspark_runner_spark.queries import REGISTRY
+    from beam_pyspark_runner_spark.queries.relational import (
+        CUSUM_BASELINE,
+        CUSUM_H_FRAC,
+        CUSUM_K_FRAC,
+    )
+    from tests.conftest import SF_CORRECT
+
+    got = {
+        r["n_name"]: r
+        for r in REGISTRY["cusum_drift_detector"].fn(spark, SF_CORRECT).collect()
+    }
+    con = duckdb.connect()
+    series = con.execute(
+        f"""
+        WITH m AS (
+            SELECT n.n_name AS n_name,
+                   (date_part('year', o.o_orderdate) - 1996) * 12
+                     + date_part('month', o.o_orderdate) AS m,
+                   SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+            FROM read_parquet('{SF_CORRECT}/orders.parquet') o
+            JOIN read_parquet('{SF_CORRECT}/customer.parquet') c
+              ON o.o_custkey = c.c_custkey
+            JOIN read_parquet('{SF_CORRECT}/nation.parquet') n
+              ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_orderdate >= DATE '1996-01-01'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        ) SELECT n_name, list(m ORDER BY m), list(cents ORDER BY m)
+          FROM m GROUP BY n_name
+        """
+    ).fetchall()
+    assert len(series) == len(got)
+    for n_name, ms, ys in series:
+        mu = sum(ys[:CUSUM_BASELINE]) / float(CUSUM_BASELINE)
+        k, h = mu * CUSUM_K_FRAC, mu * CUSUM_H_FRAC
+        s = mx = 0.0
+        alarm = None
+        for m, y in zip(ms[CUSUM_BASELINE:], ys[CUSUM_BASELINE:]):
+            s = max(0.0, s + (y - mu) - k)
+            mx = max(mx, s)
+            if alarm is None and s > h:
+                alarm = m
+        assert got[n_name]["mu"] == mu, n_name
+        assert got[n_name]["max_cusum"] == mx, n_name
+        assert got[n_name]["alarm_month"] == alarm, n_name
