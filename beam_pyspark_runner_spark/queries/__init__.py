@@ -36,8 +36,10 @@ from beam_pyspark_runner_spark.queries import recursive  # noqa: E402,F401
 # round (markov_removal_attribution, sql_scripting_threshold_walk,
 # stream_scd2_pointintime_enrich) sit ADJACENT at the top of the
 # rotation so a leak from any one would poison its neighbor and show
-# up as a driver mismatch. All 45 are locally oracle-MATCH at sf0.01
-# AND sf0.1 (tests/oracle_check.py).
+# up as a driver mismatch. The tail holds 5 round-7 additions (incl.
+# ppjoin_prefix_filter, whose code gained the positional filter this
+# round). All 50 are locally oracle-MATCH at sf0.01 AND sf0.1
+# (tests/oracle_check.py).
 # ROUND-8 ROTATION QUEUE: see the comment block right after this tuple.
 DRIVER_WINDOW: tuple[str, ...] = (
     # sentinels: continuity + single-representative family anchors
@@ -89,23 +91,28 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "column_profile",
     "latency_percentiles",
     "date_dimension_rollup",
-    "gdpr_delete_cascade",
-    "keyset_pagination",
-    # --- family anchors keeping the window spanning every operator
-    # family the harness pins (sketch / event_time from the backlog;
-    # array_fns / tpch have no never-checked members left, so
-    # already-green anchors hold those slots — q18_large_orders also
-    # re-measures the r6 bench-regressed query with fresh signal) ---
+    # --- family anchor (sketch, from the never-checked backlog) ---
     "hll_datasketch_union",
-    "event_transition_matrix",
-    "array_functions",
-    "q18_large_orders",
+    # --- round-7 additions: fresh first-hand signal on the new
+    # families, plus ppjoin_prefix_filter whose CODE changed this
+    # round (positional filter) — re-certify the lossless claim with
+    # driver signal, not just the local gate. The three already-green
+    # anchors that held spare slots in the staged window
+    # (event_transition_matrix / array_functions / q18_large_orders)
+    # yield their seats to these five; q18's bench re-measure was
+    # settled by the round-7 clean-machine bench runs. ---
+    "ppjoin_prefix_filter",
+    "matryoshka_recall_curve",
+    "theil_sen_slope",
+    "hits_hubs_authorities",
+    "stream_stream_left_outer",
 )
 
 # ROUND-8 ROTATION QUEUE — the remaining never-driver-checked queries
 # (cosine_topk_vectorized stays out: rows-only by design). Net-new
 # round-7 registrations are appended at the END of this list as they
 # land (the r5 discipline, continued):
+# gdpr_delete_cascade, keyset_pagination,
 # qq_deciles_compare, cohort_ltv_curve, revenue_waterfall,
 # partition_skew_report,
 # functional_dependency_check,
@@ -142,12 +149,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # classifier_calibration_bins, embedding_covariance_matrix,
 # binned_interval_join, colbert_maxsim_topk, pca_power_iteration,
 # stream_chained_window_aggs, rendezvous_shard_rebalance,
-# matryoshka_recall_curve, priority_sample_sources, flesch_readability,
-# theil_sen_slope, balanced_range_bounds, delta_encoding_bits,
+# priority_sample_sources, flesch_readability,
+# balanced_range_bounds, delta_encoding_bits,
 # l_diversity_audit, dict_encoding_estimate, zorder_pruning_audit,
 # join_cardinality_estimate, quantile_prune_per_source,
 # kendall_tau_trend, holt_linear_forecast, shuffle_skew_advisor,
-# hits_hubs_authorities, stream_stream_left_outer, batch_match_recognize,
+# batch_match_recognize,
 # mixture_epoch_plan, lsh_band_sweep, als_user_factor_solve,
 # rolling_ols_slope, regression_stump_train, udtf_table_arg_sessions,
 # conformal_interval_audit, cusum_drift_detector, anova_oneway,
