@@ -89,10 +89,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "duplicate_payment_detection",
     "table_diff_reconcile",
     "column_profile",
-    "latency_percentiles",
-    "date_dimension_rollup",
-    # --- family anchor (sketch, from the never-checked backlog) ---
+    # --- family anchors (sketch from the never-checked backlog;
+    # tpch / event_time have no never-checked members left, so the
+    # already-green q18 / event_transition_matrix hold those seats) ---
     "hll_datasketch_union",
+    "event_transition_matrix",
+    "q18_large_orders",
     # --- round-7 additions: fresh first-hand signal on the new
     # families, plus ppjoin_prefix_filter whose CODE changed this
     # round (positional filter) — re-certify the lossless claim with
@@ -112,7 +114,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # (cosine_topk_vectorized stays out: rows-only by design). Net-new
 # round-7 registrations are appended at the END of this list as they
 # land (the r5 discipline, continued):
-# gdpr_delete_cascade, keyset_pagination,
+# gdpr_delete_cascade, keyset_pagination, latency_percentiles,
+# date_dimension_rollup,
 # qq_deciles_compare, cohort_ltv_curve, revenue_waterfall,
 # partition_skew_report,
 # functional_dependency_check,
