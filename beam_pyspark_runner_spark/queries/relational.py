@@ -4887,3 +4887,237 @@ def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (ss_within / (F.col("tn") - F.col("k")))
         ).alias("f_stat"),
     )
+
+
+# --- Spearman rank correlation (round 7) -------------------------------------
+@register(
+    "spearman_rank_corr",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag AS grp,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    r AS (
+        SELECT grp,
+               2 * RANK() OVER (PARTITION BY grp ORDER BY x)
+                 + COUNT(*) OVER (PARTITION BY grp, x) - 1 AS drx,
+               2 * RANK() OVER (PARTITION BY grp ORDER BY y)
+                 + COUNT(*) OVER (PARTITION BY grp, y) - 1 AS dry
+        FROM base
+    ),
+    s AS (
+        SELECT grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(drx) AS BIGINT) AS sx,
+               CAST(SUM(dry) AS BIGINT) AS sy,
+               CAST(SUM(CAST(drx * drx AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(dry * dry AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy,
+               CAST(SUM(CAST(drx * dry AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy
+        FROM r GROUP BY grp
+    )
+    SELECT grp, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS spearman_rho
+    FROM s
+    """,
+    tags=("statistics", "rank_correlation", "nonparametric"),
+)
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs line price per return
+    flag — the monotone-association companion to price_quantity_corr's
+    Pearson r: insensitive to the heavy right tail of money columns
+    because only ranks enter. Ties get exact MIDRANKS, carried as the
+    integer 2·midrank = 2·rank + tiecount − 1, so every aggregate (Σr,
+    Σr², Σrᵣ·r_c) is exact integer/decimal arithmetic; Pearson-on-ranks
+    is scale-invariant, so the doubling cancels and the one double
+    formula at the end (deterministic scalar IEEE ops; repo-wide
+    sqrt-yes/log-no line) value-hashes across engines.
+
+    Scale notes (100 TB): two rank windows partitioned by group — the
+    same partitioned-sort shape quantile_normalize ships; when a group's
+    value domain must be bounded, band the measure first (the
+    two_phase_global_quantiles bucket trick) and these midranks become
+    the banded-variable Spearman. Aggregation is one map-side-combinable
+    groupBy to |groups| rows; the reference has no correlation surface
+    at all (SURVEY.md §2.4 — statistics absent)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    wx = W.partitionBy("grp").orderBy("x")
+    wxc = W.partitionBy("grp", "x")
+    wy = W.partitionBy("grp").orderBy("y")
+    wyc = W.partitionBy("grp", "y")
+    r = li.select(
+        "grp",
+        (2 * F.rank().over(wx) + F.count("*").over(wxc) - 1).alias("drx"),
+        (2 * F.rank().over(wy) + F.count("*").over(wyc) - 1).alias("dry"),
+    )
+    s = r.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("drx").cast("long").alias("sx"),
+        F.sum("dry").cast("long").alias("sy"),
+        F.sum((F.col("drx") * F.col("drx")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum((F.col("dry") * F.col("dry")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+        F.sum((F.col("drx") * F.col("dry")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    dx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    dy = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    return s.select(
+        "grp", "n", (num / (F.sqrt(dx) * F.sqrt(dy))).alias("spearman_rho")
+    )
+
+
+# --- Kruskal-Wallis H test (round 7) -----------------------------------------
+@register(
+    "kruskal_wallis_test",
+    oracle="""
+    WITH base AS (
+        SELECT c_mktsegment AS grp,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v
+        FROM customer
+    ),
+    cells AS (SELECT grp, v, COUNT(*) AS m FROM base GROUP BY grp, v),
+    vals AS (
+        SELECT v, SUM(m) AS c,
+               COALESCE(SUM(SUM(m)) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS below
+        FROM cells GROUP BY v
+    ),
+    g AS (
+        SELECT cells.grp,
+               CAST(SUM(cells.m) AS BIGINT) AS ng,
+               CAST(SUM(cells.m * (2 * vals.below + vals.c + 1)) AS BIGINT)
+                   AS rp
+        FROM cells JOIN vals ON cells.v = vals.v
+        GROUP BY cells.grp
+    ),
+    t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(ng) AS BIGINT) AS n,
+               (SELECT list_reduce(
+                    list(CAST(rp AS DOUBLE) * rp / (4.0 * ng) ORDER BY grp),
+                    (a, b) -> a + b) FROM g) AS sum_rm,
+               (SELECT CAST(SUM(c * c * c - c) AS BIGINT) FROM vals) AS ties
+        FROM g
+    )
+    SELECT k AS n_groups, n AS n_rows,
+           12.0 * sum_rm / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1)
+               AS h_stat,
+           1.0 - CAST(ties AS DOUBLE)
+               / (CAST(n AS DOUBLE) * n * n - n) AS tie_correction,
+           (12.0 * sum_rm / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1))
+             / (1.0 - CAST(ties AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * n * n - n)) AS h_adjusted
+    FROM t
+    """,
+    tags=("statistics", "kruskal_wallis", "hypothesis_test", "nonparametric"),
+)
+def kruskal_wallis_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five market segments on account
+    balance — the k-group generalization of mann_whitney_u and the
+    rank-based sibling of anova_oneway (no normality assumption; money
+    columns are heavy-tailed). Midranks come from the DISTINCT-VALUE
+    table (per-value counts + one running prefix), the mann_whitney_u
+    scale pattern: the global sort touches |distinct balances| rows,
+    never raw rows. 2·midrank = 2·below + c + 1 stays integer, so
+    per-group rank sums are exact BIGINTs; the k=5 mean-square fold
+    Σ R'²/(4n_g) runs in GROUP-NAME ORDER on both engines (the
+    anova_oneway discipline), the tie correction 1 − Σ(c³−c)/(N³−N) is
+    pure integer arithmetic, and the final H assembly is fixed-order
+    scalar IEEE — the whole report value-hashes.
+
+    Scale notes (100 TB): one (grp,v) partial agg, one bounded value
+    table (broadcast to the cells join), constant-size tail. Nothing
+    raw-row-sorted anywhere."""
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("grp"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("v"),
+    )
+    cells = base.groupBy("grp", "v").agg(F.count("*").alias("m"))
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    vals = (
+        cells.groupBy("v")
+        .agg(F.sum("m").alias("c"))
+        .select(
+            "v",
+            "c",
+            F.coalesce(F.sum("c").over(wv), F.lit(0)).alias("below"),
+        )
+    )
+    g = (
+        cells.join(F.broadcast(vals), "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("m").cast("long").alias("ng"),
+            F.sum(
+                F.col("m") * (2 * F.col("below") + F.col("c") + 1)
+            )
+            .cast("long")
+            .alias("rp"),
+        )
+    )
+    ties_row = vals.agg(
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        )
+        .cast("long")
+        .alias("ties")
+    )
+    t = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("grp"),
+                        (
+                            F.col("rp").cast("double")
+                            * F.col("rp")
+                            / (4.0 * F.col("ng"))
+                        ).alias("rm"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["rm"],
+        ).alias("sum_rm"),
+    ).crossJoin(F.broadcast(ties_row))
+    nd = F.col("n").cast("double")
+    h = 12.0 * F.col("sum_rm") / (nd * (F.col("n") + 1)) - 3.0 * (
+        F.col("n") + 1
+    )
+    corr = 1.0 - F.col("ties").cast("double") / (
+        nd * F.col("n") * F.col("n") - F.col("n")
+    )
+    return t.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_rows"),
+        h.alias("h_stat"),
+        corr.alias("tie_correction"),
+        (h / corr).alias("h_adjusted"),
+    )

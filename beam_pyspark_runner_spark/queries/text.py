@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from beam_pyspark_runner_spark.functions.hashing import h32_sql
@@ -3570,4 +3571,104 @@ def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("alloc0") / F.col("tokens")).alias("epochs_raw"),
         "capped",
         epochs_final.alias("epochs_final"),
+    )
+
+
+# --- exact ROC AUC (round 7) --------------------------------------------------
+@register(
+    "roc_auc_exact",
+    oracle=f"""
+    WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT lang = 'en' AS truth,
+                 CAST(len(list_filter(toks, x -> x IN ({_SW_SQL}))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE)
+                 + CAST(len(list_filter(toks,
+                       x -> x IN ('data', 'query', 'table'))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) AS score
+          FROM t),
+    vals AS (
+        SELECT score,
+               COUNT(*) FILTER (WHERE truth) AS c1,
+               COUNT(*) FILTER (WHERE NOT truth) AS c0,
+               COALESCE(SUM(COUNT(*)) OVER (
+                   ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING), 0) AS below,
+               COUNT(*) AS c
+        FROM s GROUP BY score
+    ),
+    agg AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n_pos,
+               CAST(SUM(c0) AS BIGINT) AS n_neg,
+               CAST(SUM(c1 * (2 * below + c + 1)) AS BIGINT) AS rank_sum_x2
+        FROM vals
+    )
+    SELECT n_pos, n_neg, rank_sum_x2,
+           CAST(rank_sum_x2 - n_pos * (n_pos + 1) AS DOUBLE)
+             / (2.0 * n_pos * n_neg) AS auc,
+           CAST(rank_sum_x2 - n_pos * (n_pos + 1) AS DOUBLE)
+             / (CAST(n_pos AS DOUBLE) * n_neg) - 1.0 AS gini
+    FROM agg
+    """,
+    tags=("text", "ml_eval", "roc_auc", "rank_statistic"),
+)
+def roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC AUC of the repo's own lang-ID score (the
+    classifier_eval_f1 scorer) against the fixture's lang labels — the
+    threshold-free quality number beside that query's fixed-threshold
+    confusion matrix. Computed as the rank statistic it literally is:
+    AUC = (R₊ − n₊(n₊+1)/2)/(n₊·n₋), the Mann-Whitney U identity, with
+    tie midranks carried as the integer 2·midrank so everything through
+    the final division is exact (no trapezoids, no binning — this IS the
+    whole ROC integral). Gini = 2·AUC − 1 falls out of the same
+    integers.
+
+    Scale notes (100 TB): per-row scores are one scan; ranks come from
+    the DISTINCT-SCORE table (mann_whitney_u pattern — the sort touches
+    |distinct scores| rows); one conditional aggregate ends it. The
+    standard eval stack computes AUC by collecting scores to one node;
+    this stays distributed at every step."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks).cast("double")
+    score = (
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / n
+        + F.size(
+            F.filter(toks, lambda x: x.isin("data", "query", "table"))
+        ).cast("double")
+        / n
+    )
+    s = d.select((F.col("lang") == "en").alias("truth"), score.alias("score"))
+    wv = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    vals = (
+        s.groupBy("score")
+        .agg(
+            F.count(F.when(F.col("truth"), 1)).alias("c1"),
+            F.count(F.when(~F.col("truth"), 1)).alias("c0"),
+            F.count("*").alias("c"),
+        )
+        .select(
+            "c1",
+            "c0",
+            "c",
+            F.coalesce(F.sum("c").over(wv), F.lit(0)).alias("below"),
+        )
+    )
+    agg = vals.agg(
+        F.sum("c1").cast("long").alias("n_pos"),
+        F.sum("c0").cast("long").alias("n_neg"),
+        F.sum(F.col("c1") * (2 * F.col("below") + F.col("c") + 1))
+        .cast("long")
+        .alias("rank_sum_x2"),
+    )
+    num = (
+        F.col("rank_sum_x2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    ).cast("double")
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "rank_sum_x2",
+        (num / (2.0 * F.col("n_pos") * F.col("n_neg"))).alias("auc"),
+        (
+            num / (F.col("n_pos").cast("double") * F.col("n_neg")) - 1.0
+        ).alias("gini"),
     )
