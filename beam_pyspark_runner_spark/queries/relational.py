@@ -5121,3 +5121,211 @@ def kruskal_wallis_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr.alias("tie_correction"),
         (h / corr).alias("h_adjusted"),
     )
+
+
+# --- autocorrelation function (round 7) ---------------------------------------
+ACF_MAX_LAG = 6
+
+
+@register(
+    "acf_lags",
+    oracle=f"""
+    WITH m AS (
+        SELECT n.n_name AS n_name,
+               (date_part('year', o.o_orderdate) - 1996) * 12
+                 + date_part('month', o.o_orderdate) AS m,
+               SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= DATE '{TS_START}'
+        GROUP BY 1, 2
+    ),
+    st AS (SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(cents) AS BIGINT) AS s
+           FROM m GROUP BY n_name),
+    y AS (
+        SELECT m.n_name, m.m, st.n,
+               CAST(st.n * m.cents - st.s AS HUGEINT) AS y
+        FROM m JOIN st ON m.n_name = st.n_name
+    ),
+    lagged AS (
+        SELECT n_name, n, y,
+               {", ".join(f"LAG(y, {k}) OVER (PARTITION BY n_name ORDER BY m) AS y{k}" for k in range(1, 7))}
+        FROM y
+    )
+    SELECT n_name, MAX(n) AS n_months,
+           {", ".join(f"CAST(((SUM(y * y{k}) + SUM(y * y)) * 1000000000) // SUM(y * y) - 1000000000 AS BIGINT) AS acf_{k}_e9" for k in range(1, 7))}
+    FROM lagged GROUP BY n_name
+    """,
+    tags=("statistics", "time_series", "autocorrelation"),
+)
+def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1-6) of monthly order revenue per
+    nation — the seasonality/persistence diagnostic read before fitting
+    any forecast (holt_linear_forecast, rolling_ols_slope share this
+    exact monthly-cents series). The standard estimator
+    r_k = Σ(x_t−x̄)(x_{{t−k}}−x̄)/Σ(x_t−x̄)² is computed with the mean
+    folded in EXACTLY: multiplying through by n² turns every centered
+    term into the integer y_t = n·x_t − S (cents), the n² factors
+    cancel in the ratio, and products ride DECIMAL(38,0) (y² ~ 1e20
+    overflows BIGINT — HUGEINT on the oracle side). The >2^53 sums
+    cannot cross to double identically (the numeric.py 1-ulp trap,
+    observed live here), so each r_k is emitted as the EXACT integer
+    ⌊(num+den)·1e9/den⌋ − 1e9 (shifting by den keeps the integral
+    division non-negative, where floor == truncate in both engines) —
+    a 1e-9-quantized rational, hash-exact by construction.
+
+    Scale notes (100 TB): the corpus collapses to nation×month in one
+    partial-agg groupBy; the per-nation scalars (n, S) broadcast back;
+    the lag window runs over ≤67 rows per nation. At a scale where
+    n·x_t itself outgrew BIGINT, y would ride decimal end-to-end — the
+    shape is unchanged."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(TS_START).cast("date")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    m = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - F.lit(1996)) * 12
+                + F.month("o_orderdate")
+            ).alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    st = m.groupBy("n_name").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    y = m.join(F.broadcast(st), "n_name").select(
+        "n_name",
+        "m",
+        "n",
+        (F.col("n") * F.col("cents") - F.col("s"))
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    win = W.partitionBy("n_name").orderBy("m")
+    lagged = y.select(
+        "n_name",
+        "n",
+        "y",
+        *[F.lag("y", k).over(win).alias(f"y{k}") for k in range(1, ACF_MAX_LAG + 1)],
+    )
+    agg = lagged.groupBy("n_name").agg(
+        F.max("n").alias("n_months"),
+        F.sum(F.col("y") * F.col("y")).alias("den"),
+        *[
+            F.sum(F.col("y") * F.col(f"y{k}")).alias(f"num{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    return agg.select(
+        "n_name",
+        "n_months",
+        *[
+            F.expr(
+                f"CAST(((num{k} + den) * CAST(1000000000 AS DECIMAL(38,0)))"
+                f" div den AS BIGINT) - 1000000000"
+            ).alias(f"acf_{k}_e9")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+
+
+# --- t-closeness audit (round 7, completes the k-anon / l-div trio) -----------
+@register(
+    "t_closeness_audit",
+    oracle="""
+    WITH cells AS (
+        SELECT c_nationkey, FLOOR(c_acctbal / 1000) AS bal_band,
+               c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS m
+        FROM customer GROUP BY 1, 2, 3
+    ),
+    gseg AS (SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS g
+             FROM customer GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS big_n FROM customer),
+    classes AS (SELECT c_nationkey, bal_band, CAST(SUM(m) AS BIGINT) AS n
+                FROM cells GROUP BY 1, 2),
+    dense AS (
+        SELECT cl.c_nationkey, cl.bal_band, cl.n, gs.seg, gs.g, t.big_n,
+               COALESCE(ce.m, 0) AS m
+        FROM classes cl CROSS JOIN gseg gs CROSS JOIN tot t
+        LEFT JOIN cells ce ON ce.c_nationkey = cl.c_nationkey
+                          AND ce.bal_band = cl.bal_band AND ce.seg = gs.seg
+    )
+    SELECT c_nationkey, CAST(bal_band AS BIGINT) AS bal_band,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(SUM(ABS(big_n * m - n * g)) AS DOUBLE)
+             / (2.0 * MAX(n) * MAX(big_n)) AS t_value
+    FROM dense GROUP BY 1, 2
+    """,
+    tags=("privacy", "t_closeness", "audit", "quasi_identifier",
+          "training_data_qa"),
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-CLOSENESS audit (Li et al. 2007) — the third rung of the
+    privacy ladder over the SAME fixture as k_anonymity_audit and
+    l_diversity_audit (QI = nation × $1000 balance band, sensitive =
+    market segment): l-diversity is satisfied by a class with many
+    distinct but heavily SKEWED sensitive values; t-closeness bounds
+    the distance between each class's sensitive distribution and the
+    corpus-wide one. For a categorical attribute the EMD ground
+    distance is uniform, so t = total-variation distance
+    ½Σ|p_i − q_i|, carried as the integer ½Σ|N·m_i − n·g_i|/(n·N) —
+    one division per class, value-hash exact.
+
+    Scale notes (100 TB): two partial-agg scans (QI×seg cells, global
+    seg marginal); the dense class×segment grid comes from crossing
+    the class table with a |segments|-row broadcast — no raw-row
+    re-touch, no window. The reference has no privacy surface at all
+    (SURVEY.md §2.4)."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).alias("bal_band")
+    cells = cust.groupBy(
+        "c_nationkey", band, F.col("c_mktsegment").alias("seg")
+    ).agg(F.count("*").cast("long").alias("m"))
+    gseg = cust.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count("*").cast("long").alias("g")
+    )
+    tot = cust.agg(F.count("*").cast("long").alias("big_n"))
+    classes = cells.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("m").cast("long").alias("n")
+    )
+    dense = (
+        classes.crossJoin(F.broadcast(gseg))
+        .crossJoin(F.broadcast(tot))
+        .join(
+            cells.withColumnRenamed("m", "m_cell"),
+            ["c_nationkey", "bal_band", "seg"],
+            "left",
+        )
+        .select(
+            "c_nationkey",
+            "bal_band",
+            "n",
+            "g",
+            "big_n",
+            F.coalesce(F.col("m_cell"), F.lit(0)).alias("m"),
+        )
+    )
+    return dense.groupBy(
+        "c_nationkey", F.col("bal_band").cast("long").alias("bal_band")
+    ).agg(
+        F.max("n").cast("long").alias("n_rows"),
+        (
+            F.sum(
+                F.abs(F.col("big_n") * F.col("m") - F.col("n") * F.col("g"))
+            ).cast("double")
+            / (2.0 * F.max("n") * F.max("big_n"))
+        ).alias("t_value"),
+    )
