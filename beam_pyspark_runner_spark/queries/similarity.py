@@ -1972,3 +1972,131 @@ def als_user_factor_solve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / det
         ).alias("u1"),
     )
+
+
+# --- binary (sign) quantization + Hamming shortlist + exact rerank (round 7) --
+HAMMING_SHORTLIST = 40
+
+_PACK_SPARK = (
+    "aggregate(sequence({lo}, {hi}), 0L,"
+    " (acc, i) -> acc + IF(embedding[i] > CAST(0 AS FLOAT),"
+    " shiftleft(1L, i - {lo}), 0L))"
+)
+_PACK_SQL = (
+    "list_reduce(list_transform(range({lo}, {hi} + 1),"
+    " i -> CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << (i - {lo}))"
+    " ELSE 0::BIGINT END), (a, b) -> a + b)"
+)
+
+
+@register(
+    "binary_hamming_topk",
+    oracle=f"""
+    WITH packed AS (
+        SELECT vec_id, {_EMB_DBL} AS e,
+               {_PACK_SQL.format(lo=0, hi=31)} AS w0,
+               {_PACK_SQL.format(lo=32, hi=63)} AS w1
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe, w0 AS qw0, w1 AS qw1
+          FROM packed WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, e AS ce, w0 AS cw0, w1 AS cw1
+          FROM packed),
+    h AS (
+        SELECT query_id, neighbor_id, qe, ce,
+               bit_count(xor(qw0, cw0)) + bit_count(xor(qw1, cw1)) AS hamming
+        FROM q, c WHERE query_id <> neighbor_id
+    ),
+    short AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY hamming, neighbor_id) AS hrnk
+        FROM h
+    ),
+    rer AS (
+        SELECT query_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming,
+               {_cos_sql('qe', 'ce')} AS cosine
+        FROM short WHERE hrnk <= {HAMMING_SHORTLIST}
+    )
+    SELECT query_id, neighbor_id, hamming, cosine, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM rer
+    ) WHERE rnk <= {TOP_K}
+    """,
+    tags=("similarity", "binary_quantization", "hamming", "rerank",
+          "vector_search"),
+)
+def binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign) quantization retrieval — the two-stage pattern
+    production vector stores ship (FAISS binary indexes, pgvector/
+    Elasticsearch BBQ): quantize each 64-dim float vector to its SIGN
+    BITS packed into two BIGINT words (32× smaller than float32),
+    shortlist by Hamming distance (bit_count(xor(..)) — pure integer
+    codegen, no float math, SIMD popcount on the JVM), then rerank the
+    {HAMMING_SHORTLIST}-candidate shortlist with exact cosine. Integer
+    Hamming + the proven cosine fold → the whole report value-hashes.
+
+    Scale notes (100 TB): the packed words are 16 bytes/vector, so a
+    billion-vector corpus's binary index is ~16 GB — scan-able in one
+    pass with the {N_QUERIES}-query set broadcast; exact float work
+    happens only on |Q|·{HAMMING_SHORTLIST} rows. Two WindowGroupLimit
+    top-k windows, both keyed by query_id. Shortlist ties break on
+    neighbor_id, so the rerank input set is engine-deterministic."""
+    e = load_table(spark, sf_dir, "embeddings")
+    packed = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(_PACK_SPARK.format(lo=0, hi=31)).alias("w0"),
+        F.expr(_PACK_SPARK.format(lo=32, hi=63)).alias("w1"),
+    )
+    q = packed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    c = spread(packed).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("w0").alias("cw0"),
+        F.col("w1").alias("cw1"),
+    )
+    h = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qe",
+            "ce",
+            (
+                F.bit_count(F.col("qw0").bitwiseXOR(F.col("cw0")))
+                + F.bit_count(F.col("qw1").bitwiseXOR(F.col("cw1")))
+            ).alias("hamming"),
+        )
+    )
+    wh = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    short = (
+        h.withColumn("hrnk", F.row_number().over(wh))
+        .filter(F.col("hrnk") <= HAMMING_SHORTLIST)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("hamming").cast("long").alias("hamming"),
+            cosine_similarity(F.col("qe"), F.col("ce")).alias("cosine"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        short.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            "cosine",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
