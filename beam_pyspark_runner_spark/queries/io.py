@@ -1162,3 +1162,140 @@ def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "files_both_probe"
         ),
     )
+
+
+# --- dynamic partition pruning audit (round 7) --------------------------------
+@register(
+    "dynamic_partition_prune_join",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS total_price
+    FROM orders
+    WHERE date_part('year', o_orderdate) = 1995
+      AND date_part('quarter', o_orderdate) = 1
+    GROUP BY o_orderpriority
+    """,
+    tags=("io", "data_layout", "dynamic_partition_pruning", "join",
+          "scale_pattern"),
+)
+def dynamic_partition_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the join-driven sibling of
+    partitioned_write_prune's static PartitionFilter: the fact table is
+    written Hive-partitioned by order month (ym), the filter lives on a
+    DIFFERENT column (quarter label) of a small dim, and Catalyst turns
+    the broadcast join's key set into a runtime partition filter
+    (``dynamicpruningexpression(ym IN dynamicpruning#N)`` — pinned in
+    tests/test_scale_patterns.py). The fact scan then LISTS only the 3
+    matching month directories out of ~80.
+
+    At 100 TB this is the star-schema workhorse: `WHERE dim.attr = ...`
+    predicates never mention the fact's partition column, and without
+    DPP the fact side is a full scan. The oracle is the de-sugared
+    predicate — proving the pruned join loses no rows or values."""
+    staged = _staged(sf_dir, "dppfact")
+    ym = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int")
+    (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("ym", ym)
+        .write.mode("overwrite")
+        .partitionBy("ym")
+        .parquet(staged)
+    )
+    fact = spark.read.parquet(staged)
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            ym.alias("ym"),
+            F.concat(
+                F.year("o_orderdate"), F.lit("-Q"), F.quarter("o_orderdate")
+            ).alias("quarter_label"),
+        )
+        .distinct()
+    )
+    return (
+        fact.join(
+            F.broadcast(dim.filter(F.col("quarter_label") == "1995-Q1")), "ym"
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+    "spark.sql.optimizer.runtime.bloomFilter."
+    "applicationSideScanSizeThreshold": "0",
+    # broadcast disabled only to force the shuffle-join shape the bloom
+    # filter targets; restored in the finally.
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-checkpointed join (plan-pinned directly by tests)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum("l_extendedprice").alias("total_price"),
+        )
+    )
+
+
+# --- runtime bloom-filter join audit (round 7) ---------------------------------
+@register(
+    "runtime_bloom_filter_join",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           {dsum_sql('l_extendedprice')} AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+    tags=("io", "runtime_filter", "bloom_filter", "join", "scale_pattern"),
+)
+def runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime BLOOM-FILTER pushdown on a shuffle join — Spark's third
+    runtime-pruning mechanism beside DPP and AQE: the selective dim leg
+    (urgent orders) builds a bloom_filter_agg over its join keys, and
+    Catalyst injects ``bloom_filter_might_contain`` into the FACT scan,
+    discarding ~4/5 of lineitem rows BEFORE the shuffle (plan pinned in
+    tests/test_scale_patterns.py). At 100 TB the shuffle, not the scan,
+    is the bottleneck of a sort-merge join; a 1e6-key bloom filter
+    (1 MB) eliminates most of it for selective dims too big to
+    broadcast.
+
+    Local-mode thresholds (creationSideThreshold / scan-size gate) are
+    sized for real clusters, so the audit pins them inside a
+    try/finally (the ADVICE-r6 session-state discipline: every conf is
+    restored on all paths; broadcast is disabled only to force the
+    shuffle join shape the optimization targets)."""
+    saved = {k: spark.conf.get(k, None) for k in BLOOM_CONFS}
+    for k, v in BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        # Materialize the plan (and the result the driver hashes) while
+        # the runtime-filter confs are live; the restored session never
+        # sees the forced-SMJ settings.
+        out = _bloom_join(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out

@@ -1459,3 +1459,49 @@ def test_round7_ml_and_sweep_plan_shapes(spark):
         for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     }
     assert keys <= {"m", "_groupingexpression"}, keys  # month expr key
+
+
+def test_dynamic_partition_pruning_in_fact_scan(spark):
+    """dynamic_partition_prune_join must carry a dynamicpruning
+    PartitionFilter on the fact scan — the dim's quarter filter becomes
+    a runtime partition list, so only ~3 of ~80 month directories are
+    read. Without it the staged fact is a full scan at any scale."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+
+    df = REGISTRY["dynamic_partition_prune_join"].fn(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_runtime_bloom_filter_injected_and_confs_restored(spark):
+    """With the BLOOM_CONFS thresholds live, the fact side of the forced
+    shuffle join must be pre-filtered by bloom_filter_might_contain
+    (the 100 TB shuffle-reduction mechanism), and the query itself must
+    leave every session conf exactly as it found it."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+    from beam_pyspark_runner_spark.queries.io import BLOOM_CONFS, _bloom_join
+
+    saved = {k: spark.conf.get(k, None) for k in BLOOM_CONFS}
+    for k, v in BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = _bloom_join(spark, SF_CORRECT)
+        # Pin the pre-execution physical plan: the injected filter lives
+        # in the probe-side scan stage; AQE's final-plan rendering elides
+        # the already-executed subquery stages.
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # physical rendering: Filter might_contain(Subquery ..., xxhash64(key))
+        # fed by a bloom_filter_agg creation-side subquery
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    # The registered query restores all five confs on the happy path.
+    REGISTRY["runtime_bloom_filter_join"].fn(spark, SF_CORRECT).collect()
+    for k, v in saved.items():
+        assert spark.conf.get(k, None) == v, k
