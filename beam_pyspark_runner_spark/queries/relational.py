@@ -5329,3 +5329,60 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2.0 * F.max("n") * F.max("big_n"))
         ).alias("t_value"),
     )
+
+
+# --- parameterized SQL binding (round 7) ---------------------------------------
+PSQL_MIN_PRICE = 400000.0
+PSQL_SEGMENT = "BUILDING"
+
+
+@register(
+    "parameterized_sql_binding",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o.o_totalprice')} AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > {PSQL_MIN_PRICE}
+      AND c.c_mktsegment = '{PSQL_SEGMENT}'
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("sql", "parameterized_sql", "api_surface"),
+)
+def parameterized_sql_binding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAMED-PARAMETER SQL (spark.sql(..., args=...), Spark 3.4+): the
+    injection-safe way to template the same analytical statement over
+    changing literals — parameters bind as typed literal expressions in
+    the parsed plan (never string interpolation), so a malicious
+    segment value is data, not SQL. Constant-folding and filter
+    pushdown see real literals, identical to the hand-inlined query —
+    the oracle IS that hand-inlined query, proving the binding changes
+    nothing semantically.
+
+    Scale relevance: dashboards and schedulers re-issue templated
+    queries thousands of times a day at 100 TB; parameter binding keeps
+    the plan cacheable and the predicate pushdown-eligible (a string-
+    concatenated literal does too, but unsafely)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "bprs_psql_orders"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "bprs_psql_customer"
+    )
+    try:
+        return spark.sql(
+            """
+            SELECT o.o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))), 2)
+                        AS DOUBLE) AS total_price
+            FROM bprs_psql_orders o
+            JOIN bprs_psql_customer c ON o.o_custkey = c.c_custkey
+            WHERE o.o_totalprice > :min_price AND c.c_mktsegment = :segment
+            GROUP BY o.o_orderpriority
+            """,
+            args={"min_price": PSQL_MIN_PRICE, "segment": PSQL_SEGMENT},
+        )
+    finally:
+        spark.catalog.dropTempView("bprs_psql_orders")
+        spark.catalog.dropTempView("bprs_psql_customer")

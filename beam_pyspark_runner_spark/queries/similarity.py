@@ -2100,3 +2100,120 @@ def binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+# --- MAP@k retrieval evaluation (round 7) --------------------------------------
+AP_LCM = 2520  # lcm(1..10) >= lcm(1..TOP_K): scales every P@i to an integer
+
+
+@register(
+    "retrieval_eval_map",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlab, {_EMB_DBL} AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, label AS clab, {_EMB_DBL} AS ce
+          FROM embeddings),
+    labcnt AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS lc FROM embeddings
+               GROUP BY label),
+    s AS (SELECT query_id, qlab, neighbor_id, clab,
+                 {_cos_sql('qe', 'ce')} AS cosine
+          FROM q, c WHERE query_id <> neighbor_id),
+    ranked AS (
+        SELECT query_id, qlab,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk,
+               CASE WHEN qlab = clab THEN 1 ELSE 0 END AS rel
+        FROM s
+    ),
+    topk AS (
+        SELECT query_id, qlab, rnk, rel,
+               SUM(rel) OVER (PARTITION BY query_id ORDER BY rnk) AS cumrel
+        FROM ranked WHERE rnk <= {TOP_K}
+    ),
+    per_q AS (
+        SELECT query_id, qlab,
+               CAST(SUM(rel) AS BIGINT) AS n_rel_at_k,
+               CAST(SUM(CASE WHEN rel = 1
+                             THEN cumrel * ({AP_LCM} / rnk) ELSE 0 END)
+                    AS BIGINT) AS ap_scaled
+        FROM topk GROUP BY query_id, qlab
+    )
+    SELECT p.query_id, p.n_rel_at_k,
+           CAST(l.lc - 1 AS BIGINT) AS n_relevant_total,
+           CAST(p.ap_scaled AS DOUBLE)
+             / ({AP_LCM}.0 * LEAST({TOP_K}, l.lc - 1)) AS average_precision
+    FROM per_q p JOIN labcnt l ON l.label = p.qlab
+    """,
+    tags=("similarity", "ir_eval", "map_at_k", "rank_statistic"),
+)
+def retrieval_eval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average Precision @ k per query (the MAP components) over the
+    same label-relevance protocol as retrieval_eval_mrr: AP rewards
+    putting ALL relevant neighbors early, not just the first one. The
+    float trap is Σ P@i — a sum of doubles whose grouping Spark and
+    DuckDB order differently — so every precision term is scaled to
+    the INTEGER cumrel·(lcm(1..k)/i) first ({AP_LCM} = lcm(1..10));
+    the integer sum divides once by lcm·min(k, R) at the end, with R
+    (relevant available) taken from the corpus label histogram.
+    Exact rational AP, value-hash safe.
+
+    Scale notes (100 TB): the cosine_topk plan (broadcast query set,
+    one corpus stream, per-query WindowGroupLimit) plus one running
+    window over k rows per query and a broadcast label-histogram join
+    — evaluation rides the retrieval plan, no extra corpus pass."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlab"),
+        F.col("embedding").alias("qe"),
+    )
+    c = spread(e).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("clab"),
+        F.col("embedding").alias("ce"),
+    )
+    labcnt = e.groupBy(F.col("label")).agg(F.count("*").cast("long").alias("lc"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "qlab",
+            "neighbor_id",
+            cosine_similarity(F.col("qe"), F.col("ce")).alias("cosine"),
+            (F.col("qlab") == F.col("clab")).cast("int").alias("rel"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    topk = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOP_K
+    )
+    wc = W.partitionBy("query_id").orderBy("rnk")
+    topk = topk.withColumn("cumrel", F.sum("rel").over(wc))
+    per_q = topk.groupBy("query_id", "qlab").agg(
+        F.sum("rel").cast("long").alias("n_rel_at_k"),
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.col("cumrel") * (F.lit(AP_LCM) / F.col("rnk")).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("ap_scaled"),
+    )
+    return per_q.join(
+        F.broadcast(labcnt), per_q["qlab"] == labcnt["label"]
+    ).select(
+        "query_id",
+        "n_rel_at_k",
+        (F.col("lc") - 1).cast("long").alias("n_relevant_total"),
+        (
+            F.col("ap_scaled").cast("double")
+            / (
+                F.lit(float(AP_LCM))
+                * F.least(F.lit(TOP_K), F.col("lc") - 1)
+            )
+        ).alias("average_precision"),
+    )

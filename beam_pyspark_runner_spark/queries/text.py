@@ -3672,3 +3672,109 @@ def roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             num / (F.col("n_pos").cast("double") * F.col("n_neg")) - 1.0
         ).alias("gini"),
     )
+
+
+# --- Cramér's V association (round 7) ------------------------------------------
+@register(
+    "cramers_v_association",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY lang, source
+    ),
+    rm AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY lang),
+    cm AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM cells
+           GROUP BY source),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    dense AS (
+        SELECT rm.lang, cm.source, rm.r, cm.c, t.n, COALESCE(ce.o, 0) AS o
+        FROM rm CROSS JOIN cm CROSS JOIN tot t
+        LEFT JOIN cells ce ON ce.lang = rm.lang AND ce.source = cm.source
+    ),
+    folded AS (
+        SELECT MAX(n) AS n,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM rm) AS n_rows_dim,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cm) AS n_cols_dim,
+               (SELECT list_reduce(
+                    list(CAST((n * o - r * c) AS DOUBLE) * (n * o - r * c)
+                         / (CAST(n AS DOUBLE) * r * c)
+                         ORDER BY lang, source),
+                    (a, b) -> a + b) FROM dense) AS chi2
+        FROM dense
+    )
+    SELECT n, n_rows_dim AS n_langs, n_cols_dim AS n_sources, chi2,
+           sqrt(chi2 / (CAST(n AS DOUBLE)
+                * LEAST(n_rows_dim - 1, n_cols_dim - 1))) AS cramers_v
+    FROM folded
+    """,
+    tags=("text", "statistics", "association", "chi_square", "effect_size"),
+)
+def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between document language and source — the bounded
+    [0,1] effect size chi_square_independence's raw statistic lacks
+    (χ² grows with N; V answers "HOW associated", the number a corpus
+    curator compares across datasets). χ² folds over the DENSE
+    lang×source grid (zero cells contribute r·c/N — dropping them
+    understates the statistic) as Σ(N·o − r·c)²/(N·r·c): each term is
+    one fixed-order IEEE expression over exact integers, and the
+    ~|langs|·|sources| terms sum via a (lang, source)-ORDERED fold on
+    both engines (the anova_oneway k-group discipline). sqrt only at
+    the end (repo-wide sqrt-yes/log-no line).
+
+    Scale notes (100 TB): one partial-agg scan to the contingency
+    cells; marginals and the dense grid live on the ≤|langs|·|sources|
+    row table (broadcast crosses), so association costs one corpus
+    pass regardless of scale."""
+    cells = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    rm = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
+    cm = cells.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    dense = (
+        rm.crossJoin(F.broadcast(cm))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            "r",
+            "c",
+            "n",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        )
+    )
+    term = (
+        (F.col("n") * F.col("o") - F.col("r") * F.col("c")).cast("double")
+        * (F.col("n") * F.col("o") - F.col("r") * F.col("c"))
+        / (F.col("n").cast("double") * F.col("r") * F.col("c"))
+    )
+    folded = dense.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("lang"), F.col("source"), term.alias("t"))
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["t"],
+        ).alias("chi2"),
+    )
+    return folded.select(
+        "n",
+        "n_langs",
+        "n_sources",
+        "chi2",
+        F.sqrt(
+            F.col("chi2")
+            / (
+                F.col("n").cast("double")
+                * F.least(F.col("n_langs") - 1, F.col("n_sources") - 1)
+            )
+        ).alias("cramers_v"),
+    )
