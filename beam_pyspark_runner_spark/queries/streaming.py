@@ -1466,3 +1466,102 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("purchase_id").isNotNull().alias("matched"),
         )
     )
+
+
+@register(
+    "stream_stream_full_outer",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS max_ts FROM events),
+    v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+          FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+          FROM events WHERE event_type = 'purchase')
+    SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+           v.view_id AS view_id,
+           p.purchase_id AS purchase_id,
+           CASE WHEN v.view_id IS NOT NULL AND p.purchase_id IS NOT NULL
+                THEN 'both'
+                WHEN v.view_id IS NOT NULL THEN 'view_only'
+                ELSE 'purchase_only' END AS side
+    FROM v
+    FULL JOIN p
+      ON v.user_id = p.user_id
+     AND p.purchase_ts >= v.view_ts
+     AND p.purchase_ts <= v.view_ts + INTERVAL 10 MINUTE
+    , mx
+    WHERE (v.view_ts IS NULL OR v.view_ts <= mx.max_ts - INTERVAL 2 HOURS)
+      AND (p.purchase_ts IS NULL
+           OR p.purchase_ts <= mx.max_ts - INTERVAL 2 HOURS)
+    """,
+    tags=("streaming", "stream_stream_join", "full_outer", "watermark"),
+)
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join — both unmatched sides
+    emit: abandoned views (no purchase in the 10-minute window) AND
+    orphan purchases (no preceding view — the attribution gap a
+    marketing pipeline must audit, invisible to the left-outer
+    variant). Same state contract as stream_stream_left_outer — a row
+    is held until the watermark proves no match can arrive, then the
+    null-padded row emits exactly once; state stays bounded by the
+    join window + delay on BOTH sides. The flushed-region restriction
+    now applies per leg (each non-null timestamp must be older than
+    max_ts − 2h), inside which streamed and batch full joins agree
+    row-for-row at any scale."""
+    e = _events_stream(spark, sf_dir, max_files_per_trigger=2)
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")
+        ),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("v_user"), F.col("p_user")).alias("user_id"),
+        "view_id",
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+    )
+    out = run_stream_to_df(joined, output_mode="append")
+    mx = load_table(spark, sf_dir, "events").agg(F.max("ts").alias("max_ts"))
+    lim = F.col("max_ts") - F.expr("INTERVAL 2 HOURS")
+    return (
+        out.crossJoin(F.broadcast(mx))
+        .filter(
+            (F.col("view_ts").isNull() | (F.col("view_ts") <= lim))
+            & (F.col("purchase_ts").isNull() | (F.col("purchase_ts") <= lim))
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            F.when(
+                F.col("view_id").isNotNull()
+                & F.col("purchase_id").isNotNull(),
+                F.lit("both"),
+            )
+            .when(F.col("view_id").isNotNull(), F.lit("view_only"))
+            .otherwise(F.lit("purchase_only"))
+            .alias("side"),
+        )
+    )
