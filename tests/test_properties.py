@@ -886,3 +886,139 @@ def test_cusum_fold_matches_python_recursion(spark):
         assert got[n_name]["mu"] == mu, n_name
         assert got[n_name]["max_cusum"] == mx, n_name
         assert got[n_name]["alarm_month"] == alarm, n_name
+
+
+def test_spearman_matches_python_replica(spark):
+    """spearman_rank_corr == Pearson-of-midranks computed in plain
+    Python with exact Fraction arithmetic (rho compared at 12 dp) —
+    pins midrank construction, tie handling, and the 2x-scaling
+    cancellation."""
+    from fractions import Fraction
+
+    import duckdb
+
+    from beam_pyspark_runner_spark.queries import REGISTRY
+    from tests.conftest import SF_CORRECT
+
+    got = {
+        r["grp"]: r
+        for r in REGISTRY["spearman_rank_corr"].fn(spark, SF_CORRECT).collect()
+    }
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT),
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        FROM read_parquet('{SF_CORRECT}/lineitem.parquet')
+        """
+    ).fetchall()
+    by_grp: dict = {}
+    for g, x, y in rows:
+        by_grp.setdefault(g, []).append((x, y))
+    import math
+
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        r = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            mr = Fraction(i + 1 + j, 2)  # average of positions i+1..j
+            for t in range(i, j):
+                r[order[t]] = mr
+            i = j
+        return r
+
+    for g, pts in by_grp.items():
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        rx, ry = midranks(xs), midranks(ys)
+        n = len(pts)
+        sx, sy = sum(rx), sum(ry)
+        sxx = sum(a * a for a in rx)
+        syy = sum(a * a for a in ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        num = n * sxy - sx * sy
+        dx, dy = n * sxx - sx * sx, n * sy * 0 + n * syy - sy * sy
+        rho = float(num) / (math.sqrt(float(dx)) * math.sqrt(float(dy)))
+        assert got[g]["n"] == n
+        assert abs(got[g]["spearman_rho"] - rho) < 1e-12, g
+
+
+def test_roc_auc_equals_sklearn_free_replica(spark):
+    """roc_auc_exact == the pair-counting definition of AUC
+    (P(score_pos > score_neg) + 0.5*P(equal)) computed directly over
+    all positive x negative pairs in Python — the rank identity is the
+    thing being pinned, so verify against the definition, not another
+    rank formula."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    row = REGISTRY["roc_auc_exact"].fn(spark, SF_SMOKE).collect()[0]
+
+    import duckdb
+
+    con = duckdb.connect()
+    scored = con.execute(
+        f"""
+        WITH t AS (SELECT lang, string_split(text, ' ') AS toks
+                   FROM read_parquet('{SF_SMOKE}/documents.parquet'))
+        SELECT lang = 'en',
+               CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+                   / len(toks)
+               + CAST(len(list_filter(toks,
+                     x -> x IN ('data', 'query', 'table'))) AS DOUBLE)
+                   / len(toks)
+        FROM t
+        """
+    ).fetchall()
+    pos = [s for t, s in scored if t]
+    neg = [s for t, s in scored if not t]
+    wins = sum(1 for p in pos for q in neg if p > q)
+    ties = sum(1 for p in pos for q in neg if p == q)
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert abs(row["auc"] - auc) < 1e-12
+
+
+def test_acf_lag_bounds_and_lag0_identity(spark):
+    """ACF sanity: every quantized r_k sits in [-1e9, 1e9] (Cauchy-
+    Schwarz), and a 1e-9 quantization of lag-0 would be exactly 1 —
+    verified by recomputing r_1 for one nation from the raw series in
+    exact integer arithmetic."""
+    import duckdb
+
+    from beam_pyspark_runner_spark.queries import REGISTRY
+    from tests.conftest import SF_CORRECT
+
+    rows = REGISTRY["acf_lags"].fn(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        for k in range(1, 7):
+            assert -(10**9) <= r[f"acf_{k}_e9"] <= 10**9, r
+
+    con = duckdb.connect()
+    series = con.execute(
+        f"""
+        SELECT (date_part('year', o.o_orderdate) - 1996) * 12
+                 + date_part('month', o.o_orderdate) AS m,
+               SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+        FROM read_parquet('{SF_CORRECT}/orders.parquet') o
+        JOIN read_parquet('{SF_CORRECT}/customer.parquet') c
+          ON o.o_custkey = c.c_custkey
+        JOIN read_parquet('{SF_CORRECT}/nation.parquet') n
+          ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= DATE '1996-01-01' AND n.n_name = 'NATION_4'
+        GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    xs = [int(c) for _, c in series]
+    n, S = len(xs), sum(xs)
+    ys = [n * x - S for x in xs]
+    den = sum(y * y for y in ys)
+    num = sum(ys[t] * ys[t - 1] for t in range(1, n))
+    expected = (num + den) * 10**9 // den - 10**9
+    got = {r["n_name"]: r for r in rows}["NATION_4"]
+    assert got["acf_1_e9"] == expected
