@@ -161,7 +161,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # mixture_epoch_plan, lsh_band_sweep, als_user_factor_solve,
 # rolling_ols_slope, regression_stump_train, udtf_table_arg_sessions,
 # conformal_interval_audit, cusum_drift_detector, anova_oneway,
-# quantile_treatment_effect
+# quantile_treatment_effect,
+# -- round-7 session-3 --
+# spearman_rank_corr, kruskal_wallis_test, roc_auc_exact, acf_lags,
+# t_closeness_audit, binary_hamming_topk, dynamic_partition_prune_join,
+# runtime_bloom_filter_join, resource_allocation_linkpred,
+# retrieval_eval_map, cramers_v_association, parameterized_sql_binding,
+# stream_stream_full_outer
 
 
 def _apply_driver_window() -> None:
