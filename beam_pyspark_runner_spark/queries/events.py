@@ -3600,3 +3600,117 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("q_treatment") - F.col("q_control")).alias("qte"),
         )
     )
+
+
+
+# --- two-proportion z-test (round 7) ------------------------------------------
+@register(
+    "two_proportion_ztest",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN MAX(CASE WHEN event_type = 'purchase'
+                                  THEN value END) > 150
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+    ),
+    armed AS (
+        SELECT CASE WHEN (('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':exp42'), 1, 8))::BIGINT)
+                         % 2 = 0
+                    THEN 'control' ELSE 'treatment' END AS arm,
+               converted
+        FROM u
+    ),
+    agg AS (
+        SELECT
+            CAST(COUNT(*) FILTER (WHERE arm = 'control') AS BIGINT) AS n_c,
+            CAST(SUM(converted) FILTER (WHERE arm = 'control') AS BIGINT)
+                AS x_c,
+            CAST(COUNT(*) FILTER (WHERE arm = 'treatment') AS BIGINT) AS n_t,
+            CAST(SUM(converted) FILTER (WHERE arm = 'treatment') AS BIGINT)
+                AS x_t
+        FROM armed
+    )
+    SELECT n_c AS n_control, x_c AS conv_control,
+           n_t AS n_treatment, x_t AS conv_treatment,
+           CAST(x_c AS DOUBLE) / n_c AS p_control,
+           CAST(x_t AS DOUBLE) / n_t AS p_treatment,
+           (CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c)
+             / sqrt((CAST(x_c + x_t AS DOUBLE) / (n_c + n_t))
+                    * (1.0 - CAST(x_c + x_t AS DOUBLE) / (n_c + n_t))
+                    * (1.0 / n_c + 1.0 / n_t)) AS z_score
+    FROM agg
+    """,
+    tags=("events", "ab_testing", "hypothesis_test", "proportion"),
+)
+def two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test on USER-level conversion (a purchase
+    above $150) between the
+    standard salted-md5 experiment arms (the stream_ab_metrics /
+    ab_assignment_srm assignment expression) — the readout that turns
+    the A/B dashboard's counts into a significance statement. The unit
+    of analysis is the user, not the event (event-level proportions
+    violate independence — the classic A/B mistake), so the corpus
+    first collapses to one converted-flag row per user. Every input to
+    the z formula is an exact integer; the final expression is
+    fixed-order scalar IEEE + one sqrt, so it value-hashes. The
+    p-value is one erf() away client-side (libm, the repo-wide
+    log/erf-no line).
+
+    Scale notes (100 TB): one user-keyed partial agg (map-side
+    combinable max), one 2-row conditional aggregate. Nothing else."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.when(
+            F.max(F.when(F.col("event_type") == "purchase", F.col("value")))
+            > 150,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    )
+    arm = (
+        F.when(
+            h32(F.concat(F.col("user_id").cast("string"), F.lit(":exp42")))
+            % 2
+            == 0,
+            "control",
+        )
+        .otherwise("treatment")
+        .alias("arm")
+    )
+    agg = u.select(arm, "converted").agg(
+        F.count(F.when(F.col("arm") == "control", 1))
+        .cast("long")
+        .alias("n_c"),
+        F.sum(F.when(F.col("arm") == "control", F.col("converted")))
+        .cast("long")
+        .alias("x_c"),
+        F.count(F.when(F.col("arm") == "treatment", 1))
+        .cast("long")
+        .alias("n_t"),
+        F.sum(F.when(F.col("arm") == "treatment", F.col("converted")))
+        .cast("long")
+        .alias("x_t"),
+    )
+    p_c = F.col("x_c").cast("double") / F.col("n_c")
+    p_t = F.col("x_t").cast("double") / F.col("n_t")
+    pool = (F.col("x_c") + F.col("x_t")).cast("double") / (
+        F.col("n_c") + F.col("n_t")
+    )
+    return agg.select(
+        F.col("n_c").alias("n_control"),
+        F.col("x_c").alias("conv_control"),
+        F.col("n_t").alias("n_treatment"),
+        F.col("x_t").alias("conv_treatment"),
+        p_c.alias("p_control"),
+        p_t.alias("p_treatment"),
+        (
+            (p_t - p_c)
+            / F.sqrt(
+                pool * (1.0 - pool) * (1.0 / F.col("n_c") + 1.0 / F.col("n_t"))
+            )
+        ).alias("z_score"),
+    )

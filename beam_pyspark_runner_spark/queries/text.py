@@ -3778,3 +3778,162 @@ def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cramers_v"),
     )
+
+
+
+# --- T5 span-corruption targets (round 7) ---------------------------------------
+SPAN_MOD = 13  # ~1/13 of positions start a span
+SPAN_LEN = 3   # span covers positions [s, s+2]
+
+
+@register(
+    "span_corruption_targets",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    pos AS (SELECT doc_id, toks, unnest(range(0, len(toks))) AS j FROM t),
+    flags AS (
+        SELECT doc_id, j, toks[j + 1] AS tok,
+               CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8))::BIGINT)
+                         % 13 = 0 THEN 1 ELSE 0 END AS start_flag
+        FROM pos
+    ),
+    m AS (
+        SELECT doc_id, j, tok,
+               MAX(start_flag) OVER (PARTITION BY doc_id ORDER BY j
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   AS masked
+        FROM flags
+    ),
+    isl AS (
+        SELECT *,
+               CASE WHEN masked = 1 AND COALESCE(LAG(masked) OVER (
+                        PARTITION BY doc_id ORDER BY j), 0) = 0
+                    THEN 1 ELSE 0 END AS island_start
+        FROM m
+    ),
+    sp AS (
+        SELECT *,
+               SUM(island_start) OVER (PARTITION BY doc_id ORDER BY j)
+                   AS span_id
+        FROM isl
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(masked) AS BIGINT) AS n_masked,
+           CAST(COALESCE(MAX(span_id), 0) AS BIGINT) AS n_spans,
+           COALESCE(string_agg(
+               CASE WHEN masked = 0 THEN tok
+                    WHEN island_start = 1
+                    THEN '<extra_id_' || CAST(span_id - 1 AS VARCHAR) || '>'
+               END, ' ' ORDER BY j), '') AS corrupted,
+           COALESCE(string_agg(
+               CASE WHEN masked = 1 THEN
+                    CASE WHEN island_start = 1
+                         THEN '<extra_id_' || CAST(span_id - 1 AS VARCHAR)
+                              || '> ' || tok
+                         ELSE tok END
+               END, ' ' ORDER BY j), '') AS target
+    FROM sp GROUP BY doc_id
+    """,
+    tags=("text", "llm_training", "span_corruption", "masking"),
+)
+def span_corruption_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style SPAN CORRUPTION (Raffel et al. JMLR'20) — the
+    denoising pretraining objective: deterministic ~1/13 of
+    positions seed a 3-token span (md5-derived, so both
+    engines and every re-run corrupt identically — reproducible
+    pretraining data, not RNG state); overlapping spans merge;
+    each island is replaced by one <extra_id_k> sentinel in the
+    corrupted input while the target enumerates sentinel + original
+    tokens. The whole objective is window arithmetic: a ROWS
+    3-frame max turns span seeds into masks, an island
+    detector numbers the sentinels, and ordered string aggregation
+    (position-sorted collect on the Spark side, string_agg ORDER BY
+    on the oracle) rebuilds both sequences without any per-row
+    Python.
+
+    Scale notes (100 TB): explode is corpus-linear with window
+    parallelism = documents; no joins, no driver state. The masking
+    RATE is the only tunable — span statistics (n_masked/n_tokens ~=
+    3/13) come out as audit columns for free."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    pos = d.select(
+        "doc_id", F.posexplode("toks").alias("j", "tok")
+    )
+    start = (
+        F.when(
+            F.pmod(
+                h32(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                F.lit(SPAN_MOD),
+            )
+            == 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("start_flag")
+    )
+    wmask = (
+        W.partitionBy("doc_id")
+        .orderBy("j")
+        .rowsBetween(-(SPAN_LEN - 1), W.currentRow)
+    )
+    wseq = W.partitionBy("doc_id").orderBy("j")
+    m = pos.select(
+        "doc_id", "j", "tok", F.max(start).over(wmask).alias("masked")
+    )
+    isl = m.withColumn(
+        "island_start",
+        F.when(
+            (F.col("masked") == 1)
+            & (F.coalesce(F.lag("masked").over(wseq), F.lit(0)) == 0),
+            1,
+        ).otherwise(0),
+    )
+    sp = isl.withColumn("span_id", F.sum("island_start").over(wseq))
+    sentinel = F.concat(
+        F.lit("<extra_id_"), (F.col("span_id") - 1).cast("string"), F.lit(">")
+    )
+    corr_piece = F.when(F.col("masked") == 0, F.col("tok")).when(
+        F.col("island_start") == 1, sentinel
+    )
+    tgt_piece = F.when(
+        F.col("masked") == 1,
+        F.when(
+            F.col("island_start") == 1,
+            F.concat(sentinel, F.lit(" "), F.col("tok")),
+        ).otherwise(F.col("tok")),
+    )
+
+    def ordered_join(piece):
+        return F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            piece.isNotNull(),
+                            F.struct(F.col("j"), piece.alias("piece")),
+                        )
+                    )
+                ),
+                lambda x: x["piece"],
+            ),
+            " ",
+        )
+
+    return sp.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("masked").cast("long").alias("n_masked"),
+        F.coalesce(F.max("span_id"), F.lit(0)).cast("long").alias("n_spans"),
+        ordered_join(corr_piece).alias("corrupted"),
+        ordered_join(tgt_piece).alias("target"),
+    )
