@@ -167,7 +167,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # t_closeness_audit, binary_hamming_topk, dynamic_partition_prune_join,
 # runtime_bloom_filter_join, resource_allocation_linkpred,
 # retrieval_eval_map, cramers_v_association, parameterized_sql_binding,
-# stream_stream_full_outer, two_proportion_ztest, span_corruption_targets
+# stream_stream_full_outer, two_proportion_ztest, span_corruption_targets,
+# inferred_dimension_members, knn_classify_embeddings
 
 
 def _apply_driver_window() -> None:

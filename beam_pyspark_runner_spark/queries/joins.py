@@ -1376,3 +1376,64 @@ def binned_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_quantity").alias("qty_inflight"),
         )
     )
+
+
+# --- late-arriving dimension: inferred members (round 7) ------------------------
+IDM_DROP_MOD = 97  # dim rows with c_custkey % 97 == 0 "haven't arrived yet"
+
+
+@register(
+    "inferred_dimension_members",
+    oracle=f"""
+    WITH dim AS (
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey % {IDM_DROP_MOD} <> 0
+    ),
+    enriched AS (
+        SELECT o.o_orderkey, o.o_totalprice,
+               COALESCE(d.c_mktsegment, 'UNKNOWN') AS segment,
+               d.c_custkey IS NULL AS inferred
+        FROM orders o LEFT JOIN dim d ON o.o_custkey = d.c_custkey
+    )
+    SELECT segment, inferred,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS total_price
+    FROM enriched GROUP BY segment, inferred
+    """,
+    tags=("joins", "late_arriving_dimension", "data_warehouse",
+          "inferred_member"),
+)
+def inferred_dimension_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-ARRIVING DIMENSION handling (Kimball's 'inferred member'):
+    facts referencing dimension keys that haven't landed yet must not
+    be dropped (revenue vanishes) or fail the load — they join to a
+    placeholder member (segment='UNKNOWN', inferred=true) that a later
+    dim load overwrites in place (the SCD machinery in scd2_history /
+    merge_upsert_orders does the backfill). Simulated here by holding
+    out every {IDM_DROP_MOD}th customer: the report pivots revenue by
+    (segment, inferred) so the UNKNOWN bucket is auditable — the
+    number a warehouse owner watches to know how stale the dim feed
+    is.
+
+    Scale notes (100 TB): one broadcast-able dim leg, LEFT join keeps
+    the fact scan streaming, COALESCE is the entire inferred-member
+    mechanism — no second pass, no driver state."""
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % IDM_DROP_MOD != 0)
+        .select("c_custkey", "c_mktsegment")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    enriched = o.join(
+        F.broadcast(dim), o["o_custkey"] == dim["c_custkey"], "left"
+    ).select(
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+        F.col("c_custkey").isNull().alias("inferred"),
+        "o_totalprice",
+    )
+    return enriched.groupBy("segment", "inferred").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )

@@ -2217,3 +2217,95 @@ def retrieval_eval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("average_precision"),
     )
+
+
+# --- k-NN majority-vote classification (round 7) --------------------------------
+@register(
+    "knn_classify_embeddings",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlab, {_EMB_DBL} AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, label AS clab, {_EMB_DBL} AS ce
+          FROM embeddings),
+    s AS (SELECT query_id, qlab, neighbor_id, clab,
+                 {_cos_sql('qe', 'ce')} AS cosine
+          FROM q, c WHERE query_id <> neighbor_id),
+    topk AS (
+        SELECT query_id, qlab, clab FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM s
+        ) WHERE rnk <= {TOP_K}
+    ),
+    votes AS (
+        SELECT query_id, qlab, clab, CAST(COUNT(*) AS BIGINT) AS votes
+        FROM topk GROUP BY query_id, qlab, clab
+    ),
+    win AS (
+        SELECT query_id, qlab AS true_label, clab AS predicted_label, votes,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY votes DESC, clab) AS vr
+        FROM votes
+    )
+    SELECT query_id, true_label, predicted_label, votes,
+           true_label = predicted_label AS correct
+    FROM win WHERE vr = 1
+    """,
+    tags=("similarity", "knn", "classification", "ml_eval"),
+)
+def knn_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN CLASSIFICATION by cosine majority vote — the third face of
+    the same retrieval plan (cosine_topk ranks, retrieval_eval_* score
+    the ranking, this one USES it as a classifier): each query takes
+    the modal label of its {TOP_K} nearest neighbors, ties broken by
+    (votes DESC, label) so the decision is total and engine-
+    deterministic. The per-query correct flag is the confusion-matrix
+    feed for a labeling-QA pass (kNN-consistency is the standard
+    label-noise screen in curation pipelines — a row whose neighbors
+    disagree with its label is a relabel candidate).
+
+    Scale notes (100 TB): broadcast query set, one corpus stream, one
+    WindowGroupLimit top-k, then vote aggregation on |Q|·k rows —
+    classification costs nothing beyond the retrieval plan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlab"),
+        F.col("embedding").alias("qe"),
+    )
+    c = spread(e).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("clab"),
+        F.col("embedding").alias("ce"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "qlab", "neighbor_id", "clab",
+            cosine_similarity(F.col("qe"), F.col("ce")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    topk = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOP_K
+    )
+    votes = topk.groupBy("query_id", "qlab", "clab").agg(
+        F.count("*").cast("long").alias("votes")
+    )
+    wv = W.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("clab")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("qlab").alias("true_label"),
+            F.col("clab").alias("predicted_label"),
+            "votes",
+            (F.col("qlab") == F.col("clab")).alias("correct"),
+        )
+    )
