@@ -1505,3 +1505,50 @@ def test_runtime_bloom_filter_injected_and_confs_restored(spark):
     REGISTRY["runtime_bloom_filter_join"].fn(spark, SF_CORRECT).collect()
     for k, v in saved.items():
         assert spark.conf.get(k, None) == v, k
+
+
+def test_round7_session3_plan_shapes(spark):
+    """Session-3 additions keep their 100 TB contracts: the binary-
+    quantized retrieval and its eval/classifier siblings broadcast the
+    query set and never cartesian or drop to Python; span corruption
+    exchanges only on doc_id (window-parallel by document); the rank
+    statistics exchange only on their group/value keys and never
+    range-partition (no global raw-row sort)."""
+    import re
+
+    for name in (
+        "binary_hamming_topk",
+        "retrieval_eval_map",
+        "knn_classify_embeddings",
+    ):
+        plan = _executed_plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "Python" not in plan, name
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
+
+    plan = _executed_plan_of(spark, "span_corruption_targets")
+    assert "Python" not in plan
+    keys = {
+        k.split(",")[0].split("#")[0].strip()
+        for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    assert keys <= {"doc_id"}, keys
+    assert "Exchange rangepartitioning" not in plan
+
+    for name, allowed in (
+        ("spearman_rank_corr", {"grp"}),
+        ("kruskal_wallis_test", {"grp", "v"}),
+        ("roc_auc_exact", {"score"}),
+    ):
+        plan = _executed_plan_of(spark, name)
+        assert "Python" not in plan, name
+        keys = {
+            k.split(",")[0].split("#")[0].strip()
+            for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        }
+        assert keys <= allowed, (name, keys)
+        # global-sort guard: any rangepartitioning exchange must not be
+        # feeding raw corpus rows — these plans should have none at all,
+        # except spearman's per-group window sort (partitioned, not global)
+        if name != "spearman_rank_corr":
+            assert "Exchange rangepartitioning" not in plan, name
