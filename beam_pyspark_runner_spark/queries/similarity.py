@@ -2309,3 +2309,86 @@ def knn_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("qlab") == F.col("clab")).alias("correct"),
         )
     )
+
+
+# --- binary-quantization recall audit (round 7) ----------------------------------
+@register(
+    "binary_recall_at_k",
+    oracle=f"""
+    WITH bq AS ({{BQ_ORACLE}}),
+    e AS (SELECT vec_id, {_EMB_DBL} AS emb FROM embeddings),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_cos_sql('q.emb', 'v.emb')} DESC,
+                                               v.vec_id) AS rnk
+            FROM e q JOIN e v ON v.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rnk <= {TOP_K}
+    )
+    SELECT x.query_id,
+           CAST(COUNT(b.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(b.neighbor_id) AS DOUBLE) / {TOP_K}.0 AS recall_at_k
+    FROM exact x
+    LEFT JOIN bq b ON b.query_id = x.query_id
+                  AND b.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id
+    """,
+    tags=("similarity", "binary_quantization", "recall", "evaluation",
+          "adjudication"),
+)
+def binary_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the binary-quantized two-stage retrieval
+    (binary_hamming_topk) against exact brute-force cosine — the
+    ann_recall_at_k adjudication applied to sign-bit quantization: the
+    shortlist is lossy (64 bits of a 64-dim float vector), so before
+    trusting the 32×-cheaper index corpus-wide you measure exactly what
+    the Hamming prefilter forfeits at tuning scale. Composes the
+    REGISTERED binary_hamming_topk query verbatim (audit and audited
+    plan cannot drift), so the only new work is the exact leg — the
+    same broadcast-queries/one-corpus-stream shape. The knob the
+    number drives: HAMMING_SHORTLIST (recall too low → widen the
+    shortlist, trading rerank FLOPs for recall, never a second corpus
+    scan)."""
+    bq = _REG["binary_hamming_topk"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    exact = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_similarity(F.col("qemb"), F.col("emb")).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    hit = bq.withColumn("hit", F.lit(1))
+    return (
+        exact.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("long").alias("n_hits"),
+            (F.count("hit").cast("double") / float(TOP_K)).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+# late-bind the composed oracle (binary_hamming_topk registers above)
+_REG["binary_recall_at_k"].oracle = _REG["binary_recall_at_k"].oracle.replace(
+    "{BQ_ORACLE}", _REG["binary_hamming_topk"].oracle
+)
