@@ -1975,7 +1975,7 @@ def als_user_factor_solve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- binary (sign) quantization + Hamming shortlist + exact rerank (round 7) --
-HAMMING_SHORTLIST = 40
+HAMMING_SHORTLIST = 100
 
 _PACK_SPARK = (
     "aggregate(sequence({lo}, {hi}), 0L,"
