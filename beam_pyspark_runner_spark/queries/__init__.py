@@ -168,7 +168,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # runtime_bloom_filter_join, resource_allocation_linkpred,
 # retrieval_eval_map, cramers_v_association, parameterized_sql_binding,
 # stream_stream_full_outer, two_proportion_ztest, span_corruption_targets,
-# inferred_dimension_members, knn_classify_embeddings, binary_recall_at_k
+# inferred_dimension_members, knn_classify_embeddings, binary_recall_at_k,
+# kmv_theta_sketch_ops
 
 
 def _apply_driver_window() -> None:

@@ -849,3 +849,276 @@ def sliding_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.join(daily, merged.d == daily.day).select(
         F.col("d").alias("day"), "n_users_7d", "n_users_1d"
     )
+
+
+
+# --- KMV / theta sketch set operations (round 7) ---------------------------------
+KMV_K = 64
+KMV_HMAX = 1 << 60  # h60 hashes are uniform on [0, 2^60)
+
+
+@register(
+    "kmv_theta_sketch_ops",
+    oracle="""
+    WITH ev AS (
+        SELECT DISTINCT CASE WHEN event_type = 'view' THEN 'A' ELSE 'B' END
+                   AS s,
+               CAST(user_id AS VARCHAR) || ':'
+                   || strftime(CAST(ts AS DATE), '%Y-%m-%d') AS elem
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    uflags AS (
+        SELECT elem,
+               MAX(CASE WHEN s = 'A' THEN 1 ELSE 0 END) AS fa,
+               MAX(CASE WHEN s = 'B' THEN 1 ELSE 0 END) AS fb
+        FROM ev GROUP BY elem
+    ),
+    exact AS (
+        SELECT CAST(SUM(fa) AS BIGINT) AS exact_a,
+               CAST(SUM(fb) AS BIGINT) AS exact_b,
+               CAST(COUNT(*) AS BIGINT) AS exact_union,
+               CAST(SUM(fa * fb) AS BIGINT) AS exact_inter,
+               CAST(SUM(fa * (1 - fb)) AS BIGINT) AS exact_diff
+        FROM uflags
+    ),
+    hashes AS (
+        SELECT s, (('0x' || substr(md5(elem), 1, 15))::BIGINT) AS h FROM ev
+    ),
+    ranked AS (
+        SELECT s, h, ROW_NUMBER() OVER (PARTITION BY s ORDER BY h) AS rn
+        FROM hashes
+    ),
+    st AS (
+        SELECT
+            MAX(CASE WHEN s = 'A' AND rn = 64 THEN h END) AS theta_a,
+            MAX(CASE WHEN s = 'B' AND rn = 64 THEN h END) AS theta_b,
+            CAST(SUM(CASE WHEN s = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN s = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM ranked
+    ),
+    uh AS (SELECT DISTINCT h FROM hashes),
+    uranked AS (
+        SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM uh
+    ),
+    ust AS (
+        SELECT MAX(CASE WHEN rn = 64 THEN h END) AS theta_u,
+               CAST(COUNT(*) AS BIGINT) AS n_u
+        FROM uranked
+    ),
+    pairs AS (
+        SELECT COALESCE(a.h, b.h) AS h,
+               a.h IS NOT NULL AS in_a, b.h IS NOT NULL AS in_b
+        FROM (SELECT h FROM ranked WHERE s = 'A' AND rn <= 64) a
+        FULL JOIN (SELECT h FROM ranked WHERE s = 'B' AND rn <= 64) b
+          ON a.h = b.h
+    ),
+    cnts AS (
+        SELECT
+            CAST(SUM(CASE WHEN in_a AND in_b
+                       AND h < LEAST(COALESCE(st.theta_a, 1152921504606846976),
+                                     COALESCE(st.theta_b, 1152921504606846976))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS c_inter,
+            CAST(SUM(CASE WHEN in_a AND NOT in_b
+                       AND h < LEAST(COALESCE(st.theta_a, 1152921504606846976),
+                                     COALESCE(st.theta_b, 1152921504606846976))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS c_diff
+        FROM pairs, st
+    ),
+    est AS (
+        SELECT
+            CASE WHEN st.n_a < 64 THEN CAST(st.n_a AS DOUBLE)
+                 ELSE (64 - 1) * CAST(1152921504606846976 AS DOUBLE) / st.theta_a
+            END AS est_a,
+            CASE WHEN st.n_b < 64 THEN CAST(st.n_b AS DOUBLE)
+                 ELSE (64 - 1) * CAST(1152921504606846976 AS DOUBLE) / st.theta_b
+            END AS est_b,
+            CASE WHEN ust.n_u < 64 THEN CAST(ust.n_u AS DOUBLE)
+                 ELSE (64 - 1) * CAST(1152921504606846976 AS DOUBLE) / ust.theta_u
+            END AS est_union,
+            cnts.c_inter * CAST(1152921504606846976 AS DOUBLE)
+                / LEAST(COALESCE(st.theta_a, 1152921504606846976),
+                        COALESCE(st.theta_b, 1152921504606846976)) AS est_inter,
+            cnts.c_diff * CAST(1152921504606846976 AS DOUBLE)
+                / LEAST(COALESCE(st.theta_a, 1152921504606846976),
+                        COALESCE(st.theta_b, 1152921504606846976)) AS est_diff
+        FROM st, ust, cnts
+    )
+    SELECT CAST(64 AS BIGINT) AS k,
+           exact_a, est_a, ABS(est_a - exact_a)
+               <= 3.0 * exact_a / sqrt(64 - 2) AS ok_a,
+           exact_b, est_b, ABS(est_b - exact_b)
+               <= 3.0 * exact_b / sqrt(64 - 2) AS ok_b,
+           exact_union, est_union, ABS(est_union - exact_union)
+               <= 3.0 * exact_union / sqrt(64 - 2) AS ok_union,
+           exact_inter, est_inter, ABS(est_inter - exact_inter)
+               <= 3.0 * exact_union / sqrt(64 - 2) AS ok_inter,
+           exact_diff, est_diff, ABS(est_diff - exact_diff)
+               <= 3.0 * exact_union / sqrt(64 - 2) AS ok_diff
+    FROM exact, est
+    """,
+    tags=("sketches", "kmv", "theta_sketch", "set_operations",
+          "adjudication"),
+)
+def kmv_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / THETA sketch (Beyer et al. SIGMOD'07; Dasgupta et al., the
+    DataSketches theta family): keep the k smallest md5-60bit hashes
+    per set; theta = k-th smallest. Beyond the distinct estimate
+    ((k-1)/theta), theta sketches support set algebra HLL cannot:
+    intersection AND DIFFERENCE — every retained hash below
+    min(theta_a, theta_b) is a uniform sample of the union, so
+    |A∩B| ~= |retained_a ∩ retained_b < theta|/p with p = theta/2^60
+    (and A\\B the same with NOT-in-B — exact below theta because a
+    B-hash under theta_b ≥ theta is always retained). Viewers vs
+    purchasers here at USER-DAY granularity (view-days vs purchase-
+    days — sets that genuinely diverge): activity overlap and the
+    view-only audience-days from two 64-hash sketches. Adjudication (the cms/minhash/hll pattern):
+    exact distinct counts ride along, estimates must sit inside the
+    3/sqrt(k-2) envelope (union-relative for the derived inter/diff
+    estimates) as value-hashed booleans; when a set is smaller than k
+    the sketch IS exact and the estimate equals the count.
+
+    Scale notes (100 TB): bottom-k per set is rank-on-the-distinct-
+    hash-table (mann_whitney pattern); in production the same sketch
+    maintains itself as a size-k partial aggregate (map-side heaps) —
+    constant memory, mergeable, the shape hll_merge_groups pins. The
+    set algebra runs on ≤2k retained hashes — driver-free and
+    constant-cost."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            F.when(F.col("event_type") == "view", "A")
+            .otherwise("B")
+            .alias("s"),
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit(":"),
+                F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd"),
+            ).alias("elem"),
+        )
+        .distinct()
+    )
+    uflags = ev.groupBy("elem").agg(
+        F.max(F.when(F.col("s") == "A", 1).otherwise(0)).alias("fa"),
+        F.max(F.when(F.col("s") == "B", 1).otherwise(0)).alias("fb"),
+    )
+    exact = uflags.agg(
+        F.sum("fa").cast("long").alias("exact_a"),
+        F.sum("fb").cast("long").alias("exact_b"),
+        F.count("*").cast("long").alias("exact_union"),
+        F.sum(F.col("fa") * F.col("fb")).cast("long").alias("exact_inter"),
+        F.sum(F.col("fa") * (1 - F.col("fb")))
+        .cast("long")
+        .alias("exact_diff"),
+    )
+    from beam_pyspark_runner_spark.functions.hashing import h60
+
+    hashes = ev.select("s", h60(F.col("elem")).alias("h"))
+    ranked = hashes.select(
+        "s",
+        "h",
+        F.row_number().over(W.partitionBy("s").orderBy("h")).alias("rn"),
+    )
+    st = ranked.agg(
+        F.max(
+            F.when((F.col("s") == "A") & (F.col("rn") == KMV_K), F.col("h"))
+        ).alias("theta_a"),
+        F.max(
+            F.when((F.col("s") == "B") & (F.col("rn") == KMV_K), F.col("h"))
+        ).alias("theta_b"),
+        F.sum(F.when(F.col("s") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("s") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    uranked = (
+        hashes.select("h")
+        .distinct()
+        .select("h", F.row_number().over(W.orderBy("h")).alias("rn"))
+    )
+    ust = uranked.agg(
+        F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).alias("theta_u"),
+        F.count("*").cast("long").alias("n_u"),
+    )
+    ra = ranked.filter((F.col("s") == "A") & (F.col("rn") <= KMV_K)).select(
+        F.col("h").alias("ha")
+    )
+    rb = ranked.filter((F.col("s") == "B") & (F.col("rn") <= KMV_K)).select(
+        F.col("h").alias("hb")
+    )
+    pairs = ra.join(rb, ra["ha"] == rb["hb"], "full_outer").select(
+        F.coalesce(F.col("ha"), F.col("hb")).alias("h"),
+        F.col("ha").isNotNull().alias("in_a"),
+        F.col("hb").isNotNull().alias("in_b"),
+    )
+    theta_min = F.least(
+        F.coalesce(F.col("theta_a"), F.lit(KMV_HMAX)),
+        F.coalesce(F.col("theta_b"), F.lit(KMV_HMAX)),
+    )
+    cnts = (
+        pairs.crossJoin(F.broadcast(st))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("in_a") & F.col("in_b") & (F.col("h") < theta_min),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("c_inter"),
+            F.sum(
+                F.when(
+                    F.col("in_a")
+                    & ~F.col("in_b")
+                    & (F.col("h") < theta_min),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("c_diff"),
+        )
+    )
+    hmax_d = F.lit(float(KMV_HMAX))
+    all1 = (
+        exact.crossJoin(F.broadcast(st))
+        .crossJoin(F.broadcast(ust))
+        .crossJoin(F.broadcast(cnts))
+    )
+    est_a = F.when(
+        F.col("n_a") < KMV_K, F.col("n_a").cast("double")
+    ).otherwise((KMV_K - 1) * hmax_d / F.col("theta_a"))
+    est_b = F.when(
+        F.col("n_b") < KMV_K, F.col("n_b").cast("double")
+    ).otherwise((KMV_K - 1) * hmax_d / F.col("theta_b"))
+    est_u = F.when(
+        F.col("n_u") < KMV_K, F.col("n_u").cast("double")
+    ).otherwise((KMV_K - 1) * hmax_d / F.col("theta_u"))
+    est_i = F.col("c_inter") * hmax_d / theta_min
+    est_d = F.col("c_diff") * hmax_d / theta_min
+    bound = 3.0 / F.sqrt(F.lit(float(KMV_K - 2)))
+
+    def ok(est, rel_to):
+        return F.abs(est - F.col(rel_to)) <= bound * F.col(rel_to)
+
+    return all1.select(
+        F.lit(KMV_K).cast("long").alias("k"),
+        "exact_a",
+        est_a.alias("est_a"),
+        ok(est_a, "exact_a").alias("ok_a"),
+        "exact_b",
+        est_b.alias("est_b"),
+        ok(est_b, "exact_b").alias("ok_b"),
+        "exact_union",
+        est_u.alias("est_union"),
+        ok(est_u, "exact_union").alias("ok_union"),
+        "exact_inter",
+        est_i.alias("est_inter"),
+        (F.abs(est_i - F.col("exact_inter"))
+         <= bound * F.col("exact_union")).alias("ok_inter"),
+        "exact_diff",
+        est_d.alias("est_diff"),
+        (F.abs(est_d - F.col("exact_diff"))
+         <= bound * F.col("exact_union")).alias("ok_diff"),
+    )
