@@ -169,7 +169,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # retrieval_eval_map, cramers_v_association, parameterized_sql_binding,
 # stream_stream_full_outer, two_proportion_ztest, span_corruption_targets,
 # inferred_dimension_members, knn_classify_embeddings, binary_recall_at_k,
-# kmv_theta_sketch_ops
+# kmv_theta_sketch_ops, pr_curve_points, eb_shrunk_conversion
 
 
 def _apply_driver_window() -> None:

@@ -5386,3 +5386,128 @@ def parameterized_sql_binding(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.catalog.dropTempView("bprs_psql_orders")
         spark.catalog.dropTempView("bprs_psql_customer")
+
+
+# --- empirical-Bayes shrunk conversion rates (round 7) ---------------------------
+EB_BIG_ORDER = 400000.0
+
+
+@register(
+    "eb_shrunk_conversion",
+    oracle=f"""
+    WITH cust AS (
+        SELECT c.c_custkey, n.n_name,
+               CASE WHEN MAX(o.o_totalprice) > {EB_BIG_ORDER} THEN 1 ELSE 0
+               END AS conv
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, n.n_name
+    ),
+    g AS (
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(conv) AS BIGINT) AS x
+        FROM cust GROUP BY n_name
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               (SELECT list_reduce(
+                    list(CAST(x AS DOUBLE) / n ORDER BY n_name),
+                    (a, b) -> a + b) FROM g) AS sum_p,
+               (SELECT list_reduce(
+                    list((CAST(x AS DOUBLE) / n) * (CAST(x AS DOUBLE) / n)
+                         ORDER BY n_name),
+                    (a, b) -> a + b) FROM g) AS sum_p2
+        FROM g
+    ),
+    prior AS (
+        SELECT k, sum_p / k AS m,
+               (sum_p2 - sum_p * sum_p / k) / (k - 1) AS v,
+               (sum_p / k) * (1.0 - sum_p / k)
+                   / ((sum_p2 - sum_p * sum_p / k) / (k - 1)) - 1.0 AS ab
+        FROM mom
+    )
+    SELECT g.n_name, g.n AS n_customers, g.x AS n_converted,
+           CAST(g.x AS DOUBLE) / g.n AS raw_rate,
+           p.m * p.ab AS alpha, (1.0 - p.m) * p.ab AS beta,
+           (g.x + p.m * p.ab) / (g.n + p.ab) AS shrunk_rate
+    FROM g, prior p
+    """,
+    tags=("statistics", "empirical_bayes", "shrinkage", "beta_binomial"),
+)
+def eb_shrunk_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMPIRICAL-BAYES (beta-binomial, method of moments) shrinkage of
+    per-nation big-order conversion rates — the fix for small-group
+    leaderboards where a 3-customer nation posts rate 1.0
+    (smoothed_ctr's add-k is the fixed-prior special case; here the
+    prior Beta(α,β) is LEARNED from the group ensemble: α+β =
+    m(1−m)/v − 1). Raw rates are exact count ratios; the two moment
+    sums Σp and Σp² fold in GROUP-NAME ORDER (the anova_oneway k-group
+    discipline, k=25), and every downstream expression is fixed-order
+    scalar IEEE — the whole shrinkage table value-hashes. Shrunk rates
+    move each group toward the grand mean in proportion to its sample
+    size — exactly the ranking a fair cross-group comparison needs.
+
+    Scale notes (100 TB): one LEFT join + per-customer max (partial-agg
+    friendly), one 25-row group table; the prior fit and the shrinkage
+    are constant-size arithmetic."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey", "n_name")
+        .agg(
+            F.when(F.max("o_totalprice") > EB_BIG_ORDER, 1)
+            .otherwise(0)
+            .alias("conv")
+        )
+    )
+    g = cust.groupBy("n_name").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("x"),
+    )
+    p_expr = F.col("x").cast("double") / F.col("n")
+    mom = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("n_name"), p_expr.alias("p")))
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["p"],
+        ).alias("sum_p"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("n_name"), (p_expr * p_expr).alias("p2"))
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["p2"],
+        ).alias("sum_p2"),
+    )
+    m = F.col("sum_p") / F.col("k")
+    v = (F.col("sum_p2") - F.col("sum_p") * F.col("sum_p") / F.col("k")) / (
+        F.col("k") - 1
+    )
+    prior = mom.select(
+        m.alias("m"), (m * (1.0 - m) / v - 1.0).alias("ab")
+    )
+    return g.crossJoin(F.broadcast(prior)).select(
+        "n_name",
+        F.col("n").alias("n_customers"),
+        F.col("x").alias("n_converted"),
+        (F.col("x").cast("double") / F.col("n")).alias("raw_rate"),
+        (F.col("m") * F.col("ab")).alias("alpha"),
+        ((1.0 - F.col("m")) * F.col("ab")).alias("beta"),
+        (
+            (F.col("x") + F.col("m") * F.col("ab"))
+            / (F.col("n") + F.col("ab"))
+        ).alias("shrunk_rate"),
+    )

@@ -3937,3 +3937,87 @@ def span_corruption_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ordered_join(corr_piece).alias("corrupted"),
         ordered_join(tgt_piece).alias("target"),
     )
+
+
+# --- exact precision-recall curve (round 7) --------------------------------------
+@register(
+    "pr_curve_points",
+    oracle=f"""
+    WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT lang = 'en' AS truth,
+                 CAST(len(list_filter(toks, x -> x IN ({_SW_SQL}))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE)
+                 + CAST(len(list_filter(toks,
+                       x -> x IN ('data', 'query', 'table'))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) AS score
+          FROM t),
+    vals AS (
+        SELECT score,
+               COUNT(*) FILTER (WHERE truth) AS c1,
+               COUNT(*) FILTER (WHERE NOT truth) AS c0
+        FROM s GROUP BY score
+    ),
+    tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_pos FROM vals),
+    cum AS (
+        SELECT score,
+               CAST(SUM(c1) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+               CAST(SUM(c0) OVER (ORDER BY score DESC) AS BIGINT) AS fp
+        FROM vals
+    )
+    SELECT score AS threshold, tp, fp,
+           CAST(tp AS DOUBLE) / (tp + fp) AS precision,
+           CAST(tp AS DOUBLE) / n_pos AS recall,
+           CAST(2 * tp AS DOUBLE) / (2 * tp + fp + (n_pos - tp)) AS f1
+    FROM cum, tot
+    """,
+    tags=("text", "ml_eval", "pr_curve", "rank_statistic"),
+)
+def pr_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT precision-recall curve of the lang-ID scorer — one
+    (precision, recall, F1) point per distinct threshold, i.e. the
+    complete curve with no interpolation (classifier_eval_f1 is one
+    point of this table; roc_auc_exact is its rank integral; the best
+    F1 row is the threshold a deployment should actually use). TP/FP
+    at every threshold are DESCENDING cumulative counts over the
+    distinct-score table, so each row's metrics are exact count
+    ratios — the whole curve value-hashes.
+
+    Scale notes (100 TB): same mann_whitney_u shape — one scan for
+    scores, one |distinct scores|-row table, one ordered prefix.
+    sklearn's precision_recall_curve collects the scores to one
+    machine; this never does."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks).cast("double")
+    score = (
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / n
+        + F.size(
+            F.filter(toks, lambda x: x.isin("data", "query", "table"))
+        ).cast("double")
+        / n
+    )
+    s = d.select((F.col("lang") == "en").alias("truth"), score.alias("score"))
+    vals = s.groupBy("score").agg(
+        F.count(F.when(F.col("truth"), 1)).alias("c1"),
+        F.count(F.when(~F.col("truth"), 1)).alias("c0"),
+    )
+    tot = vals.agg(F.sum("c1").cast("long").alias("n_pos"))
+    wd = W.orderBy(F.col("score").desc())
+    cum = vals.select(
+        F.col("score").alias("threshold"),
+        F.sum("c1").over(wd).cast("long").alias("tp"),
+        F.sum("c0").over(wd).cast("long").alias("fp"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "threshold",
+        "tp",
+        "fp",
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))).alias(
+            "precision"
+        ),
+        (F.col("tp").cast("double") / F.col("n_pos")).alias("recall"),
+        (
+            (2 * F.col("tp")).cast("double")
+            / (2 * F.col("tp") + F.col("fp") + (F.col("n_pos") - F.col("tp")))
+        ).alias("f1"),
+    )
