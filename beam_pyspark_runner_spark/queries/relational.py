@@ -5511,3 +5511,258 @@ def eb_shrunk_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") + F.col("ab"))
         ).alias("shrunk_rate"),
     )
+
+
+# --- gradient-boosting residual round (round 7) ----------------------------------
+@register(
+    "boosting_residual_round",
+    oracle=f"""
+    WITH m AS (
+        SELECT (date_part('year', o_orderdate) - 1996) * 12
+                 + date_part('month', o_orderdate) AS m,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sy,
+               CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             * CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+        FROM orders WHERE o_orderdate >= DATE '{TS_START}'
+        GROUP BY 1
+    ),
+    pre AS (
+        SELECT m, n, sy, syy,
+               CAST(SUM(n) OVER w AS BIGINT) AS cn,
+               CAST(SUM(sy) OVER w AS BIGINT) AS csy,
+               CAST(SUM(n) OVER () AS BIGINT) AS tn,
+               CAST(SUM(sy) OVER () AS BIGINT) AS tsy,
+               CAST(SUM(CAST(csyy_part AS DECIMAL(38,0))) OVER w
+                    AS DECIMAL(38,0)) AS csyy,
+               CAST(SUM(CAST(csyy_part AS DECIMAL(38,0))) OVER ()
+                    AS DECIMAL(38,0)) AS tsyy
+        FROM (SELECT *, syy AS csyy_part FROM m)
+        WINDOW w AS (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)
+    ),
+    best1 AS (
+        SELECT m AS t1, cn, tn,
+               CAST(csy AS DOUBLE) / cn AS mu_l,
+               CAST(tsy - csy AS DOUBLE) / (tn - cn) AS mu_r,
+               (CAST(csyy AS DOUBLE) - CAST(csy AS DOUBLE) * csy / cn)
+             + (CAST(tsyy - csyy AS DOUBLE)
+                - CAST(tsy - csy AS DOUBLE) * (tsy - csy) / (tn - cn))
+                   AS sse1,
+               ROW_NUMBER() OVER (ORDER BY
+                   (CAST(csyy AS DOUBLE) - CAST(csy AS DOUBLE) * csy / cn)
+                 + (CAST(tsyy - csyy AS DOUBLE)
+                    - CAST(tsy - csy AS DOUBLE) * (tsy - csy) / (tn - cn)),
+                   m) AS rk
+        FROM pre WHERE cn < tn
+    ),
+    b1 AS (SELECT t1, mu_l, mu_r, sse1 FROM best1 WHERE rk = 1),
+    rhist AS (
+        SELECT m.m, m.n,
+               CAST(ROUND((m.sy - m.n * (CASE WHEN m.m <= b1.t1
+                                              THEN b1.mu_l ELSE b1.mu_r END))
+                          * 10000) AS BIGINT) AS sr_q,
+               CAST(ROUND((CAST(m.syy AS DOUBLE)
+                           - 2 * (CASE WHEN m.m <= b1.t1
+                                       THEN b1.mu_l ELSE b1.mu_r END) * m.sy
+                           + m.n * (CASE WHEN m.m <= b1.t1
+                                         THEN b1.mu_l ELSE b1.mu_r END)
+                                 * (CASE WHEN m.m <= b1.t1
+                                         THEN b1.mu_l ELSE b1.mu_r END))
+                          * 10000) AS HUGEINT) AS srr_q
+        FROM m, b1
+    ),
+    rpre AS (
+        SELECT m,
+               CAST(SUM(n) OVER w AS BIGINT) AS cn,
+               CAST(SUM(sr_q) OVER w AS BIGINT) AS csr,
+               CAST(SUM(CAST(srr_q AS DECIMAL(38,0))) OVER w
+                    AS DECIMAL(38,0)) AS csrr,
+               CAST(SUM(n) OVER () AS BIGINT) AS tn,
+               CAST(SUM(sr_q) OVER () AS BIGINT) AS tsr,
+               CAST(SUM(CAST(srr_q AS DECIMAL(38,0))) OVER ()
+                    AS DECIMAL(38,0)) AS tsrr
+        FROM rhist
+        WINDOW w AS (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)
+    ),
+    best2 AS (
+        SELECT m AS t2, cn AS n_left2, tn - cn AS n_right2,
+               ((CAST(csrr AS DOUBLE) / 10000.0
+                 - (CAST(csr AS DOUBLE) / 10000.0)
+                   * (CAST(csr AS DOUBLE) / 10000.0) / cn)
+              + (CAST(tsrr - csrr AS DOUBLE) / 10000.0
+                 - (CAST(tsr - csr AS DOUBLE) / 10000.0)
+                   * (CAST(tsr - csr AS DOUBLE) / 10000.0) / (tn - cn)))
+                   AS sse2,
+               (CAST(tsrr AS DOUBLE) / 10000.0
+                - (CAST(tsr AS DOUBLE) / 10000.0)
+                  * (CAST(tsr AS DOUBLE) / 10000.0) / tn) AS sse_resid_root,
+               ROW_NUMBER() OVER (ORDER BY
+                   ((CAST(csrr AS DOUBLE) / 10000.0
+                     - (CAST(csr AS DOUBLE) / 10000.0)
+                       * (CAST(csr AS DOUBLE) / 10000.0) / cn)
+                  + (CAST(tsrr - csrr AS DOUBLE) / 10000.0
+                     - (CAST(tsr - csr AS DOUBLE) / 10000.0)
+                       * (CAST(tsr - csr AS DOUBLE) / 10000.0) / (tn - cn))),
+                   m) AS rk
+        FROM rpre WHERE cn < tn
+    )
+    SELECT CAST(b1.t1 AS BIGINT) AS threshold_1, b1.mu_l, b1.mu_r,
+           b1.sse1 AS sse_after_round1,
+           CAST(b2.t2 AS BIGINT) AS threshold_2,
+           CAST(b2.n_left2 AS BIGINT) AS n_left2,
+           CAST(b2.n_right2 AS BIGINT) AS n_right2,
+           b2.sse_resid_root, b2.sse2 AS sse_after_round2,
+           b2.sse_resid_root - b2.sse2 AS gain_round2
+    FROM b1, (SELECT * FROM best2 WHERE rk = 1) b2
+    """,
+    tags=("statistics", "gradient_boosting", "histogram_method",
+          "ml_training"),
+)
+def boosting_residual_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One GRADIENT-BOOSTING iteration on top of regression_stump_train
+    — and the reason histogram-method GBDT scales: because the feature
+    is histogrammed, round 2's residual statistics per month derive
+    ALGEBRAICALLY from round 1's sufficient statistics (Σr = Σy − n·p,
+    Σr² = Σy² − 2pΣy + n·p² with p the month's round-1 prediction) —
+    the corpus is NOT rescanned; the boosting loop runs entirely on
+    the ≤67-row histogram. Residual moments are quantized to exact
+    1e-4 fixed-point BEFORE the prefix sums (window sums of raw
+    doubles would be at the mercy of each engine's segment-tree
+    summation order), so both rounds' argmins and gains value-hash.
+    Deterministic tie-break on the earlier month, both rounds.
+
+    Scale notes (100 TB): one corpus pass builds the histogram; every
+    further boosting round is constant-size window arithmetic — the
+    XGBoost/LightGBM outer loop expressed relationally."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(TS_START).cast("date")
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    m = o.groupBy(
+        (
+            (F.year("o_orderdate") - F.lit(1996)) * 12 + F.month("o_orderdate")
+        ).alias("m")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("sy"),
+        F.sum((cents * cents).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    wcum = W.orderBy("m").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy()
+    pre = m.select(
+        "m",
+        F.sum("n").over(wcum).cast("long").alias("cn"),
+        F.sum("sy").over(wcum).cast("long").alias("csy"),
+        F.sum("syy").over(wcum).cast("decimal(38,0)").alias("csyy"),
+        F.sum("n").over(wall).cast("long").alias("tn"),
+        F.sum("sy").over(wall).cast("long").alias("tsy"),
+        F.sum("syy").over(wall).cast("decimal(38,0)").alias("tsyy"),
+    )
+    sse_left = F.col("csyy").cast("double") - F.col("csy").cast(
+        "double"
+    ) * F.col("csy") / F.col("cn")
+    sse_right = (F.col("tsyy") - F.col("csyy")).cast("double") - (
+        F.col("tsy") - F.col("csy")
+    ).cast("double") * (F.col("tsy") - F.col("csy")) / (
+        F.col("tn") - F.col("cn")
+    )
+    b1 = (
+        pre.filter(F.col("cn") < F.col("tn"))
+        .select(
+            F.col("m").alias("t1"),
+            (F.col("csy").cast("double") / F.col("cn")).alias("mu_l"),
+            (
+                (F.col("tsy") - F.col("csy")).cast("double")
+                / (F.col("tn") - F.col("cn"))
+            ).alias("mu_r"),
+            (sse_left + sse_right).alias("sse1"),
+        )
+        .withColumn(
+            "rk", F.row_number().over(W.orderBy("sse1", "t1"))
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    pred = F.when(F.col("m") <= F.col("t1"), F.col("mu_l")).otherwise(
+        F.col("mu_r")
+    )
+    rhist = m.crossJoin(F.broadcast(b1)).select(
+        "m",
+        "n",
+        F.round((F.col("sy") - F.col("n") * pred) * 10000)
+        .cast("long")
+        .alias("sr_q"),
+        F.round(
+            (
+                F.col("syy").cast("double")
+                - 2 * pred * F.col("sy")
+                + F.col("n") * pred * pred
+            )
+            * 10000
+        )
+        .cast("decimal(38,0)")
+        .alias("srr_q"),
+        "t1",
+        "mu_l",
+        "mu_r",
+        "sse1",
+    )
+    rpre = rhist.select(
+        "m",
+        "t1",
+        "mu_l",
+        "mu_r",
+        "sse1",
+        F.sum("n").over(wcum).cast("long").alias("cn"),
+        F.sum("sr_q").over(wcum).cast("long").alias("csr"),
+        F.sum("srr_q").over(wcum).cast("decimal(38,0)").alias("csrr"),
+        F.sum("n").over(wall).cast("long").alias("tn"),
+        F.sum("sr_q").over(wall).cast("long").alias("tsr"),
+        F.sum("srr_q").over(wall).cast("decimal(38,0)").alias("tsrr"),
+    )
+    csr_d = F.col("csr").cast("double") / 10000.0
+    csrr_d = F.col("csrr").cast("double") / 10000.0
+    tsr_d = F.col("tsr").cast("double") / 10000.0
+    tsrr_d = F.col("tsrr").cast("double") / 10000.0
+    rsr_d = (F.col("tsr") - F.col("csr")).cast("double") / 10000.0
+    rsrr_d = (F.col("tsrr") - F.col("csrr")).cast("double") / 10000.0
+    sse2 = (
+        csrr_d
+        - csr_d * csr_d / F.col("cn")
+        + rsrr_d
+        - rsr_d * rsr_d / (F.col("tn") - F.col("cn"))
+    )
+    resid_root = tsrr_d - tsr_d * tsr_d / F.col("tn")
+    b2 = (
+        rpre.filter(F.col("cn") < F.col("tn"))
+        .select(
+            "t1",
+            "mu_l",
+            "mu_r",
+            "sse1",
+            F.col("m").alias("t2"),
+            F.col("cn").alias("n_left2"),
+            (F.col("tn") - F.col("cn")).alias("n_right2"),
+            sse2.alias("sse2"),
+            resid_root.alias("sse_resid_root"),
+        )
+        .withColumn("rk", F.row_number().over(W.orderBy("sse2", "t2")))
+        .filter(F.col("rk") == 1)
+    )
+    return b2.select(
+        F.col("t1").cast("long").alias("threshold_1"),
+        "mu_l",
+        "mu_r",
+        F.col("sse1").alias("sse_after_round1"),
+        F.col("t2").cast("long").alias("threshold_2"),
+        F.col("n_left2").cast("long").alias("n_left2"),
+        F.col("n_right2").cast("long").alias("n_right2"),
+        "sse_resid_root",
+        F.col("sse2").alias("sse_after_round2"),
+        (F.col("sse_resid_root") - F.col("sse2")).alias("gain_round2"),
+    )
