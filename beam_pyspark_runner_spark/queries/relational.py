@@ -5766,3 +5766,47 @@ def boosting_residual_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sse2").alias("sse_after_round2"),
         (F.col("sse_resid_root") - F.col("sse2")).alias("gain_round2"),
     )
+
+
+# --- IDENTIFIER clause: safe dynamic table names (round 7) -----------------------
+@register(
+    "identifier_clause_scan",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("sql", "identifier_clause", "api_surface"),
+)
+def identifier_clause_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() clause (Spark 3.5+) — the injection-safe half of
+    dynamic SQL that parameterized_sql_binding cannot cover: named
+    parameters bind VALUES, never table/column names, so templated
+    readers ("same report over tenant_<N> tables") historically
+    string-concatenate identifiers. IDENTIFIER(:tbl) constrains the
+    parameter to a lexical identifier — `bprs_id_customer; DROP ...`
+    fails to parse instead of executing. The plan is identical to the
+    static query (the oracle), proving the indirection is free.
+
+    Scale relevance: multi-tenant lakes template the same pipeline
+    over thousands of table names; this is the supported way to do it
+    without a SQL-injection surface."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "bprs_id_customer"
+    )
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "bprs_id_nation"
+    )
+    try:
+        return spark.sql(
+            """
+            SELECT n_name, COUNT(*) AS n_customers
+            FROM IDENTIFIER(:cust) JOIN IDENTIFIER(:nat)
+              ON c_nationkey = n_nationkey
+            GROUP BY n_name
+            """,
+            args={"cust": "bprs_id_customer", "nat": "bprs_id_nation"},
+        )
+    finally:
+        spark.catalog.dropTempView("bprs_id_customer")
+        spark.catalog.dropTempView("bprs_id_nation")
