@@ -1022,3 +1022,49 @@ def test_acf_lag_bounds_and_lag0_identity(spark):
     expected = (num + den) * 10**9 // den - 10**9
     got = {r["n_name"]: r for r in rows}["NATION_4"]
     assert got["acf_1_e9"] == expected
+
+
+def test_kmv_sketch_matches_python_replica(spark):
+    """kmv_theta_sketch_ops == the textbook KMV/theta algorithm run in
+    plain Python over the same md5 hashes: k-th-smallest thetas, the
+    (k-1)/theta estimator with the n<k exact regime, and the
+    below-min-theta intersection/difference counting."""
+    import duckdb
+
+    from beam_pyspark_runner_spark.queries import REGISTRY
+    from beam_pyspark_runner_spark.queries.sketches import KMV_HMAX, KMV_K
+    from tests.conftest import SF_CORRECT
+
+    row = REGISTRY["kmv_theta_sketch_ops"].fn(spark, SF_CORRECT).collect()[0]
+    con = duckdb.connect()
+    pairs = con.execute(
+        f"""
+        SELECT DISTINCT CASE WHEN event_type = 'view' THEN 'A' ELSE 'B' END,
+               (('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+                    || strftime(CAST(ts AS DATE), '%Y-%m-%d')), 1, 15))::BIGINT)
+        FROM read_parquet('{SF_CORRECT}/events.parquet')
+        WHERE event_type IN ('view', 'purchase')
+        """
+    ).fetchall()
+    a = sorted(h for s, h in pairs if s == "A")
+    b = sorted(h for s, h in pairs if s == "B")
+    u = sorted(set(a) | set(b))
+
+    def est(hs):
+        if len(hs) < KMV_K:
+            return float(len(hs))
+        return (KMV_K - 1) * float(KMV_HMAX) / hs[KMV_K - 1]
+
+    assert row["est_a"] == est(a)
+    assert row["est_b"] == est(b)
+    assert row["est_union"] == est(u)
+    theta = min(
+        a[KMV_K - 1] if len(a) >= KMV_K else KMV_HMAX,
+        b[KMV_K - 1] if len(b) >= KMV_K else KMV_HMAX,
+    )
+    ra = set(a[:KMV_K])
+    rb = set(b[:KMV_K])
+    c_inter = sum(1 for h in ra & rb if h < theta)
+    c_diff = sum(1 for h in ra - rb if h < theta)
+    assert row["est_inter"] == c_inter * float(KMV_HMAX) / theta
+    assert row["est_diff"] == c_diff * float(KMV_HMAX) / theta
