@@ -170,7 +170,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # stream_stream_full_outer, two_proportion_ztest, span_corruption_targets,
 # inferred_dimension_members, knn_classify_embeddings, binary_recall_at_k,
 # kmv_theta_sketch_ops, pr_curve_points, eb_shrunk_conversion,
-# boosting_residual_round, identifier_clause_scan
+# boosting_residual_round, identifier_clause_scan,
+# shapley_channel_attribution
 
 
 def _apply_driver_window() -> None:

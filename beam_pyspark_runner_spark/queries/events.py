@@ -3714,3 +3714,148 @@ def two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z_score"),
     )
+
+
+# --- exact Shapley channel attribution (round 7) ---------------------------------
+@register(
+    "shapley_channel_attribution",
+    oracle="""
+    WITH fp AS (
+        SELECT user_id, MIN(ts) AS fp_ts
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    masks AS (
+        SELECT e.user_id,
+               MAX(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END)
+             + 2 * MAX(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END)
+             + 4 * MAX(CASE WHEN e.event_type = 'signup' THEN 1 ELSE 0 END)
+                   AS mask
+        FROM events e JOIN fp ON e.user_id = fp.user_id
+        WHERE e.ts < fp.fp_ts
+        GROUP BY e.user_id
+    ),
+    cnt AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS c FROM masks
+            WHERE mask > 0 GROUP BY mask),
+    subsets AS (SELECT unnest(range(0, 8)) AS s),
+    v AS (
+        SELECT s.s, CAST(COALESCE(SUM(cnt.c), 0) AS BIGINT) AS v
+        FROM subsets s LEFT JOIN cnt ON (cnt.mask | s.s) = s.s
+        GROUP BY s.s
+    ),
+    chans AS (SELECT * FROM (VALUES (0, 'view'), (1, 'click'),
+                                    (2, 'signup')) AS t(b, channel)),
+    terms AS (
+        SELECT ch.channel,
+               CAST(SUM((CASE WHEN bit_count(sv.s) = 0 THEN 2
+                              WHEN bit_count(sv.s) = 1 THEN 1
+                              ELSE 2 END)
+                        * (svb.v - sv.v)) AS BIGINT) AS phi_x6
+        FROM chans ch
+        JOIN v sv ON (sv.s & (1 << ch.b)) = 0
+        JOIN v svb ON svb.s = (sv.s | (1 << ch.b))
+        GROUP BY ch.channel
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_conv FROM masks
+            WHERE mask > 0)
+    SELECT channel, phi_x6,
+           CAST(phi_x6 AS DOUBLE) / 6.0 AS shapley_conversions,
+           CAST(phi_x6 AS DOUBLE) / (6.0 * n_conv) AS shapley_share,
+           n_conv
+    FROM terms, tot
+    """,
+    tags=("events", "attribution", "shapley", "marketing"),
+)
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution — the game-theoretic
+    member of the attribution trio (first_touch_attribution's
+    heuristic, markov_removal_attribution's chain counterfactual, and
+    this: each conversion's credit split by every channel's average
+    marginal contribution across all join orders). Characteristic
+    function v(S) = conversions whose pre-purchase touchpoint set ⊆ S;
+    with 3 channels the 8 coalition values come from ONE mask
+    histogram, and the Shapley weights (|S|!(n−|S|−1)!/n! → 2,1,2
+    after ×6 scaling) make every φ an exact INTEGER sixth — no
+    sampling, no float accumulation (φ_x6 hashes; the shares are one
+    division each). The n-channel cost is 2^n coalition rows — the
+    standard exact-Shapley regime (≤ ~20 channels); beyond that,
+    permutation sampling replaces the subset table, same mask
+    histogram.
+
+    Scale notes (100 TB): one corpus scan builds per-user first-
+    purchase times (partial-agg min), one join + conditional agg
+    builds the 8-row mask histogram; everything after is constant
+    size."""
+    e = load_table(spark, sf_dir, "events")
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp_ts"))
+    )
+    masks = (
+        e.join(fp, "user_id")
+        .filter(F.col("ts") < F.col("fp_ts"))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.max(
+                    F.when(F.col("event_type") == "view", 1).otherwise(0)
+                )
+                + 2
+                * F.max(
+                    F.when(F.col("event_type") == "click", 1).otherwise(0)
+                )
+                + 4
+                * F.max(
+                    F.when(F.col("event_type") == "signup", 1).otherwise(0)
+                )
+            ).alias("mask")
+        )
+        .filter(F.col("mask") > 0)
+    )
+    cnt = masks.groupBy("mask").agg(F.count("*").cast("long").alias("c"))
+    subsets = spark.range(0, 8).select(F.col("id").cast("int").alias("s"))
+    v = (
+        subsets.join(
+            F.broadcast(cnt),
+            (F.col("mask").bitwiseOR(F.col("s")) == F.col("s")),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("v"))
+    )
+    chans = spark.createDataFrame(
+        [(0, "view"), (1, "click"), (2, "signup")], "b int, channel string"
+    )
+    sv = v.select(F.col("s").alias("s0"), F.col("v").alias("v0"))
+    svb = v.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
+    weight = (
+        F.when(F.bit_count(F.col("s0")) == 0, 2)
+        .when(F.bit_count(F.col("s0")) == 1, 1)
+        .otherwise(2)
+    )
+    terms = (
+        chans.join(
+            F.broadcast(sv),
+            (F.col("s0").bitwiseAND(F.expr("shiftleft(1, b)")) == 0),
+        )
+        .join(
+            F.broadcast(svb),
+            F.col("s1") == F.col("s0").bitwiseOR(F.expr("shiftleft(1, b)")),
+        )
+        .groupBy("channel")
+        .agg(
+            F.sum(weight * (F.col("v1") - F.col("v0")))
+            .cast("long")
+            .alias("phi_x6")
+        )
+    )
+    tot = masks.agg(F.count("*").cast("long").alias("n_conv"))
+    return terms.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "phi_x6",
+        (F.col("phi_x6").cast("double") / 6.0).alias("shapley_conversions"),
+        (F.col("phi_x6").cast("double") / (6.0 * F.col("n_conv"))).alias(
+            "shapley_share"
+        ),
+        "n_conv",
+    )
