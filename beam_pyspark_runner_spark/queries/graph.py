@@ -973,3 +973,94 @@ def resource_allocation_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ra_e12").desc(), "node_a", "node_b")
         .limit(20)
     )
+
+
+# --- degree assortativity (round 7) -----------------------------------------------
+@register(
+    "degree_assortativity",
+    oracle=f"""
+    WITH {_PAIR_SQL},
+    sym AS (
+        SELECT u AS a, v AS b FROM pairs
+        UNION ALL SELECT v, u FROM pairs
+    ),
+    dd AS (
+        SELECT da.d AS dx, db.d AS dy
+        FROM sym JOIN deg da ON da.node = sym.a
+                 JOIN deg db ON db.node = sym.b
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dx) AS BIGINT) AS sx,
+               CAST(SUM(dy) AS BIGINT) AS sy,
+               CAST(SUM(CAST(dx * dx AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS sxx,
+               CAST(SUM(CAST(dy * dy AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS syy,
+               CAST(SUM(CAST(dx * dy AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS sxy
+        FROM dd
+    )
+    SELECT n AS n_edge_ends,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS assortativity
+    FROM s
+    """,
+    tags=("graph", "assortativity", "degree_correlation"),
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree ASSORTATIVITY (Newman 2002): the Pearson correlation of
+    endpoint degrees over all edge ends — one number saying whether
+    hubs attach to hubs (social-network-like, r>0) or to leaves
+    (internet/protein-like, r<0); it predicts how the supplier graph
+    fragments under targeted node loss and how far LSH/community
+    methods can shard it. Same DOULION-sampled edge set as
+    triangle_count. Every sufficient statistic is an exact
+    integer/decimal sum over the symmetrized edge list (degrees from
+    the broadcast degree table), finished by one fixed-order double
+    formula — the spearman_rank_corr determinism recipe on graph
+    data.
+
+    Scale notes (100 TB): two broadcast joins + one global partial
+    agg; no windows, no iteration."""
+    pairs = _sampled_supplier_pairs(spark, sf_dir)
+    deg = _pair_degrees(pairs)
+    sym = pairs.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        pairs.select(F.col("v"), F.col("u"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("dx"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("dy"))
+    dd = sym.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    s = dd.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum((F.col("dx") * F.col("dx")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum((F.col("dy") * F.col("dy")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+        F.sum((F.col("dx") * F.col("dy")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    dx_ = nd * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    dy_ = nd * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    return s.select(
+        F.col("n").alias("n_edge_ends"),
+        (num / (F.sqrt(dx_) * F.sqrt(dy_))).alias("assortativity"),
+    )
