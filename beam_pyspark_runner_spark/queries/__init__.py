@@ -171,7 +171,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # inferred_dimension_members, knn_classify_embeddings, binary_recall_at_k,
 # kmv_theta_sketch_ops, pr_curve_points, eb_shrunk_conversion,
 # boosting_residual_round, identifier_clause_scan,
-# shapley_channel_attribution
+# shapley_channel_attribution, degree_assortativity, dbscan_core_points,
+# weiszfeld_geometric_median
 
 
 def _apply_driver_window() -> None:

@@ -1531,3 +1531,128 @@ from beam_pyspark_runner_spark.queries.registry import REGISTRY as _REG_J
 _REG_J["dbscan_core_points"].oracle = _REG_J["dbscan_core_points"].oracle.replace(
     "{GRJ_ORACLE}", _REG_J["grid_radius_join"].oracle
 )
+
+
+# --- Weiszfeld geometric median (round 7) ------------------------------------------
+WEISZFELD_ITERS = 3
+_W_SCALE = 1_000_000  # w' = 1e6/dist: keeps dsum's 2-dp rounding negligible
+
+
+def _wf_pts_sql() -> str:
+    return f"""
+        SELECT n.n_name,
+               (('0x' || substr(md5('gx-' || c.c_custkey), 1, 8))::BIGINT)
+                   % {_COORD_MOD} AS x,
+               (('0x' || substr(md5('gy-' || c.c_custkey), 1, 8))::BIGINT)
+                   % {_COORD_MOD} AS y
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """
+
+
+def _wf_iter_sql(prev: str, out: str) -> str:
+    w = (
+        f"({_W_SCALE}.0 / GREATEST(sqrt((p.x - {prev}.cx) * (p.x - {prev}.cx)"
+        f" + (p.y - {prev}.cy) * (p.y - {prev}.cy)), 1e-9))"
+    )
+    return f"""
+    {out} AS (
+        SELECT p.n_name,
+               {dsum_sql(f"{w} * p.x")} / {dsum_sql(w)} AS cx,
+               {dsum_sql(f"{w} * p.y")} / {dsum_sql(w)} AS cy
+        FROM pts p JOIN {prev} ON p.n_name = {prev}.n_name
+        GROUP BY p.n_name
+    )"""
+
+
+@register(
+    "weiszfeld_geometric_median",
+    oracle=f"""
+    WITH pts AS ({_wf_pts_sql()}),
+    it0 AS (
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DOUBLE) / COUNT(*) AS cx,
+               CAST(SUM(y) AS DOUBLE) / COUNT(*) AS cy
+        FROM pts GROUP BY n_name
+    ),
+    {",".join(_wf_iter_sql(f"it{i}", f"it{i + 1}") for i in range(3))}
+    SELECT it0.n_name, it0.n AS n_points,
+           it0.cx AS mean_x, it0.cy AS mean_y,
+           it3.cx AS gm_x, it3.cy AS gm_y
+    FROM it0 JOIN it3 ON it0.n_name = it3.n_name
+    """,
+    tags=("statistics", "spatial", "geometric_median", "robust",
+          "iterative"),
+)
+def weiszfeld_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOMETRIC MEDIAN per nation via {WEISZFELD_ITERS} unrolled
+    Weiszfeld iterations (1937; the L1 multivariate location estimator
+    — a 2-D centroid with a 50% breakdown point, where the mean is
+    dragged by any single far-out depot): c ← Σ(p/‖p−c‖) / Σ(1/‖p−c‖),
+    seeded at the centroid. The same deterministic integer-meter
+    coordinates as grid_radius_join. Each iteration's weighted sums
+    ride the dsum decimal discipline (weights scaled ×1e6 so the 2-dp
+    decimal rounding is a ~1e-11 relative quantization — identical in
+    both engines by construction), and the per-row weight is one
+    sqrt+division of deterministic doubles — so three full rounds of
+    an ITERATIVE algorithm still value-hash exactly.
+
+    Scale notes (100 TB): each iteration = one corpus pass + a
+    25-row broadcast join of the centers back in — the kmeans_lloyd
+    shape; iteration count is fixed (fixed-point quantization makes
+    convergence checks a driver-free boolean column if needed)."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+    from beam_pyspark_runner_spark.functions.numeric import dsum
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pts = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).select(
+        "n_name",
+        F.pmod(
+            h32(F.concat_ws("-", F.lit("gx"), F.col("c_custkey"))),
+            F.lit(_COORD_MOD),
+        ).alias("x"),
+        F.pmod(
+            h32(F.concat_ws("-", F.lit("gy"), F.col("c_custkey"))),
+            F.lit(_COORD_MOD),
+        ).alias("y"),
+    )
+    it = pts.groupBy("n_name").agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum("x").cast("double") / F.count("*")).alias("cx"),
+        (F.sum("y").cast("double") / F.count("*")).alias("cy"),
+    )
+    it0 = it
+    for _ in range(WEISZFELD_ITERS):
+        j = pts.join(
+            F.broadcast(it.select("n_name", "cx", "cy")), "n_name"
+        )
+        d = F.greatest(
+            F.sqrt(
+                (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+                + (F.col("y") - F.col("cy")) * (F.col("y") - F.col("cy"))
+            ),
+            F.lit(1e-9),
+        )
+        w = F.lit(float(_W_SCALE)) / d
+        it = j.groupBy("n_name").agg(
+            (dsum(w * F.col("x")) / dsum(w)).alias("cx"),
+            (dsum(w * F.col("y")) / dsum(w)).alias("cy"),
+        )
+    return (
+        it0.select(
+            "n_name",
+            F.col("n").alias("n_points"),
+            F.col("cx").alias("mean_x"),
+            F.col("cy").alias("mean_y"),
+        )
+        .join(
+            it.select(
+                "n_name",
+                F.col("cx").alias("gm_x"),
+                F.col("cy").alias("gm_y"),
+            ),
+            "n_name",
+        )
+    )
