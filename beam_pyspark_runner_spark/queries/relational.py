@@ -5810,3 +5810,218 @@ def identifier_clause_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.catalog.dropTempView("bprs_id_customer")
         spark.catalog.dropTempView("bprs_id_nation")
+
+
+# --- Yule-Walker AR(2) fit (round 7) ----------------------------------------------
+@register(
+    "yule_walker_ar2",
+    oracle="""
+    WITH acf AS ({ACF_ORACLE})
+    SELECT n_name, n_months,
+           CAST(acf_1_e9 AS DOUBLE) / 1e9 AS r1,
+           CAST(acf_2_e9 AS DOUBLE) / 1e9 AS r2,
+           (CAST(acf_1_e9 AS DOUBLE) / 1e9)
+             * (1.0 - CAST(acf_2_e9 AS DOUBLE) / 1e9)
+             / (1.0 - (CAST(acf_1_e9 AS DOUBLE) / 1e9)
+                      * (CAST(acf_1_e9 AS DOUBLE) / 1e9)) AS phi_1,
+           ((CAST(acf_2_e9 AS DOUBLE) / 1e9)
+             - (CAST(acf_1_e9 AS DOUBLE) / 1e9)
+               * (CAST(acf_1_e9 AS DOUBLE) / 1e9))
+             / (1.0 - (CAST(acf_1_e9 AS DOUBLE) / 1e9)
+                      * (CAST(acf_1_e9 AS DOUBLE) / 1e9)) AS phi_2
+    FROM acf
+    """,
+    tags=("statistics", "time_series", "autoregressive", "yule_walker"),
+)
+def yule_walker_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) coefficients per nation by YULE-WALKER from the exact
+    quantized autocorrelations: φ₁ = r₁(1−r₂)/(1−r₁²),
+    φ₂ = (r₂−r₁²)/(1−r₁²) — parameter ESTIMATION stacked on acf_lags'
+    measurement (composed verbatim, the binary_recall_at_k
+    discipline), turning the diagnostic into a forecastable model
+    (x̂_t = φ₁x_{t−1} + φ₂x_{t−2}; holt_linear_forecast is the
+    trend-smoothing alternative). The inputs are exact 1e-9 integers,
+    so the closed-form arithmetic is fixed-order scalar IEEE —
+    hash-stable with no further quantization.
+
+    Scale notes (100 TB): everything after acf_lags' one corpus pass
+    is arithmetic on a 25-row frame."""
+    from beam_pyspark_runner_spark.queries.registry import REGISTRY as _R
+
+    acf = _R["acf_lags"].fn(spark, sf_dir)
+    r1 = F.col("acf_1_e9").cast("double") / 1e9
+    r2 = F.col("acf_2_e9").cast("double") / 1e9
+    den = 1.0 - r1 * r1
+    return acf.select(
+        "n_name",
+        "n_months",
+        r1.alias("r1"),
+        r2.alias("r2"),
+        (r1 * (1.0 - r2) / den).alias("phi_1"),
+        ((r2 - r1 * r1) / den).alias("phi_2"),
+    )
+
+
+from beam_pyspark_runner_spark.queries.registry import REGISTRY as _REG_R
+
+_REG_R["yule_walker_ar2"].oracle = _REG_R["yule_walker_ar2"].oracle.replace(
+    "{ACF_ORACLE}", _REG_R["acf_lags"].oracle
+)
+
+
+# --- quadratic-kernel MMD drift test (round 7) --------------------------------------
+MMD_C = 1e16  # kernel scale ~ (typical cents)^2
+
+
+@register(
+    "mmd_quadratic_drift",
+    oracle=f"""
+    WITH s AS (
+        SELECT date_part('year', o_orderdate) AS yr,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+        FROM orders WHERE date_part('year', o_orderdate) IN (1995, 1998)
+    ),
+    m AS (
+        SELECT yr, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s1,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS s2,
+               CAST(SUM(CAST(CAST(x AS DECIMAL(38,0)) * x AS DECIMAL(38,0))
+                        * CAST(CAST(x AS DECIMAL(38,0)) * x
+                               AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s4
+        FROM s GROUP BY yr
+    ),
+    w AS (
+        SELECT
+            MAX(CASE WHEN yr = 1995 THEN n END) AS nx,
+            MAX(CASE WHEN yr = 1995 THEN s1 END) AS x1,
+            MAX(CASE WHEN yr = 1995 THEN s2 END) AS x2,
+            MAX(CASE WHEN yr = 1995 THEN s4 END) AS x4,
+            MAX(CASE WHEN yr = 1998 THEN n END) AS ny,
+            MAX(CASE WHEN yr = 1998 THEN s1 END) AS y1,
+            MAX(CASE WHEN yr = 1998 THEN s2 END) AS y2,
+            MAX(CASE WHEN yr = 1998 THEN s4 END) AS y4
+        FROM m
+    )
+    SELECT nx AS n_x, ny AS n_y,
+           (CAST(nx AS DOUBLE) * (nx - 1)
+              + (2.0 / {MMD_C}) * (CAST(x1 AS DOUBLE) * x1
+                                   - CAST(x2 AS DOUBLE))
+              + (1.0 / ({MMD_C} * {MMD_C}))
+                * (CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE)
+                   - CAST(x4 AS DOUBLE)))
+             / (CAST(nx AS DOUBLE) * (nx - 1)) AS within_x_mean,
+           (CAST(ny AS DOUBLE) * (ny - 1)
+              + (2.0 / {MMD_C}) * (CAST(y1 AS DOUBLE) * y1
+                                   - CAST(y2 AS DOUBLE))
+              + (1.0 / ({MMD_C} * {MMD_C}))
+                * (CAST(y2 AS DOUBLE) * CAST(y2 AS DOUBLE)
+                   - CAST(y4 AS DOUBLE)))
+             / (CAST(ny AS DOUBLE) * (ny - 1)) AS within_y_mean,
+           (CAST(nx AS DOUBLE) * ny
+              + (2.0 / {MMD_C}) * (CAST(x1 AS DOUBLE) * y1)
+              + (1.0 / ({MMD_C} * {MMD_C}))
+                * (CAST(x2 AS DOUBLE) * CAST(y2 AS DOUBLE)))
+             / (CAST(nx AS DOUBLE) * ny) AS cross_mean,
+           (CAST(nx AS DOUBLE) * (nx - 1)
+              + (2.0 / {MMD_C}) * (CAST(x1 AS DOUBLE) * x1
+                                   - CAST(x2 AS DOUBLE))
+              + (1.0 / ({MMD_C} * {MMD_C}))
+                * (CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE)
+                   - CAST(x4 AS DOUBLE)))
+             / (CAST(nx AS DOUBLE) * (nx - 1))
+           + (CAST(ny AS DOUBLE) * (ny - 1)
+              + (2.0 / {MMD_C}) * (CAST(y1 AS DOUBLE) * y1
+                                   - CAST(y2 AS DOUBLE))
+              + (1.0 / ({MMD_C} * {MMD_C}))
+                * (CAST(y2 AS DOUBLE) * CAST(y2 AS DOUBLE)
+                   - CAST(y4 AS DOUBLE)))
+             / (CAST(ny AS DOUBLE) * (ny - 1))
+           - 2.0 * ((CAST(nx AS DOUBLE) * ny
+              + (2.0 / {MMD_C}) * (CAST(x1 AS DOUBLE) * y1)
+              + (1.0 / ({MMD_C} * {MMD_C}))
+                * (CAST(x2 AS DOUBLE) * CAST(y2 AS DOUBLE)))
+             / (CAST(nx AS DOUBLE) * ny)) AS mmd2
+    FROM w
+    """,
+    tags=("statistics", "mmd", "kernel", "drift", "two_sample"),
+)
+def mmd_quadratic_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum Mean Discrepancy two-sample test (Gretton et al. JMLR'12)
+    between 1995 and 1998 order values with a QUADRATIC kernel
+    k(x,y) = (1 + xy/c)² — chosen because a degree-2 polynomial
+    kernel makes the U-statistic CLOSED-FORM in the first four power
+    sums: Σᵢ≠ⱼk(xᵢ,xⱼ) = n(n−1) + (2/c)((Σx)²−Σx²) +
+    (1/c²)((Σx²)²−Σx⁴). The kernel trick without any pairwise pass —
+    the O(n²) MMD evaluation collapses to ONE aggregation per sample
+    (the RBF kernel everyone defaults to needs exp(); quadratic MMD
+    detects mean and variance drift, which is what KS
+    (ks_statistic_drift) sees positionally and this sees in moment
+    space). Power sums ride exact BIGINT/DECIMAL (Σx⁴ ~ 1e34 at
+    sf0.1); the assembly is fixed-order scalar IEEE.
+
+    Scale notes (100 TB): one partial-agg scan per comparison,
+    constant-size tail — drift monitoring at any corpus size."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1998)
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    m = o.select(F.year("o_orderdate").alias("yr"), cents.alias("x")).groupBy(
+        "yr"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(xd * F.col("x")).cast("decimal(38,0)").alias("s2"),
+        F.sum(
+            (xd * F.col("x")).cast("decimal(38,0)")
+            * (xd * F.col("x")).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("s4"),
+    )
+    w = m.agg(
+        *[
+            F.max(F.when(F.col("yr") == yr, F.col(c))).alias(f"{p}{s}")
+            for yr, p in ((1995, "x"), (1998, "y"))
+            for c, s in (("n", "n"), ("s1", "1"), ("s2", "2"), ("s4", "4"))
+        ]
+    ).select(
+        F.col("xn").alias("nx"),
+        F.col("x1"),
+        F.col("x2"),
+        F.col("x4"),
+        F.col("yn").alias("ny"),
+        F.col("y1"),
+        F.col("y2"),
+        F.col("y4"),
+    )
+
+    def within(n, s1, s2, s4):
+        nd = F.col(n).cast("double")
+        return (
+            nd * (F.col(n) - 1)
+            + (2.0 / MMD_C)
+            * (F.col(s1).cast("double") * F.col(s1) - F.col(s2).cast("double"))
+            + (1.0 / (MMD_C * MMD_C))
+            * (
+                F.col(s2).cast("double") * F.col(s2).cast("double")
+                - F.col(s4).cast("double")
+            )
+        ) / (nd * (F.col(n) - 1))
+
+    cross = (
+        F.col("nx").cast("double") * F.col("ny")
+        + (2.0 / MMD_C) * (F.col("x1").cast("double") * F.col("y1"))
+        + (1.0 / (MMD_C * MMD_C))
+        * (F.col("x2").cast("double") * F.col("y2").cast("double"))
+    ) / (F.col("nx").cast("double") * F.col("ny"))
+    wx = within("nx", "x1", "x2", "x4")
+    wy = within("ny", "y1", "y2", "y4")
+    return w.select(
+        F.col("nx").alias("n_x"),
+        F.col("ny").alias("n_y"),
+        wx.alias("within_x_mean"),
+        wy.alias("within_y_mean"),
+        cross.alias("cross_mean"),
+        (wx + wy - 2.0 * cross).alias("mmd2"),
+    )
