@@ -172,7 +172,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # kmv_theta_sketch_ops, pr_curve_points, eb_shrunk_conversion,
 # boosting_residual_round, identifier_clause_scan,
 # shapley_channel_attribution, degree_assortativity, dbscan_core_points,
-# weiszfeld_geometric_median, yule_walker_ar2, mmd_quadratic_drift
+# weiszfeld_geometric_median, yule_walker_ar2, mmd_quadratic_drift,
+# logrank_test
 
 
 def _apply_driver_window() -> None:

@@ -3859,3 +3859,165 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_conv",
     )
+
+
+
+# --- log-rank survival test (round 7) ----------------------------------------------
+@register(
+    "logrank_test",
+    oracle="""
+    WITH spans AS (
+        SELECT CASE WHEN (('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':exp42'), 1, 8))::BIGINT)
+                         % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               date_diff('day', MIN(ts), MAX(ts)) AS t
+        FROM events GROUP BY user_id
+    ),
+    hist AS (
+        SELECT arm, t, CAST(COUNT(*) AS BIGINT) AS d
+        FROM spans GROUP BY arm, t
+    ),
+    times AS (SELECT DISTINCT t FROM hist),
+    atrisk AS (
+        SELECT tm.t,
+               CAST(COALESCE(SUM(CASE WHEN h.arm = 'A' THEN h.d END), 0)
+                    AS BIGINT) AS n1,
+               CAST(COALESCE(SUM(h.d), 0) AS BIGINT) AS n,
+               CAST(COALESCE(SUM(CASE WHEN h.arm = 'A' AND h.t = tm.t
+                                      THEN h.d END), 0) AS BIGINT) AS d1,
+               CAST(COALESCE(SUM(CASE WHEN h.t = tm.t THEN h.d END), 0)
+                    AS BIGINT) AS d
+        FROM times tm JOIN hist h ON h.t >= tm.t
+        GROUP BY tm.t
+    ),
+    terms AS (
+        SELECT t, d1,
+               CAST(d AS DOUBLE) * n1 / n AS e1,
+               CASE WHEN n > 1 THEN
+                    CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / n)
+                      * (1.0 - CAST(n1 AS DOUBLE) / n)
+                      * (n - d) / (n - 1)
+               ELSE 0.0 END AS v
+        FROM atrisk WHERE d > 0
+    ),
+    folded AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_times,
+               CAST(SUM(d1) AS BIGINT) AS o1,
+               (SELECT list_reduce(list(e1 ORDER BY t), (a, b) -> a + b)
+                FROM terms) AS e1_sum,
+               (SELECT list_reduce(list(v ORDER BY t), (a, b) -> a + b)
+                FROM terms) AS v_sum
+        FROM terms
+    )
+    SELECT n_times, o1, e1_sum, v_sum,
+           (o1 - e1_sum) / sqrt(v_sum) AS z_score
+    FROM folded
+    """,
+    tags=("events", "survival_analysis", "logrank", "hypothesis_test"),
+)
+def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-RANK test comparing user lifespan (activity span) survival
+    between the standard md5 experiment arms — the survival-analysis
+    member of the A/B readout family (two_proportion_ztest compares a
+    point conversion; this compares the WHOLE time-to-churn curve,
+    weighting each distinct event time by its hypergeometric
+    expectation E₁ₜ = dₜ·n₁ₜ/nₜ and variance). Computed entirely on
+    the (arm × lifespan-day) HISTOGRAM: at-risk counts are tail sums
+    over ≤|distinct days| rows (the user_survival_curve shape), and
+    the per-time expectation/variance terms — deterministic doubles —
+    fold in EVENT-TIME ORDER on both engines (the anova discipline),
+    so O₁, E₁, V and the z statistic all value-hash. The p-value is
+    one erf() away client-side (the repo-wide log/erf-no line).
+
+    Scale notes (100 TB): one user agg, one tiny histogram,
+    histogram-sized joins — nothing scales with events."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    e = load_table(spark, sf_dir, "events")
+    arm = (
+        F.when(
+            h32(F.concat(F.col("user_id").cast("string"), F.lit(":exp42")))
+            % 2
+            == 0,
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm")
+    )
+    spans = e.groupBy("user_id").agg(
+        F.datediff(F.max("ts"), F.min("ts")).alias("t")
+    ).select(arm, "t")
+    hist = spans.groupBy("arm", "t").agg(F.count("*").cast("long").alias("d"))
+    times = hist.select("t").distinct().select(F.col("t").alias("tt"))
+    atrisk = (
+        times.join(F.broadcast(hist), F.col("t") >= F.col("tt"))
+        .groupBy("tt")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("arm") == "A", F.col("d"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n1"),
+            F.sum("d").cast("long").alias("n"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("arm") == "A") & (F.col("t") == F.col("tt")),
+                        F.col("d"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("d1"),
+            F.coalesce(
+                F.sum(F.when(F.col("t") == F.col("tt"), F.col("d"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("dt"),
+        )
+    )
+    n1d = F.col("n1").cast("double")
+    nd = F.col("n").cast("double")
+    terms = atrisk.filter(F.col("dt") > 0).select(
+        F.col("tt").alias("t"),
+        "d1",
+        (F.col("dt").cast("double") * F.col("n1") / F.col("n")).alias("e1"),
+        F.when(
+            F.col("n") > 1,
+            F.col("dt").cast("double")
+            * (n1d / nd)
+            * (1.0 - n1d / nd)
+            * (F.col("n") - F.col("dt"))
+            / (F.col("n") - 1),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("v"),
+    )
+    folded = terms.agg(
+        F.count("*").cast("long").alias("n_times"),
+        F.sum("d1").cast("long").alias("o1"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("t"), F.col("e1").alias("x")))
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["x"],
+        ).alias("e1_sum"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("t"), F.col("v").alias("x")))
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["x"],
+        ).alias("v_sum"),
+    )
+    return folded.select(
+        "n_times",
+        "o1",
+        "e1_sum",
+        "v_sum",
+        ((F.col("o1") - F.col("e1_sum")) / F.sqrt(F.col("v_sum"))).alias(
+            "z_score"
+        ),
+    )
