@@ -1068,3 +1068,61 @@ def test_kmv_sketch_matches_python_replica(spark):
     c_diff = sum(1 for h in ra - rb if h < theta)
     assert row["est_inter"] == c_inter * float(KMV_HMAX) / theta
     assert row["est_diff"] == c_diff * float(KMV_HMAX) / theta
+
+
+def test_shapley_efficiency_axiom(spark):
+    """Shapley values must satisfy EFFICIENCY: the channel credits sum
+    exactly to v(grand coalition) = all attributed conversions. With
+    the x6 integer scaling this is an exact integer identity."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+    from tests.conftest import SF_CORRECT
+
+    rows = REGISTRY["shapley_channel_attribution"].fn(
+        spark, SF_CORRECT
+    ).collect()
+    assert len(rows) == 3
+    n_conv = rows[0]["n_conv"]
+    assert sum(r["phi_x6"] for r in rows) == 6 * n_conv
+
+
+def test_weiszfeld_median_dominates_mean_objective(spark):
+    """The geometric median's defining property: after the Weiszfeld
+    iterations, the summed Euclidean distance to all points is no
+    larger than the centroid's (strictly smaller unless degenerate) —
+    checked per nation against the raw coordinates."""
+    import duckdb
+    import math
+
+    from beam_pyspark_runner_spark.queries import REGISTRY
+    from tests.conftest import SF_CORRECT
+
+    got = {
+        r["n_name"]: r
+        for r in REGISTRY["weiszfeld_geometric_median"].fn(
+            spark, SF_CORRECT
+        ).collect()
+    }
+    con = duckdb.connect()
+    pts = con.execute(
+        f"""
+        SELECT n.n_name,
+               list((('0x' || substr(md5('gx-' || c.c_custkey), 1, 8))::BIGINT)
+                    % 1000000),
+               list((('0x' || substr(md5('gy-' || c.c_custkey), 1, 8))::BIGINT)
+                    % 1000000)
+        FROM read_parquet('{SF_CORRECT}/customer.parquet') c
+        JOIN read_parquet('{SF_CORRECT}/nation.parquet') n
+          ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    ).fetchall()
+    for n_name, xs, ys in pts:
+        g = got[n_name]
+
+        def cost(cx, cy):
+            return sum(
+                math.sqrt((x - cx) ** 2 + (y - cy) ** 2)
+                for x, y in zip(xs, ys)
+            )
+
+        assert cost(g["gm_x"], g["gm_y"]) <= cost(g["mean_x"], g["mean_y"]) + 1e-6, n_name

@@ -1552,3 +1552,32 @@ def test_round7_session3_plan_shapes(spark):
         # except spearman's per-group window sort (partitioned, not global)
         if name != "spearman_rank_corr":
             assert "Exchange rangepartitioning" not in plan, name
+
+
+def test_round7_session3_wave2_plan_shapes(spark):
+    """Wave-2 session-3 additions: all constant-size analytic tails ride
+    broadcasts (never a shuffle keyed on a scalar), no Python, no
+    cartesian products anywhere, and the iterative Weiszfeld plan's
+    exchanges stay on the group key."""
+    import re
+
+    for name in (
+        "shapley_channel_attribution",
+        "mmd_quadratic_drift",
+        "logrank_test",
+        "degree_assortativity",
+        "eb_shrunk_conversion",
+        "boosting_residual_round",
+    ):
+        plan = _executed_plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "Python" not in plan, name
+
+    plan = _executed_plan_of(spark, "weiszfeld_geometric_median")
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    keys = {
+        k.split(",")[0].split("#")[0].strip()
+        for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    assert keys <= {"n_name"}, keys
