@@ -6129,3 +6129,160 @@ def wasserstein_1d_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("wasserstein_1"),
     )
+
+
+# --- Holt-Winters additive seasonal forecast (round 7) -------------------------------
+HW_ALPHA = 0.5   # binary-exact smoothing constants
+HW_BETA = 0.25
+HW_GAMMA = 0.25
+HW_P = 12        # seasonal period (months)
+
+
+@register(
+    "holt_winters_seasonal",
+    oracle=f"""
+    WITH RECURSIVE mm AS (
+        SELECT n.n_name AS n_name,
+               (date_part('year', o.o_orderdate) - 1996) * 12
+                 + date_part('month', o.o_orderdate) AS m,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) AS y
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= DATE '{TS_START}'
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY m) AS rn,
+               COUNT(*) OVER (PARTITION BY n_name) AS t_max
+        FROM mm
+    ),
+    init AS (
+        SELECT n_name, MAX(t_max) AS t_max,
+               list_reduce(list(y ORDER BY rn)[1:{HW_P}],
+                           (a, b) -> a + b) / {HW_P}.0 AS l0,
+               (list_reduce(list(y ORDER BY rn)[{HW_P + 1}:{2 * HW_P}],
+                            (a, b) -> a + b) / {HW_P}.0
+                - list_reduce(list(y ORDER BY rn)[1:{HW_P}],
+                              (a, b) -> a + b) / {HW_P}.0) / {HW_P}.0 AS b0,
+               list(y ORDER BY rn)[1:{HW_P}] AS first_ys
+        FROM r GROUP BY n_name
+    ),
+    step AS (
+        SELECT n_name, {HW_P} AS t, t_max, l0 AS l, b0 AS b,
+               list_transform(first_ys, v -> v - l0) AS s
+        FROM init
+        UNION ALL
+        SELECT st.n_name, st.t + 1, st.t_max,
+               (r.y - st.s[(st.t % {HW_P}) + 1]) * {HW_ALPHA}
+                 + (st.l + st.b) * {1 - HW_ALPHA},
+               ((r.y - st.s[(st.t % {HW_P}) + 1]) * {HW_ALPHA}
+                 + (st.l + st.b) * {1 - HW_ALPHA} - st.l) * {HW_BETA}
+                 + st.b * {1 - HW_BETA},
+               list_transform(range(1, {HW_P} + 1),
+                   j -> CASE WHEN j = (st.t % {HW_P}) + 1
+                        THEN (r.y - ((r.y - st.s[(st.t % {HW_P}) + 1])
+                                     * {HW_ALPHA}
+                                     + (st.l + st.b) * {1 - HW_ALPHA}))
+                             * {HW_GAMMA}
+                             + st.s[(st.t % {HW_P}) + 1] * {1 - HW_GAMMA}
+                        ELSE st.s[j] END)
+        FROM step st JOIN r ON r.n_name = st.n_name AND r.rn = st.t + 1
+        WHERE st.t < st.t_max
+    )
+    SELECT n_name, CAST(t_max AS BIGINT) AS n_months,
+           l AS level, b AS trend,
+           s[(t % {HW_P}) + 1] AS season_next,
+           l + b + s[(t % {HW_P}) + 1] AS forecast_next
+    FROM step WHERE t = t_max
+    """,
+    tags=("forecast", "exponential_smoothing", "seasonal", "time_series"),
+)
+def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADDITIVE HOLT-WINTERS per nation — holt_linear_forecast plus a
+    12-slot seasonal STATE ARRAY threaded through the same codegen
+    fold: l ← α(y−s[t%12]) + (1−α)(l+b), b ← β(l'−l) + (1−β)b,
+    s[t%12] ← γ(y−l') + (1−γ)s[t%12], seeded with the first-year mean
+    / first-vs-second-year trend / first-year deviations. α=1/2,
+    β=γ=1/4 are exact binary fractions and both engines replay the
+    SAME inline arithmetic in the same order (Spark: one
+    F.aggregate fold whose accumulator is struct(l, b, s: array);
+    oracle: a recursive CTE carrying a LIST column), so the triple-
+    smoothed state is bit-reproducible — an ITERATIVE, ARRAY-STATE
+    algorithm with zero driver involvement. seasonality_index is the
+    static decomposition; this is its adaptive forecaster.
+
+    Scale notes (100 TB): the corpus collapses to nation×month once;
+    the fold is group-local over ≤67 rows with a 12-double state —
+    group count scales out, state stays constant."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(TS_START).cast("date")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    mm = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - F.lit(1996)) * 12
+                + F.month("o_orderdate")
+            ).alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    series = mm.groupBy("n_name").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "y"))), lambda p: p["y"]
+        ).alias("ys")
+    )
+    P = HW_P
+    first = F.slice("ys", 1, P)
+    second = F.slice("ys", P + 1, P)
+    mean1 = F.aggregate(first, F.lit(0.0), lambda a, x: a + x) / float(P)
+    mean2 = F.aggregate(second, F.lit(0.0), lambda a, x: a + x) / float(P)
+    init = F.struct(
+        F.lit(P).alias("t"),
+        mean1.alias("l"),
+        ((mean2 - mean1) / float(P)).alias("b"),
+        F.transform(first, lambda v: v - mean1).alias("s"),
+    )
+
+    def step(acc, y):
+        slot = (acc["t"] % P) + 1
+        si = F.element_at(acc["s"], slot)
+        lp = (y - si) * HW_ALPHA + (acc["l"] + acc["b"]) * (1 - HW_ALPHA)
+        bp = (lp - acc["l"]) * HW_BETA + acc["b"] * (1 - HW_BETA)
+        sp = F.transform(
+            F.sequence(F.lit(1), F.lit(P)),
+            lambda j: F.when(
+                j == slot, (y - lp) * HW_GAMMA + si * (1 - HW_GAMMA)
+            ).otherwise(F.element_at(acc["s"], j)),
+        )
+        return F.struct(
+            (acc["t"] + 1).alias("t"),
+            lp.alias("l"),
+            bp.alias("b"),
+            sp.alias("s"),
+        )
+
+    fold = F.aggregate(F.slice("ys", P + 1, F.size("ys") - P), init, step)
+    season_next = F.element_at(
+        fold.getField("s"), (fold.getField("t") % P) + 1
+    )
+    return series.select(
+        "n_name",
+        F.size("ys").cast("long").alias("n_months"),
+        fold.getField("l").alias("level"),
+        fold.getField("b").alias("trend"),
+        season_next.alias("season_next"),
+        (fold.getField("l") + fold.getField("b") + season_next).alias(
+            "forecast_next"
+        ),
+    )

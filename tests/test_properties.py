@@ -1126,3 +1126,61 @@ def test_weiszfeld_median_dominates_mean_objective(spark):
             )
 
         assert cost(g["gm_x"], g["gm_y"]) <= cost(g["mean_x"], g["mean_y"]) + 1e-6, n_name
+
+
+def test_holt_winters_fold_matches_python_recursion(spark):
+    """holt_winters_seasonal's array-state fold == the textbook triple
+    recursion in plain Python, bit-for-bit (the holt/cusum replica
+    discipline extended to vector state)."""
+    import duckdb
+
+    from beam_pyspark_runner_spark.queries import REGISTRY
+    from beam_pyspark_runner_spark.queries.relational import (
+        HW_ALPHA,
+        HW_BETA,
+        HW_GAMMA,
+        HW_P,
+    )
+    from tests.conftest import SF_CORRECT
+
+    got = {
+        r["n_name"]: r
+        for r in REGISTRY["holt_winters_seasonal"].fn(
+            spark, SF_CORRECT
+        ).collect()
+    }
+    con = duckdb.connect()
+    series = con.execute(
+        f"""
+        WITH m AS (
+            SELECT n.n_name AS n_name,
+                   (date_part('year', o.o_orderdate) - 1996) * 12
+                     + date_part('month', o.o_orderdate) AS m,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                        AS DOUBLE) AS y
+            FROM read_parquet('{SF_CORRECT}/orders.parquet') o
+            JOIN read_parquet('{SF_CORRECT}/customer.parquet') c
+              ON o.o_custkey = c.c_custkey
+            JOIN read_parquet('{SF_CORRECT}/nation.parquet') n
+              ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_orderdate >= DATE '1996-01-01'
+            GROUP BY 1, 2
+        ) SELECT n_name, list(y ORDER BY m) FROM m GROUP BY n_name
+        """
+    ).fetchall()
+    for n_name, ys in series:
+        P = HW_P
+        l = sum(ys[:P]) / float(P)
+        b = (sum(ys[P : 2 * P]) / float(P) - sum(ys[:P]) / float(P)) / float(P)
+        s = [y - l for y in ys[:P]]
+        t = P
+        for y in ys[P:]:
+            slot = t % P
+            si = s[slot]
+            lp = (y - si) * HW_ALPHA + (l + b) * (1 - HW_ALPHA)
+            bp = (lp - l) * HW_BETA + b * (1 - HW_BETA)
+            s[slot] = (y - lp) * HW_GAMMA + si * (1 - HW_GAMMA)
+            l, b, t = lp, bp, t + 1
+        g = got[n_name]
+        assert g["level"] == l and g["trend"] == b, n_name
+        assert g["season_next"] == s[t % P], n_name
