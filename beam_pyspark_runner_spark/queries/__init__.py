@@ -173,7 +173,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # boosting_residual_round, identifier_clause_scan,
 # shapley_channel_attribution, degree_assortativity, dbscan_core_points,
 # weiszfeld_geometric_median, yule_walker_ar2, mmd_quadratic_drift,
-# logrank_test, wasserstein_1d_drift, holt_winters_seasonal
+# logrank_test, wasserstein_1d_drift, holt_winters_seasonal,
+# modularity_score
 
 
 def _apply_driver_window() -> None:

@@ -1064,3 +1064,122 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_edge_ends"),
         (num / (F.sqrt(dx_) * F.sqrt(dy_))).alias("assortativity"),
     )
+
+
+# --- modularity of the LPA partition (round 7) ---------------------------------------
+@register(
+    "modularity_score",
+    oracle=f"""
+    WITH {_EDGE_SQL.split(', outw')[0]},
+    lp AS ({{LP_ORACLE}}),
+    strength AS (
+        SELECT src, CAST(SUM(w) AS BIGINT) AS s FROM edges GROUP BY src
+    ),
+    tm AS (SELECT CAST(SUM(w) AS BIGINT) AS two_m FROM edges),
+    sc AS (
+        SELECT lp.community, CAST(SUM(st.s) AS BIGINT) AS s_c
+        FROM strength st JOIN lp ON lp.supplier = st.src
+        GROUP BY lp.community
+    ),
+    wc AS (
+        SELECT la.community, CAST(SUM(e.w) AS BIGINT) AS w_c
+        FROM edges e
+        JOIN lp la ON la.supplier = e.src
+        JOIN lp lb ON lb.supplier = e.dst
+        WHERE la.community = lb.community
+        GROUP BY la.community
+    ),
+    terms AS (
+        SELECT sc.community,
+               CAST(COALESCE(wc.w_c, 0) AS DOUBLE) / tm.two_m
+                 - (CAST(sc.s_c AS DOUBLE) / tm.two_m)
+                   * (CAST(sc.s_c AS DOUBLE) / tm.two_m) AS q_term
+        FROM sc LEFT JOIN wc ON wc.community = sc.community, tm
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sc) AS n_communities,
+           (SELECT two_m FROM tm) AS two_m,
+           (SELECT list_reduce(list(q_term ORDER BY community),
+                               (a, b) -> a + b) FROM terms) AS modularity_q
+    """,
+    tags=("graph", "modularity", "community", "evaluation"),
+)
+def modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman MODULARITY of the label-propagation partition — the
+    quality number for label_prop_weighted's communities (composed
+    verbatim, the binary_recall_at_k audit discipline): Q = Σ_c
+    [W_c/2m − (S_c/2m)²] over the weighted co-occurrence graph; Q≈0
+    means the partition is no better than random wiring, so this is
+    the gate before anyone SHARDS by community (the layout decision
+    communities exist to serve at 100 TB). W_c and S_c are exact
+    integer sums; the per-community terms fold in COMMUNITY-ID ORDER
+    (anova discipline) so Q value-hashes.
+
+    Scale notes: two label joins into the edge list (label table is
+    node-sized — the pagerank broadcast-gate argument), two partial
+    aggs, constant-size tail."""
+    from beam_pyspark_runner_spark.queries.registry import REGISTRY as _R
+
+    lp = _R["label_prop_weighted"].fn(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    ).distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("dst"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    strength = edges.groupBy("src").agg(F.sum("w").cast("long").alias("s"))
+    tm = edges.agg(F.sum("w").cast("long").alias("two_m"))
+    lab_src = lp.select(
+        F.col("supplier").alias("src"), F.col("community").alias("c_src")
+    )
+    lab_dst = lp.select(
+        F.col("supplier").alias("dst"), F.col("community").alias("c_dst")
+    )
+    sc = (
+        strength.join(F.broadcast(lab_src), "src")
+        .groupBy(F.col("c_src").alias("community"))
+        .agg(F.sum("s").cast("long").alias("s_c"))
+    )
+    wc = (
+        edges.join(F.broadcast(lab_src), "src")
+        .join(F.broadcast(lab_dst), "dst")
+        .filter(F.col("c_src") == F.col("c_dst"))
+        .groupBy(F.col("c_src").alias("community"))
+        .agg(F.sum("w").cast("long").alias("w_c"))
+    )
+    terms = (
+        sc.join(wc, "community", "left")
+        .crossJoin(F.broadcast(tm))
+        .select(
+            "community",
+            (
+                F.coalesce(F.col("w_c"), F.lit(0)).cast("double")
+                / F.col("two_m")
+                - (F.col("s_c").cast("double") / F.col("two_m"))
+                * (F.col("s_c").cast("double") / F.col("two_m"))
+            ).alias("q_term"),
+        )
+    )
+    return terms.crossJoin(F.broadcast(tm)).agg(
+        F.count("*").cast("long").alias("n_communities"),
+        F.max("two_m").alias("two_m"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("community"), F.col("q_term")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["q_term"],
+        ).alias("modularity_q"),
+    )
+
+
+_REG_G = __import__(
+    "beam_pyspark_runner_spark.queries.registry", fromlist=["REGISTRY"]
+).REGISTRY
+_REG_G["modularity_score"].oracle = _REG_G["modularity_score"].oracle.replace(
+    "{LP_ORACLE}", _REG_G["label_prop_weighted"].oracle
+)
