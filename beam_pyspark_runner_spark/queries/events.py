@@ -4021,3 +4021,64 @@ def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_score"
         ),
     )
+
+
+# --- index of dispersion (round 7) ----------------------------------------------
+@register(
+    "dispersion_index",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           CAST(sx AS DOUBLE) / n AS mean_daily,
+           CAST(n * sxx - sx * sx AS DOUBLE) / ((n - 1.0) * sx)
+               AS dispersion_index,
+           CAST(n * sxx - sx * sx AS DOUBLE) / ((n - 1.0) * sx) > 1.0
+               AS overdispersed
+    FROM s
+    """,
+    tags=("events", "statistics", "poisson", "overdispersion"),
+)
+def dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX OF DISPERSION (variance-to-mean ratio of daily counts) per
+    event type — the one-number Poisson-assumption audit: D≈1 means
+    arrivals are Poisson (capacity math and Poisson-based anomaly
+    thresholds apply); D>1 means burst clustering
+    (interarrival_burstiness sees the same phenomenon in gap space;
+    poisson_bootstrap_ci RELIES on the assumption this query checks).
+    D = (nΣx² − (Σx)²)/((n−1)·Σx) — exact integer sufficient
+    statistics, one fixed-order division, and even the verdict boolean
+    hashes.
+
+    Scale notes (100 TB): one (type, day) partial agg, one tiny
+    rollup; nothing else."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").cast("long").alias("x"))
+    s = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    d_idx = (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        / ((F.col("n") - 1.0) * F.col("sx"))
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        (F.col("sx").cast("double") / F.col("n")).alias("mean_daily"),
+        d_idx.alias("dispersion_index"),
+        (d_idx > 1.0).alias("overdispersed"),
+    )
