@@ -4082,3 +4082,77 @@ def dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         d_idx.alias("dispersion_index"),
         (d_idx > 1.0).alias("overdispersed"),
     )
+
+
+# --- capture-recapture population estimate (round 7) --------------------------------
+@register(
+    "capture_recapture_estimate",
+    oracle="""
+    WITH mx AS (SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM events),
+    flags AS (
+        SELECT e.user_id,
+               MAX(CASE WHEN e.ts < mx.lo + (mx.hi - mx.lo) / 2
+                        THEN 1 ELSE 0 END) AS s1,
+               MAX(CASE WHEN e.ts >= mx.lo + (mx.hi - mx.lo) / 2
+                        THEN 1 ELSE 0 END) AS s2
+        FROM events e, mx GROUP BY e.user_id
+    ),
+    c AS (
+        SELECT CAST(SUM(s1) AS BIGINT) AS n1,
+               CAST(SUM(s2) AS BIGINT) AS n2,
+               CAST(SUM(s1 * s2) AS BIGINT) AS m,
+               CAST(COUNT(*) AS BIGINT) AS observed
+        FROM flags
+    )
+    SELECT n1, n2, m, observed,
+           CAST(n1 AS DOUBLE) * n2 / m AS lincoln_petersen,
+           (CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1.0 AS chapman
+    FROM c
+    """,
+    tags=("events", "statistics", "capture_recapture", "population"),
+)
+def capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPTURE-RECAPTURE (Lincoln-Petersen + Chapman) population
+    estimation: treat the first and second halves of the observation
+    window as two independent sightings of the user population; the
+    overlap rate estimates the UNSEEN remainder — N̂ = n₁n₂/m. The
+    ecology estimator is exactly what a data platform uses to answer
+    "how many distinct entities exist, not just how many we saw"
+    (dedup completeness, total-audience sizing — the model-based
+    counterpart of the sketch family's exact-observed counts). Both
+    estimators are single fixed-order divisions over exact integers;
+    observed ≤ N̂ is the sanity invariant.
+
+    Scale notes (100 TB): one per-user conditional agg (the window
+    midpoint broadcasts), one 1-row rollup."""
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    mid = F.col("lo") + ((F.col("hi") - F.col("lo")) / 2)
+    flags = (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("ts") < mid, 1).otherwise(0)).alias("s1"),
+            F.max(F.when(F.col("ts") >= mid, 1).otherwise(0)).alias("s2"),
+        )
+    )
+    c = flags.agg(
+        F.sum("s1").cast("long").alias("n1"),
+        F.sum("s2").cast("long").alias("n2"),
+        F.sum(F.col("s1") * F.col("s2")).cast("long").alias("m"),
+        F.count("*").cast("long").alias("observed"),
+    )
+    return c.select(
+        "n1",
+        "n2",
+        "m",
+        "observed",
+        (F.col("n1").cast("double") * F.col("n2") / F.col("m")).alias(
+            "lincoln_petersen"
+        ),
+        (
+            ((F.col("n1") + 1).cast("double") * (F.col("n2") + 1))
+            / (F.col("m") + 1)
+            - 1.0
+        ).alias("chapman"),
+    )
