@@ -174,7 +174,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # shapley_channel_attribution, degree_assortativity, dbscan_core_points,
 # weiszfeld_geometric_median, yule_walker_ar2, mmd_quadratic_drift,
 # logrank_test, wasserstein_1d_drift, holt_winters_seasonal,
-# modularity_score, dispersion_index, capture_recapture_estimate
+# modularity_score, dispersion_index, capture_recapture_estimate,
+# concordance_index
 
 
 def _apply_driver_window() -> None:
