@@ -6286,3 +6286,148 @@ def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_next"
         ),
     )
+
+
+# --- Simpson's paradox audit / Mantel-Haenszel pooling (round 7) ---------------------
+@register(
+    "simpsons_paradox_audit",
+    oracle=f"""
+    WITH cust AS (
+        SELECT c.c_custkey, n.n_name,
+               CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS grp,
+               CASE WHEN MAX(o.o_totalprice) > {EB_BIG_ORDER} THEN 1 ELSE 0
+               END AS conv
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, n.n_name, c.c_mktsegment
+    ),
+    strata AS (
+        SELECT n_name,
+               CAST(SUM(grp) AS BIGINT) AS nt,
+               CAST(SUM(grp * conv) AS BIGINT) AS xt,
+               CAST(SUM(1 - grp) AS BIGINT) AS nc,
+               CAST(SUM((1 - grp) * conv) AS BIGINT) AS xc
+        FROM cust GROUP BY n_name
+    ),
+    ok AS (SELECT * FROM strata WHERE nt > 0 AND nc > 0),
+    pooled AS (
+        SELECT CAST(SUM(xt) AS DOUBLE) / SUM(nt)
+                 - CAST(SUM(xc) AS DOUBLE) / SUM(nc) AS pooled_diff
+        FROM ok
+    ),
+    folded AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+               CAST(SUM(CASE WHEN CAST(xt AS DOUBLE) / nt
+                                  > CAST(xc AS DOUBLE) / nc
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+               CAST(SUM(CASE WHEN CAST(xt AS DOUBLE) / nt
+                                  < CAST(xc AS DOUBLE) / nc
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+               (SELECT list_reduce(
+                    list((CAST(xt AS DOUBLE) * nc - CAST(xc AS DOUBLE) * nt)
+                         / (nt + nc) ORDER BY n_name),
+                    (a, b) -> a + b) FROM ok) AS mh_num,
+               (SELECT list_reduce(
+                    list(CAST(nt AS DOUBLE) * nc / (nt + nc) ORDER BY n_name),
+                    (a, b) -> a + b) FROM ok) AS mh_den
+        FROM ok
+    )
+    SELECT f.n_strata, f.n_positive, f.n_negative,
+           p.pooled_diff, f.mh_num / f.mh_den AS mh_diff,
+           (p.pooled_diff > 0) <> (f.mh_num / f.mh_den > 0)
+               AS sign_reversal
+    FROM folded f, pooled p
+    """,
+    tags=("statistics", "simpsons_paradox", "mantel_haenszel",
+          "causal_audit"),
+)
+def simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPSON'S PARADOX audit with the Mantel-Haenszel repair: compare
+    BUILDING-segment vs other customers on big-order conversion POOLED
+    and STRATIFIED by nation — if the strata sizes correlate with both
+    group and outcome, the pooled difference can carry the OPPOSITE
+    sign of every stratum (the classic aggregation trap; diff_in_diff
+    and cuped address time/covariate confounding, this addresses
+    composition). The MH common risk difference Σw_i·d_i/Σw_i with
+    w_i = n_t·n_c/(n_t+n_c) is the standard stratum-weighted pooled
+    estimate; sign_reversal is the one-boolean verdict. All counts
+    exact; per-stratum terms are deterministic doubles folded in
+    STRATUM-NAME ORDER (anova discipline) — the whole audit
+    value-hashes.
+
+    Scale notes (100 TB): one customer-grain agg, one 25-row stratum
+    table, constant tail."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey", "n_name", "c_mktsegment")
+        .agg(
+            F.when(F.max("o_totalprice") > EB_BIG_ORDER, 1)
+            .otherwise(0)
+            .alias("conv")
+        )
+        .select(
+            "n_name",
+            (F.col("c_mktsegment") == "BUILDING").cast("int").alias("grp"),
+            "conv",
+        )
+    )
+    strata = cust.groupBy("n_name").agg(
+        F.sum("grp").cast("long").alias("nt"),
+        F.sum(F.col("grp") * F.col("conv")).cast("long").alias("xt"),
+        F.sum(1 - F.col("grp")).cast("long").alias("nc"),
+        F.sum((1 - F.col("grp")) * F.col("conv")).cast("long").alias("xc"),
+    ).filter((F.col("nt") > 0) & (F.col("nc") > 0))
+    pooled = strata.agg(
+        (
+            F.sum("xt").cast("double") / F.sum("nt")
+            - F.sum("xc").cast("double") / F.sum("nc")
+        ).alias("pooled_diff")
+    )
+    rt = F.col("xt").cast("double") / F.col("nt")
+    rc = F.col("xc").cast("double") / F.col("nc")
+    mh_term = (
+        F.col("xt").cast("double") * F.col("nc")
+        - F.col("xc").cast("double") * F.col("nt")
+    ) / (F.col("nt") + F.col("nc"))
+    w_term = F.col("nt").cast("double") * F.col("nc") / (
+        F.col("nt") + F.col("nc")
+    )
+    folded = strata.agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum(F.when(rt > rc, 1).otherwise(0)).cast("long").alias("n_positive"),
+        F.sum(F.when(rt < rc, 1).otherwise(0)).cast("long").alias("n_negative"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("n_name"), mh_term.alias("x")))
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["x"],
+        ).alias("mh_num"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("n_name"), w_term.alias("x")))
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["x"],
+        ).alias("mh_den"),
+    )
+    return folded.crossJoin(F.broadcast(pooled)).select(
+        "n_strata",
+        "n_positive",
+        "n_negative",
+        "pooled_diff",
+        (F.col("mh_num") / F.col("mh_den")).alias("mh_diff"),
+        (
+            (F.col("pooled_diff") > 0)
+            != (F.col("mh_num") / F.col("mh_den") > 0)
+        ).alias("sign_reversal"),
+    )
