@@ -1656,3 +1656,108 @@ def weiszfeld_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
         )
     )
+
+
+# --- market-basket association rules (round 7) ---------------------------------------
+MBR_MIN_SUPPORT = 20  # minimum co-occurrence count
+MBR_TOP = 20
+
+
+@register(
+    "market_basket_rules",
+    oracle=f"""
+    WITH basket AS (
+        SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_baskets
+           FROM basket),
+    item AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt FROM basket
+             GROUP BY b),
+    pair AS (
+        SELECT a.b AS ante, c.b AS cons, CAST(COUNT(*) AS BIGINT) AS nboth
+        FROM basket a JOIN basket c
+          ON a.o = c.o AND a.b <> c.b
+        GROUP BY a.b, c.b
+    ),
+    rules AS (
+        SELECT p.ante, p.cons, p.nboth AS nboth,
+               ia.cnt AS n_ante, ic.cnt AS n_cons, nb.n_baskets,
+               CAST(p.nboth AS DOUBLE) / nb.n_baskets AS support,
+               CAST(p.nboth AS DOUBLE) / ia.cnt AS confidence,
+               CAST(p.nboth AS DOUBLE) * nb.n_baskets
+                   / (CAST(ia.cnt AS DOUBLE) * ic.cnt) AS lift
+        FROM pair p
+        JOIN item ia ON ia.b = p.ante
+        JOIN item ic ON ic.b = p.cons
+        CROSS JOIN nb
+        WHERE p.nboth >= {MBR_MIN_SUPPORT}
+    )
+    SELECT ante, cons, nboth AS n_both, n_ante, n_cons,
+           support, confidence, lift
+    FROM rules
+    ORDER BY lift DESC, ante, cons
+    LIMIT {MBR_TOP}
+    """,
+    tags=("join", "association_rules", "market_basket", "recommendation"),
+)
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASSOCIATION RULES (Agrawal & Srikant VLDB'94) over order baskets
+    of part brands: support, confidence, and lift for every brand pair
+    co-purchased at least {MBR_MIN_SUPPORT} times — the rule-based
+    companion to item_cf_recommend's cosine CF (rules are
+    interpretable and thresholdable; CF ranks). The in-order pair
+    expansion is the apriori candidate step with the basket bounded by
+    |brands| (~25), so fan-out per order is constant; every metric is
+    an exact count ratio and the top-{MBR_TOP} by lift is
+    TakeOrderedAndProject with a total tie order.
+
+    Scale notes (100 TB): one distinct projection, one bounded
+    self-join per order, broadcast item counts. |brands|² caps the
+    rule space regardless of order count."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    basket = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    nb = basket.agg(F.countDistinct("o").cast("long").alias("n_baskets"))
+    item = basket.groupBy("b").agg(F.count("*").cast("long").alias("cnt"))
+    a = basket.select(F.col("o"), F.col("b").alias("ante"))
+    c2 = basket.select(F.col("o"), F.col("b").alias("cons"))
+    pair = (
+        a.join(c2, "o")
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count("*").cast("long").alias("both"))
+        .filter(F.col("both") >= MBR_MIN_SUPPORT)
+    )
+    ia = item.select(F.col("b").alias("ante"), F.col("cnt").alias("n_ante"))
+    ic = item.select(F.col("b").alias("cons"), F.col("cnt").alias("n_cons"))
+    rules = (
+        pair.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "ante",
+            "cons",
+            F.col("both").alias("n_both"),
+            "n_ante",
+            "n_cons",
+            (F.col("both").cast("double") / F.col("n_baskets")).alias(
+                "support"
+            ),
+            (F.col("both").cast("double") / F.col("n_ante")).alias(
+                "confidence"
+            ),
+            (
+                F.col("both").cast("double")
+                * F.col("n_baskets")
+                / (F.col("n_ante").cast("double") * F.col("n_cons"))
+            ).alias("lift"),
+        )
+    )
+    return rules.orderBy(F.col("lift").desc(), "ante", "cons").limit(MBR_TOP)
