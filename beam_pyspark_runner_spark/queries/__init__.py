@@ -175,7 +175,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # weiszfeld_geometric_median, yule_walker_ar2, mmd_quadratic_drift,
 # logrank_test, wasserstein_1d_drift, holt_winters_seasonal,
 # modularity_score, dispersion_index, capture_recapture_estimate,
-# concordance_index, simpsons_paradox_audit, market_basket_rules
+# concordance_index, simpsons_paradox_audit, market_basket_rules,
+# jackknife_variance
 
 
 def _apply_driver_window() -> None:
