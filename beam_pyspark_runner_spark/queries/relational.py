@@ -6554,3 +6554,142 @@ def jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("s2") - F.col("s1") * F.col("s1") / F.col("k"))
         ).alias("jackknife_se"),
     )
+
+
+# --- raking / iterative proportional fitting (round 7) -------------------------------
+@register(
+    "raking_ipf_weights",
+    oracle="""
+    WITH cells AS (
+        SELECT n.n_name AS nation, c.c_mktsegment AS seg,
+               CAST(COUNT(*) AS BIGINT) AS m
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ),
+    colsum AS (SELECT seg, CAST(SUM(m) AS BIGINT) AS cs FROM cells
+               GROUP BY seg),
+    rowsum AS (SELECT nation, CAST(SUM(m) AS BIGINT) AS rs FROM cells
+               GROUP BY nation),
+    tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_seg
+            FROM cells),
+    w1 AS (
+        SELECT ce.nation, ce.seg, ce.m,
+               ce.m * (CAST(t.n AS DOUBLE) / t.n_seg) / cs.cs AS w
+        FROM cells ce JOIN colsum cs ON cs.seg = ce.seg CROSS JOIN tot t
+    ),
+    r1 AS (
+        SELECT nation,
+               list_reduce(list(w ORDER BY seg), (a, b) -> a + b) AS r
+        FROM w1 GROUP BY nation
+    ),
+    w2 AS (
+        SELECT w1.nation, w1.seg, w1.m,
+               w1.w * (CAST(rs.rs AS DOUBLE) / r1.r) AS w
+        FROM w1 JOIN r1 ON r1.nation = w1.nation
+        JOIN rowsum rs ON rs.nation = w1.nation
+    ),
+    c2 AS (
+        SELECT seg,
+               list_reduce(list(w ORDER BY nation), (a, b) -> a + b) AS c
+        FROM w2 GROUP BY seg
+    )
+    SELECT w2.nation, w2.seg, w2.m, w2.w AS weight,
+           w2.w / w2.m AS weight_factor,
+           c2.c AS seg_total_after,
+           (CAST(t.n AS DOUBLE) / t.n_seg) AS seg_target
+    FROM w2 JOIN c2 ON c2.seg = w2.seg CROSS JOIN tot t
+    """,
+    tags=("statistics", "raking", "ipf", "survey_weighting"),
+)
+def raking_ipf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKING (iterative proportional fitting, Deming & Stephan 1940)
+    over the nation × segment panel: reweight customers so every
+    segment carries EQUAL total weight while nation totals stay at
+    their observed values — one full IPF sweep (column fit, then row
+    fit), the survey-weighting/debiasing workhorse (a corpus curator
+    rakes training-mix cells to target marginals the same way —
+    mixture_weights is the 1-D special case). Cell counts and both
+    target marginals are exact integers; the two margin-sum steps over
+    reweighted DOUBLES fold in SEGMENT / NATION ORDER respectively
+    (the anova discipline applied per margin), so all 125 weights and
+    the achieved-vs-target columns value-hash. seg_total_after vs
+    seg_target shows the residual one sweep leaves — more sweeps
+    repeat the same two folds.
+
+    Scale notes (100 TB): the corpus collapses to the |nations|×
+    |segments| cell table in one pass; IPF itself is arithmetic on
+    that bounded table regardless of row count."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cells = (
+        cust.join(F.broadcast(n), cust["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(F.count("*").cast("long").alias("m"))
+    )
+    colsum = cells.groupBy("seg").agg(F.sum("m").cast("long").alias("cs"))
+    rowsum = cells.groupBy("nation").agg(F.sum("m").cast("long").alias("rs"))
+    tot = cells.agg(
+        F.sum("m").cast("long").alias("n"),
+        F.countDistinct("seg").cast("long").alias("n_seg"),
+    )
+    w1 = (
+        cells.join(F.broadcast(colsum), "seg")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            "seg",
+            "m",
+            "n",
+            "n_seg",
+            (
+                F.col("m")
+                * (F.col("n").cast("double") / F.col("n_seg"))
+                / F.col("cs")
+            ).alias("w"),
+        )
+    )
+    r1 = w1.groupBy("nation").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("seg"), F.col("w")))),
+            F.lit(0.0),
+            lambda a, x: a + x["w"],
+        ).alias("r")
+    )
+    w2 = (
+        w1.join(F.broadcast(r1), "nation")
+        .join(F.broadcast(rowsum), "nation")
+        .select(
+            "nation",
+            "seg",
+            "m",
+            "n",
+            "n_seg",
+            (F.col("w") * (F.col("rs").cast("double") / F.col("r"))).alias(
+                "w"
+            ),
+        )
+    )
+    c2 = w2.groupBy("seg").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("nation"), F.col("w")))
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["w"],
+        ).alias("c")
+    )
+    return w2.join(F.broadcast(c2), "seg").select(
+        "nation",
+        "seg",
+        "m",
+        F.col("w").alias("weight"),
+        (F.col("w") / F.col("m")).alias("weight_factor"),
+        F.col("c").alias("seg_total_after"),
+        (F.col("n").cast("double") / F.col("n_seg")).alias("seg_target"),
+    )
