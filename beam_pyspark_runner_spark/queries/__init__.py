@@ -176,7 +176,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # logrank_test, wasserstein_1d_drift, holt_winters_seasonal,
 # modularity_score, dispersion_index, capture_recapture_estimate,
 # concordance_index, simpsons_paradox_audit, market_basket_rules,
-# jackknife_variance, raking_ipf_weights
+# jackknife_variance, raking_ipf_weights, partial_correlation
 
 
 def _apply_driver_window() -> None:

@@ -6693,3 +6693,124 @@ def raking_ipf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("seg_total_after"),
         (F.col("n").cast("double") / F.col("n_seg")).alias("seg_target"),
     )
+
+
+# --- partial correlation (round 7) ---------------------------------------------------
+@register(
+    "partial_correlation",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
+               CAST(ROUND(l_discount * 100) AS BIGINT) AS z
+        FROM lineitem
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(z) AS BIGINT) AS sz,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS DECIMAL(38,0)) AS syy,
+               CAST(SUM(CAST(z AS HUGEINT) * z) AS DECIMAL(38,0)) AS szz,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(CAST(x AS HUGEINT) * z) AS DECIMAL(38,0)) AS sxz,
+               CAST(SUM(CAST(y AS HUGEINT) * z) AS DECIMAL(38,0)) AS syz
+        FROM b
+    ),
+    r AS (
+        SELECT n,
+               (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(n * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * sy)) AS rxy,
+               (n * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * sz)
+                 / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(n * CAST(szz AS DOUBLE)
+                           - CAST(sz AS DOUBLE) * sz)) AS rxz,
+               (n * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * sz)
+                 / (sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)
+                    * sqrt(n * CAST(szz AS DOUBLE)
+                           - CAST(sz AS DOUBLE) * sz)) AS ryz
+        FROM s
+    )
+    SELECT n, rxy, rxz, ryz,
+           (rxy - rxz * ryz)
+             / (sqrt(1.0 - rxz * rxz) * sqrt(1.0 - ryz * ryz))
+               AS partial_rxy_given_z
+    FROM r
+    """,
+    tags=("statistics", "correlation", "partial_correlation",
+          "confounding"),
+)
+def partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL CORRELATION of quantity and line price CONTROLLING FOR
+    discount: r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) — the
+    first-order deconfounding step (is the qty-price association real,
+    or routed through discounting?) that price_quantity_corr's raw
+    Pearson cannot answer; simpsons_paradox_audit is the categorical
+    analog. All NINE sufficient statistics (three sums, three squares,
+    three cross-products) come from ONE corpus aggregate in exact
+    BIGINT/DECIMAL; the three correlations and the partial assemble in
+    fixed-order scalar IEEE (sqrt-yes/log-no) — hash-exact.
+
+    Scale notes (100 TB): one partial-agg scan, 1-row tail. The
+    k-variable generalization inverts the small correlation matrix —
+    still constant-size arithmetic after the same single pass."""
+    b = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("z"),
+    )
+
+    def dsq(a, c):
+        return (
+            F.sum((F.col(a).cast("decimal(38,0)") * F.col(c)))
+            .cast("decimal(38,0)")
+            .alias(f"s{a}{c}")
+        )
+
+    s = b.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("z").cast("long").alias("sz"),
+        dsq("x", "x"),
+        dsq("y", "y"),
+        dsq("z", "z"),
+        dsq("x", "y"),
+        dsq("x", "z"),
+        dsq("y", "z"),
+    )
+    nd = F.col("n").cast("double")
+
+    def corr(ab, a, c):
+        num = nd * F.col(ab).cast("double") - F.col(f"s{a}").cast(
+            "double"
+        ) * F.col(f"s{c}")
+        da = nd * F.col(f"s{a}{a}").cast("double") - F.col(f"s{a}").cast(
+            "double"
+        ) * F.col(f"s{a}")
+        dc = nd * F.col(f"s{c}{c}").cast("double") - F.col(f"s{c}").cast(
+            "double"
+        ) * F.col(f"s{c}")
+        return num / (F.sqrt(da) * F.sqrt(dc))
+
+    r = s.select(
+        "n",
+        corr("sxy", "x", "y").alias("rxy"),
+        corr("sxz", "x", "z").alias("rxz"),
+        corr("syz", "y", "z").alias("ryz"),
+    )
+    return r.select(
+        "n",
+        "rxy",
+        "rxz",
+        "ryz",
+        (
+            (F.col("rxy") - F.col("rxz") * F.col("ryz"))
+            / (
+                F.sqrt(1.0 - F.col("rxz") * F.col("rxz"))
+                * F.sqrt(1.0 - F.col("ryz") * F.col("ryz"))
+            )
+        ).alias("partial_rxy_given_z"),
+    )
