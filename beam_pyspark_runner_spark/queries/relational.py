@@ -6694,28 +6694,35 @@ def raking_ipf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n").cast("double") / F.col("n_seg")).alias("seg_target"),
     )
 
-
 # --- partial correlation (round 7) ---------------------------------------------------
 @register(
     "partial_correlation",
     oracle="""
     WITH b AS (
         SELECT CAST(l_quantity AS BIGINT) AS x,
-               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
+               CAST(ROUND(l_extendedprice) AS BIGINT) AS y,
                CAST(ROUND(l_discount * 100) AS BIGINT) AS z
         FROM lineitem
     ),
-    s AS (
+    sh AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-               CAST(SUM(z) AS BIGINT) AS sz,
-               CAST(SUM(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx,
-               CAST(SUM(CAST(y AS HUGEINT) * y) AS DECIMAL(38,0)) AS syy,
-               CAST(SUM(CAST(z AS HUGEINT) * z) AS DECIMAL(38,0)) AS szz,
-               CAST(SUM(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy,
-               CAST(SUM(CAST(x AS HUGEINT) * z) AS DECIMAL(38,0)) AS sxz,
-               CAST(SUM(CAST(y AS HUGEINT) * z) AS DECIMAL(38,0)) AS syz
+               SUM(x) // COUNT(*) AS ax,
+               SUM(y) // COUNT(*) AS ay,
+               SUM(z) // COUNT(*) AS az
         FROM b
+    ),
+    s AS (
+        SELECT sh.n,
+               CAST(SUM(x - sh.ax) AS BIGINT) AS sx,
+               CAST(SUM(y - sh.ay) AS BIGINT) AS sy,
+               CAST(SUM(z - sh.az) AS BIGINT) AS sz,
+               CAST(SUM((x - sh.ax) * (x - sh.ax)) AS BIGINT) AS sxx,
+               CAST(SUM((y - sh.ay) * (y - sh.ay)) AS BIGINT) AS syy,
+               CAST(SUM((z - sh.az) * (z - sh.az)) AS BIGINT) AS szz,
+               CAST(SUM((x - sh.ax) * (y - sh.ay)) AS BIGINT) AS sxy,
+               CAST(SUM((x - sh.ax) * (z - sh.az)) AS BIGINT) AS sxz,
+               CAST(SUM((y - sh.ay) * (z - sh.az)) AS BIGINT) AS syz
+        FROM b, sh GROUP BY sh.n
     ),
     r AS (
         SELECT n,
@@ -6743,43 +6750,49 @@ def raking_ipf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
           "confounding"),
 )
 def partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PARTIAL CORRELATION of quantity and line price CONTROLLING FOR
-    discount: r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) — the
-    first-order deconfounding step (is the qty-price association real,
-    or routed through discounting?) that price_quantity_corr's raw
-    Pearson cannot answer; simpsons_paradox_audit is the categorical
-    analog. All NINE sufficient statistics (three sums, three squares,
-    three cross-products) come from ONE corpus aggregate in exact
-    BIGINT/DECIMAL; the three correlations and the partial assemble in
-    fixed-order scalar IEEE (sqrt-yes/log-no) — hash-exact.
+    """PARTIAL CORRELATION of quantity and line price (whole dollars)
+    CONTROLLING FOR discount: r_xy·z = (r_xy − r_xz·r_yz) /
+    √((1−r_xz²)(1−r_yz²)) — the first-order deconfounding step
+    price_quantity_corr's raw Pearson cannot answer
+    (simpsons_paradox_audit is the categorical analog). Numerics: RAW
+    second moments of money columns exceed 2^53 by sf0.1 and the two
+    engines' int128→double conversions then disagree by 1 ulp (the
+    acf_lags lesson, observed live here) — so the moments are computed
+    TWO-PASS about integer floor-mean shifts: shift-invariant
+    covariances, every aggregate an exactly-representable BIGINT, and
+    every double conversion exact. The nine centered sufficient
+    statistics come from one second scan; the assembly is fixed-order
+    scalar IEEE (sqrt-yes/log-no).
 
-    Scale notes (100 TB): one partial-agg scan, 1-row tail. The
-    k-variable generalization inverts the small correlation matrix —
-    still constant-size arithmetic after the same single pass."""
+    Scale notes (100 TB): two partial-agg scans (the classical
+    two-pass variance algorithm, distributed), 1-row tail. The
+    k-variable generalization inverts the small correlation matrix
+    after the same pass."""
     b = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").cast("long").alias("x"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        F.round(F.col("l_extendedprice")).cast("long").alias("y"),
         F.round(F.col("l_discount") * 100).cast("long").alias("z"),
     )
-
-    def dsq(a, c):
-        return (
-            F.sum((F.col(a).cast("decimal(38,0)") * F.col(c)))
-            .cast("decimal(38,0)")
-            .alias(f"s{a}{c}")
-        )
-
-    s = b.agg(
+    sh = b.agg(
         F.count("*").cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum("z").cast("long").alias("sz"),
-        dsq("x", "x"),
-        dsq("y", "y"),
-        dsq("z", "z"),
-        dsq("x", "y"),
-        dsq("x", "z"),
-        dsq("y", "z"),
+        F.expr("sum(x) div count(*)").alias("ax"),
+        F.expr("sum(y) div count(*)").alias("ay"),
+        F.expr("sum(z) div count(*)").alias("az"),
+    )
+    dx = F.col("x") - F.col("ax")
+    dy = F.col("y") - F.col("ay")
+    dz = F.col("z") - F.col("az")
+    s = b.crossJoin(F.broadcast(sh)).agg(
+        F.max("n").alias("n"),
+        F.sum(dx).cast("long").alias("sx"),
+        F.sum(dy).cast("long").alias("sy"),
+        F.sum(dz).cast("long").alias("sz"),
+        F.sum(dx * dx).cast("long").alias("sxx"),
+        F.sum(dy * dy).cast("long").alias("syy"),
+        F.sum(dz * dz).cast("long").alias("szz"),
+        F.sum(dx * dy).cast("long").alias("sxy"),
+        F.sum(dx * dz).cast("long").alias("sxz"),
+        F.sum(dy * dz).cast("long").alias("syz"),
     )
     nd = F.col("n").cast("double")
 
