@@ -1122,3 +1122,92 @@ def kmv_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(est_d - F.col("exact_diff"))
          <= bound * F.col("exact_union")).alias("ok_diff"),
     )
+
+
+# --- AMS tug-of-war second-moment sketch (round 7, session 4) ---------------
+AMS_R = 16  # independent ±1 replicates averaged for the F2 estimate
+
+
+@register(
+    "ams_f2_moment",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id
+    ),
+    exact AS (SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact FROM c),
+    reps AS (SELECT unnest(range(0, {AMS_R})) AS rep),
+    x AS (
+        SELECT r.rep,
+               CAST(SUM((1 - 2 * ({h32_sql("'ams-' || r.rep || '-' || c.user_id")} % 2))
+                        * c.c) AS BIGINT) AS x
+        FROM c, reps r GROUP BY r.rep
+    ),
+    m AS (SELECT CAST(SUM(x * x) AS DOUBLE) / {AMS_R} AS est_mean FROM x)
+    SELECT x.rep AS rep, x.x AS x, CAST(x.x * x.x AS BIGINT) AS est,
+           e.f2_exact AS f2_exact, m.est_mean AS est_mean,
+           abs(m.est_mean - CAST(e.f2_exact AS DOUBLE))
+               <= 3.0 * sqrt(2.0 / {AMS_R}) * CAST(e.f2_exact AS DOUBLE)
+               AS within_bound
+    FROM x, exact e, m
+    """,
+    tags=("sketch", "ams", "second_moment", "join_size_estimate"),
+)
+def ams_f2_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alon–Matias–Szegedy tug-of-war sketch for the second frequency
+    moment F2 = Σ_v c_v² of events.user_id — exactly the self-join size
+    that join_cardinality_estimate needs as its input, here estimated
+    from {AMS_R} signed counters instead of the full per-key count
+    table. Each replicate keeps ONE integer X_i = Σ_rows sign_i(key)
+    (sign_i = ±1 from the shared md5 family, functions/hashing.py), and
+    E[X_i²] = F2 with Var ≤ 2·F2², so the {AMS_R}-replicate mean lands
+    within 3·sqrt(2/{AMS_R})·F2 at 3σ — the bound the within_bound
+    column certifies against the exact F2 the oracle also computes.
+    All sketch arithmetic is integer (|X| ≤ n_rows, X² < 2^63 up to
+    3e9 rows per replicate — beyond that, shard X into per-range
+    partial sketches first). Scale: the sketch side is ONE map-side
+    partial aggregate into {AMS_R} groups — constant state regardless
+    of key cardinality, the whole point vs the exact Σc² whose groupBy
+    must shuffle every distinct key; the exact leg here exists only to
+    adjudicate the estimator (cf. cms_estimate_vs_exact,
+    minhash_estimate_vs_exact — same certify-the-sketch pattern).
+    Reference parity: beyond CombinePerKey (transform_evaluators.py:
+    15-100); registered as a first-class sketch query."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    exact = c.agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"))
+    reps = spark.range(AMS_R).select(F.col("id").alias("rep"))
+    sign = 1 - 2 * (
+        h32(F.concat_ws("-", F.lit("ams"), F.col("rep"), F.col("user_id")))
+        % 2
+    )
+    x = (
+        c.crossJoin(F.broadcast(reps))
+        .groupBy("rep")
+        .agg(F.sum(sign * F.col("c")).cast("long").alias("x"))
+    )
+    m = x.agg(
+        (F.sum(F.col("x") * F.col("x")).cast("double") / AMS_R).alias(
+            "est_mean"
+        )
+    )
+    return (
+        x.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "rep",
+            "x",
+            (F.col("x") * F.col("x")).cast("long").alias("est"),
+            "f2_exact",
+            "est_mean",
+            (
+                F.abs(F.col("est_mean") - F.col("f2_exact").cast("double"))
+                <= 3.0
+                * F.sqrt(F.lit(2.0 / AMS_R))
+                * F.col("f2_exact").cast("double")
+            ).alias("within_bound"),
+        )
+    )

@@ -1184,3 +1184,70 @@ def test_holt_winters_fold_matches_python_recursion(spark):
         g = got[n_name]
         assert g["level"] == l and g["trend"] == b, n_name
         assert g["season_next"] == s[t % P], n_name
+
+
+def _hilbert_xy2d_textbook(n: int, x: int, y: int) -> int:
+    """Independent textbook xy->d walk (Wikipedia/Hamilton pseudocode),
+    deliberately written with mutation + bit ops, NOT the SQL formula."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def _hilbert_sql_replica(n: int, x: int, y: int) -> int:
+    """Python evaluation of the arithmetic-only per-level update the
+    Spark/DuckDB expressions use (queries/io.py:_hilbert_step). Mirrors
+    the SQL exactly — including that every intermediate stays in
+    [0, s), so no remainder operator (whose negative-dividend semantics
+    differ between SQL and Python) is ever needed."""
+    import math
+
+    hd, hx, hy = 0, x, y
+    s = n // 2
+    while s >= 1:
+        rx = int(math.floor(hx / float(s)))
+        ry = int(math.floor(hy / float(s)))
+        mx = hx - s * rx
+        my = hy - s * ry
+        hd = hd + s * s * (3 * rx + ry - 2 * rx * ry)
+        if ry == 1:
+            nx, ny = mx, my
+        elif rx == 0:
+            nx, ny = my, mx
+        else:
+            nx, ny = s - 1 - my, s - 1 - mx
+        hx, hy = nx, ny
+        assert 0 <= hx < s + s or s == 1, (hx, s)
+        s //= 2
+    return hd
+
+
+def test_hilbert_formula_bijective_and_adjacent():
+    """Certify the SQL-shaped Hilbert walk against the textbook
+    implementation over the FULL 256x256 grid: (1) both agree
+    everywhere, (2) d is a bijection onto [0, 65536), (3) consecutive
+    curve positions are grid-adjacent (|dx|+|dy| == 1) — the locality
+    property z-order lacks and hilbert_vs_zorder_locality measures."""
+    n = 256
+    pos = {}
+    for x in range(n):
+        for y in range(n):
+            d_ref = _hilbert_xy2d_textbook(n, x, y)
+            d_sql = _hilbert_sql_replica(n, x, y)
+            assert d_sql == d_ref, (x, y, d_sql, d_ref)
+            pos[d_ref] = (x, y)
+    assert len(pos) == n * n and min(pos) == 0 and max(pos) == n * n - 1
+    for d in range(1, n * n):
+        x0, y0 = pos[d - 1]
+        x1, y1 = pos[d]
+        assert abs(x1 - x0) + abs(y1 - y0) == 1, (d, pos[d - 1], pos[d])
