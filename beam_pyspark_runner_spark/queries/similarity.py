@@ -2392,3 +2392,130 @@ def binary_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REG["binary_recall_at_k"].oracle = _REG["binary_recall_at_k"].oracle.replace(
     "{BQ_ORACLE}", _REG["binary_hamming_topk"].oracle
 )
+
+
+# --- nDCG@k retrieval quality (round 7, session 4) --------------------------
+# Integer-scaled log2 discounts: round(1e12 / log2(i+1)) precomputed
+# ONCE in Python and emitted as identical literals into both engines'
+# plans — the repo-wide sqrt-yes/log-no rule (libm log differs by ulps
+# across engines) applied to the one metric that genuinely needs a log.
+import math as _math
+
+_NDCG_DISC = [round(1e12 / _math.log2(i + 1)) for i in range(1, TOP_K + 1)]
+_NDCG_CUM = [sum(_NDCG_DISC[: j + 1]) for j in range(TOP_K)]
+
+
+def _ndcg_disc_case(rnk: str) -> str:
+    arms = " ".join(
+        f"WHEN {i + 1} THEN {d}" for i, d in enumerate(_NDCG_DISC)
+    )
+    return f"(CASE {rnk} {arms} ELSE 0 END)"
+
+
+def _ndcg_idcg_case(r: str) -> str:
+    """Ideal DCG (scaled) for r available relevant items, capped at k."""
+    arms = " ".join(
+        f"WHEN {j + 1} THEN {c}" for j, c in enumerate(_NDCG_CUM)
+    )
+    return f"(CASE LEAST({r}, {TOP_K}) {arms} ELSE 0 END)"
+
+
+@register(
+    "ndcg_at_k",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlab, {_EMB_DBL} AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, label AS clab, {_EMB_DBL} AS ce
+          FROM embeddings),
+    labcnt AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS lc FROM embeddings
+               GROUP BY label),
+    s AS (SELECT query_id, qlab, neighbor_id, clab,
+                 {_cos_sql('qe', 'ce')} AS cosine
+          FROM q, c WHERE query_id <> neighbor_id),
+    ranked AS (
+        SELECT query_id, qlab,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk,
+               CASE WHEN qlab = clab THEN 1 ELSE 0 END AS rel
+        FROM s
+    ),
+    per_q AS (
+        SELECT query_id, qlab,
+               CAST(SUM(rel) AS BIGINT) AS n_rel_at_k,
+               CAST(SUM(rel * {_ndcg_disc_case('rnk')}) AS BIGINT)
+                   AS dcg_scaled
+        FROM ranked WHERE rnk <= {TOP_K}
+        GROUP BY query_id, qlab
+    )
+    SELECT p.query_id, p.n_rel_at_k, p.dcg_scaled,
+           CAST({_ndcg_idcg_case('l.lc - 1')} AS BIGINT) AS idcg_scaled,
+           CAST(p.dcg_scaled AS DOUBLE)
+               / CAST({_ndcg_idcg_case('l.lc - 1')} AS DOUBLE) AS ndcg
+    FROM per_q p JOIN labcnt l ON l.label = p.qlab
+    """,
+    tags=("similarity", "ir_eval", "ndcg", "rank_statistic"),
+)
+def ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{TOP_K} per query — the position-discounted retrieval metric
+    (Järvelin & Kekäläinen 2002) that MAP/MRR (retrieval_eval_map/_mrr)
+    don't cover: graded credit decays as 1/log2(rank+1), so swapping
+    ranks 2 and 9 moves nDCG but barely moves AP's tail. The log lives
+    ONLY in {len(_NDCG_DISC)} Python-precomputed integer literals
+    (round(1e12/log2(i+1))) emitted identically into both engines, so
+    DCG is an exact integer sum and the single double division at the
+    end is bit-identical — no cross-libm log in either plan. Ideal DCG
+    comes from the corpus label histogram (R = lc−1 relevant
+    available, capped at k) through the same literal prefix-sum table.
+    Scale notes: rides the cosine_topk plan unchanged — broadcast
+    {N_QUERIES}-query set, one corpus stream, per-query
+    WindowGroupLimit top-k — plus a broadcast label-histogram join;
+    the metric adds zero corpus passes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlab"),
+        F.col("embedding").alias("qe"),
+    )
+    c = spread(e).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("clab"),
+        F.col("embedding").alias("ce"),
+    )
+    labcnt = e.groupBy("label").agg(F.count("*").cast("long").alias("lc"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "qlab",
+            "neighbor_id",
+            cosine_similarity(F.col("qe"), F.col("ce")).alias("cosine"),
+            (F.col("qlab") == F.col("clab")).cast("int").alias("rel"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    per_q = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .groupBy("query_id", "qlab")
+        .agg(
+            F.sum("rel").cast("long").alias("n_rel_at_k"),
+            F.sum(F.col("rel") * F.expr(_ndcg_disc_case("rnk")))
+            .cast("long")
+            .alias("dcg_scaled"),
+        )
+    )
+    idcg = F.expr(_ndcg_idcg_case("lc - 1"))
+    return per_q.join(
+        F.broadcast(labcnt), per_q["qlab"] == labcnt["label"]
+    ).select(
+        "query_id",
+        "n_rel_at_k",
+        "dcg_scaled",
+        idcg.cast("long").alias("idcg_scaled"),
+        (F.col("dcg_scaled").cast("double") / idcg.cast("double")).alias(
+            "ndcg"
+        ),
+    )

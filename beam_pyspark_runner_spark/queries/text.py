@@ -4021,3 +4021,268 @@ def pr_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2 * F.col("tp") + F.col("fp") + (F.col("n_pos") - F.col("tp")))
         ).alias("f1"),
     )
+
+
+# --- isotonic (PAVA) score calibration (round 7, session 4) -----------------
+_PAVA_BASE_SQL = f"""
+    tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, ({h32_sql('w')}) % {{buckets}} AS b, COUNT(*) AS c
+        FROM tok GROUP BY doc_id, b
+    ),
+    weights AS (
+        SELECT b,
+               (('0x' || substr(md5('w-' || b), 1, 8))::BIGINT) % 2001 - 1000
+                   AS w_milli
+        FROM (SELECT unnest(range(0, {{buckets}})) AS b)
+    ),
+    scored AS (
+        SELECT f.doc_id, SUM(f.c) AS n_tokens, SUM(f.c * w.w_milli) AS s_milli
+        FROM feats f JOIN weights w USING (b)
+        GROUP BY f.doc_id
+    ),
+    labeled AS (
+        SELECT s.*, (d.lang = 'en') AS label
+        FROM scored s JOIN documents d USING (doc_id)
+    ),
+    bc AS (
+        SELECT LEAST((s_milli + 1000 * n_tokens)
+                         // ((2000 // {{bins}}) * n_tokens),
+                     {{bins}} - 1) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS p
+        FROM labeled GROUP BY bin
+    )
+"""
+
+
+@register(
+    "isotonic_calibration",
+    oracle=f"""
+    WITH {_PAVA_BASE_SQL.format(buckets=CLF_BUCKETS, bins=CALIB_BINS)},
+    idx AS (
+        SELECT bin, n, p,
+               ROW_NUMBER() OVER (ORDER BY bin) AS i,
+               SUM(n) OVER (ORDER BY bin) AS cn,
+               SUM(p) OVER (ORDER BY bin) AS cp
+        FROM bc
+    ),
+    pairs AS (
+        SELECT j.i AS ji, k.i AS ki,
+               CAST(k.cp - j.cp + j.p AS DOUBLE)
+                   / CAST(k.cn - j.cn + j.n AS DOUBLE) AS iavg
+        FROM idx j JOIN idx k ON j.i <= k.i
+    ),
+    inner_min AS (
+        SELECT b.i AS i, b.bin AS bin, b.n AS n, b.p AS p, pr.ji,
+               MIN(pr.iavg) AS m
+        FROM idx b JOIN pairs pr ON pr.ji <= b.i AND pr.ki >= b.i
+        GROUP BY b.i, b.bin, b.n, b.p, pr.ji
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, n AS n_docs, p AS n_pos,
+           CAST(p AS DOUBLE) / CAST(n AS DOUBLE) AS observed_rate,
+           MAX(m) AS fitted_rate
+    FROM inner_min GROUP BY i, bin, n, p
+    """,
+    tags=("text", "classifier_eval", "calibration", "isotonic", "pava",
+          "model_scoring"),
+)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression (PAVA) calibration of the corpus quality
+    classifier — the nonparametric upgrade of
+    classifier_calibration_bins: instead of REPORTING each bin's
+    observed positive rate (which can be non-monotone from noise), fit
+    the best monotone rate curve, the standard way a filtering
+    classifier's scores become usable probabilities (Zadrozny & Elkan
+    KDD'02). Uses the minimax characterization — fitted(b) =
+    max_{{j≤b}} min_{{k≥b}} (pos[j..k] / n[j..k]) — which needs NO
+    sequential pooling loop: interval rates come from prefix sums, and
+    the whole fit is two tiny joins over the {CALIB_BINS}-row bin
+    table (O(B³) on B = {CALIB_BINS} rows ≈ a thousand broadcast-side
+    rows, independent of corpus size; the corpus is touched exactly
+    once by the classifier pass). Interval rates are integer/integer
+    single divisions, and MIN/MAX over exact doubles — bit-identical
+    across engines. Equivalence of the minimax form to the
+    stack-based PAVA (monotonicity + block-mean preservation) is
+    certified against an independent Python implementation in
+    tests/test_properties.py."""
+    bins = classifier_calibration_bins(spark, sf_dir).select(
+        "bin",
+        F.col("n_docs").alias("n"),
+        F.col("n_pos").alias("p"),
+    )
+    wo = W.orderBy("bin")
+    idx = bins.select(
+        "bin",
+        "n",
+        "p",
+        F.row_number().over(wo).alias("i"),
+        F.sum("n").over(wo).alias("cn"),
+        F.sum("p").over(wo).alias("cp"),
+    )
+    j = idx.select(
+        F.col("i").alias("ji"),
+        F.col("cn").alias("jcn"),
+        F.col("cp").alias("jcp"),
+        F.col("n").alias("jn"),
+        F.col("p").alias("jp"),
+    )
+    k = idx.select(
+        F.col("i").alias("ki"),
+        F.col("cn").alias("kcn"),
+        F.col("cp").alias("kcp"),
+    )
+    pairs = j.join(k, F.col("ji") <= F.col("ki")).select(
+        "ji",
+        "ki",
+        (
+            (F.col("kcp") - F.col("jcp") + F.col("jp")).cast("double")
+            / (F.col("kcn") - F.col("jcn") + F.col("jn")).cast("double")
+        ).alias("iavg"),
+    )
+    inner = (
+        idx.join(
+            pairs,
+            (F.col("ji") <= F.col("i")) & (F.col("ki") >= F.col("i")),
+        )
+        .groupBy("i", "bin", "n", "p", "ji")
+        .agg(F.min("iavg").alias("m"))
+    )
+    return inner.groupBy("i", "bin", "n", "p").agg(
+        F.max("m").alias("fitted_rate")
+    ).select(
+        "bin",
+        F.col("n").alias("n_docs"),
+        F.col("p").alias("n_pos"),
+        (F.col("p").cast("double") / F.col("n").cast("double")).alias(
+            "observed_rate"
+        ),
+        "fitted_rate",
+    )
+
+
+# --- Brier score decomposition (round 7, session 4) -------------------------
+def _decsum_sql(expr: str) -> str:
+    """Full-scale decimal sum (no 2-decimal re-round, unlike dsum_sql):
+    for sums whose DECIMAL(38,10) unscaled value stays < 2^53 the final
+    cast is one correctly-rounded step in both engines, and the extra
+    precision is what keeps Brier = REL - RES + UNC inside 1e-9."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,10))) AS DOUBLE)"
+
+
+@register(
+    "brier_score_decomposition",
+    oracle=f"""
+    WITH {_PAVA_BASE_SQL.format(buckets=CLF_BUCKETS, bins=CALIB_BINS)},
+    fb AS (
+        SELECT bin, n, p,
+               CAST(2 * bin + 1 AS DOUBLE) / {2 * CALIB_BINS} AS f,
+               CAST(p AS DOUBLE) / CAST(n AS DOUBLE) AS ob
+        FROM bc
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(p) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS obar
+        FROM bc
+    )
+    SELECT t.nn AS n,
+           {_decsum_sql('f.p * (1.0 - f.f) * (1.0 - f.f)'
+                     ' + (f.n - f.p) * f.f * f.f')}
+               / CAST(t.nn AS DOUBLE) AS brier,
+           {_decsum_sql('f.n * (f.f - f.ob) * (f.f - f.ob)')}
+               / CAST(t.nn AS DOUBLE) AS reliability,
+           {_decsum_sql('f.n * (f.ob - t.obar) * (f.ob - t.obar)')}
+               / CAST(t.nn AS DOUBLE) AS resolution,
+           MAX(t.obar * (1.0 - t.obar)) AS uncertainty,
+           abs({_decsum_sql('f.p * (1.0 - f.f) * (1.0 - f.f)'
+                         ' + (f.n - f.p) * f.f * f.f')}
+                   / CAST(t.nn AS DOUBLE)
+               - ({_decsum_sql('f.n * (f.f - f.ob) * (f.f - f.ob)')}
+                      / CAST(t.nn AS DOUBLE)
+                  - {_decsum_sql('f.n * (f.ob - t.obar) * (f.ob - t.obar)')}
+                      / CAST(t.nn AS DOUBLE)
+                  + MAX(t.obar * (1.0 - t.obar)))) < 1e-9 AS identity_ok
+    FROM fb f, tot t GROUP BY t.nn
+    """,
+    tags=("text", "classifier_eval", "brier", "calibration",
+          "model_scoring"),
+)
+def brier_score_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy (1973) decomposition of the quality classifier's Brier
+    score into reliability − resolution + uncertainty — the one-row
+    report that says WHY a filtering classifier's probabilistic error
+    is what it is: miscalibration (reliability, fixable by
+    isotonic_calibration), lack of discrimination (resolution), or
+    irreducible base-rate entropy (uncertainty). Forecast per bin is
+    the bin-midpoint probability (2b+1)/{2 * CALIB_BINS}, constant
+    within bins, which is exactly the regime where the decomposition
+    identity Brier = REL − RES + UNC holds — and the identity_ok
+    column re-derives both sides independently as the built-in
+    self-check (computed from identical doubles in both engines, so
+    the boolean value-hashes). Every Σ over bins goes through exact
+    decimal (dsum) so the {CALIB_BINS}-term sums cannot reorder
+    differently across engines. Scale: one classifier pass over the
+    corpus (shared lineage with classifier_calibration_bins), then
+    constant-size bin arithmetic."""
+    bins = classifier_calibration_bins(spark, sf_dir).select(
+        "bin",
+        F.col("n_docs").alias("n"),
+        F.col("n_pos").alias("p"),
+    )
+    fb = bins.select(
+        "bin",
+        "n",
+        "p",
+        ((2 * F.col("bin") + 1).cast("double") / (2 * CALIB_BINS)).alias("f"),
+        (F.col("p").cast("double") / F.col("n").cast("double")).alias("ob"),
+    )
+    tot = bins.agg(
+        F.sum("n").cast("long").alias("nn"),
+        (
+            F.sum("p").cast("double") / F.sum("n").cast("double")
+        ).alias("obar"),
+    )
+    j = fb.crossJoin(F.broadcast(tot))
+    brier_term = (
+        F.col("p") * (1.0 - F.col("f")) * (1.0 - F.col("f"))
+        + (F.col("n") - F.col("p")) * F.col("f") * F.col("f")
+    )
+    rel_term = (
+        F.col("n") * (F.col("f") - F.col("ob")) * (F.col("f") - F.col("ob"))
+    )
+    res_term = (
+        F.col("n")
+        * (F.col("ob") - F.col("obar"))
+        * (F.col("ob") - F.col("obar"))
+    )
+    def _decsum(col):
+        # Spark twin of _decsum_sql: full-scale decimal accumulation
+        return F.sum(col.cast("decimal(38,10)")).cast("double")
+
+    agg = j.groupBy("nn").agg(
+        (_decsum(brier_term) / F.col("nn").cast("double")).alias("brier"),
+        (_decsum(rel_term) / F.col("nn").cast("double")).alias("reliability"),
+        (_decsum(res_term) / F.col("nn").cast("double")).alias("resolution"),
+        F.max(F.col("obar") * (1.0 - F.col("obar"))).alias("uncertainty"),
+    )
+    return agg.select(
+        F.col("nn").alias("n"),
+        "brier",
+        "reliability",
+        "resolution",
+        "uncertainty",
+        (
+            F.abs(
+                F.col("brier")
+                - (
+                    F.col("reliability")
+                    - F.col("resolution")
+                    + F.col("uncertainty")
+                )
+            )
+            < 1e-9
+        ).alias("identity_ok"),
+    )

@@ -1251,3 +1251,89 @@ def test_hilbert_formula_bijective_and_adjacent():
         x0, y0 = pos[d - 1]
         x1, y1 = pos[d]
         assert abs(x1 - x0) + abs(y1 - y0) == 1, (d, pos[d - 1], pos[d])
+
+
+def test_isotonic_minimax_equals_stack_pava():
+    """The minimax formula the isotonic_calibration query uses —
+    fitted(b) = max_{j<=b} min_{k>=b} rate(j..k) — must equal the
+    classic stack-based pool-adjacent-violators algorithm, be monotone
+    nondecreasing, and preserve the weighted total. Checked on the
+    ACTUAL per-bin counts the query derives (via its DuckDB oracle CTE
+    at sf0.001) plus adversarial hand cases (all-decreasing, ties,
+    single bin)."""
+    import duckdb
+
+    from beam_pyspark_runner_spark.queries.text import (
+        _PAVA_BASE_SQL,
+        CALIB_BINS,
+        CLF_BUCKETS,
+    )
+
+    def minimax(ns, ps):
+        m = len(ns)
+        out = []
+        for b in range(m):
+            best = None
+            for j in range(b + 1):
+                worst = None
+                for k in range(b, m):
+                    r = sum(ps[j : k + 1]) / sum(ns[j : k + 1])
+                    worst = r if worst is None else min(worst, r)
+                best = worst if best is None else max(best, worst)
+            out.append(best)
+        return out
+
+    def stack_pava(ns, ps):
+        blocks = []  # (n, p)
+        for n, p in zip(ns, ps):
+            blocks.append((n, p))
+            while (
+                len(blocks) >= 2
+                and blocks[-2][1] * blocks[-1][0]
+                >= blocks[-1][1] * blocks[-2][0]
+            ):  # rate[-2] >= rate[-1] -> pool
+                n2, p2 = blocks.pop()
+                n1, p1 = blocks.pop()
+                blocks.append((n1 + n2, p1 + p2))
+            # strict violation only when previous rate > current; pooling
+            # equal rates too is harmless (same pooled rate)
+        # expand pooled block rates back to per-bin
+        fitted = []
+        bi = 0
+        for n, p in blocks:
+            cnt = 0
+            tot = 0
+            while tot < n:
+                tot += ns[bi + cnt]
+                cnt += 1
+            fitted.extend([p / n] * cnt)
+            bi += cnt
+        return fitted
+
+    cases = [
+        ([5, 5, 5], [4, 2, 1]),          # fully decreasing -> one pool
+        ([1, 1, 1, 1], [0, 1, 0, 1]),    # zigzag
+        ([3], [2]),                      # single bin
+        ([2, 2], [1, 1]),                # exact tie
+        ([10, 1, 10], [1, 1, 9]),        # weight asymmetry
+    ]
+    sql = (
+        "WITH "
+        + _PAVA_BASE_SQL.format(buckets=CLF_BUCKETS, bins=CALIB_BINS)
+        + " SELECT bin, n, p FROM bc ORDER BY bin"
+    )
+    con = duckdb.connect()
+    for t in ("documents",):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'/root/testdata/sf0.001/{t}.parquet'"
+        )
+    rows = con.sql(sql).fetchall()
+    cases.append(([r[1] for r in rows], [r[2] for r in rows]))
+
+    for ns, ps in cases:
+        a = minimax(ns, ps)
+        b = stack_pava(ns, ps)
+        assert all(abs(x - y) < 1e-12 for x, y in zip(a, b)), (ns, ps, a, b)
+        assert all(a[i] <= a[i + 1] + 1e-12 for i in range(len(a) - 1))
+        assert abs(sum(f * n for f, n in zip(a, ns)) - sum(ps)) < 1e-9
