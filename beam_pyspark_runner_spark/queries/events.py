@@ -4302,3 +4302,159 @@ def concordance_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_index"
         ),
     )
+
+
+# --- propensity-stratified ATE (round 7, session 4) -------------------------
+# Deterministic confounded exposure: treatment probability rises with
+# account balance (the md5 coin is compared against 200 + idx(acctbal)
+# out of 1000), so the naive treated-vs-control difference is biased by
+# balance and stratifying on the (known) propensity index removes
+# exactly that bias — Rosenbaum & Rubin (1983) subclassification.
+_ATE_STRATA = 5
+
+
+@register(
+    "propensity_stratified_ate",
+    oracle="""
+    WITH cust AS (
+        SELECT c_custkey,
+               LEAST(GREATEST((CAST(round(c_acctbal * 100) AS BIGINT)
+                                   + 100000) // 2200, 0), 500) AS idx
+        FROM customer
+    ),
+    spend AS (
+        SELECT c.c_custkey, c.idx,
+               CASE WHEN (('0x' || substr(md5('trt-' || c.c_custkey), 1, 8))::BIGINT)
+                        % 1000 < 200 + c.idx THEN 1 ELSE 0 END AS t,
+               COALESCE(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+                   AS y_cents
+        FROM cust c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.idx
+    ),
+    strat AS (
+        SELECT LEAST(idx // 100, 4) AS stratum, t, y_cents FROM spend
+    ),
+    per_s AS (
+        SELECT stratum,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(t) AS BIGINT) AS n_treat,
+               CAST(COUNT(*) - SUM(t) AS BIGINT) AS n_control,
+               CAST(SUM(CASE WHEN t = 1 THEN y_cents ELSE 0 END) AS DOUBLE)
+                   / (100.0 * SUM(t)) AS mean_treat,
+               CAST(SUM(CASE WHEN t = 0 THEN y_cents ELSE 0 END) AS DOUBLE)
+                   / (100.0 * (COUNT(*) - SUM(t))) AS mean_control
+        FROM strat GROUP BY stratum
+        HAVING SUM(t) > 0 AND SUM(t) < COUNT(*)
+    ),
+    g AS (
+        SELECT CAST(ROUND(SUM(CAST(n_total * (mean_treat - mean_control)
+                                    AS DECIMAL(38,10))), 2) AS DOUBLE)
+                   / CAST(SUM(n_total) AS DOUBLE) AS ate
+        FROM per_s
+    )
+    SELECT CAST(p.stratum AS BIGINT) AS stratum, p.n_total, p.n_treat,
+           p.n_control, p.mean_treat, p.mean_control,
+           p.mean_treat - p.mean_control AS diff, g.ate AS ate
+    FROM per_s p, g
+    """,
+    tags=("events", "causal", "propensity", "stratified_ate",
+          "observational"),
+)
+def propensity_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average treatment effect by propensity-score subclassification
+    (Rosenbaum–Rubin) — the observational-causal estimator the existing
+    family (diff_in_diff, cuped_variance_reduction,
+    quantile_treatment_effect) lacks: exposure here is deliberately
+    CONFOUNDED with account balance, and the estimator removes the bias
+    by comparing treated vs control only WITHIN strata of the propensity
+    index, then weighting strata by population share. Propensity is a
+    fixed linear index of the covariate (the linear_classifier_inference
+    'pretrained weights' pattern — scoring is a broadcast-free map
+    expression, no model fit in the hot path); strata are fixed-width
+    index bands, so assignment is pure integer arithmetic. Strata
+    missing either arm drop out with weights renormalized (the standard
+    common-support rule), enforced by HAVING on both arm counts.
+    Outcome sums stay in integer cents; stratum means are single double
+    divisions; the ATE's {_ATE_STRATA}-term weighted sum goes through
+    exact decimal with the dsum 2-decimal re-round (its unscaled value
+    tops 2^53, the documented 1-ulp conversion trap) so engine
+    summation order and final conversion cannot differ. Scale: one
+    orders→customer aggregate (shuffle on custkey), a 5-group reduce,
+    and a broadcast of the 1-row ATE back onto the stratum table."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.least(
+            F.greatest(
+                F.expr(
+                    "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000)"
+                    " div 2200"
+                ),
+                F.lit(0),
+            ),
+            F.lit(500),
+        ).alias("idx"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    spend = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "idx")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).alias("y_cents"))
+        .select(
+            "idx",
+            (
+                h32(F.concat_ws("-", F.lit("trt"), F.col("c_custkey"))) % 1000
+                < 200 + F.col("idx")
+            )
+            .cast("int")
+            .alias("t"),
+            "y_cents",
+        )
+    )
+    strat = spend.select(
+        F.least(F.expr("idx div 100"), F.lit(4)).cast("long").alias("stratum"),
+        "t",
+        "y_cents",
+    )
+    per_s = (
+        strat.groupBy("stratum")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.sum("t").cast("long").alias("n_treat"),
+            (F.count("*") - F.sum("t")).cast("long").alias("n_control"),
+            (
+                F.sum(F.when(F.col("t") == 1, F.col("y_cents")).otherwise(0))
+                .cast("double")
+                / (100.0 * F.sum("t"))
+            ).alias("mean_treat"),
+            (
+                F.sum(F.when(F.col("t") == 0, F.col("y_cents")).otherwise(0))
+                .cast("double")
+                / (100.0 * (F.count("*") - F.sum("t")))
+            ).alias("mean_control"),
+        )
+        .filter((F.col("n_treat") > 0) & (F.col("n_control") > 0))
+    )
+    g = per_s.agg(
+        (
+            dsum(
+                F.col("n_total")
+                * (F.col("mean_treat") - F.col("mean_control"))
+            )
+            / F.sum("n_total").cast("double")
+        ).alias("ate")
+    )
+    return per_s.crossJoin(F.broadcast(g)).select(
+        "stratum",
+        "n_total",
+        "n_treat",
+        "n_control",
+        "mean_treat",
+        "mean_control",
+        (F.col("mean_treat") - F.col("mean_control")).alias("diff"),
+        "ate",
+    )

@@ -1183,3 +1183,95 @@ _REG_G = __import__(
 _REG_G["modularity_score"].oracle = _REG_G["modularity_score"].oracle.replace(
     "{LP_ORACLE}", _REG_G["label_prop_weighted"].oracle
 )
+
+
+# --- pivot-sampled closeness centrality (round 7, session 4) ----------------
+_CLOSE_SEEDS = (0, 7, 101, 350)  # fixed pivot sample
+
+
+@register(
+    "closeness_centrality_sampled",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT k AS src, (3 * k + 1) % {_BFS_N} AS dst
+        FROM range({_BFS_N}) t(k)
+        UNION ALL
+        SELECT k, (5 * k + 2) % {_BFS_N} FROM range({_BFS_N}) t(k)
+    ),
+    bfs(seed, node, d) AS (
+        SELECT s.seed, CAST(s.seed AS BIGINT), 0
+        FROM (SELECT unnest(ARRAY{list(_CLOSE_SEEDS)}) AS seed) s
+        UNION
+        SELECT bfs.seed, e.dst, d + 1
+        FROM bfs JOIN e ON e.src = bfs.node
+        WHERE d < {_BFS_DEPTH_CAP}
+    ),
+    sp AS (
+        SELECT seed, node, MIN(d) AS d FROM bfs GROUP BY seed, node
+    )
+    SELECT CAST(seed AS BIGINT) AS seed,
+           CAST(COUNT(*) AS BIGINT) AS n_reached,
+           CAST(SUM(d) AS BIGINT) AS sum_hops,
+           CAST((COUNT(*) - 1) * (COUNT(*) - 1) AS DOUBLE)
+               / (CAST(SUM(d) AS DOUBLE) * {_BFS_N - 1}.0) AS closeness
+    FROM sp GROUP BY seed
+    """,
+    tags=("graph", "closeness_centrality", "bfs", "iterative",
+          "pivot_sample"),
+)
+def closeness_centrality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserman–Faust closeness centrality from a FIXED pivot sample —
+    the Eppstein–Wang recipe that makes centrality affordable at graph
+    scale: instead of |V| BFS traversals (all-pairs — the thing you
+    cannot run on a billion-node graph), run one MULTI-SOURCE BFS whose
+    state is (seed, node, hops) for k = {len(_CLOSE_SEEDS)} pivots, so
+    every round is ONE frontier⋈edges join shared by all seeds and the
+    total work is k× a single BFS regardless of |V|. Closeness(seed) =
+    ((r−1)/Σd)·((r−1)/(n−1)) with r = reached count — the
+    reachability-corrected form that stays comparable on directed
+    graphs where some seeds reach fewer nodes. Same deterministic
+    512-node functional graph, lineage discipline (per-round
+    localCheckpoint), depth cap, and recursive-CTE adjudication as
+    bfs_shortest_hops — the MATCH proves the shared-frontier
+    multi-source walk equals k independent level-order traversals.
+    Exact integer (r−1)² and Σd; one double division."""
+    n = spark.range(_BFS_N)
+    edges = (
+        n.select(
+            F.col("id").alias("src"),
+            ((3 * F.col("id") + 1) % _BFS_N).alias("dst"),
+        )
+        .unionAll(n.select(F.col("id"), ((5 * F.col("id") + 2) % _BFS_N)))
+        .localCheckpoint()
+    )
+    seeds = spark.createDataFrame(
+        [(s,) for s in _CLOSE_SEEDS], "seed long"
+    )
+    dist = seeds.select(
+        "seed",
+        F.col("seed").alias("node"),
+        F.lit(0).cast("long").alias("hops"),
+    )
+    frontier = dist
+    for depth in range(1, _BFS_DEPTH_CAP + 1):
+        reached = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = reached.join(dist, ["seed", "node"], "left_anti").select(
+            "seed", "node", F.lit(depth).cast("long").alias("hops")
+        )
+        new = new.localCheckpoint()
+        if new.isEmpty():
+            break
+        dist = dist.unionAll(new).localCheckpoint()
+        frontier = new
+    return dist.groupBy("seed").agg(
+        F.count("*").cast("long").alias("n_reached"),
+        F.sum("hops").cast("long").alias("sum_hops"),
+        (
+            ((F.count("*") - 1) * (F.count("*") - 1)).cast("double")
+            / (F.sum("hops").cast("double") * float(_BFS_N - 1))
+        ).alias("closeness"),
+    )
