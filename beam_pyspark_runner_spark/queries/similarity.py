@@ -2519,3 +2519,150 @@ def ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ndcg"
         ),
     )
+
+
+# --- Johnson-Lindenstrauss sign projection + recall audit (round 7, s4) -----
+# The 16x64 ±1 projection matrix is data-independent, so it is derived
+# ONCE here (md5-seeded) and baked into BOTH engines' plans as
+# literals — per-row projection is then pure multiply-add inside
+# codegen, no hashing in the corpus scan.
+import hashlib as _hashlib
+
+_RP_DIM = 16
+_RP_SIGNS = [
+    [
+        1
+        - 2
+        * (
+            int(
+                _hashlib.md5(f"rp-{j}-{i}".encode()).hexdigest()[:8], 16
+            )
+            % 2
+        )
+        for i in range(DIM)
+    ]
+    for j in range(_RP_DIM)
+]
+
+
+def _rp_proj_spark(j: int) -> str:
+    arr = "array(" + ", ".join(f"{s}.0D" for s in _RP_SIGNS[j]) + ")"
+    return (
+        f"aggregate(zip_with({arr},"
+        " transform(embedding, x -> cast(x as double)),"
+        " (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+
+
+def _rp_proj_duck(j: int, emb: str) -> str:
+    arr = "[" + ", ".join(f"{s}.0" for s in _RP_SIGNS[j]) + "]"
+    return (
+        f"list_reduce(list_transform(range(1, {DIM} + 1),"
+        f" i -> {arr}[i] * {emb}[i]), (acc, x) -> acc + x)"
+    )
+
+
+_RP_PE_DUCK = (
+    "["
+    + ", ".join(_rp_proj_duck(j, "emb") for j in range(_RP_DIM))
+    + "]"
+)
+
+
+@register(
+    "random_projection_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_EMB_DBL} AS emb FROM embeddings),
+    proj AS (SELECT vec_id, {_RP_PE_DUCK} AS pe FROM e),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_cos_sql('q.pe', 'v.pe')} DESC,
+                                               v.vec_id) AS rnk
+            FROM proj q JOIN proj v ON v.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rnk <= {TOP_K}
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_cos_sql('q.emb', 'v.emb')} DESC,
+                                               v.vec_id) AS rnk
+            FROM e q JOIN e v ON v.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rnk <= {TOP_K}
+    )
+    SELECT x.query_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(a.neighbor_id) AS DOUBLE) / {TOP_K}.0 AS recall_at_k
+    FROM exact x
+    LEFT JOIN approx a ON a.query_id = x.query_id
+                      AND a.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id
+    """,
+    tags=("similarity", "random_projection", "jl_lemma", "recall",
+          "evaluation", "adjudication"),
+)
+def random_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of cosine retrieval in a {_RP_DIM}-dim
+    Johnson–Lindenstrauss sign projection (Achlioptas 2003: ±1 entries
+    suffice — no Gaussians) against exact {DIM}-dim cosine — the
+    dimensionality-reduction counterpart of binary_recall_at_k
+    (which keeps 1 bit/dim; this keeps {_RP_DIM} of {DIM} dims as
+    full doubles, a 4× FLOP/byte cut with a different error profile).
+    The projection matrix is baked into both plans as literals, so the
+    corpus pass is one zip_with/aggregate fold per output dim inside
+    whole-stage codegen — no hash calls, no UDF, no second corpus
+    scan; folds run in index order, making every projected coordinate
+    bit-identical across engines (functions/vectors.py discipline).
+    The audit drives the knob a 100 TB deployment tunes — the target
+    dim that holds recall while shrinking the rerank candidate
+    transfer."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    pe = F.array(*[F.expr(_rp_proj_spark(j)) for j in range(_RP_DIM)])
+    proj = e.select("vec_id", pe.alias("pe"), F.col("embedding").alias("emb"))
+    qp = proj.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("pe").alias("qpe"),
+        F.col("emb").alias("qemb"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    approx = (
+        proj.crossJoin(F.broadcast(qp.select("query_id", "qpe")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_similarity(F.col("qpe"), F.col("pe")).alias("sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    exact = (
+        proj.crossJoin(F.broadcast(qp.select("query_id", "qemb")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_similarity(F.col("qemb"), F.col("emb")).alias("sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    hit = approx.withColumn("hit", F.lit(1))
+    return (
+        exact.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("long").alias("n_hits"),
+            (F.count("hit").cast("double") / float(TOP_K)).alias(
+                "recall_at_k"
+            ),
+        )
+    )

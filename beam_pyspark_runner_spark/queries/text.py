@@ -4286,3 +4286,152 @@ def brier_score_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             < 1e-9
         ).alias("identity_ok"),
     )
+
+
+# --- RAKE keyphrase extraction (round 7, session 4) -------------------------
+# Phrase boundaries: the corpus' function words. Breaking is done with
+# PLAIN string replace on space-doubled text (every word owns its
+# delimiting spaces), so no regex dialect is involved anywhere in the
+# phrase walk; the only regex is the final ' +' squeeze.
+_RAKE_STOPS = ("the", "a")
+_RAKE_TOPN = 25
+
+
+@register(
+    "rake_keyphrases",
+    oracle=f"""
+    WITH padded AS (
+        SELECT doc_id,
+               ' ' || replace(text, ' ', '  ') || ' ' AS s
+        FROM documents
+    ),
+    broken AS (
+        SELECT doc_id,
+               {" ".join(f"replace(" for _ in _RAKE_STOPS)}s
+               {"".join(f", ' {w} ', '|')" for w in _RAKE_STOPS)} AS s
+        FROM padded
+    ),
+    ph AS (
+        SELECT doc_id,
+               trim(regexp_replace(p, ' +', ' ', 'g')) AS phrase
+        FROM broken, unnest(string_split(s, '|')) AS t(p)
+        WHERE trim(regexp_replace(p, ' +', ' ', 'g')) <> ''
+    ),
+    pw AS (
+        SELECT phrase, len(string_split(phrase, ' ')) AS plen,
+               unnest(string_split(phrase, ' ')) AS w
+        FROM ph
+    ),
+    wstat AS (
+        SELECT w,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(plen) AS BIGINT) AS deg
+        FROM pw GROUP BY w
+    ),
+    wscore AS (
+        SELECT w, (1000000 * deg) // freq AS micro FROM wstat
+    ),
+    pdistinct AS (
+        SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(len(string_split(phrase, ' ')) AS BIGINT) AS phrase_len
+        FROM ph GROUP BY phrase
+    ),
+    pscore AS (
+        SELECT p.phrase, p.n_occurrences, p.phrase_len,
+               CAST(SUM(ws.micro) AS BIGINT) AS score_micro
+        FROM pdistinct p,
+             unnest(string_split(p.phrase, ' ')) AS t(w)
+             JOIN wscore ws ON ws.w = t.w
+        GROUP BY p.phrase, p.n_occurrences, p.phrase_len
+    )
+    SELECT phrase, n_occurrences, phrase_len, score_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC,
+                                   n_occurrences DESC, phrase) AS BIGINT)
+               AS rank
+    FROM pscore
+    QUALIFY rank <= {_RAKE_TOPN}
+    """,
+    tags=("text", "rake", "keyphrase_extraction", "nlp"),
+)
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) corpus-wide: break
+    word streams into candidate phrases at stopword boundaries, score
+    each word by degree/frequency (degree = Σ length of phrases it
+    occurs in — words that travel in long multi-word phrases outrank
+    equally-frequent loners), and score a phrase as the sum of its
+    words' scores — the zero-training keyphrase extractor a curation
+    pipeline runs to label what a corpus is ABOUT (cf. tfidf_top_terms,
+    which needs a background corpus; RAKE does not). Word scores are
+    integer MICRO-units (⌊1e6·deg/freq⌋) so phrase scores are exact
+    integer sums — no float ordering anywhere until none. Phrase
+    breaking uses plain string replace on space-doubled text (no regex
+    dialect risk; the lone regex is the ' +' squeeze both engines
+    define identically). Scale: two explodes (phrases, words) with
+    partial aggregation on both keys, one word-stats shuffle join back
+    to phrase words, and a global top-{_RAKE_TOPN} (rank window over
+    the per-phrase aggregate — the tiny distinct-phrase table, not the
+    corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    padded = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(" "),
+            F.expr("replace(text, ' ', '  ')"),
+            F.lit(" "),
+        ).alias("s"),
+    )
+    brk = "s"
+    for w in _RAKE_STOPS:
+        brk = f"replace({brk}, ' {w} ', '|')"
+    broken = padded.select("doc_id", F.expr(brk).alias("s"))
+    ph = (
+        broken.select(
+            "doc_id",
+            F.explode(F.split(F.col("s"), "[|]")).alias("p"),
+        )
+        .select(
+            "doc_id",
+            F.trim(F.regexp_replace(F.col("p"), " +", " ")).alias("phrase"),
+        )
+        .filter(F.col("phrase") != "")
+    )
+    pw = ph.select(
+        "phrase",
+        F.size(F.split(F.col("phrase"), " ")).alias("plen"),
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+    )
+    wscore = (
+        pw.groupBy("w")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+        .select(
+            "w",
+            F.expr("(1000000 * deg) div freq").alias("micro"),
+        )
+    )
+    pdistinct = ph.groupBy("phrase").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.size(F.split(F.first("phrase"), " ")).cast("long").alias(
+            "phrase_len"
+        ),
+    )
+    pscore = (
+        pdistinct.select(
+            "phrase",
+            "n_occurrences",
+            "phrase_len",
+            F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+        )
+        .join(wscore, "w")
+        .groupBy("phrase", "n_occurrences", "phrase_len")
+        .agg(F.sum("micro").cast("long").alias("score_micro"))
+    )
+    wr = W.orderBy(
+        F.col("score_micro").desc(), F.col("n_occurrences").desc(), "phrase"
+    )
+    return (
+        pscore.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= _RAKE_TOPN)
+    )
