@@ -177,6 +177,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # modularity_score, dispersion_index, capture_recapture_estimate,
 # concordance_index, simpsons_paradox_audit, market_basket_rules,
 # jackknife_variance, raking_ipf_weights, partial_correlation
+# -- round-7 session-4 --
+# ams_f2_moment, hilbert_curve_key, hilbert_vs_zorder_locality,
+# ndcg_at_k, isotonic_calibration, brier_score_decomposition,
+# closeness_centrality_sampled, propensity_stratified_ate,
+# rake_keyphrases, random_projection_recall
 
 
 def _apply_driver_window() -> None:

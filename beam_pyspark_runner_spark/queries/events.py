@@ -4458,3 +4458,225 @@ def propensity_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("mean_treat") - F.col("mean_control")).alias("diff"),
         "ate",
     )
+
+
+# --- off-policy evaluation via IPS / SNIPS (round 7, session 4) -------------
+_IPS_COHORTS = 16
+
+
+@register(
+    "offpolicy_ips_evaluation",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id % {_IPS_COHORTS} AS cohort, event_type AS action,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ev),
+    prop AS (
+        SELECT action, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ev GROUP BY action
+    ),
+    best AS (
+        SELECT cohort, action AS pi_action FROM (
+            SELECT cohort, action,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cohort
+                       ORDER BY CAST(SUM(cents) AS DOUBLE)
+                                    / COUNT(*) DESC, action) AS rn
+            FROM ev GROUP BY cohort, action
+        ) WHERE rn = 1
+    ),
+    w AS (
+        SELECT e.cents, p.cnt,
+               CASE WHEN e.action = b.pi_action THEN 1 ELSE 0 END AS m
+        FROM ev e
+        JOIN best b ON b.cohort = e.cohort
+        JOIN prop p ON p.action = e.action
+    )
+    SELECT n.n AS n_logged,
+           CAST(SUM(m) AS BIGINT) AS n_matched,
+           CAST(SUM(CAST(cents AS DECIMAL(38,10))) AS DOUBLE)
+               / (100.0 * n.n) AS logged_mean_value,
+           CAST(SUM(CAST(m * cents / (100.0 * cnt) AS DECIMAL(38,10)))
+                AS DOUBLE) AS ips_value_estimate,
+           CAST(SUM(CAST(m * cents / (100.0 * cnt) AS DECIMAL(38,10)))
+                AS DOUBLE)
+               / (CAST(SUM(CAST(m * 1.0 / cnt AS DECIMAL(38,10)))
+                       AS DOUBLE) / n.n)
+               / n.n AS snips_value_estimate
+    FROM w, n GROUP BY n.n
+    """,
+    tags=("events", "causal", "off_policy", "ips", "bandit_replay"),
+)
+def offpolicy_ips_evaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation of a deterministic target policy from
+    logged interaction data — inverse-propensity scoring (Horvitz–
+    Thompson; Li et al. WSDM'11 bandit replay) plus its self-normalized
+    variant (SNIPS, Swaminathan & Joachims NeurIPS'15): the estimator a
+    recommendation/curation team runs over petabytes of logs to score a
+    NEW policy without deploying it. Logged actions are the observed
+    event types with propensities taken as their empirical log shares
+    (estimated-propensity IPS); the target policy is 'play each
+    cohort's historically best-mean-value action' (cohort = user_id mod
+    {_IPS_COHORTS}), fitted in a first aggregate and broadcast back as
+    a {_IPS_COHORTS}-row map — policy evaluation as two aggregates and
+    two broadcast joins, no per-row Python. Rewards stay in integer
+    cents; per-row IPS terms are single exact double expressions
+    (cents/(100·cnt)) accumulated through full-scale decimal so
+    summation order cannot differ; SNIPS divides the same sums once at
+    the end. IPS < logged mean here is informative, not a bug: the
+    logged value IS the behavior policy's value, the target policy
+    matches only Σ_a p̂(a)·1[a=π] of the logs, and SNIPS corrects
+    IPS's weight-mass deficit — all three numbers in one row is
+    exactly the report an off-policy gate wants."""
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % _IPS_COHORTS).alias("cohort"),
+        F.col("event_type").alias("action"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    n = ev.agg(F.count("*").cast("long").alias("n"))
+    prop = ev.groupBy("action").agg(F.count("*").cast("long").alias("cnt"))
+    wrn = W.partitionBy("cohort").orderBy(
+        (F.sum("cents").cast("double") / F.count("*")).desc(), F.col("action")
+    )
+    # window-over-aggregate: rank cohort actions by mean value
+    best = (
+        ev.groupBy("cohort", "action")
+        .agg(
+            F.sum("cents").alias("sc"),
+            F.count("*").alias("nc"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("cohort").orderBy(
+                    (F.col("sc").cast("double") / F.col("nc")).desc(),
+                    F.col("action"),
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("cohort", F.col("action").alias("pi_action"))
+    )
+    w = (
+        ev.join(F.broadcast(best), "cohort")
+        .join(F.broadcast(prop), "action")
+        .select(
+            "cents",
+            "cnt",
+            (F.col("action") == F.col("pi_action")).cast("int").alias("m"),
+        )
+    )
+
+    def _decsum(col):
+        return F.sum(col.cast("decimal(38,10)")).cast("double")
+
+    ips_term = F.col("m") * F.col("cents") / (100.0 * F.col("cnt"))
+    wgt_term = F.col("m") * 1.0 / F.col("cnt")
+    agg = w.crossJoin(F.broadcast(n)).groupBy("n").agg(
+        F.sum("m").cast("long").alias("n_matched"),
+        (_decsum(F.col("cents")) / (100.0 * F.col("n"))).alias(
+            "logged_mean_value"
+        ),
+        _decsum(ips_term).alias("ips_value_estimate"),
+        (
+            _decsum(ips_term)
+            / (_decsum(wgt_term) / F.col("n"))
+            / F.col("n")
+        ).alias("snips_value_estimate"),
+    )
+    return agg.select(
+        F.col("n").alias("n_logged"),
+        "n_matched",
+        "logged_mean_value",
+        "ips_value_estimate",
+        "snips_value_estimate",
+    )
+
+
+# --- differentially-private counts, geometric mechanism (round 7, s4) -------
+# Two-sided geometric (discrete Laplace) noise with eps = 1, sens = 1:
+# P(k) ∝ alpha^|k|, alpha = e^-1. The inverse CDF is precomputed in
+# Python as 32-bit integer thresholds (truncated at |k| <= 20, whose
+# excluded tail mass < 4e-9 — the standard bounded-geometric variant),
+# so the draw is ONE md5 + integer comparisons, bit-identical in both
+# engines; no transcendental function appears in either plan.
+import math as _math
+
+_DP_EPS = 1.0
+_DP_K = 20
+
+
+def _dp_thresholds() -> list[tuple[int, int]]:
+    a = _math.exp(-_DP_EPS)
+    ks = list(range(-_DP_K, _DP_K + 1))
+    mass = [(1 - a) / (1 + a) * a ** abs(k) for k in ks]
+    total = sum(mass)
+    cum = 0.0
+    out = []
+    for k, m in zip(ks, mass):
+        cum += m / total
+        out.append((k, min(int(_math.ceil(cum * 4294967296.0)), 4294967296)))
+    out[-1] = (ks[-1], 4294967296)
+    return out
+
+
+_DP_CASE_ARMS = " ".join(
+    f"WHEN {{h}} < {t} THEN {k}" for k, t in _dp_thresholds()
+)
+
+
+def _dp_noise(h_expr: str) -> str:
+    return f"(CASE {_DP_CASE_ARMS.format(h=h_expr)} ELSE {_DP_K} END)"
+
+
+@register(
+    "dp_geometric_noise_counts",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_count
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, true_count,
+           CAST({_dp_noise("(('0x' || substr(md5('dp-' || event_type), 1, 8))::BIGINT)")}
+                AS BIGINT) AS noise,
+           true_count
+               + {_dp_noise("(('0x' || substr(md5('dp-' || event_type), 1, 8))::BIGINT)")}
+               AS noisy_count
+    FROM c
+    """,
+    tags=("events", "privacy", "differential_privacy",
+          "geometric_mechanism"),
+)
+def dp_geometric_noise_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private event-type counts via the (bounded)
+    two-sided geometric mechanism (Ghosh–Roughgarden–Sundararajan
+    2009 — the discrete, utility-optimal counterpart of Laplace noise
+    for counting queries): completes the privacy family
+    (k_anonymity_audit / l_diversity_audit / t_closeness_audit audit
+    the DATA; this protects the RELEASE). The geometric draw costs one
+    md5 and a ladder of integer threshold comparisons — the inverse
+    CDF lives in {2 * _DP_K + 1} Python-precomputed 32-bit literals
+    shared by both engines, so no exp/log/random() enters either plan
+    and the released counts value-hash exactly. Per-release noise is
+    keyed on a release nonce + category ('dp-' || event_type here), the
+    seeded-noise reproducibility a production DP pipeline wants for
+    replayable releases. The audit deliberately emits true_count AND
+    noise beside noisy_count — this query certifies the MECHANISM;
+    a real release ships only noisy_count. Truncation at ±{_DP_K}
+    excludes < 4e-9 probability mass. Scale: one partial-aggregated
+    groupBy; noise is applied to the 5-row aggregate, not the corpus."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("true_count"))
+    )
+    h = "conv(substr(md5(concat('dp-', event_type)), 1, 8), 16, 10)"
+    noise = F.expr(_dp_noise(f"CAST({h} AS BIGINT)")).cast("long")
+    return c.select(
+        "event_type",
+        "true_count",
+        noise.alias("noise"),
+        (F.col("true_count") + noise).alias("noisy_count"),
+    )

@@ -1551,3 +1551,170 @@ def hilbert_vs_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_bbox_area"),
         F.max("bbox_area").cast("long").alias("max_bbox_area"),
     )
+
+
+# --- file-skipping audit across layouts (round 7, session 4) ----------------
+# The 2-D predicate box the scan is audited against.
+_SKIP_P_LO, _SKIP_P_HI = 60, 90
+_SKIP_C_LO, _SKIP_C_HI = 100, 140
+
+
+@register(
+    "curve_file_skipping_audit",
+    oracle=f"""
+    {_h_with},
+    z AS (
+        SELECT o_orderkey, price_cell, cust_cell,
+               CAST(list_sum(list_transform(range(0, 8),
+                    i -> ((CAST(floor(price_cell / power(2.0, i)) AS BIGINT) % 2)
+                              * power(2.0, 2 * i))
+                       + ((CAST(floor(cust_cell / power(2.0, i)) AS BIGINT) % 2)
+                              * power(2.0, 2 * i + 1)))) AS BIGINT) AS k
+        FROM base
+    ),
+    u AS (
+        SELECT 'unsorted' AS scheme, o_orderkey, price_cell, cust_cell,
+               o_orderkey AS k
+        FROM base
+        UNION ALL
+        SELECT 'zorder', o_orderkey, price_cell, cust_cell, k FROM z
+        UNION ALL
+        SELECT 'hilbert', o_orderkey, price_cell, cust_cell, hd
+        FROM {_h_last}
+    ),
+    tiled AS (
+        SELECT scheme, price_cell, cust_cell,
+               NTILE({_HZ_FILES}) OVER (PARTITION BY scheme
+                                        ORDER BY k, o_orderkey) AS tile
+        FROM u
+    ),
+    files AS (
+        SELECT scheme, tile,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(price_cell) AS pmin, MAX(price_cell) AS pmax,
+               MIN(cust_cell) AS cmin, MAX(cust_cell) AS cmax,
+               CAST(SUM(CASE WHEN price_cell BETWEEN {_SKIP_P_LO}
+                                  AND {_SKIP_P_HI}
+                              AND cust_cell BETWEEN {_SKIP_C_LO}
+                                  AND {_SKIP_C_HI}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+        FROM tiled GROUP BY scheme, tile
+    )
+    SELECT scheme,
+           CAST(SUM(CASE WHEN pmin <= {_SKIP_P_HI} AND pmax >= {_SKIP_P_LO}
+                          AND cmin <= {_SKIP_C_HI} AND cmax >= {_SKIP_C_LO}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_files_scanned,
+           CAST(SUM(CASE WHEN pmin <= {_SKIP_P_HI} AND pmax >= {_SKIP_P_LO}
+                          AND cmin <= {_SKIP_C_HI} AND cmax >= {_SKIP_C_LO}
+                         THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+           CAST(SUM(n_match) AS BIGINT) AS n_matching_rows,
+           CAST(SUM(CASE WHEN pmin <= {_SKIP_P_HI} AND pmax >= {_SKIP_P_LO}
+                          AND cmin <= {_SKIP_C_HI} AND cmax >= {_SKIP_C_LO}
+                         THEN n_rows ELSE 0 END) AS DOUBLE)
+               / CAST(GREATEST(SUM(n_match), 1) AS DOUBLE)
+               AS scan_amplification
+    FROM files GROUP BY scheme
+    """,
+    tags=("io", "data_layout", "file_skipping", "minmax_pruning",
+          "locality_audit"),
+)
+def curve_file_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payoff counter for hilbert_vs_zorder_locality: simulate
+    parquet footer min/max pruning for a concrete 2-D predicate box
+    (price_cell ∈ [{_SKIP_P_LO},{_SKIP_P_HI}] ∧ cust_cell ∈
+    [{_SKIP_C_LO},{_SKIP_C_HI}]) against the SAME equal-row-count file
+    model under three layouts — ingestion order (no clustering),
+    z-order, Hilbert — and report exactly what a scan would pay:
+    files touched, rows read, true matches, and scan amplification
+    (rows read per matching row). A file is scanned iff its per-file
+    [min,max]×[min,max] box intersects the predicate box — the
+    identical rule every footer-stats reader (parquet row groups,
+    Delta/Iceberg file stats) applies. Unsorted layouts scan ~all
+    files (every file's box spans the grid); space-filling curves
+    confine the predicate to the few files whose curve ranges cross
+    the box. Pure integer comparisons over the {_HZ_FILES}-file
+    summary; one double division for amplification. Scale: identical
+    shape to the locality audit — one scan, three key walks, a
+    {_HZ_FILES}-group agg per scheme."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderkey",
+        F.least(
+            F.floor(F.col("o_totalprice") / 2000.0).cast("long"), F.lit(255)
+        ).alias("price_cell"),
+        (F.col("o_custkey") % 256).alias("cust_cell"),
+    )
+    h = _hilbert_spark_walk(c).select(
+        F.lit("hilbert").alias("scheme"),
+        "o_orderkey",
+        "price_cell",
+        "cust_cell",
+        F.col("hd").alias("k"),
+    )
+    zk = F.expr(
+        """
+        CAST(aggregate(sequence(0, 7), CAST(0.0 AS DOUBLE), (acc, i) -> acc
+            + (CAST(floor(price_cell / power(2.0, i)) AS BIGINT) % 2)
+                * power(2.0, 2 * i)
+            + (CAST(floor(cust_cell / power(2.0, i)) AS BIGINT) % 2)
+                * power(2.0, 2 * i + 1)) AS BIGINT)
+        """
+    )
+    z = c.select(
+        F.lit("zorder").alias("scheme"),
+        "o_orderkey",
+        "price_cell",
+        "cust_cell",
+        zk.alias("k"),
+    )
+    un = c.select(
+        F.lit("unsorted").alias("scheme"),
+        "o_orderkey",
+        "price_cell",
+        "cust_cell",
+        F.col("o_orderkey").alias("k"),
+    )
+    u = h.unionByName(z).unionByName(un)
+    from pyspark.sql import Window as W
+
+    tiled = u.select(
+        "scheme",
+        "price_cell",
+        "cust_cell",
+        F.ntile(_HZ_FILES)
+        .over(W.partitionBy("scheme").orderBy("k", "o_orderkey"))
+        .alias("tile"),
+    )
+    in_box = (
+        F.col("price_cell").between(_SKIP_P_LO, _SKIP_P_HI)
+        & F.col("cust_cell").between(_SKIP_C_LO, _SKIP_C_HI)
+    )
+    files = tiled.groupBy("scheme", "tile").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("price_cell").alias("pmin"),
+        F.max("price_cell").alias("pmax"),
+        F.min("cust_cell").alias("cmin"),
+        F.max("cust_cell").alias("cmax"),
+        F.sum(F.when(in_box, 1).otherwise(0)).cast("long").alias("n_match"),
+    )
+    scanned = (
+        (F.col("pmin") <= _SKIP_P_HI)
+        & (F.col("pmax") >= _SKIP_P_LO)
+        & (F.col("cmin") <= _SKIP_C_HI)
+        & (F.col("cmax") >= _SKIP_C_LO)
+    )
+    return files.groupBy("scheme").agg(
+        F.sum(F.when(scanned, 1).otherwise(0))
+        .cast("long")
+        .alias("n_files_scanned"),
+        F.sum(F.when(scanned, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_scanned"),
+        F.sum("n_match").cast("long").alias("n_matching_rows"),
+        (
+            F.sum(F.when(scanned, F.col("n_rows")).otherwise(0)).cast(
+                "double"
+            )
+            / F.greatest(F.sum("n_match"), F.lit(1)).cast("double")
+        ).alias("scan_amplification"),
+    )
