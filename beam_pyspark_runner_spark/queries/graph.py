@@ -1275,3 +1275,187 @@ def closeness_centrality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("hops").cast("double") * float(_BFS_N - 1))
         ).alias("closeness"),
     )
+
+
+# --- SCC by forward-backward reachability (round 7, session 4) --------------
+_SCC_PIVOT = 0
+
+
+@register(
+    "scc_pivot_fwbw",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT k AS src, (3 * k + 1) % {_BFS_N} AS dst
+        FROM range({_BFS_N}) t(k) WHERE k % 3 <> 0
+        UNION ALL
+        SELECT k, (5 * k + 2) % {_BFS_N} FROM range({_BFS_N}) t(k)
+        WHERE k % 2 = 0
+    ),
+    fwd(node) AS (
+        SELECT CAST({_SCC_PIVOT} AS BIGINT)
+        UNION
+        SELECT e.dst FROM fwd JOIN e ON e.src = fwd.node
+    ),
+    bwd(node) AS (
+        SELECT CAST({_SCC_PIVOT} AS BIGINT)
+        UNION
+        SELECT e.src FROM bwd JOIN e ON e.dst = bwd.node
+    )
+    SELECT f.node AS node
+    FROM fwd f JOIN bwd b ON b.node = f.node
+    ORDER BY node
+    """,
+    tags=("graph", "scc", "strongly_connected", "iterative",
+          "fwbw"),
+)
+def scc_pivot_fwbw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pivot step of FW-BW strongly-connected-components (Fleischer–
+    Hendrickson–Pınar 2000; the algorithm GraphX/Gunrock use at scale,
+    where Tarjan's sequential stack cannot run): SCC(pivot) = nodes
+    reachable FROM the pivot ∩ nodes that REACH the pivot. Both
+    reachability sets come from the shared frontier-parallel BFS
+    discipline (bfs_shortest_hops) — the backward pass simply joins the
+    frontier against edge DESTINATIONS — and the intersection is one
+    equi-join of two node sets. In the full algorithm the remainder
+    splits into three independent partitions (fwd-only / bwd-only /
+    neither) that recurse IN PARALLEL; one certified pivot round is the
+    building block. Same deterministic 512-node functional graph as the
+    BFS family; the recursive-CTE oracle walks both directions to a
+    fixpoint, so a MATCH certifies the frontier loop's termination
+    behavior too (frontier exhaustion, not the depth cap, decides
+    membership here). The edge set is the BFS family's functional
+    graph SPARSIFIED (drop 3k+1 edges at k≡0 mod 3, keep 5k+2 edges
+    only at even k) so the pivot SCC is proper — 370 of 512 nodes,
+    with nonempty fwd-only and bwd-only remainders — rather than the
+    whole graph."""
+    n = spark.range(_BFS_N)
+    edges = (
+        n.filter(F.col("id") % 3 != 0)
+        .select(
+            F.col("id").alias("src"),
+            ((3 * F.col("id") + 1) % _BFS_N).alias("dst"),
+        )
+        .unionAll(
+            n.filter(F.col("id") % 2 == 0).select(
+                F.col("id"), ((5 * F.col("id") + 2) % _BFS_N)
+            )
+        )
+        .localCheckpoint()
+    )
+
+    def reach(key_col: str, next_col: str) -> DataFrame:
+        seen = spark.range(1).select(
+            F.lit(_SCC_PIVOT).cast("long").alias("node")
+        )
+        frontier = seen
+        for _ in range(_BFS_N):  # hard upper bound; frontier exhausts first
+            step = (
+                frontier.join(edges, frontier.node == edges[key_col])
+                .select(F.col(next_col).alias("node"))
+                .distinct()
+            )
+            new = step.join(seen, "node", "left_anti").localCheckpoint()
+            if new.isEmpty():
+                break
+            seen = seen.unionAll(new).localCheckpoint()
+            frontier = new
+        return seen
+
+    fwd = reach("src", "dst")
+    bwd = reach("dst", "src")
+    return fwd.join(bwd, "node").select("node")
+
+
+# --- DAG longest-path layering / critical path (round 7, session 4) ---------
+_DAG_CAP = 64  # loud stop if the "DAG" had a cycle; real exit is fixpoint
+
+
+@register(
+    "dag_longest_path_layers",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT src, dst FROM (
+            SELECT k AS src, (3 * k + 1) % {_BFS_N} AS dst
+            FROM range({_BFS_N}) t(k) WHERE k % 3 <> 0
+            UNION ALL
+            SELECT k, (5 * k + 2) % {_BFS_N} FROM range({_BFS_N}) t(k)
+            WHERE k % 2 = 0
+        ) WHERE src < dst
+    ),
+    w(node, d) AS (
+        SELECT k, 0 FROM range({_BFS_N}) t(k)
+        UNION
+        SELECT e.dst, d + 1 FROM w JOIN e ON e.src = w.node
+    ),
+    layer AS (SELECT node, CAST(MAX(d) AS BIGINT) AS layer
+              FROM w GROUP BY node)
+    SELECT layer, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM layer GROUP BY layer
+    """,
+    tags=("graph", "dag", "longest_path", "critical_path", "topological",
+          "iterative"),
+)
+def dag_longest_path_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-path layering of a DAG — the critical-path/scheduling
+    primitive (and the dependency-aware shard-ordering a pipeline DAG
+    executor needs): layer(v) = length of the longest path ending at v,
+    so layer L can only start after some chain of L predecessors. Dual
+    of the BFS family: BFS relaxes MIN over frontier rounds, this
+    relaxes MAX with Bellman-style rounds — dist' = max(dist, max over
+    incoming edges of dist(src)+1) — which converges in (longest path)
+    rounds because updates only ever increase and are bounded by the
+    DAG depth. Termination is detected by the monotone invariant
+    Σ layer: unchanged sum ⟺ fixpoint (no per-node diff join needed);
+    the {_DAG_CAP}-round cap turns an accidental cycle (where longest
+    path is undefined) into a loud error instead of an infinite loop.
+    The DAG comes from orienting the sparsified functional graph
+    upward (src < dst — acyclic by construction); the recursive-CTE
+    oracle enumerates all (node, depth) pairs and takes MAX. Per-round
+    plan: one edges⋈dist join + one max-agg, localCheckpoint-pinned
+    (linear lineage, the k_core/BFS discipline)."""
+    n = spark.range(_BFS_N)
+    edges = (
+        n.filter(F.col("id") % 3 != 0)
+        .select(
+            F.col("id").alias("src"),
+            ((3 * F.col("id") + 1) % _BFS_N).alias("dst"),
+        )
+        .unionAll(
+            n.filter(F.col("id") % 2 == 0).select(
+                F.col("id"), ((5 * F.col("id") + 2) % _BFS_N)
+            )
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .localCheckpoint()
+    )
+    dist = n.select(
+        F.col("id").alias("node"), F.lit(0).cast("long").alias("d")
+    )
+    prev_sum = 0
+    for _ in range(_DAG_CAP):
+        cand = (
+            dist.join(edges, dist.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionAll(cand)
+            .groupBy("node")
+            .agg(F.max("d").alias("d"))
+            .localCheckpoint()
+        )
+        cur = dist.agg(F.sum("d")).collect()[0][0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    else:
+        raise RuntimeError(
+            "dag_longest_path_layers: no fixpoint within "
+            f"{_DAG_CAP} rounds — input graph has a cycle"
+        )
+    return dist.groupBy(F.col("d").alias("layer")).agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.min("node").cast("long").alias("min_node"),
+        F.max("node").cast("long").alias("max_node"),
+    )

@@ -20,7 +20,7 @@ from pyspark.sql import Window as W
 
 from beam_pyspark_runner_spark.functions.hashing import unit_hash, unit_hash_sql
 from beam_pyspark_runner_spark.functions.numeric import dsum, dsum_sql
-from beam_pyspark_runner_spark.functions.vectors import cosine_similarity, dot
+from beam_pyspark_runner_spark.functions.vectors import cosine_similarity, dot, l2_sq
 from beam_pyspark_runner_spark.queries.registry import register
 from beam_pyspark_runner_spark.sources.readers import load_table, spread
 
@@ -2665,4 +2665,117 @@ def random_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recall_at_k"
             ),
         )
+    )
+
+
+# --- greedy k-center coreset selection (round 7, session 4) -----------------
+_KC_K = 4  # coreset size; round 0 seeds deterministically at vec_id 0
+
+
+@register(
+    "kcenter_coreset_greedy",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_EMB_DBL} AS emb FROM embeddings),
+    c0 AS (SELECT vec_id, emb FROM e WHERE vec_id = 0),
+    d1 AS (SELECT e.vec_id, e.emb,
+                  {_L2SQ_SQL.format(a='e.emb', b='c0.cemb')} AS dmin
+           FROM e, (SELECT emb AS cemb FROM c0) c0),
+    c1 AS (SELECT vec_id, emb, dmin FROM d1
+           ORDER BY dmin DESC, vec_id LIMIT 1),
+    d2 AS (SELECT d1.vec_id, d1.emb,
+                  LEAST(d1.dmin,
+                        {_L2SQ_SQL.format(a='d1.emb', b='c1x.cemb')})
+                      AS dmin
+           FROM d1, (SELECT emb AS cemb FROM c1) c1x),
+    c2 AS (SELECT vec_id, emb, dmin FROM d2
+           ORDER BY dmin DESC, vec_id LIMIT 1),
+    d3 AS (SELECT d2.vec_id, d2.emb,
+                  LEAST(d2.dmin,
+                        {_L2SQ_SQL.format(a='d2.emb', b='c2x.cemb')})
+                      AS dmin
+           FROM d2, (SELECT emb AS cemb FROM c2) c2x),
+    c3 AS (SELECT vec_id, emb, dmin FROM d3
+           ORDER BY dmin DESC, vec_id LIMIT 1),
+    d4 AS (SELECT d3.vec_id,
+                  LEAST(d3.dmin,
+                        {_L2SQ_SQL.format(a='d3.emb', b='c3x.cemb')})
+                      AS dmin
+           FROM d3, (SELECT emb AS cemb FROM c3) c3x),
+    cov AS (SELECT MAX(dmin) AS r2 FROM d4),
+    sel AS (
+        SELECT 0 AS sel_round, vec_id, 0.0 AS sel_dist_sq FROM c0
+        UNION ALL SELECT 1, vec_id, dmin FROM c1
+        UNION ALL SELECT 2, vec_id, dmin FROM c2
+        UNION ALL SELECT 3, vec_id, dmin FROM c3
+    )
+    SELECT CAST(s.sel_round AS BIGINT) AS sel_round,
+           CAST(s.vec_id AS BIGINT) AS center_vec_id,
+           s.sel_dist_sq AS sel_dist_sq,
+           c.r2 AS coverage_radius_sq
+    FROM sel s, cov c
+    """,
+    tags=("similarity", "coreset", "kcenter", "data_selection",
+          "iterative"),
+)
+def kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985; the
+    farthest-point sampling behind k-center data-selection/active-
+    learning pipelines, Sener & Savarese ICLR'18): pick a seed, then
+    {_KC_K - 1}× add the point FARTHEST from the chosen set — the
+    classic 2-approximation to the k-center cover, and the selector a
+    curation pipeline runs to pick a geometrically diverse training
+    subset (where semantic_dedup REMOVES redundancy, this KEEPS
+    coverage). Each round is one corpus scan against the ≤{_KC_K}-row
+    broadcast center set, a min-of-centers distance, and a global
+    TakeOrdered(1) (heap top-1, no full sort); the running min-distance
+    column is carried forward so round r costs ONE new distance, not r.
+    Ties break by vec_id for engine-identical argmax. Also reports the
+    achieved coverage radius² (max over corpus of min-dist² to the
+    selected {_KC_K}) — the quantity the 2-approximation bounds.
+    Distances are index-order folds (functions/vectors.py), exact in
+    both engines; no UDF, no collect — centers stay a DataFrame
+    broadcast per round."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    c0 = e.filter(F.col("vec_id") == 0)
+    centers = c0.select(
+        F.lit(0).alias("sel_round"),
+        "vec_id",
+        "emb",
+        F.lit(0.0).alias("sel_dist_sq"),
+    ).localCheckpoint()
+    cur = e.crossJoin(
+        F.broadcast(c0.select(F.col("emb").alias("cemb")))
+    ).select(
+        "vec_id",
+        "emb",
+        l2_sq(F.col("emb"), F.col("cemb")).alias("dmin"),
+    ).localCheckpoint()
+    for r in range(1, _KC_K):
+        nxt = cur.orderBy(F.col("dmin").desc(), F.col("vec_id")).limit(1)
+        centers = centers.unionAll(
+            nxt.select(
+                F.lit(r).alias("sel_round"),
+                "vec_id",
+                "emb",
+                F.col("dmin").alias("sel_dist_sq"),
+            )
+        ).localCheckpoint()
+        # update runs after the last pick too: it yields the coverage radius
+        cur = cur.crossJoin(
+            F.broadcast(nxt.select(F.col("emb").alias("cemb")))
+        ).select(
+            "vec_id",
+            "emb",
+            F.least(
+                F.col("dmin"), l2_sq(F.col("emb"), F.col("cemb"))
+            ).alias("dmin"),
+        ).localCheckpoint()
+    cov = cur.agg(F.max("dmin").alias("coverage_radius_sq"))
+    return centers.crossJoin(F.broadcast(cov)).select(
+        F.col("sel_round").cast("long"),
+        F.col("vec_id").cast("long").alias("center_vec_id"),
+        "sel_dist_sq",
+        "coverage_radius_sq",
     )

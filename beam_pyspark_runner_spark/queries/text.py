@@ -4435,3 +4435,83 @@ def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         pscore.withColumn("rank", F.row_number().over(wr).cast("long"))
         .filter(F.col("rank") <= _RAKE_TOPN)
     )
+
+
+# --- uncertainty (margin) sampling for annotation (round 7, session 4) ------
+_MARGIN_N = 25
+
+
+@register(
+    "uncertainty_margin_sample",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, ({h32_sql('w')}) % {CLF_BUCKETS} AS b, COUNT(*) AS c
+        FROM tok GROUP BY doc_id, b
+    ),
+    weights AS (
+        SELECT b,
+               (('0x' || substr(md5('w-' || b), 1, 8))::BIGINT) % 2001 - 1000
+                   AS w_milli
+        FROM (SELECT unnest(range(0, {CLF_BUCKETS})) AS b)
+    ),
+    scored AS (
+        SELECT f.doc_id,
+               CAST(SUM(f.c) AS BIGINT) AS n_tokens,
+               CAST(SUM(f.c * w.w_milli) AS BIGINT) AS score_milli
+        FROM feats f JOIN weights w USING (b)
+        GROUP BY f.doc_id
+    ),
+    ranked AS (
+        SELECT s.doc_id, d.source, s.n_tokens, s.score_milli,
+               abs(s.score_milli) AS margin_milli,
+               ROW_NUMBER() OVER (ORDER BY abs(s.score_milli), s.doc_id)
+                   AS rank
+        FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, source, n_tokens, score_milli,
+           CAST(margin_milli AS BIGINT) AS margin_milli,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_MARGIN_N}
+    """,
+    tags=("text", "active_learning", "uncertainty_sampling",
+          "model_scoring", "annotation"),
+)
+def uncertainty_margin_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based uncertainty sampling (Lewis & Gale SIGIR'94) over
+    the corpus quality classifier: surface the {_MARGIN_N} documents
+    whose raw score sits CLOSEST to the keep/drop threshold — exactly
+    the rows where human labels buy the most classifier improvement per
+    annotation dollar, and the selection loop every
+    classifier-curated 100 TB corpus runs between training rounds
+    (score → pick the margin band → label → retrain). Composes the
+    linear_classifier_inference lineage verbatim (same hashed
+    features, same integer milli weights: the threshold is
+    {CLF_THRESHOLD_MILLI}, so margin = |score_milli| is already in
+    integer milli-units — no float compare anywhere). The global
+    bottom-{_MARGIN_N} is a TakeOrdered heap over the per-doc
+    aggregate (map-side partial top-k, no full sort), with doc_id
+    tie-break for engine-identical selection; source rides along so
+    the annotation batch can be audited for source skew before
+    labeling."""
+    scored = linear_classifier_inference(spark, sf_dir).select(
+        "doc_id", "n_tokens", "score_milli"
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ranked = (
+        scored.join(src, "doc_id")
+        .withColumn("margin_milli", F.abs(F.col("score_milli")).cast("long"))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(W.orderBy(F.col("margin_milli"), F.col("doc_id")))
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= _MARGIN_N)
+    )
+    return ranked.select(
+        "doc_id", "source", "n_tokens", "score_milli", "margin_milli", "rank"
+    )
