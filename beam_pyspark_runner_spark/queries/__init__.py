@@ -181,7 +181,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # ams_f2_moment, hilbert_curve_key, hilbert_vs_zorder_locality,
 # ndcg_at_k, isotonic_calibration, brier_score_decomposition,
 # closeness_centrality_sampled, propensity_stratified_ate,
-# rake_keyphrases, random_projection_recall
+# rake_keyphrases, random_projection_recall,
+# curve_file_skipping_audit, offpolicy_ips_evaluation,
+# dp_geometric_noise_counts, scc_pivot_fwbw, dag_longest_path_layers,
+# kcenter_coreset_greedy, uncertainty_margin_sample
 
 
 def _apply_driver_window() -> None:

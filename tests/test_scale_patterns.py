@@ -1581,3 +1581,44 @@ def test_round7_session3_wave2_plan_shapes(spark):
         for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     }
     assert keys <= {"n_name"}, keys
+
+
+def test_session4_plan_shapes(spark):
+    """Round-7 session-4 additions hold their scale shapes:
+    random_projection_recall broadcasts the 8-query set over one corpus
+    stream (no cartesian, literal projection matrix — no Python, no
+    hash calls in the scan); uncertainty_margin_sample's global
+    bottom-N never materializes a full sort of the corpus aggregate
+    (window group limit / top-k shape); hilbert_curve_key is one
+    narrow codegen map — zero exchanges at all."""
+    plan = _executed_plan_of(spark, "random_projection_recall")
+    assert "CartesianProduct" not in plan, plan[:800]
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Python" not in plan
+    assert "md5" not in plan  # matrix baked as literals, not hashed per row
+
+    plan = _executed_plan_of(spark, "uncertainty_margin_sample")
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    # the global bottom-N runs as a top-k heap (TakeOrderedAndProject
+    # limit=25) with the rank window applied to the 25 survivors — the
+    # corpus aggregate is never fully sorted
+    assert "TakeOrderedAndProject(limit=25" in plan, plan[:1200]
+
+    plan = _executed_plan_of(spark, "hilbert_curve_key")
+    assert "Exchange" not in plan, plan[:1200]
+    assert "Python" not in plan
+
+
+def test_kcenter_rounds_checkpoint_pinned_no_full_sort(spark):
+    """kcenter_coreset_greedy: each greedy round re-materializes the
+    running min-distance table (localCheckpoint), so the final plan is
+    linear over materialized RDDs, and the per-round global argmax is
+    TakeOrdered (heap top-1), never a full Sort+collect of the corpus."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+
+    df = REGISTRY["kcenter_coreset_greedy"].fn(spark, SF_CORRECT)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 20_000, f"plan blew up: {len(plan)} chars"
+    assert "Scan ExistingRDD" in plan, plan[:1200]
