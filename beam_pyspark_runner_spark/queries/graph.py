@@ -1459,3 +1459,232 @@ def dag_longest_path_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").cast("long").alias("min_node"),
         F.max("node").cast("long").alias("max_node"),
     )
+
+
+# --- Bellman-Ford weighted shortest paths (round 7, session 4) --------------
+_BF_PRUNE = 300  # oracle walk prune; true max shortest distance is 207
+
+
+@register(
+    "bellman_ford_weighted_paths",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT src, dst,
+               (('0x' || substr(md5('w-' || src || '-' || dst), 1, 8))::BIGINT)
+                   % 9 + 1 AS w
+        FROM (
+            SELECT k AS src, (3 * k + 1) % {_BFS_N} AS dst
+            FROM range({_BFS_N}) t(k) WHERE k % 3 <> 0
+            UNION ALL
+            SELECT k, (5 * k + 2) % {_BFS_N} FROM range({_BFS_N}) t(k)
+            WHERE k % 2 = 0
+        )
+    ),
+    walk(node, d) AS (
+        SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        UNION
+        SELECT e.dst, walk.d + e.w FROM walk JOIN e ON e.src = walk.node
+        WHERE walk.d + e.w < {_BF_PRUNE}
+    )
+    SELECT node, CAST(MIN(d) AS BIGINT) AS shortest_dist
+    FROM walk GROUP BY node
+    """,
+    tags=("graph", "shortest_path", "weighted", "bellman_ford",
+          "iterative"),
+)
+def bellman_ford_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source WEIGHTED shortest distances by Bellman–Ford delta
+    iteration — what bfs_shortest_hops cannot answer (BFS minimizes
+    hops; with md5-derived edge weights 1..9 the cheapest route often
+    takes MORE hops), and the relaxation pattern (Pregel/GAS) that
+    scales where Dijkstra's sequential priority queue cannot: each
+    round joins only the IMPROVED frontier against the edge list,
+    merges via per-node MIN, and keeps strictly-improved rows as the
+    next frontier — empty frontier ⟺ fixpoint (no positive-weight
+    negative-cycle concerns), with a {_BFS_N}-round cap as the loud
+    stop. Same sparsified 512-node graph as scc_pivot_fwbw; the
+    recursive-CTE oracle enumerates path costs with a prune at
+    {_BF_PRUNE} (safe: every reachable node's true distance ≤ 207 —
+    prune can only discard paths that are already beaten) and takes
+    MIN. Per-round lineage localCheckpoint-pinned (k_core/BFS
+    discipline); distances stay integer."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    n = spark.range(_BFS_N)
+    raw = (
+        n.filter(F.col("id") % 3 != 0)
+        .select(
+            F.col("id").alias("src"),
+            ((3 * F.col("id") + 1) % _BFS_N).alias("dst"),
+        )
+        .unionAll(
+            n.filter(F.col("id") % 2 == 0).select(
+                F.col("id"), ((5 * F.col("id") + 2) % _BFS_N)
+            )
+        )
+    )
+    edges = raw.select(
+        "src",
+        "dst",
+        (
+            h32(F.concat_ws("-", F.lit("w"), F.col("src"), F.col("dst"))) % 9
+            + 1
+        ).alias("w"),
+    ).localCheckpoint()
+    dist = spark.range(1).select(
+        F.lit(0).cast("long").alias("node"), F.lit(0).cast("long").alias("d")
+    )
+    frontier = dist
+    for _ in range(_BFS_N):
+        cand = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d"))
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+        improved = (
+            cand.join(
+                dist.select(F.col("node"), F.col("d").alias("old")),
+                "node",
+                "left",
+            )
+            .filter(F.col("old").isNull() | (F.col("d") < F.col("old")))
+            .select("node", "d")
+            .localCheckpoint()
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.unionAll(improved)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+        frontier = improved
+    else:
+        raise RuntimeError(
+            "bellman_ford_weighted_paths: no fixpoint within "
+            f"{_BFS_N} rounds"
+        )
+    return dist.select("node", F.col("d").alias("shortest_dist"))
+
+
+# --- bill-of-materials quantity rollup (round 7, session 4) -----------------
+_BOM_DEPTH = 7  # complete binary assembly tree: node 1 -> leaves 128..255
+
+
+@register(
+    "bom_quantity_rollup",
+    oracle=f"""
+    WITH RECURSIVE bom AS (
+        SELECT p AS parent, 2 * p + c AS child,
+               (('0x' || substr(md5('q-' || p || '-' || (2 * p + c)), 1, 8))::BIGINT)
+                   % 3 + 1 AS qty
+        FROM range(1, 128) t(p), range(0, 2) u(c)
+    ),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM part),
+    walk(node, mult) AS (
+        SELECT CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT b.child, walk.mult * b.qty
+        FROM walk JOIN bom b ON b.parent = walk.node
+    ),
+    leaves AS (
+        SELECT node AS leaf, CAST(SUM(mult) AS BIGINT) AS total_qty
+        FROM walk WHERE node >= 128 GROUP BY node
+    )
+    SELECT l.leaf, (l.leaf % np.np) + 1 AS partkey, l.total_qty,
+           p.p_retailprice AS unit_price,
+           CAST(ROUND(CAST(l.total_qty * p.p_retailprice
+                           AS DECIMAL(38,10)), 2) AS DOUBLE)
+               AS extended_cost
+    FROM leaves l, np
+    JOIN part p ON p.p_partkey = (l.leaf % np.np) + 1
+    """,
+    tags=("graph", "bom", "hierarchy_rollup", "recursive", "iterative"),
+)
+def bom_quantity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials explosion — the hierarchy rollup where the
+    path aggregate MULTIPLIES (per-level assembly quantities) instead
+    of counting hops, which neither the reachability family
+    (recursive_cte_*) nor the BFS family expresses: total leaf-part
+    demand per unit of the root assembly = Σ over paths of Π qty along
+    the path. The assembly tree is a deterministic depth-{_BOM_DEPTH}
+    binary BOM (child = 2p+c, md5-derived per-edge quantities 1..3,
+    max path product 3^7 = 2187 — integer-safe to extreme depth at
+    BIGINT), walked with {_BOM_DEPTH} unrolled frontier joins (every
+    leaf sits at the same depth; Catalyst sees a linear chain of
+    broadcast-size joins). Leaves then price out against the REAL part
+    table (leaf → partkey modulo table size, broadcast join), and
+    extended cost goes through dsum's decimal discipline — the costed
+    BOM report an MRP run produces. Oracle: recursive CTE with
+    UNION ALL (path multiplicity preserved — UNION would collapse
+    equal-cost paths) aggregated at the leaves."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    pr = spark.range(1, 128)
+    bom = (
+        pr.crossJoin(spark.range(2).select(F.col("id").alias("c")))
+        .select(
+            F.col("id").alias("parent"),
+            (2 * F.col("id") + F.col("c")).alias("child"),
+        )
+        .select(
+            "parent",
+            "child",
+            (
+                h32(
+                    F.concat_ws(
+                        "-", F.lit("q"), F.col("parent"), F.col("child")
+                    )
+                )
+                % 3
+                + 1
+            ).alias("qty"),
+        )
+        .localCheckpoint()
+    )
+    walk = spark.range(1).select(
+        F.lit(1).cast("long").alias("node"),
+        F.lit(1).cast("long").alias("mult"),
+    )
+    for _ in range(_BOM_DEPTH):
+        walk = (
+            walk.join(bom, walk.node == bom.parent)
+            .select(
+                F.col("child").alias("node"),
+                (F.col("mult") * F.col("qty")).alias("mult"),
+            )
+        )
+    leaves = walk.groupBy(F.col("node").alias("leaf")).agg(
+        F.sum("mult").cast("long").alias("total_qty")
+    )
+    part = load_table(spark, sf_dir, "part")
+    np_ = part.agg(F.count("*").cast("long").alias("np"))
+    priced = (
+        leaves.crossJoin(F.broadcast(np_))
+        .select(
+            "leaf",
+            ((F.col("leaf") % F.col("np")) + 1).alias("partkey"),
+            "total_qty",
+        )
+        .join(
+            F.broadcast(
+                part.select(
+                    F.col("p_partkey"), F.col("p_retailprice")
+                )
+            ),
+            F.col("partkey") == F.col("p_partkey"),
+        )
+    )
+    return priced.select(
+        "leaf",
+        "partkey",
+        "total_qty",
+        F.col("p_retailprice").alias("unit_price"),
+        (F.col("total_qty") * F.col("p_retailprice"))
+        .cast("decimal(38,10)")
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("extended_cost"),
+    )

@@ -1565,3 +1565,119 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("side"),
         )
     )
+
+
+# --- streaming windowed HLL distinct (round 7, session 4) -------------------
+# Register maintenance runs IN the stream (one stateful max-agg, the
+# only stateful stage); the 64-register -> estimate reduction happens on
+# the completed register table — constant per-window state however many
+# users the window sees.
+from beam_pyspark_runner_spark.functions.hashing import h32, h32_sql
+from beam_pyspark_runner_spark.queries.sketches import (
+    HLL_ALPHA,
+    HLL_M,
+    _HLL_RMAX,
+)
+
+
+@register(
+    "stream_windowed_hll_distinct",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+               {h32_sql("'shll-' || user_id")} % {HLL_M} AS bucket,
+               CASE WHEN ({h32_sql("'shll-' || user_id")} // {HLL_M}) = 0
+                    THEN {_HLL_RMAX}
+                    ELSE CAST(log2(({h32_sql("'shll-' || user_id")} // {HLL_M})
+                                   & -({h32_sql("'shll-' || user_id")} // {HLL_M}))
+                              AS BIGINT) + 1
+               END AS r
+        FROM events
+    ),
+    regs AS (
+        SELECT window_start, bucket, MAX(r) AS rmax
+        FROM ranked GROUP BY window_start, bucket
+    ),
+    s AS (
+        SELECT window_start,
+               CAST(COUNT(*) AS BIGINT) AS n_present,
+               SUM(1::BIGINT << ({_HLL_RMAX} - rmax)) AS int_sum
+        FROM regs GROUP BY window_start
+    ),
+    exact AS (
+        SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events GROUP BY 1
+    )
+    SELECT s.window_start, s.n_present, e.exact_distinct,
+           {HLL_ALPHA} * {HLL_M} * {HLL_M} * (1::BIGINT << {_HLL_RMAX})
+               / CAST(s.int_sum + ({HLL_M} - s.n_present)
+                          * (1::BIGINT << {_HLL_RMAX}) AS DOUBLE)
+               AS hll_estimate
+    FROM s JOIN exact e ON e.window_start = s.window_start
+    """,
+    tags=("streaming", "sketch", "hll", "tumbling_window", "watermark",
+          "approx"),
+)
+def stream_windowed_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct users from a STREAM via HyperLogLog register
+    maintenance — the pattern that makes streaming distinct-count
+    viable at firehose scale: stream_dedup_within_watermark-style exact
+    distinct needs state per distinct KEY (unbounded); here the only
+    stateful stage is a windowed MAX over (day, bucket) — exactly
+    {HLL_M} longs of state per window, whatever the cardinality. The
+    register→estimate harmonic reduction (integer summation, the
+    hll_distinct_estimate discipline) runs on the COMPLETED register
+    table after the stream drains, so no second stateful aggregation is
+    needed; the exact per-window distinct joins in from the batch table
+    purely as the audit column. Same 1-day watermark/window as the
+    tumbling family; a MATCH certifies that streaming register
+    maintenance ≡ the batch sketch ≡ what a merge of per-executor
+    sketches would give (max is what makes HLL mergeable)."""
+    e = _events_stream(spark, sf_dir)
+    h = h32(F.concat_ws("-", F.lit("shll"), F.col("user_id")))
+    w = (h / HLL_M).cast("long")
+    rank = F.when(w == 0, F.lit(_HLL_RMAX)).otherwise(
+        F.log2(w.bitwiseAND(-w)).cast("long") + 1
+    )
+    regs_stream = (
+        e.withWatermark("ts", "1 day")
+        .select(
+            F.col("ts"),
+            (h % HLL_M).alias("bucket"),
+            rank.alias("r"),
+        )
+        .groupBy(F.window("ts", "1 day"), "bucket")
+        .agg(F.max("r").alias("rmax"))
+        .select(
+            F.col("window.start").alias("window_start"), "bucket", "rmax"
+        )
+    )
+    regs = run_stream_to_df(regs_stream, output_mode="complete")
+    s = regs.groupBy("window_start").agg(
+        F.count("*").cast("long").alias("n_present"),
+        F.sum(
+            F.expr(f"shiftleft(1L, cast({_HLL_RMAX} - rmax AS INT))")
+        ).alias("int_sum"),
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("window_start")
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    )
+    est = (
+        F.lit(HLL_ALPHA)
+        * HLL_M
+        * HLL_M
+        * F.expr(f"shiftleft(1L, {_HLL_RMAX})")
+        / (
+            F.col("int_sum")
+            + (HLL_M - F.col("n_present"))
+            * F.expr(f"shiftleft(1L, {_HLL_RMAX})")
+        ).cast("double")
+    )
+    return s.join(exact, "window_start").select(
+        "window_start", "n_present", "exact_distinct", est.alias("hll_estimate")
+    )
