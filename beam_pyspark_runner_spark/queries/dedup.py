@@ -1665,3 +1665,160 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- blocking-strategy quality audit (round 7, session 4) -------------------
+from beam_pyspark_runner_spark.queries.registry import REGISTRY as _REG
+
+
+@register(
+    "blocking_quality_audit",
+    oracle="""
+    WITH truth AS ({TRUTH_ORACLE}),
+    keyed AS (
+        SELECT doc_id,
+               lang || '|' || source AS k_attr,
+               substr(text, 1, 8) AS k_prefix
+        FROM documents
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    strat AS (
+        SELECT 'attr:lang+source' AS strategy, k_attr AS k FROM keyed
+        UNION ALL
+        SELECT 'prefix8', k_prefix FROM keyed
+    ),
+    blocks AS (
+        SELECT strategy, k, CAST(COUNT(*) AS BIGINT) AS bn
+        FROM strat GROUP BY strategy, k
+    ),
+    cand AS (
+        SELECT strategy,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(SUM(bn * (bn - 1) / 2) AS BIGINT) AS cand_pairs
+        FROM blocks GROUP BY strategy
+    ),
+    tp AS (SELECT CAST(COUNT(*) AS BIGINT) AS true_pairs FROM truth),
+    cb AS (
+        SELECT s.strategy, CAST(COUNT(*) AS BIGINT) AS co_blocked
+        FROM (SELECT DISTINCT strategy FROM strat) s
+        LEFT JOIN (
+            SELECT 'attr:lang+source' AS strategy, t.doc_a
+            FROM truth t
+            JOIN keyed a ON a.doc_id = t.doc_a
+            JOIN keyed b ON b.doc_id = t.doc_b
+            WHERE a.k_attr = b.k_attr
+            UNION ALL
+            SELECT 'prefix8', t.doc_a
+            FROM truth t
+            JOIN keyed a ON a.doc_id = t.doc_a
+            JOIN keyed b ON b.doc_id = t.doc_b
+            WHERE a.k_prefix = b.k_prefix
+        ) hit ON hit.strategy = s.strategy
+        GROUP BY s.strategy
+    )
+    SELECT c.strategy, c.n_blocks, c.cand_pairs,
+           1.0 - CAST(c.cand_pairs AS DOUBLE)
+                     / CAST(n.n * (n.n - 1) / 2 AS DOUBLE)
+               AS reduction_ratio,
+           tp.true_pairs,
+           cb.co_blocked,
+           CAST(cb.co_blocked AS DOUBLE)
+               / CAST(GREATEST(tp.true_pairs, 1) AS DOUBLE)
+               AS pairs_completeness
+    FROM cand c, n, tp
+    JOIN cb ON cb.strategy = c.strategy
+    """,
+    tags=("dedup", "record_linkage", "blocking", "evaluation",
+          "adjudication"),
+)
+def blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-strategy evaluation for record linkage / dedup
+    (Christen 2012's two numbers): REDUCTION RATIO (how much of the
+    O(N²) pair space a blocking key eliminates — the cost axis) and
+    PAIRS COMPLETENESS (what fraction of TRUE near-dup pairs land in
+    the same block — the recall axis), for two competing keys:
+    attribute blocking on lang+source vs an 8-char text-prefix block.
+    Truth is the registered ngram_jaccard_pairs query composed
+    VERBATIM (its oracle is inlined into this oracle's CTE — audit and
+    truth cannot drift), so the audit answers the question a 100 TB
+    linkage run must answer BEFORE it runs: which cheap key keeps the
+    matcher's candidate volume affordable without losing real pairs.
+    Candidate volume comes from block-size arithmetic (Σ C(bn,2) — no
+    pair enumeration anywhere); completeness joins the tiny truth set
+    against the key table twice. One corpus scan, two key aggregates,
+    broadcast-sized truth joins."""
+    truth = _REG["ngram_jaccard_pairs"].fn(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    keyed = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws("|", F.col("lang"), F.col("source")).alias("k_attr"),
+        F.substring(F.col("text"), 1, 8).alias("k_prefix"),
+    )
+    n = keyed.agg(F.count("*").cast("long").alias("n"))
+    strat = keyed.select(
+        F.lit("attr:lang+source").alias("strategy"), F.col("k_attr").alias("k")
+    ).unionAll(
+        keyed.select(F.lit("prefix8"), F.col("k_prefix"))
+    )
+    cand = (
+        strat.groupBy("strategy", "k")
+        .agg(F.count("*").cast("long").alias("bn"))
+        .groupBy("strategy")
+        .agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            F.sum(F.col("bn") * (F.col("bn") - 1) / 2)
+            .cast("long")
+            .alias("cand_pairs"),
+        )
+    )
+    ka = keyed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("k_attr").alias("a_attr"),
+        F.col("k_prefix").alias("a_prefix"),
+    )
+    kb = keyed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("k_attr").alias("b_attr"),
+        F.col("k_prefix").alias("b_prefix"),
+    )
+    tj = truth.join(F.broadcast(ka), "doc_a").join(F.broadcast(kb), "doc_b")
+    hits = tj.select(
+        F.lit("attr:lang+source").alias("strategy"),
+        (F.col("a_attr") == F.col("b_attr")).cast("int").alias("hit"),
+    ).unionAll(
+        tj.select(
+            F.lit("prefix8"),
+            (F.col("a_prefix") == F.col("b_prefix")).cast("int"),
+        )
+    )
+    tp = truth.agg(F.count("*").cast("long").alias("true_pairs"))
+    cb = hits.groupBy("strategy").agg(
+        F.sum("hit").cast("long").alias("co_blocked")
+    )
+    return (
+        cand.join(cb, "strategy")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(tp))
+        .select(
+            "strategy",
+            "n_blocks",
+            "cand_pairs",
+            (
+                1.0
+                - F.col("cand_pairs").cast("double")
+                / (F.col("n") * (F.col("n") - 1) / 2).cast("double")
+            ).alias("reduction_ratio"),
+            "true_pairs",
+            "co_blocked",
+            (
+                F.col("co_blocked").cast("double")
+                / F.greatest(F.col("true_pairs"), F.lit(1)).cast("double")
+            ).alias("pairs_completeness"),
+        )
+    )
+
+
+_REG["blocking_quality_audit"].oracle = _REG[
+    "blocking_quality_audit"
+].oracle.replace("{TRUTH_ORACLE}", _REG["ngram_jaccard_pairs"].oracle)

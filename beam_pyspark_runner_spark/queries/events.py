@@ -4680,3 +4680,121 @@ def dp_geometric_noise_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         noise.alias("noise"),
         (F.col("true_count") + noise).alias("noisy_count"),
     )
+
+
+# --- revenue-recognition proration (round 7, session 4) ---------------------
+@register(
+    "revenue_recognition_proration",
+    oracle=f"""
+    WITH li AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS d0,
+               CAST(l.l_shipdate AS DATE) AS d1,
+               CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT) AS cents
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= o.o_orderdate
+    ),
+    m AS (
+        SELECT d0, d1, cents,
+               CAST(date_diff('day', d0, d1) + 1 AS BIGINT) AS total_days,
+               unnest(generate_series(date_trunc('month', d0),
+                                      date_trunc('month', d1),
+                                      INTERVAL 1 MONTH)) AS month_start
+        FROM li
+    ),
+    o AS (
+        SELECT CAST(month_start AS DATE) AS month, cents, total_days,
+               CAST(date_diff('day',
+                        GREATEST(CAST(month_start AS DATE), d0),
+                        LEAST(CAST(month_start + INTERVAL 1 MONTH AS DATE),
+                              d1 + 1)) AS BIGINT) AS overlap_days
+        FROM m
+    )
+    SELECT month,
+           CAST(COUNT(*) AS BIGINT) AS n_line_months,
+           CAST(SUM(CAST(cents * overlap_days AS DECIMAL(38,10))
+                    / total_days) AS DECIMAL(38,2))::DOUBLE / 100.0
+               AS recognized_revenue
+    FROM o GROUP BY month
+    """,
+    tags=("events", "finance", "proration", "interval_explode",
+          "revenue_recognition"),
+)
+def revenue_recognition_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deferred-revenue recognition schedule (ASC 606-style straight-
+    line proration): each line item's discounted price is earned evenly
+    over the days from order to ship, and the monthly P&L recognizes
+    each month's day-share — the interval-to-calendar allocation every
+    subscription/fulfillment ledger needs, which no single GROUP BY can
+    express because one row funds MANY months. The month explode is
+    sequence() over month starts (bounded fan-out ≈ service-period
+    months, typically 1-4 here — not a day-level explode), overlap days
+    are pure integer date arithmetic, and each line-month's share is
+    ONE double division (cents·overlap exact in BIGINT) accumulated
+    through exact decimal with the 2-decimal re-round — so the monthly
+    ledger value-hashes despite summing hundreds of thousands of
+    fractional terms. Conservation (Σ months = Σ cents) holds to the
+    decimal rounding and is what the oracle certifies row by row.
+    Scale: one orders⋈lineitem join (orderkey-partitioned), ~3× row
+    expansion, one month-keyed partial agg."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.col("o_orderdate").cast("date").alias("d0"),
+            F.col("l_shipdate").cast("date").alias("d1"),
+            F.expr(
+                "CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+                " AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    m = li.select(
+        "d0",
+        "d1",
+        "cents",
+        (F.datediff(F.col("d1"), F.col("d0")) + 1)
+        .cast("long")
+        .alias("total_days"),
+        F.explode(
+            F.sequence(
+                F.date_trunc("month", F.col("d0")).cast("date"),
+                F.date_trunc("month", F.col("d1")).cast("date"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month_start"),
+    )
+    o = m.select(
+        F.col("month_start").alias("month"),
+        "cents",
+        "total_days",
+        F.datediff(
+            F.least(
+                F.add_months(F.col("month_start"), 1),
+                F.date_add(F.col("d1"), 1),
+            ),
+            F.greatest(F.col("month_start"), F.col("d0")),
+        )
+        .cast("long")
+        .alias("overlap_days"),
+    )
+    return o.groupBy("month").agg(
+        F.count("*").cast("long").alias("n_line_months"),
+        (
+            F.sum(
+                (F.col("cents") * F.col("overlap_days")).cast(
+                    "decimal(38,10)"
+                )
+                / F.col("total_days")
+            )
+            .cast("decimal(38,2)")
+            .cast("double")
+            / 100.0
+        ).alias("recognized_revenue"),
+    )

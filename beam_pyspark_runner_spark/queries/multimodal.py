@@ -568,3 +568,105 @@ def paired_modality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_dim_ok"),
     )
+
+
+# --- perceptual tile-hash near-dup over binary payloads (round 7, s4) -------
+_PH_TILES = 16
+
+
+def _tile_phash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched perceptual-hash kernel: split each payload into
+    {_PH_TILES} contiguous byte tiles, binarize each tile's byte-sum
+    against the payload's overall density (integer cross-multiplication
+    — tile_sum·len > total_sum·tile_len — no float mean anywhere), and
+    pack the bits into one integer. A real image pipeline computes the
+    same aHash over 8×8 luma tiles after decode; the reduction shape —
+    per-blob tiling, per-tile reduction, bit packing — is identical."""
+    for pdf in batches:
+        out = []
+        for b in pdf["payload"]:
+            bb = bytes(b)
+            n = len(bb)
+            total = sum(bb)
+            ph = 0
+            for t in range(_PH_TILES):
+                lo = t * n // _PH_TILES
+                hi = (t + 1) * n // _PH_TILES
+                tsum = sum(bb[lo:hi])
+                if tsum * n > total * (hi - lo):
+                    ph |= 1 << t
+            out.append(ph)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload_bytes": pdf["payload"].map(len).astype("int64"),
+                "phash": pd.Series(out, index=pdf.index, dtype="int64"),
+            }
+        )
+
+
+_PH_SCHEMA = "doc_id bigint, payload_bytes bigint, phash bigint"
+
+
+@register(
+    "payload_tile_phash_dedup",
+    oracle=f"""
+    WITH bytes AS (
+        SELECT doc_id, text AS s,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n,
+               CAST(list_sum(list_transform(range(1, octet_length(encode(text)) + 1),
+                                            i -> unicode(text[i])))
+                    AS BIGINT) AS total
+        FROM documents
+    ),
+    ph AS (
+        SELECT doc_id, n AS payload_bytes,
+               CAST(list_sum(list_transform(range(0, {_PH_TILES}), t ->
+                   CASE WHEN
+                       CAST(list_sum(list_transform(
+                           range(t * n // {_PH_TILES} + 1,
+                                 (t + 1) * n // {_PH_TILES} + 1),
+                           i -> unicode(s[i]))) AS BIGINT) * n
+                       > total * ((t + 1) * n // {_PH_TILES}
+                                  - t * n // {_PH_TILES})
+                   THEN CAST(power(2.0, t) AS BIGINT) ELSE 0 END))
+                   AS BIGINT) AS phash
+        FROM bytes
+    )
+    SELECT p.doc_id, p.payload_bytes, p.phash,
+           CAST(COUNT(*) OVER (PARTITION BY p.phash) AS BIGINT)
+               AS cluster_size
+    FROM ph p
+    """,
+    tags=("multimodal", "binary", "perceptual_hash", "near_dedup",
+          "map_in_pandas"),
+)
+def payload_tile_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual tile-hash (aHash-style) clustering of binary payloads
+    — the image/av near-dup primitive the text dedup family can't
+    serve: {_PH_TILES} contiguous tiles per blob, each binarized
+    against the blob's overall byte density and packed into one
+    {_PH_TILES}-bit signature; equal signatures = candidate perceptual
+    duplicates (cluster_size > 1), robust to small local edits the way
+    cryptographic hashes (frame_hash_dedup, cas_dedup_savings) are
+    deliberately NOT. The kernel is an Arrow-batched mapInPandas over
+    the binary column — the exact shape a real post-decode aHash uses
+    (tile, reduce, compare, pack), with integer cross-multiplied
+    thresholds so the oracle can recompute every bit from the encoded
+    bytes in SQL (unicode(char) = byte value on this ASCII corpus).
+    Scale: one Python-kernel pass (payload bytes never inflate in the
+    JVM), then a signature-keyed window for cluster sizes — the same
+    fingerprint-bucket shape as dedup_exact."""
+    from pyspark.sql import Window as W
+
+    ph = _payload_df(spark, sf_dir).mapInPandas(
+        _tile_phash_kernel, _PH_SCHEMA
+    )
+    return ph.select(
+        "doc_id",
+        "payload_bytes",
+        "phash",
+        F.count("*").over(W.partitionBy("phash")).cast("long").alias(
+            "cluster_size"
+        ),
+    )
