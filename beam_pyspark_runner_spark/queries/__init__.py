@@ -184,7 +184,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # rake_keyphrases, random_projection_recall,
 # curve_file_skipping_audit, offpolicy_ips_evaluation,
 # dp_geometric_noise_counts, scc_pivot_fwbw, dag_longest_path_layers,
-# kcenter_coreset_greedy, uncertainty_margin_sample
+# kcenter_coreset_greedy, uncertainty_margin_sample,
+# bellman_ford_weighted_paths, bom_quantity_rollup,
+# stream_windowed_hll_distinct, blocking_quality_audit,
+# revenue_recognition_proration, payload_tile_phash_dedup
 
 
 def _apply_driver_window() -> None:

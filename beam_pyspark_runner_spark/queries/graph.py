@@ -1688,3 +1688,138 @@ def bom_quantity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("extended_cost"),
     )
+
+
+# --- Boruvka minimum-spanning-forest round (round 7, session 4) -------------
+@register(
+    "boruvka_msf_round",
+    oracle=f"""
+    WITH und AS (
+        SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        FROM (
+            SELECT k AS src, (3 * k + 1) % {_BFS_N} AS dst
+            FROM range({_BFS_N}) t(k) WHERE k % 3 <> 0
+            UNION ALL
+            SELECT k, (5 * k + 2) % {_BFS_N} FROM range({_BFS_N}) t(k)
+            WHERE k % 2 = 0
+        ) WHERE src <> dst
+        GROUP BY 1, 2
+    ),
+    we AS (
+        SELECT u, v,
+               (('0x' || substr(md5('mst-' || u || '-' || v), 1, 12))::BIGINT)
+                   AS w
+        FROM und
+    ),
+    dir AS (
+        SELECT u AS node, v AS other, w FROM we
+        UNION ALL
+        SELECT v, u, w FROM we
+    ),
+    pick AS (
+        SELECT node, other, w FROM (
+            SELECT node, other, w,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY w, other) AS rn
+            FROM dir
+        ) WHERE rn = 1
+    ),
+    chosen AS (
+        SELECT LEAST(node, other) AS u, GREATEST(node, other) AS v,
+               MAX(w) AS w,
+               CAST(COUNT(*) AS BIGINT) AS picked_by
+        FROM pick GROUP BY 1, 2
+    )
+    SELECT u, v, w, picked_by,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM chosen) AS n_chosen,
+           (SELECT CAST(SUM(CAST(w AS DECIMAL(38,0))) AS BIGINT)
+            FROM chosen) AS total_weight
+    FROM chosen
+    """,
+    tags=("graph", "mst", "boruvka", "spanning_forest", "iterative"),
+)
+def boruvka_msf_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Borůvka round of distributed minimum-spanning-forest (the
+    1926 algorithm that IS the scalable MST: Kruskal needs a global
+    edge sort + sequential union-find, Prim a sequential frontier —
+    Borůvka's 'every node grabs its cheapest incident edge' is one
+    window over the edge list and halves the component count per
+    round, so log V rounds finish the forest; this is also the
+    GraphX/Pregel MST building block). By the cut property every
+    chosen edge is IN the MSF (weights made distinct by the 48-bit
+    md5 draw + (w, other) tie order), so the round's output is
+    certified-correct MSF membership, not a heuristic. Edges are
+    undirected (canonicalized u<v, one weight per pair), the per-node
+    argmin is a (node)-partitioned window (map-side WindowGroupLimit
+    shape), and mutual picks collapse by GROUP BY with picked_by ∈
+    {{1,2}} recording which edges two components agreed on. Summary
+    columns (edge count, total weight via exact decimal) ride every
+    row for the one-query report."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+    from pyspark.sql import Window as W
+
+    n = spark.range(_BFS_N)
+    raw = (
+        n.filter(F.col("id") % 3 != 0)
+        .select(
+            F.col("id").alias("src"),
+            ((3 * F.col("id") + 1) % _BFS_N).alias("dst"),
+        )
+        .unionAll(
+            n.filter(F.col("id") % 2 == 0).select(
+                F.col("id"), ((5 * F.col("id") + 2) % _BFS_N)
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    und = raw.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    # 48-bit md5 weight: effectively collision-free on ~700 edges
+    we = und.select(
+        "u",
+        "v",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("-", F.lit("mst"), F.col("u"), F.col("v"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    dirn = we.select(
+        F.col("u").alias("node"), F.col("v").alias("other"), "w"
+    ).unionAll(we.select(F.col("v"), F.col("u"), F.col("w")))
+    pick = (
+        dirn.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("node").orderBy("w", "other")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    chosen = (
+        pick.groupBy(
+            F.least("node", "other").alias("u"),
+            F.greatest("node", "other").alias("v"),
+        )
+        .agg(
+            F.max("w").alias("w"),
+            F.count("*").cast("long").alias("picked_by"),
+        )
+    )
+    summary = chosen.agg(
+        F.count("*").cast("long").alias("n_chosen"),
+        F.sum(F.col("w").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("total_weight"),
+    )
+    return chosen.crossJoin(F.broadcast(summary)).select(
+        "u", "v", "w", "picked_by", "n_chosen", "total_weight"
+    )

@@ -6827,3 +6827,154 @@ def partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("partial_rxy_given_z"),
     )
+
+
+# --- Neyman allocation + largest-remainder rounding (round 7, session 4) ----
+_NEYMAN_BUDGET = 1000
+
+
+@register(
+    "neyman_allocation",
+    oracle=f"""
+    WITH c AS (
+        SELECT n.n_name AS nation,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    s AS (
+        SELECT nation,
+               CAST(COUNT(*) AS BIGINT) AS n_h,
+               CAST(SUM(cents) AS BIGINT) AS s1,
+               CAST(SUM(cents * cents) AS BIGINT) AS s2
+        FROM c GROUP BY nation
+    ),
+    w AS (
+        SELECT nation, n_h,
+               sqrt((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_h)
+                    / (n_h - 1)) / 100.0 AS stddev,
+               n_h * (sqrt((CAST(s2 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_h)
+                           / (n_h - 1)) / 100.0) AS wgt
+        FROM s WHERE n_h > 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(CAST(wgt AS DECIMAL(38,10))) AS DOUBLE) AS totw
+        FROM w
+    ),
+    raw AS (
+        SELECT w.nation, w.n_h, w.stddev,
+               {_NEYMAN_BUDGET} * w.wgt / t.totw AS raw_alloc,
+               CAST(floor({_NEYMAN_BUDGET} * w.wgt / t.totw) AS BIGINT)
+                   AS base_alloc
+        FROM w, tot t
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   ORDER BY raw_alloc - base_alloc DESC, nation) AS frac_rank,
+               (SELECT {_NEYMAN_BUDGET} - SUM(base_alloc) FROM raw) AS seats
+        FROM raw
+    )
+    SELECT nation, n_h, stddev, raw_alloc,
+           CAST(base_alloc + CASE WHEN frac_rank <= seats THEN 1 ELSE 0 END
+                AS BIGINT) AS allocation
+    FROM ranked
+    """,
+    tags=("relational", "survey_sampling", "neyman", "apportionment"),
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal stratified-sample allocation (Neyman 1934) with
+    Hamilton largest-remainder integer rounding — the pre-sampling
+    planner for any stratified audit/labeling budget: sample size per
+    stratum ∝ N_h·S_h (big AND volatile strata get seats; a
+    proportional-only allocation overpays homogeneous strata), then
+    the fractional allocations round to integers that sum EXACTLY to
+    the {_NEYMAN_BUDGET}-unit budget (floor everything, hand the
+    leftover seats to the largest fractional parts — the apportionment
+    rule that avoids the round()-then-hope drift). Stratum variances
+    come from exact integer power sums in cents (one aggregate per
+    stratum; sqrt is the repo's one sanctioned transcendental), the
+    weight normalizer goes through exact decimal, and remainder
+    ranking ties break by nation name. Scale: one customer-table
+    aggregate into 25 strata; everything after is 25-row arithmetic.
+    Composes with raking_ipf_weights (post-hoc reweighting) as the
+    before/after pair of survey-sampling operators."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    s = c.groupBy("nation").agg(
+        F.count("*").cast("long").alias("n_h"),
+        F.sum("cents").cast("long").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("s2"),
+    )
+    sd = (
+        F.sqrt(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double")
+                * F.col("s1").cast("double")
+                / F.col("n_h")
+            )
+            / (F.col("n_h") - 1)
+        )
+        / 100.0
+    )
+    w = s.filter(F.col("n_h") > 1).select(
+        "nation",
+        "n_h",
+        sd.alias("stddev"),
+        (F.col("n_h") * sd).alias("wgt"),
+    )
+    tot = w.agg(
+        F.sum(F.col("wgt").cast("decimal(38,10)"))
+        .cast("double")
+        .alias("totw")
+    )
+    raw = w.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "n_h",
+        "stddev",
+        (_NEYMAN_BUDGET * F.col("wgt") / F.col("totw")).alias("raw_alloc"),
+        F.floor(_NEYMAN_BUDGET * F.col("wgt") / F.col("totw"))
+        .cast("long")
+        .alias("base_alloc"),
+    )
+    seats = raw.agg(
+        (_NEYMAN_BUDGET - F.sum("base_alloc")).cast("long").alias("seats")
+    )
+    from pyspark.sql import Window as W
+
+    ranked = raw.crossJoin(F.broadcast(seats)).withColumn(
+        "frac_rank",
+        F.row_number().over(
+            W.orderBy(
+                (F.col("raw_alloc") - F.col("base_alloc")).desc(),
+                F.col("nation"),
+            )
+        ),
+    )
+    return ranked.select(
+        "nation",
+        "n_h",
+        "stddev",
+        "raw_alloc",
+        (
+            F.col("base_alloc")
+            + F.when(F.col("frac_rank") <= F.col("seats"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("allocation"),
+    )

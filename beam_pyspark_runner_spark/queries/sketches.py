@@ -1211,3 +1211,133 @@ def ams_f2_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+# --- AMS inner-product join-size estimate (round 7, session 4) --------------
+@register(
+    "ams_join_size_estimate",
+    oracle=f"""
+    WITH a AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    b AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    exact AS (
+        SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS join_size_exact
+        FROM a JOIN b USING (user_id)
+    ),
+    reps AS (SELECT unnest(range(0, {AMS_R})) AS rep),
+    xa AS (
+        SELECT r.rep,
+               CAST(SUM((1 - 2 * ({h32_sql("'ams-' || r.rep || '-' || a.user_id")} % 2))
+                        * a.c) AS BIGINT) AS x
+        FROM a, reps r GROUP BY r.rep
+    ),
+    xb AS (
+        SELECT r.rep,
+               CAST(SUM((1 - 2 * ({h32_sql("'ams-' || r.rep || '-' || b.user_id")} % 2))
+                        * b.c) AS BIGINT) AS x
+        FROM b, reps r GROUP BY r.rep
+    ),
+    f2 AS (
+        SELECT (SELECT SUM(c * c) FROM a) AS f2a,
+               (SELECT SUM(c * c) FROM b) AS f2b
+    ),
+    m AS (
+        SELECT CAST(SUM(xa.x * xb.x) AS DOUBLE) / {AMS_R} AS est_mean
+        FROM xa JOIN xb USING (rep)
+    )
+    SELECT xa.rep AS rep, CAST(xa.x * xb.x AS BIGINT) AS est,
+           e.join_size_exact, m.est_mean,
+           abs(m.est_mean - CAST(e.join_size_exact AS DOUBLE))
+               <= 3.0 * sqrt(2.0 / {AMS_R})
+                      * sqrt(CAST(f2.f2a AS DOUBLE) * CAST(f2.f2b AS DOUBLE))
+               AS within_bound
+    FROM xa JOIN xb USING (rep), exact e, m, f2
+    """,
+    tags=("sketch", "ams", "join_size_estimate", "inner_product"),
+)
+def ams_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS inner-product estimation of a JOIN SIZE between two
+    relations — the general form of ams_f2_moment (F2 is the self-join
+    special case) and the statistic a cost-based planner actually
+    wants before choosing a join strategy: |A ⋈_k B| = Σ_v a_v·b_v is
+    estimated by E[X_A·X_B] over the SAME signed-hash family applied
+    independently to each side (Alon–Gilbert–Matias–Szegedy 1999/2002),
+    within 3·sqrt(2/{AMS_R})·sqrt(F2(A)·F2(B)) at 3σ — the Cauchy–
+    Schwarz-shaped bound the within_bound column certifies against
+    the exact join size. The two sketch legs here are view-events vs
+    purchase-events keyed on user_id; each is one map-side partial
+    aggregate into {AMS_R} signed counters, mergeable across
+    partitions/machines by addition — so two 100 TB tables can be
+    compared by shipping 2×{AMS_R} longs, never co-shuffling either.
+    Exact leg (per-key counts + key join) exists only to adjudicate,
+    the cms/minhash/kmv estimator-audit discipline."""
+    ev = load_table(spark, sf_dir, "events")
+    a = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    exact = (
+        a.join(b, "user_id")
+        .agg(
+            F.sum(a["c"] * b["c"]).cast("long").alias("join_size_exact")
+        )
+    )
+    reps = spark.range(AMS_R).select(F.col("id").alias("rep"))
+
+    def sketch(df: DataFrame) -> DataFrame:
+        sign = 1 - 2 * (
+            h32(
+                F.concat_ws("-", F.lit("ams"), F.col("rep"), F.col("user_id"))
+            )
+            % 2
+        )
+        return (
+            df.crossJoin(F.broadcast(reps))
+            .groupBy("rep")
+            .agg(F.sum(sign * F.col("c")).cast("long").alias("x"))
+        )
+
+    xa = sketch(a).select(F.col("rep"), F.col("x").alias("xa"))
+    xb = sketch(b).select(F.col("rep"), F.col("x").alias("xb"))
+    f2 = a.agg(F.sum(F.col("c") * F.col("c")).alias("f2a")).crossJoin(
+        b.agg(F.sum(F.col("c") * F.col("c")).alias("f2b"))
+    )
+    xx = xa.join(xb, "rep")
+    m = xx.agg(
+        (F.sum(F.col("xa") * F.col("xb")).cast("double") / AMS_R).alias(
+            "est_mean"
+        )
+    )
+    return (
+        xx.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(f2))
+        .select(
+            "rep",
+            (F.col("xa") * F.col("xb")).cast("long").alias("est"),
+            "join_size_exact",
+            "est_mean",
+            (
+                F.abs(
+                    F.col("est_mean")
+                    - F.col("join_size_exact").cast("double")
+                )
+                <= 3.0
+                * F.sqrt(F.lit(2.0 / AMS_R))
+                * F.sqrt(
+                    F.col("f2a").cast("double") * F.col("f2b").cast("double")
+                )
+            ).alias("within_bound"),
+        )
+    )
