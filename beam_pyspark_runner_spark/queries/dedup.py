@@ -1822,3 +1822,143 @@ def blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REG["blocking_quality_audit"].oracle = _REG[
     "blocking_quality_audit"
 ].oracle.replace("{TRUTH_ORACLE}", _REG["ngram_jaccard_pairs"].oracle)
+
+
+# --- transitive-closure cluster precision audit (round 7, session 4) --------
+_CLUSTER_HAMMING = 3  # cluster edges: simhash pairs at this distance or less
+
+
+@register(
+    "dedup_cluster_precision",
+    oracle=f"""
+    WITH RECURSIVE sp AS (
+        SELECT doc_a, doc_b FROM ({{SIMHASH_ORACLE}})
+        WHERE hamming <= {_CLUSTER_HAMMING}
+    ),
+    truth AS (
+        SELECT doc_a, doc_b FROM ({{TRUTH_ORACLE}})
+    ),
+    e AS (SELECT doc_a AS src, doc_b AS dst FROM sp
+          UNION SELECT doc_b, doc_a FROM sp),
+    reach(src, dst) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM e)
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+    ),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS comp FROM reach GROUP BY src),
+    csizes AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS c
+               FROM comp GROUP BY comp),
+    verified AS (
+        SELECT t.doc_a FROM truth t
+        JOIN comp a ON a.doc_id = t.doc_a
+        JOIN comp b ON b.doc_id = t.doc_b
+        WHERE a.comp = b.comp
+    ),
+    m AS (
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM csizes) AS n_clusters,
+            (SELECT CAST(MAX(c) AS BIGINT) FROM csizes) AS largest_cluster,
+            (SELECT CAST(SUM(c * (c - 1) / 2) AS BIGINT) FROM csizes)
+                AS n_intra_pairs,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true_pairs,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM verified) AS n_verified
+    )
+    SELECT n_clusters, largest_cluster, n_intra_pairs, n_true_pairs,
+           n_verified,
+           n_intra_pairs - n_verified AS n_chained_pairs,
+           CAST(n_verified AS DOUBLE)
+               / CAST(GREATEST(n_intra_pairs, 1) AS DOUBLE)
+               AS pair_precision,
+           CAST(n_verified AS DOUBLE)
+               / CAST(GREATEST(n_true_pairs, 1) AS DOUBLE)
+               AS truth_coverage
+    FROM m
+    """,
+    tags=("dedup", "near_dedup", "connected_components", "evaluation",
+          "adjudication", "iterative"),
+)
+def dedup_cluster_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit every transitive-closure dedup needs before it DELETES
+    data: connected components CHAIN — A~B and B~C put A,C in one
+    cluster even when sim(A,C) is below the bar — so cluster membership
+    is NOT pairwise similarity. Clusters here come from the registered
+    simhash_pairs lineage at hamming ≤ {_CLUSTER_HAMMING} (the
+    production-cheap net), truth is the registered exact-jaccard pair
+    set; the report: pair_precision = intra-cluster pairs that really
+    meet the jaccard bar, n_chained_pairs = pairs existing only by
+    transitivity (what a keep-one-per-cluster policy would wrongly
+    delete), truth_coverage = true pairs the clustering found at all.
+    On this corpus the un-thresholded simhash graph (hamming ≤ 8)
+    collapses 4974 of 5000 docs into ONE component at sf0.1 — 12.4M
+    phantom intra-pairs — which is why (a) the distance cut matters
+    and (b) this audit counts intra-pairs ARITHMETICALLY from
+    component sizes (Σ C(n,2)) and never enumerates them; the only
+    pair-shaped work is joining the tiny truth set against the label
+    table. Both composed oracles are inlined verbatim (nested CTEs),
+    so audit and audited lineage cannot drift."""
+    edges = (
+        _REG["simhash_pairs"].fn(spark, sf_dir)
+        .filter(F.col("hamming") <= _CLUSTER_HAMMING)
+        .select("doc_a", "doc_b")
+    )
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = connected_components(sym)  # (id, comp)
+    csizes = labels.groupBy("comp").agg(F.count("*").cast("long").alias("c"))
+    truth = _REG["ngram_jaccard_pairs"].fn(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    la = labels.select(F.col("id").alias("doc_a"), F.col("comp").alias("ca"))
+    lb = labels.select(F.col("id").alias("doc_b"), F.col("comp").alias("cb"))
+    verified = (
+        truth.join(F.broadcast(la), "doc_a")
+        .join(F.broadcast(lb), "doc_b")
+        .filter(F.col("ca") == F.col("cb"))
+    )
+    m = (
+        csizes.agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.max("c").cast("long").alias("largest_cluster"),
+            F.sum(F.col("c") * (F.col("c") - 1) / 2)
+            .cast("long")
+            .alias("n_intra_pairs"),
+        )
+        .crossJoin(
+            F.broadcast(
+                truth.agg(F.count("*").cast("long").alias("n_true_pairs"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                verified.agg(F.count("*").cast("long").alias("n_verified"))
+            )
+        )
+    )
+    return m.select(
+        "n_clusters",
+        "largest_cluster",
+        "n_intra_pairs",
+        "n_true_pairs",
+        "n_verified",
+        (F.col("n_intra_pairs") - F.col("n_verified")).alias(
+            "n_chained_pairs"
+        ),
+        (
+            F.col("n_verified").cast("double")
+            / F.greatest(F.col("n_intra_pairs"), F.lit(1)).cast("double")
+        ).alias("pair_precision"),
+        (
+            F.col("n_verified").cast("double")
+            / F.greatest(F.col("n_true_pairs"), F.lit(1)).cast("double")
+        ).alias("truth_coverage"),
+    )
+
+
+_REG["dedup_cluster_precision"].oracle = (
+    _REG["dedup_cluster_precision"]
+    .oracle.replace("{SIMHASH_ORACLE}", _REG["simhash_pairs"].oracle)
+    .replace("{TRUTH_ORACLE}", _REG["ngram_jaccard_pairs"].oracle)
+)
