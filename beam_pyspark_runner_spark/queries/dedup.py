@@ -1962,3 +1962,79 @@ _REG["dedup_cluster_precision"].oracle = (
     .oracle.replace("{SIMHASH_ORACLE}", _REG["simhash_pairs"].oracle)
     .replace("{TRUTH_ORACLE}", _REG["ngram_jaccard_pairs"].oracle)
 )
+
+
+# --- SymSpell-style edit-distance-1 id matching (round 7, session 4) --------
+_SYM_LEN = 9  # customer ids are zero-padded 9-digit strings
+
+
+@register(
+    "symspell_id_neighbors",
+    oracle=f"""
+    WITH ids AS (
+        SELECT DISTINCT regexp_extract(c_name, '[0-9]+') AS w FROM customer
+    ),
+    keys AS (
+        SELECT w, p,
+               substr(w, 1, p - 1) || substr(w, p + 1) AS delstr,
+               substr(w, p, 1) AS digit
+        FROM ids, (SELECT unnest(range(1, {_SYM_LEN} + 1)) AS p)
+    )
+    SELECT a.w AS id_a, b.w AS id_b,
+           CAST(a.p AS BIGINT) AS pos,
+           a.digit AS digit_a, b.digit AS digit_b
+    FROM keys a JOIN keys b
+      ON a.p = b.p AND a.delstr = b.delstr AND a.w < b.w
+    """,
+    tags=("dedup", "record_linkage", "symspell", "edit_distance",
+          "fuzzy_join"),
+)
+def symspell_id_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL pairs of customer ids at edit distance exactly 1 — WITHOUT a
+    pairwise comparison: the SymSpell / symmetric-delete trick (Garbe;
+    the spelling-correction index FAISS-of-strings) specialized to
+    fixed-length ids, where sharing a (position, string-with-that-
+    position-deleted) key is a PROOF of single-substitution — so the
+    join output needs no verification pass at all, and the differing
+    digits fall out of the key. This is the fuzzy-ID blocking a
+    record-linkage run uses for OCR'd/mistyped identifiers: N ids
+    become N·{_SYM_LEN} keys; candidate fan-in is bounded by digits
+    sharing a context (≤ 10 per key), so pair work is O(matches), not
+    O(N²) — at sf0.01 that is 19,500 true pairs from 1,500 ids where
+    brute force would scan 1.1M combinations. Key completeness +
+    soundness (pairs == brute-force Levenshtein-1 set on the
+    fixed-length universe) is certified against an independent Python
+    brute force in tests/test_properties.py. One distinct-projection
+    scan, one explode, one equi-join on (pos, delstr)."""
+    ids = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.regexp_extract(F.col("c_name"), "[0-9]+", 0).alias("w"))
+        .distinct()
+    )
+    pos = spark.range(1, _SYM_LEN + 1).select(F.col("id").alias("p"))
+    keys = ids.crossJoin(F.broadcast(pos)).select(
+        "w",
+        "p",
+        F.concat(
+            F.expr("substr(w, 1, cast(p - 1 as int))"),
+            F.expr(f"substr(w, cast(p + 1 as int))"),
+        ).alias("delstr"),
+        F.expr("substr(w, cast(p as int), 1)").alias("digit"),
+    )
+    a = keys.select(
+        F.col("w").alias("id_a"),
+        F.col("p").alias("pos"),
+        F.col("delstr"),
+        F.col("digit").alias("digit_a"),
+    )
+    b = keys.select(
+        F.col("w").alias("id_b"),
+        F.col("p").alias("pos"),
+        F.col("delstr"),
+        F.col("digit").alias("digit_b"),
+    )
+    return (
+        a.join(b, ["pos", "delstr"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.col("pos").cast("long"), "digit_a", "digit_b")
+    )

@@ -2779,3 +2779,128 @@ def kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sel_dist_sq",
         "coverage_radius_sq",
     )
+
+
+# --- IVF-bucketed kNN-distance outlier scores (round 7, session 4) ----------
+_OUT_K = 5   # distance to the 5th in-bucket neighbor is the score
+_OUT_N = 20  # report the top-20 outliers
+
+
+@register(
+    "knn_distance_outliers",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_EMB_DBL} AS emb FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e
+             WHERE vec_id < {N_CENTROIDS}),
+    assigned AS (
+        SELECT vec_id, emb, centroid_id FROM (
+            SELECT e.vec_id, e.emb, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos_sql('e.emb', 'c.cemb')} DESC,
+                                c.centroid_id) AS rn
+            FROM e, cent c
+        ) WHERE rn = 1
+    ),
+    nn AS (
+        SELECT vec_id, centroid_id, d2 FROM (
+            SELECT a.vec_id, a.centroid_id,
+                   {_L2SQ_SQL.format(a='a.emb', b='b.emb')} AS d2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {_L2SQ_SQL.format(a='a.emb', b='b.emb')},
+                                b.vec_id) AS rn
+            FROM assigned a JOIN assigned b
+              ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+        ) WHERE rn = {_OUT_K}
+    )
+    SELECT vec_id, centroid_id, d2 AS knn_dist_sq,
+           CAST(ROW_NUMBER() OVER (ORDER BY d2 DESC, vec_id) AS BIGINT)
+               AS outlier_rank
+    FROM nn
+    QUALIFY outlier_rank <= {_OUT_N}
+    """,
+    tags=("similarity", "outlier_detection", "knn", "ivf",
+          "data_quality"),
+)
+def knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-based outlier detection (Knorr–Ng / Ramaswamy et al.
+    2000: score = distance to the k-th nearest neighbor) made
+    IVF-affordable: instead of the O(N²) all-pairs kNN, each vector's
+    neighbors are searched ONLY inside its coarse-quantizer cell
+    (ivf_centroid_assign's broadcast assignment), which upper-bounds
+    the true k-NN distance — exactly the right bias for OUTLIER
+    hunting, since points whose in-cell neighborhood is sparse are
+    sparse, period. The report: top-{_OUT_N} vectors by distance² to
+    their {_OUT_K}-th in-cell neighbor — the mislabeled/corrupt-
+    embedding screen a curation pipeline runs before contrastive
+    training (cf. label_centroid_dispersion, which scores CLASSES;
+    this scores POINTS). Pair work is bucket-bounded (Σ|cell|², the
+    semantic_dedup bound, tuned by K at scale); the final top-N is a
+    TakeOrdered heap over one row per vector. Distances are
+    index-order folds, rank ties broken by vec_id."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "emb",
+            "centroid_id",
+            cosine_similarity(F.col("emb"), F.col("cemb")).alias("cosine"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(
+                    F.col("cosine").desc(), F.col("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "centroid_id")
+    )
+    a = assigned.select(
+        F.col("vec_id"), F.col("emb"), F.col("centroid_id")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_vec"),
+        F.col("emb").alias("b_emb"),
+        F.col("centroid_id").alias("b_cent"),
+    )
+    nn = (
+        a.join(b, (F.col("centroid_id") == F.col("b_cent")))
+        .filter(F.col("vec_id") != F.col("b_vec"))
+        .select(
+            "vec_id",
+            "centroid_id",
+            l2_sq(F.col("emb"), F.col("b_emb")).alias("d2"),
+            F.col("b_vec"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy("d2", "b_vec")
+            ),
+        )
+        .filter(F.col("rn") == _OUT_K)
+    )
+    return (
+        nn.withColumn(
+            "outlier_rank",
+            F.row_number()
+            .over(W.orderBy(F.col("d2").desc(), F.col("vec_id")))
+            .cast("long"),
+        )
+        .filter(F.col("outlier_rank") <= _OUT_N)
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.col("d2").alias("knn_dist_sq"),
+            "outlier_rank",
+        )
+    )

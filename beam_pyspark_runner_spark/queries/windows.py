@@ -532,3 +532,145 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("span_days"),
     )
+
+
+# --- Hampel filter (robust rolling outlier screen) (round 7, session 4) -----
+# Median of a SORTED array (1-based element_at in both dialects); even
+# windows interpolate the two middles — identical expression text.
+def _arr_median(arr: str) -> str:
+    return (
+        f"CASE WHEN size({arr}) % 2 = 1"
+        f" THEN CAST(element_at({arr},"
+        f"      CAST((size({arr}) + 1) DIV 2 AS INT)) AS DOUBLE)"
+        f" ELSE (CAST(element_at({arr},"
+        f"            CAST(size({arr}) DIV 2 AS INT)) AS DOUBLE)"
+        f"       + CAST(element_at({arr},"
+        f"              CAST(size({arr}) DIV 2 + 1 AS INT)) AS DOUBLE))"
+        f"      / 2.0 END"
+    )
+
+
+def _arr_median_duck(arr: str) -> str:
+    return (
+        f"CASE WHEN len({arr}) % 2 = 1"
+        f" THEN CAST({arr}[(len({arr}) + 1) // 2] AS DOUBLE)"
+        f" ELSE (CAST({arr}[len({arr}) // 2] AS DOUBLE)"
+        f"       + CAST({arr}[len({arr}) // 2 + 1] AS DOUBLE)) / 2.0 END"
+    )
+
+
+_HAMPEL_K = 1.4826  # consistency constant: MAD -> sigma under normality
+_HAMPEL_T = 3.0
+
+
+@register(
+    "hampel_filter",
+    oracle=f"""
+    WITH daily AS (
+        SELECT n.n_name AS nation, CAST(o.o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT nation, day, cents,
+               list_sort(list(cents) OVER (
+                   PARTITION BY nation ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS arr
+        FROM daily
+    ),
+    med AS (
+        SELECT nation, day, cents, arr,
+               {_arr_median_duck('arr')} AS rolling_med
+        FROM win
+    ),
+    mad AS (
+        SELECT nation, day, cents, rolling_med,
+               {_arr_median_duck("list_sort(list_transform(arr, x -> abs(CAST(x AS DOUBLE) - rolling_med)))")}
+                   AS rolling_mad
+        FROM med
+    )
+    SELECT nation, day,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           rolling_med / 100.0 AS rolling_med,
+           rolling_mad / 100.0 AS rolling_mad,
+           abs(CAST(cents AS DOUBLE) - rolling_med) / 100.0 AS deviation
+    FROM mad
+    WHERE abs(CAST(cents AS DOUBLE) - rolling_med)
+          > {_HAMPEL_T} * {_HAMPEL_K} * rolling_mad
+    """,
+    tags=("windows", "robust_statistics", "hampel", "outlier_detection",
+          "time_series"),
+)
+def hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel identifier over per-nation daily revenue: flag days where
+    |x − rolling median| > {_HAMPEL_T}·{_HAMPEL_K}·rolling MAD — the
+    robust alternative to z-score screens (value_outliers,
+    seasonal_adjusted_anomaly): median/MAD have a 50% breakdown point,
+    so a burst of bad days cannot drag the baseline the way it drags a
+    mean/σ screen, which is why Hampel is the standard telemetry
+    despiker. The ±3-day window materializes as a per-row SORTED array
+    (7 longs — constant memory), median and MAD are pure array
+    expressions over it (exact integer cents until the final halving/
+    division, identical element_at arithmetic in both engines), and
+    series edges naturally use their shorter windows. Scale: windows
+    partition by nation (no global sort); at 100 TB the same shape
+    runs per (series key), the array never exceeding the window
+    length."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_nationkey"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = W.partitionBy("nation").orderBy("day").rowsBetween(-3, 3)
+    win = daily.select(
+        "nation",
+        "day",
+        "cents",
+        F.sort_array(F.collect_list("cents").over(w)).alias("arr"),
+    )
+    med = win.withColumn("rolling_med", F.expr(_arr_median("arr")))
+    mad = med.withColumn(
+        "rolling_mad",
+        F.expr(
+            _arr_median(
+                "sort_array(transform(arr,"
+                " x -> abs(CAST(x AS DOUBLE) - rolling_med)))"
+            )
+        ),
+    )
+    dev = F.abs(F.col("cents").cast("double") - F.col("rolling_med"))
+    return mad.filter(
+        dev > _HAMPEL_T * _HAMPEL_K * F.col("rolling_mad")
+    ).select(
+        "nation",
+        "day",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        (F.col("rolling_med") / 100.0).alias("rolling_med"),
+        (F.col("rolling_mad") / 100.0).alias("rolling_mad"),
+        (dev / 100.0).alias("deviation"),
+    )

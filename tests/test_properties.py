@@ -1337,3 +1337,43 @@ def test_isotonic_minimax_equals_stack_pava():
         assert all(abs(x - y) < 1e-12 for x, y in zip(a, b)), (ns, ps, a, b)
         assert all(a[i] <= a[i + 1] + 1e-12 for i in range(len(a) - 1))
         assert abs(sum(f * n for f, n in zip(a, ns)) - sum(ps)) < 1e-9
+
+
+def test_symspell_pairs_equal_bruteforce(spark):
+    """symspell_id_neighbors: the positional-deletion join must emit
+    EXACTLY the brute-force Levenshtein-distance-1 pair set on the
+    fixed-length id universe (sound: every emitted pair differs in one
+    digit; complete: no distance-1 pair missed)."""
+    import itertools
+
+    from beam_pyspark_runner_spark.queries import REGISTRY
+
+    rows = (
+        REGISTRY["symspell_id_neighbors"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    got = {(r.id_a, r.id_b) for r in rows}
+    ids = sorted(
+        {r.id_a for r in rows}
+        | {r.id_b for r in rows}
+        | {
+            r[0]
+            for r in spark.read.parquet(
+                "/root/testdata/sf0.001/customer.parquet"
+            )
+            .selectExpr("regexp_extract(c_name, '[0-9]+', 0) AS w")
+            .distinct()
+            .collect()
+        }
+    )
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(ids, 2)
+        if len(a) == len(b) and sum(x != y for x, y in zip(a, b)) == 1
+    }
+    assert got == brute, (len(got), len(brute))
+    for r in rows:  # per-pair metadata is self-consistent
+        assert r.id_a[r.pos - 1] == r.digit_a
+        assert r.id_b[r.pos - 1] == r.digit_b
+        assert r.digit_a != r.digit_b
