@@ -1718,3 +1718,64 @@ def curve_file_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.sum("n_match"), F.lit(1)).cast("double")
         ).alias("scan_amplification"),
     )
+
+
+# --- order-independent dataset version fingerprint (round 7, session 4) -----
+@register(
+    "dataset_version_fingerprint",
+    oracle=f"""
+    WITH rows_h AS (
+        SELECT (('0x' || substr(md5(
+                    'v1|' || o_orderkey || '|' || o_custkey || '|'
+                    || o_orderstatus || '|'
+                    || CAST(round(o_totalprice * 100) AS BIGINT)), 1, 15))::BIGINT)
+                   AS h
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(h) % 9223372036854775807 AS BIGINT) AS content_fingerprint,
+           CAST(bit_xor(h) AS BIGINT) AS xor_fingerprint
+    FROM rows_h
+    """,
+    tags=("io", "data_versioning", "fingerprint", "reproducibility"),
+)
+def dataset_version_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-INDEPENDENT dataset content fingerprint — the version stamp
+    a reproducible pipeline records beside every artifact (the check
+    DVC/LakeFS-style tooling does with file hashes, done here at ROW
+    semantics so it survives repartitioning, file splits, and rewrite
+    order): hash each row's canonicalized key fields (schema-versioned
+    'v1|' prefix, money pinned to integer cents), then combine with
+    commutative reducers (modular SUM and XOR — two independent
+    combiners so a collision would have to fool both). Equal
+    fingerprints ⇒ same row multiset (up to 60-bit hash collision);
+    any row edit, drop, or duplicate moves both. Runs as one narrow
+    map + partial aggregate — no sort, no shuffle beyond the final
+    1-row combine, identical cost at any partition count, which is
+    the property file-level hashing loses the moment Spark rewrites
+    the files. Cross-engine: md5 hex-prefix parse (functions/
+    hashing.py), SUM in DECIMAL headroom modulo 2^63−1, bit_xor in
+    both engines."""
+    from beam_pyspark_runner_spark.functions.hashing import h60
+
+    o = load_table(spark, sf_dir, "orders")
+    h = h60(
+        F.concat_ws(
+            "|",
+            F.lit("v1"),
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+        )
+    )
+    return o.select(h.alias("h")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        (
+            F.sum(F.col("h").cast("decimal(38,0)"))
+            % F.lit(9223372036854775807).cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("content_fingerprint"),
+        F.expr("bit_xor(h)").cast("long").alias("xor_fingerprint"),
+    )

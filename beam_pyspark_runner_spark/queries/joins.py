@@ -1761,3 +1761,321 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rules.orderBy(F.col("lift").desc(), "ante", "cons").limit(MBR_TOP)
+
+
+# --- incremental view maintenance for a join view (round 7, session 4) ------
+_IVM_SPLIT = "2001-01-01"  # orders on/after this date are the delta batch
+
+
+@register(
+    "incremental_join_maintenance",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1
+    """,
+    tags=("joins", "incremental_view_maintenance", "delta_algebra",
+          "materialized_view"),
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view under inserts on BOTH
+    sides — the delta-algebra identity behind every materialized-view
+    refresh engine: for V = A ⋈ B and insert batches ΔA, ΔB,
+
+        ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
+
+    (the cross term is what naive ΔA⋈B + A⋈ΔB double-misses), so the
+    view updates by touching only delta-sized joins — never rescanning
+    A⋈B. Here A = orders (deltas: orderdate ≥ {_IVM_SPLIT}),
+    B = customers (deltas: custkey ≡ 0 mod 20, their pre-split orders
+    deliberately ARRIVE with the customer — late-arriving dimension),
+    and V is per-nation order count/revenue. The Spark side computes
+    base(A₀⋈B₀) + the three delta legs and merges the partial
+    aggregates; the ORACLE IS the full recompute over A∪ΔA ⋈ B∪ΔB —
+    so the value-hash MATCH is precisely the theorem 'maintenance ≡
+    recompute' checked end-to-end, including the cross term (drop any
+    leg and the hash breaks). All four joins share one shape (orders
+    shuffled on custkey, nation broadcast); at 100 TB the three delta
+    legs are delta-sized and the base aggregate is the stored view —
+    this query materializes nothing only because the gate needs one
+    self-contained plan."""
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    a0 = o.filter(F.col("od") < F.lit(_IVM_SPLIT).cast("date"))
+    da = o.filter(F.col("od") >= F.lit(_IVM_SPLIT).cast("date"))
+    b0 = c.filter(F.col("c_custkey") % 20 != 0)
+    db = c.filter(F.col("c_custkey") % 20 == 0)
+
+    def leg(orders_df: DataFrame, cust_df: DataFrame) -> DataFrame:
+        return (
+            orders_df.join(
+                cust_df, orders_df.o_custkey == cust_df.c_custkey
+            )
+            .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("cents").cast("long").alias("cents"),
+            )
+        )
+
+    base = leg(a0, b0)
+    d1 = leg(da, b0)   # new orders of existing customers
+    d2 = leg(a0, db)   # late-arriving customers claim their old orders
+    d3 = leg(da, db)   # the cross term: new orders of new customers
+    return (
+        base.unionByName(d1)
+        .unionByName(d2)
+        .unionByName(d3)
+        .groupBy("nation")
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+# --- Fellegi-Sunter EM parameter estimation, one step (round 7, s4) ---------
+# With the symmetric init (m=0.9, u=0.1 for all 3 fields) the E-step
+# posterior depends only on the agreement COUNT, so there are exactly 4
+# posterior values — precomputed here as literals. All EM sums then
+# reduce to INTEGER counts per agreement level dotted with those 4
+# literals in a fixed order, which is bit-identical in both engines
+# (no per-row fractional accumulation anywhere).
+_FS_LAMBDA, _FS_M0, _FS_U0 = 0.1, 0.9, 0.1
+
+
+def _fs_posteriors() -> list[float]:
+    out = []
+    for a in range(4):
+        pm = _FS_LAMBDA * _FS_M0**a * (1 - _FS_M0) ** (3 - a)
+        pu = (1 - _FS_LAMBDA) * _FS_U0**a * (1 - _FS_U0) ** (3 - a)
+        out.append(pm / (pm + pu))
+    return out
+
+
+_FS_G = _fs_posteriors()
+
+
+def _fs_term(count: str, weight: float) -> str:
+    """One product term, materialized as its own projected column before
+    any addition touches it: DuckDB contracts ``a*b + c`` into an FMA
+    (single rounding — measured 1-ulp drift vs Spark/python), so
+    products and sums must live in separate projection levels. The
+    weight is emitted as a QUOTED string cast — DuckDB parses a bare
+    numeric literal as DECIMAL first and its decimal→double conversion
+    is not correctly rounded (measured: 0.9878048780487805 parsed 1
+    ulp low); the string path is strtod, correctly rounded in both
+    engines."""
+    return f"CAST('{weight!r}' AS DOUBLE) * {count}"
+
+
+def _fs_sum(cols: list[str]) -> str:
+    """Fixed-order left-to-right sum of already-materialized columns."""
+    e = cols[0]
+    for c in cols[1:]:
+        e = f"({e} + {c})"
+    return e
+
+
+_FS_NA = [f"na{a}" for a in range(4)]
+_FS_NK = [f"nk{a}" for a in range(4)]
+_FS_ONE_MINUS_G = [1.0 - g for g in _FS_G]
+
+
+@register(
+    "fellegi_sunter_em_step",
+    oracle=f"""
+    WITH b AS (
+        SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+               CASE WHEN c_custkey % 13 = 0 THEN 'MACHINERY'
+                    ELSE c_mktsegment END AS seg2,
+               CASE WHEN c_custkey % 17 = 0
+                    THEN CAST(c_acctbal + 500 AS DECIMAL(12,2))
+                    ELSE c_acctbal END AS bal2
+        FROM customer
+    ),
+    pairs AS (
+        SELECT g1, g2, g3, g1 + g2 + g3 AS a FROM (
+            SELECT CASE WHEN a.c_name = r.c_name THEN 1 ELSE 0 END AS g1,
+                   CASE WHEN a.c_mktsegment = r.seg2 THEN 1 ELSE 0 END AS g2,
+                   CASE WHEN abs(CAST(a.c_acctbal - r.bal2 AS DOUBLE)) < 0.01
+                        THEN 1 ELSE 0 END AS g3
+            FROM customer a JOIN b r
+              ON a.c_nationkey = r.c_nationkey
+             AND a.c_custkey % 100 = r.c_custkey % 100
+        )
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               {", ".join(
+                   f"CAST(SUM(CASE WHEN a = {a} THEN 1 ELSE 0 END) AS BIGINT)"
+                   f" AS na{a}"
+                   for a in range(4)
+               )}
+        FROM pairs
+    ),
+    fields AS (
+        SELECT 'name' AS field, g1 AS gk, a FROM pairs
+        UNION ALL SELECT 'segment', g2, a FROM pairs
+        UNION ALL SELECT 'balance', g3, a FROM pairs
+    ),
+    per_f AS (
+        SELECT field,
+               {", ".join(
+                   f"CAST(SUM(CASE WHEN a = {a} AND gk = 1 THEN 1 ELSE 0 END)"
+                   f" AS BIGINT) AS nk{a}"
+                   for a in range(4)
+               )}
+        FROM fields GROUP BY field
+    ),
+    terms AS (
+        SELECT p.field, t.n_pairs,
+               {", ".join(
+                   f"{_fs_term(f'p.nk{a}', _FS_G[a])} AS mg{a},"
+                   f" {_fs_term(f'p.nk{a}', _FS_ONE_MINUS_G[a])} AS ug{a},"
+                   f" {_fs_term(f't.na{a}', _FS_G[a])} AS ag{a},"
+                   f" {_fs_term(f't.na{a}', _FS_ONE_MINUS_G[a])} AS au{a}"
+                   for a in range(4)
+               )}
+        FROM per_f p, tot t
+    )
+    SELECT field, n_pairs,
+           ({_fs_sum([f'mg{a}' for a in range(4)])})
+               / ({_fs_sum([f'ag{a}' for a in range(4)])}) AS m_new,
+           ({_fs_sum([f'ug{a}' for a in range(4)])})
+               / ({_fs_sum([f'au{a}' for a in range(4)])}) AS u_new,
+           ({_fs_sum([f'ag{a}' for a in range(4)])}) / n_pairs AS lambda_new
+    FROM terms
+    """,
+    tags=("joins", "record_linkage", "fellegi_sunter", "em",
+          "parameter_estimation"),
+)
+def fellegi_sunter_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EM step of Fellegi-Sunter record-linkage parameter
+    estimation (Winkler 1988 — the unsupervised way to LEARN the
+    match/unmatch agreement probabilities that record_linkage_score
+    consumes as fixed weights): over the blocked candidate pairs,
+    E-step computes each pair's match posterior under the current
+    (λ, m_k, u_k), M-step re-estimates λ and per-field m_k/u_k from
+    posterior-weighted agreement counts. With the symmetric init the
+    posterior is a function of the agreement COUNT alone, so every EM
+    sum collapses to INTEGER counts per agreement level (4 conditional
+    sums — pure codegen) dotted with 4 Python-precomputed posterior
+    literals in fixed order — no per-row fractional accumulation at
+    all, which is what makes a floating-point EM value-hash across
+    engines (per-term decimal rounding of the posteriors was measured
+    drifting at the 10th decimal and engineered out). Output:
+    per-field m/u after one step plus updated λ — the perturbed-copy
+    fixture pulls m toward the true agreement rates among matches
+    while u stays near the chance rate, the separation the method
+    exists to find. Scale: one blocked join (the record_linkage_score
+    shape), two count aggregates, constant-size final arithmetic."""
+    c = load_table(spark, sf_dir, "customer")
+    b = c.select(
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_name").alias("b_name"),
+        F.col("c_nationkey").alias("b_nat"),
+        F.when(F.col("c_custkey") % 13 == 0, F.lit("MACHINERY"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg2"),
+        F.when(
+            F.col("c_custkey") % 17 == 0,
+            (F.col("c_acctbal") + 500).cast("decimal(12,2)"),
+        )
+        .otherwise(F.col("c_acctbal").cast("decimal(12,2)"))
+        .alias("bal2"),
+    )
+    pairs = (
+        c.join(
+            b,
+            (F.col("c_nationkey") == F.col("b_nat"))
+            & (F.col("c_custkey") % 100 == F.col("b_key") % 100),
+        )
+        .select(
+            (F.col("c_name") == F.col("b_name")).cast("int").alias("g1"),
+            (F.col("c_mktsegment") == F.col("seg2")).cast("int").alias("g2"),
+            (
+                F.abs(
+                    (F.col("c_acctbal") - F.col("bal2")).cast("double")
+                )
+                < 0.01
+            )
+            .cast("int")
+            .alias("g3"),
+        )
+        .withColumn("a", F.col("g1") + F.col("g2") + F.col("g3"))
+    )
+    tot = pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        *[
+            F.sum(F.when(F.col("a") == a, 1).otherwise(0))
+            .cast("long")
+            .alias(f"na{a}")
+            for a in range(4)
+        ],
+    )
+    fields = (
+        pairs.select(F.lit("name").alias("field"), F.col("g1").alias("gk"), "a")
+        .unionAll(pairs.select(F.lit("segment"), F.col("g2"), F.col("a")))
+        .unionAll(pairs.select(F.lit("balance"), F.col("g3"), F.col("a")))
+    )
+    per_f = fields.groupBy("field").agg(
+        *[
+            F.sum(F.when((F.col("a") == a) & (F.col("gk") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias(f"nk{a}")
+            for a in range(4)
+        ]
+    )
+    j = per_f.crossJoin(F.broadcast(tot))
+    terms = j.select(
+        "field",
+        "n_pairs",
+        *[
+            F.expr(_fs_term(f"nk{a}", _FS_G[a])).alias(f"mg{a}")
+            for a in range(4)
+        ],
+        *[
+            F.expr(_fs_term(f"nk{a}", _FS_ONE_MINUS_G[a])).alias(f"ug{a}")
+            for a in range(4)
+        ],
+        *[
+            F.expr(_fs_term(f"na{a}", _FS_G[a])).alias(f"ag{a}")
+            for a in range(4)
+        ],
+        *[
+            F.expr(_fs_term(f"na{a}", _FS_ONE_MINUS_G[a])).alias(f"au{a}")
+            for a in range(4)
+        ],
+    )
+    return terms.select(
+        "field",
+        "n_pairs",
+        (
+            F.expr(_fs_sum([f"mg{a}" for a in range(4)]))
+            / F.expr(_fs_sum([f"ag{a}" for a in range(4)]))
+        ).alias("m_new"),
+        (
+            F.expr(_fs_sum([f"ug{a}" for a in range(4)]))
+            / F.expr(_fs_sum([f"au{a}" for a in range(4)]))
+        ).alias("u_new"),
+        (
+            F.expr(_fs_sum([f"ag{a}" for a in range(4)]))
+            / F.col("n_pairs")
+        ).alias("lambda_new"),
+    )

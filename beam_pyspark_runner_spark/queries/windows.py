@@ -561,6 +561,11 @@ def _arr_median_duck(arr: str) -> str:
 
 _HAMPEL_K = 1.4826  # consistency constant: MAD -> sigma under normality
 _HAMPEL_T = 3.0
+# Threshold multiplier precomputed in Python: emitting T*K as separate
+# SQL literals would multiply a DECIMAL-parsed constant per engine
+# (DuckDB's bare-literal decimal->double path is not correctly
+# rounded); one Python double, string-cast into both plans, is.
+_HAMPEL_THRESH = _HAMPEL_T * _HAMPEL_K
 
 
 @register(
@@ -600,7 +605,7 @@ _HAMPEL_T = 3.0
            abs(CAST(cents AS DOUBLE) - rolling_med) / 100.0 AS deviation
     FROM mad
     WHERE abs(CAST(cents AS DOUBLE) - rolling_med)
-          > {_HAMPEL_T} * {_HAMPEL_K} * rolling_mad
+          > CAST('{_HAMPEL_THRESH!r}' AS DOUBLE) * rolling_mad
     """,
     tags=("windows", "robust_statistics", "hampel", "outlier_detection",
           "time_series"),
@@ -665,7 +670,7 @@ def hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dev = F.abs(F.col("cents").cast("double") - F.col("rolling_med"))
     return mad.filter(
-        dev > _HAMPEL_T * _HAMPEL_K * F.col("rolling_mad")
+        dev > F.lit(_HAMPEL_THRESH) * F.col("rolling_mad")
     ).select(
         "nation",
         "day",
