@@ -187,7 +187,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # kcenter_coreset_greedy, uncertainty_margin_sample,
 # bellman_ford_weighted_paths, bom_quantity_rollup,
 # stream_windowed_hll_distinct, blocking_quality_audit,
-# revenue_recognition_proration, payload_tile_phash_dedup
+# revenue_recognition_proration, payload_tile_phash_dedup,
+# ams_join_size_estimate, neyman_allocation, boruvka_msf_round,
+# dedup_cluster_precision, symspell_id_neighbors,
+# knn_distance_outliers, hampel_filter, dataset_version_fingerprint,
+# incremental_join_maintenance, fellegi_sunter_em_step
 
 
 def _apply_driver_window() -> None:
