@@ -4798,3 +4798,89 @@ def revenue_recognition_proration(spark: SparkSession, sf_dir: str) -> DataFrame
             / 100.0
         ).alias("recognized_revenue"),
     )
+
+
+# --- frequent sequential patterns, length 2 (round 7, session 4) ------------
+_SEQ_MIN_SUPPORT = 50  # pattern must hold for at least this many users
+
+
+@register(
+    "frequent_sequence_pairs",
+    oracle=f"""
+    WITH ut AS (
+        SELECT user_id, event_type,
+               MIN(ts) AS first_ts, MAX(ts) AS last_ts
+        FROM events GROUP BY user_id, event_type
+    ),
+    users AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM events),
+    pat AS (
+        SELECT a.event_type AS first_type, b.event_type AS then_type,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id
+         AND a.event_type <> b.event_type
+         AND a.first_ts < b.last_ts
+        GROUP BY 1, 2
+    )
+    SELECT p.first_type, p.then_type, p.support, u.n_users,
+           CAST(p.support AS DOUBLE) / CAST(u.n_users AS DOUBLE)
+               AS support_ratio
+    FROM pat p, users u
+    WHERE p.support >= {_SEQ_MIN_SUPPORT}
+    """,
+    tags=("events", "sequential_patterns", "prefixspan", "behavioral"),
+)
+def frequent_sequence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent length-2 SEQUENTIAL patterns — 'A, then later B' support
+    across users (the GSP/PrefixSpan counting step, Srikant & Agrawal
+    1996): unlike event_transition_matrix (ADJACENT transitions only),
+    a pattern here allows any gap, which is what behavioral mining
+    means by 'then' — error then purchase counts even with views in
+    between. The trick that keeps it linear: 'some A occurs before
+    some B' ⟺ min(ts of A) < max(ts of B), so the per-user sequence
+    reduces to ONE (user, type) aggregate carrying first/last
+    timestamps, and pattern support is a |types|²-bounded self-join on
+    user — no sequence enumeration, no per-user Python, no quadratic
+    event pairing. Support threshold {_SEQ_MIN_SUPPORT} mirrors the
+    min-support pruning an Apriori pass would push down. Scale: one
+    user×type aggregate (the corpus shuffle), then joins on user_id
+    with ≤|types| rows per side."""
+    ut = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+    )
+    users = load_table(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    a = ut.select(
+        "user_id",
+        F.col("event_type").alias("first_type"),
+        F.col("first_ts"),
+    )
+    b = ut.select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_type").alias("then_type"),
+        F.col("last_ts"),
+    )
+    pat = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("first_type") != F.col("then_type"))
+            & (F.col("first_ts") < F.col("last_ts")),
+        )
+        .groupBy("first_type", "then_type")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= _SEQ_MIN_SUPPORT)
+    )
+    return pat.crossJoin(F.broadcast(users)).select(
+        "first_type",
+        "then_type",
+        "support",
+        "n_users",
+        (
+            F.col("support").cast("double") / F.col("n_users").cast("double")
+        ).alias("support_ratio"),
+    )

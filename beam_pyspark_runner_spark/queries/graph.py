@@ -1823,3 +1823,133 @@ def boruvka_msf_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chosen.crossJoin(F.broadcast(summary)).select(
         "u", "v", "w", "picked_by", "n_chosen", "total_weight"
     )
+
+
+# --- GraphSAGE-style mean aggregation, 2 hops (round 7, session 4) ----------
+_GNN_DIM = 4
+
+
+@register(
+    "gnn_mean_aggregation_2hop",
+    oracle=f"""
+    WITH e AS (
+        SELECT src, dst FROM (
+            SELECT k AS src, (3 * k + 1) % {_BFS_N} AS dst
+            FROM range({_BFS_N}) t(k) WHERE k % 3 <> 0
+            UNION ALL
+            SELECT k, (5 * k + 2) % {_BFS_N} FROM range({_BFS_N}) t(k)
+            WHERE k % 2 = 0
+        ) WHERE src <> dst
+    ),
+    feat AS (
+        SELECT k AS node,
+               {", ".join(
+                   "(('0x' || substr(md5('f" + str(d) + "-' || k), 1, 8))::BIGINT)"
+                   " % 1000 AS f" + str(d)
+                   for d in range(_GNN_DIM)
+               )}
+        FROM range({_BFS_N}) t(k)
+    ),
+    h1 AS (
+        SELECT e.dst AS node,
+               CAST(COUNT(*) AS BIGINT) AS deg1,
+               {", ".join(
+                   f"CAST(SUM(f.f{d}) AS DOUBLE) / COUNT(*) AS h1_{d}"
+                   for d in range(_GNN_DIM)
+               )}
+        FROM e JOIN feat f ON f.node = e.src
+        GROUP BY e.dst
+    ),
+    h2 AS (
+        SELECT e.dst AS node,
+               CAST(COUNT(*) AS BIGINT) AS deg2,
+               {", ".join(
+                   "CAST(SUM(CAST(h.h1_" + str(d) + " AS DECIMAL(38,10)))"
+                   " AS DOUBLE) / COUNT(*) AS h2_" + str(d)
+                   for d in range(_GNN_DIM)
+               )}
+        FROM e JOIN h1 h ON h.node = e.src
+        GROUP BY e.dst
+    )
+    SELECT node, deg2 AS n_messages,
+           {", ".join(f"h2_{d}" for d in range(_GNN_DIM))}
+    FROM h2
+    """,
+    tags=("graph", "gnn", "message_passing", "neighborhood_aggregation",
+          "iterative"),
+)
+def gnn_mean_aggregation_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of GraphSAGE-style MEAN neighborhood aggregation
+    (Hamilton et al. NeurIPS'17) — the message-passing layer that IS
+    distributed GNN training's data path, expressed as what it really
+    is at system level: edges ⋈ features, group by destination,
+    average; then the same join-aggregate again over the layer-1
+    output, so each node's layer-2 state summarizes its exact 2-hop
+    neighborhood (with multiplicity — sampled-neighbor variants change
+    only the join input). Per-node input features are md5-derived
+    integer vectors ({_GNN_DIM} dims); layer-1 means are exact
+    integer/COUNT divisions, and layer-2 re-aggregates those doubles
+    through exact decimal so the two-level average value-hashes across
+    engines. Scale: per layer, one shuffle keyed on the edge
+    destination — the same cost model as one Pregel superstep; feature
+    width rides along as columns (vectorized, no Python), which is how
+    a real trainer ships its feature matrix through Spark before
+    hand-off."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    n = spark.range(_BFS_N)
+    e = (
+        n.filter(F.col("id") % 3 != 0)
+        .select(
+            F.col("id").alias("src"),
+            ((3 * F.col("id") + 1) % _BFS_N).alias("dst"),
+        )
+        .unionAll(
+            n.filter(F.col("id") % 2 == 0).select(
+                F.col("id"), ((5 * F.col("id") + 2) % _BFS_N)
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .localCheckpoint()
+    )
+    feat = n.select(
+        F.col("id").alias("node"),
+        *[
+            (
+                h32(F.concat_ws("-", F.lit(f"f{d}"), F.col("id"))) % 1000
+            ).alias(f"f{d}")
+            for d in range(_GNN_DIM)
+        ],
+    )
+    h1 = (
+        e.join(feat, e.src == feat.node)
+        .groupBy(F.col("dst").alias("node"))
+        .agg(
+            F.count("*").cast("long").alias("deg1"),
+            *[
+                (F.sum(f"f{d}").cast("double") / F.count("*")).alias(
+                    f"h1_{d}"
+                )
+                for d in range(_GNN_DIM)
+            ],
+        )
+    )
+    h2 = (
+        e.join(h1, e.src == h1.node)
+        .groupBy(F.col("dst").alias("node"))
+        .agg(
+            F.count("*").cast("long").alias("n_messages"),
+            *[
+                (
+                    F.sum(F.col(f"h1_{d}").cast("decimal(38,10)")).cast(
+                        "double"
+                    )
+                    / F.count("*")
+                ).alias(f"h2_{d}")
+                for d in range(_GNN_DIM)
+            ],
+        )
+    )
+    return h2.select(
+        "node", "n_messages", *[f"h2_{d}" for d in range(_GNN_DIM)]
+    )

@@ -2904,3 +2904,139 @@ def knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "outlier_rank",
         )
     )
+
+
+# --- SMOTE-style minority interpolation (round 7, session 4) ----------------
+_SMOTE_SUM_SQL = (
+    "list_reduce(list_transform(range(1, len({v}) + 1), i -> {v}[i]),"
+    " (acc, x) -> acc + x)"
+)
+_SMOTE_NORM_SQL = (
+    "sqrt(list_reduce(list_transform({v}, x -> x * x), (acc, x) -> acc + x))"
+)
+
+
+@register(
+    "smote_interpolation_synthesis",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, {_EMB_DBL} AS emb FROM embeddings),
+    lc AS (
+        SELECT label FROM (
+            SELECT label, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*), label) AS rn
+            FROM e GROUP BY label
+        ) WHERE rn = 1
+    ),
+    mino AS (SELECT e.* FROM e JOIN lc ON lc.label = e.label),
+    nn AS (
+        SELECT vec_id, nb, d2 FROM (
+            SELECT a.vec_id, b.vec_id AS nb,
+                   {_L2SQ_SQL.format(a='a.emb', b='b.emb')} AS d2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {_L2SQ_SQL.format(a='a.emb', b='b.emb')},
+                                b.vec_id) AS rn
+            FROM mino a JOIN mino b ON a.vec_id <> b.vec_id
+        ) WHERE rn = 1
+    ),
+    synth AS (
+        SELECT n.vec_id AS parent_a, n.nb AS parent_b, n.d2,
+               list_transform(range(1, len(a.emb) + 1),
+                              i -> (a.emb[i] + b.emb[i]) / 2.0) AS sv
+        FROM nn n
+        JOIN mino a ON a.vec_id = n.vec_id
+        JOIN mino b ON b.vec_id = n.nb
+    )
+    SELECT parent_a, parent_b, d2 AS parent_dist_sq,
+           CAST(len(sv) AS BIGINT) AS dims,
+           {_SMOTE_SUM_SQL.format(v='sv')} AS synth_sum,
+           {_SMOTE_NORM_SQL.format(v='sv')} AS synth_l2_norm
+    FROM synth
+    """,
+    tags=("similarity", "smote", "class_balancing", "data_augmentation"),
+)
+def smote_interpolation_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMOTE-style synthetic minority oversampling (Chawla et al.
+    JAIR'02), deterministic variant: find the scarcest label, pair each
+    of its vectors with its nearest same-label neighbor, and synthesize
+    the midpoint vector — the class-balancing step an embedding-
+    classifier pipeline runs when the minority class would otherwise
+    be drowned (cf. negative_sampling_pairs, which balances PAIRS;
+    this balances CLASSES by manufacturing points ON the minority
+    manifold's chords). The neighbor search is confined to the
+    minority label (|L|²-bounded pair work — the class that needs
+    augmenting is small by definition, exactly why this is affordable),
+    midpoints are exact double halvings per dimension in index order,
+    and the gate-visible output is the per-synthetic-sample audit row
+    (parents, parent distance², element sum and L2 norm of the
+    synthetic vector — scalar reductions of the full vector, since the
+    synthetic ARRAY itself is the training artifact, not a gate
+    payload). Classic SMOTE draws a random point on the chord; the
+    midpoint is the λ=1/2 member of that family, chosen for
+    reproducibility."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", F.col("embedding").alias("emb")
+    )
+    lc = (
+        e.groupBy("label")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(W.orderBy(F.col("c"), F.col("label"))),
+        )
+        .filter(F.col("rn") == 1)
+        .select("label")
+    )
+    mino = e.join(F.broadcast(lc), "label").localCheckpoint()
+    a = mino.select(F.col("vec_id"), F.col("emb"))
+    b = mino.select(
+        F.col("vec_id").alias("nb"), F.col("emb").alias("b_emb")
+    )
+    nn = (
+        a.join(F.broadcast(b), F.col("vec_id") != F.col("nb"))
+        .select(
+            "vec_id",
+            "nb",
+            l2_sq(F.col("emb"), F.col("b_emb")).alias("d2"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy("d2", "nb")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "nb", "d2")
+    )
+    av = mino.select(F.col("vec_id"), F.col("emb").alias("a_emb"))
+    bv = mino.select(
+        F.col("vec_id").alias("nb"), F.col("emb").alias("b_emb2")
+    )
+    synth = (
+        nn.join(av, "vec_id")
+        .join(bv, "nb")
+        .select(
+            F.col("vec_id").alias("parent_a"),
+            F.col("nb").alias("parent_b"),
+            F.col("d2").alias("parent_dist_sq"),
+            F.zip_with(
+                F.col("a_emb"),
+                F.col("b_emb2"),
+                lambda x, y: (x.cast("double") + y.cast("double")) / 2.0,
+            ).alias("sv"),
+        )
+    )
+    return synth.select(
+        "parent_a",
+        "parent_b",
+        "parent_dist_sq",
+        F.size("sv").cast("long").alias("dims"),
+        F.aggregate(
+            F.col("sv"), F.lit(0.0), lambda acc, x: acc + x
+        ).alias("synth_sum"),
+        F.sqrt(
+            F.aggregate(
+                F.col("sv"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ).alias("synth_l2_norm"),
+    )
