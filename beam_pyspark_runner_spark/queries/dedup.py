@@ -2038,3 +2038,97 @@ def symspell_id_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.col("pos").cast("long"), "digit_a", "digit_b")
     )
+
+
+# --- weighted Jaccard over candidate pairs (round 7, session 4) -------------
+@register(
+    "weighted_jaccard_pairs",
+    oracle=f"""
+    WITH {_CAND_SQL},
+    tf AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY doc_id, w
+    ),
+    tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t FROM tf GROUP BY 1),
+    shared AS (
+        SELECT cd.doc_a, cd.doc_b,
+               CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS sum_min
+        FROM cand cd
+        JOIN tf a ON a.doc_id = cd.doc_a
+        JOIN tf b ON b.doc_id = cd.doc_b AND b.w = a.w
+        GROUP BY cd.doc_a, cd.doc_b
+    )
+    SELECT s.doc_a, s.doc_b, s.sum_min,
+           ta.t + tb.t - s.sum_min AS sum_max,
+           CAST(s.sum_min AS DOUBLE)
+               / CAST(ta.t + tb.t - s.sum_min AS DOUBLE) AS weighted_jaccard
+    FROM shared s
+    JOIN tot ta ON ta.doc_id = s.doc_a
+    JOIN tot tb ON tb.doc_id = s.doc_b
+    """,
+    tags=("dedup", "near_dedup", "weighted_jaccard", "multiset"),
+)
+def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (multiset) Jaccard J_w = Σ_t min(tf_a,tf_b) / Σ_t
+    max(tf_a,tf_b) for the LSH candidate pairs — the similarity the
+    SET-based family (ngram_jaccard_pairs) structurally overstates on
+    repetitive documents: a doc that says 'batch batch batch' and one
+    that says 'batch' are identical as SETS but far apart as bags,
+    and repetition is exactly what low-quality corpus text does
+    (repetition_filter's subject). Candidates come from the registered
+    MinHash lineage (composed verbatim), so the expensive exact J_w
+    runs only on the LSH-bounded pair set; Σmax never needs the union
+    scan because Σmax = |a| + |b| − Σmin (multiset identity) — the
+    inner token join plus two broadcast total lookups is the whole
+    computation, all integer until one division. The ICWS-style
+    weighted-minhash estimator would replace the exact inner join at
+    scale; this query is its exact oracle and the tuning-scale
+    certifier."""
+    cand = _lsh_candidate_pairs(spark, sf_dir)
+    tf = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), " ")).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = tf.groupBy("doc_id").agg(F.sum("c").cast("long").alias("t"))
+    ta = tf.select(
+        F.col("doc_id").alias("doc_a"), F.col("w"), F.col("c").alias("ca")
+    )
+    tb = tf.select(
+        F.col("doc_id").alias("tb_doc"),
+        F.col("w").alias("wb"),
+        F.col("c").alias("cb"),
+    )
+    shared = (
+        cand.join(ta, "doc_a")
+        .join(
+            tb,
+            (F.col("doc_b") == F.col("tb_doc")) & (F.col("w") == F.col("wb")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("ca", "cb")).cast("long").alias("sum_min"))
+    )
+    tota = tot.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a"))
+    totb = tot.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b"))
+    return (
+        shared.join(F.broadcast(tota), "doc_a")
+        .join(F.broadcast(totb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "sum_min",
+            (F.col("t_a") + F.col("t_b") - F.col("sum_min")).alias("sum_max"),
+            (
+                F.col("sum_min").cast("double")
+                / (F.col("t_a") + F.col("t_b") - F.col("sum_min")).cast(
+                    "double"
+                )
+            ).alias("weighted_jaccard"),
+        )
+    )

@@ -6978,3 +6978,142 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("allocation"),
     )
+
+
+# --- approximate query processing by sampling (round 7, session 4) ----------
+_AQP_MOD = 10  # keep 1-in-10 orders, deterministically
+
+
+@register(
+    "aqp_sample_extrapolation",
+    oracle=f"""
+    WITH base AS (
+        SELECT n.n_name AS nation,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+               (('0x' || substr(md5('aqp-' || o.o_orderkey), 1, 8))::BIGINT)
+                   % {_AQP_MOD} = 0 AS sampled
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    agg AS (
+        SELECT nation,
+               CAST(COUNT(*) AS BIGINT) AS exact_n,
+               CAST(SUM(cents) AS BIGINT) AS exact_cents,
+               CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT)
+                   AS samp_n,
+               CAST(SUM(CASE WHEN sampled THEN cents ELSE 0 END) AS BIGINT)
+                   AS samp_cents,
+               CAST(SUM(CASE WHEN sampled THEN cents * cents ELSE 0 END)
+                    AS BIGINT) AS samp_cents2
+        FROM base GROUP BY nation
+    )
+    SELECT nation, exact_n,
+           samp_n * {_AQP_MOD} AS est_n,
+           CAST(exact_cents AS DOUBLE) / 100.0 AS exact_revenue,
+           CAST(samp_cents * {_AQP_MOD} AS DOUBLE) / 100.0 AS est_revenue,
+           abs(CAST(samp_cents * {_AQP_MOD} - exact_cents AS DOUBLE))
+               / CAST(exact_cents AS DOUBLE) AS rel_error,
+           abs(CAST(samp_cents * {_AQP_MOD} - exact_cents AS DOUBLE)) <=
+               3.0 * {_AQP_MOD}.0
+                   * sqrt(GREATEST(
+                         CAST(samp_n AS DOUBLE)
+                             * (CAST(samp_cents2 AS DOUBLE)
+                                - CAST(samp_cents AS DOUBLE)
+                                  * CAST(samp_cents AS DOUBLE)
+                                  / GREATEST(samp_n, 1))
+                             , 0.0))
+               AS within_bound
+    FROM agg
+    """,
+    tags=("relational", "aqp", "sampling", "extrapolation",
+          "error_bound"),
+)
+def aqp_sample_extrapolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing by deterministic sampling (the
+    BlinkDB/quickr pattern): answer the per-nation revenue rollup from
+    a 1-in-{_AQP_MOD} md5 sample, scale by {_AQP_MOD}, and bound the
+    error from the SAMPLE's own variance — Horvitz–Thompson estimation
+    with a 3σ CLT envelope (σ̂ = {_AQP_MOD}·sqrt(n_s·s²) via the exact
+    integer power sums, the value_outliers discipline; sqrt is the
+    sanctioned transcendental). The exact legs ride along ONLY to
+    adjudicate the estimator — the production query reads 10× less
+    data and the within_bound column is the contract it ships with.
+    Both the sample membership (md5 on the key — reproducible across
+    retries, no RNG) and every sum are engine-identical; one scan
+    computes sample and exact sides together here so the comparison is
+    airtight. Scale: sampling pushes below the join (scan-side filter
+    at 100 TB), partial aggs throughout."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_nationkey"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+            (
+                h32(F.concat_ws("-", F.lit("aqp"), F.col("o_orderkey")))
+                % _AQP_MOD
+                == 0
+            ).alias("sampled"),
+        )
+    )
+    agg = base.groupBy("nation").agg(
+        F.count("*").cast("long").alias("exact_n"),
+        F.sum("cents").cast("long").alias("exact_cents"),
+        F.sum(F.when(F.col("sampled"), 1).otherwise(0))
+        .cast("long")
+        .alias("samp_n"),
+        F.sum(F.when(F.col("sampled"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("samp_cents"),
+        F.sum(
+            F.when(F.col("sampled"), F.col("cents") * F.col("cents")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("samp_cents2"),
+    )
+    err = F.abs(
+        (F.col("samp_cents") * _AQP_MOD - F.col("exact_cents")).cast("double")
+    )
+    sigma = F.sqrt(
+        F.greatest(
+            F.col("samp_n").cast("double")
+            * (
+                F.col("samp_cents2").cast("double")
+                - F.col("samp_cents").cast("double")
+                * F.col("samp_cents").cast("double")
+                / F.greatest(F.col("samp_n"), F.lit(1))
+            ),
+            F.lit(0.0),
+        )
+    )
+    return agg.select(
+        "nation",
+        "exact_n",
+        (F.col("samp_n") * _AQP_MOD).alias("est_n"),
+        (F.col("exact_cents").cast("double") / 100.0).alias("exact_revenue"),
+        ((F.col("samp_cents") * _AQP_MOD).cast("double") / 100.0).alias(
+            "est_revenue"
+        ),
+        (err / F.col("exact_cents").cast("double")).alias("rel_error"),
+        (err <= 3.0 * float(_AQP_MOD) * sigma).alias("within_bound"),
+    )

@@ -679,3 +679,91 @@ def hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rolling_mad") / 100.0).alias("rolling_mad"),
         (dev / 100.0).alias("deviation"),
     )
+
+
+# --- period-to-date running totals (round 7, session 4) ---------------------
+@register(
+    "period_to_date_totals",
+    oracle="""
+    WITH daily AS (
+        SELECT n.n_name AS nation, CAST(o.o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT nation, day,
+           CAST(cents AS DOUBLE) / 100.0 AS day_revenue,
+           CAST(SUM(cents) OVER (
+               PARTITION BY nation, date_trunc('year', day)
+               ORDER BY day) AS DOUBLE) / 100.0 AS ytd,
+           CAST(SUM(cents) OVER (
+               PARTITION BY nation, date_trunc('quarter', day)
+               ORDER BY day) AS DOUBLE) / 100.0 AS qtd,
+           CAST(SUM(cents) OVER (
+               PARTITION BY nation, date_trunc('month', day)
+               ORDER BY day) AS DOUBLE) / 100.0 AS mtd
+    FROM daily
+    """,
+    tags=("windows", "period_to_date", "bi_semantics", "running_total"),
+)
+def period_to_date_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-/quarter-/month-to-date running revenue per nation — the
+    period-resetting cumulative semantics every BI layer (MDX's YTD(),
+    DAX's TOTALYTD) builds on top of SQL, expressed as what it really
+    is: the SAME ordered cumulative sum under three different PARTITION
+    keys (nation × period start), all three computed over the one
+    daily aggregate in one pass. Resets are free — they ARE the
+    partition boundaries, no CASE logic, no self-joins, no calendar
+    spine needed for the totals themselves. Integer-cents sums (exact,
+    order-independent within the frame), day granularity keeps each
+    partition's window small; the corpus-sized work is the single
+    daily rollup, and the windows run over the (nation × day) table —
+    tiny at any corpus scale. Distinct days are unique per partition,
+    so the default RANGE frame and ROWS agree — no peer-row
+    ambiguity."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_nationkey"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+
+    def ptd(trunc: str):
+        w = (
+            W.partitionBy(
+                "nation", F.date_trunc(trunc, F.col("day"))
+            ).orderBy("day")
+        )
+        return (F.sum("cents").over(w).cast("double") / 100.0)
+
+    return daily.select(
+        "nation",
+        "day",
+        (F.col("cents").cast("double") / 100.0).alias("day_revenue"),
+        ptd("year").alias("ytd"),
+        ptd("quarter").alias("qtd"),
+        ptd("month").alias("mtd"),
+    )
