@@ -4884,3 +4884,181 @@ def frequent_sequence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("support").cast("double") / F.col("n_users").cast("double")
         ).alias("support_ratio"),
     )
+
+
+# --- propensity nearest-neighbor matching ATT (round 7, session 4) ----------
+@register(
+    "propensity_nn_matching_att",
+    oracle="""
+    WITH cust AS (
+        SELECT c_custkey,
+               LEAST(GREATEST((CAST(round(c_acctbal * 100) AS BIGINT)
+                                   + 100000) // 2200, 0), 500) AS idx
+        FROM customer
+    ),
+    spend AS (
+        SELECT c.c_custkey, c.idx,
+               CASE WHEN (('0x' || substr(md5('trt-' || c.c_custkey), 1, 8))::BIGINT)
+                        % 1000 < 200 + c.idx THEN 1 ELSE 0 END AS t,
+               COALESCE(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+                   AS y_cents
+        FROM cust c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.idx
+    ),
+    cmean AS (
+        SELECT idx, CAST(COUNT(*) AS BIGINT) AS n_c,
+               CAST(SUM(y_cents) AS BIGINT) AS s_c
+        FROM spend WHERE t = 0 GROUP BY idx
+    ),
+    tidx AS (SELECT DISTINCT idx FROM spend WHERE t = 1),
+    nearest AS (
+        SELECT idx, c_idx FROM (
+            SELECT t.idx, c.idx AS c_idx,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY t.idx
+                       ORDER BY abs(t.idx - c.idx), c.idx) AS rn
+            FROM tidx t, cmean c
+        ) WHERE rn = 1
+    ),
+    matched AS (
+        SELECT s.y_cents,
+               CAST(cm.s_c AS DOUBLE) / cm.n_c AS ctrl_mean,
+               abs(s.idx - nn.c_idx) AS gap
+        FROM spend s
+        JOIN nearest nn ON nn.idx = s.idx
+        JOIN cmean cm ON cm.idx = nn.c_idx
+        WHERE s.t = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_treated,
+           (SELECT CAST(SUM(n_c) AS BIGINT) FROM cmean) AS n_controls,
+           CAST(SUM(y_cents) AS DOUBLE) / (100.0 * COUNT(*))
+               AS mean_treated,
+           CAST(ROUND(SUM(CAST(ctrl_mean AS DECIMAL(38,10))), 2) AS DOUBLE)
+               / (100.0 * COUNT(*)) AS mean_matched_control,
+           CAST(SUM(y_cents) AS DOUBLE) / (100.0 * COUNT(*))
+               - CAST(ROUND(SUM(CAST(ctrl_mean AS DECIMAL(38,10))), 2)
+                      AS DOUBLE) / (100.0 * COUNT(*)) AS att,
+           CAST(SUM(gap) AS DOUBLE) / COUNT(*) AS avg_match_gap
+    FROM matched
+    """,
+    tags=("events", "causal", "propensity", "matching", "att",
+          "observational"),
+)
+def propensity_nn_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average treatment effect on the TREATED by nearest-neighbor
+    propensity matching (with replacement) — the matching estimator
+    beside propensity_stratified_ate's subclassification, sharing the
+    SAME confounded-exposure setup so the two deconfounders can be
+    compared head-to-head. The scale trick: matching is NOT a per-unit
+    nearest-neighbor search over units — treated units at the same
+    propensity index match identically, so the search runs over the
+    ≤501-row DISTINCT-index tables (a broadcast-sized cross join +
+    argmin), and each treated unit is matched to the MEAN control
+    outcome at the matched index (exact-match radius form of 1-NN
+    with replacement, deterministic by construction — no tie-broken
+    unit sampling to replicate across engines). Outcome sums stay in
+    integer cents; the per-treated control means accumulate through
+    dsum's decimal discipline. avg_match_gap reports the propensity
+    distance actually paid — the common-support diagnostic."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.least(
+            F.greatest(
+                F.expr(
+                    "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000)"
+                    " div 2200"
+                ),
+                F.lit(0),
+            ),
+            F.lit(500),
+        ).alias("idx"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    spend = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "idx")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).alias("y_cents"))
+        .select(
+            "idx",
+            (
+                h32(F.concat_ws("-", F.lit("trt"), F.col("c_custkey"))) % 1000
+                < 200 + F.col("idx")
+            )
+            .cast("int")
+            .alias("t"),
+            "y_cents",
+        )
+    )
+    cmean = (
+        spend.filter(F.col("t") == 0)
+        .groupBy("idx")
+        .agg(
+            F.count("*").cast("long").alias("n_c"),
+            F.sum("y_cents").cast("long").alias("s_c"),
+        )
+    )
+    tidx = spend.filter(F.col("t") == 1).select("idx").distinct()
+    nearest = (
+        tidx.crossJoin(
+            F.broadcast(cmean.select(F.col("idx").alias("c_idx")))
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("idx").orderBy(
+                    F.abs(F.col("idx") - F.col("c_idx")), F.col("c_idx")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("idx", "c_idx")
+    )
+    matched = (
+        spend.filter(F.col("t") == 1)
+        .join(F.broadcast(nearest), "idx")
+        .join(
+            F.broadcast(
+                cmean.select(
+                    F.col("idx").alias("c_idx"),
+                    (F.col("s_c").cast("double") / F.col("n_c")).alias(
+                        "ctrl_mean"
+                    ),
+                )
+            ),
+            "c_idx",
+        )
+        .select(
+            "y_cents",
+            "ctrl_mean",
+            F.abs(F.col("idx") - F.col("c_idx")).alias("gap"),
+        )
+    )
+    n_controls = cmean.agg(F.sum("n_c").cast("long").alias("n_controls"))
+    mt = F.sum("y_cents").cast("double") / (100.0 * F.count("*"))
+    mc = dsum("ctrl_mean") / (100.0 * F.count("*"))
+    return (
+        matched.crossJoin(F.broadcast(n_controls))
+        .groupBy("n_controls")
+        .agg(
+            F.count("*").cast("long").alias("n_treated"),
+            mt.alias("mean_treated"),
+            mc.alias("mean_matched_control"),
+            (mt - mc).alias("att"),
+            (F.sum("gap").cast("double") / F.count("*")).alias(
+                "avg_match_gap"
+            ),
+        )
+        .select(
+            "n_treated",
+            "n_controls",
+            "mean_treated",
+            "mean_matched_control",
+            "att",
+            "avg_match_gap",
+        )
+    )

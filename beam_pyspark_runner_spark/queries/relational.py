@@ -7117,3 +7117,261 @@ def aqp_sample_extrapolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (err / F.col("exact_cents").cast("double")).alias("rel_error"),
         (err <= 3.0 * float(_AQP_MOD) * sigma).alias("within_bound"),
     )
+
+
+# --- safety stock / reorder points (round 7, session 4) ---------------------
+_SS_LEAD_DAYS = 7
+_SS_Z_MILLI = 1645  # z for 95% cycle service level, in milli-units
+_SS_TOP = 25
+
+
+@register(
+    "safety_stock_reorder_points",
+    oracle=f"""
+    WITH daily AS (
+        SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT CAST(date_diff('day', MIN(day), MAX(day)) + 1 AS BIGINT)
+            AS n_days
+        FROM daily
+    ),
+    stats AS (
+        SELECT d.l_partkey,
+               CAST(SUM(d.qty) AS BIGINT) AS s1,
+               CAST(SUM(d.qty * d.qty) AS BIGINT) AS s2,
+               s.n_days
+        FROM daily d, span s
+        GROUP BY d.l_partkey, s.n_days
+    ),
+    calc AS (
+        SELECT l_partkey, s1, n_days,
+               CAST(s1 AS DOUBLE) / n_days AS mu,
+               sqrt(GREATEST(
+                   (CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_days)
+                       / (n_days - 1), 0.0)) AS sigma
+        FROM stats
+    )
+    SELECT l_partkey, s1 AS total_qty, mu AS daily_mean, sigma AS daily_std,
+           ({_SS_Z_MILLI} / 1000.0) * sigma * sqrt({_SS_LEAD_DAYS}.0)
+               AS safety_stock,
+           mu * {_SS_LEAD_DAYS}
+               + ({_SS_Z_MILLI} / 1000.0) * sigma * sqrt({_SS_LEAD_DAYS}.0)
+               AS reorder_point,
+           CAST(ROW_NUMBER() OVER (ORDER BY s1 DESC, l_partkey) AS BIGINT)
+               AS volume_rank
+    FROM calc
+    QUALIFY volume_rank <= {_SS_TOP}
+    """,
+    tags=("relational", "inventory", "safety_stock", "operations"),
+)
+def safety_stock_reorder_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety stock and reorder points for the top-{_SS_TOP} parts by
+    volume — the textbook (μ·LT + z·σ·√LT) inventory policy at a 95%
+    cycle service level, the replenishment calculation an operations
+    pipeline recomputes nightly over the full demand history: daily
+    demand mean/σ per part from EXACT integer power sums over the
+    calendar span (days without demand count as zeros via the
+    total-span denominator — the mistake naive AVG-over-present-days
+    makes is baked out by construction), z in integer milli-units, √
+    the sanctioned transcendental. One lineitem aggregate to daily
+    grain, one part-keyed reduce, a global top-{_SS_TOP} heap
+    (TakeOrdered) — corpus touched once. Pairs with
+    fifo_inventory_allocation (consumption side) as the planning
+    side."""
+    daily = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            "l_partkey", F.col("l_shipdate").cast("date").alias("day")
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"))
+    )
+    span = daily.agg(
+        (F.datediff(F.max("day"), F.min("day")) + 1)
+        .cast("long")
+        .alias("n_days")
+    )
+    stats = (
+        daily.crossJoin(F.broadcast(span))
+        .groupBy("l_partkey", "n_days")
+        .agg(
+            F.sum("qty").cast("long").alias("s1"),
+            F.sum(F.col("qty") * F.col("qty")).cast("long").alias("s2"),
+        )
+    )
+    mu = F.col("s1").cast("double") / F.col("n_days")
+    sigma = F.sqrt(
+        F.greatest(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double")
+                * F.col("s1").cast("double")
+                / F.col("n_days")
+            )
+            / (F.col("n_days") - 1),
+            F.lit(0.0),
+        )
+    )
+    ss = (_SS_Z_MILLI / 1000.0) * sigma * F.sqrt(F.lit(float(_SS_LEAD_DAYS)))
+    calc = stats.select(
+        "l_partkey",
+        F.col("s1").alias("total_qty"),
+        mu.alias("daily_mean"),
+        sigma.alias("daily_std"),
+        ss.alias("safety_stock"),
+        (mu * _SS_LEAD_DAYS + ss).alias("reorder_point"),
+    )
+    return (
+        calc.withColumn(
+            "volume_rank",
+            F.row_number()
+            .over(W.orderBy(F.col("total_qty").desc(), F.col("l_partkey")))
+            .cast("long"),
+        )
+        .filter(F.col("volume_rank") <= _SS_TOP)
+    )
+
+
+# --- Pareto front layers (NSGA-style non-dominated sorting) (r7, s4) --------
+_NSGA_FRONTS = 3
+
+
+def _pareto_sweep_sql(src: str, front: str, rest: str) -> str:
+    """One skyline sweep over CTE `src` (c_nationkey, c_custkey,
+    c_acctbal, total_spent): emit front CTE and remainder CTE. A point
+    is non-dominated iff no point with strictly higher acctbal in its
+    nation has >= total_spent (the skyline_pareto running-max sweep)."""
+    return f"""
+    {front} AS (
+        SELECT s.* FROM (
+            SELECT s.*,
+                   MAX(total_spent) OVER (
+                       PARTITION BY c_nationkey ORDER BY c_acctbal DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prev_max
+            FROM {src} s
+        ) s
+        WHERE prev_max IS NULL OR prev_max < total_spent
+    ),
+    {rest} AS (
+        SELECT s.* FROM {src} s
+        ANTI JOIN {front} f ON f.c_custkey = s.c_custkey
+    )"""
+
+
+_PARETO_CTES = []
+_src = "spent"
+for _i in range(1, _NSGA_FRONTS + 1):
+    _PARETO_CTES.append(_pareto_sweep_sql(_src, f"f{_i}", f"r{_i}"))
+    _src = f"r{_i}"
+
+
+@register(
+    "pareto_front_layers",
+    oracle=f"""
+    WITH spent AS (
+        SELECT c.c_nationkey, c.c_custkey, CAST(c.c_acctbal AS DOUBLE)
+                   AS c_acctbal,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_spent
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2, 3
+    ),
+    {",".join(_PARETO_CTES)}
+    SELECT n.n_name AS nation, u.c_custkey AS custkey,
+           u.c_acctbal AS acctbal,
+           CAST(u.total_spent AS DOUBLE) / 100.0 AS total_spent,
+           u.front
+    FROM (
+        {" UNION ALL ".join(
+            f"SELECT *, CAST({i} AS BIGINT) AS front FROM f{i}"
+            for i in range(1, _NSGA_FRONTS + 1)
+        )}
+    ) u
+    JOIN nation n ON n.n_nationkey = u.c_nationkey
+    """,
+    tags=("relational", "pareto", "non_dominated_sort", "nsga",
+          "multi_objective"),
+)
+def pareto_front_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-dominated sorting into the first {_NSGA_FRONTS} Pareto
+    LAYERS (the ranking inside NSGA-II, Deb et al. 2002) — what
+    skyline_pareto's single front can't answer: 'who is next-best once
+    the frontier is taken?', the question a tiered-offer or
+    multi-objective shortlisting pass actually asks (front 1 = the
+    efficient set, front 2 = efficient after removing front 1, …).
+    Each layer is ONE ordered running-max sweep per nation (the
+    skyline trick — no O(n²) dominance join), and peeling is an
+    anti-join; {_NSGA_FRONTS} unrolled sweeps, all window work
+    confined to (nation)-partitions over the customer aggregate.
+    Dominance axes: account balance vs lifetime spend (integer cents).
+    Ties on acctbal: the strictly-higher-balance rule means equal-
+    balance points never dominate each other — both can sit on the
+    same front, matching the sweep's 1-PRECEDING frame exactly in
+    both engines."""
+    spent = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_custkey",
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+                    "cents"
+                ),
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy(
+            "c_nationkey",
+            "c_custkey",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        .agg(F.sum("cents").cast("long").alias("total_spent"))
+        .localCheckpoint()
+    )
+
+    def sweep(src: DataFrame) -> tuple[DataFrame, DataFrame]:
+        w = (
+            W.partitionBy("c_nationkey")
+            .orderBy(F.col("c_acctbal").desc())
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        flagged = src.withColumn("prev_max", F.max("total_spent").over(w))
+        front = flagged.filter(
+            F.col("prev_max").isNull()
+            | (F.col("prev_max") < F.col("total_spent"))
+        ).drop("prev_max")
+        rest = src.join(
+            front.select(F.col("c_custkey").alias("f_key")),
+            F.col("c_custkey") == F.col("f_key"),
+            "left_anti",
+        )
+        return front, rest
+
+    fronts = []
+    cur = spent
+    for i in range(1, _NSGA_FRONTS + 1):
+        f, cur = sweep(cur)
+        fronts.append(
+            f.withColumn("front", F.lit(i).cast("long")).localCheckpoint()
+        )
+        cur = cur.localCheckpoint()
+    u = fronts[0]
+    for f in fronts[1:]:
+        u = u.unionByName(f)
+    return u.join(
+        F.broadcast(
+            load_table(spark, sf_dir, "nation").select(
+                "n_nationkey", "n_name"
+            )
+        ),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        (F.col("total_spent").cast("double") / 100.0).alias("total_spent"),
+        "front",
+    )
