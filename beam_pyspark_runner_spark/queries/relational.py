@@ -16,6 +16,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from beam_pyspark_runner_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
+from beam_pyspark_runner_spark.functions.ordered import bucketed_order_scan
 from beam_pyspark_runner_spark.queries.registry import register
 from beam_pyspark_runner_spark.sources.readers import load_table
 
@@ -1611,12 +1612,14 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup with exact-decimal value. Ties pinned by custkey so every
     score is deterministic.
 
-    Scale note stated plainly: global NTILE orders the CUSTOMER-level
-    aggregate in one task — fine for fixture scale and most real
-    customer tables (they're dimension-sized), but for a billion-row
-    entity table compute quintile BOUNDARIES via the two-phase
-    global_rank_bucketed decomposition (or percentile_approx) and
-    assign scores by range join instead."""
+    Scale path (round-8): each NTILE decomposes into the bucketed
+    two-phase global rank (`bucketed_order_scan` — ranks in parallel
+    within order-preserving bands: calendar day for recency, the
+    order-count value for frequency, $10k bands for monetary; every
+    band count is value-range-bounded) plus the exact NTILE arithmetic
+    from (rank, n): with q = n div 5, rem = n mod 5, the first rem
+    tiles hold q+1 rows — bit-identical to the window NTILE at any
+    entity count, with no single-task sort anywhere."""
     o = load_table(spark, sf_dir, "orders")
     asof = F.lit("2001-09-01").cast("timestamp")
     rfm = o.groupBy("o_custkey").agg(
@@ -1624,15 +1627,44 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         dsum("o_totalprice").alias("monetary"),
     )
-    scored = rfm.select(
+    ranked = bucketed_order_scan(
+        rfm,
+        F.col("recency_days").cast("long"),
+        [F.col("recency_days"), F.col("o_custkey")],
+        rank_name="r_rank",
+    )
+    ranked = bucketed_order_scan(
+        ranked,
+        F.col("frequency"),
+        [F.col("frequency").desc(), F.col("o_custkey")],
+        rank_name="f_rank",
+        descending_bucket=True,
+    )
+    ranked = bucketed_order_scan(
+        ranked,
+        F.floor(F.col("monetary") / F.lit(10_000.0)).cast("long"),
+        [F.col("monetary").desc(), F.col("o_custkey")],
+        rank_name="m_rank",
+        descending_bucket=True,
+    )
+    n_total = rfm.agg(F.count("*").alias("n_total"))
+
+    def ntile5(r: F.Column) -> F.Column:
+        n = F.col("n_total")
+        q = F.floor(n / F.lit(5)).cast("long")
+        rem = (n % 5).cast("long")
+        cut = rem * (q + 1)
+        head = F.floor((r - 1) / (q + 1)).cast("long") + 1
+        tail = rem + F.floor(
+            (r - cut - 1) / F.greatest(q, F.lit(1))
+        ).cast("long") + 1
+        return F.when(r <= cut, head).otherwise(tail).cast("long")
+
+    scored = ranked.crossJoin(F.broadcast(n_total)).select(
         "o_custkey", "monetary",
-        F.ntile(5).over(W.orderBy("recency_days", "o_custkey")).cast("long").alias("r_score"),
-        F.ntile(5).over(
-            W.orderBy(F.col("frequency").desc(), "o_custkey")
-        ).cast("long").alias("f_score"),
-        F.ntile(5).over(
-            W.orderBy(F.col("monetary").desc(), "o_custkey")
-        ).cast("long").alias("m_score"),
+        ntile5(F.col("r_rank")).alias("r_score"),
+        ntile5(F.col("f_rank")).alias("f_score"),
+        ntile5(F.col("m_rank")).alias("m_score"),
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_customers"),
@@ -1714,25 +1746,32 @@ def revenue_concentration_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration (the 80/20 question): how many top
     customers carry 80% of revenue. Customer revenues aggregate first
     (one shuffle); the cumulative scan runs over that entity-level
-    table with decimal-exact running sums so the 80% crossing point is
-    unambiguous. Same single-task-ordering caveat as rfm_segmentation —
-    the scan is over the aggregate, and a billion-entity table would
-    use the two-phase bucketed rank first."""
+    table with decimal-exact running sums via the bucketed two-phase
+    decomposition (`bucketed_order_scan`): rank and running revenue
+    computed in parallel within descending $10k revenue bands
+    (value-range-bounded band count), band offsets from the tiny band
+    table — no single-task ordering of the entity table. Grand totals
+    ride one broadcast scalar row."""
     o = load_table(spark, sf_dir, "orders")
     dec = "decimal(38,10)"
     cust = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("revenue"))
-    order = W.orderBy(F.col("revenue").desc(), "o_custkey")
-    everything = W.partitionBy()
-    ranked = cust.select(
-        F.row_number().over(order).alias("rnk"),
-        F.sum(F.col("revenue").cast(dec))
-        .over(order.rowsBetween(W.unboundedPreceding, 0))
-        .cast("double")
-        .alias("cum_revenue"),
-        F.sum(F.col("revenue").cast(dec)).over(everything).cast("double").alias(
-            "total_revenue"
-        ),
-        F.count("*").over(everything).alias("n_customers"),
+    totals = cust.agg(
+        F.sum(F.col("revenue").cast(dec)).cast("double").alias("total_revenue"),
+        F.count("*").alias("n_customers"),
+    )
+    scanned = bucketed_order_scan(
+        cust,
+        F.floor(F.col("revenue") / F.lit(10_000.0)).cast("long"),
+        [F.col("revenue").desc(), F.col("o_custkey")],
+        rank_name="rnk",
+        running={"cum_rev_dec": F.col("revenue").cast(dec)},
+        descending_bucket=True,
+    )
+    ranked = scanned.crossJoin(F.broadcast(totals)).select(
+        "rnk",
+        F.col("cum_rev_dec").cast("double").alias("cum_revenue"),
+        "total_revenue",
+        "n_customers",
     )
     hit = ranked.filter(F.col("cum_revenue") >= 0.8 * F.col("total_revenue"))
     return hit.agg(
@@ -2711,25 +2750,30 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     stock-policy segmentation behind cycle-count frequency and safety
     stock (revenue_concentration_8020 asks where the knee is; this
     assigns every item a class). Part revenues aggregate first; the
-    decimal-exact cumulative scan runs over the part-level aggregate
-    with the rfm/8020 single-task caveat and the same two-phase
-    escape hatch at extreme item counts."""
+    decimal-exact cumulative scan runs the bucketed two-phase
+    decomposition (`bucketed_order_scan`): running revenue in parallel
+    within descending $10k revenue bands (value-range-bounded band
+    count, independent of item count), band offsets from the tiny band
+    table — no single-task ordering of the item table."""
     li = load_table(spark, sf_dir, "lineitem")
     dec = "decimal(38,10)"
     part_rev = li.groupBy("l_partkey").agg(
         dsum("l_extendedprice").alias("revenue")
     )
-    order = W.orderBy(F.col("revenue").desc(), "l_partkey")
-    ranked = part_rev.select(
+    total = part_rev.agg(
+        F.sum(F.col("revenue").cast(dec)).cast("double").alias("total_rev")
+    )
+    ranked = bucketed_order_scan(
+        part_rev,
+        F.floor(F.col("revenue") / F.lit(10_000.0)).cast("long"),
+        [F.col("revenue").desc(), F.col("l_partkey")],
+        rank_name=None,
+        running={"cum_rev_dec": F.col("revenue").cast(dec)},
+        descending_bucket=True,
+    ).crossJoin(F.broadcast(total)).select(
         "revenue",
-        F.sum(F.col("revenue").cast(dec))
-        .over(order.rowsBetween(W.unboundedPreceding, 0))
-        .cast("double")
-        .alias("cum_rev"),
-        F.sum(F.col("revenue").cast(dec))
-        .over(W.partitionBy())
-        .cast("double")
-        .alias("total_rev"),
+        F.col("cum_rev_dec").cast("double").alias("cum_rev"),
+        "total_rev",
     )
     cls = (
         F.when(F.col("cum_rev") <= 0.8 * F.col("total_rev"), "A")
@@ -3362,19 +3406,23 @@ def gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the rank identity G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
     ascending-sorted values: no pairwise |xᵢ−xⱼ| double loop. Revenue
     in integer cents so every sum (including the rank-weighted one) is
-    exact int64; the global rank runs on the CUSTOMER AGGREGATE
-    (entities, not orders) — at extreme entity counts the rank swaps
-    in `global_rank_bucketed`'s two-phase trick unchanged. Ranks are
-    total-ordered by (value, custkey), which leaves G unchanged among
-    tied values but keeps both engines identical."""
+    exact int64; the global rank over the CUSTOMER AGGREGATE runs the
+    bucketed two-phase decomposition (`bucketed_order_scan`): ranks
+    computed in parallel within $100k revenue bands (value-range-
+    bounded bucket count, independent of entity count), band offsets
+    from the tiny band table — no single-task sort of the entity
+    table. Ranks are total-ordered by (value, custkey), which leaves G
+    unchanged among tied values but keeps both engines identical."""
     o = load_table(spark, sf_dir, "orders")
     c = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    r = c.select(
-        "cents",
-        F.row_number().over(W.orderBy("cents", "o_custkey")).alias("i"),
-    )
+    r = bucketed_order_scan(
+        c,
+        F.floor(F.col("cents") / F.lit(10_000_000)).cast("long"),
+        [F.col("cents"), F.col("o_custkey")],
+        rank_name="i",
+    ).select("cents", "i")
     s = r.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("cents").cast("long").alias("tot"),
@@ -3958,28 +4006,31 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios are the misplanning factor — a skewed key set sends
     err_uniform far above 1, which is precisely when a 100 TB join
     needs the salted/AQE path (salted_skew_join) instead of a plain
-    shuffle. Cost: one groupBy to the per-key frame, then a rank window
-    over KEY CARDINALITY rows (not data rows) for the MCV cut — the
-    same frame ANALYZE itself materializes; production heavy-hitter
-    stats at streaming scale come from cms_heavy_hitters instead."""
+    shuffle. Cost: one groupBy to the per-key frame, a full-frame sum
+    for the exact totals, and a TakeOrdered top-{JCE_MCVS} heap for
+    the MCV cut (orderBy+limit — per-partition heaps merged on the
+    driver, never a global rank window over key cardinality);
+    production heavy-hitter stats at streaming scale come from
+    cms_heavy_hitters instead."""
     c = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.count("*").cast("long").alias("c"))
     )
-    r = c.select(
-        "c", F.row_number().over(W.orderBy(F.col("c").desc(), "user_id")).alias("rn")
-    )
-    is_mcv = F.col("rn") <= JCE_MCVS
-    s = r.agg(
+    tot = c.agg(
         F.sum("c").cast("long").alias("n_rows"),
         F.count("*").cast("long").alias("ndv"),
         F.sum(F.col("c") * F.col("c")).cast("long").alias("actual_pairs"),
-        F.sum(F.when(is_mcv, F.col("c")).otherwise(0)).cast("long").alias("mcv_rows"),
-        F.sum(F.when(is_mcv, F.col("c") * F.col("c")).otherwise(0))
-        .cast("long")
-        .alias("mcv_pairs"),
     )
+    mcv = (
+        c.orderBy(F.col("c").desc(), "user_id")
+        .limit(JCE_MCVS)
+        .agg(
+            F.sum("c").cast("long").alias("mcv_rows"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("mcv_pairs"),
+        )
+    )
+    s = tot.crossJoin(F.broadcast(mcv))
     est_uniform = (
         F.col("n_rows").cast("double") * F.col("n_rows") / F.col("ndv")
     )
@@ -7224,14 +7275,19 @@ def safety_stock_reorder_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         ss.alias("safety_stock"),
         (mu * _SS_LEAD_DAYS + ss).alias("reorder_point"),
     )
-    return (
-        calc.withColumn(
-            "volume_rank",
-            F.row_number()
-            .over(W.orderBy(F.col("total_qty").desc(), F.col("l_partkey")))
-            .cast("long"),
-        )
-        .filter(F.col("volume_rank") <= _SS_TOP)
+    # True TakeOrdered: orderBy+limit compiles to TakeOrderedAndProject
+    # (a per-partition top-K heap merged on the driver) — the full
+    # part-grain table never funnels through a single WindowExec task.
+    # The row_number window then runs over the bounded {_SS_TOP}-row
+    # result only (bounded_window).
+    top = calc.orderBy(
+        F.col("total_qty").desc(), F.col("l_partkey")
+    ).limit(_SS_TOP)
+    return top.withColumn(
+        "volume_rank",
+        F.row_number()
+        .over(W.orderBy(F.col("total_qty").desc(), F.col("l_partkey")))
+        .cast("long"),
     )
 
 

@@ -1622,3 +1622,22 @@ def test_kcenter_rounds_checkpoint_pinned_no_full_sort(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert len(plan) < 20_000, f"plan blew up: {len(plan)} chars"
     assert "Scan ExistingRDD" in plan, plan[:1200]
+
+
+def test_safety_stock_topk_is_takeordered(spark):
+    """safety_stock_reorder_points (round-7 verdict #3): the global
+    top-25-by-volume must run as a distributed top-k heap
+    (TakeOrderedAndProject), not an unpartitioned row_number window
+    over the full part-grain stats table. The only window in the plan
+    ranks the bounded 25-row heap result."""
+    plan = _executed_plan_of(spark, "safety_stock_reorder_points")
+    assert "TakeOrderedAndProject(limit=25" in plan, plan[:1200]
+    # the rank window's input must be the heap output, not a corpus
+    # exchange: no single-partition exchange feeding part-grain rows
+    import re
+
+    win_idx = plan.find("Window ")
+    heap_idx = plan.find("TakeOrderedAndProject")
+    assert win_idx != -1 and heap_idx != -1
+    assert win_idx < heap_idx, "window must sit above the heap"
+    assert "Python" not in plan
