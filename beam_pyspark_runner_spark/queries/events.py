@@ -1853,7 +1853,8 @@ def wilson_lower_bound_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior choice. z²=3.8416 is a literal; sqrt is correctly rounded
     IEEE in both engines (the sqrt-yes/log-no determinism line this
     repo draws). One conditional aggregate + a top-10 over the
-    user-level table."""
+    user-level table via orderBy+limit — TakeOrderedAndProject's
+    per-partition heaps, never a global rank window over users."""
     e = load_table(spark, sf_dir, "events")
     peruser = e.groupBy("user_id").agg(
         F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
@@ -1866,11 +1867,10 @@ def wilson_lower_bound_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         p + z2 / (2 * n)
         - 1.96 * F.sqrt((p * (1 - p) + z2 / (4 * n)) / n)
     ) / (1 + z2 / n)
-    w = W.orderBy(lb.desc(), "user_id")
     return (
         peruser.withColumn("wilson_lb", lb)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
+        .orderBy(F.col("wilson_lb").desc(), "user_id")
+        .limit(10)
         .select("user_id", "views", "purchases", "wilson_lb")
     )
 

@@ -2889,14 +2889,16 @@ def knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") == _OUT_K)
     )
+    # TakeOrdered heap for the global top-N; the rank window then runs
+    # over the bounded {_OUT_N}-row heap result only (bounded_window).
+    top = nn.orderBy(F.col("d2").desc(), "vec_id").limit(_OUT_N)
     return (
-        nn.withColumn(
+        top.withColumn(
             "outlier_rank",
             F.row_number()
             .over(W.orderBy(F.col("d2").desc(), F.col("vec_id")))
             .cast("long"),
         )
-        .filter(F.col("outlier_rank") <= _OUT_N)
         .select(
             "vec_id",
             "centroid_id",

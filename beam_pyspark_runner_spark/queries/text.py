@@ -1154,8 +1154,9 @@ def vocab_id_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (VOCAB_SIZE rows) — it broadcasts into the encode join, so the
     corpus-sized path is explode → broadcast-hash-join → one groupBy
     doc_id with an in-group sort (array_sort of (pos, id) structs), all
-    JVM-side. The global ranking window runs on the vocab-sized count
-    table, never the corpus. Ids serialize to CSV because the driver's
+    JVM-side. The top-VOCAB_SIZE cut is a TakeOrdered heap over the
+    token-type table; the id-assignment window then ranks only the
+    bounded VOCAB_SIZE-row heap output, never the full type table. Ids serialize to CSV because the driver's
     canonicalizer (like most table hashes) wants scalar cells; a real
     sink would keep array<int>.
     """
@@ -1168,12 +1169,16 @@ def vocab_id_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = tok.groupBy("token").agg(F.count("*").alias("c"))
     from pyspark.sql import Window as W
 
+    # TakeOrdered heap to the top-VOCAB_SIZE tokens first; the id-
+    # assignment window then ranks the bounded VOCAB_SIZE-row result
+    # (bounded_window), never the full token-type table.
     vocab = (
-        counts.withColumn(
+        counts.orderBy(F.col("c").desc(), "token")
+        .limit(VOCAB_SIZE)
+        .withColumn(
             "id",
             F.row_number().over(W.orderBy(F.col("c").desc(), "token")) - 1,
         )
-        .filter(F.col("id") < VOCAB_SIZE)
         .select("token", "id")
     )
     enc = tok.join(F.broadcast(vocab), "token", "left").select(
@@ -2147,13 +2152,22 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = bg.groupBy("bigram").agg(F.count("*").alias("c"))
     from pyspark.sql import Window as W
 
-    ranked = counts.select(
-        "c",
-        F.row_number().over(W.orderBy(F.col("c").desc(), "bigram")).alias("rnk"),
-    )
-    stats = ranked.agg(
+    # Corpus totals need no ordering; only the top-500 cut needs ranks.
+    # TakeOrdered heap to the 500 heaviest types, rank within that
+    # bounded frame (bounded_window), then one broadcast of the totals
+    # row — the full type table is never globally sorted.
+    totals = counts.agg(
         F.sum("c").cast("long").alias("total"),
         F.count("*").alias("n_types"),
+    )
+    top = counts.orderBy(F.col("c").desc(), "bigram").limit(500)
+    ranked = top.select(
+        "c",
+        F.row_number().over(W.orderBy(F.col("c").desc(), "bigram")).alias("rnk"),
+    ).crossJoin(F.broadcast(totals))
+    stats = ranked.agg(
+        F.max("total").cast("long").alias("total"),
+        F.max("n_types").alias("n_types"),
         *[
             F.sum(F.when(F.col("rnk") <= k, F.col("c")))
             .cast("long")
@@ -4428,13 +4442,15 @@ def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("phrase", "n_occurrences", "phrase_len")
         .agg(F.sum("micro").cast("long").alias("score_micro"))
     )
+    # TakeOrdered heap for the global top-N phrases; the rank window
+    # runs over the bounded {_RAKE_TOPN}-row result (bounded_window).
     wr = W.orderBy(
         F.col("score_micro").desc(), F.col("n_occurrences").desc(), "phrase"
     )
-    return (
-        pscore.withColumn("rank", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rank") <= _RAKE_TOPN)
-    )
+    top = pscore.orderBy(
+        F.col("score_micro").desc(), F.col("n_occurrences").desc(), "phrase"
+    ).limit(_RAKE_TOPN)
+    return top.withColumn("rank", F.row_number().over(wr).cast("long"))
 
 
 # --- uncertainty (margin) sampling for annotation (round 7, session 4) ------
@@ -4504,13 +4520,17 @@ def uncertainty_margin_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (
         scored.join(src, "doc_id")
         .withColumn("margin_milli", F.abs(F.col("score_milli")).cast("long"))
+        # TakeOrdered heap for the global bottom-N margins; the rank
+        # window runs over the bounded {_MARGIN_N}-row heap result
+        # only (bounded_window).
+        .orderBy("margin_milli", "doc_id")
+        .limit(_MARGIN_N)
         .withColumn(
             "rank",
             F.row_number()
             .over(W.orderBy(F.col("margin_milli"), F.col("doc_id")))
             .cast("long"),
         )
-        .filter(F.col("rank") <= _MARGIN_N)
     )
     return ranked.select(
         "doc_id", "source", "n_tokens", "score_milli", "margin_milli", "rank"
