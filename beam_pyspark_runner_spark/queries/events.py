@@ -1140,18 +1140,30 @@ def id_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset (id − ROW_NUMBER is constant inside a run — the classic
     Tabibitosan trick), reporting islands of length ≥ 3. The sequence-
     integrity check a pipeline runs to find dropped id ranges after an
-    ingest. Scale caveat stated plainly: the global ORDER BY row_number
-    funnels through one task — for 100 TB apply global_rank_bucketed's
-    two-phase rank first and reuse this grouping unchanged; the fixture
-    subset doesn't need the rescue."""
+    ingest. The global row_number comes from bucketed_order_scan
+    (functions/ordered.py): id-range buckets rank in parallel, a tiny
+    per-bucket offset table broadcasts back — identical ranks, no
+    single-task WindowExec over the fact table. Bucket width 2^16 keeps
+    the offset table at |id_range|/65536 rows (a few thousand even at
+    10^12 ids)."""
+    from beam_pyspark_runner_spark.functions.ordered import (
+        bucketed_order_scan,
+    )
+
     e = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "click")
         .select("event_id")
     )
-    c = e.select(
+    ranked = bucketed_order_scan(
+        e,
+        F.floor(F.col("event_id") / F.lit(65536)).cast("long"),
+        [F.col("event_id")],
+        rank_name="rk",
+    )
+    c = ranked.select(
         "event_id",
-        (F.col("event_id") - F.row_number().over(W.orderBy("event_id"))).alias("grp"),
+        (F.col("event_id") - F.col("rk")).alias("grp"),
     )
     return (
         c.groupBy("grp")

@@ -4618,13 +4618,15 @@ def conformal_interval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     measure realized coverage on the held-out TEST fold. Coverage far
     from 0.9 means leakage or drift; this is the uncertainty-QA gate a
     model-scoring pipeline runs before shipping intervals. Everything
-    is rank-based: the quantile is ONE order statistic (row_number over
-    the calibration frame, integer-ceil rank arithmetic), no
-    interpolation, so both engines agree bit-for-bit. Cost: one scan
-    fans into three fold-filtered aggregates; the month-mean model is
-    a broadcast-sized table; the rank window runs over the calibration
-    fold only (at 100 TB: sample the calibration fold or swap in
-    two_phase_global_quantiles' bucket walk)."""
+    is rank-based: the quantile is ONE order statistic (a global rank
+    from bucketed_order_scan — residual-range buckets rank in
+    parallel, offsets broadcast back — then integer-ceil rank
+    arithmetic), no interpolation, so both engines agree bit-for-bit.
+    Cost: one scan fans into three fold-filtered aggregates; the
+    month-mean model is a broadcast-sized table; the calibration fold
+    is never funneled through a single-task window (the residual
+    domain is price-bounded, so the 2^16-cent buckets are a ~1e3-row
+    offset table at any corpus size)."""
     from beam_pyspark_runner_spark.functions.hashing import h32
 
     o = (
@@ -4654,11 +4656,17 @@ def conformal_interval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(mu), "m")
         .select(F.abs(F.col("cents") - F.col("mu")).alias("r"), "o_orderkey")
     )
-    ranked = cal.select(
-        "r",
-        F.row_number().over(W.orderBy("r", "o_orderkey")).alias("rn"),
-        F.count("*").over(W.partitionBy()).alias("n_cal"),
+    from beam_pyspark_runner_spark.functions.ordered import (
+        bucketed_order_scan,
     )
+
+    ncal = cal.agg(F.count("*").alias("n_cal"))
+    ranked = bucketed_order_scan(
+        cal,
+        F.floor(F.col("r") / F.lit(65536.0)).cast("long"),
+        [F.col("r"), F.col("o_orderkey")],
+        rank_name="rn",
+    ).crossJoin(F.broadcast(ncal))
     target_rn = F.least(
         F.col("n_cal"),
         F.expr(

@@ -1277,12 +1277,17 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc⋈embedding table with the 1-row query broadcast; ranks are
     integers so the fused score is deterministic IEEE arithmetic.
 
-    Scale note: here the whole corpus is the candidate set, so the two
-    rank windows are global — in production each leg PRE-FILTERS its
-    candidates (inverted-index top-N for keywords:
-    `inverted_index_postings`; IVF probes for vectors:
-    `ivf_topk_search`) and the fusion windows run on the union of two
-    bounded candidate lists, never the corpus."""
+    Scale shape — no global rank window: the top-10 by RRF can only
+    contain docs from (kw top-80 ∪ vec top-80). Lemma: the ten docs
+    with r_kw ∈ 1..10 each score > 1/70, while any doc outside both
+    top-80s scores < 2/141 < 1/70 — it cannot displace them. Each
+    leg's candidates come from a TakeOrdered heap, and every
+    candidate's EXACT corpus-wide ranks are conditional counts
+    (rank = 1 + |better-ranked docs|) computed in one broadcast-
+    crossJoin aggregate with map-side partial aggregation — the corpus
+    is scanned, never sorted. In production each leg would PRE-FILTER
+    further (inverted-index top-N: `inverted_index_postings`; IVF
+    probes: `ivf_topk_search`)."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
@@ -1304,24 +1309,50 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    ranked = scored.select(
-        "doc_id",
-        F.col("kw_score").cast("long").alias("kw_score"),
-        "vec_score",
-        F.row_number()
-        .over(W.orderBy(F.col("kw_score").desc(), "doc_id"))
-        .cast("long")
-        .alias("r_kw"),
-        F.row_number()
-        .over(W.orderBy(F.col("vec_score").desc(), "doc_id"))
-        .cast("long")
-        .alias("r_vec"),
+    base = scored.select(
+        "doc_id", F.col("kw_score").cast("long").alias("kw_score"), "vec_score"
+    )
+    top_kw = base.orderBy(F.col("kw_score").desc(), "doc_id").limit(80)
+    top_vec = base.orderBy(F.col("vec_score").desc(), "doc_id").limit(80)
+    cands = (
+        top_kw.unionByName(top_vec)
+        .dropDuplicates(["doc_id"])
+        .select(
+            F.col("doc_id").alias("c_id"),
+            F.col("kw_score").alias("c_kw"),
+            F.col("vec_score").alias("c_vec"),
+        )
+    )
+
+    def _better(col: str, cand: str):
+        return (F.col(col) > F.col(cand)) | (
+            (F.col(col) == F.col(cand)) & (F.col("doc_id") < F.col("c_id"))
+        )
+
+    ranked = (
+        base.crossJoin(F.broadcast(cands))
+        .groupBy("c_id", "c_kw", "c_vec")
+        .agg(
+            (1 + F.sum(F.when(_better("kw_score", "c_kw"), 1).otherwise(0)))
+            .cast("long")
+            .alias("r_kw"),
+            (1 + F.sum(F.when(_better("vec_score", "c_vec"), 1).otherwise(0)))
+            .cast("long")
+            .alias("r_vec"),
+        )
     )
     rrf = F.lit(1.0) / (60 + F.col("r_kw")) + F.lit(1.0) / (
         60 + F.col("r_vec")
     )
     return (
-        ranked.withColumn("rrf_score", rrf)
+        ranked.select(
+            F.col("c_id").alias("doc_id"),
+            F.col("c_kw").alias("kw_score"),
+            F.col("c_vec").alias("vec_score"),
+            "r_kw",
+            "r_vec",
+            rrf.alias("rrf_score"),
+        )
         .orderBy(F.col("rrf_score").desc(), "doc_id")
         .limit(10)
     )

@@ -977,10 +977,10 @@ def kmv_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates) as value-hashed booleans; when a set is smaller than k
     the sketch IS exact and the estimate equals the count.
 
-    Scale notes (100 TB): bottom-k per set is rank-on-the-distinct-
-    hash-table (mann_whitney pattern); in production the same sketch
-    maintains itself as a size-k partial aggregate (map-side heaps) —
-    constant memory, mergeable, the shape hll_merge_groups pins. The
+    Scale notes (100 TB): bottom-k per set IS a size-k TakeOrdered
+    heap here (orderBy+limit → per-partition heaps merged on the
+    driver) — constant memory, mergeable, the shape hll_merge_groups
+    pins; no rank window anywhere. The
     set algebra runs on ≤2k retained hashes — driver-free and
     constant-cost."""
     ev = (
@@ -1014,40 +1014,56 @@ def kmv_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beam_pyspark_runner_spark.functions.hashing import h60
 
     hashes = ev.select("s", h60(F.col("elem")).alias("h"))
-    ranked = hashes.select(
-        "s",
-        "h",
-        F.row_number().over(W.partitionBy("s").orderBy("h")).alias("rn"),
+    # Bottom-k per side via TakeOrdered heaps (orderBy+limit compiles
+    # to TakeOrderedAndProject: per-partition size-k heaps merged on
+    # the driver) — exactly the constant-memory mergeable shape the
+    # docstring promises, never a per-side rank window funneling each
+    # set through one task. theta = max of the heap iff the heap is
+    # full (|set| >= k), else NULL (the sketch is exact below k).
+    bot_a = hashes.filter(F.col("s") == "A").select("h").orderBy("h").limit(
+        KMV_K
     )
-    st = ranked.agg(
-        F.max(
-            F.when((F.col("s") == "A") & (F.col("rn") == KMV_K), F.col("h"))
-        ).alias("theta_a"),
-        F.max(
-            F.when((F.col("s") == "B") & (F.col("rn") == KMV_K), F.col("h"))
-        ).alias("theta_b"),
-        F.sum(F.when(F.col("s") == "A", 1).otherwise(0))
-        .cast("long")
-        .alias("n_a"),
-        F.sum(F.when(F.col("s") == "B", 1).otherwise(0))
-        .cast("long")
-        .alias("n_b"),
+    bot_b = hashes.filter(F.col("s") == "B").select("h").orderBy("h").limit(
+        KMV_K
     )
-    uranked = (
-        hashes.select("h")
-        .distinct()
-        .select("h", F.row_number().over(W.orderBy("h")).alias("rn"))
+    st = (
+        bot_a.agg(F.max("h").alias("mxa"), F.count("*").alias("ca"))
+        .crossJoin(
+            F.broadcast(
+                bot_b.agg(F.max("h").alias("mxb"), F.count("*").alias("cb"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                hashes.agg(
+                    F.sum(F.when(F.col("s") == "A", 1).otherwise(0))
+                    .cast("long")
+                    .alias("n_a"),
+                    F.sum(F.when(F.col("s") == "B", 1).otherwise(0))
+                    .cast("long")
+                    .alias("n_b"),
+                )
+            )
+        )
+        .select(
+            F.when(F.col("ca") == KMV_K, F.col("mxa")).alias("theta_a"),
+            F.when(F.col("cb") == KMV_K, F.col("mxb")).alias("theta_b"),
+            "n_a",
+            "n_b",
+        )
     )
-    ust = uranked.agg(
-        F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).alias("theta_u"),
-        F.count("*").cast("long").alias("n_u"),
+    u = hashes.select("h").distinct()
+    bot_u = u.orderBy("h").limit(KMV_K)
+    ust = (
+        bot_u.agg(F.max("h").alias("mxu"), F.count("*").alias("cu"))
+        .crossJoin(F.broadcast(u.agg(F.count("*").cast("long").alias("n_u"))))
+        .select(
+            F.when(F.col("cu") == KMV_K, F.col("mxu")).alias("theta_u"),
+            "n_u",
+        )
     )
-    ra = ranked.filter((F.col("s") == "A") & (F.col("rn") <= KMV_K)).select(
-        F.col("h").alias("ha")
-    )
-    rb = ranked.filter((F.col("s") == "B") & (F.col("rn") <= KMV_K)).select(
-        F.col("h").alias("hb")
-    )
+    ra = bot_a.select(F.col("h").alias("ha"))
+    rb = bot_b.select(F.col("h").alias("hb"))
     pairs = ra.join(rb, ra["ha"] == rb["hb"], "full_outer").select(
         F.coalesce(F.col("ha"), F.col("hb")).alias("h"),
         F.col("ha").isNotNull().alias("in_a"),

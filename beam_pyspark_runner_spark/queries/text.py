@@ -946,8 +946,8 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the word-count stage is the only corpus-wide pass —
     identical shape to pipeline_wordcount — and subsequent merge
     iterations would re-run only the vocab-sized stages. The final
-    global rank window is safe despite its single task: its input is
-    the pair-total table, ≤26² rows for any corpus."""
+    top-{BPE_TOP_PAIRS} cut is a TakeOrdered heap; the rank window
+    runs only over the bounded heap result (bounded_window)."""
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
         F.explode(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), 0)).alias("w")
@@ -966,9 +966,11 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     w = W.orderBy(F.col("total").desc(), F.col("pair"))
+    top = totals.orderBy(F.col("total").desc(), F.col("pair")).limit(
+        BPE_TOP_PAIRS
+    )
     return (
-        totals.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= BPE_TOP_PAIRS)
+        top.withColumn("rnk", F.row_number().over(w))
         .select("pair", F.col("total").cast("long").alias("total"),
                 F.col("rnk").cast("long").alias("rnk"))
     )
@@ -1616,12 +1618,15 @@ def trending_terms_rankshift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference period, with the rank gain that surfaces risers —
     the what's-changed view over a text stream (period = doc parity
     here; production uses time buckets). BOTH period counts come from
-    one conditional aggregate over one tokenize; the rank windows run
-    over the VOCABULARY table, not the corpus, and the top-10-union
-    filter bounds output. Ranks tie-break on the token so the shift
-    is deterministic."""
-    from pyspark.sql import Window as W
-
+    one conditional aggregate over one tokenize. No global rank window
+    anywhere: the output set is exactly (cur top-10 ∪ ref top-10), so
+    each leg's candidates come from a TakeOrdered heap, and each
+    candidate's EXACT global rank is a conditional count against the
+    vocabulary table — rank(t) = 1 + |{u : c_u > c_t ∨ (c_u = c_t ∧
+    u < t)}| — computed in one ≤20-way broadcast-crossJoin aggregate
+    with map-side partial aggregation (vocab scanned once, never
+    sorted). Ranks tie-break on the token so the shift is
+    deterministic."""
     docs = load_table(spark, sf_dir, "documents").select(
         (F.col("doc_id") % 2).alias("period"),
         F.explode(F.split("text", " ")).alias("token"),
@@ -1630,19 +1635,42 @@ def trending_terms_rankshift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("period") == 1, 1)).alias("cur"),
         F.count(F.when(F.col("period") == 0, 1)).alias("ref"),
     )
-    w_cur = W.orderBy(F.col("cur").desc(), "token")
-    w_ref = W.orderBy(F.col("ref").desc(), "token")
-    ranked = counts.select(
-        "token", "cur", "ref",
-        F.row_number().over(w_cur).cast("long").alias("cur_rank"),
-        F.row_number().over(w_ref).cast("long").alias("ref_rank"),
+    top_cur = counts.orderBy(F.col("cur").desc(), "token").limit(10)
+    top_ref = counts.orderBy(F.col("ref").desc(), "token").limit(10)
+    cands = (
+        top_cur.unionByName(top_ref)
+        .dropDuplicates(["token"])
+        .select(
+            F.col("token").alias("c_token"),
+            F.col("cur").alias("c_cur"),
+            F.col("ref").alias("c_ref"),
+        )
+    )
+
+    def _better(count_col: str, cand_col: str):
+        return (F.col(count_col) > F.col(cand_col)) | (
+            (F.col(count_col) == F.col(cand_col))
+            & (F.col("token") < F.col("c_token"))
+        )
+
+    ranked = (
+        counts.crossJoin(F.broadcast(cands))
+        .groupBy("c_token", "c_cur", "c_ref")
+        .agg(
+            (1 + F.sum(F.when(_better("cur", "c_cur"), 1).otherwise(0)))
+            .cast("long")
+            .alias("cur_rank"),
+            (1 + F.sum(F.when(_better("ref", "c_ref"), 1).otherwise(0)))
+            .cast("long")
+            .alias("ref_rank"),
+        )
     )
     return ranked.filter(
         (F.col("cur_rank") <= 10) | (F.col("ref_rank") <= 10)
     ).select(
-        "token",
-        F.col("cur").alias("current_count"),
-        F.col("ref").alias("reference_count"),
+        F.col("c_token").alias("token"),
+        F.col("c_cur").alias("current_count"),
+        F.col("c_ref").alias("reference_count"),
         "cur_rank",
         "ref_rank",
         (F.col("ref_rank") - F.col("cur_rank")).alias("rank_gain"),
@@ -2644,13 +2672,14 @@ def bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window as W
 
-    w1 = W.orderBy(F.col("total").desc(), F.col("pair"))
+    # argmax via TakeOrdered (orderBy+limit(1)), not a global rank
+    # window over the pair-type table.
     top1 = (
         adjacent_pairs(wc, " ")
         .groupBy("pair")
         .agg(F.sum("freq").alias("total"))
-        .withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
+        .orderBy(F.col("total").desc(), F.col("pair"))
+        .limit(1)
         .select(F.col("pair").alias("best_pair"))
     )
     merged = wc.crossJoin(F.broadcast(top1)).select(
@@ -2664,10 +2693,12 @@ def bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = adjacent_pairs(merged, "+").groupBy("pair").agg(
         F.sum("freq").alias("total")
     )
+    # TakeOrdered heap for the top-10; the rank window then runs over
+    # the bounded 10-row heap result only (bounded_window).
     w2 = W.orderBy(F.col("total").desc(), F.col("pair"))
+    top10 = totals.orderBy(F.col("total").desc(), F.col("pair")).limit(10)
     return (
-        totals.withColumn("rnk", F.row_number().over(w2))
-        .filter(F.col("rnk") <= 10)
+        top10.withColumn("rnk", F.row_number().over(w2))
         .select(
             "pair",
             F.col("total").cast("long").alias("total"),
