@@ -1133,7 +1133,7 @@ def wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c GROUP BY grp
     HAVING COUNT(*) >= 3
     """,
-    tags=("events", "gaps_islands", "sequence_integrity", "window"),
+    tags=("bounded_window", "events", "gaps_islands", "sequence_integrity", "window"),
 )
 def id_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands: contiguous event_id runs within the 'click'
@@ -1637,7 +1637,7 @@ def smoothed_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
     CROSS JOIN total t
     GROUP BY h.lifespan_days, t.tot
     """,
-    tags=("events", "survival_analysis", "retention", "lifespan"),
+    tags=("bounded_window", "events", "survival_analysis", "retention", "lifespan"),
 )
 def user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survival curve over user lifespans: S(k) = fraction of users
@@ -2217,7 +2217,7 @@ def permutation_test_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - SUM(c1) * (SUM(c1) + 1) / 2.0 AS DOUBLE) AS u_statistic
     FROM ranked
     """,
-    tags=("events", "mann_whitney", "rank_sum", "nonparametric"),
+    tags=("bounded_window", "events", "mann_whitney", "rank_sum", "nonparametric"),
 )
 def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann–Whitney U (rank-sum) for purchase vs view values — the
@@ -2625,7 +2625,7 @@ _WM_THRESHOLDS_S = [3600, 10800, 21600]  # 1h / 3h / 6h candidates
         for t in _WM_THRESHOLDS_S
     )}
     """,
-    tags=("events", "streaming_design", "watermark", "lateness"),
+    tags=("bounded_window", "events", "streaming_design", "watermark", "lateness"),
 )
 def watermark_lateness_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Choose a streaming watermark from BATCH history: replay the
@@ -2948,7 +2948,7 @@ def expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS cum_users
     FROM days d LEFT JOIN daily_new n ON n.day = d.day
     """,
-    tags=("events", "cumulative_distinct", "growth", "curve"),
+    tags=("bounded_window", "events", "cumulative_distinct", "growth", "curve"),
 )
 def cumulative_distinct_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unique-users-to-date curve: cumulative distinct users per day —
@@ -3013,7 +3013,7 @@ def cumulative_distinct_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT MIN(value) FROM d WHERE d.gap = m.ks) AS ks_at_value
     FROM tot, m
     """,
-    tags=("events", "kolmogorov_smirnov", "drift", "distribution_compare",
+    tags=("bounded_window", "events", "kolmogorov_smirnov", "drift", "distribution_compare",
           "nonparametric"),
 )
 def ks_statistic_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3312,7 +3312,7 @@ SLO_BAD_PER_MILLE = 220  # alert when daily error share exceeds 22.0%
                   * ({SLO_BAD_PER_MILLE} / 1000.0)) AS budget_consumed
     FROM rates
     """,
-    tags=("events", "slo", "error_budget", "burn_rate", "reliability"),
+    tags=("bounded_window", "events", "slo", "error_budget", "burn_rate", "reliability"),
 )
 def slo_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SLO ERROR-BUDGET accounting (the SRE burn-rate method): daily

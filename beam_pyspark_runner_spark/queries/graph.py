@@ -451,7 +451,7 @@ def label_prop_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     CROSS JOIN tot t
     GROUP BY h.degree, h.n_nodes, t.n
     """,
-    tags=("graph", "degree_distribution", "ccdf", "topology"),
+    tags=("bounded_window", "graph", "degree_distribution", "ccdf", "topology"),
 )
 def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution + complementary CDF of the supplier

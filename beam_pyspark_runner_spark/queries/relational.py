@@ -1043,7 +1043,7 @@ def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS global_rank
     FROM orders
     """,
-    tags=("sort", "global_rank", "zip_with_index", "training_order"),
+    tags=("bounded_window", "sort", "global_rank", "zip_with_index", "training_order"),
 )
 def global_rank_bucketed(
     spark: SparkSession, sf_dir: str, prefix_len: int | None = None
@@ -1603,7 +1603,7 @@ def listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored
     GROUP BY 1, 2, 3
     """,
-    tags=("relational", "rfm", "segmentation", "ntile", "marketing"),
+    tags=("bounded_window", "relational", "rfm", "segmentation", "ntile", "marketing"),
 )
 def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation — recency/frequency/monetary quintile
@@ -1740,7 +1740,7 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked
     WHERE cum_revenue >= 0.8 * total_revenue
     """,
-    tags=("relational", "concentration", "pareto_8020", "cumulative"),
+    tags=("bounded_window", "relational", "concentration", "pareto_8020", "cumulative"),
 )
 def revenue_concentration_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration (the 80/20 question): how many top
@@ -2742,7 +2742,7 @@ def metric_driver_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS class_revenue
     FROM ranked GROUP BY 1
     """,
-    tags=("relational", "abc_analysis", "inventory", "pareto"),
+    tags=("bounded_window", "relational", "abc_analysis", "inventory", "pareto"),
 )
 def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC inventory classification: parts ranked by revenue, classified
@@ -3398,7 +3398,7 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
            - (CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)) AS gini
     FROM s
     """,
-    tags=("relational", "gini", "concentration", "inequality"),
+    tags=("bounded_window", "relational", "gini", "concentration", "inequality"),
 )
 def gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of customer revenue — the single-number
@@ -3594,7 +3594,7 @@ _TPQ_QS = ((50, 2), (95, 20))  # (percent, divisor): rank = ceil(pct*N/100)
     SELECT t.pct, t.rank, r.l_extendedprice AS value
     FROM targets t JOIN ranked r ON r.rn = t.rank
     """,
-    tags=("statistics", "quantile", "two_phase", "no_global_sort",
+    tags=("bounded_window", "statistics", "quantile", "two_phase", "no_global_sort",
           "exact"),
 )
 def two_phase_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3789,7 +3789,7 @@ RB_SAMPLE_MOD = 20  # keep 1-in-20 rows in the bounds sample
                / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS share
     FROM assigned GROUP BY bucket
     """,
-    tags=("partitioning", "range_bounds", "sampling", "scale_pattern"),
+    tags=("bounded_window", "partitioning", "range_bounds", "sampling", "scale_pattern"),
 )
 def balanced_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """repartitionByRange planning made visible: derive {RB_BUCKETS}
@@ -4290,7 +4290,7 @@ SKEW_FACTOR = 5  # spark.sql.adaptive.skewJoin.skewedPartitionFactor default
                      ELSE 1 END AS BIGINT) AS split_factor
     FROM p, med
     """,
-    tags=("skew", "aqe", "partitioning", "scale_pattern"),
+    tags=("bounded_window", "skew", "aqe", "partitioning", "scale_pattern"),
 )
 def shuffle_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AQE's skew-join detection replayed as an auditable query: model
@@ -4484,7 +4484,7 @@ def rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
            sse_root, sse_split, sse_root - sse_split AS gain
     FROM best WHERE rk = 1
     """,
-    tags=("ml_training", "decision_tree", "regression", "sufficient_stats"),
+    tags=("bounded_window", "ml_training", "decision_tree", "regression", "sufficient_stats"),
 )
 def regression_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a regression stump (depth-1 CART) on order value vs month:
@@ -4607,7 +4607,7 @@ CONF_ALPHA_NUM, CONF_ALPHA_DEN = 9, 10  # 1 - alpha = 9/10 target coverage
                 AS DOUBLE) / COUNT(*) AS coverage
     FROM test, calq GROUP BY calq.q_resid
     """,
-    tags=("ml_eval", "conformal", "uncertainty", "statistics"),
+    tags=("bounded_window", "ml_eval", "conformal", "uncertainty", "statistics"),
 )
 def conformal_interval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal prediction intervals (Vovk; Lei et al. JASA'18),
@@ -5093,7 +5093,7 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / (CAST(n AS DOUBLE) * n * n - n)) AS h_adjusted
     FROM t
     """,
-    tags=("statistics", "kruskal_wallis", "hypothesis_test", "nonparametric"),
+    tags=("bounded_window", "statistics", "kruskal_wallis", "hypothesis_test", "nonparametric"),
 )
 def kruskal_wallis_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kruskal-Wallis H across the five market segments on account
@@ -5677,7 +5677,7 @@ def eb_shrunk_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
            b2.sse_resid_root - b2.sse2 AS gain_round2
     FROM b1, (SELECT * FROM best2 WHERE rk = 1) b2
     """,
-    tags=("statistics", "gradient_boosting", "histogram_method",
+    tags=("bounded_window", "statistics", "gradient_boosting", "histogram_method",
           "ml_training"),
 )
 def boosting_residual_round(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6123,7 +6123,7 @@ def mmd_quadratic_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS wasserstein_1
     FROM acc
     """,
-    tags=("statistics", "wasserstein", "optimal_transport", "drift",
+    tags=("bounded_window", "statistics", "wasserstein", "optimal_transport", "drift",
           "two_sample"),
 )
 def wasserstein_1d_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6940,7 +6940,7 @@ _NEYMAN_BUDGET = 1000
                 AS BIGINT) AS allocation
     FROM ranked
     """,
-    tags=("relational", "survey_sampling", "neyman", "apportionment"),
+    tags=("bounded_window", "relational", "survey_sampling", "neyman", "apportionment"),
 )
 def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neyman optimal stratified-sample allocation (Neyman 1934) with
@@ -7225,7 +7225,7 @@ _SS_TOP = 25
     FROM calc
     QUALIFY volume_rank <= {_SS_TOP}
     """,
-    tags=("relational", "inventory", "safety_stock", "operations"),
+    tags=("bounded_window", "relational", "inventory", "safety_stock", "operations"),
 )
 def safety_stock_reorder_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Safety stock and reorder points for the top-{_SS_TOP} parts by

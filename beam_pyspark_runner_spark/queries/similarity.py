@@ -1596,7 +1596,7 @@ MAXSIM_TOPK = 10
            doc_id, maxsim_score
     FROM scored ORDER BY maxsim_score DESC, doc_id LIMIT {MAXSIM_TOPK}
     """,
-    tags=("similarity", "retrieval", "late_interaction", "maxsim",
+    tags=("bounded_window", "similarity", "retrieval", "late_interaction", "maxsim",
           "multi_vector", "top_k"),
 )
 def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2851,7 +2851,7 @@ _OUT_N = 20  # report the top-20 outliers
     FROM nn
     QUALIFY outlier_rank <= {_OUT_N}
     """,
-    tags=("similarity", "outlier_detection", "knn", "ivf",
+    tags=("bounded_window", "similarity", "outlier_detection", "knn", "ivf",
           "data_quality"),
 )
 def knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:

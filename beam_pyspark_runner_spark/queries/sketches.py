@@ -532,7 +532,7 @@ QB_WIDTH = 25000.0
     WHERE CAST(below AS DOUBLE) < 0.5 * CAST(total AS DOUBLE)
       AND 0.5 * CAST(total AS DOUBLE) <= CAST(below + c AS DOUBLE)
     """,
-    tags=("sketch", "quantile", "histogram", "mergeable"),
+    tags=("bounded_window", "sketch", "quantile", "histogram", "mergeable"),
 )
 def quantile_bin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile estimation from a fixed-bin histogram — the

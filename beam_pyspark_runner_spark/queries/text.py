@@ -930,7 +930,7 @@ BPE_TOP_PAIRS = 20
       FROM totals
     ) WHERE rnk <= {BPE_TOP_PAIRS}
     """,
-    tags=("text_analysis", "tokenizer", "bpe", "vocab"),
+    tags=("bounded_window", "text_analysis", "tokenizer", "bpe", "vocab"),
 )
 def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE merge iteration (Sennrich et al. 2016): count adjacent
@@ -1144,7 +1144,7 @@ VOCAB_SIZE = 1000  # frequency-ranked vocabulary; everything else → UNK (-1)
            string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids_csv
     FROM enc GROUP BY doc_id
     """,
-    tags=("text", "tokenizer", "vocab", "training_data"),
+    tags=("bounded_window", "text", "tokenizer", "vocab", "training_data"),
 )
 def vocab_id_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-apply: map every token to its frequency-ranked vocab id
@@ -2146,7 +2146,7 @@ def cohens_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 500, n_types, cov500, total FROM stats
     )
     """,
-    tags=("text_analysis", "tokenizer", "vocab", "coverage"),
+    tags=("bounded_window", "text_analysis", "tokenizer", "vocab", "coverage"),
 )
 def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus coverage as a function of vocabulary size — for each
@@ -2630,7 +2630,7 @@ def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pairs2 GROUP BY pair
     ) WHERE rnk <= 10
     """,
-    tags=("text", "tokenizer", "bpe", "iterative", "vocab"),
+    tags=("bounded_window", "text", "tokenizer", "bpe", "iterative", "vocab"),
 )
 def bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SECOND BPE training iteration (Sennrich et al. 2016):
@@ -2911,7 +2911,7 @@ BM25_TOPK = 20
     FROM per_doc
     ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}
     """,
-    tags=("text", "search", "bm25", "retrieval", "top_k"),
+    tags=("bounded_window", "text", "search", "bm25", "retrieval", "top_k"),
 )
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-{BM25_TOPK} retrieval for a fixed keyword query —
@@ -3654,7 +3654,7 @@ def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (CAST(n_pos AS DOUBLE) * n_neg) - 1.0 AS gini
     FROM agg
     """,
-    tags=("text", "ml_eval", "roc_auc", "rank_statistic"),
+    tags=("bounded_window", "text", "ml_eval", "roc_auc", "rank_statistic"),
 )
 def roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT ROC AUC of the repo's own lang-ID score (the
@@ -4015,7 +4015,7 @@ def span_corruption_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(2 * tp AS DOUBLE) / (2 * tp + fp + (n_pos - tp)) AS f1
     FROM cum, tot
     """,
-    tags=("text", "ml_eval", "pr_curve", "rank_statistic"),
+    tags=("bounded_window", "text", "ml_eval", "pr_curve", "rank_statistic"),
 )
 def pr_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The EXACT precision-recall curve of the lang-ID scorer — one
@@ -4132,7 +4132,7 @@ _PAVA_BASE_SQL = f"""
            MAX(m) AS fitted_rate
     FROM inner_min GROUP BY i, bin, n, p
     """,
-    tags=("text", "classifier_eval", "calibration", "isotonic", "pava",
+    tags=("bounded_window", "text", "classifier_eval", "calibration", "isotonic", "pava",
           "model_scoring"),
 )
 def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4396,7 +4396,7 @@ _RAKE_TOPN = 25
     FROM pscore
     QUALIFY rank <= {_RAKE_TOPN}
     """,
-    tags=("text", "rake", "keyphrase_extraction", "nlp"),
+    tags=("bounded_window", "text", "rake", "keyphrase_extraction", "nlp"),
 )
 def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAKE keyphrase extraction (Rose et al. 2010) corpus-wide: break
@@ -4524,7 +4524,7 @@ _MARGIN_N = 25
            CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= {_MARGIN_N}
     """,
-    tags=("text", "active_learning", "uncertainty_sampling",
+    tags=("bounded_window", "text", "active_learning", "uncertainty_sampling",
           "model_scoring", "annotation"),
 )
 def uncertainty_margin_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -356,7 +356,7 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(arg_max(open_now, ts) AS BIGINT) AS eom_open
     FROM run GROUP BY 1
     """,
-    tags=("window_fns", "sweep_line", "intervals", "concurrency"),
+    tags=("bounded_window", "window_fns", "sweep_line", "intervals", "concurrency"),
 )
 def max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum concurrent open intervals per month — the sweep-line

@@ -1641,3 +1641,116 @@ def test_safety_stock_topk_is_takeordered(spark):
     assert win_idx != -1 and heap_idx != -1
     assert win_idx < heap_idx, "window must sit above the heap"
     assert "Python" not in plan
+
+
+# --- unpartitioned-window governance (round-8 verdict #4) -------------------
+# A Window with ORDER BY but no PARTITION BY funnels its whole input
+# through one task. Every such window left in the repo is over a
+# bounded-by-design input (bucket/offset tables, distinct-value tables,
+# date spines, histograms, or TakeOrdered heap results) and its query
+# carries the `bounded_window` tag. The audit below re-derives the set
+# from the optimized plans so an untagged single-task window can't land
+# silently.
+
+
+def _unpartitioned_ordered_windows(plan: str) -> list[str]:
+    """Window operator lines of the form `Window [exprs], [order]` —
+    i.e. ordered but unpartitioned. Partitioned-unordered windows also
+    print two bracket groups but their second group carries no
+    ASC/DESC sort direction."""
+    hits = []
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-: ")
+        if not s.startswith("Window "):
+            continue
+        body, groups, depth, cur = s[len("Window "):], [], 0, ""
+        for ch in body:
+            if ch == "[":
+                depth += 1
+                if depth == 1:
+                    cur = ""
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(cur)
+                    continue
+            if depth >= 1:
+                cur += ch
+        if len(groups) == 2 and (
+            " ASC" in groups[1] or " DESC" in groups[1]
+        ):
+            hits.append(groups[1][:80])
+    return hits
+
+
+def test_window_detector_positive_and_negative(spark):
+    """The detector itself: flags a global ordered window, passes a
+    partitioned one and a partitioned-unordered one."""
+    df = load_table(spark, SF_CORRECT, "nation")
+    from pyspark.sql import Window as W
+
+    bad = df.withColumn(
+        "rn", F.row_number().over(W.orderBy("n_nationkey"))
+    )
+    assert _unpartitioned_ordered_windows(
+        bad._jdf.queryExecution().optimizedPlan().toString()
+    )
+    good = df.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("n_regionkey").orderBy("n_nationkey")
+        ),
+    )
+    assert not _unpartitioned_ordered_windows(
+        good._jdf.queryExecution().optimizedPlan().toString()
+    )
+    unordered = df.withColumn(
+        "c", F.count("*").over(W.partitionBy("n_regionkey"))
+    )
+    assert not _unpartitioned_ordered_windows(
+        unordered._jdf.queryExecution().optimizedPlan().toString()
+    )
+
+
+def test_retired_entity_grain_windows_stay_retired(spark):
+    """The round-8 retirements: these queries used to put an
+    unpartitioned ordered window over fact/entity-grain input. Their
+    plans must now contain either NO unpartitioned ordered window, or
+    only ones whose input is a bounded aggregate (pinned via the
+    bounded_window tag + the gated full audit). hybrid_search_rrf,
+    trending_terms_rankshift and kmv_theta_sketch_ops must be fully
+    window-free."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+
+    for name in (
+        "hybrid_search_rrf",
+        "trending_terms_rankshift",
+        "kmv_theta_sketch_ops",
+    ):
+        df = REGISTRY[name].fn(spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert not _unpartitioned_ordered_windows(plan), (name, plan[:800])
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("SPARK_GRAFT_SCALE_GATE", "0") != "1",
+    reason="full-registry plan audit is opt-in: set SPARK_GRAFT_SCALE_GATE=1",
+)
+def test_all_unpartitioned_ordered_windows_are_tagged_bounded(spark):
+    """Full-registry governance: every query whose optimized plan
+    contains an unpartitioned ordered window must carry the
+    bounded_window tag — the human adjudication that its windowed
+    input is aggregate-grain (bucket offsets, distinct values, date
+    spines, histograms, or a TakeOrdered heap result), never
+    fact/entity grain."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+
+    offenders = {}
+    for name, q in REGISTRY.items():
+        df = q.fn(spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        hits = _unpartitioned_ordered_windows(plan)
+        if hits and "bounded_window" not in q.tags:
+            offenders[name] = hits
+    assert not offenders, offenders
