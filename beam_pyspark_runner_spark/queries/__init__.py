@@ -169,6 +169,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # closeness_centrality_sampled, scc_pivot_fwbw, dag_longest_path_layers,
 # bellman_ford_weighted_paths, bom_quantity_rollup, boruvka_msf_round,
 # gnn_mean_aggregation_2hop, fifo_inventory_allocation
+# -- net-new round 8 --
+# expected_calibration_error, macro_f1_lang_multiclass,
+# mcnemar_paired_classifiers, fleiss_kappa_multirater,
+# mood_median_test, cvm_ecdf_drift, levene_brown_forsythe,
+# lift_gains_by_decile
+
 
 def _apply_driver_window() -> None:
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]

@@ -5074,3 +5074,135 @@ def propensity_nn_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_match_gap",
         )
     )
+
+
+# --- cumulative gains / lift by model-score decile (round 8) -----------------
+@register(
+    "lift_gains_by_decile",
+    oracle="""
+    WITH peruser AS (
+        SELECT user_id,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+                   AS views,
+               CAST(CASE WHEN COUNT(*) FILTER (WHERE event_type = 'purchase')
+                              > 0 THEN 1 ELSE 0 END AS BIGINT) AS responder
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT responder,
+               ROW_NUMBER() OVER (ORDER BY views DESC, user_id) AS rk,
+               COUNT(*) OVER () AS n
+        FROM peruser
+    ),
+    deciles AS (
+        SELECT CAST((10 * rk + n - 1) // n AS BIGINT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(responder) AS BIGINT) AS n_responders
+        FROM ranked GROUP BY 1
+    ),
+    cum AS (
+        SELECT decile, n_users, n_responders,
+               SUM(n_users) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_users,
+               SUM(n_responders) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_responders,
+               SUM(n_users) OVER () AS tot_users,
+               SUM(n_responders) OVER () AS tot_responders
+        FROM deciles
+    )
+    SELECT decile, n_users, n_responders,
+           CAST(n_responders AS DOUBLE) / CAST(n_users AS DOUBLE)
+               AS response_rate,
+           CAST(cum_responders AS DOUBLE) / CAST(tot_responders AS DOUBLE)
+               AS cum_gain,
+           (CAST(cum_responders AS DOUBLE) / CAST(cum_users AS DOUBLE))
+           / (CAST(tot_responders AS DOUBLE) / CAST(tot_users AS DOUBLE))
+               AS cum_lift
+    FROM cum
+    """,
+    tags=("events", "model_scoring", "lift", "gains", "deciles",
+          "bounded_window"),
+)
+def lift_gains_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains & lift table by score decile — the targeting
+    report every propensity model ships with ('the top decile captures
+    X% of responders at Y× lift'). Score = per-user view count (the
+    stand-in propensity), response = any purchase. The global decile
+    assignment needs a corpus-wide rank over users: it comes from
+    bucketed_order_scan (score-value buckets rank in parallel, tiny
+    offset table broadcasts back — for tie-heavy integer scores the
+    id-range sub-bucket trick from id_gap_islands composes on top),
+    NEVER a single-task window; decile = ⌈10·rank/N⌉ in pure integer
+    arithmetic. The cumulative sweep then runs over the 10-row decile
+    table (bounded_window). Rates and lifts are single divisions of
+    exact BIGINTs."""
+    from beam_pyspark_runner_spark.functions.ordered import (
+        bucketed_order_scan,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    peruser = e.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "view", 1))
+        .cast("long")
+        .alias("views"),
+        F.when(
+            F.count(F.when(F.col("event_type") == "purchase", 1)) > 0, 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("responder"),
+    )
+    ranked = bucketed_order_scan(
+        peruser,
+        F.col("views"),
+        [F.col("views").desc(), F.col("user_id")],
+        rank_name="rk",
+        descending_bucket=True,
+    )
+    n = peruser.agg(F.count("*").cast("long").alias("n"))
+    deciles = (
+        ranked.crossJoin(F.broadcast(n))
+        .groupBy(
+            F.expr("(10 * rk + n - 1) div n").cast("long").alias("decile")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("responder").cast("long").alias("n_responders"),
+        )
+    )
+    wd = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy()
+    cum = deciles.select(
+        "decile",
+        "n_users",
+        "n_responders",
+        F.sum("n_users").over(wd).alias("cum_users"),
+        F.sum("n_responders").over(wd).alias("cum_responders"),
+        F.sum("n_users").over(wall).alias("tot_users"),
+        F.sum("n_responders").over(wall).alias("tot_responders"),
+    )
+    return cum.select(
+        "decile",
+        "n_users",
+        "n_responders",
+        (
+            F.col("n_responders").cast("double")
+            / F.col("n_users").cast("double")
+        ).alias("response_rate"),
+        (
+            F.col("cum_responders").cast("double")
+            / F.col("tot_responders").cast("double")
+        ).alias("cum_gain"),
+        (
+            (
+                F.col("cum_responders").cast("double")
+                / F.col("cum_users").cast("double")
+            )
+            / (
+                F.col("tot_responders").cast("double")
+                / F.col("tot_users").cast("double")
+            )
+        ).alias("cum_lift"),
+    )

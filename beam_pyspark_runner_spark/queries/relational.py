@@ -7439,3 +7439,345 @@ def pareto_front_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("total_spent").cast("double") / 100.0).alias("total_spent"),
         "front",
     )
+
+
+# --- Mood's median test across market segments (round 8) --------------------
+@register(
+    "mood_median_test",
+    oracle=f"""
+    WITH base AS (
+        SELECT c_mktsegment AS grp,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS v
+        FROM customer
+    ),
+    vals AS (SELECT v, COUNT(*) AS c FROM base GROUP BY v),
+    cum AS (
+        SELECT v, SUM(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+               SUM(c) OVER () AS n
+        FROM vals
+    ),
+    med AS (SELECT MIN(v) AS med FROM cum WHERE cm >= (n + 1) // 2),
+    cells AS (
+        SELECT b.grp,
+               CAST(SUM(CASE WHEN b.v > m.med THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_above,
+               CAST(SUM(CASE WHEN b.v <= m.med THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_below_eq
+        FROM base b CROSS JOIN med m GROUP BY b.grp
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_above) AS BIGINT) AS ta,
+               CAST(SUM(n_above + n_below_eq) AS BIGINT) AS n
+        FROM cells
+    ),
+    terms AS (
+        SELECT c.grp, c.n_above, c.n_below_eq,
+               CAST(c.n_above + c.n_below_eq AS DOUBLE) * CAST(t.ta AS DOUBLE)
+                   / CAST(t.n AS DOUBLE) AS e_above,
+               (CAST(c.n_above AS DOUBLE)
+                - CAST(c.n_above + c.n_below_eq AS DOUBLE)
+                  * CAST(t.ta AS DOUBLE) / CAST(t.n AS DOUBLE))
+               * (CAST(c.n_above AS DOUBLE)
+                  - CAST(c.n_above + c.n_below_eq AS DOUBLE)
+                    * CAST(t.ta AS DOUBLE) / CAST(t.n AS DOUBLE))
+               / (CAST(c.n_above + c.n_below_eq AS DOUBLE)
+                  * CAST(t.ta AS DOUBLE) / CAST(t.n AS DOUBLE))
+               + (CAST(c.n_above AS DOUBLE)
+                  - CAST(c.n_above + c.n_below_eq AS DOUBLE)
+                    * CAST(t.ta AS DOUBLE) / CAST(t.n AS DOUBLE))
+                 * (CAST(c.n_above AS DOUBLE)
+                    - CAST(c.n_above + c.n_below_eq AS DOUBLE)
+                      * CAST(t.ta AS DOUBLE) / CAST(t.n AS DOUBLE))
+                 / (CAST(c.n_above + c.n_below_eq AS DOUBLE)
+                    * CAST(t.n - t.ta AS DOUBLE) / CAST(t.n AS DOUBLE))
+                   AS chi2_term
+        FROM cells c CROSS JOIN tot t
+    ),
+    stat AS (SELECT {dsum_sql("chi2_term")} AS chi2 FROM terms)
+    SELECT t.grp, t.n_above, t.n_below_eq, t.e_above, s.chi2
+    FROM terms t CROSS JOIN stat s
+    """,
+    tags=("statistics", "mood_median", "nonparametric", "robust_statistics",
+          "bounded_window"),
+)
+def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across the five market segments: pooled
+    (lower) median from the DISTINCT-VALUE table, per-segment
+    above/at-or-below counts, and the 2xk chi-square — the quick
+    nonparametric 'do these groups share a center?' screen that
+    precedes kruskal_wallis_test when only a median-level answer is
+    needed. The pooled median is the (⌈N/2⌉)-th value located on the
+    distinct-cents cumulative table (price-domain-bounded rows —
+    bounded_window), segment cells are exact integer conditional
+    counts, expected counts and the per-cell (O−E)²/E terms are
+    fixed-order IEEE doubles, and the k-term chi-square accumulates
+    through exact decimal (dsum) so summation order can't flake the
+    hash. Scale: one scan to the value table, one scan to cells,
+    constant-size tail."""
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("grp"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("v"),
+    )
+    vals = base.groupBy("v").agg(F.count("*").alias("c"))
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = vals.select(
+        "v",
+        F.sum("c").over(wv).alias("cm"),
+        F.sum("c").over(W.partitionBy()).alias("n"),
+    )
+    med = cum.filter(
+        F.col("cm") >= F.expr("(n + 1) div 2")
+    ).agg(F.min("v").alias("med"))
+    cells = base.crossJoin(F.broadcast(med)).groupBy("grp").agg(
+        F.sum(F.when(F.col("v") > F.col("med"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_above"),
+        F.sum(F.when(F.col("v") <= F.col("med"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_below_eq"),
+    )
+    tot = cells.agg(
+        F.sum("n_above").cast("long").alias("ta"),
+        F.sum(F.col("n_above") + F.col("n_below_eq")).cast("long").alias("n"),
+    )
+    ng = (F.col("n_above") + F.col("n_below_eq")).cast("double")
+    ea = ng * F.col("ta").cast("double") / F.col("n").cast("double")
+    eb = ng * (F.col("n") - F.col("ta")).cast("double") / F.col("n").cast(
+        "double"
+    )
+    da = F.col("n_above").cast("double") - ea
+    term = da * da / ea + da * da / eb
+    terms = cells.crossJoin(F.broadcast(tot)).select(
+        "grp", "n_above", "n_below_eq", ea.alias("e_above"),
+        term.alias("chi2_term"),
+    )
+    stat = terms.agg(dsum("chi2_term").alias("chi2"))
+    return terms.select("grp", "n_above", "n_below_eq", "e_above").crossJoin(
+        F.broadcast(stat)
+    )
+
+
+# --- Cramér–von Mises-type ECDF drift statistic (round 8) -------------------
+@register(
+    "cvm_ecdf_drift",
+    oracle="""
+    WITH s AS (
+        SELECT date_part('year', o_orderdate) AS yr,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders WHERE date_part('year', o_orderdate) IN (1995, 1998)
+    ),
+    vals AS (
+        SELECT v,
+               CAST(COUNT(*) FILTER (WHERE yr = 1995) AS BIGINT) AS cx,
+               CAST(COUNT(*) FILTER (WHERE yr = 1998) AS BIGINT) AS cy
+        FROM s GROUP BY v
+    ),
+    tot AS (
+        SELECT CAST(SUM(cx) AS BIGINT) AS n, CAST(SUM(cy) AS BIGINT) AS m
+        FROM vals
+    ),
+    cum AS (
+        SELECT v, cx + cy AS w,
+               SUM(cx) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fx,
+               SUM(cy) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fy
+        FROM vals
+    ),
+    acc AS (
+        SELECT CAST(SUM(CAST(w AS DECIMAL(38,0))
+                        * CAST(fx * t.m - fy * t.n AS DECIMAL(38,0))
+                        * CAST(fx * t.m - fy * t.n AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS ssq,
+               MAX(t.n) AS n, MAX(t.m) AS m
+        FROM cum CROSS JOIN tot t
+    )
+    SELECT n, m,
+           CAST(ssq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE))
+               / (CAST(n + m AS DOUBLE) * CAST(n + m AS DOUBLE))
+               / CAST(n + m AS DOUBLE) AS cvm_t
+    FROM acc
+    """,
+    tags=("statistics", "drift", "cvm", "ecdf", "nonparametric",
+          "bounded_window"),
+)
+def cvm_ecdf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér–von Mises-type two-sample drift statistic between the
+    1995 and 1998 order-value distributions: T = Σ_z w_z·(F₁−F₂)²·
+    nm/(n+m)³ over the pooled DISTINCT-VALUE table — the L2 companion
+    to ks_statistic_drift's sup-norm (KS sees the single worst gap;
+    CvM integrates ALL of it, so slow broad drift that never spikes
+    still registers). Everything is integer until the end: the ECDF
+    gap is cross-multiplied (fx·m − fy·n, no division), squared and
+    weight-summed in exact DECIMAL(38,0) (sf0.1 worst case ~1e19·1e5
+    rows ≈ 1e24 < 1e38 headroom), then ONE fixed-order double division
+    chain — bit-identical across engines. The cumulative window runs
+    over distinct cents (price-domain-bounded — bounded_window).
+    Scale: one conditional partial agg, one bounded-table scan."""
+    s = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate").isin(1995, 1998))
+        .select(
+            F.year("o_orderdate").alias("yr"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        )
+    )
+    vals = s.groupBy("v").agg(
+        F.count(F.when(F.col("yr") == 1995, 1)).cast("long").alias("cx"),
+        F.count(F.when(F.col("yr") == 1998, 1)).cast("long").alias("cy"),
+    )
+    tot = vals.agg(
+        F.sum("cx").cast("long").alias("n"),
+        F.sum("cy").cast("long").alias("m"),
+    )
+    wc = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = vals.select(
+        (F.col("cx") + F.col("cy")).alias("w"),
+        F.sum("cx").over(wc).cast("long").alias("fx"),
+        F.sum("cy").over(wc).cast("long").alias("fy"),
+    )
+    gap = (F.col("fx") * F.col("m") - F.col("fy") * F.col("n")).cast(
+        "decimal(38,0)"
+    )
+    acc = cum.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.col("w").cast("decimal(38,0)") * gap * gap)
+        .cast("decimal(38,0)")
+        .alias("ssq"),
+        F.max("n").alias("n"),
+        F.max("m").alias("m"),
+    )
+    nm = F.col("n").cast("double") * F.col("m").cast("double")
+    npm = (F.col("n") + F.col("m")).cast("double")
+    return acc.select(
+        "n",
+        "m",
+        (F.col("ssq").cast("double") / nm / (npm * npm) / npm).alias("cvm_t"),
+    )
+
+
+# --- Brown–Forsythe (median-based Levene) variance homogeneity (round 8) ----
+@register(
+    "levene_brown_forsythe",
+    oracle=f"""
+    WITH base AS (
+        SELECT c_mktsegment AS grp,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS v
+        FROM customer
+    ),
+    gvals AS (SELECT grp, v, COUNT(*) AS c FROM base GROUP BY grp, v),
+    gcum AS (
+        SELECT grp, v,
+               SUM(c) OVER (PARTITION BY grp ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+               SUM(c) OVER (PARTITION BY grp) AS ng
+        FROM gvals
+    ),
+    gmed AS (
+        SELECT grp, MIN(v) AS med FROM gcum
+        WHERE cm >= (ng + 1) // 2 GROUP BY grp
+    ),
+    dev AS (
+        SELECT b.grp, abs(b.v - m.med) AS z
+        FROM base b JOIN gmed m USING (grp)
+    ),
+    g AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS ng,
+               CAST(SUM(z) AS BIGINT) AS s1,
+               CAST(SUM(z * z) AS BIGINT) AS s2
+        FROM dev GROUP BY grp
+    ),
+    tot AS (
+        SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(s1) AS BIGINT) AS t1,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM g
+    ),
+    terms AS (
+        SELECT g.grp, g.ng, g.s1, g.s2, t.n, t.k,
+               CAST(g.ng AS DOUBLE)
+               * (CAST(g.s1 AS DOUBLE) / CAST(g.ng AS DOUBLE)
+                  - CAST(t.t1 AS DOUBLE) / CAST(t.n AS DOUBLE))
+               * (CAST(g.s1 AS DOUBLE) / CAST(g.ng AS DOUBLE)
+                  - CAST(t.t1 AS DOUBLE) / CAST(t.n AS DOUBLE)) AS between_term,
+               CAST(g.s2 AS DOUBLE)
+               - CAST(g.s1 AS DOUBLE) * CAST(g.s1 AS DOUBLE)
+                 / CAST(g.ng AS DOUBLE) AS within_term
+        FROM g CROSS JOIN tot t
+    )
+    SELECT MAX(n) AS n_rows, MAX(k) AS k_groups,
+           {dsum_sql('between_term')} AS ss_between,
+           {dsum_sql('within_term')} AS ss_within,
+           ({dsum_sql('between_term')} / CAST(MAX(k) - 1 AS DOUBLE))
+           / ({dsum_sql('within_term')} / CAST(MAX(n) - MAX(k) AS DOUBLE))
+               AS f_stat
+    FROM terms
+    """,
+    tags=("statistics", "levene", "brown_forsythe", "variance_homogeneity",
+          "robust_statistics"),
+)
+def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test (median-based Levene) for variance
+    homogeneity of account balances across market segments — the
+    robust gate run BEFORE trusting anova_oneway (which assumes equal
+    variances; money columns rarely comply). Per-segment medians come
+    from PARTITIONED cumulative counts over each segment's distinct
+    values (parallel across segments, never a global window); lower
+    median keeps deviations |v − med| exact INTEGERS, so each group
+    reduces to (n, Σz, Σz²) power sums and the one-way F on deviations
+    is a fixed-order double expression, with the two k-term sums of
+    squares going through exact decimal (dsum). Scale: two scans
+    (value table, deviations), broadcast 5-row median table,
+    constant tail."""
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("grp"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("v"),
+    )
+    gvals = base.groupBy("grp", "v").agg(F.count("*").alias("c"))
+    wg = (
+        W.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    gcum = gvals.select(
+        "grp",
+        "v",
+        F.sum("c").over(wg).alias("cm"),
+        F.sum("c").over(W.partitionBy("grp")).alias("ng"),
+    )
+    gmed = (
+        gcum.filter(F.col("cm") >= F.expr("(ng + 1) div 2"))
+        .groupBy("grp")
+        .agg(F.min("v").alias("med"))
+    )
+    dev = base.join(F.broadcast(gmed), "grp").select(
+        "grp", F.abs(F.col("v") - F.col("med")).alias("z")
+    )
+    g = dev.groupBy("grp").agg(
+        F.count("*").cast("long").alias("ng"),
+        F.sum("z").cast("long").alias("s1"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("s2"),
+    )
+    tot = g.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("s1").cast("long").alias("t1"),
+        F.count("*").cast("long").alias("k"),
+    )
+    mu_g = F.col("s1").cast("double") / F.col("ng").cast("double")
+    mu = F.col("t1").cast("double") / F.col("n").cast("double")
+    between = F.col("ng").cast("double") * (mu_g - mu) * (mu_g - mu)
+    within = F.col("s2").cast("double") - F.col("s1").cast("double") * F.col(
+        "s1"
+    ).cast("double") / F.col("ng").cast("double")
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        "n", "k", between.alias("between_term"), within.alias("within_term")
+    )
+    return terms.agg(
+        F.max("n").alias("n_rows"),
+        F.max("k").alias("k_groups"),
+        dsum("between_term").alias("ss_between"),
+        dsum("within_term").alias("ss_within"),
+        (
+            (dsum("between_term") / (F.max("k") - 1).cast("double"))
+            / (dsum("within_term") / (F.max("n") - F.max("k")).cast("double"))
+        ).alias("f_stat"),
+    )

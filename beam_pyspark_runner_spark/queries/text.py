@@ -4566,3 +4566,421 @@ def uncertainty_margin_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "doc_id", "source", "n_tokens", "score_milli", "margin_milli", "rank"
     )
+
+
+# --- expected calibration error over the reliability bins (round 8) ---------
+from beam_pyspark_runner_spark.queries.registry import REGISTRY as _TXT_REG
+
+
+@register(
+    "expected_calibration_error",
+    oracle=f"""
+    WITH bins AS ({{_CALIB_BINS_ORACLE}})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           {dsum_sql("CAST(n_docs AS DOUBLE)"
+                     " * abs(observed_rate - (avg_score + 1.0) / 2.0)")}
+               / CAST(SUM(n_docs) AS DOUBLE) AS ece,
+           MAX(abs(observed_rate - (avg_score + 1.0) / 2.0)) AS mce
+    FROM bins
+    """,
+    tags=("text", "classifier_eval", "calibration", "ece", "model_scoring"),
+)
+def expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error (Naeini et al. AAAI'15) + max gap
+    (MCE) over the registered reliability bins — the single-number
+    summary a model-gating pipeline thresholds on where
+    classifier_calibration_bins is the full diagram. Composes the
+    registered bin oracle as a CTE so the two can never drift.
+    Confidence maps the classifier's mean score from [-1, 1] to
+    [0, 1]; per-bin gaps are identical doubles in both engines, the
+    n·|gap| sum goes through exact decimal (dsum) so the ≤{CALIB_BINS}-
+    term accumulation is order-free, and the final division happens
+    once. Scale: one {CALIB_BINS}-row aggregate on top of the
+    classifier's one-scan shape."""
+    bins = classifier_calibration_bins(spark, sf_dir)
+    conf = (F.col("avg_score") + F.lit(1.0)) / F.lit(2.0)
+    gap = F.abs(F.col("observed_rate") - conf)
+    return bins.select(F.col("n_docs"), gap.alias("gap")).agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        (
+            dsum(F.col("n_docs").cast("double") * F.col("gap"))
+            / F.sum("n_docs").cast("double")
+        ).alias("ece"),
+        F.max("gap").alias("mce"),
+    )
+
+
+# patch the composed CTE in after registration (keeps the single source
+# of truth in classifier_calibration_bins' own registration)
+_TXT_REG["expected_calibration_error"].oracle = _TXT_REG[
+    "expected_calibration_error"
+].oracle.replace(
+    "{_CALIB_BINS_ORACLE}", _TXT_REG["classifier_calibration_bins"].oracle
+)
+
+
+# --- multiclass language-ID eval: macro/micro F1 (round 8) -------------------
+# One marker token per language; prediction = argmax marker count with
+# lexicographic tie-break. The predictor is a deterministic stand-in
+# (the fixture corpus shares one vocabulary across langs); the metric
+# plumbing — confusion counts, per-class P/R/F1, macro averaging — is
+# the artifact under test.
+_LANG_MARKERS = (("de", "table"), ("en", "the"), ("es", "row"),
+                 ("fr", "a"), ("zh", "data"))
+
+
+def _argmax_case_sql() -> str:
+    langs = [l for l, _ in _LANG_MARKERS]
+    clauses = []
+    for i, l in enumerate(langs):
+        conds = " AND ".join(
+            f"c_{l} >= c_{o}" for o in langs[i + 1:]
+        )
+        clauses.append(f"WHEN {conds or 'TRUE'} THEN '{l}'")
+    return "CASE " + " ".join(clauses) + " END"
+
+
+@register(
+    "macro_f1_lang_multiclass",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               {", ".join(
+                   f"len(list_filter(toks, x -> x = '{m}')) AS c_{l}"
+                   for l, m in _LANG_MARKERS
+               )}
+        FROM t
+    ),
+    pred AS (SELECT lang, {_argmax_case_sql()} AS predicted FROM scored),
+    cls AS (
+        SELECT l.lang,
+               CAST(SUM(CASE WHEN p.lang = l.lang AND p.predicted = l.lang
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN p.lang <> l.lang AND p.predicted = l.lang
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN p.lang = l.lang AND p.predicted <> l.lang
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM pred p CROSS JOIN
+             (SELECT unnest(['de','en','es','fr','zh']) AS lang) l
+        GROUP BY l.lang
+    ),
+    prf AS (
+        SELECT lang, tp, fp, fn,
+               CASE WHEN tp + fp = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+               END AS precision,
+               CASE WHEN tp + fn = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+               END AS recall,
+               CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE 2.0 * CAST(tp AS DOUBLE)
+                         / CAST(2 * tp + fp + fn AS DOUBLE)
+               END AS f1
+        FROM cls
+    ),
+    macro AS (SELECT {dsum_sql('f1')} / 5.0 AS macro_f1 FROM prf)
+    SELECT p.lang, p.tp, p.fp, p.fn, p.precision, p.recall, p.f1, m.macro_f1
+    FROM prf p CROSS JOIN macro m
+    """,
+    tags=("text", "classifier_eval", "multiclass", "macro_f1", "lang_id",
+          "model_scoring"),
+)
+def macro_f1_lang_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass language-ID evaluation: per-class precision/recall/F1
+    from the full 5x5 confusion, plus macro-F1 — the report card for a
+    lang-ID stage of a corpus pipeline (classifier_eval_f1 is the
+    binary en-vs-rest cut; this is the per-language view that shows
+    WHICH languages leak). F1 = 2tp/(2tp+fp+fn) avoids the P/R
+    intermediate division (one rational per cell → value-hashes);
+    zero-denominator classes score 0.0 by convention (documented,
+    matched in SQL). Macro averaging runs through exact decimal (dsum)
+    so the 5-term sum is order-free. Scale: one tokenize scan → 5
+    conditional counts per doc → one 5-group aggregate; the per-class
+    fan-out joins a broadcast 5-row class list."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    def _marker_count(marker: str) -> Column:
+        # a two-arg lambda would be read as (element, index) by F.filter
+        return F.size(F.filter(toks, lambda x: x == F.lit(marker)))
+
+    scored = d.select(
+        "lang",
+        *[_marker_count(m).alias(f"c_{l}") for l, m in _LANG_MARKERS],
+    )
+    langs = [l for l, _ in _LANG_MARKERS]
+    # chained CASE, written exactly as the SQL argmax does it
+    pred = F.when(
+        (F.col("c_de") >= F.col("c_en")) & (F.col("c_de") >= F.col("c_es"))
+        & (F.col("c_de") >= F.col("c_fr")) & (F.col("c_de") >= F.col("c_zh")),
+        F.lit("de"),
+    ).when(
+        (F.col("c_en") >= F.col("c_es")) & (F.col("c_en") >= F.col("c_fr"))
+        & (F.col("c_en") >= F.col("c_zh")),
+        F.lit("en"),
+    ).when(
+        (F.col("c_es") >= F.col("c_fr")) & (F.col("c_es") >= F.col("c_zh")),
+        F.lit("es"),
+    ).when(F.col("c_fr") >= F.col("c_zh"), F.lit("fr")).otherwise(F.lit("zh"))
+    p = scored.select("lang", pred.alias("predicted"))
+    classes = spark.createDataFrame([(l,) for l in langs], ["cls"])
+    cls = (
+        p.crossJoin(F.broadcast(classes))
+        .groupBy("cls")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("lang") == F.col("cls"))
+                    & (F.col("predicted") == F.col("cls")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("tp"),
+            F.sum(
+                F.when(
+                    (F.col("lang") != F.col("cls"))
+                    & (F.col("predicted") == F.col("cls")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("fp"),
+            F.sum(
+                F.when(
+                    (F.col("lang") == F.col("cls"))
+                    & (F.col("predicted") != F.col("cls")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("fn"),
+        )
+    )
+    precision = F.when(F.col("tp") + F.col("fp") == 0, F.lit(0.0)).otherwise(
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double")
+    )
+    recall = F.when(F.col("tp") + F.col("fn") == 0, F.lit(0.0)).otherwise(
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double")
+    )
+    f1 = F.when(
+        2 * F.col("tp") + F.col("fp") + F.col("fn") == 0, F.lit(0.0)
+    ).otherwise(
+        F.lit(2.0) * F.col("tp").cast("double")
+        / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double")
+    )
+    prf = cls.select(
+        F.col("cls").alias("lang"), "tp", "fp", "fn",
+        precision.alias("precision"), recall.alias("recall"), f1.alias("f1"),
+    )
+    macro = prf.agg((dsum("f1") / F.lit(5.0)).alias("macro_f1"))
+    return prf.crossJoin(F.broadcast(macro))
+
+
+# --- McNemar's paired-classifier test (round 8) -----------------------------
+@register(
+    "mcnemar_paired_classifiers",
+    oracle=f"""
+    WITH clf AS ({{_CLF_ORACLE}}),
+    t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    rule AS (
+        SELECT doc_id, lang,
+               100 * (len(list_filter(toks, x -> x IN ({_SW_SQL})))
+                      + len(list_filter(toks,
+                            x -> x IN ('data', 'query', 'table'))))
+                   > 12 * len(toks) AS pred_a
+        FROM t
+    ),
+    paired AS (
+        SELECT (r.lang = 'en') = r.pred_a AS a_right,
+               (r.lang = 'en') = (c.score_milli > 0) AS b_right
+        FROM rule r JOIN clf c USING (doc_id)
+    )
+    SELECT CAST(SUM(CASE WHEN a_right AND b_right THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_both_right,
+           CAST(SUM(CASE WHEN a_right AND NOT b_right THEN 1 ELSE 0 END)
+                AS BIGINT) AS b,
+           CAST(SUM(CASE WHEN NOT a_right AND b_right THEN 1 ELSE 0 END)
+                AS BIGINT) AS c,
+           CAST(SUM(CASE WHEN NOT a_right AND NOT b_right THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_both_wrong,
+           CASE WHEN SUM(CASE WHEN a_right <> b_right THEN 1 ELSE 0 END) = 0
+                THEN NULL
+                ELSE CAST((abs(SUM(CASE WHEN a_right AND NOT b_right
+                                        THEN 1 ELSE 0 END)
+                               - SUM(CASE WHEN NOT a_right AND b_right
+                                          THEN 1 ELSE 0 END)) - 1)
+                          * (abs(SUM(CASE WHEN a_right AND NOT b_right
+                                          THEN 1 ELSE 0 END)
+                                 - SUM(CASE WHEN NOT a_right AND b_right
+                                            THEN 1 ELSE 0 END)) - 1) AS DOUBLE)
+                     / CAST(SUM(CASE WHEN a_right <> b_right THEN 1 ELSE 0 END)
+                            AS DOUBLE)
+           END AS mcnemar_chi2
+    FROM paired
+    """,
+    tags=("text", "classifier_eval", "mcnemar", "paired_test", "statistics",
+          "model_scoring"),
+)
+def mcnemar_paired_classifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test (continuity-corrected) comparing two corpus
+    quality classifiers on the SAME documents — the statistically
+    correct way to decide 'is classifier B actually better than A'
+    when both score one corpus (independent-sample tests overstate
+    significance on paired data). A = the token-ratio rule from
+    classifier_eval_f1 written as an INTEGER cross-multiplication
+    (100·hits > 12·n_tokens — no float boundary), B = the registered
+    hashed-feature linear classifier (score > 0), gold = lang == 'en'.
+    Only the discordant counts b (A right, B wrong) and c (B right,
+    A wrong) carry signal: χ² = (|b−c|−1)²/(b+c), exact integers until
+    one final division (NULL when b+c = 0). The classifier leg
+    composes the registered oracle as a CTE. Scale: two one-scan
+    aggregates joined on doc_id, then a single 4-cell reduce."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) + F.size(
+        F.filter(toks, lambda x: x.isin("data", "query", "table"))
+    )
+    rule = d.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("truth"),
+        (100 * hits > 12 * F.size(toks)).alias("pred_a"),
+    )
+    clf = linear_classifier_inference(spark, sf_dir).select(
+        "doc_id", (F.col("score_milli") > 0).alias("pred_b")
+    )
+    paired = rule.join(clf, "doc_id").select(
+        (F.col("truth") == F.col("pred_a")).alias("a_right"),
+        (F.col("truth") == F.col("pred_b")).alias("b_right"),
+    )
+    b = F.sum(
+        F.when(F.col("a_right") & ~F.col("b_right"), 1).otherwise(0)
+    ).cast("long")
+    c = F.sum(
+        F.when(~F.col("a_right") & F.col("b_right"), 1).otherwise(0)
+    ).cast("long")
+    disc = b + c
+    stat = F.when(disc == 0, F.lit(None).cast("double")).otherwise(
+        ((F.abs(b - c) - 1) * (F.abs(b - c) - 1)).cast("double")
+        / disc.cast("double")
+    )
+    return paired.agg(
+        F.sum(F.when(F.col("a_right") & F.col("b_right"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_both_right"),
+        b.alias("b"),
+        c.alias("c"),
+        F.sum(F.when(~F.col("a_right") & ~F.col("b_right"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_both_wrong"),
+        stat.alias("mcnemar_chi2"),
+    )
+
+
+_TXT_REG["mcnemar_paired_classifiers"].oracle = _TXT_REG[
+    "mcnemar_paired_classifiers"
+].oracle.replace(
+    "{_CLF_ORACLE}", _TXT_REG["linear_classifier_inference"].oracle
+)
+
+
+# --- Fleiss' kappa over three deterministic raters (round 8) ----------------
+_FLEISS_CHARS = 900  # rater 3: long-document cut, fixed literal
+
+
+@register(
+    "fleiss_kappa_multirater",
+    oracle=f"""
+    WITH clf AS ({{_CLF_ORACLE}}),
+    t AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+        FROM documents
+    ),
+    votes AS (
+        SELECT (CASE WHEN 100 * len(list_filter(toks, x -> x IN ({_SW_SQL})))
+                          > 8 * len(toks) THEN 1 ELSE 0 END)
+               + (CASE WHEN c.score_milli > 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN t.n_chars > {_FLEISS_CHARS} THEN 1 ELSE 0 END)
+                   AS n_pos
+        FROM t JOIN clf c USING (doc_id)
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_pos) AS BIGINT) AS s1,
+               CAST(SUM(n_pos * n_pos) AS BIGINT) AS s2
+        FROM votes
+    )
+    SELECT n AS n_docs,
+           CAST(s2 - 3 * s1 + 3 * n AS DOUBLE) / CAST(3 * n AS DOUBLE)
+               AS p_bar,
+           (CAST(s1 AS DOUBLE) / CAST(3 * n AS DOUBLE))
+               * (CAST(s1 AS DOUBLE) / CAST(3 * n AS DOUBLE))
+           + (CAST(3 * n - s1 AS DOUBLE) / CAST(3 * n AS DOUBLE))
+               * (CAST(3 * n - s1 AS DOUBLE) / CAST(3 * n AS DOUBLE))
+               AS p_e,
+           (CAST(s2 - 3 * s1 + 3 * n AS DOUBLE) / CAST(3 * n AS DOUBLE)
+            - ((CAST(s1 AS DOUBLE) / CAST(3 * n AS DOUBLE))
+               * (CAST(s1 AS DOUBLE) / CAST(3 * n AS DOUBLE))
+               + (CAST(3 * n - s1 AS DOUBLE) / CAST(3 * n AS DOUBLE))
+                 * (CAST(3 * n - s1 AS DOUBLE) / CAST(3 * n AS DOUBLE))))
+           / (1.0 - ((CAST(s1 AS DOUBLE) / CAST(3 * n AS DOUBLE))
+                     * (CAST(s1 AS DOUBLE) / CAST(3 * n AS DOUBLE))
+                     + (CAST(3 * n - s1 AS DOUBLE) / CAST(3 * n AS DOUBLE))
+                       * (CAST(3 * n - s1 AS DOUBLE)
+                          / CAST(3 * n AS DOUBLE))))
+               AS fleiss_kappa
+    FROM s
+    """,
+    tags=("text", "classifier_eval", "fleiss_kappa", "agreement",
+          "statistics", "model_scoring"),
+)
+def fleiss_kappa_multirater(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa for THREE raters on binary labels — the
+    multi-annotator agreement statistic (cohens_kappa_agreement is the
+    2-rater case) a labeling pipeline reports before trusting majority
+    vote. Raters: the stopword-density rule (integer cross-multiply,
+    ratio > 0.08), the registered linear classifier (score > 0), and a
+    document-length cut (> {_FLEISS_CHARS} chars). For n=3 raters and
+    2 categories, per-doc agreement collapses to the closed form
+    Σ(n_pos² − 3·n_pos + 3) — so κ needs only N, Σn_pos, Σn_pos²:
+    THREE exact integers from one aggregate. P̄, P_e and κ are then a
+    fixed-order scalar IEEE expression written identically in both
+    engines. Scale: one scan + doc_id join + one 1-row reduce."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    r1 = (
+        100 * F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+        > 8 * F.size(toks)
+    ).cast("int")
+    base = d.select("doc_id", r1.alias("r1"),
+                    (F.col("n_chars") > _FLEISS_CHARS).cast("int").alias("r3"))
+    clf = linear_classifier_inference(spark, sf_dir).select(
+        "doc_id", (F.col("score_milli") > 0).cast("int").alias("r2")
+    )
+    votes = base.join(clf, "doc_id").select(
+        (F.col("r1") + F.col("r2") + F.col("r3")).alias("n_pos")
+    )
+    s = votes.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_pos").cast("long").alias("s1"),
+        F.sum(F.col("n_pos") * F.col("n_pos")).cast("long").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    three_n = (3 * n).cast("double")
+    p_bar = (s2 - 3 * s1 + 3 * n).cast("double") / three_n
+    p1 = s1.cast("double") / three_n
+    p0 = (3 * n - s1).cast("double") / three_n
+    p_e = p1 * p1 + p0 * p0
+    return s.select(
+        n.alias("n_docs"),
+        p_bar.alias("p_bar"),
+        p_e.alias("p_e"),
+        ((p_bar - p_e) / (F.lit(1.0) - p_e)).alias("fleiss_kappa"),
+    )
+
+
+_TXT_REG["fleiss_kappa_multirater"].oracle = _TXT_REG[
+    "fleiss_kappa_multirater"
+].oracle.replace(
+    "{_CLF_ORACLE}", _TXT_REG["linear_classifier_inference"].oracle
+)
