@@ -173,7 +173,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # expected_calibration_error, macro_f1_lang_multiclass,
 # mcnemar_paired_classifiers, fleiss_kappa_multirater,
 # mood_median_test, cvm_ecdf_drift, levene_brown_forsythe,
-# lift_gains_by_decile
+# lift_gains_by_decile, semi_additive_last_balance,
+# allen_interval_relations, time_decay_attribution,
+# delete_vector_apply_audit
 
 
 def _apply_driver_window() -> None:

@@ -5206,3 +5206,274 @@ def lift_gains_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cum_lift"),
     )
+
+
+# --- semi-additive last-balance with forward fill (round 8) -----------------
+@register(
+    "semi_additive_last_balance",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id, ts, event_id, value,
+               date_trunc('day', ts) AS day
+        FROM events
+    ),
+    last_in_month AS (
+        SELECT user_id, day, value AS bal FROM (
+            SELECT user_id, day, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM pts
+        ) WHERE rn = 1
+    ),
+    days AS (SELECT DISTINCT day FROM pts),
+    users AS (SELECT DISTINCT user_id FROM pts),
+    spine AS (SELECT u.user_id, d.day FROM users u CROSS JOIN days d),
+    filled AS (
+        SELECT s.user_id, s.day,
+               LAST_VALUE(l.bal IGNORE NULLS) OVER (
+                   PARTITION BY s.user_id ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS bal
+        FROM spine s LEFT JOIN last_in_month l
+          ON l.user_id = s.user_id AND l.day = s.day
+    )
+    SELECT CAST(day AS DATE) AS day,
+           CAST(COUNT(bal) AS BIGINT) AS n_users_known,
+           CAST(ROUND(SUM(CAST((bal) AS DECIMAL(38,10))), 2) AS DOUBLE)
+               AS total_balance
+    FROM filled GROUP BY day
+    """,
+    tags=("events", "semi_additive", "forward_fill", "spine", "window"),
+)
+def semi_additive_last_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-additive measure done right: per-user LAST observed value in
+    each month (row_number, ties broken by event_id), forward-filled
+    across the day spine (LAST_VALUE IGNORE NULLS per user), then a
+    per-day company total — the balance/inventory pattern where SUM
+    across time is wrong but SUM across users at a point in time is
+    the answer. Every window is PARTITIONED by user (parallel at any
+    scale); the user×day spine is the standard densification grain
+    (at 100 TB it is periodic-snapshot-fact-sized, not event-sized).
+    The per-month float total goes through exact decimal (dsum
+    semantics inlined in SQL)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value",
+        F.date_trunc("day", "ts").alias("day"),
+    )
+    wlast = W.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last_in_month = (
+        e.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", F.col("value").alias("bal"))
+    )
+    days = e.select("day").distinct()
+    users = e.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(days))
+    wff = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = spine.join(last_in_month, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.last("bal", ignorenulls=True).over(wff).alias("bal"),
+    )
+    return filled.groupBy(F.col("day").cast("date").alias("day")).agg(
+        F.count("bal").cast("long").alias("n_users_known"),
+        dsum("bal").alias("total_balance"),
+    )
+
+
+# --- Allen interval-relation census (round 8) --------------------------------
+_ALLEN_CASE = """CASE
+    WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+    WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+    WHEN s1 = s2 AND e1 > e2 THEN 'started_by'
+    WHEN e1 = e2 AND s1 > s2 THEN 'finishes'
+    WHEN e1 = e2 AND s1 < s2 THEN 'finished_by'
+    WHEN e1 = s2 THEN 'meets'
+    WHEN e2 = s1 THEN 'met_by'
+    WHEN e1 < s2 THEN 'precedes'
+    WHEN e2 < s1 THEN 'preceded_by'
+    WHEN s1 > s2 AND e1 < e2 THEN 'during'
+    WHEN s1 < s2 AND e1 > e2 THEN 'contains'
+    WHEN s1 < s2 THEN 'overlaps'
+    ELSE 'overlapped_by' END"""
+
+
+@register(
+    "allen_interval_relations",
+    oracle=f"""
+    WITH spans AS (
+        SELECT user_id, event_type, MIN(ts) AS s, MAX(ts) AS e
+        FROM events GROUP BY user_id, event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.s AS s1, a.e AS e1, b.s AS s2, b.e AS e2
+        FROM spans a JOIN spans b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+    )
+    SELECT {_ALLEN_CASE} AS relation,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY relation
+    """,
+    tags=("events", "intervals", "allen_relations", "temporal_join"),
+)
+def allen_interval_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Census of Allen's 13 interval relations (Allen CACM'83) between
+    per-user activity spans of different event types — the temporal-
+    taxonomy report behind interval QA ('do sessions strictly precede
+    purchases? does browsing CONTAIN checkout?'). Spans reduce per
+    (user, type); the pair table is a user-keyed self-join
+    (co-partitioned shuffle, never cross-user), and the relation is
+    one fixed-order CASE over four timestamp comparisons, written
+    identically in both engines (equality cases first so the
+    classification is total and unambiguous). Output is the 13-way
+    histogram. Scale: one agg + one keyed join; pairs per user are
+    C(#types, 2) ≤ 10."""
+    spans = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    a = spans.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("s").alias("s1"),
+        F.col("e").alias("e1"),
+    )
+    b = spans.select(
+        "user_id",
+        F.col("event_type").alias("type_b"),
+        F.col("s").alias("s2"),
+        F.col("e").alias("e2"),
+    )
+    pairs = a.join(b, "user_id").filter(F.col("type_a") < F.col("type_b"))
+    return (
+        pairs.select(F.expr(_ALLEN_CASE).alias("relation"))
+        .groupBy("relation")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
+# --- time-decay multi-touch attribution (round 8) ----------------------------
+_TD_WINDOW_DAYS = 28
+_TD_HALFLIFE_SECONDS = 604800  # one week
+_TD_HALFLIFE_US = _TD_HALFLIFE_SECONDS * 1_000_000
+
+
+@register(
+    "time_decay_attribution",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id AS pid, user_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT user_id, ts,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+                   AS channel
+        FROM events WHERE event_type = 'view'
+    ),
+    touches AS (
+        SELECT p.pid, p.cents, v.channel,
+               1.0 / CAST(1 << CAST((epoch_us(p.ts) - epoch_us(v.ts))
+                                    // {_TD_HALFLIFE_US}
+                                    AS BIGINT)
+                          AS DOUBLE) AS w
+        FROM p JOIN v
+          ON v.user_id = p.user_id
+         AND v.ts <= p.ts
+         AND v.ts > p.ts - INTERVAL {_TD_WINDOW_DAYS} DAY
+    ),
+    norm AS (
+        SELECT pid, cents,
+               SUM(1.0) OVER () * 0 + SUM(w) OVER (PARTITION BY pid) AS tw,
+               channel, w
+        FROM touches
+    ),
+    credit AS (
+        SELECT channel,
+               (w / tw) AS frac,
+               (w / tw) * CAST(cents AS DOUBLE) / 100.0 AS revenue_credit
+        FROM norm
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(ROUND(SUM(CAST((frac) AS DECIMAL(38,10))), 2) AS DOUBLE)
+               AS attributed_conversions,
+           CAST(ROUND(SUM(CAST((revenue_credit) AS DECIMAL(38,10))), 2)
+                AS DOUBLE) AS attributed_revenue
+    FROM credit GROUP BY channel
+    """,
+    tags=("events", "attribution", "time_decay", "marketing", "json"),
+)
+def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution with a weekly half-life:
+    every view touch within {_TD_WINDOW_DAYS} days of a purchase earns
+    weight 2^-(weeks since touch), weights normalize per purchase, and
+    credit (conversions + revenue) rolls up by channel — the model
+    between first_touch_attribution's all-or-nothing and
+    markov_removal_attribution's counterfactual. Channel is the JSON
+    props key modulo 10 (the cross-engine JSON idiom). Determinism by
+    construction: the decay is 1/(1<<k) with integer k over
+    MICROSECOND-exact epoch differences (unix_micros / epoch_us — a
+    seconds-truncating difference flips k at week boundaries between
+    engines), giving exact powers of two with no libm pow; the
+    per-purchase normalizer is a partitioned window sum whose
+    summands are exact binaries, and the driver-visible channel
+    totals go through exact decimal (dsum). Scale: purchase×view
+    join is user-keyed (co-partitioned shuffle + range filter),
+    windows partition by purchase id."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id"),
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("vts"),
+        (
+            F.get_json_object("props", "$.k").cast("long") % 10
+        ).alias("channel"),
+    )
+    touches = p.join(v, "user_id").filter(
+        (F.col("vts") <= F.col("pts"))
+        & (
+            F.col("vts")
+            > F.col("pts") - F.expr(f"INTERVAL {_TD_WINDOW_DAYS} DAY")
+        )
+    )
+    weighted = touches.select(
+        "pid",
+        "cents",
+        "channel",
+        (
+            F.lit(1.0)
+            / F.expr(
+                "cast(shiftleft(1L, cast((unix_micros(pts)"
+                f" - unix_micros(vts)) div {_TD_HALFLIFE_US}L"
+                " as int)) as double)"
+            )
+        ).alias("w"),
+    )
+    tw = F.sum("w").over(W.partitionBy("pid"))
+    credit = weighted.select(
+        "channel",
+        (F.col("w") / tw).alias("frac"),
+        ((F.col("w") / tw) * F.col("cents").cast("double") / 100.0).alias(
+            "revenue_credit"
+        ),
+    )
+    return credit.groupBy("channel").agg(
+        F.count("*").cast("long").alias("n_touches"),
+        dsum("frac").alias("attributed_conversions"),
+        dsum("revenue_credit").alias("attributed_revenue"),
+    )

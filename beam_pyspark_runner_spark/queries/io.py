@@ -1779,3 +1779,80 @@ def dataset_version_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("content_fingerprint"),
         F.expr("bit_xor(h)").cast("long").alias("xor_fingerprint"),
     )
+
+
+# --- deletion-vector read-path audit (round 8) -------------------------------
+_DV_FILES = 16  # simulated file grain: orderkey ranges
+_DV_MOD = 37  # deterministic 1-in-37 of rows carry a delete marker
+
+
+@register(
+    "delete_vector_apply_audit",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey,
+               o_orderkey % {_DV_FILES} AS file_id,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               (('0x' || substr(md5('dv-' || o_orderkey), 1, 8))::BIGINT)
+                   % {_DV_MOD} = 0 AS deleted
+        FROM orders
+    )
+    SELECT CAST(file_id AS BIGINT) AS file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN deleted THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_deleted,
+           CAST(COUNT(*) - SUM(CASE WHEN deleted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_live,
+           CAST(SUM(CASE WHEN deleted THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS delete_ratio,
+           CAST(SUM(CASE WHEN NOT deleted THEN cents ELSE 0 END) AS BIGINT)
+               AS live_cents
+    FROM base GROUP BY file_id
+    """,
+    tags=("io", "deletion_vectors", "merge_on_read", "lakehouse"),
+)
+def delete_vector_apply_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector (merge-on-read) apply audit — the Iceberg v2 /
+    Delta DV read path expressed relationally: base file rows join
+    their delete markers (here a deterministic md5-derived 1-in-{_DV_MOD}
+    vector keyed by row, grouped into {_DV_FILES} simulated files by
+    key range), and the report shows per-file row/delete/live counts,
+    delete ratio, and the live-rows aggregate a reader must produce —
+    the compaction trigger metric ('rewrite files whose delete ratio
+    crosses X%'). The apply is a map-side flag (no anti-join needed
+    when the DV rule is computable; with a materialized DV table this
+    becomes the broadcast anti-join merge_upsert already pins).
+    Integer everything; one division per file. Scale: one scan, one
+    {_DV_FILES}-group agg."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    base = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % _DV_FILES).alias("file_id"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (
+            F.pmod(
+                h32(F.concat_ws("-", F.lit("dv"), F.col("o_orderkey"))),
+                F.lit(_DV_MOD),
+            )
+            == 0
+        ).alias("deleted"),
+    )
+    return base.groupBy(F.col("file_id").cast("long").alias("file_id")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("deleted"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_deleted"),
+        (
+            F.count("*")
+            - F.sum(F.when(F.col("deleted"), 1).otherwise(0))
+        )
+        .cast("long")
+        .alias("n_live"),
+        (
+            F.sum(F.when(F.col("deleted"), 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("delete_ratio"),
+        F.sum(F.when(~F.col("deleted"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("live_cents"),
+    )
