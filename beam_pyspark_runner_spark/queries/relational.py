@@ -7694,14 +7694,15 @@ def cvm_ecdf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     terms AS (
         SELECT g.grp, g.ng, g.s1, g.s2, t.n, t.k,
-               CAST(g.ng AS DOUBLE)
-               * (CAST(g.s1 AS DOUBLE) / CAST(g.ng AS DOUBLE)
-                  - CAST(t.t1 AS DOUBLE) / CAST(t.n AS DOUBLE))
-               * (CAST(g.s1 AS DOUBLE) / CAST(g.ng AS DOUBLE)
-                  - CAST(t.t1 AS DOUBLE) / CAST(t.n AS DOUBLE)) AS between_term,
-               CAST(g.s2 AS DOUBLE)
-               - CAST(g.s1 AS DOUBLE) * CAST(g.s1 AS DOUBLE)
-                 / CAST(g.ng AS DOUBLE) AS within_term
+               (CAST(g.ng AS DOUBLE)
+                * (CAST(g.s1 AS DOUBLE) / CAST(g.ng AS DOUBLE)
+                   - CAST(t.t1 AS DOUBLE) / CAST(t.n AS DOUBLE))
+                * (CAST(g.s1 AS DOUBLE) / CAST(g.ng AS DOUBLE)
+                   - CAST(t.t1 AS DOUBLE) / CAST(t.n AS DOUBLE)))
+               / 10000.0 AS between_term,
+               (CAST(g.s2 AS DOUBLE)
+                - CAST(g.s1 AS DOUBLE) * CAST(g.s1 AS DOUBLE)
+                  / CAST(g.ng AS DOUBLE)) / 10000.0 AS within_term
         FROM g CROSS JOIN tot t
     )
     SELECT MAX(n) AS n_rows, MAX(k) AS k_groups,
@@ -7725,7 +7726,9 @@ def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     median keeps deviations |v − med| exact INTEGERS, so each group
     reduces to (n, Σz, Σz²) power sums and the one-way F on deviations
     is a fixed-order double expression, with the two k-term sums of
-    squares going through exact decimal (dsum). Scale: two scans
+    squares scaled to dollars-squared (keeping the decimal sum's
+    unscaled value inside the 2^53 double-conversion headroom) and
+    accumulated through exact decimal (dsum). Scale: two scans
     (value table, deviations), broadcast 5-row median table,
     constant tail."""
     base = load_table(spark, sf_dir, "customer").select(
@@ -7764,10 +7767,19 @@ def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mu_g = F.col("s1").cast("double") / F.col("ng").cast("double")
     mu = F.col("t1").cast("double") / F.col("n").cast("double")
-    between = F.col("ng").cast("double") * (mu_g - mu) * (mu_g - mu)
-    within = F.col("s2").cast("double") - F.col("s1").cast("double") * F.col(
-        "s1"
-    ).cast("double") / F.col("ng").cast("double")
+    # terms scale from cents^2 to dollars^2 BEFORE the decimal sum:
+    # a DECIMAL(38,2) whose unscaled value exceeds 2^53 converts to
+    # double differently per engine (the dsum headroom contract,
+    # functions/numeric.py) and sf0.1 cents^2 sums cross that line
+    between = (
+        F.col("ng").cast("double") * (mu_g - mu) * (mu_g - mu)
+    ) / 10000.0
+    within = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double")
+        * F.col("s1").cast("double")
+        / F.col("ng").cast("double")
+    ) / 10000.0
     terms = g.crossJoin(F.broadcast(tot)).select(
         "n", "k", between.alias("between_term"), within.alias("within_term")
     )
