@@ -175,7 +175,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # mood_median_test, cvm_ecdf_drift, levene_brown_forsythe,
 # lift_gains_by_decile, semi_additive_last_balance,
 # allen_interval_relations, time_decay_attribution,
-# delete_vector_apply_audit
+# delete_vector_apply_audit, embedding_int8_quant_error,
+# ivf_nprobe_recall_sweep, mmr_diversified_topk
 
 
 def _apply_driver_window() -> None:

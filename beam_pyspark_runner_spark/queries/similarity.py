@@ -3073,3 +3073,412 @@ def smote_interpolation_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         ).alias("synth_l2_norm"),
     )
+
+
+# --- int8 (256-level) embedding quantization error audit (round 8) ----------
+@register(
+    "embedding_int8_quant_error",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_EMB_DBL} AS emb FROM embeddings),
+    cells AS (
+        SELECT vec_id, i AS dim, emb[i] AS v
+        FROM e CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS i)
+    ),
+    stats AS (
+        SELECT dim, MIN(v) AS vmin, MAX(v) AS vmax,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM cells GROUP BY dim
+    ),
+    quant AS (
+        SELECT c.dim, s.vmin, s.vmax, s.n,
+               abs(c.v - (s.vmin
+                   + LEAST(floor((c.v - s.vmin) * 255.0 / (s.vmax - s.vmin)),
+                           255.0)
+                     * (s.vmax - s.vmin) / 255.0)) AS err
+        FROM cells c JOIN stats s USING (dim)
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, MAX(vmin) AS vmin, MAX(vmax) AS vmax,
+           MAX(n) AS n_vectors,
+           MAX(err) AS max_abs_err,
+           {dsum_sql('err')} / CAST(MAX(n) AS DOUBLE) AS mean_abs_err
+    FROM quant GROUP BY dim
+    """,
+    tags=("similarity", "quantization", "int8", "compression",
+          "embedding_audit"),
+)
+def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 (256-level min/max) quantization error audit —
+    the report a vector-store migration runs before switching the
+    corpus to 4x-smaller int8 embeddings (PQ trades recall via
+    codebooks; scalar quantization is the simpler production default
+    and THIS is its error surface). The quantizer is floor-based —
+    q = min(⌊(v−min)·255/range⌋, 255), dequant = min + q·range/255 —
+    because floor is exact IEEE in both engines while round() is
+    half-even in Spark and half-away in DuckDB; every product/quotient
+    is written in the same order on both sides, so per-cell errors are
+    bit-identical and the per-dim mean goes through exact decimal
+    (dsum). Scale: one posexplode scan to (dim, value) cells, one
+    {DIM}-row stats broadcast back — no shuffle wider than the
+    {DIM}-group aggregate."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    cells = e.select(
+        F.posexplode(F.transform(F.col("emb"), lambda x: x.cast("double")))
+    ).select((F.col("pos") + 1).alias("dim"), F.col("col").alias("v"))
+    stats = cells.groupBy("dim").agg(
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.count("*").cast("long").alias("n"),
+    )
+    rng = F.col("vmax") - F.col("vmin")
+    q = F.least(
+        F.floor((F.col("v") - F.col("vmin")) * 255.0 / rng).cast("double"),
+        F.lit(255.0),
+    )
+    err = F.abs(F.col("v") - (F.col("vmin") + q * rng / 255.0))
+    quant = cells.join(F.broadcast(stats), "dim").select(
+        "dim", "vmin", "vmax", "n", err.alias("err")
+    )
+    return quant.groupBy(F.col("dim").cast("long").alias("dim")).agg(
+        F.max("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+        F.max("n").alias("n_vectors"),
+        F.max("err").alias("max_abs_err"),
+        (dsum("err") / F.max("n").cast("double")).alias("mean_abs_err"),
+    )
+
+
+# --- IVF nprobe -> recall sweep (round 8) ------------------------------------
+_SWEEP_MAX_P = 3  # probe levels audited: nprobe = 1 .. _SWEEP_MAX_P
+
+
+@register(
+    "ivf_nprobe_recall_sweep",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_EMB_DBL} AS emb FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e
+             WHERE vec_id < {N_CENTROIDS}),
+    assigned AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_cos_sql('v.emb', 'c.cemb')}
+                                               DESC, c.centroid_id) AS rn
+            FROM e v, cent c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, centroid_id, rn AS probe_rn FROM (
+            SELECT q.vec_id AS query_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_cos_sql('q.emb', 'c.cemb')}
+                                               DESC, c.centroid_id) AS rn
+            FROM e q, cent c WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= {_SWEEP_MAX_P}
+    ),
+    cands AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, p.probe_rn,
+               {_cos_sql('q.emb', 'v.emb')} AS cosine
+        FROM probes p
+        JOIN assigned a ON a.centroid_id = p.centroid_id
+        JOIN e q ON q.vec_id = p.query_id
+        JOIN e v ON v.vec_id = a.vec_id
+        WHERE a.vec_id <> p.query_id
+    ),
+    levels AS (SELECT unnest(range(1, {_SWEEP_MAX_P} + 1)) AS nprobe),
+    retrieved AS (
+        SELECT nprobe, query_id, neighbor_id FROM (
+            SELECT l.nprobe, c.query_id, c.neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY l.nprobe, c.query_id
+                                      ORDER BY c.cosine DESC, c.neighbor_id)
+                       AS rnk
+            FROM cands c JOIN levels l ON c.probe_rn <= l.nprobe
+        ) WHERE rnk <= {IVF_TOP_K}
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_cos_sql('q.emb', 'v.emb')}
+                                               DESC, v.vec_id) AS rnk
+            FROM e q JOIN e v ON v.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rnk <= {IVF_TOP_K}
+    )
+    SELECT l.nprobe AS nprobe,
+           CAST(COUNT(r.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(r.neighbor_id) AS DOUBLE)
+               / ({N_QUERIES} * {IVF_TOP_K}) AS mean_recall
+    FROM levels l
+    CROSS JOIN exact x
+    LEFT JOIN retrieved r ON r.nprobe = l.nprobe
+                         AND r.query_id = x.query_id
+                         AND r.neighbor_id = x.neighbor_id
+    GROUP BY l.nprobe
+    """,
+    tags=("similarity", "ivf", "ann", "recall", "parameter_sweep",
+          "adjudication"),
+)
+def ivf_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe→recall tuning curve for the IVF index: recall@
+    {IVF_TOP_K} against exact brute force at nprobe = 1..{_SWEEP_MAX_P},
+    from ONE pass over the index — the capacity-planning table that
+    decides what nprobe a 100 TB deployment actually needs (recall
+    buys latency linearly in probed lists; this query shows where it
+    plateaus). Candidates carry their centroid's probe rank, a
+    broadcast 3-row level table fans each candidate to the levels that
+    would see it, and per-(level, query) ranking is one partitioned
+    window — the index is built once, the corpus never rescanned per
+    level. Recall is an exact integer count over {N_QUERIES}×
+    {IVF_TOP_K} slots. Scale: inherits ivf_topk_search's broadcast
+    shape; the exact leg is the same bounded query-set brute force
+    ann_recall_at_k already pins."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "emb",
+            "centroid_id",
+            cosine_similarity(F.col("emb"), F.col("cemb")).alias("cos"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "centroid_id",
+                F.struct(F.col("cos"), (-F.col("centroid_id")).alias("nc")),
+            ).alias("centroid_id"),
+            F.first("emb").alias("vemb"),
+        )
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    w_probe = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qemb",
+            "centroid_id",
+            cosine_similarity(F.col("qemb"), F.col("cemb")).alias("cos"),
+        )
+        .withColumn("probe_rn", F.row_number().over(w_probe))
+        .filter(F.col("probe_rn") <= _SWEEP_MAX_P)
+        .select("query_id", "qemb", "centroid_id", "probe_rn")
+    )
+    cands = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "probe_rn",
+            cosine_similarity(F.col("qemb"), F.col("vemb")).alias("cosine"),
+        )
+    )
+    levels = spark.range(1, _SWEEP_MAX_P + 1).select(
+        F.col("id").alias("nprobe")
+    )
+    w_rank = W.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    retrieved = (
+        cands.join(
+            F.broadcast(levels), F.col("probe_rn") <= F.col("nprobe")
+        )
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= IVF_TOP_K)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    w_exact = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    exact = (
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("vemb"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("qemb"), F.col("vemb")).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w_exact))
+        .filter(F.col("rnk") <= IVF_TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        levels.crossJoin(exact)
+        .join(
+            retrieved.withColumnRenamed("nprobe", "r_nprobe"),
+            (F.col("r_nprobe") == F.col("nprobe"))
+            & (retrieved["query_id"] == exact["query_id"])
+            & (retrieved["neighbor_id"] == exact["neighbor_id"]),
+            "left",
+        )
+        .groupBy(F.col("nprobe"))
+        .agg(
+            F.count(F.col("r_nprobe")).cast("long").alias("n_hits"),
+            (
+                F.count(F.col("r_nprobe")).cast("double")
+                / F.lit(float(N_QUERIES * IVF_TOP_K))
+            ).alias("mean_recall"),
+        )
+    )
+
+
+# --- maximal marginal relevance re-ranking (round 8) -------------------------
+_MMR_C = 20  # bounded candidate pool (top-C by relevance)
+_MMR_K = 8  # diversified picks
+
+
+def _mmr_step_sql(i: int) -> str:
+    """CTE triple for greedy step i >= 2 (step 1 has no penalty).
+
+    Every CTE is MATERIALIZED and the selected-set chain sel{i} is
+    linear (sel{i} = sel{i-1} + pick{i-1}): without materialization
+    DuckDB inlines each reference and the unrolled greedy blows up
+    exponentially in plan size."""
+    prev_sel = "SELECT doc_id FROM pick1" if i == 2 else f"""SELECT doc_id FROM sel{i - 1}
+                UNION ALL SELECT doc_id FROM pick{i - 1}"""
+    return f"""
+    sel{i} AS MATERIALIZED ({prev_sel}),
+    scored{i} AS MATERIALIZED (
+        SELECT c.doc_id, c.rel, coalesce(MAX(s.sim), 0.0) AS pen
+        FROM cands c
+        LEFT JOIN sims s ON s.a = c.doc_id
+                        AND s.b IN (SELECT doc_id FROM sel{i})
+        WHERE c.doc_id NOT IN (SELECT doc_id FROM sel{i})
+        GROUP BY c.doc_id, c.rel
+    ),
+    pick{i} AS MATERIALIZED (
+        SELECT CAST({i} AS BIGINT) AS step, doc_id, rel, pen,
+               0.5 * rel - 0.5 * pen AS mmr_score
+        FROM scored{i} ORDER BY mmr_score DESC, doc_id LIMIT 1
+    )"""
+
+
+_MMR_STEPS_SQL = ",".join(_mmr_step_sql(i) for i in range(2, _MMR_K + 1))
+_MMR_UNION_SQL = " UNION ALL ".join(
+    f"SELECT * FROM pick{i}" for i in range(1, _MMR_K + 1)
+)
+
+
+@register(
+    "mmr_diversified_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_EMB_DBL} AS emb FROM embeddings),
+    q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+    cands AS MATERIALIZED (
+        SELECT doc_id, rel FROM (
+            SELECT v.vec_id AS doc_id, {_cos_sql('v.emb', 'q.qe')} AS rel
+            FROM e v, q WHERE v.vec_id <> 0
+            ORDER BY rel DESC, v.vec_id LIMIT {_MMR_C}
+        )
+    ),
+    sims AS MATERIALIZED (
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               {_cos_sql('ea.emb', 'eb.emb')} AS sim
+        FROM cands a JOIN cands b ON a.doc_id <> b.doc_id
+        JOIN e ea ON ea.vec_id = a.doc_id
+        JOIN e eb ON eb.vec_id = b.doc_id
+    ),
+    pick1 AS MATERIALIZED (
+        SELECT CAST(1 AS BIGINT) AS step, doc_id, rel, 0.0 AS pen,
+               0.5 * rel - 0.5 * 0.0 AS mmr_score
+        FROM cands ORDER BY mmr_score DESC, doc_id LIMIT 1
+    ),
+    {_MMR_STEPS_SQL}
+    SELECT step, doc_id, rel, pen, mmr_score FROM ({_MMR_UNION_SQL})
+    """,
+    tags=("similarity", "mmr", "diversification", "rerank", "rag"),
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    SIGIR'98) — the diversification pass every RAG retriever runs
+    between ANN recall and the context window: greedily pick the doc
+    maximizing λ·rel(d) − (1−λ)·max_{{s∈S}} sim(d, s) with λ = 1/2
+    (an exact binary, so the score is two correctly-rounded IEEE ops).
+    The candidate pool is a TakeOrdered top-{_MMR_C} by relevance;
+    relevance and the {_MMR_C}×{_MMR_C} pairwise-similarity table use
+    the shared index-order cosine fold, and each greedy step is a
+    1-row TakeOrdered over the ≤{_MMR_C}-row pool with doc_id
+    tie-break — {_MMR_K} constant-size steps, checkpointed like
+    pareto_front_layers so the plan stays linear. The oracle unrolls
+    the same greedy as {_MMR_K} CTE levels (no recursion — drift-proof
+    against the Spark loop). Scale: the corpus is touched once by the
+    relevance scan; everything after is bounded by C."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qe"))
+    cands = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_similarity(F.col("emb"), F.col("qe")).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "doc_id")
+        .limit(_MMR_C)
+        .localCheckpoint()
+    )
+    ca = cands.select(F.col("doc_id").alias("a"))
+    cb = cands.select(F.col("doc_id").alias("b"))
+    ea = e.select(F.col("vec_id").alias("a"), F.col("emb").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("b"), F.col("emb").alias("eb"))
+    sims = (
+        ca.crossJoin(cb)
+        .filter(F.col("a") != F.col("b"))
+        .join(F.broadcast(ea), "a")
+        .join(F.broadcast(eb), "b")
+        .select(
+            "a", "b", cosine_similarity(F.col("ea"), F.col("eb")).alias("sim")
+        )
+        .localCheckpoint()
+    )
+    mmr = (F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("pen")).alias(
+        "mmr_score"
+    )
+    pick = (
+        cands.withColumn("pen", F.lit(0.0))
+        .select(F.lit(1).cast("long").alias("step"), "doc_id", "rel", "pen",
+                mmr)
+        .orderBy(F.col("mmr_score").desc(), "doc_id")
+        .limit(1)
+        .localCheckpoint()
+    )
+    selected = pick
+    for i in range(2, _MMR_K + 1):
+        sel_ids = selected.select(F.col("doc_id").alias("b"))
+        pen_tbl = (
+            sims.join(F.broadcast(sel_ids), "b")
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.max("sim").alias("pen0"))
+        )
+        remaining = cands.join(
+            selected.select("doc_id"), "doc_id", "left_anti"
+        )
+        scored = remaining.join(F.broadcast(pen_tbl), "doc_id", "left").select(
+            "doc_id",
+            "rel",
+            F.coalesce(F.col("pen0"), F.lit(0.0)).alias("pen"),
+        )
+        pick = (
+            scored.select(
+                F.lit(i).cast("long").alias("step"), "doc_id", "rel", "pen",
+                mmr,
+            )
+            .orderBy(F.col("mmr_score").desc(), "doc_id")
+            .limit(1)
+        )
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected
