@@ -176,7 +176,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # lift_gains_by_decile, semi_additive_last_balance,
 # allen_interval_relations, time_decay_attribution,
 # delete_vector_apply_audit, embedding_int8_quant_error,
-# ivf_nprobe_recall_sweep, mmr_diversified_topk
+# ivf_nprobe_recall_sweep, mmr_diversified_topk,
+# heaps_vocab_growth_curve, histogram_distance_drift,
+# thumbnail_resize_stub
 
 
 def _apply_driver_window() -> None:

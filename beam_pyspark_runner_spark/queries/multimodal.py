@@ -670,3 +670,77 @@ def payload_tile_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size"
         ),
     )
+
+
+# --- strided thumbnail resize stub (round 8) ---------------------------------
+_THUMB_N = 64  # fixed "thumbnail" size: strided byte sample of the payload
+
+_THUMB_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, thumb bigint, thumb_checksum bigint"
+)
+
+
+def _thumbnail_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic FAKE resize: sample {_THUMB_N} bytes at strided
+    offsets ⌊i·L/{_THUMB_N}⌋ — the batch shape, schema, and reduction a
+    real `PIL.Image.resize((8, 8))` kernel would have, with the pixel
+    math replaced by byte striding (no codecs in this container). The
+    emitted scalar pair (first sampled byte, checksum of all samples)
+    is what the oracle can recompute natively."""
+    if HAS_PIL:
+        raise NotImplementedError(
+            "real resize path intentionally unimplemented in this build; "
+            "swap _thumbnail_kernel for a PIL kernel with this signature"
+        )
+    for pdf in batches:
+        payload = pdf["payload"]
+
+        def _sample(b):
+            bb = bytes(b)
+            n = len(bb)
+            return [bb[i * n // _THUMB_N] for i in range(_THUMB_N)]
+
+        samples = payload.map(_sample)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payload.map(len).astype("int64"),
+                "thumb": samples.map(lambda s: s[0]).astype("int64"),
+                "thumb_checksum": samples.map(sum).astype("int64"),
+            }
+        )
+
+
+@register(
+    "thumbnail_resize_stub",
+    # documents.text is pure ASCII, so ascii(substring(...)) recomputes
+    # the same byte values the kernel samples from the encoded payload.
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS thumb,
+           CAST(list_reduce(
+               list_transform(range(0, {_THUMB_N}),
+                   i -> ascii(substr(text,
+                        CAST(i * octet_length(encode(text)) // {_THUMB_N}
+                             AS BIGINT) + 1, 1))),
+               (acc, x) -> acc + x) AS BIGINT) AS thumb_checksum
+    FROM documents
+    """,
+    tags=("multimodal", "binary", "map_in_pandas", "resize", "thumbnail"),
+)
+def thumbnail_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing through the Arrow kernel path: a strided
+    {_THUMB_N}-byte 'thumbnail' per binary payload (the deterministic
+    stand-in for PIL resize — this container ships no codecs, so the
+    pixel math is byte striding, clearly marked in the kernel), with
+    the first sampled byte and the sample checksum as the gate-visible
+    scalars. What this certifies is the part that matters at 100 TB:
+    BinaryType survives the Arrow round trip byte-exactly, the kernel
+    is batch-shaped (one pandas frame per Arrow batch, no per-row
+    Python), and the output schema is declared so Catalyst can prune
+    and the sink can write without inference. Plan: one narrow
+    mapInPandas, no shuffle."""
+    return _payload_df(spark, sf_dir).mapInPandas(
+        _thumbnail_kernel, _THUMB_SCHEMA
+    )

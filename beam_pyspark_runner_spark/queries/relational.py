@@ -7793,3 +7793,89 @@ def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (dsum("within_term") / (F.max("n") - F.max("k")).cast("double"))
         ).alias("f_stat"),
     )
+
+
+# --- total-variation + Hellinger histogram drift (round 8) -------------------
+_HD_BUCKET = 5000  # 50-dollar histogram bins over order cents
+
+
+@register(
+    "histogram_distance_drift",
+    oracle=f"""
+    WITH s AS (
+        SELECT date_part('year', o_orderdate) AS yr,
+               CAST(round(o_totalprice * 100) AS BIGINT) // {_HD_BUCKET}
+                   AS bin
+        FROM orders WHERE date_part('year', o_orderdate) IN (1995, 1998)
+    ),
+    bins AS (
+        SELECT bin,
+               CAST(COUNT(*) FILTER (WHERE yr = 1995) AS BIGINT) AS cx,
+               CAST(COUNT(*) FILTER (WHERE yr = 1998) AS BIGINT) AS cy
+        FROM s GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(SUM(cx) AS BIGINT) AS n, CAST(SUM(cy) AS BIGINT) AS m
+        FROM bins
+    ),
+    terms AS (
+        SELECT b.bin,
+               abs(CAST(b.cx AS DOUBLE) / CAST(t.n AS DOUBLE)
+                   - CAST(b.cy AS DOUBLE) / CAST(t.m AS DOUBLE)) AS tv_term,
+               (sqrt(CAST(b.cx AS DOUBLE) / CAST(t.n AS DOUBLE))
+                - sqrt(CAST(b.cy AS DOUBLE) / CAST(t.m AS DOUBLE)))
+               * (sqrt(CAST(b.cx AS DOUBLE) / CAST(t.n AS DOUBLE))
+                  - sqrt(CAST(b.cy AS DOUBLE) / CAST(t.m AS DOUBLE)))
+                   AS h2_term
+        FROM bins b CROSS JOIN tot t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           0.5 * {dsum_sql('tv_term')} AS total_variation,
+           sqrt(0.5 * {dsum_sql('h2_term')}) AS hellinger
+    FROM terms
+    """,
+    tags=("statistics", "drift", "total_variation", "hellinger",
+          "histogram"),
+)
+def histogram_distance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation and Hellinger distances between the 1995 and
+    1998 order-value HISTOGRAMS (bin width {_HD_BUCKET} cents) — the
+    bounded-[0,1] drift pair that completes the monitor family: KS is
+    the worst single gap, CvM the integrated gap on raw values, χ²
+    unbounded and bin-variance-weighted; TVD reads directly as 'what
+    fraction of mass moved' and Hellinger is the geodesic the
+    embedding-drift literature prefers. Bin probabilities are single
+    divisions of exact BIGINTs; √ is the sanctioned correctly-rounded
+    transcendental; per-bin terms accumulate through exact decimal
+    (dsum) so the bin-order of the float sums can't flake the hash;
+    one final 0.5× / √ apiece. Scale: one conditional partial agg to
+    the bounded bin table, constant tail."""
+    s = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate").isin(1995, 1998))
+        .select(
+            F.year("o_orderdate").alias("yr"),
+            (F.round(F.col("o_totalprice") * 100).cast("long") / _HD_BUCKET)
+            .cast("long")
+            .alias("bin"),
+        )
+    )
+    bins = s.groupBy("bin").agg(
+        F.count(F.when(F.col("yr") == 1995, 1)).cast("long").alias("cx"),
+        F.count(F.when(F.col("yr") == 1998, 1)).cast("long").alias("cy"),
+    )
+    tot = bins.agg(
+        F.sum("cx").cast("long").alias("n"),
+        F.sum("cy").cast("long").alias("m"),
+    )
+    px = F.col("cx").cast("double") / F.col("n").cast("double")
+    py = F.col("cy").cast("double") / F.col("m").cast("double")
+    sq = F.sqrt(px) - F.sqrt(py)
+    terms = bins.crossJoin(F.broadcast(tot)).select(
+        F.abs(px - py).alias("tv_term"), (sq * sq).alias("h2_term")
+    )
+    return terms.agg(
+        F.count("*").cast("long").alias("n_bins"),
+        (F.lit(0.5) * dsum("tv_term")).alias("total_variation"),
+        F.sqrt(F.lit(0.5) * dsum("h2_term")).alias("hellinger"),
+    )

@@ -4984,3 +4984,78 @@ _TXT_REG["fleiss_kappa_multirater"].oracle = _TXT_REG[
 ].oracle.replace(
     "{_CLF_ORACLE}", _TXT_REG["linear_classifier_inference"].oracle
 )
+
+
+# --- Heaps-law vocabulary growth curve (round 8) -----------------------------
+@register(
+    "heaps_vocab_growth_curve",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    firstb AS (
+        SELECT token,
+               MIN(CAST(doc_id * 10 // n.n_docs AS BIGINT)) AS first_decile
+        FROM tok CROSS JOIN n GROUP BY token
+    ),
+    hist AS (
+        SELECT first_decile, CAST(COUNT(*) AS BIGINT) AS new_types
+        FROM firstb GROUP BY first_decile
+    ),
+    spine AS (SELECT unnest(range(0, 10)) AS d)
+    SELECT d + 1 AS prefix_decile,
+           CAST(d + 1 AS DOUBLE) / 10.0 AS corpus_fraction,
+           CAST(coalesce(h.new_types, 0) AS BIGINT) AS new_types,
+           CAST(SUM(coalesce(h.new_types, 0)) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS vocab_size
+    FROM spine LEFT JOIN hist h ON h.first_decile = spine.d
+    """,
+    tags=("text_analysis", "heaps_law", "vocab_growth", "tokenizer",
+          "bounded_window"),
+)
+def heaps_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: distinct-type count at each 10%
+    corpus prefix (by doc_id order) — the curve that sizes a tokenizer
+    vocab and predicts how many NEW types the next 10 TB will add
+    (fit V = K·n^β offline on these points; the β fit itself needs
+    log, which this repo's determinism line leaves to the client).
+    The classic trick makes it one pass: a type's contribution to
+    every prefix is determined by its FIRST-occurrence decile, so
+    vocab_size(d) = Σ_{d'<=d} new_types(d') — a groupBy-min over the
+    token stream plus a cumulative sum over the gapless 10-row decile
+    spine (bounded_window), never one count-distinct per prefix. Scale: one
+    tokenize scan, one token-grain agg (partial-aggregated), 10-row
+    tail."""
+    d = load_table(spark, sf_dir, "documents")
+    n = d.agg(F.count("*").alias("n_docs"))
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    firstb = (
+        tok.crossJoin(F.broadcast(n))
+        .groupBy("token")
+        .agg(
+            F.min(F.expr("doc_id * 10 div n_docs"))
+            .cast("long")
+            .alias("first_decile")
+        )
+    )
+    hist = firstb.groupBy("first_decile").agg(
+        F.count("*").cast("long").alias("new_types")
+    )
+    spine = spark.range(0, 10).select(F.col("id").alias("d"))
+    dense = spine.join(
+        hist, F.col("first_decile") == F.col("d"), "left"
+    ).select(
+        "d", F.coalesce("new_types", F.lit(0)).cast("long").alias("new_types")
+    )
+    wc = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    return dense.select(
+        (F.col("d") + 1).alias("prefix_decile"),
+        ((F.col("d") + 1).cast("double") / 10.0).alias("corpus_fraction"),
+        "new_types",
+        F.sum("new_types").over(wc).cast("long").alias("vocab_size"),
+    )
