@@ -178,7 +178,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # delete_vector_apply_audit, embedding_int8_quant_error,
 # ivf_nprobe_recall_sweep, mmr_diversified_topk,
 # heaps_vocab_growth_curve, histogram_distance_drift,
-# thumbnail_resize_stub
+# thumbnail_resize_stub, user_activity_streaks, qini_uplift_curve,
+# clv_btyd_model_inputs
 
 
 def _apply_driver_window() -> None:

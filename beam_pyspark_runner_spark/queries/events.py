@@ -5477,3 +5477,195 @@ def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("frac").alias("attributed_conversions"),
         dsum("revenue_credit").alias("attributed_revenue"),
     )
+
+
+# --- consecutive-day activity streak histogram (round 8) ---------------------
+@register(
+    "user_activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id,
+               day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY day) AS INTEGER) AS grp
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak_len
+        FROM runs GROUP BY user_id, grp
+    )
+    SELECT streak_len,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM streaks GROUP BY streak_len
+    """,
+    tags=("events", "streaks", "gaps_and_islands", "retention"),
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user (the engagement metric
+    behind 'N-day streak' product features and retention-risk flags),
+    reported as a streak-length histogram with the distinct-user reach
+    of each length. The Tabibitosan trick runs PER USER — day minus the
+    user's day-sequence row_number is constant within a run — so every
+    window partitions by user_id and parallelizes at any scale (the
+    global-id variant is id_gap_islands; this is the partitioned
+    family member). Distinct-day dedup first makes multi-event days
+    count once. Integer everything."""
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .distinct()
+    )
+    wu = W.partitionBy("user_id").orderBy("day")
+    runs = days.select(
+        "user_id",
+        F.date_sub(F.col("day"), F.row_number().over(wu)).alias("grp"),
+    )
+    streaks = runs.groupBy("user_id", "grp").agg(
+        F.count("*").cast("long").alias("streak_len")
+    )
+    return streaks.groupBy("streak_len").agg(
+        F.count("*").cast("long").alias("n_streaks"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+# --- Qini uplift curve by score decile (round 8) ------------------------------
+@register(
+    "qini_uplift_curve",
+    oracle="""
+    WITH peruser AS (
+        SELECT user_id,
+               (('0x' || substr(md5('up-' || user_id), 1, 8))::BIGINT) % 2
+                   AS treated,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+                   AS views,
+               CAST(CASE WHEN COUNT(*) FILTER (WHERE event_type = 'purchase')
+                              > 0 THEN 1 ELSE 0 END AS BIGINT) AS responder
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT treated, responder,
+               ROW_NUMBER() OVER (ORDER BY views DESC, user_id) AS rk,
+               COUNT(*) OVER () AS n
+        FROM peruser
+    ),
+    deciles AS (
+        SELECT CAST((10 * rk + n - 1) // n AS BIGINT) AS decile,
+               CAST(SUM(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_t,
+               CAST(SUM(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_c,
+               CAST(SUM(CASE WHEN treated = 1 THEN responder ELSE 0 END)
+                    AS BIGINT) AS r_t,
+               CAST(SUM(CASE WHEN treated = 0 THEN responder ELSE 0 END)
+                    AS BIGINT) AS r_c
+        FROM ranked GROUP BY 1
+    ),
+    cum AS (
+        SELECT decile, n_t, n_c, r_t, r_c,
+               SUM(n_t) OVER w AS cnt, SUM(n_c) OVER w AS cnc,
+               SUM(r_t) OVER w AS crt, SUM(r_c) OVER w AS crc
+        FROM deciles
+        WINDOW w AS (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT decile, n_t, n_c, r_t, r_c,
+           CAST(crt AS BIGINT) AS cum_resp_treated,
+           CAST(crc AS BIGINT) AS cum_resp_control,
+           CAST(crt AS DOUBLE)
+           - CAST(crc AS DOUBLE) * CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE)
+               AS qini
+    FROM cum
+    """,
+    tags=("events", "uplift", "qini", "causal", "model_scoring",
+          "bounded_window"),
+)
+def qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve for an uplift model: users rank by score (view count)
+    across BOTH arms, and at each decile the curve reports incremental
+    responders Q(d) = R_T(d) − R_C(d)·N_T(d)/N_C(d) — the
+    causal-targeting twin of lift_gains_by_decile (which a randomized
+    holdout turns from correlation into incrementality). Treatment is
+    a deterministic md5 coin on user_id. The corpus-wide rank comes
+    from bucketed_order_scan (no single-task window); the cumulative
+    sweep runs over the 10-row decile table (bounded_window); Q is
+    exact BIGINTs until one multiply-divide in fixed order. Scale: one
+    per-user agg, rank decomposition, constant tail."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+    from beam_pyspark_runner_spark.functions.ordered import (
+        bucketed_order_scan,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    peruser = e.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "view", 1))
+        .cast("long")
+        .alias("views"),
+        F.when(
+            F.count(F.when(F.col("event_type") == "purchase", 1)) > 0, 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("responder"),
+    ).select(
+        "*",
+        (
+            F.pmod(
+                h32(F.concat_ws("-", F.lit("up"), F.col("user_id"))),
+                F.lit(2),
+            )
+        ).cast("long").alias("treated"),
+    )
+    ranked = bucketed_order_scan(
+        peruser,
+        F.col("views"),
+        [F.col("views").desc(), F.col("user_id")],
+        rank_name="rk",
+        descending_bucket=True,
+    )
+    n = peruser.agg(F.count("*").cast("long").alias("n"))
+    deciles = (
+        ranked.crossJoin(F.broadcast(n))
+        .groupBy(
+            F.expr("(10 * rk + n - 1) div n").cast("long").alias("decile")
+        )
+        .agg(
+            F.sum(F.when(F.col("treated") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_t"),
+            F.sum(F.when(F.col("treated") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_c"),
+            F.sum(F.when(F.col("treated") == 1, F.col("responder")).otherwise(0))
+            .cast("long")
+            .alias("r_t"),
+            F.sum(F.when(F.col("treated") == 0, F.col("responder")).otherwise(0))
+            .cast("long")
+            .alias("r_c"),
+        )
+    )
+    wd = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    cum = deciles.select(
+        "decile", "n_t", "n_c", "r_t", "r_c",
+        F.sum("n_t").over(wd).alias("cnt"),
+        F.sum("n_c").over(wd).alias("cnc"),
+        F.sum("r_t").over(wd).alias("crt"),
+        F.sum("r_c").over(wd).alias("crc"),
+    )
+    return cum.select(
+        "decile", "n_t", "n_c", "r_t", "r_c",
+        F.col("crt").cast("long").alias("cum_resp_treated"),
+        F.col("crc").cast("long").alias("cum_resp_control"),
+        (
+            F.col("crt").cast("double")
+            - F.col("crc").cast("double")
+            * F.col("cnt").cast("double")
+            / F.col("cnc").cast("double")
+        ).alias("qini"),
+    )

@@ -7879,3 +7879,73 @@ def histogram_distance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.5) * dsum("tv_term")).alias("total_variation"),
         F.sqrt(F.lit(0.5) * dsum("h2_term")).alias("hellinger"),
     )
+
+
+# --- BTYD / Pareto-NBD model input extraction (round 8) ----------------------
+@register(
+    "clv_btyd_model_inputs",
+    oracle="""
+    WITH asofd AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    cust AS (
+        SELECT o_custkey,
+               CAST(COUNT(*) - 1 AS BIGINT) AS x,
+               CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+                    AS BIGINT) AS t_x_days,
+               CAST(date_diff('day', MIN(o_orderdate), a.maxd) AS BIGINT)
+                   AS t_age_days,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders CROSS JOIN asofd a
+        GROUP BY o_custkey, a.maxd
+    )
+    SELECT o_custkey AS custkey, x, t_x_days, t_age_days,
+           CASE WHEN x > 0
+                THEN CAST(total_cents AS DOUBLE) / 100.0
+                     / CAST(x + 1 AS DOUBLE)
+                ELSE NULL END AS avg_order_value
+    FROM cust WHERE x >= 1
+    """,
+    tags=("relational", "clv", "btyd", "pareto_nbd", "feature_extraction"),
+)
+def clv_btyd_model_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BTYD (Pareto-NBD / BG-NBD) model-input extraction — the (x, t_x,
+    T) triple plus monetary value every customer-lifetime-value fit
+    consumes (lifetimes' summary_data_from_transaction_data, computed
+    relationally): x = repeat purchases, t_x = days from first to last
+    purchase, T = days from first purchase to the corpus as-of date,
+    and average order value. The model fit itself is a client-side
+    optimizer; extracting calibration inputs over billions of
+    transactions is the Spark-shaped step. One customer-grain
+    aggregate with a broadcast 1-row as-of date; repeat-only filter
+    (x ≥ 1) mirrors the calibration convention. Integer day/cent
+    arithmetic; one division."""
+    o = load_table(spark, sf_dir, "orders")
+    asof = o.agg(F.max("o_orderdate").alias("maxd"))
+    cust = (
+        o.crossJoin(F.broadcast(asof))
+        .groupBy("o_custkey", "maxd")
+        .agg(
+            (F.count("*") - 1).cast("long").alias("x"),
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))
+            .cast("long")
+            .alias("t_x_days"),
+            F.datediff(F.max("maxd"), F.min("o_orderdate"))
+            .cast("long")
+            .alias("t_age_days"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
+    return cust.filter(F.col("x") >= 1).select(
+        F.col("o_custkey").alias("custkey"),
+        "x",
+        "t_x_days",
+        "t_age_days",
+        F.when(
+            F.col("x") > 0,
+            F.col("total_cents").cast("double")
+            / 100.0
+            / (F.col("x") + 1).cast("double"),
+        ).alias("avg_order_value"),
+    )
