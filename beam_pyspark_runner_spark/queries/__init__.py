@@ -179,7 +179,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # ivf_nprobe_recall_sweep, mmr_diversified_topk,
 # heaps_vocab_growth_curve, histogram_distance_drift,
 # thumbnail_resize_stub, user_activity_streaks, qini_uplift_curve,
-# clv_btyd_model_inputs
+# clv_btyd_model_inputs, seasonal_naive_mase,
+# embedding_centroid_shift, reciprocal_best_match_links
 
 
 def _apply_driver_window() -> None:

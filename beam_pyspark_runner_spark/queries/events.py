@@ -5669,3 +5669,75 @@ def qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("cnc").cast("double")
         ).alias("qini"),
     )
+
+
+# --- seasonal-naive MASE forecast evaluation (round 8) -----------------------
+_MASE_SEASON = 7  # weekly seasonality at day grain
+
+
+@register(
+    "seasonal_naive_mase",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT day, y,
+               LAG(y, 1) OVER (ORDER BY day) AS y_naive,
+               LAG(y, {_MASE_SEASON}) OVER (ORDER BY day) AS y_snaive
+        FROM daily
+    )
+    SELECT CAST(COUNT(y_snaive) AS BIGINT) AS n_scored_days,
+           CAST(SUM(abs(y - y_snaive)) AS BIGINT) AS snaive_abs_err,
+           CAST(SUM(CASE WHEN y_snaive IS NOT NULL
+                         THEN abs(y - y_naive) END) AS BIGINT)
+               AS naive_abs_err,
+           CAST(SUM(abs(y - y_snaive)) AS DOUBLE)
+               / CAST(SUM(CASE WHEN y_snaive IS NOT NULL
+                               THEN abs(y - y_naive) END) AS DOUBLE)
+               AS mase
+    FROM lagged
+    """,
+    tags=("events", "forecasting", "mase", "evaluation", "time_series",
+          "bounded_window"),
+)
+def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE (Hyndman & Koehler 2006) for the seasonal-naive forecast of
+    daily event volume: mean |y_t − y_{{t−{_MASE_SEASON}}}| scaled by the
+    one-step naive error on the SAME days — the scale-free forecast
+    metric every baseline comparison should report before trusting a
+    fancier model (MASE < 1 beats naive; percentage errors blow up on
+    low-volume days, MASE doesn't). Errors are exact integer counts;
+    the LAG windows run over the DAY table (calendar-bounded —
+    bounded_window; at 100 TB the only corpus-sized stage is the daily
+    rollup); one final division."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    wd = W.orderBy("day")
+    lagged = daily.select(
+        "y",
+        F.lag("y", 1).over(wd).alias("y_naive"),
+        F.lag("y", _MASE_SEASON).over(wd).alias("y_snaive"),
+    )
+    scored_naive = F.sum(
+        F.when(
+            F.col("y_snaive").isNotNull(),
+            F.abs(F.col("y") - F.col("y_naive")),
+        )
+    ).cast("long")
+    return lagged.agg(
+        F.count("y_snaive").cast("long").alias("n_scored_days"),
+        F.sum(F.abs(F.col("y") - F.col("y_snaive")))
+        .cast("long")
+        .alias("snaive_abs_err"),
+        scored_naive.alias("naive_abs_err"),
+        (
+            F.sum(F.abs(F.col("y") - F.col("y_snaive"))).cast("double")
+            / scored_naive.cast("double")
+        ).alias("mase"),
+    )

@@ -3482,3 +3482,210 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         selected = selected.unionByName(pick).localCheckpoint()
     return selected
+
+
+# --- per-label embedding centroid shift between corpus halves (round 8) -----
+@register(
+    "embedding_centroid_shift",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, vec_id % 2 AS half, {_EMB_DBL} AS emb
+        FROM embeddings
+    ),
+    cells AS (
+        SELECT label, half, i AS dim, emb[i] AS v
+        FROM e CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS i)
+    ),
+    cents AS (
+        SELECT label, half, dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {dsum_sql('v')} / CAST(COUNT(*) AS DOUBLE) AS c
+        FROM cells GROUP BY label, half, dim
+    ),
+    paired AS (
+        SELECT a.label, a.n AS n_even, b.n AS n_odd, a.dim,
+               (a.c - b.c) * (a.c - b.c) AS d2
+        FROM cents a JOIN cents b
+          ON a.label = b.label AND a.dim = b.dim
+        WHERE a.half = 0 AND b.half = 1
+    )
+    SELECT label, n_even, n_odd,
+           sqrt(list_reduce(list(d2 ORDER BY dim), (acc, x) -> acc + x))
+               AS centroid_shift
+    FROM paired GROUP BY label, n_even, n_odd
+    """,
+    tags=("similarity", "drift", "centroid", "embedding_audit",
+          "model_scoring"),
+)
+def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid displacement between the two corpus halves
+    (vec_id parity as the before/after stand-in) — the embedding-drift
+    monitor a retrieval stack runs when the encoder or the corpus
+    changes: a large shift for one label means its region of the space
+    moved and the ANN index needs rebuilding there first. Per-dim sums
+    accumulate through exact decimal per (label, half) — one
+    partial-aggregated pass, no pairwise anything — centroids divide
+    once per dim, and the L2 shift is the shared index-order fold + the
+    sanctioned sqrt. Scale: the corpus is touched once; everything
+    after is (labels × {DIM})-sized."""
+    from beam_pyspark_runner_spark.functions.numeric import dsum as _ds
+
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ),
+    )
+    sums = e.groupBy("label", "half", F.col("pos")).agg(
+        F.count("*").cast("long").alias("n"),
+        _ds("col").alias("s"),
+    )
+    cents = sums.select(
+        "label", "half", "n", "pos",
+        (F.col("s") / F.col("n").cast("double")).alias("c"),
+    )
+    a = cents.filter(F.col("half") == 0).select(
+        "label", F.col("n").alias("n_even"), "pos", F.col("c").alias("ca")
+    )
+    b = cents.filter(F.col("half") == 1).select(
+        "label", F.col("n").alias("n_odd"), "pos", F.col("c").alias("cb")
+    )
+    # index-order fold: collect per-dim diffs into a sorted array, then
+    # the same left-to-right reduction the oracle's list_reduce does
+    paired = (
+        a.join(b, ["label", "pos"])
+        .groupBy("label", "n_even", "n_odd")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos"),
+                        ((F.col("ca") - F.col("cb"))
+                         * (F.col("ca") - F.col("cb"))).alias("d2"),
+                    )
+                )
+            ).alias("terms")
+        )
+    )
+    fold = F.aggregate(
+        F.transform(F.col("terms"), lambda t: t.getField("d2")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return paired.select(
+        "label", "n_even", "n_odd", F.sqrt(fold).alias("centroid_shift")
+    )
+
+
+# --- reciprocal best-match linking within coarse cells (round 8) -------------
+@register(
+    "reciprocal_best_match_links",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, vec_id % 2 AS half, {_EMB_DBL} AS emb
+               FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e
+             WHERE vec_id < {N_CENTROIDS}),
+    assigned AS (
+        SELECT vec_id, half, emb, centroid_id FROM (
+            SELECT v.vec_id, v.half, v.emb, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_cos_sql('v.emb', 'c.cemb')}
+                                               DESC, c.centroid_id) AS rn
+            FROM e v, cent c
+        ) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT a.vec_id AS even_id, b.vec_id AS odd_id,
+               {_cos_sql('a.emb', 'b.emb')} AS cosine
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id
+        WHERE a.half = 0 AND b.half = 1
+    ),
+    best_e AS (
+        SELECT even_id, odd_id, cosine FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY even_id
+                       ORDER BY cosine DESC, odd_id) AS rn FROM scored
+        ) WHERE rn = 1
+    ),
+    best_o AS (
+        SELECT even_id, odd_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY odd_id
+                       ORDER BY cosine DESC, even_id) AS rn FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT be.even_id, be.odd_id, be.cosine
+    FROM best_e be JOIN best_o bo
+      ON bo.even_id = be.even_id AND bo.odd_id = be.odd_id
+    """,
+    tags=("similarity", "record_linkage", "reciprocal_best_match", "ann",
+          "dedup"),
+)
+def reciprocal_best_match_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal best matches between the two corpus halves (vec_id
+    parity as the two-snapshot stand-in): a link (a, b) survives only
+    if b is a's nearest cross-half neighbor AND a is b's — the mutual-
+    nearest-neighbor criterion entity-resolution and bitext-mining
+    pipelines use to kill asymmetric false matches (one-directional
+    best-match precision is much lower). The candidate space is
+    bounded by coarse-quantizer cells (the knn_distance_outliers IVF
+    discipline — best match searched within each vector's centroid
+    cell, never all-pairs); per-side argmax is a partitioned window;
+    reciprocity is one self-equi-join of two bounded best-match
+    tables. Ties break toward the smaller id on both sides."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", (F.col("vec_id") % 2).alias("half"),
+        F.col("embedding").alias("emb"),
+    )
+    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "half", "emb", "centroid_id",
+            cosine_similarity(F.col("emb"), F.col("cemb")).alias("cos"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "centroid_id",
+                F.struct(F.col("cos"), (-F.col("centroid_id")).alias("nc")),
+            ).alias("centroid_id"),
+            F.first("half").alias("half"),
+            F.first("emb").alias("vemb"),
+        )
+    )
+    evens = assigned.filter(F.col("half") == 0).select(
+        F.col("vec_id").alias("even_id"),
+        F.col("centroid_id"),
+        F.col("vemb").alias("ea"),
+    )
+    odds = assigned.filter(F.col("half") == 1).select(
+        F.col("vec_id").alias("odd_id"),
+        F.col("centroid_id"),
+        F.col("vemb").alias("eb"),
+    )
+    scored = evens.join(odds, "centroid_id").select(
+        "even_id", "odd_id",
+        cosine_similarity(F.col("ea"), F.col("eb")).alias("cosine"),
+    )
+    we = W.partitionBy("even_id").orderBy(F.col("cosine").desc(), "odd_id")
+    wo = W.partitionBy("odd_id").orderBy(F.col("cosine").desc(), "even_id")
+    best_e = (
+        scored.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") == 1)
+        .select("even_id", "odd_id", "cosine")
+    )
+    best_o = (
+        scored.withColumn("rn", F.row_number().over(wo))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("even_id").alias("be_id"), F.col("odd_id").alias("bo_id")
+        )
+    )
+    return best_e.join(
+        best_o,
+        (F.col("even_id") == F.col("be_id"))
+        & (F.col("odd_id") == F.col("bo_id")),
+    ).select("even_id", "odd_id", "cosine")
