@@ -180,7 +180,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # heaps_vocab_growth_curve, histogram_distance_drift,
 # thumbnail_resize_stub, user_activity_streaks, qini_uplift_curve,
 # clv_btyd_model_inputs, seasonal_naive_mase,
-# embedding_centroid_shift, reciprocal_best_match_links
+# embedding_centroid_shift, reciprocal_best_match_links,
+# benford_law_audit, wald_wolfowitz_runs_test, atkinson_inequality_index
 
 
 def _apply_driver_window() -> None:

@@ -7949,3 +7949,274 @@ def clv_btyd_model_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("x") + 1).cast("double"),
         ).alias("avg_order_value"),
     )
+
+
+# --- Benford first-digit audit (round 8) -------------------------------------
+# Expected Benford mass per leading digit, precomputed ONCE in Python and
+# interpolated verbatim into BOTH the Spark plan and the oracle SQL — the
+# repo-wide no-data-dependent-libm-log discipline (log10 of constants is
+# fine; log10 of data is not).
+_BENFORD_P = {
+    1: "0.3010299956639812", 2: "0.17609125905568124", 3: "0.12493873660829992",
+    4: "0.09691001300805642", 5: "0.07918124604762482", 6: "0.06694678963061322",
+    7: "0.05799194697768673", 8: "0.05115252244738129", 9: "0.04575749056067514",
+}
+_BENFORD_CASE_SQL = (
+    "CASE digit "
+    + " ".join(
+        f"WHEN {d} THEN CAST('{p}' AS DOUBLE)" for d, p in _BENFORD_P.items()
+    )
+    + " END"
+)
+
+
+@register(
+    "benford_law_audit",
+    oracle=f"""
+    WITH obs AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit,
+               COUNT(*) AS n_obs
+        FROM orders GROUP BY 1
+    ),
+    spine AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
+    cells AS (
+        SELECT s.digit,
+               CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+               CAST(t.n AS DOUBLE) * ({_BENFORD_CASE_SQL.replace('digit', 's.digit')})
+                   AS expected
+        FROM spine s LEFT JOIN obs o ON o.digit = s.digit CROSS JOIN tot t
+    ),
+    stat AS (
+        SELECT {dsum_sql('(CAST(n_obs AS DOUBLE) - expected)'
+                         ' * (CAST(n_obs AS DOUBLE) - expected) / expected')}
+            AS chi2
+        FROM cells
+    )
+    SELECT c.digit, c.n_obs, c.expected, s.chi2 FROM cells c CROSS JOIN stat s
+    """,
+    tags=("statistics", "benford", "fraud_audit", "data_quality"),
+)
+def benford_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the standard
+    forensic-accounting / synthetic-data screen: observed leading-digit
+    counts vs the log-curve expectation, one chi-square across the nine
+    cells. The leading digit is read off the integer-cents DECIMAL
+    rendered as a string (no float log10 of data — the repo-wide libm
+    discipline; the Benford masses themselves are Python-precomputed
+    literals shared verbatim by plan and oracle). A 9-row digit spine
+    left-joins the observed counts so missing digits still contribute
+    their full expected mass to the statistic. Scale: one map-side
+    combinable groupBy on a 9-value key; everything downstream is a
+    9-row broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    obs = (
+        orders.select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+                1, 1,
+            ).cast("int").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    expr = None
+    for d, lit in _BENFORD_P.items():
+        mass = F.lit(lit).cast("double")
+        expr = (
+            F.when(F.col("digit") == d, mass)
+            if expr is None
+            else expr.when(F.col("digit") == d, mass)
+        )
+    cells = (
+        spine.join(obs, "digit", "left")
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit", "n_obs",
+            (F.col("n").cast("double") * expr).alias("expected"),
+        )
+    )
+    diff = F.col("n_obs").cast("double") - F.col("expected")
+    stat = cells.agg(dsum(diff * diff / F.col("expected")).alias("chi2"))
+    return cells.select("digit", "n_obs", "expected").crossJoin(F.broadcast(stat))
+
+
+# --- Wald-Wolfowitz runs test on daily revenue (round 8) ---------------------
+@register(
+    "wald_wolfowitz_runs_test",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS d,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS v
+        FROM lineitem GROUP BY 1
+    ),
+    vals AS (SELECT v, COUNT(*) AS c FROM daily GROUP BY v),
+    cum AS (
+        SELECT v, SUM(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+               SUM(c) OVER () AS n
+        FROM vals
+    ),
+    med AS (SELECT MIN(v) AS med FROM cum WHERE cm >= (n + 1) // 2),
+    seq AS (
+        SELECT d, CASE WHEN v > m.med THEN 1 ELSE 0 END AS b
+        FROM daily CROSS JOIN med m
+        WHERE v <> m.med
+    ),
+    flips AS (
+        SELECT b, CASE WHEN LAG(b) OVER (ORDER BY d) IS NULL THEN 0
+                       WHEN LAG(b) OVER (ORDER BY d) <> b THEN 1 ELSE 0 END
+                      AS flip
+        FROM seq
+    ),
+    agg AS (
+        SELECT CAST(SUM(b) AS BIGINT) AS n1,
+               CAST(COUNT(*) - SUM(b) AS BIGINT) AS n2,
+               CAST(1 + SUM(flip) AS BIGINT) AS runs
+        FROM flips
+    )
+    SELECT n1, n2, runs,
+           1.0 + CAST(2 * n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS e_runs,
+           (CAST(runs AS DOUBLE)
+            - (1.0 + CAST(2 * n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)))
+           / sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2)) AS DOUBLE)
+                  / CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE))
+               AS z_score
+    FROM agg
+    """,
+    tags=("statistics", "runs_test", "nonparametric", "randomness",
+          "bounded_window"),
+)
+def wald_wolfowitz_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily-revenue
+    sign sequence: is revenue above/below its median clustered in time
+    (trend/seasonality) or random? The binary sequence comes from the
+    DATE-GRAIN daily table (bounded rows — the ordered windows carry
+    the bounded_window tag), the pooled lower median from the
+    distinct-value cumulative trick (mood_median_test discipline),
+    at-median days are dropped (the classical tie treatment), runs are
+    1 + the number of sign flips counted with LAG, and E[R]/Var[R] are
+    the closed-form expressions evaluated on exact BIGINT counts —
+    rational arithmetic plus one IEEE sqrt, no libm logs. Scale: the
+    only full scan is the map-side-combinable daily rollup; everything
+    after operates on the day-grain table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(F.col("l_shipdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("v")
+        )
+    )
+    vals = daily.groupBy("v").agg(F.count("*").alias("c"))
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = vals.select(
+        "v",
+        F.sum("c").over(wv).alias("cm"),
+        F.sum("c").over(W.partitionBy()).alias("n"),
+    )
+    med = cum.filter(F.col("cm") >= F.expr("(n + 1) div 2")).agg(
+        F.min("v").alias("med")
+    )
+    seq = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("v") != F.col("med"))
+        .select(
+            "d", F.when(F.col("v") > F.col("med"), 1).otherwise(0).alias("b")
+        )
+    )
+    lag_b = F.lag("b").over(W.orderBy("d"))
+    flips = seq.select(
+        "b",
+        F.when(lag_b.isNull(), 0).when(lag_b != F.col("b"), 1).otherwise(0)
+        .alias("flip"),
+    )
+    agg = flips.agg(
+        F.sum("b").cast("long").alias("n1"),
+        (F.count("*") - F.sum("b")).cast("long").alias("n2"),
+        (F.lit(1) + F.sum("flip")).cast("long").alias("runs"),
+    )
+    n1, n2, runs = F.col("n1"), F.col("n2"), F.col("runs")
+    n = n1 + n2
+    two_ab = 2 * n1 * n2
+    e_runs = F.lit(1.0) + two_ab.cast("double") / n.cast("double")
+    var = (two_ab * (two_ab - n)).cast("double") / (n * n * (n - 1)).cast(
+        "double"
+    )
+    return agg.select(
+        "n1", "n2", "runs",
+        e_runs.alias("e_runs"),
+        ((runs.cast("double") - e_runs) / F.sqrt(var)).alias("z_score"),
+    )
+
+
+# --- Atkinson inequality index per nation (round 8) ---------------------------
+ATK_SCALE = 10**12  # fixed-point quantum for the 1/x reciprocal terms
+
+
+@register(
+    "atkinson_inequality_index",
+    oracle=f"""
+    WITH base AS (
+        SELECT c_nationkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS x
+        FROM customer WHERE c_acctbal > 0
+    ),
+    agg AS (
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_cust,
+               CAST(SUM(x) AS BIGINT) AS s_cents,
+               CAST(SUM({ATK_SCALE} // x) AS BIGINT) AS inv_scaled
+        FROM base GROUP BY 1
+    )
+    SELECT c_nationkey, n_cust,
+           CAST(s_cents AS DOUBLE) / 100.0 / CAST(n_cust AS DOUBLE) AS mean_bal,
+           1.0 - CAST(n_cust AS DOUBLE) * CAST(n_cust AS DOUBLE)
+                 * CAST('{ATK_SCALE}' AS DOUBLE)
+                 / (CAST(inv_scaled AS DOUBLE) * CAST(s_cents AS DOUBLE))
+               AS atkinson_2
+    FROM agg
+    """,
+    tags=("statistics", "inequality", "atkinson", "aggregate"),
+)
+def atkinson_inequality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index (ε=2) of positive account balances per
+    nation — the welfare-economics complement to gini_coefficient with
+    an explicit inequality-aversion parameter. At ε=2 the index is
+    1 − harmonic/arithmetic mean ratio, i.e. pure rational arithmetic:
+    no data-dependent logs (ε=1 would need them — libm discipline).
+    Reciprocals are accumulated as EXACT integers (⌊10¹²/x⌋ fixed-point
+    — the resource_allocation_linkpred quantum trick) so the sum is
+    order-independent without even a decimal cast; the quantization
+    error is ≤ n·10⁻¹² relative. One map-side-combinable groupBy over
+    customer; constant-size output per nation."""
+    base = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 0
+    ).select(
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("x"),
+    )
+    agg = base.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n_cust"),
+        F.sum("x").cast("long").alias("s_cents"),
+        F.sum(F.expr(f"{ATK_SCALE} div x")).cast("long").alias("inv_scaled"),
+    )
+    n_d = F.col("n_cust").cast("double")
+    return agg.select(
+        "c_nationkey", "n_cust",
+        (F.col("s_cents").cast("double") / 100.0 / n_d).alias("mean_bal"),
+        (
+            F.lit(1.0)
+            - n_d * n_d * F.lit(str(ATK_SCALE)).cast("double")
+            / (F.col("inv_scaled").cast("double") * F.col("s_cents").cast("double"))
+        ).alias("atkinson_2"),
+    )
