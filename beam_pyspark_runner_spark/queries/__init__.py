@@ -181,7 +181,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # thumbnail_resize_stub, user_activity_streaks, qini_uplift_curve,
 # clv_btyd_model_inputs, seasonal_naive_mase,
 # embedding_centroid_shift, reciprocal_best_match_links,
-# benford_law_audit, wald_wolfowitz_runs_test, atkinson_inequality_index
+# benford_law_audit, wald_wolfowitz_runs_test, atkinson_inequality_index,
+# friedman_test, goodman_kruskal_tau, group_skewness_kurtosis
 
 
 def _apply_driver_window() -> None:

@@ -8220,3 +8220,260 @@ def atkinson_inequality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("inv_scaled").cast("double") * F.col("s_cents").cast("double"))
         ).alias("atkinson_2"),
     )
+
+
+# --- Friedman test: segments ranked within nation blocks (round 8) -----------
+@register(
+    "friedman_test",
+    oracle="""
+    WITH cell AS (
+        SELECT c_nationkey AS block, c_mktsegment AS seg,
+               CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS v
+        FROM customer GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT block, seg,
+               ROW_NUMBER() OVER (PARTITION BY block ORDER BY v, seg) AS r
+        FROM cell
+    ),
+    rs AS (
+        SELECT seg, CAST(SUM(r) AS BIGINT) AS r_sum FROM ranked GROUP BY seg
+    ),
+    dims AS (
+        SELECT CAST(COUNT(DISTINCT block) AS BIGINT) AS nb,
+               CAST(COUNT(DISTINCT seg) AS BIGINT) AS k
+        FROM ranked
+    ),
+    stat AS (
+        SELECT CAST(12 * SUM(r_sum * r_sum) AS DOUBLE)
+                   / CAST(d.nb * d.k * (d.k + 1) AS DOUBLE)
+               - CAST(3 * d.nb * (d.k + 1) AS DOUBLE) AS chi2_f,
+               d.nb AS n_blocks, d.k AS k_treatments
+        FROM rs CROSS JOIN dims d GROUP BY d.nb, d.k
+    )
+    SELECT r.seg, r.r_sum, s.n_blocks, s.k_treatments, s.chi2_f
+    FROM rs r CROSS JOIN stat s
+    """,
+    tags=("statistics", "friedman", "nonparametric", "rank_test"),
+)
+def friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test with nations as blocks and market segments as
+    treatments (cell value = mean balance): do segments order
+    consistently across nations? The repeated-measures complement to
+    kruskal_wallis_test (independent groups) and mood_median_test
+    (medians). Ranks are per-block ROW_NUMBER over the 25×5 CELL table
+    (block-partitioned bounded windows, not entity-grain); ties in the
+    double cell means break deterministically by segment name. The
+    statistic 12/(nk(k+1))·ΣR_j² − 3n(k+1) is assembled from exact
+    BIGINT rank sums with one division — rational arithmetic only.
+    Scale: one map-side-combinable groupBy to cells; everything after
+    is O(nations × segments)."""
+    cust = load_table(spark, sf_dir, "customer")
+    cell = cust.groupBy(
+        F.col("c_nationkey").alias("block"),
+        F.col("c_mktsegment").alias("seg"),
+    ).agg(
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("v")
+    )
+    ranked = cell.select(
+        "block", "seg",
+        F.row_number().over(W.partitionBy("block").orderBy("v", "seg")).alias("r"),
+    )
+    rs = ranked.groupBy("seg").agg(F.sum("r").cast("long").alias("r_sum"))
+    dims = ranked.agg(
+        F.countDistinct("block").cast("long").alias("nb"),
+        F.countDistinct("seg").cast("long").alias("k"),
+    )
+    stat = (
+        rs.crossJoin(F.broadcast(dims))
+        .groupBy("nb", "k")
+        .agg(F.sum(F.col("r_sum") * F.col("r_sum")).alias("sr2"))
+        .select(
+            (
+                (12 * F.col("sr2")).cast("double")
+                / (F.col("nb") * F.col("k") * (F.col("k") + 1)).cast("double")
+                - (3 * F.col("nb") * (F.col("k") + 1)).cast("double")
+            ).alias("chi2_f"),
+            F.col("nb").alias("n_blocks"),
+            F.col("k").alias("k_treatments"),
+        )
+    )
+    return rs.crossJoin(F.broadcast(stat)).select(
+        "seg", "r_sum", "n_blocks", "k_treatments", "chi2_f"
+    )
+
+
+# --- Goodman-Kruskal tau: nation -> segment predictability (round 8) ---------
+@register(
+    "goodman_kruskal_tau",
+    oracle=f"""
+    WITH cnt AS (
+        SELECT c_nationkey AS i, c_mktsegment AS j, COUNT(*) AS nij
+        FROM customer GROUP BY 1, 2
+    ),
+    rowt AS (
+        SELECT i, CAST(SUM(nij) AS BIGINT) AS ni,
+               CAST(SUM(nij * nij) AS BIGINT) AS sq
+        FROM cnt GROUP BY i
+    ),
+    colt AS (
+        SELECT CAST(SUM(s) AS BIGINT) AS sum_nj2, CAST(SUM(nj) AS BIGINT) AS n
+        FROM (SELECT j, SUM(nij) AS nj, SUM(nij) * SUM(nij) AS s
+              FROM cnt GROUP BY j)
+    ),
+    cond AS (
+        SELECT {dsum_sql('CAST(sq AS DOUBLE) / CAST(ni AS DOUBLE)')} AS s_cond
+        FROM rowt
+    )
+    SELECT ct.n,
+           (CAST(ct.n AS DOUBLE) * ct.n - ct.sum_nj2)
+               / (CAST(ct.n AS DOUBLE) * ct.n) AS v_marg,
+           (CAST(ct.n AS DOUBLE) - cd.s_cond) / CAST(ct.n AS DOUBLE) AS v_cond,
+           ((CAST(ct.n AS DOUBLE) * ct.n - ct.sum_nj2)
+                / (CAST(ct.n AS DOUBLE) * ct.n)
+            - (CAST(ct.n AS DOUBLE) - cd.s_cond) / CAST(ct.n AS DOUBLE))
+           / ((CAST(ct.n AS DOUBLE) * ct.n - ct.sum_nj2)
+              / (CAST(ct.n AS DOUBLE) * ct.n)) AS gk_tau
+    FROM colt ct CROSS JOIN cond cd
+    """,
+    tags=("statistics", "association", "goodman_kruskal", "feature_selection"),
+)
+def goodman_kruskal_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal tau — the asymmetric proportional-reduction-in-
+    error association 'how well does nation predict market segment?'
+    that feature-selection passes use to rank categorical features
+    (cramers_v_association is the symmetric chi-square cousin; tau is
+    variance-interpretable). All inputs are contingency counts:
+    V_marginal = (n² − Σnⱼ²)/n², V_conditional = (n − Σᵢ(Σⱼnᵢⱼ²)/nᵢ)/n,
+    τ = (V_m − V_c)/V_m. Per-nation Σnᵢⱼ²/nᵢ is one exact-integer-over-
+    integer division; the 25-term sum accumulates through exact decimal
+    (dsum). No logs (mutual information would need them — libm
+    discipline), one contingency groupBy, O(cells) tail."""
+    cust = load_table(spark, sf_dir, "customer")
+    cnt = cust.groupBy(
+        F.col("c_nationkey").alias("i"), F.col("c_mktsegment").alias("j")
+    ).agg(F.count("*").alias("nij"))
+    rowt = cnt.groupBy("i").agg(
+        F.sum("nij").cast("long").alias("ni"),
+        F.sum(F.col("nij") * F.col("nij")).cast("long").alias("sq"),
+    )
+    colt = (
+        cnt.groupBy("j")
+        .agg(F.sum("nij").alias("nj"))
+        .agg(
+            F.sum(F.col("nj") * F.col("nj")).cast("long").alias("sum_nj2"),
+            F.sum("nj").cast("long").alias("n"),
+        )
+    )
+    cond = rowt.agg(
+        dsum(F.col("sq").cast("double") / F.col("ni").cast("double")).alias(
+            "s_cond"
+        )
+    )
+    nd = F.col("n").cast("double")
+    v_marg = (nd * F.col("n") - F.col("sum_nj2")) / (nd * F.col("n"))
+    v_cond = (nd - F.col("s_cond")) / nd
+    return colt.crossJoin(F.broadcast(cond)).select(
+        "n",
+        v_marg.alias("v_marg"),
+        v_cond.alias("v_cond"),
+        ((v_marg - v_cond) / v_marg).alias("gk_tau"),
+    )
+
+
+# --- Distribution-shape moments per group (round 8) ---------------------------
+@register(
+    "group_skewness_kurtosis",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x
+        FROM lineitem
+    ),
+    sh AS (
+        SELECT grp, SUM(x) // COUNT(*) AS a FROM b GROUP BY grp
+    ),
+    s AS (
+        SELECT b.grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x - sh.a) AS BIGINT) AS s1,
+               CAST(SUM((x - sh.a) * (x - sh.a)) AS BIGINT) AS s2,
+               CAST(SUM((x - sh.a) * (x - sh.a) * (x - sh.a)) AS BIGINT) AS s3,
+               CAST(SUM((x - sh.a) * (x - sh.a) * (x - sh.a) * (x - sh.a))
+                    AS BIGINT) AS s4,
+               sh.a AS a
+        FROM b JOIN sh ON b.grp = sh.grp GROUP BY b.grp, sh.a
+    ),
+    m AS (
+        SELECT grp, n,
+               CAST(a AS DOUBLE) + CAST(s1 AS DOUBLE) / n AS mean_x,
+               CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m2,
+               CAST(s3 AS DOUBLE) / n
+                 - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                 + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s1 AS DOUBLE) / n) AS m3,
+               CAST(s4 AS DOUBLE) / n
+                 - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+                 + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s2 AS DOUBLE) / n)
+                 - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                   AS m4
+        FROM s
+    )
+    SELECT grp, n, mean_x, m2 AS variance,
+           m3 / (m2 * sqrt(m2)) AS skewness,
+           m4 / (m2 * m2) - 3.0 AS kurtosis_excess
+    FROM m
+    """,
+    tags=("statistics", "moments", "skewness", "kurtosis", "profiling"),
+)
+def group_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third/fourth distribution-shape moments (skewness g₁, excess
+    kurtosis g₂) of order quantity per return flag — the data-profiling
+    step that flags heavy tails before z-score-based outlier rules are
+    trusted (value_outliers assumes symmetric tails; this measures the
+    assumption). Numerics follow the partial_correlation two-pass
+    discipline: moments are accumulated about the integer FLOOR MEAN of
+    each group, so every power sum is an exactly-representable BIGINT
+    (quantity deviations ≤ 50 keep Σd⁴ < 2^53 through sf1000 — chosen
+    over money columns precisely for that headroom) and every double
+    conversion is exact; central-moment assembly is fixed-order IEEE
+    with one sqrt. Scale: two partial-agg scans (classical distributed
+    two-pass), O(groups) tail."""
+    b = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast("long").alias("x"),
+    )
+    sh = b.groupBy("grp").agg(F.expr("sum(x) div count(*)").alias("a"))
+    d = F.col("x") - F.col("a")
+    s = (
+        b.join(F.broadcast(sh), "grp")
+        .groupBy("grp", "a")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(d).cast("long").alias("s1"),
+            F.sum(d * d).cast("long").alias("s2"),
+            F.sum(d * d * d).cast("long").alias("s3"),
+            F.sum(d * d * d * d).cast("long").alias("s4"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    u = F.col("s1").cast("double") / nd
+    r2 = F.col("s2").cast("double") / nd
+    r3 = F.col("s3").cast("double") / nd
+    r4 = F.col("s4").cast("double") / nd
+    m2 = r2 - u * u
+    m3 = r3 - F.lit(3.0) * u * r2 + F.lit(2.0) * u * u * u
+    m4 = r4 - F.lit(4.0) * u * r3 + F.lit(6.0) * u * u * r2 - F.lit(3.0) * u * u * u * u
+    return s.select(
+        "grp", "n",
+        (F.col("a").cast("double") + u).alias("mean_x"),
+        m2.alias("variance"),
+        (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+        (m4 / (m2 * m2) - F.lit(3.0)).alias("kurtosis_excess"),
+    )
