@@ -182,7 +182,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # clv_btyd_model_inputs, seasonal_naive_mase,
 # embedding_centroid_shift, reciprocal_best_match_links,
 # benford_law_audit, wald_wolfowitz_runs_test, atkinson_inequality_index,
-# friedman_test, goodman_kruskal_tau, group_skewness_kurtosis
+# friedman_test, goodman_kruskal_tau, group_skewness_kurtosis,
+# fk_orphan_audit, platt_scaling_newton_step, chao1_vocab_richness,
+# stratified_kfold_assignment
 
 
 def _apply_driver_window() -> None:

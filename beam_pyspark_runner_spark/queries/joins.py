@@ -2079,3 +2079,68 @@ def fellegi_sunter_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_pairs")
         ).alias("lambda_new"),
     )
+
+
+# --- Referential-integrity (FK orphan) audit (round 8) ------------------------
+# Edge list: (edge name, child table, child key, parent table, parent key).
+_FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders",
+     "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier",
+     "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer",
+     "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation",
+     "n_nationkey"),
+)
+
+
+@register(
+    "fk_orphan_audit",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{name}' AS fk_edge,
+               (SELECT COUNT(*) FROM {child}) AS child_rows,
+               (SELECT COUNT(*) FROM {child} c
+                WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                                  WHERE p.{pkey} = c.{ckey})) AS orphan_rows,
+               (SELECT COUNT(DISTINCT {ckey}) FROM {child} c
+                WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                                  WHERE p.{pkey} = c.{ckey}))
+                   AS orphan_keys
+        """
+        for name, child, ckey, parent, pkey in _FK_EDGES
+    ),
+    tags=("data_quality", "referential_integrity", "anti_join", "audit"),
+)
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge of the star
+    schema: per edge, child row count, orphaned child rows (no matching
+    parent — LEFT ANTI join), and distinct orphaned key values. This is
+    the pre-join data-quality gate a warehouse load runs before trusting
+    inner joins (an inner join silently DROPS orphans —
+    join_fanout_audit predicts fan-out, this predicts loss). Each edge
+    is an anti-join against the parent's key projection: Catalyst
+    broadcasts the small parents (nation/customer) and shuffle-joins
+    the big ones on the key — at 100 TB each edge is one key-partitioned
+    anti-join, no row ever carried beyond its keys, and the 5-row result
+    unions at the driver. Orphan keys are counted distinct AFTER the
+    anti-join (tiny in healthy data, bounded by child cardinality in
+    the worst case)."""
+    out = None
+    for name, child, ckey, parent, pkey in _FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(F.col(ckey).alias("k"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pkey).alias("k"))
+        orphans = c.join(p, "k", "left_anti")
+        row = c.agg(F.count("*").cast("long").alias("child_rows")).crossJoin(
+            orphans.agg(
+                F.count("*").cast("long").alias("orphan_rows"),
+                F.countDistinct("k").cast("long").alias("orphan_keys"),
+            )
+        ).select(
+            F.lit(name).alias("fk_edge"), "child_rows", "orphan_rows",
+            "orphan_keys",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -5059,3 +5059,184 @@ def heaps_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_types",
         F.sum("new_types").over(wc).cast("long").alias("vocab_size"),
     )
+
+
+# --- Platt scaling, one Newton step (round 8) ---------------------------------
+@register(
+    "platt_scaling_newton_step",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(n_chars AS BIGINT) AS s,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(s) AS BIGINT) AS ss,
+               CAST(SUM(s * s) AS BIGINT) AS ss2,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(s * y) AS BIGINT) AS ssy
+        FROM b
+    )
+    SELECT n,
+           CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+           -(CAST(n AS DOUBLE) * (0.5 * ss - CAST(ssy AS DOUBLE))
+             - CAST(ss AS DOUBLE) * (0.5 * n - CAST(sy AS DOUBLE)))
+           / (0.25 * (CAST(ss2 AS DOUBLE) * n - CAST(ss AS DOUBLE) * ss))
+               AS w1,
+           -(CAST(ss2 AS DOUBLE) * (0.5 * n - CAST(sy AS DOUBLE))
+             - CAST(ss AS DOUBLE) * (0.5 * ss - CAST(ssy AS DOUBLE)))
+           / (0.25 * (CAST(ss2 AS DOUBLE) * n - CAST(ss AS DOUBLE) * ss))
+               AS b1
+    FROM agg
+    """,
+    tags=("calibration", "platt_scaling", "logistic", "ml_eval"),
+)
+def platt_scaling_newton_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Newton/IRLS step of Platt scaling (Platt 1999): fit
+    sigmoid(w·s + b) of a raw score (document length) to a binary label
+    (lang='en') starting from (w,b)=(0,0). At the starting point every
+    p_i = 1/2, so the gradient is [½Σs − Σys, ½n − Σy] and the Hessian
+    ¼[[Σs², Σs],[Σs, n]] — FIVE integer sufficient statistics from one
+    partial-aggregated scan, then a closed-form 2×2 solve. The
+    parametric complement to isotonic_calibration /
+    classifier_calibration_bins: those re-bin, Platt fits a sigmoid.
+    No logs (the NLL objective needs them; the STEP does not — libm
+    discipline), all sums exact BIGINT (n_chars² · n < 2^53 through
+    sf10), fixed-order IEEE assembly. Scale: one scan, 1-row output;
+    further Newton steps would each be one more scan with reweighted
+    (p, p(1−p)) terms."""
+    b = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("long").alias("s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    agg = b.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("ss"),
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("ss2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("s") * F.col("y")).cast("long").alias("ssy"),
+    )
+    nd = F.col("n").cast("double")
+    ssd = F.col("ss").cast("double")
+    ss2d = F.col("ss2").cast("double")
+    gw = F.lit(0.5) * F.col("ss") - F.col("ssy").cast("double")
+    gb = F.lit(0.5) * F.col("n") - F.col("sy").cast("double")
+    det = F.lit(0.25) * (ss2d * F.col("n") - ssd * F.col("ss"))
+    return agg.select(
+        "n",
+        (F.col("sy").cast("double") / nd).alias("pos_rate"),
+        (-(nd * gw - ssd * gb) / det).alias("w1"),
+        (-(ss2d * gb - ssd * gw) / det).alias("b1"),
+    )
+
+
+# --- Chao1 vocabulary-richness estimate per source (round 8) ------------------
+@register(
+    "chao1_vocab_richness",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tf AS (SELECT source, token, COUNT(*) AS c FROM tok
+           WHERE token <> '' GROUP BY 1, 2),
+    agg AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS d_observed,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+               CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        FROM tf GROUP BY source
+    )
+    SELECT source, d_observed, f1, f2,
+           CAST(d_observed AS DOUBLE)
+             + CAST(f1 * (f1 - 1) AS DOUBLE) / CAST(2 * (f2 + 1) AS DOUBLE)
+               AS chao1
+    FROM agg
+    """,
+    tags=("text", "vocabulary", "chao1", "species_richness", "corpus_stats"),
+)
+def chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 estimate of TRUE vocabulary size per source (Chao 1984,
+    bias-corrected form): D + f₁(f₁−1)/(2(f₂+1)), where f₁/f₂ are the
+    singleton/doubleton type counts. heaps_vocab_growth_curve
+    extrapolates vocabulary by a power law; Chao1 answers the
+    complementary curator question 'how much vocabulary have we NOT yet
+    sampled from this source?' from one frequency profile — pure count
+    arithmetic (no logs). Scale: tokenize-explode → two nested
+    map-side-combinable groupBys ((source,token) then source); the
+    explode never materializes documents, only token rows, and the
+    second aggregate reduces to O(sources)."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(_tokens(F.col("text"))).alias("token")
+    )
+    tf = tok.filter(F.col("token") != "").groupBy("source", "token").agg(
+        F.count("*").alias("c")
+    )
+    agg = tf.groupBy("source").agg(
+        F.count("*").cast("long").alias("d_observed"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("f2"),
+    )
+    return agg.select(
+        "source", "d_observed", "f1", "f2",
+        (
+            F.col("d_observed").cast("double")
+            + (F.col("f1") * (F.col("f1") - 1)).cast("double")
+            / (2 * (F.col("f2") + 1)).cast("double")
+        ).alias("chao1"),
+    )
+
+
+# --- Stratified k-fold assignment (round 8) ------------------------------------
+KFOLD_K = 5
+
+
+@register(
+    "stratified_kfold_assignment",
+    oracle=f"""
+    WITH folded AS (
+        SELECT lang,
+               CAST((ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) - 1)
+                    % {KFOLD_K} AS INT) AS fold
+        FROM documents
+    ),
+    cells AS (
+        SELECT lang, fold, COUNT(*) AS n_docs FROM folded GROUP BY 1, 2
+    ),
+    spread AS (
+        SELECT lang, CAST(MAX(n_docs) - MIN(n_docs) AS BIGINT) AS imbalance
+        FROM cells GROUP BY lang
+    )
+    SELECT c.lang, c.fold, CAST(c.n_docs AS BIGINT) AS n_docs, s.imbalance
+    FROM cells c JOIN spread s ON c.lang = s.lang
+    """,
+    tags=("ml_data", "kfold", "stratified_split", "train_eval"),
+)
+def stratified_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified K-fold assignment over documents with
+    language as the stratum: within each stratum, docs ordered by key
+    are dealt round-robin to K folds, so every fold carries each
+    language in proportion (per-stratum imbalance ≤ 1 row — emitted as
+    an audit column so the guarantee is CHECKED, not assumed).
+    Complements train_val_split (hash split, unstratified) and
+    temporal_group_split (time-ordered): stratification is what keeps
+    low-resource languages from vanishing out of a validation fold.
+    The window is partitioned BY STRATUM (entity-bounded, not global);
+    at 100 TB a row_number-free variant can deal by
+    (dense per-stratum hash rank % K), trading the in-stratum window
+    for a hash shuffle — the round-robin contract is the same."""
+    folded = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        (
+            (F.row_number().over(W.partitionBy("lang").orderBy("doc_id")) - 1)
+            % KFOLD_K
+        ).cast("int").alias("fold"),
+    )
+    cells = folded.groupBy("lang", "fold").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    spread = cells.groupBy("lang").agg(
+        (F.max("n_docs") - F.min("n_docs")).cast("long").alias("imbalance")
+    )
+    return cells.join(spread, "lang").select("lang", "fold", "n_docs", "imbalance")
