@@ -184,7 +184,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # benford_law_audit, wald_wolfowitz_runs_test, atkinson_inequality_index,
 # friedman_test, goodman_kruskal_tau, group_skewness_kurtosis,
 # fk_orphan_audit, platt_scaling_newton_step, chao1_vocab_richness,
-# stratified_kfold_assignment
+# stratified_kfold_assignment, croston_intermittent_demand,
+# audio_vad_segments_stub
 
 
 def _apply_driver_window() -> None:

@@ -744,3 +744,105 @@ def thumbnail_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _payload_df(spark, sf_dir).mapInPandas(
         _thumbnail_kernel, _THUMB_SCHEMA
     )
+
+
+# --- Voice-activity-detection segmentation stub (round 8) ---------------------
+VAD_WINDOW = 128  # bytes per analysis window
+VAD_LEVEL = 94    # voiced iff mean byte >= level (integer-exact compare)
+
+_VAD_SCHEMA = (
+    "doc_id bigint, seg_idx bigint, start_window bigint, end_window bigint,"
+    " n_windows bigint"
+)
+
+
+def _vad_segment_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic FAKE voice-activity detector.
+
+    A real kernel would decode PCM and compute per-frame RMS energy
+    (webrtcvad / silero); here "energy" is the mean byte value of each
+    VAD_WINDOW-byte slice, and the voiced test is the integer-exact
+    comparison sum(bytes) >= VAD_LEVEL * window_len. The operator shape
+    is the real contract: per-blob windowing, thresholding, and
+    RUN-LENGTH MERGING of consecutive voiced windows into segment rows
+    (1 blob -> N segments) — all inside one Arrow-batched pass.
+    """
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "seg_idx", "start", "end", "n")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            n_win = (len(b) + VAD_WINDOW - 1) // VAD_WINDOW
+            seg_idx = 0
+            run_start = None
+            for wi in range(n_win + 1):  # +1 sentinel flushes the last run
+                chunk = b[wi * VAD_WINDOW : (wi + 1) * VAD_WINDOW]
+                voiced = bool(chunk) and sum(chunk) >= VAD_LEVEL * len(chunk)
+                if voiced and run_start is None:
+                    run_start = wi
+                elif not voiced and run_start is not None:
+                    out["doc_id"].append(doc_id)
+                    out["seg_idx"].append(seg_idx)
+                    out["start"].append(run_start)
+                    out["end"].append(wi - 1)
+                    out["n"].append(wi - run_start)
+                    seg_idx += 1
+                    run_start = None
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "seg_idx": pd.Series(out["seg_idx"], dtype="int64"),
+                "start_window": pd.Series(out["start"], dtype="int64"),
+                "end_window": pd.Series(out["end"], dtype="int64"),
+                "n_windows": pd.Series(out["n"], dtype="int64"),
+            }
+        )
+
+
+@register(
+    "audio_vad_segments_stub",
+    # ASCII corpus => byte i == ascii(char i+1); windows are substring
+    # slices, segments are gaps-and-islands over voiced window indices.
+    oracle=f"""
+    WITH ch AS (
+        SELECT doc_id, (i - 1) // {VAD_WINDOW} AS wi,
+               ascii(substr(text, CAST(i AS INT), 1)) AS b
+        FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+              FROM documents)
+    ),
+    win AS (SELECT doc_id, wi, SUM(b) AS s, COUNT(*) AS wl
+            FROM ch GROUP BY 1, 2),
+    voiced AS (SELECT doc_id, wi FROM win WHERE s >= {VAD_LEVEL} * wl),
+    isl AS (
+        SELECT doc_id, wi,
+               wi - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wi) AS g
+        FROM voiced
+    ),
+    seg AS (
+        SELECT doc_id, MIN(wi) AS start_window, MAX(wi) AS end_window,
+               COUNT(*) AS n_windows
+        FROM isl GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_window)
+                - 1 AS BIGINT) AS seg_idx,
+           CAST(start_window AS BIGINT) AS start_window,
+           CAST(end_window AS BIGINT) AS end_window,
+           CAST(n_windows AS BIGINT) AS n_windows
+    FROM seg
+    """,
+    tags=("multimodal", "binary", "audio", "vad", "segmentation",
+          "map_in_pandas"),
+)
+def audio_vad_segments_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation over binary payloads: window the
+    blob, threshold per-window energy, and run-length-merge consecutive
+    voiced windows into segment rows — the diarization/ASR-preprocessing
+    shape audio_feature_stub (per-blob scalars) and
+    video_frame_sample_stub (per-frame rows) don't cover: VARIABLE-count
+    segment rows whose boundaries depend on SEQUENTIAL state within the
+    blob. The stateful merge runs inside the Arrow-batched kernel where
+    per-blob sequential logic is free; the engine never shuffles the
+    blob, only the O(segments) output. The energy/threshold math is
+    integer-exact (sum >= level·len, no float means), so the DuckDB
+    gaps-and-islands oracle reproduces segment boundaries bit-for-bit."""
+    return _payload_df(spark, sf_dir).mapInPandas(_vad_segment_kernel, _VAD_SCHEMA)

@@ -8477,3 +8477,116 @@ def group_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
         (m4 / (m2 * m2) - F.lit(3.0)).alias("kurtosis_excess"),
     )
+
+
+# --- Croston intermittent-demand forecast (round 8) ---------------------------
+CROSTON_MOD = 97     # part subset: one in ~97 parts (bounded, representative)
+CROSTON_CAP = 40     # SES horizon: latest K nonzero-demand events per part
+CROSTON_SHIFT = 39   # fixed-point scale 2^39 for the dyadic SES weights
+
+
+@register(
+    "croston_intermittent_demand",
+    oracle=f"""
+    WITH demand AS (
+        SELECT l_partkey,
+               datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) // 7
+                   AS wk,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y
+        FROM lineitem
+        WHERE l_partkey % {CROSTON_MOD} = 0
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT l_partkey, wk, y,
+               ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY wk DESC)
+                   AS r
+        FROM demand
+    ),
+    capped AS (
+        SELECT l_partkey, wk, y, r,
+               COUNT(*) OVER (PARTITION BY l_partkey) AS n,
+               wk - LEAD(wk) OVER (PARTITION BY l_partkey ORDER BY wk DESC)
+                   AS iv
+        FROM ranked WHERE r <= {CROSTON_CAP}
+    ),
+    agg AS (
+        SELECT l_partkey, CAST(MAX(n) AS BIGINT) AS n_events,
+               CAST(SUM(y * (CAST(1 AS BIGINT) <<
+                   (CASE WHEN r < n THEN {CROSTON_SHIFT} - r
+                         ELSE {CROSTON_SHIFT} + 1 - n END))) AS BIGINT) AS zs,
+               CAST(SUM(CASE WHEN r < n THEN iv * (CAST(1 AS BIGINT) <<
+                   (CASE WHEN r < n - 1 THEN {CROSTON_SHIFT} - r
+                         ELSE {CROSTON_SHIFT} + 2 - n END)) END) AS BIGINT)
+                   AS ps
+        FROM capped GROUP BY l_partkey
+    )
+    SELECT l_partkey, n_events,
+           CAST(zs AS DOUBLE) / CAST(CAST(1 AS BIGINT) << {CROSTON_SHIFT}
+                                     AS DOUBLE) AS z_demand,
+           CAST(ps AS DOUBLE) / CAST(CAST(1 AS BIGINT) << {CROSTON_SHIFT}
+                                     AS DOUBLE) AS p_interval,
+           (CAST(zs AS DOUBLE) / CAST(CAST(1 AS BIGINT) << {CROSTON_SHIFT}
+                                      AS DOUBLE))
+           / (CAST(ps AS DOUBLE) / CAST(CAST(1 AS BIGINT) << {CROSTON_SHIFT}
+                                        AS DOUBLE)) AS croston_forecast
+    FROM agg WHERE n_events >= 2
+    """,
+    tags=("forecast", "croston", "intermittent_demand", "time_series",
+          "supply_chain"),
+)
+def croston_intermittent_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (Croston 1972) for INTERMITTENT demand — the
+    supply-chain forecast for slow movers where holt_linear_forecast
+    (dense series) and seasonal_naive_mase break down: separately
+    exponential-smooth the nonzero demand sizes z and the inter-demand
+    intervals p over DEMAND EVENTS only, forecast = z/p per period.
+    Numerics: α = 1/2 makes every SES weight a dyadic rational, so both
+    smoothers are computed as EXACT integers scaled by 2³⁹ (weight
+    2^(39−r) for the r-th newest event, the oldest absorbing the
+    initial-condition mass) — no float powers, no order dependence; the
+    final /2³⁹ and z/p divisions are exact-then-rounded-once IEEE. The
+    horizon caps at the latest 40 events per part, which also bounds
+    the scaled sums < 2^53 (exact double conversion) through 100×
+    volume. Scale: one map-side-combinable (part, week) rollup, then
+    part-partitioned windows (entity-grain, never global)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % CROSTON_MOD == 0
+    )
+    demand = li.groupBy(
+        "l_partkey",
+        F.expr(
+            "datediff(cast(l_shipdate as date), date'1970-01-01') div 7"
+        ).alias("wk"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("y"))
+    wp = W.partitionBy("l_partkey").orderBy(F.col("wk").desc())
+    ranked = demand.select(
+        "l_partkey", "wk", "y", F.row_number().over(wp).alias("r")
+    )
+    capped = ranked.filter(F.col("r") <= CROSTON_CAP).select(
+        "l_partkey", "wk", "y", "r",
+        F.count("*").over(W.partitionBy("l_partkey")).alias("n"),
+        (F.col("wk") - F.lead("wk").over(wp)).alias("iv"),
+    )
+    z_term = F.expr(
+        f"y * shiftleft(cast(1 as bigint), cast(if(r < n, {CROSTON_SHIFT} - r,"
+        f" {CROSTON_SHIFT} + 1 - n) as int))"
+    )
+    p_term = F.expr(
+        f"if(r < n, iv * shiftleft(cast(1 as bigint), cast(if(r < n - 1,"
+        f" {CROSTON_SHIFT} - r, {CROSTON_SHIFT} + 2 - n) as int)), null)"
+    )
+    agg = capped.groupBy("l_partkey").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.sum(z_term).cast("long").alias("zs"),
+        F.sum(p_term).cast("long").alias("ps"),
+    )
+    scale = F.lit(float(1 << CROSTON_SHIFT))
+    z = F.col("zs").cast("double") / scale
+    p = F.col("ps").cast("double") / scale
+    return agg.filter(F.col("n_events") >= 2).select(
+        "l_partkey", "n_events",
+        z.alias("z_demand"),
+        p.alias("p_interval"),
+        (z / p).alias("croston_forecast"),
+    )
