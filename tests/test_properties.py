@@ -1377,3 +1377,92 @@ def test_symspell_pairs_equal_bruteforce(spark):
         assert r.id_a[r.pos - 1] == r.digit_a
         assert r.id_b[r.pos - 1] == r.digit_b
         assert r.digit_a != r.digit_b
+
+
+# --- round 8: Croston dyadic SES closed form == sequential recursion ---------
+@_settings
+@given(
+    ys=st.lists(st.integers(1, 200), min_size=2, max_size=12),
+    gaps=st.lists(st.integers(1, 9), min_size=1, max_size=11),
+)
+def test_croston_dyadic_weights_match_recursion(spark, ys, gaps):
+    """The 2^39-scaled integer weight scheme in croston_intermittent_demand
+    must equal the literal Croston recursion z_t = y_t/2 + z_{t-1}/2 run
+    sequentially (alpha = 1/2, init z_1 = y_1) — and likewise for the
+    interval smoother. Dyadic alpha makes both sides EXACT, so the
+    comparison is ==, not approx."""
+    from beam_pyspark_runner_spark.queries.relational import (
+        CROSTON_CAP,
+        CROSTON_SHIFT,
+    )
+
+    gaps = gaps[: len(ys) - 1]
+    ys = ys[: len(gaps) + 1]
+    # weeks oldest->newest from cumulative gaps
+    weeks = [0]
+    for g in gaps:
+        weeks.append(weeks[-1] + g)
+
+    # Python reference: sequential SES over the (capped) event list
+    kept_y = ys[-CROSTON_CAP:]
+    z = kept_y[0]
+    for y in kept_y[1:]:
+        z = y / 2 + z / 2
+    ivs = [b - a for a, b in zip(weeks, weeks[1:])][-(CROSTON_CAP - 1):]
+    # the smoother sees intervals oldest->newest too
+    p = ivs[0]
+    for iv in ivs[1:]:
+        p = iv / 2 + p / 2
+
+    # engine-shaped closed form: newest-first ranks, scaled integers
+    n = len(kept_y)
+    zs = 0
+    for r, y in enumerate(reversed(kept_y), start=1):
+        exp = CROSTON_SHIFT - r if r < n else CROSTON_SHIFT + 1 - n
+        zs += y * (1 << exp)
+    m = len(ivs)
+    ps = 0
+    for r, iv in enumerate(reversed(ivs), start=1):
+        exp = CROSTON_SHIFT - r if r < m else CROSTON_SHIFT + 1 - m
+        ps += iv * (1 << exp)
+    assert zs / (1 << CROSTON_SHIFT) == z
+    assert ps / (1 << CROSTON_SHIFT) == p
+
+
+# --- round 8: VAD run-length merge == direct python segmentation --------------
+@_settings
+@given(data=st.lists(st.integers(30, 125), min_size=1, max_size=600))
+def test_vad_kernel_matches_direct_segmentation(spark, data):
+    """The streaming run-length merge inside _vad_segment_kernel must
+    produce exactly the segments of a direct 'group consecutive voiced
+    window indices' reference on arbitrary byte content."""
+    import pandas as pd
+
+    from beam_pyspark_runner_spark.queries.multimodal import (
+        VAD_LEVEL,
+        VAD_WINDOW,
+        _vad_segment_kernel,
+    )
+
+    payload = bytes(data)
+    pdf = pd.DataFrame({"doc_id": [1], "payload": [payload]})
+    got = pd.concat(list(_vad_segment_kernel(iter([pdf])))).reset_index(drop=True)
+
+    # direct reference
+    n_win = (len(payload) + VAD_WINDOW - 1) // VAD_WINDOW
+    voiced = [
+        wi
+        for wi in range(n_win)
+        if sum(payload[wi * VAD_WINDOW : (wi + 1) * VAD_WINDOW])
+        >= VAD_LEVEL * len(payload[wi * VAD_WINDOW : (wi + 1) * VAD_WINDOW])
+    ]
+    segs = []
+    for wi in voiced:
+        if segs and wi == segs[-1][1] + 1:
+            segs[-1][1] = wi
+        else:
+            segs.append([wi, wi])
+    expected = [
+        (1, i, a, b, b - a + 1) for i, (a, b) in enumerate(segs)
+    ]
+    assert [tuple(r) for r in got.itertuples(index=False)] == expected
