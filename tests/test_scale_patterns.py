@@ -1754,3 +1754,43 @@ def test_all_unpartitioned_ordered_windows_are_tagged_bounded(spark):
         if hits and "bounded_window" not in q.tags:
             offenders[name] = hits
     assert not offenders, offenders
+
+
+# --- round 8: new-query plan pins ---------------------------------------------
+def test_croston_windows_are_part_partitioned(spark):
+    """croston_intermittent_demand: every window must be partitioned by
+    l_partkey (entity-grain) — no single-task global window anywhere —
+    and the only exchanges are the part(+week) rollup keys."""
+    plan = _plan_of(spark, "croston_intermittent_demand")
+    assert "SinglePartition" not in plan, plan[:800]
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert spec.split(",")[0].strip().startswith("l_partkey"), spec
+
+
+def test_benford_spine_join_broadcasts(spark):
+    """benford_law_audit: the 9-row digit spine and the 1-row totals /
+    chi-square frames must broadcast — the only hash exchange is the
+    digit groupBy."""
+    plan = _plan_of(spark, "benford_law_audit")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fk_orphan_audit_anti_joins_stay_keyed(spark):
+    """fk_orphan_audit: each edge must compile to a keyed anti-join
+    (broadcast or shuffled-hash/sort-merge on the key) — never a
+    nested-loop over child rows."""
+    plan = _plan_of(spark, "fk_orphan_audit")
+    assert "CartesianProduct" not in plan
+    assert plan.count("LeftAnti") >= 5
+
+
+def test_stratified_kfold_window_is_stratum_partitioned(spark):
+    """stratified_kfold_assignment: the fold-dealing row_number must be
+    partitioned by the stratum (lang), not global."""
+    plan = _plan_of(spark, "stratified_kfold_assignment")
+    assert "SinglePartition" not in plan, plan[:800]
+    assert "windowspecdefinition(lang" in plan
