@@ -185,7 +185,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # friedman_test, goodman_kruskal_tau, group_skewness_kurtosis,
 # fk_orphan_audit, platt_scaling_newton_step, chao1_vocab_richness,
 # stratified_kfold_assignment, croston_intermittent_demand,
-# audio_vad_segments_stub
+# audio_vad_segments_stub, sprt_sequential_test,
+# hodges_lehmann_location_shift
 
 
 def _apply_driver_window() -> None:

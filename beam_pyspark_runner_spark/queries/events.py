@@ -5741,3 +5741,113 @@ def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             / scored_naive.cast("double")
         ).alias("mase"),
     )
+
+
+# --- Wald SPRT early-stopping monitor (round 8) --------------------------------
+# H0: purchase share p0 = 0.15 vs H1: p1 = 0.20, alpha = beta = 0.05.
+# Per-observation log-likelihood-ratio increments and the decision
+# boundaries +/- ln((1-beta)/alpha) = ln 19, precomputed ONCE in Python
+# as 1e-9 fixed-point INTEGERS (no data-dependent libm logs, and integer
+# cumulative sums are association-free — double window sums are not:
+# DuckDB aggregates window frames through a segment tree whose rounding
+# order differs from a left-to-right running sum).
+SPRT_C1 = 287682072      # round(1e9 * ln(p1/p0))
+SPRT_C2 = -60624622      # round(1e9 * ln((1-p1)/(1-p0)))
+SPRT_BOUND = 2944438979  # round(1e9 * ln(19))
+
+
+@register(
+    "sprt_sequential_test",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    walk AS (
+        SELECT d, k, n,
+               SUM(k * CAST({SPRT_C1} AS BIGINT)
+                   + (n - k) * CAST({SPRT_C2} AS BIGINT))
+                   OVER (ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS llr9
+        FROM daily
+    ),
+    hit AS (
+        SELECT d, llr9,
+               ROW_NUMBER() OVER (ORDER BY d) AS rn
+        FROM walk
+        WHERE llr9 >= {SPRT_BOUND} OR llr9 <= -{SPRT_BOUND}
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(MAX(llr9) AS BIGINT) AS last_llr9
+            FROM walk)
+    SELECT t.n_days,
+           CASE WHEN h.d IS NULL THEN 'continue'
+                WHEN h.llr9 >= {SPRT_BOUND} THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           h.d AS decision_day,
+           CAST(h.llr9 AS DOUBLE) / CAST('1000000000' AS DOUBLE)
+               AS llr_at_decision
+    FROM tot t LEFT JOIN hit h ON h.rn = 1
+    """,
+    tags=("statistics", "sprt", "sequential_analysis", "ab_testing",
+          "bounded_window"),
+)
+def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test (Wald 1945) monitoring
+    the purchase share day by day: H0 p=0.15 vs H1 p=0.20 at
+    α=β=0.05, stop the experiment the first day the cumulative
+    binomial log-likelihood ratio leaves (−ln19, +ln19). This is the
+    EARLY-STOPPING machinery two_proportion_ztest (fixed-horizon) and
+    cusum_drift_detector (change detection) don't provide: a decision
+    rule valid at every interim look. LLR increments and boundaries
+    are Python-precomputed 1e-9 fixed-point INTEGER literals, so the
+    cumulative walk is exact integer arithmetic — immune to the
+    segment-tree-vs-running-sum association difference that makes
+    double window sums engine-dependent. The walk runs on the
+    DATE-GRAIN table (bounded_window); one map-side-combinable daily
+    rollup is the only corpus scan."""
+    daily = load_table(spark, sf_dir, "events").groupBy(
+        F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("k"),
+        F.count("*").cast("long").alias("n"),
+    )
+    wd = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    walk = daily.select(
+        "d", "k", "n",
+        F.sum(
+            F.col("k") * F.lit(SPRT_C1).cast("long")
+            + (F.col("n") - F.col("k")) * F.lit(SPRT_C2).cast("long")
+        ).over(wd).alias("llr9"),
+    )
+    hit = (
+        walk.filter(
+            (F.col("llr9") >= SPRT_BOUND) | (F.col("llr9") <= -SPRT_BOUND)
+        )
+        .select(
+            "d", "llr9", F.row_number().over(W.orderBy("d")).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+    )
+    tot = walk.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.max("llr9").cast("long").alias("last_llr9"),
+    )
+    return tot.join(F.broadcast(hit), F.lit(True), "left").select(
+        "n_days",
+        F.when(F.col("d").isNull(), "continue")
+        .when(F.col("llr9") >= SPRT_BOUND, "accept_h1")
+        .otherwise("accept_h0")
+        .alias("decision"),
+        F.col("d").alias("decision_day"),
+        (
+            F.col("llr9").cast("double")
+            / F.lit("1000000000").cast("double")
+        ).alias("llr_at_decision"),
+    )

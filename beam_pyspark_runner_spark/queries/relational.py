@@ -8590,3 +8590,92 @@ def croston_intermittent_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.alias("p_interval"),
         (z / p).alias("croston_forecast"),
     )
+
+
+# --- Hodges-Lehmann weekend-vs-weekday location shift (round 8) ---------------
+@register(
+    "hodges_lehmann_location_shift",
+    oracle="""
+    WITH daily AS (
+        SELECT datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                   AS ed,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM lineitem GROUP BY 1
+    ),
+    lab AS (
+        SELECT v, CASE WHEN (ed + 4) % 7 >= 5 THEN 1 ELSE 0 END AS wknd
+        FROM daily
+    ),
+    diffs AS (
+        SELECT a.v - b.v AS dv
+        FROM lab a JOIN lab b ON a.wknd = 1 AND b.wknd = 0
+    ),
+    vals AS (SELECT dv, COUNT(*) AS c FROM diffs GROUP BY dv),
+    cum AS (
+        SELECT dv, SUM(c) OVER (ORDER BY dv
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+               SUM(c) OVER () AS np
+        FROM vals
+    ),
+    med AS (SELECT MIN(dv) AS hl, MAX(np) AS n_pairs FROM cum
+            WHERE cm >= (np + 1) // 2),
+    cnts AS (
+        SELECT CAST(SUM(wknd) AS BIGINT) AS n_weekend,
+               CAST(COUNT(*) - SUM(wknd) AS BIGINT) AS n_weekday
+        FROM lab
+    )
+    SELECT c.n_weekend, c.n_weekday, CAST(m.n_pairs AS BIGINT) AS n_pairs,
+           CAST(m.hl AS DOUBLE) / 100.0 AS hl_shift_dollars
+    FROM cnts c CROSS JOIN med m
+    """,
+    tags=("statistics", "hodges_lehmann", "nonparametric", "effect_size",
+          "bounded_window"),
+)
+def hodges_lehmann_location_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann estimate of the weekend-vs-weekday daily-revenue
+    shift: the MEDIAN OF ALL PAIRWISE DIFFERENCES between weekend and
+    weekday days — the robust EFFECT SIZE companion to mann_whitney_u
+    (which answers 'is there a shift?' but not 'how big?'); 29%
+    breakdown vs the difference-of-means. Day-of-week comes from pure
+    (epoch+4)%7 arithmetic (the date_dimension_rollup precedent — the
+    engines' dayofweek builtins disagree on numbering). The pairwise
+    stage joins the two halves of the DATE-GRAIN table — bounded by
+    calendar² regardless of corpus size (~1.2M integer-cent pairs
+    here, constant in sf), never by rows — and the median is located
+    with the distinct-value cumulative trick (bounded_window). All
+    arithmetic is exact integer cents until the single final /100."""
+    daily = load_table(spark, sf_dir, "lineitem").groupBy(
+        F.expr(
+            "datediff(cast(l_shipdate as date), date'1970-01-01')"
+        ).alias("ed")
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    lab = daily.select(
+        "v",
+        F.when((F.col("ed") + 4) % 7 >= 5, 1).otherwise(0).alias("wknd"),
+    )
+    a = lab.filter(F.col("wknd") == 1).select(F.col("v").alias("va"))
+    b = lab.filter(F.col("wknd") == 0).select(F.col("v").alias("vb"))
+    diffs = a.crossJoin(b).select((F.col("va") - F.col("vb")).alias("dv"))
+    vals = diffs.groupBy("dv").agg(F.count("*").alias("c"))
+    wv = W.orderBy("dv").rowsBetween(W.unboundedPreceding, 0)
+    cum = vals.select(
+        "dv",
+        F.sum("c").over(wv).alias("cm"),
+        F.sum("c").over(W.partitionBy()).alias("np"),
+    )
+    med = cum.filter(F.col("cm") >= F.expr("(np + 1) div 2")).agg(
+        F.min("dv").alias("hl"), F.max("np").cast("long").alias("n_pairs")
+    )
+    cnts = lab.agg(
+        F.sum("wknd").cast("long").alias("n_weekend"),
+        (F.count("*") - F.sum("wknd")).cast("long").alias("n_weekday"),
+    )
+    return cnts.crossJoin(F.broadcast(med)).select(
+        "n_weekend", "n_weekday", "n_pairs",
+        (F.col("hl").cast("double") / 100.0).alias("hl_shift_dollars"),
+    )
