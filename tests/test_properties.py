@@ -1466,3 +1466,80 @@ def test_vad_kernel_matches_direct_segmentation(spark, data):
         (1, i, a, b, b - a + 1) for i, (a, b) in enumerate(segs)
     ]
     assert [tuple(r) for r in got.itertuples(index=False)] == expected
+
+
+# --- round 8: SPRT fixed-point walk == float LLR replay ------------------------
+@_settings
+@given(
+    days=st.lists(
+        st.tuples(st.integers(0, 80), st.integers(80, 400)),  # (k, extra n)
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_sprt_integer_walk_matches_float_replay(spark, days):
+    """The 1e-9 fixed-point integer LLR walk in sprt_sequential_test must
+    reach the same decision (and on the same day) as a float replay of
+    Wald's recursion using the SAME quantized increments — the integer
+    encoding changes representation, never the decision sequence."""
+    from beam_pyspark_runner_spark.queries.events import (
+        SPRT_BOUND,
+        SPRT_C1,
+        SPRT_C2,
+    )
+
+    cum = 0
+    int_decision = ("continue", None)
+    for i, (k, extra) in enumerate(days):
+        n = k + extra
+        cum += k * SPRT_C1 + (n - k) * SPRT_C2
+        if cum >= SPRT_BOUND:
+            int_decision = ("accept_h1", i)
+            break
+        if cum <= -SPRT_BOUND:
+            int_decision = ("accept_h0", i)
+            break
+
+    # float replay with the boundary scaled instead of the increments:
+    # every quantity stays an exactly-representable integer (< 2^53), so
+    # any disagreement is a logic bug (sign/first-crossing/tie), never a
+    # rounding artifact of the test itself.
+    fcum = 0.0
+    float_decision = ("continue", None)
+    for i, (k, extra) in enumerate(days):
+        n = k + extra
+        fcum += float(k * SPRT_C1 + (n - k) * SPRT_C2)
+        if fcum >= float(SPRT_BOUND):
+            float_decision = ("accept_h1", i)
+            break
+        if fcum <= -float(SPRT_BOUND):
+            float_decision = ("accept_h0", i)
+            break
+
+    assert int_decision == float_decision
+
+
+# --- round 8: Hodges-Lehmann lower median == brute force -----------------------
+@_settings
+@given(
+    xs=st.lists(st.integers(-500, 500), min_size=1, max_size=15),
+    ys=st.lists(st.integers(-500, 500), min_size=1, max_size=15),
+)
+def test_hodges_lehmann_distinct_cumulative_trick_matches_brute(spark, xs, ys):
+    """The distinct-value cumulative-count median used by
+    hodges_lehmann_location_shift must locate exactly the lower median
+    of the full pairwise-difference multiset."""
+    diffs = sorted(x - y for x in xs for y in ys)
+    brute = diffs[(len(diffs) + 1) // 2 - 1]  # lower median
+
+    # the query's trick: distinct values + counts, first value whose
+    # cumulative count reaches ceil(n/2)
+    from collections import Counter
+
+    c = Counter(diffs)
+    cm, target = 0, (len(diffs) + 1) // 2
+    for v in sorted(c):
+        cm += c[v]
+        if cm >= target:
+            assert v == brute
+            break
