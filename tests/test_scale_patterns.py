@@ -1794,3 +1794,28 @@ def test_stratified_kfold_window_is_stratum_partitioned(spark):
     plan = _plan_of(spark, "stratified_kfold_assignment")
     assert "SinglePartition" not in plan, plan[:800]
     assert "windowspecdefinition(lang" in plan
+
+
+def test_hodges_lehmann_pairs_are_aggregate_grain(spark):
+    """hodges_lehmann_location_shift: the pairwise-difference cross join
+    must consume DAY-GRAIN AGGREGATES (calendar²-bounded), never raw
+    lineitem rows — i.e. an aggregate sits below the nested-loop join on
+    both sides, and no Python touches the plan."""
+    plan = _plan_of(spark, "hodges_lehmann_location_shift")
+    assert "Python" not in plan
+    bnl = plan.find("BroadcastNestedLoopJoin")
+    assert bnl != -1, plan[:800]
+    below = plan[bnl:]
+    assert "HashAggregate" in below, "cross join must sit above the daily rollup"
+
+
+def test_sprt_walk_runs_on_date_grain(spark):
+    """sprt_sequential_test: the LLR walk's ordered window must consume
+    the daily rollup (an aggregate below the window), and the walk's
+    arithmetic must stay integer (no doubles shuffle until the final
+    1-row projection)."""
+    plan = _plan_of(spark, "sprt_sequential_test")
+    win = plan.find("Window ")
+    assert win != -1
+    assert "HashAggregate" in plan[win:], "window must sit above the daily rollup"
+    assert "Python" not in plan
