@@ -186,7 +186,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # fk_orphan_audit, platt_scaling_newton_step, chao1_vocab_richness,
 # stratified_kfold_assignment, croston_intermittent_demand,
 # audio_vad_segments_stub, sprt_sequential_test,
-# hodges_lehmann_location_shift
+# hodges_lehmann_location_shift, mcc_matthews_correlation,
+# cochran_q_test
 
 
 def _apply_driver_window() -> None:

@@ -5240,3 +5240,153 @@ def stratified_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("n_docs") - F.min("n_docs")).cast("long").alias("imbalance")
     )
     return cells.join(spread, "lang").select("lang", "fold", "n_docs", "imbalance")
+
+
+# --- Matthews correlation coefficient of the lang-ID heuristic (round 8) ------
+@register(
+    "mcc_matthews_correlation",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+               FROM documents),
+    s AS (SELECT lang,
+                 CAST(len(list_filter(toks, x -> x IN ({_SW_SQL}))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) AS sw_ratio,
+                 CAST(len(list_filter(toks,
+                          x -> x IN ('data', 'query', 'table'))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) AS en_ratio
+          FROM t),
+    pred AS (
+        SELECT lang = 'en' AS truth,
+               (sw_ratio + en_ratio > 0.12) AS predicted
+        FROM s
+    ),
+    cm AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE truth AND predicted) AS BIGINT)
+                   AS tp,
+               CAST(COUNT(*) FILTER (WHERE NOT truth AND predicted) AS BIGINT)
+                   AS fp,
+               CAST(COUNT(*) FILTER (WHERE truth AND NOT predicted) AS BIGINT)
+                   AS fn,
+               CAST(COUNT(*) FILTER (WHERE NOT truth AND NOT predicted)
+                    AS BIGINT) AS tn
+        FROM pred
+    )
+    SELECT tp, fp, fn, tn,
+           CAST(tp * tn - fp * fn AS DOUBLE)
+               / sqrt(CAST((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+                           AS DOUBLE)) AS mcc
+    FROM cm
+    """,
+    tags=("text", "ml_eval", "mcc", "confusion_matrix"),
+)
+def mcc_matthews_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient of the SAME lang-ID heuristic
+    classifier_eval_f1 evaluates — the balanced single-number verdict
+    F1 can't give (F1 ignores true negatives; MCC is the full 2×2
+    Pearson phi and stays honest under class imbalance, the normal
+    state of corpus-quality classifiers). The confusion matrix comes
+    from one conditional aggregate; MCC's numerator and the
+    denominator's four marginal products are exact BIGINTs (sub-2^53
+    through sf10 — beyond that, take the four sqrt factors separately
+    before multiplying), one sqrt, one division."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks).cast("double")
+    sw = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / n
+    en = (
+        F.size(F.filter(toks, lambda x: x.isin("data", "query", "table")))
+        .cast("double")
+        / n
+    )
+    pred = d.select(
+        (F.col("lang") == "en").alias("truth"),
+        ((sw + en) > 0.12).alias("predicted"),
+    )
+    t, p = F.col("truth"), F.col("predicted")
+    cm = pred.agg(
+        F.count_if(t & p).cast("long").alias("tp"),
+        F.count_if(~t & p).cast("long").alias("fp"),
+        F.count_if(t & ~p).cast("long").alias("fn"),
+        F.count_if(~t & ~p).cast("long").alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return cm.select(
+        "tp", "fp", "fn", "tn",
+        (
+            (tp * tn - fp * fn).cast("double")
+            / F.sqrt(((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)).cast("double"))
+        ).alias("mcc"),
+    )
+
+
+# --- Cochran's Q over three quality rules (round 8) ----------------------------
+@register(
+    "cochran_q_test",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+               FROM documents),
+    flags AS (
+        SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS r1,
+               CASE WHEN len(list_filter(toks, x -> x IN ({_SW_SQL}))) * 20
+                         > len(toks) THEN 1 ELSE 0 END AS r2,
+               CASE WHEN len(list_filter(toks,
+                        x -> x IN ('data', 'query', 'table'))) * 50
+                         > len(toks) THEN 1 ELSE 0 END AS r3
+        FROM t
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(r1) AS BIGINT) AS c1,
+               CAST(SUM(r2) AS BIGINT) AS c2,
+               CAST(SUM(r3) AS BIGINT) AS c3,
+               CAST(SUM(r1 + r2 + r3) AS BIGINT) AS s_r,
+               CAST(SUM((r1 + r2 + r3) * (r1 + r2 + r3)) AS BIGINT) AS s_r2
+        FROM flags
+    )
+    SELECT n_docs, c1, c2, c3,
+           CAST(2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - s_r * s_r) AS DOUBLE)
+               / CAST(3 * s_r - s_r2 AS DOUBLE) AS q_stat
+    FROM agg
+    """,
+    tags=("statistics", "cochran_q", "ml_eval", "rater_agreement"),
+)
+def cochran_q_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across three binary quality rules applied to every
+    document (length ≥ 200 chars, stopword share > 5%, en-marker share
+    > 2%): do the rules flag at the same rate, or is one systematically
+    stricter? The k-treatment generalization of
+    mcnemar_paired_classifiers (k=2) and the binary special case of
+    friedman_test — the question a filtering pipeline asks before
+    OR-ing rules together. Thresholds are integer cross-multiplications
+    (count·20 > n_toks — no float ratios), so every input to
+    Q = (k−1)(kΣCⱼ² − N²)/(kΣRᵢ − ΣRᵢ²) is an exact BIGINT from ONE
+    map-side-combinable conditional aggregate; the statistic is one
+    division. Scale: single corpus scan, 1-row output."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    nt = F.size(toks)
+    sw_c = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    en_c = F.size(F.filter(toks, lambda x: x.isin("data", "query", "table")))
+    flags = d.select(
+        F.when(F.col("n_chars") >= 200, 1).otherwise(0).alias("r1"),
+        F.when(sw_c * 20 > nt, 1).otherwise(0).alias("r2"),
+        F.when(en_c * 50 > nt, 1).otherwise(0).alias("r3"),
+    )
+    ri = F.col("r1") + F.col("r2") + F.col("r3")
+    agg = flags.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("r1").cast("long").alias("c1"),
+        F.sum("r2").cast("long").alias("c2"),
+        F.sum("r3").cast("long").alias("c3"),
+        F.sum(ri).cast("long").alias("s_r"),
+        F.sum(ri * ri).cast("long").alias("s_r2"),
+    )
+    c1, c2, c3 = F.col("c1"), F.col("c2"), F.col("c3")
+    return agg.select(
+        "n_docs", "c1", "c2", "c3",
+        (
+            (2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - F.col("s_r") * F.col("s_r")))
+            .cast("double")
+            / (3 * F.col("s_r") - F.col("s_r2")).cast("double")
+        ).alias("q_stat"),
+    )
