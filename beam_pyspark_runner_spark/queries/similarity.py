@@ -3372,6 +3372,49 @@ _MMR_UNION_SQL = " UNION ALL ".join(
 )
 
 
+def _mmr_cands_sims(spark: SparkSession, sf_dir: str):
+    """Candidate pool + C×C pairwise-similarity lineage for MMR.
+
+    The corpus is scanned exactly once (the relevance TakeOrdered);
+    ``cands`` CARRIES its embeddings through the checkpoint, so the
+    pairwise table is assembled from the ≤C-row pool alone — no join,
+    and in particular no broadcast, back to the embeddings table
+    (round-8 defect: the pairwise stage broadcast the FULL corpus).
+    Returns (cands checkpointed, sims lazy): the lazy sims lineage is
+    what tests/test_scale_patterns.py pins — it must touch no parquet
+    scan at all, only the checkpointed pool."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    q = (
+        e.filter(F.col("vec_id") == 0)
+        .select(F.col("emb").alias("qe"))
+        .localCheckpoint()
+    )
+    cands = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_similarity(F.col("emb"), F.col("qe")).alias("rel"),
+            "emb",
+        )
+        .orderBy(F.col("rel").desc(), "doc_id")
+        .limit(_MMR_C)
+        .localCheckpoint()
+    )
+    ca = cands.select(F.col("doc_id").alias("a"), F.col("emb").alias("ea"))
+    cb = cands.select(F.col("doc_id").alias("b"), F.col("emb").alias("eb"))
+    sims_lazy = (
+        ca.crossJoin(F.broadcast(cb))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "a", "b", cosine_similarity(F.col("ea"), F.col("eb")).alias("sim")
+        )
+    )
+    return cands, sims_lazy
+
+
 @register(
     "mmr_diversified_topk",
     oracle=f"""
@@ -3414,37 +3457,16 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break — {_MMR_K} constant-size steps, checkpointed like
     pareto_front_layers so the plan stays linear. The oracle unrolls
     the same greedy as {_MMR_K} CTE levels (no recursion — drift-proof
-    against the Spark loop). Scale: the corpus is touched once by the
-    relevance scan; everything after is bounded by C."""
-    e = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.col("embedding").alias("emb")
-    )
-    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qe"))
-    cands = (
-        e.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            cosine_similarity(F.col("emb"), F.col("qe")).alias("rel"),
-        )
-        .orderBy(F.col("rel").desc(), "doc_id")
-        .limit(_MMR_C)
-        .localCheckpoint()
-    )
-    ca = cands.select(F.col("doc_id").alias("a"))
-    cb = cands.select(F.col("doc_id").alias("b"))
-    ea = e.select(F.col("vec_id").alias("a"), F.col("emb").alias("ea"))
-    eb = e.select(F.col("vec_id").alias("b"), F.col("emb").alias("eb"))
-    sims = (
-        ca.crossJoin(cb)
-        .filter(F.col("a") != F.col("b"))
-        .join(F.broadcast(ea), "a")
-        .join(F.broadcast(eb), "b")
-        .select(
-            "a", "b", cosine_similarity(F.col("ea"), F.col("eb")).alias("sim")
-        )
-        .localCheckpoint()
-    )
+    against the Spark loop). Scale: the corpus is touched exactly once
+    by the relevance scan; the candidate pool CARRIES its embeddings
+    through the TakeOrdered checkpoint, so the C×C pairwise stage is
+    built from the ≤{_MMR_C}-row pool alone — no join (and no
+    broadcast) back to the corpus. Plan-pinned: no BroadcastExchange
+    in the optimized plan has the embeddings scan in its subtree
+    (tests/test_scale_patterns.py)."""
+    cands, sims_lazy = _mmr_cands_sims(spark, sf_dir)
+    cands = cands.drop("emb")
+    sims = sims_lazy.localCheckpoint()
     mmr = (F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("pen")).alias(
         "mmr_score"
     )

@@ -1819,3 +1819,25 @@ def test_sprt_walk_runs_on_date_grain(spark):
     assert win != -1
     assert "HashAggregate" in plan[win:], "window must sit above the daily rollup"
     assert "Python" not in plan
+
+
+def test_mmr_pairwise_stage_never_rescans_embeddings(spark):
+    """mmr_diversified_topk (round-8 defect, round-9 fix): the C×C
+    pairwise-similarity stage used to broadcast the FULL embeddings
+    table; the pool now carries its embeddings through the TakeOrdered
+    checkpoint, so the pairwise lineage must contain NO parquet scan at
+    all — its one BroadcastExchange ships only the ≤C-row checkpointed
+    pool. (The shared helper is the same code path the registered query
+    executes, so this pin cannot drift.)"""
+    from beam_pyspark_runner_spark.queries.similarity import (
+        _MMR_C,
+        _mmr_cands_sims,
+    )
+
+    cands, sims_lazy = _mmr_cands_sims(spark, SF_CORRECT)
+    assert cands.count() == _MMR_C
+    plan = sims_lazy._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "BatchScan" not in plan, plan[:1200]
+    assert "parquet" not in plan.lower(), plan[:1200]
+    assert "BroadcastExchange" in plan  # the bounded pool side
+    assert "Python" not in plan
