@@ -66,7 +66,13 @@ def main() -> None:
             return xs[mid]
         return (xs[mid - 1] + xs[mid]) / 2.0
 
+    # Host-noise legibility (round-8 verdict #5): publish min alongside
+    # the median and stamp 1-min loadavg before/after the sweep. A
+    # loaded-host run shows median >> min and a high load stamp, so a
+    # drift-vs-last-round adjudication needs no re-measure cycle.
+    load_before = round(os.getloadavg()[0], 2)
     timings: dict[str, float] = {}
+    stats: dict[str, dict[str, float]] = {}
     for name in names:
         fn = REGISTRY[name].fn
         if reps > 1:
@@ -80,6 +86,11 @@ def main() -> None:
             if len(samples) >= want:
                 break
         timings[name] = round(median(samples), 4)
+        stats[name] = {
+            "reps": len(samples),
+            "min": round(min(samples), 4),
+            "median": timings[name],
+        }
 
     total = round(sum(timings.values()), 4)
     print(
@@ -89,6 +100,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_stats": stats,
+                "loadavg_1m": {
+                    "before": load_before,
+                    "after": round(os.getloadavg()[0], 2),
+                },
                 "sf": sf,
             }
         )

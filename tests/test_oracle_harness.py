@@ -56,6 +56,16 @@ def test_hash_rows_column_and_row_order_invariant():
 # registry entries; these pin the curated ordering in queries/__init__) ---
 
 def test_driver_window_spans_all_operator_families():
+    """Every operator family must have first-hand driver signal: either
+    a seat in the CURRENT window or a green row in a past
+    CORRECTNESS_r*.json. (Until round 8 this required a window seat per
+    family; once a family is fully driver-certified, burning seats on
+    re-certs contradicts the rotate-to-never-checked discipline, so the
+    invariant widened to window ∪ cumulative-certified.)"""
+    import glob
+    import json
+    from pathlib import Path
+
     from beam_pyspark_runner_spark.queries import DRIVER_WINDOW, REGISTRY
 
     assert len(DRIVER_WINDOW) == 50
@@ -63,13 +73,24 @@ def test_driver_window_spans_all_operator_families():
     window = list(REGISTRY)[:50]
     assert window == list(DRIVER_WINDOW)  # reorder actually applied
 
-    tags_in_window = {t for n in window for t in REGISTRY[n].tags}
+    certified = set(window)
+    root = Path(__file__).resolve().parent.parent
+    for path in glob.glob(str(root / "CORRECTNESS_r*.json")):
+        for name, rec in json.load(open(path)).items():
+            if rec.get("hash_match") or rec.get("rows_match"):
+                certified.add(name)
+    covered = {
+        t for n in certified if n in REGISTRY for t in REGISTRY[n].tags
+    }
     required = {
         "pipeline_api", "metrics", "tpch", "join", "window", "event_time",
         "streaming", "dedup", "similarity", "text_analysis", "multimodal",
         "sketch", "pandas_udf", "udtf", "group_by_key", "array_fns",
     }
-    assert required <= tags_in_window, required - tags_in_window
+    assert required <= covered, required - covered
+    # and the window itself stays family-diverse (no monoculture):
+    window_tags = {t for n in window for t in REGISTRY[n].tags}
+    assert len(required & window_tags) >= 10, sorted(required & window_tags)
 
 
 def test_driver_window_queries_all_have_full_oracles():

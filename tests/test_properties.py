@@ -1543,3 +1543,69 @@ def test_hodges_lehmann_distinct_cumulative_trick_matches_brute(spark, xs, ys):
         if cm >= target:
             assert v == brute
             break
+
+
+# --- bucketed_order_scan contract (round-9 verdict #6) -----------------------
+# The round-8 retirements route five previously-green queries (rfm/NTILE
+# arithmetic, 80/20, ABC, Gini, join-cardinality) through this one
+# shared helper; its correctness now carries them all. Compare against
+# the naive single-window formulation on adversarial shapes: bucket-id
+# gaps (empty buckets), all-ties order keys, negative values, and the
+# descending-bucket mode.
+
+_bucketed_rows = st.lists(
+    st.tuples(
+        st.integers(0, 6),      # coarse bucket id (gaps = empty buckets)
+        st.integers(-3, 3),     # in-bucket order key (ties guaranteed)
+        st.integers(-100, 100),  # running-sum value
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@_settings
+@given(rows=_bucketed_rows, descending=st.booleans())
+@example(rows=[(2, 0, 5), (5, 0, -7)], descending=False)   # empty buckets
+@example(rows=[(1, 0, 1)] * 8, descending=True)            # all ties
+def test_bucketed_order_scan_matches_single_window(spark, rows, descending):
+    from pyspark.sql import Window as W
+
+    from beam_pyspark_runner_spark.functions.ordered import (
+        bucketed_order_scan,
+    )
+
+    df = spark.createDataFrame(
+        [(i, b, o, v) for i, (b, o, v) in enumerate(rows)],
+        "rid long, b long, o long, v long",
+    )
+    # The helper's contract: bucket must be an order-preserving
+    # coarsening of the leading sort key. Use the bucket id itself as
+    # the leading key, (o, rid) as the tie-broken remainder.
+    order_cols = [
+        F.col("b").desc() if descending else F.col("b").asc(),
+        F.col("o").asc(),
+        F.col("rid").asc(),
+    ]
+    got = {
+        r["rid"]: (r["global_rank"], r["run_v"])
+        for r in bucketed_order_scan(
+            df,
+            F.col("b"),
+            order_cols,
+            running={"run_v": F.col("v")},
+            descending_bucket=descending,
+        ).collect()
+    }
+    ref_w = W.orderBy(*order_cols)
+    ref = {
+        r["rid"]: (r["global_rank"], r["run_v"])
+        for r in df.select(
+            "rid",
+            F.row_number().over(ref_w).alias("global_rank"),
+            F.sum("v")
+            .over(ref_w.rowsBetween(W.unboundedPreceding, 0))
+            .alias("run_v"),
+        ).collect()
+    }
+    assert got == ref
