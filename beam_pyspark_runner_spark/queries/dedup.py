@@ -624,14 +624,14 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_ids = (
         load_table(spark, sf_dir, "documents").select("doc_id").filter(is_bench)
     )
-    bench_sh = sh.join(F.broadcast(bench_ids), "doc_id").select(
+    bench_sh = sh.join(bench_ids, "doc_id").select(
         F.col("doc_id").alias("bench_doc"), "s"
     )
-    train_sh = sh.join(F.broadcast(bench_ids), "doc_id", "left_anti").select(
+    train_sh = sh.join(bench_ids, "doc_id", "left_anti").select(
         F.col("doc_id").alias("train_doc"), "s"
     )
     return (
-        train_sh.join(F.broadcast(bench_sh), "s")
+        train_sh.join(bench_sh, "s")
         .groupBy("train_doc", "bench_doc")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= DECONTAM_MIN_SHARED)
@@ -1318,10 +1318,10 @@ def substring_contamination_winnowed(spark: SparkSession, sf_dir: str) -> DataFr
     bench_ids = (
         load_table(spark, sf_dir, "documents").select("doc_id").filter(is_bench)
     )
-    bench_fp = fps.join(F.broadcast(bench_ids), "doc_id").select(
+    bench_fp = fps.join(bench_ids, "doc_id").select(
         F.col("doc_id").alias("bench_doc"), "fp"
     )
-    train_fp = fps.join(F.broadcast(bench_ids), "doc_id", "left_anti").select(
+    train_fp = fps.join(bench_ids, "doc_id", "left_anti").select(
         F.col("doc_id").alias("train_doc"), "fp"
     )
     common = (
@@ -1782,7 +1782,7 @@ def blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k_attr").alias("b_attr"),
         F.col("k_prefix").alias("b_prefix"),
     )
-    tj = truth.join(F.broadcast(ka), "doc_a").join(F.broadcast(kb), "doc_b")
+    tj = truth.join(ka, "doc_a").join(kb, "doc_b")
     hits = tj.select(
         F.lit("attr:lang+source").alias("strategy"),
         (F.col("a_attr") == F.col("b_attr")).cast("int").alias("hit"),

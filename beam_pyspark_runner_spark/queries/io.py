@@ -338,9 +338,10 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates for big orders plus synthetic new-key inserts — merged into
     the orders base. The full merged row set is the query output, so the
     oracle checks every survivor/replacement/insert decision, not an
-    aggregate of them. The delta is small relative to base, so the anti
-    join broadcasts the update keys (map-side pass over base — the shape
-    a daily-increment merge needs at 100 TB)."""
+    aggregate of them. The delta here is a CORPUS FRACTION
+    (price-bumped big orders), so the broadcast decision is left to the
+    size-gated planner/AQE — a true daily-increment merge with a
+    known-small delta would pass broadcast_updates=True."""
     from beam_pyspark_runner_spark.operators.merge import merge_upsert
 
     base = load_table(spark, sf_dir, "orders").select(
@@ -361,7 +362,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return merge_upsert(base, updates, ["o_orderkey"], broadcast_updates=True)
+    return merge_upsert(base, updates, ["o_orderkey"])
 
 
 @register(

@@ -37,7 +37,7 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
     )
@@ -155,7 +155,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -1268,7 +1268,7 @@ def bitemporal_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit = F.lit(BITEMPORAL_AUDIT_TS).cast("timestamp")
     j = (
         e.join(
-            F.broadcast(versions),
+            versions,
             (F.col("user_id") == F.col("o_custkey"))
             & (F.col("valid_from") <= F.col("ts")),
             "left",
@@ -1427,7 +1427,7 @@ def inferred_dimension_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_totalprice"
     )
     enriched = o.join(
-        F.broadcast(dim), o["o_custkey"] == dim["c_custkey"], "left"
+        dim, o["o_custkey"] == dim["c_custkey"], "left"
     ).select(
         F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
         F.col("c_custkey").isNull().alias("inferred"),
@@ -1510,13 +1510,13 @@ def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     has_core = (
         ends.join(
-            F.broadcast(core), ends["nbr"] == core["core_id"]
+            core, ends["nbr"] == core["core_id"]
         )
         .select("id")
         .distinct()
         .withColumn("hc", F.lit(1))
     )
-    return base.join(F.broadcast(has_core), "id", "left").select(
+    return base.join(has_core, "id", "left").select(
         F.col("id").alias("cust_id"),
         "n_neighbors",
         F.when(F.col("n_neighbors") >= DBSCAN_MINPTS, "core")
@@ -1720,7 +1720,7 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     basket = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
         .distinct()
     )

@@ -3339,7 +3339,8 @@ PRI_K = 8  # sample size per source
     WHERE r.rn <= {PRI_K}
     GROUP BY r.source
     """,
-    tags=("text_analysis", "sampling", "priority_sampling", "llm_data"),
+    tags=("text_analysis", "bounded_broadcast", "sampling",
+          "priority_sampling", "llm_data"),
 )
 def priority_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Priority sampling (Duffield, Lund & Thorup, JACM 2007): per source
@@ -3354,7 +3355,11 @@ def priority_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources|-row broadcast join of tau and the truth totals — nothing
     driver-side, no RNG (md5 order is cluster-size invariant). No
     reference counterpart (combiners.Sample at combiners.py is unweighted;
-    cited by deterministic_sample)."""
+    cited by deterministic_sample).
+
+    bounded_broadcast: the hinted build side is one threshold row per
+    source (rn = k rank filter) — |sources|-bounded, a per-group limit
+    the structural auditor cannot certify."""
     from pyspark.sql import Window as W
 
     from beam_pyspark_runner_spark.functions.hashing import h32

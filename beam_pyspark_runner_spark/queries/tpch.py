@@ -141,7 +141,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(10,2)")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             (dsum(promo_rev) / F.nullif(dsum(rev), F.lit(0)) * 100.0).alias(
                 "promo_pct"
@@ -319,7 +319,7 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -365,7 +365,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .join(s, rev.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -454,8 +454,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = _rev_col()
     flat = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
@@ -540,8 +540,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -580,7 +580,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     heavy = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        li.join(p, li.l_partkey == p.p_partkey, "left_semi")
         .groupBy("l_suppkey")
         .agg(dsum("l_quantity").alias("shipped"))
         .filter(F.col("shipped") > 2600)
