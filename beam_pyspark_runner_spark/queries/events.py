@@ -3557,7 +3557,8 @@ def udtf_table_arg_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN (SELECT decile, value FROM q WHERE variant = 'control') c
       ON t.decile = c.decile
     """,
-    tags=("ab_testing", "quantile", "treatment_effect", "statistics"),
+    tags=("ab_testing", "bounded_broadcast", "quantile", "treatment_effect",
+          "statistics"),
 )
 def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile treatment effects: the per-decile difference between the
@@ -3571,7 +3572,11 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break) — no interpolation, hash-stable. Cost: one rank window
     per variant over the metric column, then a 9-row join; at 100 TB
     swap the exact rank for the two_phase_global_quantiles bucket walk
-    per variant."""
+    per variant.
+
+    bounded_broadcast: the hinted build side is the 10-row decile
+    table from a rank-probe join against the literal decile spine —
+    bounded by construction, not provable from plan structure."""
     from beam_pyspark_runner_spark.functions.hashing import h32
 
     a = load_table(spark, sf_dir, "events").select(
@@ -5850,4 +5855,284 @@ def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("llr9").cast("double")
             / F.lit("1000000000").cast("double")
         ).alias("llr_at_decision"),
+    )
+
+
+# --- Page-Hinkley drift detector (round 9) --------------------------------------
+PH_DELTA_CENTS = 50       # tolerated per-day drift below the series mean
+PH_LAMBDA_CENTS = 200_000  # alarm when cumulative excess tops $2,000
+
+
+@register(
+    "page_hinkley_drift",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sv
+           FROM daily),
+    walk AS (
+        SELECT d.d, st.n,
+               SUM(CAST(st.n * d.v - st.sv - st.n * {PH_DELTA_CENTS}
+                        AS HUGEINT))
+                   OVER (ORDER BY d.d
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS w
+        FROM daily d CROSS JOIN st
+    ),
+    ph AS (
+        SELECT d, n, w,
+               w - MIN(w) OVER (ORDER BY d
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS ph
+        FROM walk
+    ),
+    alarm AS (
+        SELECT d, ph, ROW_NUMBER() OVER (ORDER BY d) AS rn
+        FROM ph WHERE ph > n * CAST({PH_LAMBDA_CENTS} AS HUGEINT)
+    ),
+    tot AS (SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+                   CAST(MAX(ph) AS HUGEINT) AS mx,
+                   CAST(MAX(n) AS HUGEINT) AS nh
+            FROM ph)
+    SELECT t.n_days,
+           CAST(t.mx // t.nh AS BIGINT) AS ph_max_cents,
+           a.d AS alarm_day,
+           CASE WHEN a.d IS NULL THEN 'in_control' ELSE 'drift' END AS decision
+    FROM tot t LEFT JOIN alarm a ON a.rn = 1
+    """,
+    tags=("events", "drift", "page_hinkley", "sequential", "statistics",
+          "bounded_window"),
+)
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley test (Page 1954; the PH variant Gama et al. 2014
+    survey as THE streaming-drift baseline) on daily event value: track
+    the cumulative deviation from the series mean and alarm when it
+    rises more than lambda above its own running MINIMUM — an upward
+    mean-shift detector that, unlike cusum_drift_detector's
+    reset-to-zero recursion, needs no per-step clamp (so the walk is a
+    plain window cumsum + running min, not a recursive fold) and,
+    unlike sprt_sequential_test, assumes no parametric H0/H1 pair.
+    The mean folds in exactly by n-scaling (terms n*v_t - S - n*delta
+    are INTEGERS, so cumsum and running-min are association-free);
+    the only divisions are the final PH/n downshift back to cents.
+
+    Scale (100 TB): one map-side-combinable daily rollup is the only
+    corpus stage; every window runs on the calendar-bounded date spine
+    (bounded_window). n*v products at 1e12-row corpora ride
+    DECIMAL(38,0)/HUGEINT."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("v")
+        )
+    )
+    st = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+    )
+    dec = "decimal(38,0)"
+    wd = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    walk = daily.crossJoin(F.broadcast(st)).select(
+        "d",
+        "n",
+        F.sum(
+            (
+                F.col("n") * F.col("v")
+                - F.col("sv")
+                - F.col("n") * F.lit(PH_DELTA_CENTS)
+            ).cast(dec)
+        ).over(wd).alias("w"),
+    )
+    ph = walk.select(
+        "d", "n", (F.col("w") - F.min("w").over(wd)).alias("ph")
+    )
+    alarm = (
+        ph.filter(
+            F.col("ph") > F.col("n").cast(dec) * F.lit(PH_LAMBDA_CENTS)
+        )
+        .select("d", F.row_number().over(W.orderBy("d")).alias("rn"))
+        .filter(F.col("rn") == 1)
+    )
+    tot = ph.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.max("ph").alias("mx"),
+        F.max("n").cast(dec).alias("nh"),
+    )
+    return tot.join(F.broadcast(alarm), F.lit(True), "left").select(
+        "n_days",
+        F.expr("CAST(mx div nh AS BIGINT)").alias("ph_max_cents"),
+        F.col("d").alias("alarm_day"),
+        F.when(F.col("d").isNull(), "in_control")
+        .otherwise("drift")
+        .alias("decision"),
+    )
+
+
+# --- Granger causality, one lag (round 9) ----------------------------------------
+@register(
+    "granger_causality_lag1",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS p
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT p AS y,
+               LAG(p) OVER (ORDER BY d) AS y1,
+               LAG(v) OVER (ORDER BY d) AS x1
+        FROM daily
+        QUALIFY y1 IS NOT NULL
+    ),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                  CAST(SUM(y) AS BIGINT) AS sy,
+                  CAST(SUM(y1) AS BIGINT) AS sy1,
+                  CAST(SUM(x1) AS BIGINT) AS sx1
+           FROM lagged),
+    cent AS (
+        SELECT st.m,
+               CAST(st.m * l.y - st.sy AS HUGEINT) AS cy,
+               CAST(st.m * l.y1 - st.sy1 AS HUGEINT) AS cy1,
+               CAST(st.m * l.x1 - st.sx1 AS HUGEINT) AS cx1
+        FROM lagged l CROSS JOIN st
+    ),
+    sums AS (
+        SELECT MAX(m) AS m,
+               SUM(cy1 * cy1) AS s11, SUM(cx1 * cx1) AS s22,
+               SUM(cy1 * cx1) AS s12, SUM(cy1 * cy) AS s1y,
+               SUM(cx1 * cy) AS s2y
+        FROM cent
+    ),
+    coefs AS (
+        SELECT m,
+               ((s1y * s22 - s2y * s12) * 1000000)
+                 // (s11 * s22 - s12 * s12) AS b_e6,
+               ((s2y * s11 - s1y * s12) * 1000000)
+                 // (s11 * s22 - s12 * s12) AS c_e6,
+               (s1y * 1000000) // s11 AS br_e6
+        FROM sums
+    ),
+    rss AS (
+        SELECT MAX(co.m) AS m, MAX(co.b_e6) AS b_e6, MAX(co.c_e6) AS c_e6,
+               SUM((ce.cy * 1000000 - co.b_e6 * ce.cy1 - co.c_e6 * ce.cx1)
+                   * (ce.cy * 1000000 - co.b_e6 * ce.cy1 - co.c_e6 * ce.cx1))
+                   AS rss_u,
+               SUM((ce.cy * 1000000 - co.br_e6 * ce.cy1)
+                   * (ce.cy * 1000000 - co.br_e6 * ce.cy1)) AS rss_r
+        FROM cent ce CROSS JOIN coefs co
+    )
+    SELECT CAST(m AS BIGINT) AS n_scored_days,
+           CAST(b_e6 AS BIGINT) AS ar_coef_e6,
+           CAST(c_e6 AS BIGINT) AS granger_coef_e6,
+           CAST(((rss_r - rss_u) * (m - 3) * 1000000) // rss_u AS BIGINT)
+               AS f_stat_e6
+    FROM rss
+    """,
+    tags=("events", "statistics", "granger", "causality", "time_series",
+          "bounded_window"),
+)
+def granger_causality_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality at lag 1 (Granger 1969): does yesterday's VIEW
+    volume predict today's PURCHASE volume beyond what yesterday's
+    purchases already do? Unrestricted model y_t ~ y_(t-1) + x_(t-1)
+    vs restricted y_t ~ y_(t-1), compared by the F statistic
+    (RSS_r - RSS_u)(m-3)/RSS_u — the lead-lag screen a marketing
+    pipeline runs before attributing conversions to upper-funnel
+    volume (time_decay_attribution ASSUMES the lag structure; this
+    tests it). Exactness: both regressions center by m-scaling (every
+    centered value m*z - S is an INTEGER), the 2x2 normal equations
+    solve in closed form by Cramer's rule over exact integer power
+    sums, coefficients quantize at 1e-6 (truncation identical in both
+    engines), and each RSS is a sum of exact integer squares AT the
+    quantized coefficients — so even the F numerator's near-cancellation
+    is bit-reproducible.
+
+    Scale (100 TB): one map-side-combinable daily rollup; everything
+    after runs on the calendar-bounded spine (bounded_window) against
+    broadcast 1-row scalar tables. Centered products at 1e12-row
+    corpora stay inside DECIMAL(38,0)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("v"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("p"),
+        )
+    )
+    wd = W.orderBy("d")
+    lagged = daily.select(
+        F.col("p").alias("y"),
+        F.lag("p").over(wd).alias("y1"),
+        F.lag("v").over(wd).alias("x1"),
+    ).filter(F.col("y1").isNotNull())
+    st = lagged.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("y1").cast("long").alias("sy1"),
+        F.sum("x1").cast("long").alias("sx1"),
+    )
+    dec = "decimal(38,0)"
+    cent = lagged.crossJoin(F.broadcast(st)).select(
+        "m",
+        (F.col("m") * F.col("y") - F.col("sy")).cast(dec).alias("cy"),
+        (F.col("m") * F.col("y1") - F.col("sy1")).cast(dec).alias("cy1"),
+        (F.col("m") * F.col("x1") - F.col("sx1")).cast(dec).alias("cx1"),
+    )
+    sums = cent.agg(
+        F.max("m").alias("m"),
+        F.sum(F.col("cy1") * F.col("cy1")).alias("s11"),
+        F.sum(F.col("cx1") * F.col("cx1")).alias("s22"),
+        F.sum(F.col("cy1") * F.col("cx1")).alias("s12"),
+        F.sum(F.col("cy1") * F.col("cy")).alias("s1y"),
+        F.sum(F.col("cx1") * F.col("cy")).alias("s2y"),
+    )
+    coefs = sums.select(
+        "m",
+        F.expr(
+            "((s1y * s22 - s2y * s12) * 1000000)"
+            " div (s11 * s22 - s12 * s12)"
+        ).alias("b_e6"),
+        F.expr(
+            "((s2y * s11 - s1y * s12) * 1000000)"
+            " div (s11 * s22 - s12 * s12)"
+        ).alias("c_e6"),
+        F.expr("(s1y * 1000000) div s11").alias("br_e6"),
+    )
+    rss = cent.select("cy", "cy1", "cx1").crossJoin(F.broadcast(coefs)).agg(
+        F.max("m").alias("m"),
+        F.max("b_e6").alias("b_e6"),
+        F.max("c_e6").alias("c_e6"),
+        F.sum(
+            F.expr(
+                "(cy * 1000000 - b_e6 * cy1 - c_e6 * cx1)"
+                " * (cy * 1000000 - b_e6 * cy1 - c_e6 * cx1)"
+            )
+        ).alias("rss_u"),
+        F.sum(
+            F.expr(
+                "(cy * 1000000 - br_e6 * cy1)"
+                " * (cy * 1000000 - br_e6 * cy1)"
+            )
+        ).alias("rss_r"),
+    )
+    return rss.select(
+        F.col("m").cast("long").alias("n_scored_days"),
+        F.col("b_e6").cast("long").alias("ar_coef_e6"),
+        F.col("c_e6").cast("long").alias("granger_coef_e6"),
+        F.expr(
+            "CAST(((rss_r - rss_u) * (m - 3) * 1000000) div rss_u AS BIGINT)"
+        ).alias("f_stat_e6"),
     )

@@ -1669,11 +1669,7 @@ def bom_quantity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
         .join(
-            F.broadcast(
-                part.select(
-                    F.col("p_partkey"), F.col("p_retailprice")
-                )
-            ),
+            part.select(F.col("p_partkey"), F.col("p_retailprice")),
             F.col("partkey") == F.col("p_partkey"),
         )
     )
@@ -1952,4 +1948,94 @@ def gnn_mean_aggregation_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return h2.select(
         "node", "n_messages", *[f"h2_{d}" for d in range(_GNN_DIM)]
+    )
+
+
+# --- per-edge triangle support / k-truss seed (round 9) ---------------------------
+@register(
+    "edge_triangle_support",
+    oracle=f"""
+    WITH {_PAIR_SQL},
+    tri_edges AS (
+        SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM tri
+        UNION ALL SELECT LEAST(a, c), GREATEST(a, c) FROM tri
+        UNION ALL SELECT LEAST(b, c), GREATEST(b, c) FROM tri
+    ),
+    sup AS (
+        SELECT u, v, CAST(COUNT(*) AS BIGINT) AS support
+        FROM tri_edges GROUP BY u, v
+    ),
+    per_edge AS (
+        SELECT p.u, p.v, COALESCE(s.support, 0) AS support
+        FROM pairs p LEFT JOIN sup s ON p.u = s.u AND p.v = s.v
+    )
+    SELECT support, CAST(COUNT(*) AS BIGINT) AS n_edges
+    FROM per_edge GROUP BY support
+    """,
+    tags=("graph", "k_truss", "triangle_support", "self_join"),
+)
+def edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EDGE triangle support over the DOULION-sampled supplier
+    co-occurrence graph: for every edge, how many triangles contain it
+    — the quantity whose threshold defines the k-truss (an edge is in
+    the k-truss seed iff support >= k-2, Cohen 2008), the
+    community-core definition that is cheaper and more parallel than
+    k-core peeling because it is one triangle enumeration plus a
+    histogram. Output is the full support distribution (support 0 =
+    edges in no triangle), from which every k-truss seed size reads
+    off as a tail sum. Reuses triangle_count's degree-oriented wedge
+    closure (Suri & Vassilvitskii WWW'11) — the only change is keeping
+    the closed wedge's THREE edge identities (inner join instead of
+    the semi join) so counts land per edge instead of per node; all
+    counts exact integers.
+
+    Scale (100 TB): identical bounds to triangle_count — arboricity-
+    bounded wedge fan-out, supplier-id-only rows, and the final
+    histogram is constant-size."""
+    pairs = _sampled_supplier_pairs(spark, sf_dir)
+    deg = _pair_degrees(pairs)
+    da = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    db = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        pairs.join(F.broadcast(da), "u")
+        .join(F.broadcast(db), "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    e1 = oriented.select("src", F.col("dst").alias("b"))
+    e2 = oriented.select("src", F.col("dst").alias("c"))
+    wedges = e1.join(e2, "src").filter(F.col("b") < F.col("c"))
+    closure = pairs.select(F.col("u").alias("cu"), F.col("v").alias("cv"))
+    tri = wedges.join(
+        closure,
+        (F.least("b", "c") == F.col("cu"))
+        & (F.greatest("b", "c") == F.col("cv")),
+        "inner",
+    ).select(F.col("src").alias("a"), "b", "c")
+    tri_edges = (
+        tri.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .unionAll(
+            tri.select(
+                F.least("a", "c").alias("u"), F.greatest("a", "c").alias("v")
+            )
+        )
+        .unionAll(
+            tri.select(
+                F.least("b", "c").alias("u"), F.greatest("b", "c").alias("v")
+            )
+        )
+    )
+    sup = tri_edges.groupBy("u", "v").agg(
+        F.count("*").cast("long").alias("support")
+    )
+    per_edge = pairs.join(sup, ["u", "v"], "left").select(
+        F.coalesce(F.col("support"), F.lit(0)).alias("support")
+    )
+    return per_edge.groupBy("support").agg(
+        F.count("*").cast("long").alias("n_edges")
     )

@@ -27,6 +27,7 @@ broadcast dimensions everywhere.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from beam_pyspark_runner_spark.functions.numeric import dsum, dsum_sql
@@ -167,12 +168,12 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ps_supplycost"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(
             ps,
             (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
         )
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
@@ -225,7 +226,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     scoped = (
-        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select(
@@ -304,7 +305,7 @@ def q2_partsupp_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_type")
     )
     europe = (
-        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("ps_partkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
@@ -318,7 +319,7 @@ def q2_partsupp_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
             (europe.ps_partkey == F.col("b_partkey"))
             & (europe.ps_supplycost == F.col("min_cost")),
         )
-        .join(F.broadcast(p), europe.ps_partkey == p.p_partkey)
+        .join(p, europe.ps_partkey == p.p_partkey)
         .select(
             F.col("ps_partkey").alias("p_partkey"),
             "p_type",
@@ -363,8 +364,8 @@ def q16_partsupp_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
-        .join(F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        ps.join(p, ps.ps_partkey == p.p_partkey)
+        .join(bad, ps.ps_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
     )
@@ -420,7 +421,7 @@ def q20_partsupp_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("l_quantity").alias("qty"))
     )
     excess = (
-        ps.join(F.broadcast(red), ps.ps_partkey == red.p_partkey)
+        ps.join(red, ps.ps_partkey == red.p_partkey)
         .join(
             shipped,
             (ps.ps_partkey == shipped.l_partkey)
@@ -558,4 +559,101 @@ def fifo_inventory_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("leftover"),
             F.coalesce("n_sales", F.lit(0)).cast("long").alias("n_sales"),
         )
+    )
+
+
+# --- many-to-many bridge allocation (round 9) ------------------------------------
+@register(
+    "bridge_table_weighted_rollup",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    rev AS (
+        SELECT l_partkey AS pk,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY 1
+    ),
+    w AS (
+        SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_availqty, r.rev_cents,
+               CAST(SUM(ps.ps_availqty) OVER (PARTITION BY ps.ps_partkey)
+                    AS BIGINT) AS tot,
+               ROW_NUMBER() OVER (PARTITION BY ps.ps_partkey
+                                  ORDER BY ps.ps_availqty DESC,
+                                           ps.ps_suppkey ASC) AS rk
+        FROM partsupp ps JOIN rev r ON ps.ps_partkey = r.pk
+    ),
+    share AS (
+        SELECT ps_suppkey, ps_partkey, rev_cents, rk,
+               (rev_cents * ps_availqty) // tot AS floor_cents,
+               CAST(SUM((rev_cents * ps_availqty) // tot)
+                    OVER (PARTITION BY ps_partkey) AS BIGINT) AS floor_total
+        FROM w
+    )
+    SELECT ps_suppkey AS suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(floor_cents
+                    + CASE WHEN rk = 1 THEN rev_cents - floor_total
+                           ELSE 0 END) AS BIGINT) AS alloc_cents,
+           CAST(SUM(floor_cents
+                    + CASE WHEN rk = 1 THEN rev_cents - floor_total
+                           ELSE 0 END) AS DOUBLE) / 100.0 AS alloc_dollars
+    FROM share GROUP BY 1
+    """,
+    tags=("partsupp", "bridge_table", "allocation", "rollup",
+          "kimball"),
+)
+def bridge_table_weighted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-to-many BRIDGE-TABLE allocation (Kimball's weighted bridge):
+    spread each part's lineitem revenue across its 4 partsupp suppliers
+    in proportion to ps_availqty, then roll up per supplier — the
+    dimensional-modeling pattern for facts attached to a group (here:
+    revenue attributable to the suppliers STOCKING a part, not the one
+    shipping the line). Penny-exact: each (part, supplier) share is
+    floor(rev_cents * availqty / tot), and the per-part rounding
+    remainder goes to the rank-1 supplier (max availqty, suppkey
+    tiebreak) — the largest-remainder-style rule that makes the
+    allocation SUM EXACTLY to the fact total, the invariant every
+    finance rollup audits first. All arithmetic is integer; the one
+    double is the final cents-to-dollars display division.
+
+    Scale (100 TB): lineitem collapses to part grain in one partial
+    agg; the bridge join is part-key equi (4 rows per part); both
+    windows partition by ps_partkey (entity grain, 4-row partitions);
+    the supplier rollup is the only other shuffle."""
+    ps = synth_partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    wp = W.partitionBy("ps_partkey")
+    w = ps.join(rev, ps.ps_partkey == rev.pk).select(
+        "ps_partkey",
+        "ps_suppkey",
+        "ps_availqty",
+        "rev_cents",
+        F.sum("ps_availqty").over(wp).cast("long").alias("tot"),
+        F.row_number()
+        .over(wp.orderBy(F.col("ps_availqty").desc(), F.col("ps_suppkey").asc()))
+        .alias("rk"),
+    )
+    share = w.select(
+        "ps_suppkey",
+        "ps_partkey",
+        "rev_cents",
+        "rk",
+        F.expr("(rev_cents * ps_availqty) div tot").alias("floor_cents"),
+        F.sum(F.expr("(rev_cents * ps_availqty) div tot"))
+        .over(wp)
+        .cast("long")
+        .alias("floor_total"),
+    )
+    alloc = F.col("floor_cents") + F.when(
+        F.col("rk") == 1, F.col("rev_cents") - F.col("floor_total")
+    ).otherwise(F.lit(0))
+    return share.groupBy(F.col("ps_suppkey").alias("suppkey")).agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum(alloc).cast("long").alias("alloc_cents"),
+        (F.sum(alloc).cast("double") / 100.0).alias("alloc_dollars"),
     )

@@ -1465,7 +1465,7 @@ def dq_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orphans = (
         o.select("o_custkey")
-        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey, "left_anti")
+        .join(cust, o.o_custkey == cust.c_custkey, "left_anti")
         .agg(F.count("*").alias("orphan_custkeys"))
     )
     l_agg = li.agg(
@@ -2160,7 +2160,7 @@ def gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flag-join instead of semi+count pairs: one scan per table, one
     # conditional aggregate — no driver-side counting anywhere
     o_flag = orders.join(
-        F.broadcast(tomb), orders.o_custkey == tomb.c_custkey, "left"
+        tomb, orders.o_custkey == tomb.c_custkey, "left"
     ).select("o_orderkey", F.col("c_custkey").isNotNull().alias("is_dead"))
     o_row = o_flag.agg(
         F.lit("orders").alias("table_name"),
@@ -3025,7 +3025,7 @@ def ols_trend_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     m = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("c_nationkey").alias("nationkey"),
             (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
@@ -3145,7 +3145,7 @@ def rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     m = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("c_nationkey").alias("nationkey"),
             (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
@@ -3235,7 +3235,7 @@ def percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     leaf = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(na), c.c_nationkey == na.n_nationkey)
         .join(F.broadcast(r), na.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
@@ -4607,7 +4607,8 @@ CONF_ALPHA_NUM, CONF_ALPHA_DEN = 9, 10  # 1 - alpha = 9/10 target coverage
                 AS DOUBLE) / COUNT(*) AS coverage
     FROM test, calq GROUP BY calq.q_resid
     """,
-    tags=("bounded_window", "ml_eval", "conformal", "uncertainty", "statistics"),
+    tags=("bounded_window", "bounded_broadcast", "ml_eval", "conformal",
+          "uncertainty", "statistics"),
 )
 def conformal_interval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal prediction intervals (Vovk; Lei et al. JASA'18),
@@ -4626,7 +4627,12 @@ def conformal_interval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     month-mean model is a broadcast-sized table; the calibration fold
     is never funneled through a single-task window (the residual
     domain is price-bounded, so the 2^16-cent buckets are a ~1e3-row
-    offset table at any corpus size)."""
+    offset table at any corpus size).
+
+    bounded_broadcast: the hinted build side is the single
+    calibration-quantile row selected by a rank-probe equality join —
+    1 row by construction, invisible to the plan auditor's structural
+    rules."""
     from beam_pyspark_runner_spark.functions.hashing import h32
 
     o = (
@@ -8678,4 +8684,552 @@ def hodges_lehmann_location_shift(spark: SparkSession, sf_dir: str) -> DataFrame
     return cnts.crossJoin(F.broadcast(med)).select(
         "n_weekend", "n_weekday", "n_pairs",
         (F.col("hl").cast("double") / 100.0).alias("hl_shift_dollars"),
+    )
+
+
+# --- Ljung-Box portmanteau test (round 9) --------------------------------------
+LB_MAX_LAG = 6  # same lag depth as acf_lags; df of the Q statistic
+
+
+@register(
+    "ljung_box_test",
+    oracle=f"""
+    WITH m AS (
+        SELECT n.n_name AS n_name,
+               (date_part('year', o.o_orderdate) - 1996) * 12
+                 + date_part('month', o.o_orderdate) AS m,
+               SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= DATE '{TS_START}'
+        GROUP BY 1, 2
+    ),
+    st AS (SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(cents) AS BIGINT) AS s
+           FROM m GROUP BY n_name),
+    y AS (
+        SELECT m.n_name, m.m, st.n,
+               CAST(st.n * m.cents - st.s AS HUGEINT) AS y
+        FROM m JOIN st ON m.n_name = st.n_name
+    ),
+    lagged AS (
+        SELECT n_name, n, y,
+               {", ".join(f"LAG(y, {k}) OVER (PARTITION BY n_name ORDER BY m) AS y{k}" for k in range(1, LB_MAX_LAG + 1))}
+        FROM y
+    ),
+    agg AS (
+        SELECT n_name, MAX(n) AS n_months, SUM(y * y) AS den,
+               {", ".join(f"SUM(y * y{k}) AS num{k}" for k in range(1, LB_MAX_LAG + 1))}
+        FROM lagged GROUP BY n_name
+    ),
+    rk AS (
+        SELECT n_name, n_months,
+               {", ".join(f"((num{k} + den) * 1000000000) // den - 1000000000 AS r{k}" for k in range(1, LB_MAX_LAG + 1))}
+        FROM agg WHERE n_months > {LB_MAX_LAG}
+    )
+    SELECT n_name, CAST(n_months AS BIGINT) AS n_months,
+           CAST((n_months * (n_months + 2)
+                 * ({" + ".join(f"(r{k} * r{k}) // (n_months - {k})" for k in range(1, LB_MAX_LAG + 1))}))
+                // 1000000000 AS BIGINT) AS q_lb_e9
+    FROM rk
+    """,
+    tags=("statistics", "time_series", "ljung_box", "portmanteau",
+          "bounded_window"),
+)
+def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau Q (Ljung & Box 1978) over the first
+    {LB_MAX_LAG} autocorrelations of monthly order revenue per nation —
+    the single-number white-noise test read after acf_lags' per-lag
+    diagnostic: Q ~ chi-square(6) under independence, so a large Q says
+    the series is autocorrelated SOMEWHERE in lags 1-6 without hunting
+    the lag by eye. Shares acf_lags' exact construction: the mean folds
+    into integers y_t = n*cents_t - S, each r_k is the 1e-9-quantized
+    rational ((num_k+den)*1e9)//den - 1e9 (num_k+den >= 0 by
+    Cauchy-Schwarz so floor==truncate), r_k^2 stays in BIGINT
+    (<= 1e18), each 1/(n-k) factor is one exact integer division, and
+    Q = n(n+2)*SUM rides DECIMAL(38,0) before the final 1e-9 downshift
+    — bit-exact in both engines, no libm anywhere.
+
+    Scale (100 TB): identical to acf_lags — one partial-agg corpus
+    collapse to nation x month, per-nation scalars broadcast back, the
+    lag window runs on <= 68 rows per nation (bounded_window)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(TS_START).cast("date")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    m = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - F.lit(1996)) * 12
+                + F.month("o_orderdate")
+            ).alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    st = m.groupBy("n_name").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    y = m.join(F.broadcast(st), "n_name").select(
+        "n_name",
+        "m",
+        "n",
+        (F.col("n") * F.col("cents") - F.col("s"))
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    win = W.partitionBy("n_name").orderBy("m")
+    lagged = y.select(
+        "n_name",
+        "n",
+        "y",
+        *[F.lag("y", k).over(win).alias(f"y{k}") for k in range(1, LB_MAX_LAG + 1)],
+    )
+    agg = lagged.groupBy("n_name").agg(
+        F.max("n").alias("n_months"),
+        F.sum(F.col("y") * F.col("y")).alias("den"),
+        *[
+            F.sum(F.col("y") * F.col(f"y{k}")).alias(f"num{k}")
+            for k in range(1, LB_MAX_LAG + 1)
+        ],
+    )
+    rk = agg.filter(F.col("n_months") > LB_MAX_LAG).select(
+        "n_name",
+        "n_months",
+        *[
+            F.expr(
+                f"CAST(((num{k} + den) * CAST(1000000000 AS DECIMAL(38,0)))"
+                f" div den AS BIGINT) - 1000000000"
+            ).alias(f"r{k}")
+            for k in range(1, LB_MAX_LAG + 1)
+        ],
+    )
+    terms = " + ".join(
+        f"(r{k} * r{k}) div (n_months - {k})" for k in range(1, LB_MAX_LAG + 1)
+    )
+    return rk.select(
+        "n_name",
+        F.col("n_months").cast("long").alias("n_months"),
+        F.expr(
+            f"CAST((CAST(n_months * (n_months + 2) AS DECIMAL(38,0))"
+            f" * CAST({terms} AS DECIMAL(38,0))) div 1000000000 AS BIGINT)"
+        ).alias("q_lb_e9"),
+    )
+
+
+# --- Durbin-Watson residual-autocorrelation statistic (round 9) ----------------
+@register(
+    "durbin_watson_statistic",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT d, y, ROW_NUMBER() OVER (ORDER BY d) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n,
+               CAST(SUM(y) OVER () AS BIGINT) AS sy
+        FROM daily
+    ),
+    xy AS (
+        SELECT d, y, n, sy, 2 * rn - (n + 1) AS x,
+               LAG(y) OVER (ORDER BY d) AS y_prev
+        FROM idx
+    ),
+    fit AS (
+        SELECT MAX(n) AS n, MAX(sy) AS sy,
+               (SUM(CAST(x * y AS HUGEINT)) * 1000000)
+                 // SUM(CAST(x * x AS HUGEINT)) AS b_e6
+        FROM xy
+    ),
+    resid AS (
+        SELECT x.y, x.x, x.y_prev, f.n, f.b_e6,
+               (f.sy * 1000000) // f.n AS ybar_e6
+        FROM xy x CROSS JOIN fit f
+    ),
+    parts AS (
+        SELECT MAX(n) AS n, MAX(b_e6) AS b_e6,
+               SUM(CASE WHEN y_prev IS NOT NULL THEN
+                   CAST((y - y_prev) * 1000000 - 2 * b_e6 AS HUGEINT)
+                   * CAST((y - y_prev) * 1000000 - 2 * b_e6 AS HUGEINT)
+                   ELSE CAST(0 AS HUGEINT) END) AS num,
+               SUM(CAST(y * 1000000 - ybar_e6 - b_e6 * x AS HUGEINT)
+                   * CAST(y * 1000000 - ybar_e6 - b_e6 * x AS HUGEINT))
+                   AS den
+        FROM resid
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(b_e6 AS BIGINT) AS slope_e6,
+           CAST((num * 1000000000) // den AS BIGINT) AS dw_e9
+    FROM parts
+    """,
+    tags=("statistics", "time_series", "durbin_watson", "regression",
+          "bounded_window"),
+)
+def durbin_watson_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson d (Durbin & Watson 1950) on the residuals of the
+    daily-order-volume-vs-time OLS line: d = SUM(e_t - e_(t-1))^2 /
+    SUM(e_t^2), the canonical did-my-trend-regression-leave-serial-
+    correlation check (d ~ 2 means none; ols_trend_per_group and
+    rolling_ols_slope fit the lines, this audits their error term).
+    Exactness: the time regressor is centered as the INTEGER
+    x_t = 2t-(n+1) (sum is exactly 0, so the slope is just
+    SUM(xy)/SUM(x^2)), the slope and intercept are 1e-6-quantized
+    integer divisions (both engines truncate integral division toward
+    zero — verified), and both quadratic forms expand over integers:
+    the numerator needs only first differences, where the fitted line's
+    contribution is the CONSTANT 2*b per step. No float ever sums.
+
+    Scale (100 TB): the corpus collapses to the calendar in one
+    partial-agg groupBy; every window (row_number, lag, the two global
+    scalars) runs on the <= few-thousand-row date spine
+    (bounded_window); counts keep all squares inside DECIMAL(38,0)
+    even at 1e12 rows."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    wall = W.orderBy("d").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    idx = daily.select(
+        "d",
+        "y",
+        F.row_number().over(W.orderBy("d")).alias("rn"),
+        F.count("*").over(wall).cast("long").alias("n"),
+        F.sum("y").over(wall).cast("long").alias("sy"),
+    )
+    xy = idx.select(
+        "d",
+        "y",
+        "n",
+        "sy",
+        (F.lit(2) * F.col("rn") - (F.col("n") + 1)).alias("x"),
+        F.lag("y").over(W.orderBy("d")).alias("y_prev"),
+    )
+    dec = "decimal(38,0)"
+    fit = xy.agg(
+        F.max("n").alias("n"),
+        F.max("sy").alias("sy"),
+        F.expr(
+            f"(SUM(CAST(x * y AS {dec})) * 1000000)"
+            f" div SUM(CAST(x * x AS {dec}))"
+        ).alias("b_e6"),
+    )
+    resid = xy.select("y", "x", "y_prev").crossJoin(F.broadcast(fit.select(
+        "n", "b_e6", F.expr("(sy * 1000000) div n").alias("ybar_e6")
+    )))
+    parts = resid.agg(
+        F.max("n").alias("n"),
+        F.max("b_e6").alias("b_e6"),
+        F.sum(
+            F.when(
+                F.col("y_prev").isNotNull(),
+                F.expr(
+                    f"CAST((y - y_prev) * 1000000 - 2 * b_e6 AS {dec})"
+                    f" * CAST((y - y_prev) * 1000000 - 2 * b_e6 AS {dec})"
+                ),
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("num"),
+        F.sum(
+            F.expr(
+                f"CAST(y * 1000000 - ybar_e6 - b_e6 * x AS {dec})"
+                f" * CAST(y * 1000000 - ybar_e6 - b_e6 * x AS {dec})"
+            )
+        ).alias("den"),
+    )
+    return parts.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("b_e6").cast("long").alias("slope_e6"),
+        F.expr(
+            "CAST((num * 1000000000) div den AS BIGINT)"
+        ).alias("dw_e9"),
+    )
+
+
+# --- Jarque-Bera normality test (round 9) --------------------------------------
+@register(
+    "jarque_bera_test",
+    oracle="""
+    WITH q AS (
+        SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q
+        FROM lineitem
+    ),
+    mu AS (
+        SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+               (CAST(SUM(q) AS BIGINT) * 1000) // COUNT(*) AS mu_e3
+        FROM q GROUP BY flag
+    ),
+    cent AS (
+        SELECT q.flag, mu.n, mu.mu_e3,
+               CAST(q.q * 1000 - mu.mu_e3 AS HUGEINT) AS z
+        FROM q JOIN mu ON q.flag = mu.flag
+    ),
+    pw AS (
+        SELECT flag, MAX(n) AS n, MAX(mu_e3) AS mu_e3,
+               SUM(z * z) // MAX(n) AS m2q,
+               ABS(SUM(z * z * z)) // MAX(n) AS m3a,
+               SUM(z * z * z * z) // MAX(n) AS m4q
+        FROM cent GROUP BY flag
+    ),
+    stats AS (
+        SELECT flag, n, mu_e3,
+               (m3a * m3a * 1000000000) // (m2q * m2q * m2q) AS skew2_e9,
+               (m4q * 1000000000) // (m2q * m2q) - 3000000000 AS kurt_e9
+        FROM pw
+    )
+    SELECT flag AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           CAST(mu_e3 AS BIGINT) AS mean_qty_e3,
+           CAST(skew2_e9 AS BIGINT) AS skew2_e9,
+           CAST(kurt_e9 AS BIGINT) AS kurt_excess_e9,
+           CAST((n * (skew2_e9 + (kurt_e9 * kurt_e9) // 4000000000))
+                // 6000 AS BIGINT) AS jb_e6
+    FROM stats
+    """,
+    tags=("statistics", "normality", "jarque_bera", "moments"),
+)
+def jarque_bera_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test (Jarque & Bera 1980) per return flag:
+    JB = n/6 * (S^2 + K^2/4) from the sample skewness S and excess
+    kurtosis K of order quantity — the moment-based screen that says
+    whether z-score-based rules (value_outliers, two_proportion_ztest's
+    normal approximation) are even admissible on this column.
+    group_skewness_kurtosis reports the moments; this collapses them
+    into the chi-square(2) test statistic. Exactness is two-pass: pass
+    one pins the per-group mean as the 1e-3-quantized integer mu_e3,
+    pass two sums centered powers z^2..z^4 of the SMALL integer
+    z = 1000*q - mu_e3 (|z| <= 5e4, so z^4 <= 6.25e18 rides
+    DECIMAL(38,0) headroom at any corpus size — unlike raw power sums
+    n^3*S4, which outgrow decimal at ~1e11 rows). Moments quantize
+    via integer division (truncation identical in both engines), and
+    S^2 enters through |m3| squared so every division is non-negative.
+
+    Scale (100 TB): two map-side-combinable corpus scans (the price of
+    bounded centered magnitudes), a 3-row broadcast of the means, and
+    constant-size tails — no window anywhere."""
+    q = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    mu = q.groupBy("flag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("(CAST(SUM(q) AS BIGINT) * 1000) div COUNT(*)").alias("mu_e3"),
+    )
+    dec = "decimal(38,0)"
+    cent = q.join(F.broadcast(mu), "flag").select(
+        "flag", "n", "mu_e3",
+        (F.col("q") * 1000 - F.col("mu_e3")).cast(dec).alias("z"),
+    )
+    pw = cent.groupBy("flag").agg(
+        F.max("n").alias("n"),
+        F.max("mu_e3").alias("mu_e3"),
+        F.expr("SUM(z * z) div MAX(n)").alias("m2q"),
+        F.expr("ABS(SUM(z * z * z)) div MAX(n)").alias("m3a"),
+        F.expr("SUM(z * z * z * z) div MAX(n)").alias("m4q"),
+    )
+    stats = pw.select(
+        "flag", "n", "mu_e3",
+        F.expr(
+            "(CAST(m3a AS DECIMAL(38,0)) * m3a * 1000000000)"
+            " div (CAST(m2q AS DECIMAL(38,0)) * m2q * m2q)"
+        ).alias("skew2_e9"),
+        F.expr(
+            "(CAST(m4q AS DECIMAL(38,0)) * 1000000000)"
+            " div (CAST(m2q AS DECIMAL(38,0)) * m2q) - 3000000000"
+        ).alias("kurt_e9"),
+    )
+    return stats.select(
+        F.col("flag").alias("l_returnflag"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("mu_e3").cast("long").alias("mean_qty_e3"),
+        F.col("skew2_e9").cast("long").alias("skew2_e9"),
+        F.col("kurt_e9").cast("long").alias("kurt_excess_e9"),
+        F.expr(
+            "CAST((n * (skew2_e9 + (CAST(kurt_e9 AS DECIMAL(38,0)) * kurt_e9)"
+            " div 4000000000)) div 6000 AS BIGINT)"
+        ).alias("jb_e6"),
+    )
+
+
+# --- Huber M-estimator via fixed-point IRLS (round 9) --------------------------
+HUBER_K_CENTS = 5_000_000  # $50k tuning constant on o_totalprice cents
+HUBER_W1 = 1 << 20         # dyadic fixed-point weight denominator
+HUBER_ITERS = 3
+
+
+def _huber_stage_sql(i: int) -> str:
+    return f"""
+    it{i} AS (
+        SELECT n, {", ".join(f"m{j}" for j in range(i))},
+               SUM(CASE WHEN ABS(x - m{i - 1}) <= {HUBER_K_CENTS}
+                        THEN CAST({HUBER_W1} AS HUGEINT)
+                        ELSE CAST({HUBER_K_CENTS} AS HUGEINT) * {HUBER_W1}
+                             // ABS(x - m{i - 1}) END
+                   * x)
+               // SUM(CASE WHEN ABS(x - m{i - 1}) <= {HUBER_K_CENTS}
+                           THEN CAST({HUBER_W1} AS HUGEINT)
+                           ELSE CAST({HUBER_K_CENTS} AS HUGEINT) * {HUBER_W1}
+                                // ABS(x - m{i - 1}) END) AS m{i}
+        FROM base CROSS JOIN it{i - 1}
+        GROUP BY n, {", ".join(f"m{j}" for j in range(i))}
+    )"""
+
+
+@register(
+    "huber_m_estimator_irls",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x FROM orders
+    ),
+    it0 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) // COUNT(*) AS m0
+        FROM base
+    ),
+    {", ".join(_huber_stage_sql(i) for i in range(1, HUBER_ITERS + 1))}
+    SELECT n AS n_orders,
+           {", ".join(f"CAST(m{i} AS BIGINT) AS m{i}_cents" for i in range(HUBER_ITERS + 1))},
+           CAST(m{HUBER_ITERS} AS DOUBLE) / 100.0 AS huber_mean_dollars
+    FROM it{HUBER_ITERS}
+    """,
+    tags=("statistics", "robust", "huber", "irls", "iterative"),
+)
+def huber_m_estimator_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimator of the mean order price (Huber 1964) by
+    {HUBER_ITERS} unrolled IRLS steps: start at the plain mean, then
+    re-weight each order by min(1, k/|x - m|) and take the weighted
+    mean — the robust location estimate that, unlike winsorized_mean's
+    hard quantile clip, downweights outliers smoothly and needs no
+    global sort at all. Weights are dyadic fixed-point INTEGERS
+    (2^20, or k*2^20 truncated by the residual), so each step is one
+    exact SUM(w*x)//SUM(w) — no float accumulates, both engines
+    truncate identically, and the iterate sequence m0..m{HUBER_ITERS}
+    is pinned in the output for auditability.
+
+    Scale (100 TB): {HUBER_ITERS}+1 map-side-combinable corpus scans,
+    each against a broadcast 1-row scalar — the textbook
+    fixed-iteration-count reduction (pagerank_3iter's contract), no
+    window, no shuffle beyond each scan's 1-row aggregate. SUM(w*x)
+    tops out near 1e24 at 1e12 orders — DECIMAL(38,0) headroom."""
+    base = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x")
+    )
+    cur = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("CAST(SUM(x) AS BIGINT) div COUNT(*)").alias("m0"),
+    )
+    for i in range(1, HUBER_ITERS + 1):
+        w = (
+            f"CASE WHEN ABS(x - m{i - 1}) <= {HUBER_K_CENTS}"
+            f" THEN CAST({HUBER_W1} AS DECIMAL(38,0))"
+            f" ELSE CAST({HUBER_K_CENTS} AS DECIMAL(38,0)) * {HUBER_W1}"
+            f" div ABS(x - m{i - 1}) END"
+        )
+        keep = ["n"] + [f"m{j}" for j in range(i)]
+        cur = (
+            base.crossJoin(F.broadcast(cur))
+            .groupBy(*keep)
+            .agg(F.expr(f"SUM({w} * x) div SUM({w})").alias(f"m{i}"))
+        )
+    return cur.select(
+        F.col("n").alias("n_orders"),
+        *[
+            F.col(f"m{i}").cast("long").alias(f"m{i}_cents")
+            for i in range(HUBER_ITERS + 1)
+        ],
+        (F.col(f"m{HUBER_ITERS}").cast("double") / 100.0).alias(
+            "huber_mean_dollars"
+        ),
+    )
+
+
+# --- Goodman-Kruskal gamma (round 9) -------------------------------------------
+@register(
+    "goodman_kruskal_gamma",
+    oracle="""
+    WITH cells AS (
+        SELECT (CAST(l_quantity AS INTEGER) - 1) // 5 AS qb,
+               CAST(ROUND(l_discount * 100) AS INTEGER) AS db,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT CAST(SUM(CASE WHEN a.qb < b.qb AND a.db < b.db
+                             THEN a.c * b.c ELSE 0 END) AS BIGINT) AS conc,
+               CAST(SUM(CASE WHEN a.qb < b.qb AND a.db > b.db
+                             THEN a.c * b.c ELSE 0 END) AS BIGINT) AS disc
+        FROM cells a CROSS JOIN cells b
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells)
+    SELECT t.n AS n_rows, p.conc AS concordant, p.disc AS discordant,
+           CAST(CAST((p.conc - p.disc) + (p.conc + p.disc) AS HUGEINT)
+                * 1000000000
+                // (p.conc + p.disc) - 1000000000 AS BIGINT) AS gamma_e9
+    FROM pairs p CROSS JOIN tot t
+    """,
+    tags=("statistics", "ordinal_association", "goodman_kruskal",
+          "cross_tab"),
+)
+def goodman_kruskal_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal gamma (Goodman & Kruskal 1954) between quantity
+    band (5-unit buckets of 1-50) and discount point (0-10): the
+    concordance-based ordinal association (C-D)/(C+D) that IGNORES
+    ties — the right companion to goodman_kruskal_tau (categorical,
+    error-reduction based) and kendall_tau_trend (which pays for ties)
+    when both margins are coarse ordered bands and ties dominate.
+    Both bucketings are data-independent integer maps, so the corpus
+    collapses to a <= 110-cell cross-tab in one partial agg;
+    concordant/discordant pair counts are exact integer sums over the
+    cell-pair cross join (bounded 110^2), and gamma is emitted as the
+    shift-quantized rational ((C-D)+(C+D))*1e9//(C+D) - 1e9 — the
+    numerator is non-negative by construction so floor == truncate.
+
+    Scale (100 TB): one corpus scan; everything after is constant-size.
+    Pair counts stay in BIGINT up to ~3e9 rows, then would ride
+    DECIMAL(38,0) with a div-scaled emission — same shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        ((F.col("l_quantity").cast("int") - 1) / 5).cast("int").alias("qb"),
+        F.round(F.col("l_discount") * 100).cast("int").alias("db"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    a = cells.select(
+        F.col("qb").alias("qa"), F.col("db").alias("da"), F.col("c").alias("ca")
+    )
+    b = cells.select(
+        F.col("qb").alias("qb2"), F.col("db").alias("db2"), F.col("c").alias("cb")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).agg(
+        F.sum(
+            F.when(
+                (F.col("qa") < F.col("qb2")) & (F.col("da") < F.col("db2")),
+                F.col("ca") * F.col("cb"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("conc"),
+        F.sum(
+            F.when(
+                (F.col("qa") < F.col("qb2")) & (F.col("da") > F.col("db2")),
+                F.col("ca") * F.col("cb"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("disc"),
+    )
+    tot = cells.agg(F.sum("c").cast("long").alias("n"))
+    return pairs.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_rows"),
+        F.col("conc").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        F.expr(
+            "CAST(((conc - disc) + (conc + disc)) * CAST(1000000000 AS"
+            " DECIMAL(38,0)) div (conc + disc) - 1000000000 AS BIGINT)"
+        ).alias("gamma_e9"),
     )

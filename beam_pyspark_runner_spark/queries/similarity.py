@@ -1812,7 +1812,8 @@ _MRL_SCORED_SQL = "\n      UNION ALL ".join(
       ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
     GROUP BY t.dim
     """,
-    tags=("similarity", "matryoshka", "recall", "llm_data"),
+    tags=("similarity", "bounded_broadcast", "matryoshka", "recall",
+          "llm_data"),
 )
 def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-representation audit: recall@k of prefix-truncated
@@ -1829,7 +1830,11 @@ def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode keys the window by (query_id, dim) so one exchange serves
     all four curves. No reference counterpart (reference has no vector
     surface; transform_evaluators.py:15-100 is the closest grouping
-    machinery)."""
+    machinery).
+
+    bounded_broadcast: the hinted build side is the full-dim top-10
+    per PROBE query (<= 8 x 10 rows); per-group limits over a probe-
+    bounded group set are outside the auditor's structural rules."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -3711,3 +3716,125 @@ def reciprocal_best_match_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("even_id") == F.col("be_id"))
         & (F.col("odd_id") == F.col("bo_id")),
     ).select("even_id", "odd_id", "cosine")
+
+
+# --- simplified silhouette (round 9) ----------------------------------------------
+@register(
+    "simplified_silhouette",
+    oracle=f"""
+    WITH dims AS (
+        SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS i)
+    ),
+    per_pos AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS c
+        FROM dims GROUP BY 1, 2
+    ),
+    cents AS (
+        SELECT label AS clab, list(c ORDER BY pos) AS cent
+        FROM per_pos GROUP BY label
+    ),
+    e AS (SELECT vec_id, label, {_EMB_DBL} AS emb FROM embeddings),
+    d AS (
+        SELECT e.vec_id, e.label, c.clab,
+               {_L2SQ_SQL.format(a='e.emb', b='c.cent')} AS d2
+        FROM e CROSS JOIN cents c
+    ),
+    ab AS (
+        SELECT vec_id, label,
+               MAX(CASE WHEN clab = label THEN d2 END) AS a,
+               MIN(CASE WHEN clab <> label THEN d2 END) AS b
+        FROM d GROUP BY vec_id, label
+    ),
+    s AS (
+        SELECT label,
+               CAST(FLOOR((b - a) / GREATEST(a, b) * 1000000) AS BIGINT)
+                   AS sq
+        FROM ab
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST((SUM(sq) + COUNT(*) * 1000000) // COUNT(*) - 1000000
+                AS BIGINT) AS mean_sil_e6,
+           CAST(SUM(CASE WHEN sq < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative
+    FROM s GROUP BY label
+    """,
+    tags=("similarity", "clustering_eval", "silhouette", "centroid",
+          "llm_data"),
+)
+def simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPLIFIED silhouette per label (Hruschka et al. 2004 — the
+    centroid-distance form of Rousseeuw 1987): s_i = (b-a)/max(a,b)
+    with a = squared distance to the OWN label centroid and b = the
+    nearest OTHER centroid — the O(n*k) clustering-quality audit that
+    replaces the true silhouette's O(n^2) pairwise pass, i.e. the only
+    silhouette a 100 TB embedding corpus can afford. Negative s_i =
+    the point sits closer to another label's centroid (mislabeled or
+    boundary); n_negative per label is the relabel-candidate count
+    consumed next to knn_classify_embeddings' disagreements. Centroids
+    come from exact-decimal per-dimension sums (one corpus pass);
+    distances are the shared index-order l2_sq fold (bit-identical to
+    the DuckDB list_reduce twin); each s_i quantizes to an INTEGER
+    floor(s*1e6) so the per-label mean is exact integer arithmetic —
+    no float summation order anywhere.
+
+    Scale (100 TB): one explode pass for centroids (state = labels x
+    {DIM}), one corpus scan against the broadcast labels-row centroid
+    table, one label-grain rollup. Nothing pairwise, nothing windowed."""
+    from beam_pyspark_runner_spark.functions.vectors import l2_sq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("pos", "v"),
+    )
+    per_pos = dims.groupBy("label", "pos").agg(
+        # raw (38,10) decimal sum -> double (the label_centroid_dispersion
+        # idiom): dsum's money-scale (38,2) re-round would quantize away
+        # the ~0.05-magnitude embedding coordinates entirely
+        (
+            F.sum(F.col("v").cast("decimal(38,10)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("c")
+    )
+    cents = per_pos.groupBy(F.col("label").alias("clab")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda x: x["c"],
+        ).alias("cent")
+    )
+    d = emb.select("vec_id", "label", "embedding").crossJoin(
+        F.broadcast(cents)
+    ).select(
+        "vec_id",
+        "label",
+        "clab",
+        l2_sq(F.col("embedding"), F.col("cent")).alias("d2"),
+    )
+    ab = d.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clab") == F.col("label"), F.col("d2"))).alias("a"),
+        F.min(F.when(F.col("clab") != F.col("label"), F.col("d2"))).alias("b"),
+    )
+    s = ab.select(
+        "label",
+        F.floor(
+            (F.col("b") - F.col("a"))
+            / F.greatest("a", "b")
+            * 1000000
+        ).alias("sq"),
+    )
+    return s.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.expr(
+            "CAST((SUM(sq) + COUNT(*) * 1000000) div COUNT(*) - 1000000"
+            " AS BIGINT)"
+        ).alias("mean_sil_e6"),
+        F.sum(F.when(F.col("sq") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_negative"),
+    )
