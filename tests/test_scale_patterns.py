@@ -1902,3 +1902,67 @@ def test_all_hinted_broadcasts_are_bounded_or_tagged(spark):
         if hits and "bounded_broadcast" not in q.tags:
             offenders[name] = hits
     assert not offenders, offenders
+
+
+# --- round 9: new-query plan pins ----------------------------------------------
+def test_round9_stats_queries_stay_jvm_side(spark):
+    """None of the round-9 statistics/warehouse/graph queries may fall
+    out of codegen into Python — every one is built from exact integer
+    aggregates and bounded windows."""
+    for name in (
+        "ljung_box_test",
+        "durbin_watson_statistic",
+        "granger_causality_lag1",
+        "page_hinkley_drift",
+        "jarque_bera_test",
+        "huber_m_estimator_irls",
+        "goodman_kruskal_gamma",
+        "bridge_table_weighted_rollup",
+        "edge_triangle_support",
+        "simplified_silhouette",
+    ):
+        assert "Python" not in _plan_of(spark, name), name
+
+
+def test_round9_partitioned_windows(spark):
+    """ljung_box windows must partition by n_name and bridge-rollup
+    windows by ps_partkey (entity grain) — no single-task window over
+    corpus-grain input anywhere in either plan."""
+    import re
+
+    for name, key in (
+        ("ljung_box_test", "n_name"),
+        ("bridge_table_weighted_rollup", "ps_partkey"),
+    ):
+        plan = _plan_of(spark, name)
+        # (bridge's synth_partsupp carries one legitimate SinglePartition
+        # exchange: the 1-row supplier-count scalar aggregate)
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+            assert spec.split(",")[0].strip().startswith(key), (name, spec)
+
+
+def test_round9_date_walks_run_on_daily_rollup(spark):
+    """durbin_watson / page_hinkley / granger: the sequential walk must
+    sit ABOVE the daily HashAggregate rollup (the sprt discipline) —
+    the only corpus-sized stage is the map-side-combinable groupBy."""
+    for name in (
+        "durbin_watson_statistic",
+        "page_hinkley_drift",
+        "granger_causality_lag1",
+    ):
+        plan = _plan_of(spark, name)
+        win = plan.find("Window ")
+        assert win != -1, name
+        assert "HashAggregate" in plan[win:], name
+
+
+def test_huber_and_moment_queries_are_window_free(spark):
+    """huber IRLS, jarque_bera and goodman_kruskal_gamma are pure
+    aggregate pipelines: a Window operator appearing in any of them
+    means a global sort snuck in."""
+    for name in (
+        "huber_m_estimator_irls",
+        "jarque_bera_test",
+        "goodman_kruskal_gamma",
+    ):
+        assert "Window" not in _plan_of(spark, name), name
