@@ -1609,3 +1609,132 @@ def test_bucketed_order_scan_matches_single_window(spark, rows, descending):
         ).collect()
     }
     assert got == ref
+
+
+# --- round 9: page-hinkley integer walk == rational textbook recursion ---------
+@_settings
+@given(vals=st.lists(st.integers(0, 10_000), min_size=2, max_size=40))
+def test_page_hinkley_integer_walk_matches_rational_replay(spark, vals):
+    """page_hinkley_drift's n-scaled integer walk (W_t = Σ n·v − S − n·δ,
+    PH = W − running-min W, alarm when PH > n·λ) must produce the same
+    alarm index and the same PH_max/n as the textbook recursion
+    m_t = Σ(v − μ − δ) with exact rational μ = S/n — the n-scaling is a
+    representation change, never a decision change."""
+    from fractions import Fraction
+
+    from beam_pyspark_runner_spark.queries.events import (
+        PH_DELTA_CENTS,
+        PH_LAMBDA_CENTS,
+    )
+
+    n, s = len(vals), sum(vals)
+
+    cum, mn, ph_max, alarm_i = 0, 0, 0, None
+    for i, v in enumerate(vals):
+        cum += n * v - s - n * PH_DELTA_CENTS
+        mn = min(mn, cum)
+        ph = cum - mn
+        ph_max = max(ph_max, ph)
+        if alarm_i is None and ph > n * PH_LAMBDA_CENTS:
+            alarm_i = i
+
+    mu = Fraction(s, n)
+    fcum, fmn, fmax, falarm = (
+        Fraction(0), Fraction(0), Fraction(0), None,
+    )
+    for i, v in enumerate(vals):
+        fcum += v - mu - PH_DELTA_CENTS
+        fmn = min(fmn, fcum)
+        fph = fcum - fmn
+        fmax = max(fmax, fph)
+        if falarm is None and fph > PH_LAMBDA_CENTS:
+            falarm = i
+
+    assert alarm_i == falarm
+    assert Fraction(ph_max, n) == fmax
+
+
+# --- round 9: gamma cell-pair counting == brute-force row pairs ----------------
+@_settings
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 4)),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_gamma_crosstab_pair_counts_match_brute_force(spark, rows):
+    """goodman_kruskal_gamma counts concordant/discordant pairs as
+    Σ n_i·n_j over ordered cell pairs; that must equal brute-force
+    counting over raw row pairs (each unordered pair once)."""
+    from collections import Counter
+
+    cells = Counter(rows)
+    conc = sum(
+        ca * cb
+        for (qa, da), ca in cells.items()
+        for (qb, db), cb in cells.items()
+        if qa < qb and da < db
+    )
+    disc = sum(
+        ca * cb
+        for (qa, da), ca in cells.items()
+        for (qb, db), cb in cells.items()
+        if qa < qb and da > db
+    )
+    bc = bd = 0
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            (q1, d1), (q2, d2) = rows[i], rows[j]
+            if q1 == q2 or d1 == d2:
+                continue
+            if (q1 < q2) == (d1 < d2):
+                bc += 1
+            else:
+                bd += 1
+    assert (conc, disc) == (bc, bd)
+
+
+# --- round 9: bridge allocation is exact and remainder-bounded -----------------
+@_settings
+@given(
+    rev=st.integers(0, 10**9),
+    weights=st.lists(st.integers(1, 9999), min_size=1, max_size=6),
+)
+def test_bridge_floor_allocation_sums_exactly(spark, rev, weights):
+    """bridge_table_weighted_rollup's penny rule: floor shares plus the
+    whole remainder on the max-weight supplier must sum EXACTLY to the
+    part's revenue, with every floor share within 1 unit-of-remainder
+    of the exact proportional value."""
+    tot = sum(weights)
+    shares = [(rev * w) // tot for w in weights]
+    rem = rev - sum(shares)
+    assert 0 <= rem < len(weights)
+    top = max(range(len(weights)), key=lambda i: (weights[i], -i))
+    shares[top] += rem
+    assert sum(shares) == rev
+
+
+# --- round 9: durbin-watson lag expansion == direct residual differences -------
+@_settings
+@given(ys=st.lists(st.integers(0, 10_000), min_size=4, max_size=40))
+def test_dw_difference_expansion_matches_direct_residuals(spark, ys):
+    """durbin_watson_statistic computes the numerator as
+    Σ(Δy·1e6 − 2·b_e6)² — exact because the fitted line contributes the
+    CONSTANT 2b per step under x_t = 2t−(n+1). That must equal the
+    direct Σ(e_t − e_(t−1))²·1e12 at the same quantized coefficients,
+    for any integer series."""
+    n = len(ys)
+    xs = [2 * (t + 1) - (n + 1) for t in range(n)]
+    assert sum(xs) == 0
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    q = (sxy * 10**6) // sxx if sxy >= 0 else -((-sxy * 10**6) // sxx)
+    sy = sum(ys)
+    ybar_e6 = (sy * 10**6) // n
+    e = [ys[t] * 10**6 - ybar_e6 - q * xs[t] for t in range(n)]
+    direct = sum((e[t] - e[t - 1]) ** 2 for t in range(1, n))
+    expansion = sum(
+        ((ys[t] - ys[t - 1]) * 10**6 - 2 * q) ** 2 for t in range(1, n)
+    )
+    assert direct == expansion
