@@ -344,7 +344,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+            o.join(c, o.o_custkey == c.c_custkey).select(
                 "o_orderkey", "o_orderdate", "o_orderpriority"
             ),
             li.l_orderkey == F.col("o_orderkey"),

@@ -215,7 +215,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual post-join — the classic partial-pushdown-of-DNF case."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    j = li.join(p, p.p_partkey == li.l_partkey)
     q = F.col("l_quantity")
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & q.between(1, 21))
@@ -397,7 +397,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("l_quantity").alias("aq")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(avg_qty, li.l_partkey == F.col("a_partkey"))
         .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
         .agg(

@@ -110,9 +110,15 @@ def _node_bounds(text: str) -> bool:
 
 # Selective key-probe filters: equality to a literal, or a range cap
 # `key < N` / `key <= N` with a small literal N (dense-id probe sets
-# like `vec_id < 8` — the fixed query batch of the ANN suite).
-_EQ_FILTER_RE = re.compile(r"^Filter .*?\(\w+#\d+L? = [^)=<>]+\)")
-_RANGE_FILTER_RE = re.compile(r"^Filter .*?\(\w+#\d+L? <=? (\d+)\)")
+# like `vec_id < 8` — the fixed query batch of the ANN suite). Only
+# KEY-LIKE columns count: an equality on a category column
+# (`p_brand = 'X'`) selects a linear corpus fraction, not a probe row.
+_EQ_FILTER_RE = re.compile(
+    r"^Filter .*?\(\w*(?:key|_id|\bid)#\d+L? = [^)=<>]+\)"
+)
+_RANGE_FILTER_RE = re.compile(
+    r"^Filter .*?\(\w*(?:key|_id|\bid)#\d+L? <=? (\d+)\)"
+)
 PROBE_CAP = 4096
 
 
