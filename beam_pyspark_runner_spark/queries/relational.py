@@ -4607,8 +4607,8 @@ CONF_ALPHA_NUM, CONF_ALPHA_DEN = 9, 10  # 1 - alpha = 9/10 target coverage
                 AS DOUBLE) / COUNT(*) AS coverage
     FROM test, calq GROUP BY calq.q_resid
     """,
-    tags=("bounded_window", "bounded_broadcast", "ml_eval", "conformal",
-          "uncertainty", "statistics"),
+    tags=("bounded_window", "bounded_broadcast", "bounded_cross", "ml_eval",
+          "conformal", "uncertainty", "statistics"),
 )
 def conformal_interval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal prediction intervals (Vovk; Lei et al. JASA'18),

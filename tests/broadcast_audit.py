@@ -167,3 +167,27 @@ def unbounded_hinted_broadcasts(plan: str) -> list[str]:
             ):
                 bad.append(nodes[kid][1][:120])
     return bad
+
+
+def unbounded_cross_joins(plan: str) -> list[str]:
+    """Node texts of Cartesian (``Join Cross``) joins where NEITHER
+    side's subtree is bounded by construction — the quadratic-blowup
+    class (empty list == plan is governed).
+
+    A cross join with one bounded side is a scan decorated with
+    constants/aggregates (linear); with BOTH sides corpus-grain it is
+    quadratic at 100 TB no matter how it executes. Same bounded-ness
+    rules as the hinted-broadcast audit; queries with a cross join
+    that is bounded for reasons structural rules cannot see carry the
+    ``bounded_cross`` tag."""
+    nodes = parse_plan(plan)
+    bad = []
+    for i, (_, text) in enumerate(nodes):
+        if not text.startswith("Join Cross"):
+            continue
+        kids = _children(nodes, i)
+        if len(kids) != 2:
+            continue
+        if not (_bounded(nodes, kids[0]) or _bounded(nodes, kids[1])):
+            bad.append(text[:120])
+    return bad

@@ -1966,3 +1966,42 @@ def test_huber_and_moment_queries_are_window_free(spark):
         "goodman_kruskal_gamma",
     ):
         assert "Window" not in _plan_of(spark, name), name
+
+
+def test_cross_join_detector_positive_and_negative(spark):
+    """The cross-join auditor: flags corpus×corpus Cartesian products,
+    passes corpus×aggregate and corpus×literal decorations."""
+    from tests.broadcast_audit import unbounded_cross_joins
+
+    def bad(df):
+        return unbounded_cross_joins(
+            df._jdf.queryExecution().optimizedPlan().toString()
+        )
+
+    o = load_table(spark, SF_CORRECT, "orders")
+    c = load_table(spark, SF_CORRECT, "customer")
+    assert bad(o.crossJoin(c.select("c_custkey")))
+    assert not bad(o.crossJoin(c.agg(F.count("*").alias("n"))))
+    assert not bad(o.crossJoin(spark.range(4)))
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("SPARK_GRAFT_SCALE_GATE", "0") != "1",
+    reason="full-registry plan audit is opt-in: set SPARK_GRAFT_SCALE_GATE=1",
+)
+def test_all_cross_joins_have_a_bounded_side_or_tag(spark):
+    """Full-registry governance, third class: every Cartesian join must
+    have at least one bounded-by-construction side (an unbounded×
+    unbounded cross join is quadratic at 100 TB regardless of the
+    physical strategy) or the query carries the bounded_cross tag."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+    from tests.broadcast_audit import unbounded_cross_joins
+
+    offenders = {}
+    for name, q in REGISTRY.items():
+        df = q.fn(spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        hits = unbounded_cross_joins(plan)
+        if hits and "bounded_cross" not in q.tags:
+            offenders[name] = hits
+    assert not offenders, offenders
