@@ -1738,3 +1738,72 @@ def test_dw_difference_expansion_matches_direct_residuals(spark, ys):
         ((ys[t] - ys[t - 1]) * 10**6 - 2 * q) ** 2 for t in range(1, n)
     )
     assert direct == expansion
+
+
+# --- round 9: the plan-tree indent parser that three audits ride ----------------
+def _render_spark_tree(node, depth_prefixes):
+    """Render a (label, children) tree exactly the way Spark's treeString
+    does: first child of a multi-child node prints with ':- ' and its
+    descendants carry ':  '; the last child prints '+- ' and its
+    descendants carry '   '."""
+    label, kids = node
+    lines = ["".join(depth_prefixes) + label]
+    for i, kid in enumerate(kids):
+        last = i == len(kids) - 1
+        head = "+- " if last else ":- "
+        carry = "   " if last else ":  "
+        sub = _render_spark_tree(kid, depth_prefixes + [carry])
+        sub[0] = "".join(depth_prefixes) + head + sub[0][len("".join(depth_prefixes)) + 3:]
+        lines.extend(sub)
+    return lines
+
+
+_tree_st = st.deferred(
+    lambda: st.tuples(
+        st.sampled_from(
+            ["Project [x#1L]", "Filter (x#1L > 0)", "Join Inner",
+             "Aggregate [k], [k]", "Relation [x#1L] parquet"]
+        ),
+        st.lists(_tree_st, max_size=3),
+    )
+)
+
+
+@_settings
+@given(tree=_tree_st)
+def test_parse_plan_recovers_tree_structure(spark, tree):
+    """tests/broadcast_audit.py::parse_plan must recover every node's
+    depth from Spark's ':- /+- /:  /   ' prefix grammar — the window,
+    broadcast and cross-join audits all depend on this parser."""
+    from tests.broadcast_audit import parse_plan
+
+    def flatten(node, d):
+        out = [(d, node[0])]
+        for kid in node[1]:
+            out.extend(flatten(kid, d + 1))
+        return out
+
+    rendered = "\n".join(_render_spark_tree(tree, []))
+    assert parse_plan(rendered) == flatten(tree, 0)
+
+
+def test_bounded_rules_unit_cases(spark):
+    """Unit pins for the audit's bounding rules: Range spines bound only
+    up to RANGE_CAP; LogicalRDD (localCheckpoint) bounds; a raw
+    Relation does not; a key-probe filter over a leaf bounds, a
+    category-equality filter does not."""
+    from tests.broadcast_audit import RANGE_CAP, _bounded, parse_plan
+
+    def bounded(text):
+        return _bounded(parse_plan(text), 0)
+
+    assert bounded(f"Range (0, {RANGE_CAP}, step=1, splits=None)")
+    assert not bounded(f"Range (0, {RANGE_CAP * 2}, step=1, splits=None)")
+    assert bounded("LogicalRDD [x#1L], false")
+    assert not bounded("Relation [x#1L] parquet")
+    assert bounded(
+        "Filter (vec_id#3L = 0)\n+- Relation [vec_id#3L] parquet"
+    )
+    assert not bounded(
+        "Filter (p_brand#3 = Brand#23)\n+- Relation [p_brand#3] parquet"
+    )
