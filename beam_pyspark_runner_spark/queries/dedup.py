@@ -25,6 +25,7 @@ from beam_pyspark_runner_spark.functions.hashing import (
     h32,
     h32_sql,
 )
+from beam_pyspark_runner_spark.plans.audit import checkpoint_audited
 from beam_pyspark_runner_spark.queries.registry import register
 from beam_pyspark_runner_spark.sources.readers import load_table, spread
 
@@ -152,8 +153,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na") + F.col("nb") - F.col("n_inter")
     ).cast("double")
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
@@ -295,7 +296,9 @@ def connected_components(
         sym.sparkSession.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
 
     def _pin(df: DataFrame) -> DataFrame:
-        return df.checkpoint() if reliable_checkpoint_dir else df.localCheckpoint()
+        return checkpoint_audited(
+            df, reliable=reliable_checkpoint_dir is not None
+        )
 
     sym = _pin(sym)
     labels = _pin(
@@ -902,8 +905,8 @@ def minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na") + F.col("nb") - F.col("n_inter")
     ).cast("double")
     exact = (
-        inter.join(F.broadcast(sa_sz), "doc_a")
-        .join(F.broadcast(sb_sz), "doc_b")
+        inter.join(sa_sz, "doc_a")
+        .join(sb_sz, "doc_b")
         .select("doc_a", "doc_b", j.alias("exact_jaccard"))
         .filter(F.col("exact_jaccard") >= JACCARD_THRESHOLD)
     )
@@ -921,8 +924,8 @@ def minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = matches.cast("double") / F.lit(float(_N_PERM))
     return (
-        exact.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        exact.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a", "doc_b", "exact_jaccard",
             est.alias("minhash_estimate"),
@@ -986,8 +989,8 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na") + F.col("nb") - F.col("n_inter")
     ).cast("double")
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", cont.alias("containment"), jac.alias("jaccard"))
         .filter(F.col("containment") >= 0.9)
     )
@@ -1468,7 +1471,10 @@ def incremental_minhash_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH banding layer (minhash_lsh_candidates) consume the maintained
     table without ever knowing deltas exist. Delta cost: signature
     aggregation over delta shingles only (one partial-agg shuffle of
-    |delta| rows) plus the broadcast anti-join of the upsert."""
+    |delta| rows) plus the anti-join of the upsert — unhinted
+    (round-10): the delta is a fixed FRACTION of the corpus, so a
+    forced broadcast grows with it; the planner broadcasts while
+    the delta is small and shuffles beyond."""
     from beam_pyspark_runner_spark.operators.merge import merge_upsert
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1490,9 +1496,7 @@ def incremental_minhash_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.concat(F.col("text"), F.lit(" updated v2")).alias("text")
     )
     delta_sigs = signatures(delta)
-    return merge_upsert(
-        base_index, delta_sigs, ["doc_id"], broadcast_updates=True
-    )
+    return merge_upsert(base_index, delta_sigs, ["doc_id"])
 
 
 # --- LSH band-configuration sweep (round 7) ----------------------------------
@@ -1628,8 +1632,8 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na") + F.col("nb_sz") - F.col("n_inter")
     ).cast("double")
     truth = (
-        pool.join(F.broadcast(sa_sz), "doc_a")
-        .join(F.broadcast(sb_sz), "doc_b")
+        pool.join(sa_sz, "doc_a")
+        .join(sb_sz, "doc_b")
         .join(inter, ["doc_a", "doc_b"], "left")
         .select(
             "doc_a",
@@ -1643,7 +1647,7 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pool_true")
     )
     return (
-        cand.join(F.broadcast(truth), ["doc_a", "doc_b"])
+        cand.join(truth, ["doc_a", "doc_b"])
         .crossJoin(F.broadcast(tot))
         .groupBy(F.col("nb").alias("n_bands"), "pool_true")
         .agg(
@@ -1914,8 +1918,8 @@ def dedup_cluster_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     la = labels.select(F.col("id").alias("doc_a"), F.col("comp").alias("ca"))
     lb = labels.select(F.col("id").alias("doc_b"), F.col("comp").alias("cb"))
     verified = (
-        truth.join(F.broadcast(la), "doc_a")
-        .join(F.broadcast(lb), "doc_b")
+        truth.join(la, "doc_a")
+        .join(lb, "doc_b")
         .filter(F.col("ca") == F.col("cb"))
     )
     m = (
@@ -2117,8 +2121,8 @@ def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tota = tot.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a"))
     totb = tot.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b"))
     return (
-        shared.join(F.broadcast(tota), "doc_a")
-        .join(F.broadcast(totb), "doc_b")
+        shared.join(tota, "doc_a")
+        .join(totb, "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from beam_pyspark_runner_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
+from beam_pyspark_runner_spark.plans.audit import checkpoint_audited
 from beam_pyspark_runner_spark.queries.registry import register
 from beam_pyspark_runner_spark.sources.readers import load_table
 
@@ -1559,8 +1560,13 @@ def temporal_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("ts") < cutoff).select("user_id").distinct()
         .withColumnRenamed("user_id", "tu")
     )
+    # train_users is user-grain (grows with the corpus) — no broadcast
+    # hint (round-10, verdict #1); the docstring's "broadcast for
+    # dimension-sized user sets, hash join beyond" is now literally
+    # the planner's size gate rather than a hint that removed the
+    # "beyond".
     classified = e.join(
-        F.broadcast(train_users), e.user_id == F.col("tu"), "left"
+        train_users, e.user_id == F.col("tu"), "left"
     ).select(
         F.when(F.col("ts") < cutoff, "train")
         .when(F.col("tu").isNotNull(), "val_warm")
@@ -3195,17 +3201,21 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "to_state",
         (F.col("c").cast("double") / F.col("tot").cast("double")).alias("p"),
     )
-    variants = spark.createDataFrame(
-        [("none",)] + [(c,) for c in _MARKOV_CHANNELS], "variant string"
+    # VALUES, not createDataFrame: plans as a LocalRelation the audit
+    # can prove bounded (createDataFrame leaves an opaque LogicalRDD).
+    variants = spark.sql(
+        "SELECT * FROM VALUES ('none'), "
+        + ", ".join(f"('{c}')" for c in _MARKOV_CHANNELS)
+        + " AS variants(variant)"
     )
     # Pin the per-variant transition table ONCE (the k_core /
     # connected_components discipline): tv is ≤ |states|²×|variants|
     # rows but its lineage contains the corpus-sized pair count — left
     # unpinned, each of the 6 unrolled steps × 5 variants re-derives
     # that scan (measured at sf0.1: 11.7 s / 700 KB plan unpinned).
-    tv = t.crossJoin(F.broadcast(variants)).filter(
+    tv = checkpoint_audited(t.crossJoin(F.broadcast(variants)).filter(
         F.col("from_state") != F.col("variant")
-    ).localCheckpoint()
+    ))
     acc = "decimal(38,10)"
 
     def dsum_d(col):
@@ -3244,9 +3254,14 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             # materialization step k's lineage re-executes steps
             # 1..k-1 (quadratic tiny-stage count — the 10 s was ~21
             # re-run shuffle stages, not data).
-            stepped = contrib.groupBy("variant", "to_state").agg(
-                dsum_d(F.col("pr")).alias("r")
-            ).localCheckpoint()
+            stepped = checkpoint_audited(
+                contrib.groupBy("variant", "to_state").agg(
+                    dsum_d(F.col("pr")).alias("r")
+                ),
+                adjudicated="broadcasts tv, the checkpoint of the "
+                "<=|states|^2 x |variants| transition table (bounded at "
+                "its own construction above)",
+            )
             absorbed.append(
                 stepped.filter(F.col("to_state") == "purchase").select(
                     "variant", "r"
@@ -5883,10 +5898,14 @@ PH_LAMBDA_CENTS = 200_000  # alarm when cumulative excess tops $2,000
         FROM daily d CROSS JOIN st
     ),
     ph AS (
+        -- textbook PH: the running minimum includes the walk's m_0 = 0
+        -- baseline (round-10 ADVICE fix; the property test's reference
+        -- recursion always seeded it)
         SELECT d, n, w,
-               w - MIN(w) OVER (ORDER BY d
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS ph
+               w - LEAST(CAST(0 AS HUGEINT),
+                         MIN(w) OVER (ORDER BY d
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)) AS ph
         FROM walk
     ),
     alarm AS (
@@ -5949,8 +5968,16 @@ def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast(dec)
         ).over(wd).alias("w"),
     )
+    # textbook PH: the running minimum includes the walk's 0 start
+    # (round-10 ADVICE fix — without it a walk that opens positive
+    # reports PH relative to its first step instead of the baseline)
     ph = walk.select(
-        "d", "n", (F.col("w") - F.min("w").over(wd)).alias("ph")
+        "d",
+        "n",
+        (
+            F.col("w")
+            - F.least(F.lit(0).cast(dec), F.min("w").over(wd))
+        ).alias("ph"),
     )
     alarm = (
         ph.filter(
@@ -6135,4 +6162,85 @@ def granger_causality_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(((rss_r - rss_u) * (m - 3) * 1000000) div rss_u AS BIGINT)"
         ).alias("f_stat_e6"),
+    )
+
+
+# --- Grubbs maximum studentized deviate (round 10) --------------------------------
+@register(
+    "grubbs_max_deviate",
+    oracle="""
+    WITH v AS (SELECT event_type,
+                      CAST(ROUND(value*100) AS BIGINT) AS v FROM events),
+    st AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s,
+             CAST(SUM(CAST(v AS HUGEINT)*v) AS HUGEINT) AS sxx,
+             MAX(v) AS vmax, MIN(v) AS vmin
+      FROM v GROUP BY 1)
+    SELECT event_type, n,
+      CAST(CASE WHEN CAST(n AS HUGEINT)*vmax - s
+                     >= s - CAST(n AS HUGEINT)*vmin
+                THEN vmax ELSE vmin END AS DOUBLE)/100.0 AS suspect_value,
+      CAST(GREATEST(CAST(n AS HUGEINT)*vmax - s,
+                    s - CAST(n AS HUGEINT)*vmin) AS DOUBLE)
+        / SQRT(CAST(CAST(n AS HUGEINT)
+                    * (CAST(n AS HUGEINT)*sxx
+                       - CAST(s AS HUGEINT)*s) AS DOUBLE)
+               / CAST(n-1 AS DOUBLE)) AS g_statistic
+    FROM st
+    """,
+    tags=("events", "statistics", "outlier", "grubbs", "data_quality"),
+)
+def grubbs_max_deviate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' maximum studentized deviate per event type: the single
+    most extreme value's distance from its group mean in sample-sd
+    units, G = max|x − x̄|/s — the classical single-outlier screen
+    (Grubbs 1950) that complements hampel_filter (which flags MANY
+    outliers against a rolling median) by answering the triage
+    question 'does this group contain even one impossible value, and
+    which one?'. The critical threshold is a t-quantile the caller
+    applies; the query ships the exact statistic and the suspect.
+
+    Determinism: G² folds entirely in integers — with S = Σv,
+    Sxx = Σv² (exact cents), max|n·x − S| and n(n·Sxx − S²) are exact,
+    so G = max|n·x−S| / √(n(n·Sxx−S²)/(n−1)) is one fixed-order double
+    formula over integer inputs.
+
+    Scale (100 TB): one map-side-combinable groupBy to |event_type|
+    rows carrying five sufficient statistics. Nothing else."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    dec = "decimal(38,0)"
+    st = e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum((F.col("v").cast(dec) * F.col("v")).cast(dec)).cast(dec).alias("sxx"),
+        F.max("v").cast("long").alias("vmax"),
+        F.min("v").cast("long").alias("vmin"),
+    )
+    dev_hi = (F.col("n").cast(dec) * F.col("vmax") - F.col("s")).cast(dec)
+    dev_lo = (F.col("s") - F.col("n").cast(dec) * F.col("vmin")).cast(dec)
+    return st.select(
+        "event_type",
+        "n",
+        (
+            F.when(dev_hi >= dev_lo, F.col("vmax"))
+            .otherwise(F.col("vmin"))
+            .cast("double")
+            / 100.0
+        ).alias("suspect_value"),
+        (
+            F.greatest(dev_hi, dev_lo).cast("double")
+            / F.sqrt(
+                (
+                    F.col("n").cast(dec)
+                    * (
+                        F.col("n").cast(dec) * F.col("sxx")
+                        - F.col("s").cast(dec) * F.col("s")
+                    )
+                ).cast("double")
+                / (F.col("n") - 1).cast("double")
+            )
+        ).alias("g_statistic"),
     )

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from beam_pyspark_runner_spark.plans.audit import checkpoint_audited
 from beam_pyspark_runner_spark.queries.registry import register
 from beam_pyspark_runner_spark.sources.readers import load_table
 
@@ -88,7 +89,8 @@ def _iter_sql(prev: str, curr: str) -> str:
     {_iter_sql('r2', 'r3')}
     SELECT node AS supplier, r AS pagerank FROM r3
     """,
-    tags=("graph", "pagerank", "iterative", "self_join"),
+    tags=("graph", "pagerank", "iterative", "self_join",
+          "bounded_broadcast"),
 )
 def pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the supplier co-occurrence graph (suppliers
@@ -103,7 +105,13 @@ def pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``spark.graft.pagerank.broadcastNodes`` (default 10M ≈ 160 MB
     payload); above that the join falls back to a shuffle, which is the
     correct plan for billion-node graphs. Dangling-node mass is dropped
-    (simplified variant) identically in both engines."""
+    (simplified variant) identically in both engines.
+
+    bounded_broadcast: the rank-vector hint is SIZE-GATED — applied
+    only while the parquet-metadata node upper bound stays under
+    ``spark.graft.pagerank.broadcastNodes`` (shuffle join beyond;
+    negative-tested at test_scale_patterns). The plan audit sees the
+    hint at test scale but cannot see the gate, hence the tag."""
     # Broadcast gate: the rank vector has one (long, double) row per node
     # (~16 B each); broadcasting is the right plan until node count makes
     # the broadcast payload executor-hostile (billion-node graphs). The
@@ -308,9 +316,14 @@ def _triangles_by_node(pairs: DataFrame, deg: DataFrame) -> DataFrame:
     fwd = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # Degree lookups carry NO broadcast hint (round-10, verdict #1): the
+    # degree table is node-grain — ~1B rows at 100 TB — so the hint that
+    # forced a broadcast at any scale was exactly the OOM class the
+    # governance audit exists to catch. Unhinted, Spark's size gate
+    # picks broadcast while the table is small and a shuffle join beyond.
     oriented = (
-        pairs.join(F.broadcast(da), "u")
-        .join(F.broadcast(db), "v")
+        pairs.join(da, "u")
+        .join(db, "v")
         .select(
             F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
@@ -363,7 +376,8 @@ _LPA_ITER_SQL_TMPL = """
     {_LPA_ITER_SQL_TMPL.format(i=2, p=1)}
     SELECT node AS supplier, label AS community FROM l2
     """,
-    tags=("graph", "label_propagation", "community", "iterative"),
+    tags=("graph", "label_propagation", "community", "iterative",
+          "bounded_broadcast"),
 )
 def label_prop_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted label propagation (community detection) on the supplier
@@ -387,7 +401,12 @@ def label_prop_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     label) and an argmax via max(struct) — no window sort, no per-node
     state beyond the (dst,label) partial sums, which are bounded by
     degree, not graph size. Synchronous rounds unrolled for Catalyst;
-    exchange reuse dedups the shared edge-build subtree."""
+    exchange reuse dedups the shared edge-build subtree.
+
+    bounded_broadcast: the label-vector hint is SIZE-GATED exactly
+    like pagerank's rank vector (same conf key; shuffle join beyond
+    the threshold) — the plan audit sees the hint at test scale but
+    cannot see the gate, hence the tag."""
     threshold = int(
         spark.conf.get("spark.graft.pagerank.broadcastNodes", "10000000")
     )
@@ -543,13 +562,12 @@ def bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     normal exit)."""
     n = spark.range(_BFS_N)
     edges = (
-        n.select(
+        checkpoint_audited(n.select(
             F.col("id").alias("src"), ((3 * F.col("id") + 1) % _BFS_N).alias("dst")
         )
         .unionAll(
             n.select(F.col("id"), ((5 * F.col("id") + 2) % _BFS_N))
-        )
-        .localCheckpoint()
+        ))
     )
     dist = spark.range(1).select(
         F.lit(0).cast("long").alias("node"), F.lit(0).cast("long").alias("hops")
@@ -564,10 +582,10 @@ def bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         new = reached.join(dist, "node", "left_anti").select(
             "node", F.lit(depth).cast("long").alias("hops")
         )
-        new = new.localCheckpoint()
+        new = checkpoint_audited(new)
         if new.isEmpty():
             return dist
-        dist = dist.unionAll(new).localCheckpoint()
+        dist = checkpoint_audited(dist.unionAll(new))
         frontier = new
     return dist
 
@@ -692,9 +710,11 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
     dy = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))
+    # No broadcast hint on the node-grain degree table (round-10,
+    # verdict #1): planner-gated join choice instead.
     scored = (
-        nonedge.join(F.broadcast(dx), "x")
-        .join(F.broadcast(dy), "y")
+        nonedge.join(dx, "x")
+        .join(dy, "y")
         .select(
             F.col("x").alias("node_a"),
             F.col("y").alias("node_b"),
@@ -771,15 +791,18 @@ def k_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     with their residual in-core degree (a capped peel may leave
     sub-{K_CORE} residuals; the cap is part of the contract, exactly
     mirrored by the oracle)."""
-    pairs = _sampled_supplier_pairs(spark, sf_dir).localCheckpoint()
+    pairs = checkpoint_audited(_sampled_supplier_pairs(spark, sf_dir))
     for _ in range(3):
         deg = _pair_degrees(pairs)
         keep = deg.filter(F.col("d") >= K_CORE).select("node")
-        pairs = pairs.join(
-            F.broadcast(keep.withColumnRenamed("node", "u")), "u", "left_semi"
+        # Survivor list is node-grain (grows with the corpus) — no
+        # broadcast hint (round-10, verdict #1); the planner's size
+        # gate broadcasts it while small and shuffles beyond.
+        pairs = checkpoint_audited(pairs.join(
+            keep.withColumnRenamed("node", "u"), "u", "left_semi"
         ).join(
-            F.broadcast(keep.withColumnRenamed("node", "v")), "v", "left_semi"
-        ).localCheckpoint()
+            keep.withColumnRenamed("node", "v"), "v", "left_semi"
+        ))
     return _pair_degrees(pairs).select(
         F.col("node").alias("supplier"),
         F.col("d").cast("long").alias("core_degree"),
@@ -945,8 +968,9 @@ def resource_allocation_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("v"), F.col("u"))
     )
     term = F.floor(F.lit(RA_SCALE) / F.col("d")).cast("long")
+    # Node-grain degree lookup: no broadcast hint (round-10, verdict #1).
     a = nbrs.join(
-        F.broadcast(deg.select(F.col("node").alias("nbr"), "d")), "nbr"
+        deg.select(F.col("node").alias("nbr"), "d"), "nbr"
     ).select(F.col("node").alias("x"), "nbr", term.alias("term"))
     b = nbrs.select(F.col("node").alias("y"), "nbr")
     cand = (
@@ -1035,7 +1059,8 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     da = deg.select(F.col("node").alias("a"), F.col("d").alias("dx"))
     db = deg.select(F.col("node").alias("b"), F.col("d").alias("dy"))
-    dd = sym.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    # Node-grain degree lookups: no broadcast hint (round-10, verdict #1).
+    dd = sym.join(da, "a").join(db, "b")
     s = dd.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("dx").cast("long").alias("sx"),
@@ -1101,7 +1126,8 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT list_reduce(list(q_term ORDER BY community),
                                (a, b) -> a + b) FROM terms) AS modularity_q
     """,
-    tags=("graph", "modularity", "community", "evaluation"),
+    tags=("graph", "modularity", "community", "evaluation",
+          "bounded_broadcast"),
 )
 def modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman MODULARITY of the label-propagation partition — the
@@ -1116,7 +1142,11 @@ def modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: two label joins into the edge list (label table is
     node-sized — the pagerank broadcast-gate argument), two partial
-    aggs, constant-size tail."""
+    aggs, constant-size tail.
+
+    bounded_broadcast: inherited — the composed label_prop_weighted
+    plans carry its size-gated label-vector hints (see that query's
+    adjudication); modularity's own joins are unhinted."""
     from beam_pyspark_runner_spark.queries.registry import REGISTRY as _R
 
     lp = _R["label_prop_weighted"].fn(spark, sf_dir)
@@ -1139,14 +1169,16 @@ def modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab_dst = lp.select(
         F.col("supplier").alias("dst"), F.col("community").alias("c_dst")
     )
+    # Label tables are node-grain — no broadcast hint (round-10,
+    # verdict #1); planner-gated join choice instead.
     sc = (
-        strength.join(F.broadcast(lab_src), "src")
+        strength.join(lab_src, "src")
         .groupBy(F.col("c_src").alias("community"))
         .agg(F.sum("s").cast("long").alias("s_c"))
     )
     wc = (
-        edges.join(F.broadcast(lab_src), "src")
-        .join(F.broadcast(lab_dst), "dst")
+        edges.join(lab_src, "src")
+        .join(lab_dst, "dst")
         .filter(F.col("c_src") == F.col("c_dst"))
         .groupBy(F.col("c_src").alias("community"))
         .agg(F.sum("w").cast("long").alias("w_c"))
@@ -1237,12 +1269,11 @@ def closeness_centrality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact integer (r−1)² and Σd; one double division."""
     n = spark.range(_BFS_N)
     edges = (
-        n.select(
+        checkpoint_audited(n.select(
             F.col("id").alias("src"),
             ((3 * F.col("id") + 1) % _BFS_N).alias("dst"),
         )
-        .unionAll(n.select(F.col("id"), ((5 * F.col("id") + 2) % _BFS_N)))
-        .localCheckpoint()
+        .unionAll(n.select(F.col("id"), ((5 * F.col("id") + 2) % _BFS_N))))
     )
     seeds = spark.createDataFrame(
         [(s,) for s in _CLOSE_SEEDS], "seed long"
@@ -1262,10 +1293,10 @@ def closeness_centrality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         new = reached.join(dist, ["seed", "node"], "left_anti").select(
             "seed", "node", F.lit(depth).cast("long").alias("hops")
         )
-        new = new.localCheckpoint()
+        new = checkpoint_audited(new)
         if new.isEmpty():
             break
-        dist = dist.unionAll(new).localCheckpoint()
+        dist = checkpoint_audited(dist.unionAll(new))
         frontier = new
     return dist.groupBy("seed").agg(
         F.count("*").cast("long").alias("n_reached"),
@@ -1330,7 +1361,7 @@ def scc_pivot_fwbw(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole graph."""
     n = spark.range(_BFS_N)
     edges = (
-        n.filter(F.col("id") % 3 != 0)
+        checkpoint_audited(n.filter(F.col("id") % 3 != 0)
         .select(
             F.col("id").alias("src"),
             ((3 * F.col("id") + 1) % _BFS_N).alias("dst"),
@@ -1339,8 +1370,7 @@ def scc_pivot_fwbw(spark: SparkSession, sf_dir: str) -> DataFrame:
             n.filter(F.col("id") % 2 == 0).select(
                 F.col("id"), ((5 * F.col("id") + 2) % _BFS_N)
             )
-        )
-        .localCheckpoint()
+        ))
     )
 
     def reach(key_col: str, next_col: str) -> DataFrame:
@@ -1354,10 +1384,10 @@ def scc_pivot_fwbw(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.col(next_col).alias("node"))
                 .distinct()
             )
-            new = step.join(seen, "node", "left_anti").localCheckpoint()
+            new = checkpoint_audited(step.join(seen, "node", "left_anti"))
             if new.isEmpty():
                 break
-            seen = seen.unionAll(new).localCheckpoint()
+            seen = checkpoint_audited(seen.unionAll(new))
             frontier = new
         return seen
 
@@ -1417,7 +1447,7 @@ def dag_longest_path_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (linear lineage, the k_core/BFS discipline)."""
     n = spark.range(_BFS_N)
     edges = (
-        n.filter(F.col("id") % 3 != 0)
+        checkpoint_audited(n.filter(F.col("id") % 3 != 0)
         .select(
             F.col("id").alias("src"),
             ((3 * F.col("id") + 1) % _BFS_N).alias("dst"),
@@ -1427,8 +1457,7 @@ def dag_longest_path_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("id"), ((5 * F.col("id") + 2) % _BFS_N)
             )
         )
-        .filter(F.col("src") < F.col("dst"))
-        .localCheckpoint()
+        .filter(F.col("src") < F.col("dst")))
     )
     dist = n.select(
         F.col("id").alias("node"), F.lit(0).cast("long").alias("d")
@@ -1440,10 +1469,9 @@ def dag_longest_path_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
         )
         dist = (
-            dist.unionAll(cand)
+            checkpoint_audited(dist.unionAll(cand)
             .groupBy("node")
-            .agg(F.max("d").alias("d"))
-            .localCheckpoint()
+            .agg(F.max("d").alias("d")))
         )
         cur = dist.agg(F.sum("d")).collect()[0][0]
         if cur == prev_sum:
@@ -1523,14 +1551,14 @@ def bellman_ford_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    edges = raw.select(
+    edges = checkpoint_audited(raw.select(
         "src",
         "dst",
         (
             h32(F.concat_ws("-", F.lit("w"), F.col("src"), F.col("dst"))) % 9
             + 1
         ).alias("w"),
-    ).localCheckpoint()
+    ))
     dist = spark.range(1).select(
         F.lit(0).cast("long").alias("node"), F.lit(0).cast("long").alias("d")
     )
@@ -1543,22 +1571,20 @@ def bellman_ford_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("d").alias("d"))
         )
         improved = (
-            cand.join(
+            checkpoint_audited(cand.join(
                 dist.select(F.col("node"), F.col("d").alias("old")),
                 "node",
                 "left",
             )
             .filter(F.col("old").isNull() | (F.col("d") < F.col("old")))
-            .select("node", "d")
-            .localCheckpoint()
+            .select("node", "d"))
         )
         if improved.isEmpty():
             break
         dist = (
-            dist.unionAll(improved)
+            checkpoint_audited(dist.unionAll(improved)
             .groupBy("node")
-            .agg(F.min("d").alias("d"))
-            .localCheckpoint()
+            .agg(F.min("d").alias("d")))
         )
         frontier = improved
     else:
@@ -1624,7 +1650,7 @@ def bom_quantity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pr = spark.range(1, 128)
     bom = (
-        pr.crossJoin(spark.range(2).select(F.col("id").alias("c")))
+        checkpoint_audited(pr.crossJoin(spark.range(2).select(F.col("id").alias("c")))
         .select(
             F.col("id").alias("parent"),
             (2 * F.col("id") + F.col("c")).alias("child"),
@@ -1641,8 +1667,7 @@ def bom_quantity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 % 3
                 + 1
             ).alias("qty"),
-        )
-        .localCheckpoint()
+        ))
     )
     walk = spark.range(1).select(
         F.lit(1).cast("long").alias("node"),
@@ -1895,7 +1920,7 @@ def gnn_mean_aggregation_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = spark.range(_BFS_N)
     e = (
-        n.filter(F.col("id") % 3 != 0)
+        checkpoint_audited(n.filter(F.col("id") % 3 != 0)
         .select(
             F.col("id").alias("src"),
             ((3 * F.col("id") + 1) % _BFS_N).alias("dst"),
@@ -1905,8 +1930,7 @@ def gnn_mean_aggregation_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("id"), ((5 * F.col("id") + 2) % _BFS_N)
             )
         )
-        .filter(F.col("src") != F.col("dst"))
-        .localCheckpoint()
+        .filter(F.col("src") != F.col("dst")))
     )
     feat = n.select(
         F.col("id").alias("node"),
@@ -1999,9 +2023,10 @@ def edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # Node-grain degree lookups: no broadcast hint (round-10, verdict #1).
     oriented = (
-        pairs.join(F.broadcast(da), "u")
-        .join(F.broadcast(db), "v")
+        pairs.join(da, "u")
+        .join(db, "v")
         .select(
             F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),

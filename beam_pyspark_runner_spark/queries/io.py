@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from beam_pyspark_runner_spark.functions.numeric import davg_sql, dsum, dsum_sql
+from beam_pyspark_runner_spark.plans.audit import checkpoint_audited
 from beam_pyspark_runner_spark.queries.registry import register
 from beam_pyspark_runner_spark.sources import readers, writers
 from beam_pyspark_runner_spark.sources.synthetic import synth_rows_oracle_sql
@@ -1292,7 +1293,7 @@ def runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Materialize the plan (and the result the driver hashes) while
         # the runtime-filter confs are live; the restored session never
         # sees the forced-SMJ settings.
-        out = _bloom_join(spark, sf_dir).localCheckpoint(eager=True)
+        out = checkpoint_audited(_bloom_join(spark, sf_dir), eager=True)
     finally:
         for k, v in saved.items():
             if v is None:

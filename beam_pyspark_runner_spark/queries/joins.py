@@ -229,9 +229,19 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (theta) join against a tiny band table: broadcast nested loop.
     With a broadcast side this costs one pass over the fact table."""
     li = load_table(spark, sf_dir, "lineitem")
-    bands = spark.createDataFrame(
-        [("tiny", 0.0, 10.0), ("small", 10.0, 20.0), ("medium", 20.0, 35.0), ("large", 35.0, 51.0)],
-        "band_name string, lo double, hi double",
+    # VALUES, not createDataFrame: a driver-local literal list plans as
+    # a LocalRelation the optimizer can constant-fold and the broadcast
+    # audit can prove bounded; createDataFrame round-trips through an
+    # RDD and leaves an opaque LogicalRDD leaf (round-10).
+    bands = spark.sql(
+        """
+        SELECT * FROM VALUES
+            ('tiny',   0.0D, 10.0D),
+            ('small', 10.0D, 20.0D),
+            ('medium',20.0D, 35.0D),
+            ('large', 35.0D, 51.0D)
+        AS bands(band_name, lo, hi)
+        """
     )
     return (
         li.join(
@@ -538,11 +548,16 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("c_nationkey"))
         .alias("nk"),
     )
+    # VALUES, not createDataFrame, for the NULL sentinel row: keeps the
+    # union arm a LocalRelation (provably bounded) instead of an opaque
+    # LogicalRDD (round-10).
     n = (
         load_table(spark, sf_dir, "nation")
         .select(F.col("n_nationkey").alias("nk"), "n_name")
         .unionByName(
-            spark.createDataFrame([(None, "UNKNOWN")], "nk int, n_name string")
+            spark.sql(
+                "SELECT CAST(NULL AS INT) AS nk, 'UNKNOWN' AS n_name"
+            )
         )
     )
     return (

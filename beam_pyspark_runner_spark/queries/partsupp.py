@@ -402,9 +402,10 @@ def q20_partsupp_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20, true partsupp formulation: suppliers whose available
     stock of red parts exceeds half of what they actually shipped in
     1996 — the spec's overstock detector. Aggregate lineitem FIRST
-    (shrinking the fact to (part, supp) totals), then one broadcast-
+    (shrinking the fact to (part, supp) totals), then one planner-gated
     chained comparison against the catalog; the final IN lowers to a
-    left-semi join against the tiny excess key set."""
+    left-semi join against the excess key set (supplier-grain, so no
+    forced broadcast — round-10)."""
     ps = synth_partsupp(spark, sf_dir)
     red = (
         load_table(spark, sf_dir, "part")
@@ -433,8 +434,10 @@ def q20_partsupp_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
+    # excess is supplier-grain (grows with the corpus) — no broadcast
+    # hint (round-10); the planner's size gate decides.
     return (
-        s.join(F.broadcast(excess), s.s_suppkey == excess.ps_suppkey, "left_semi")
+        s.join(excess, s.s_suppkey == excess.ps_suppkey, "left_semi")
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
     )

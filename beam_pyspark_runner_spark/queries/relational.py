@@ -17,7 +17,9 @@ from pyspark.sql import functions as F
 
 from beam_pyspark_runner_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
 from beam_pyspark_runner_spark.functions.ordered import bucketed_order_scan
+from beam_pyspark_runner_spark.plans.audit import checkpoint_audited
 from beam_pyspark_runner_spark.queries.registry import register
+from beam_pyspark_runner_spark.session import drain_listener_bus
 from beam_pyspark_runner_spark.sources.readers import load_table
 
 
@@ -3562,13 +3564,22 @@ def sql_scripting_threshold_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SHARED-session state — can be restored before returning (leaving
     # either mutated is a side effect no other registered query makes).
     try:
-        out = spark.sql(script).localCheckpoint()
+        out = checkpoint_audited(spark.sql(script))
     finally:
         if saved_scripting is None:
             spark.conf.unset("spark.sql.scripting.enabled")
         else:
             spark.conf.set("spark.sql.scripting.enabled", saved_scripting)
-        for view in ("bprs_script_orders", "bprs_script_bands"):
+        # Drop order matters (round-10, verdict #5): bprs_script_bands'
+        # definition references bprs_script_orders, and dropping a temp
+        # view triggers an uncache walk that RE-ANALYZES the remaining
+        # views' definitions on the async listener bus — dropping the
+        # base first left the dependent view unresolvable and logged a
+        # spurious TABLE_OR_VIEW_NOT_FOUND ERROR on every sweep.
+        # Dependent-first order removes the cause; the bus drain makes
+        # the teardown deterministic against still-in-flight events.
+        drain_listener_bus(spark)
+        for view in ("bprs_script_bands", "bprs_script_orders"):
             spark.catalog.dropTempView(view)
     return out
 
@@ -7383,7 +7394,7 @@ def pareto_front_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     same front, matching the sweep's 1-PRECEDING frame exactly in
     both engines."""
     spent = (
-        load_table(spark, sf_dir, "customer")
+        checkpoint_audited(load_table(spark, sf_dir, "customer")
         .join(
             load_table(spark, sf_dir, "orders").select(
                 "o_custkey",
@@ -7398,8 +7409,7 @@ def pareto_front_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             F.col("c_acctbal").cast("double").alias("c_acctbal"),
         )
-        .agg(F.sum("cents").cast("long").alias("total_spent"))
-        .localCheckpoint()
+        .agg(F.sum("cents").cast("long").alias("total_spent")))
     )
 
     def sweep(src: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -7425,9 +7435,9 @@ def pareto_front_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(1, _NSGA_FRONTS + 1):
         f, cur = sweep(cur)
         fronts.append(
-            f.withColumn("front", F.lit(i).cast("long")).localCheckpoint()
+            checkpoint_audited(f.withColumn("front", F.lit(i).cast("long")))
         )
-        cur = cur.localCheckpoint()
+        cur = checkpoint_audited(cur)
     u = fronts[0]
     for f in fronts[1:]:
         u = u.unionByName(f)
@@ -9232,4 +9242,451 @@ def goodman_kruskal_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(((conc - disc) + (conc + disc)) * CAST(1000000000 AS"
             " DECIMAL(38,0)) div (conc + disc) - 1000000000 AS BIGINT)"
         ).alias("gamma_e9"),
+    )
+
+
+# --- Mann-Kendall trend test (round 10) -----------------------------------------
+@register(
+    "mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+                 AS v
+      FROM lineitem GROUP BY 1),
+    s_tbl AS (
+      SELECT CAST(SUM(CASE WHEN b.v > a.v THEN 1
+                           WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM daily a JOIN daily b ON a.d < b.d),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(t*(t-1)*(2*t+5)), 0) AS BIGINT) AS tt
+      FROM (SELECT COUNT(*) AS t FROM daily GROUP BY v)),
+    n_tbl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily)
+    SELECT n, s, n_pairs,
+      CAST(n*(n-1)*(2*n+5) - tt AS DOUBLE)/18.0 AS var_s,
+      CASE WHEN s > 0 THEN CAST(s-1 AS DOUBLE)
+                / SQRT(CAST(n*(n-1)*(2*n+5) - tt AS DOUBLE)/18.0)
+           WHEN s < 0 THEN CAST(s+1 AS DOUBLE)
+                / SQRT(CAST(n*(n-1)*(2*n+5) - tt AS DOUBLE)/18.0)
+           ELSE 0.0 END AS z_mk
+    FROM s_tbl CROSS JOIN n_tbl CROSS JOIN ties
+    """,
+    tags=("statistics", "trend", "mann_kendall", "nonparametric",
+          "time_series"),
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test (Mann 1945; Kendall 1975) on daily
+    revenue: S = Σ_{i<j} sign(x_j − x_i) with the tie-corrected normal
+    approximation Z = (S∓1)/√Var — the nonparametric 'is this series
+    drifting' answer that, unlike the OLS slope t-test
+    (rolling_ols_slope), needs no residual-normality assumption and
+    shrugs off the revenue spikes that wreck least squares. Kendall's
+    tau cousin (kendall_tau_trend) correlates two columns; this tests
+    ONE series against time itself.
+
+    Scale (100 TB): the only corpus-sized stage is the map-side-
+    combinable daily rollup; the pairwise stage self-joins the
+    CALENDAR-grain table — days², independent of row count (the
+    hodges_lehmann bound) — and S, the tie term and n are exact
+    integers folded into one fixed-order double formula, so the
+    statistic value-hashes across engines."""
+    daily = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_shipdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("v")
+        )
+    )
+    a = daily.select(F.col("d").alias("d1"), F.col("v").alias("v1"))
+    b = daily.select(F.col("d").alias("d2"), F.col("v").alias("v2"))
+    s_tbl = a.join(b, F.col("d1") < F.col("d2")).agg(
+        F.sum(F.signum(F.col("v2") - F.col("v1")).cast("long"))
+        .cast("long")
+        .alias("s"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+    ties = (
+        daily.groupBy("v")
+        .agg(F.count("*").cast("long").alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tt")
+        )
+    )
+    n_tbl = daily.agg(F.count("*").cast("long").alias("n"))
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tt")
+    ).cast("double") / 18.0
+    return (
+        s_tbl.crossJoin(F.broadcast(n_tbl))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n",
+            "s",
+            "n_pairs",
+            var_s.alias("var_s"),
+            F.when(F.col("s") > 0, (F.col("s") - 1).cast("double") / F.sqrt(var_s))
+            .when(F.col("s") < 0, (F.col("s") + 1).cast("double") / F.sqrt(var_s))
+            .otherwise(F.lit(0.0))
+            .alias("z_mk"),
+        )
+    )
+
+
+# --- Cochran-Armitage trend test (round 10) -------------------------------------
+CA_HIGH_VALUE_CENTS = 30_000_000  # "high-value order": total > $300k
+
+
+@register(
+    "cochran_armitage_trend",
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS w,
+             CAST(COUNT(*) AS BIGINT) AS n_i,
+             CAST(SUM(CASE WHEN CAST(ROUND(o_totalprice*100) AS BIGINT)
+                                > {CA_HIGH_VALUE_CENTS}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS r_i
+      FROM orders GROUP BY 1),
+    t AS (
+      SELECT CAST(SUM(n_i) AS BIGINT) AS nn, CAST(SUM(r_i) AS BIGINT) AS rr,
+             CAST(SUM(w*n_i) AS BIGINT) AS swn,
+             CAST(SUM(w*r_i) AS BIGINT) AS swr,
+             CAST(SUM(w*w*n_i) AS BIGINT) AS swwn
+      FROM g)
+    SELECT nn AS n_orders, rr AS n_high_value,
+      CAST(CAST(nn AS HUGEINT)*swr - CAST(rr AS HUGEINT)*swn AS DOUBLE)
+        / SQRT(CAST(CAST(rr AS HUGEINT)*(nn-rr)
+                    * (CAST(nn AS HUGEINT)*swwn
+                       - CAST(swn AS HUGEINT)*swn) AS DOUBLE)
+               / CAST(nn AS DOUBLE)) AS z_trend
+    FROM t
+    """,
+    tags=("statistics", "trend", "cochran_armitage", "categorical",
+          "ab_testing"),
+)
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage test for trend (Cochran 1954; Armitage 1955):
+    does the high-value-order RATE rise monotonically across the five
+    ORDERED priority classes (score w = the priority's leading digit)?
+    The chi-square independence test (chi_square_independence) asks
+    'any association at all'; this one spends its single degree of
+    freedom on the ordered alternative, which is the question dose-
+    response, severity-tier and funnel-stage data actually pose.
+    Z = (N·Σwr − R·Σwn) / √(R(N−R)(N·Σw²n − (Σwn)²)/N) — five exact
+    integer sufficient statistics, one fixed-order double formula.
+
+    Scale (100 TB): one map-side-combinable groupBy to 5 rows, one
+    global fold. Nothing else."""
+    g = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.substring("o_orderpriority", 1, 1).cast("long").alias("w")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_i"),
+            F.sum(
+                F.when(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                    > CA_HIGH_VALUE_CENTS,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("r_i"),
+        )
+    )
+    dec = "decimal(38,0)"
+    t = g.agg(
+        F.sum("n_i").cast("long").alias("nn"),
+        F.sum("r_i").cast("long").alias("rr"),
+        F.sum(F.col("w") * F.col("n_i")).cast("long").alias("swn"),
+        F.sum(F.col("w") * F.col("r_i")).cast("long").alias("swr"),
+        F.sum(F.col("w") * F.col("w") * F.col("n_i")).cast("long").alias("swwn"),
+    )
+    num = (
+        F.col("nn").cast(dec) * F.col("swr")
+        - F.col("rr").cast(dec) * F.col("swn")
+    ).cast("double")
+    den = F.sqrt(
+        (
+            F.col("rr").cast(dec)
+            * (F.col("nn") - F.col("rr"))
+            * (
+                F.col("nn").cast(dec) * F.col("swwn")
+                - F.col("swn").cast(dec) * F.col("swn")
+            )
+        ).cast("double")
+        / F.col("nn").cast("double")
+    )
+    return t.select(
+        F.col("nn").alias("n_orders"),
+        F.col("rr").alias("n_high_value"),
+        (num / den).alias("z_trend"),
+    )
+
+
+# --- SAX symbolization of per-nation monthly revenue (round 10) -------------------
+# Breakpoints for a 4-symbol alphabet: the quartiles of N(0,1). Literal
+# constants so both engines compare against the identical double.
+SAX_BREAKS = (-0.6745, 0.0, 0.6745)
+
+
+@register(
+    "sax_symbolization",
+    oracle=f"""
+    WITH m AS (
+      SELECT n.n_name AS n_name,
+             (date_part('year', o.o_orderdate) - 1996) * 12
+               + date_part('month', o.o_orderdate) AS m,
+             CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS BIGINT)
+                 AS v
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_orderdate >= DATE '{TS_START}'
+      GROUP BY 1, 2),
+    st AS (
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s,
+             CAST(SUM(CAST(v AS HUGEINT)*v) AS HUGEINT) AS sxx
+      FROM m GROUP BY 1),
+    z AS (
+      SELECT m.n_name, m.m, st.n,
+             CAST(CAST(st.n AS HUGEINT)*m.v - st.s AS DOUBLE)
+               / SQRT(CAST(CAST(st.n AS HUGEINT)*st.sxx
+                           - CAST(st.s AS HUGEINT)*st.s AS DOUBLE)) AS z
+      FROM m JOIN st ON m.n_name = st.n_name),
+    sym AS (
+      SELECT n_name, m, n,
+             CASE WHEN z < {SAX_BREAKS[0]} THEN 'a'
+                  WHEN z < {SAX_BREAKS[1]} THEN 'b'
+                  WHEN z < {SAX_BREAKS[2]} THEN 'c'
+                  ELSE 'd' END AS sym
+      FROM z)
+    SELECT n_name, CAST(MAX(n) AS BIGINT) AS n_months,
+           STRING_AGG(sym, '' ORDER BY m) AS sax
+    FROM sym GROUP BY n_name
+    """,
+    tags=("statistics", "time_series", "sax", "symbolic", "text_analysis"),
+)
+def sax_symbolization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX — Symbolic Aggregate approXimation (Lin, Keogh et al. 2003)
+    — of each nation's monthly-revenue series: z-normalize per nation
+    and quantize into a 4-letter alphabet at the N(0,1) quartile
+    breakpoints, emitting one motif STRING per nation. SAX is the
+    standard bridge from numeric series to text-domain tooling —
+    motif/anomaly discovery, suffix indexing, the dedup layer's
+    shingle machinery — at 1 byte per month instead of 8.
+
+    Determinism: z = (n·v − S)/√(n·Sxx − S²) — integer numerator,
+    integer radicand (the monthly rollup is exact cents), ONE double
+    division per month, so both engines quantize identical doubles
+    against identical literal breakpoints; the per-nation string is
+    assembled in explicit month order on both sides.
+
+    Scale (100 TB): one map-side-combinable rollup to nation×month
+    grain (calendar-bounded), one 25-row stats join, no windows."""
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(TS_START).cast("date"))
+        .join(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_nationkey"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - 1996) * 12 + F.month("o_orderdate")
+            ).alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("v")
+        )
+    )
+    dec = "decimal(38,0)"
+    st = m.groupBy("n_name").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum((F.col("v").cast(dec) * F.col("v")).cast(dec)).cast(dec).alias("sxx"),
+    )
+    z = m.join(st, "n_name").select(
+        "n_name",
+        "m",
+        "n",
+        (
+            (F.col("n").cast(dec) * F.col("v") - F.col("s")).cast("double")
+            / F.sqrt(
+                (
+                    F.col("n").cast(dec) * F.col("sxx")
+                    - F.col("s").cast(dec) * F.col("s")
+                ).cast("double")
+            )
+        ).alias("z"),
+    )
+    sym = z.select(
+        "n_name",
+        "m",
+        "n",
+        F.when(F.col("z") < SAX_BREAKS[0], "a")
+        .when(F.col("z") < SAX_BREAKS[1], "b")
+        .when(F.col("z") < SAX_BREAKS[2], "c")
+        .otherwise("d")
+        .alias("sym"),
+    )
+    return sym.groupBy("n_name").agg(
+        F.max("n").cast("long").alias("n_months"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "sym"))),
+                lambda s: s["sym"],
+            ),
+            "",
+        ).alias("sax"),
+    )
+
+
+# --- rank-biased overlap of two supplier rankings (round 10) ---------------------
+RBO_K = 10
+RBO_P = 0.9
+# w_d = (1-p)·p^(d-1) = 9^(d-1)/10^d is RATIONAL, so the whole weighted
+# sum folds in exact integers: with L = lcm(1..k) = 2520 and the common
+# denominator L·10^k, term d contributes A_d · c_d where
+# c_d = 9^(d-1) · 10^(k-d) · (L/d). Precomputed once in Python and
+# embedded as the SAME integer literals in both engines — one double
+# division at the very end, no cross-engine pow() or float-sum order.
+RBO_LCM = 2520
+RBO_COEFFS = tuple(
+    9 ** (d - 1) * 10 ** (RBO_K - d) * (RBO_LCM // d)
+    for d in range(1, RBO_K + 1)
+)
+RBO_DEN = RBO_LCM * 10 ** RBO_K
+
+
+@register(
+    "rank_biased_overlap",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+                 AS rev
+      FROM lineitem GROUP BY 1),
+    cnt AS (
+      SELECT l_suppkey, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM lineitem GROUP BY 1),
+    ra AS (SELECT l_suppkey, ROW_NUMBER() OVER (ORDER BY rev DESC, l_suppkey)
+                  AS r FROM rev QUALIFY r <= {RBO_K}),
+    rb AS (SELECT l_suppkey, ROW_NUMBER() OVER (ORDER BY n_orders DESC,
+                  l_suppkey) AS r FROM cnt QUALIFY r <= {RBO_K}),
+    matched AS (
+      SELECT GREATEST(ra.r, rb.r) AS dmin
+      FROM ra JOIN rb USING (l_suppkey)),
+    spine AS (SELECT unnest(range(1, {RBO_K} + 1)) AS depth),
+    agree AS (
+      SELECT s.depth,
+             CAST(COALESCE(SUM(CASE WHEN m.dmin <= s.depth THEN 1 END), 0)
+                  AS BIGINT) AS a_d
+      FROM spine s LEFT JOIN matched m ON m.dmin <= s.depth
+      GROUP BY s.depth),
+    w(depth, c) AS (VALUES {", ".join(f"({d}, {c})" for d, c in enumerate(RBO_COEFFS, 1))})
+    SELECT {RBO_K} AS k,
+           CAST(MAX(CASE WHEN a.depth = {RBO_K} THEN a.a_d END) AS BIGINT)
+               AS overlap_at_k,
+           CAST(SUM(CAST(a.a_d AS HUGEINT) * w.c) AS DOUBLE)
+               / {RBO_DEN}.0 AS rbo
+    FROM agree a JOIN w ON w.depth = a.depth
+    """,
+    tags=("statistics", "ranking", "rbo", "ml_eval", "bounded_window"),
+)
+def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010), top-
+    weighted and truncated at k={RBO_K}, between two supplier rankings:
+    by revenue vs by distinct-order count. RBO is the ranking-
+    comparison measure built for INDEFINITE lists — unlike Kendall's
+    tau (kendall_tau_trend) it weights agreement geometrically toward
+    the top, which is what search/retrieval/feed comparisons actually
+    need, and it is the standard regression check when a ranker
+    changes ('did the head of the list move?').
+
+    Determinism: the geometric weights are rational, so the weighted
+    sum is ONE exact integer fold (precomputed literal coefficients
+    over the common denominator lcm(1..k)·10^k) finished by a single
+    double division — order-independent and engine-identical.
+
+    bounded_window: the two ROW_NUMBER rankings run over TakeOrdered
+    {RBO_K}-row pools (orderBy+limit), never over the supplier table.
+
+    Scale (100 TB): two map-side-combinable supplier rollups, two
+    per-partition top-k heaps (TakeOrderedAndProject), then constant-
+    size work."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_extendedprice"
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    cnt = li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    ra = (
+        rev.orderBy(F.col("rev").desc(), "l_suppkey")
+        .limit(RBO_K)
+        .select(
+            "l_suppkey",
+            F.row_number()
+            .over(W.orderBy(F.col("rev").desc(), "l_suppkey"))
+            .alias("ra"),
+        )
+    )
+    rb = (
+        cnt.orderBy(F.col("n_orders").desc(), "l_suppkey")
+        .limit(RBO_K)
+        .select(
+            "l_suppkey",
+            F.row_number()
+            .over(W.orderBy(F.col("n_orders").desc(), "l_suppkey"))
+            .alias("rb"),
+        )
+    )
+    matched = ra.join(rb, "l_suppkey").select(
+        F.greatest("ra", "rb").alias("dmin")
+    )
+    spine = spark.range(1, RBO_K + 1).select(F.col("id").alias("depth"))
+    agree = (
+        spine.join(matched, F.col("dmin") <= F.col("depth"), "left")
+        .groupBy("depth")
+        .agg(F.count("dmin").cast("long").alias("a_d"))
+    )
+    coeff = F.element_at(
+        F.array(*[F.lit(c).cast("decimal(38,0)") for c in RBO_COEFFS]),
+        F.col("depth").cast("int"),
+    )
+    return agree.agg(
+        F.lit(RBO_K).cast("int").alias("k"),
+        F.max(F.when(F.col("depth") == RBO_K, F.col("a_d")))
+        .cast("long")
+        .alias("overlap_at_k"),
+        (
+            F.sum(coeff * F.col("a_d")).cast("double") / float(RBO_DEN)
+        ).alias("rbo"),
     )

@@ -21,6 +21,7 @@ from pyspark.sql import Window as W
 from beam_pyspark_runner_spark.functions.hashing import unit_hash, unit_hash_sql
 from beam_pyspark_runner_spark.functions.numeric import dsum, dsum_sql
 from beam_pyspark_runner_spark.functions.vectors import cosine_similarity, dot, l2_sq
+from beam_pyspark_runner_spark.plans.audit import checkpoint_audited
 from beam_pyspark_runner_spark.queries.registry import register
 from beam_pyspark_runner_spark.sources.readers import load_table, spread
 
@@ -1512,19 +1513,21 @@ def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda v, i: F.transform(
                     emb,
                     lambda w, j: F.struct(
-                        i.cast("long").alias("i"),
-                        j.cast("long").alias("j"),
+                        # dim_* names: the broadcast audit certifies
+                        # these EMB_DIM-bounded index keys by name
+                        i.cast("long").alias("dim_i"),
+                        j.cast("long").alias("dim_j"),
                         (v.cast("double") * w.cast("double")).alias("p"),
                     ),
                 ),
             )
         ),
-        lambda s: s["j"] >= s["i"],
+        lambda s: s["dim_j"] >= s["dim_i"],
     )
     cells = (
         e.select(F.explode(pair_structs).alias("c"))
-        .select("c.i", "c.j", "c.p")
-        .groupBy("i", "j")
+        .select("c.dim_i", "c.dim_j", "c.p")
+        .groupBy("dim_i", "dim_j")
         .agg(dsum("p").alias("s"))
     )
     dims = (
@@ -1533,25 +1536,27 @@ def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(
                     emb,
                     lambda v, i: F.struct(
-                        i.cast("long").alias("i"),
+                        i.cast("long").alias("dim_i"),
                         v.cast("double").alias("v"),
                     ),
                 )
             ).alias("d")
         )
-        .select("d.i", "d.v")
-        .groupBy("i")
+        .select("d.dim_i", "d.v")
+        .groupBy("dim_i")
         .agg(dsum("v").alias("m"))
     )
     n = e.agg(F.count("*").alias("n"))
-    di = dims.select(F.col("i").alias("di_i"), F.col("m").alias("mi"))
-    dj = dims.select(F.col("i").alias("dj_i"), F.col("m").alias("mj"))
+    di = dims.select(F.col("dim_i").alias("di_i"), F.col("m").alias("mi"))
+    dj = dims.select(F.col("dim_i").alias("dj_i"), F.col("m").alias("mj"))
     return (
-        cells.join(F.broadcast(di), cells["i"] == di["di_i"])
-        .join(F.broadcast(dj), cells["j"] == dj["dj_i"])
+        cells.join(F.broadcast(di), cells["dim_i"] == di["di_i"])
+        .join(F.broadcast(dj), cells["dim_j"] == dj["dj_i"])
         .crossJoin(F.broadcast(n))
         .select(
-            "i", "j", F.col("s").alias("gram"),
+            F.col("dim_i").alias("i"),
+            F.col("dim_j").alias("j"),
+            F.col("s").alias("gram"),
             (
                 F.col("s") / F.col("n")
                 - (F.col("mi") / F.col("n")) * (F.col("mj") / F.col("n"))
@@ -1706,7 +1711,7 @@ def _pca_oracle() -> str:
     "pca_power_iteration",
     oracle=_pca_oracle(),
     tags=("similarity", "linear_algebra", "pca", "power_iteration",
-          "iterative"),
+          "iterative", "bounded_broadcast"),
 )
 def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOP PRINCIPAL COMPONENT of the embedding corpus by {PCA_ITERS}
@@ -1726,13 +1731,18 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines; the fixed seed also fixes the
     eigenvector's sign. The oracle is the same iteration UNROLLED into
     {3 * PCA_ITERS + 4} CTEs, generated from one shared covariance CTE
-    block."""
+    block.
+
+    bounded_broadcast: the hinted side is the checkpointed d×d
+    covariance table ({EMB_DIM}² cells, constant at any corpus
+    size) — the checkpoint leaves a LogicalRDD the audit cannot
+    size, hence the tag."""
     cov = embedding_covariance_matrix(spark, sf_dir).select("i", "j", "cov")
-    full = cov.unionAll(
+    full = checkpoint_audited(cov.unionAll(
         cov.filter(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "cov"
         )
-    ).localCheckpoint()
+    ))
     v = spark.range(EMB_DIM).select(
         F.col("id").alias("i"),
         unit_hash(
@@ -1756,10 +1766,12 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             nrm = w.agg(F.sqrt(_psum(F.col("w") * F.col("w"))).alias("nrm"))
             # checkpoint each step: without it, the nested broadcast
             # subplans compound (measured 83 s vs 11.6 s pinned)
-            v = (
+            v = checkpoint_audited(
                 w.crossJoin(F.broadcast(nrm))
-                .select("i", (F.col("w") / F.col("nrm")).alias("x"))
-                .localCheckpoint()
+                .select("i", (F.col("w") / F.col("nrm")).alias("x")),
+                adjudicated="broadcasts the EMB_DIM-row iteration vector "
+                "(prior checkpoint of the range-spine seed / previous "
+                "step) into the d x d covariance table",
             )
     finally:
         spark.conf.set(shuffle_key, saved_parts)
@@ -1980,8 +1992,10 @@ def als_user_factor_solve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("-", F.lit("alsv"), F.col("item_id"), F.lit("1"))
         ).alias("v1"),
     )
+    # v is item-grain (a factor row per item — billions at 100 TB) —
+    # no broadcast hint (round-10); the planner's size gate decides.
     g = (
-        r.join(F.broadcast(v), "item_id")
+        r.join(v, "item_id")
         .groupBy("user_id")
         .agg(
             _als_psum(F.col("v0") * F.col("v0")).alias("a00"),
@@ -2775,31 +2789,31 @@ def kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").alias("emb")
     )
     c0 = e.filter(F.col("vec_id") == 0)
-    centers = c0.select(
+    centers = checkpoint_audited(c0.select(
         F.lit(0).alias("sel_round"),
         "vec_id",
         "emb",
         F.lit(0.0).alias("sel_dist_sq"),
-    ).localCheckpoint()
-    cur = e.crossJoin(
+    ))
+    cur = checkpoint_audited(e.crossJoin(
         F.broadcast(c0.select(F.col("emb").alias("cemb")))
     ).select(
         "vec_id",
         "emb",
         l2_sq(F.col("emb"), F.col("cemb")).alias("dmin"),
-    ).localCheckpoint()
+    ))
     for r in range(1, _KC_K):
         nxt = cur.orderBy(F.col("dmin").desc(), F.col("vec_id")).limit(1)
-        centers = centers.unionAll(
+        centers = checkpoint_audited(centers.unionAll(
             nxt.select(
                 F.lit(r).alias("sel_round"),
                 "vec_id",
                 "emb",
                 F.col("dmin").alias("sel_dist_sq"),
             )
-        ).localCheckpoint()
+        ))
         # update runs after the last pick too: it yields the coverage radius
-        cur = cur.crossJoin(
+        cur = checkpoint_audited(cur.crossJoin(
             F.broadcast(nxt.select(F.col("emb").alias("cemb")))
         ).select(
             "vec_id",
@@ -2807,7 +2821,7 @@ def kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(
                 F.col("dmin"), l2_sq(F.col("emb"), F.col("cemb"))
             ).alias("dmin"),
-        ).localCheckpoint()
+        ))
     cov = cur.agg(F.max("dmin").alias("coverage_radius_sq"))
     return centers.crossJoin(F.broadcast(cov)).select(
         F.col("sel_round").cast("long"),
@@ -2991,7 +3005,8 @@ _SMOTE_NORM_SQL = (
            {_SMOTE_NORM_SQL.format(v='sv')} AS synth_l2_norm
     FROM synth
     """,
-    tags=("similarity", "smote", "class_balancing", "data_augmentation"),
+    tags=("similarity", "smote", "class_balancing", "data_augmentation",
+          "bounded_broadcast"),
 )
 def smote_interpolation_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SMOTE-style synthetic minority oversampling (Chawla et al.
@@ -3011,7 +3026,14 @@ def smote_interpolation_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame
     synthetic ARRAY itself is the training artifact, not a gate
     payload). Classic SMOTE draws a random point on the chord; the
     midpoint is the λ=1/2 member of that family, chosen for
-    reproducibility."""
+    reproducibility.
+
+    bounded_broadcast: the hinted side is the MINORITY-CLASS pool
+    (rarest label, pinned by checkpoint, so the audit cannot see the
+    label filter). SMOTE's pairwise kNN is quadratic in that pool by
+    construction — at corpus-scale minority classes you subsample
+    BEFORE oversampling (the published guidance), so the pool is
+    operated dimension-sized, not corpus-sized."""
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").alias("emb")
     )
@@ -3025,7 +3047,11 @@ def smote_interpolation_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rn") == 1)
         .select("label")
     )
-    mino = e.join(F.broadcast(lc), "label").localCheckpoint()
+    mino = checkpoint_audited(
+        e.join(F.broadcast(lc), "label"),
+        adjudicated="lc's rarest-label row_number orders the label-grain "
+        "aggregate (bounded label enum), not corpus rows",
+    )
     a = mino.select(F.col("vec_id"), F.col("emb"))
     b = mino.select(
         F.col("vec_id").alias("nb"), F.col("emb").alias("b_emb")
@@ -3392,11 +3418,10 @@ def _mmr_cands_sims(spark: SparkSession, sf_dir: str):
         "vec_id", F.col("embedding").alias("emb")
     )
     q = (
-        e.filter(F.col("vec_id") == 0)
-        .select(F.col("emb").alias("qe"))
-        .localCheckpoint()
+        checkpoint_audited(e.filter(F.col("vec_id") == 0)
+        .select(F.col("emb").alias("qe")))
     )
-    cands = (
+    cands = checkpoint_audited(
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select(
@@ -3405,8 +3430,9 @@ def _mmr_cands_sims(spark: SparkSession, sf_dir: str):
             "emb",
         )
         .orderBy(F.col("rel").desc(), "doc_id")
-        .limit(_MMR_C)
-        .localCheckpoint()
+        .limit(_MMR_C),
+        adjudicated="broadcasts q, the checkpoint of a single-probe-row "
+        "filter (vec_id = 0) audited bounded at its own construction",
     )
     ca = cands.select(F.col("doc_id").alias("a"), F.col("emb").alias("ea"))
     cb = cands.select(F.col("doc_id").alias("b"), F.col("emb").alias("eb"))
@@ -3471,17 +3497,22 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_scale_patterns.py)."""
     cands, sims_lazy = _mmr_cands_sims(spark, sf_dir)
     cands = cands.drop("emb")
-    sims = sims_lazy.localCheckpoint()
+    sims = checkpoint_audited(
+        sims_lazy,
+        adjudicated="the C x C pairwise stage over the two projections "
+        "of the checkpointed <=C-row TakeOrdered candidate pool -- "
+        "bounded by _MMR_C at both cross-join sides, audited at the "
+        "pool's own construction",
+    )
     mmr = (F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("pen")).alias(
         "mmr_score"
     )
     pick = (
-        cands.withColumn("pen", F.lit(0.0))
+        checkpoint_audited(cands.withColumn("pen", F.lit(0.0))
         .select(F.lit(1).cast("long").alias("step"), "doc_id", "rel", "pen",
                 mmr)
         .orderBy(F.col("mmr_score").desc(), "doc_id")
-        .limit(1)
-        .localCheckpoint()
+        .limit(1))
     )
     selected = pick
     for i in range(2, _MMR_K + 1):
@@ -3507,7 +3538,13 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("mmr_score").desc(), "doc_id")
             .limit(1)
         )
-        selected = selected.unionByName(pick).localCheckpoint()
+        selected = checkpoint_audited(
+            selected.unionByName(pick),
+            adjudicated="pick's lineage broadcasts sel_ids (<=K rows, the "
+            "checkpointed running selection) and pen_tbl (an aggregate "
+            "of the checkpointed <=C^2 sims pool) -- both bounded at "
+            "their own construction",
+        )
     return selected
 
 
@@ -3837,4 +3874,206 @@ def simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("sq") < 0, 1).otherwise(0))
         .cast("long")
         .alias("n_negative"),
+    )
+
+
+# --- diagonal-covariance Mahalanobis outliers (round 10) -------------------------
+MAHA_Q = 1_000_000  # fixed-point quantum for embedding components
+MAHA_TOPK = 10
+
+
+@register(
+    "mahalanobis_diag_outliers",
+    oracle=f"""
+    WITH cells AS (
+      SELECT vec_id, label, i.i AS pos,
+             CAST(ROUND(CAST(embedding[i.i] AS DOUBLE) * {MAHA_Q})
+                  AS BIGINT) AS v
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(range(1, {EMB_DIM} + 1)) AS i) i),
+    st AS (
+      SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s,
+             CAST(SUM(CAST(v AS HUGEINT)*v) AS HUGEINT) AS sxx
+      FROM cells GROUP BY 1),
+    terms AS (
+      SELECT c.vec_id, c.label,
+             CAST(CAST(st.n AS HUGEINT)*c.v - st.s AS HUGEINT)
+               * CAST(CAST(st.n AS HUGEINT)*c.v - st.s AS HUGEINT)
+               * 1000000000
+               // (CAST(st.n AS HUGEINT)*st.sxx
+                   - CAST(st.s AS HUGEINT)*st.s) AS t_e9
+      FROM cells c JOIN st ON c.pos = st.pos),
+    d AS (
+      SELECT vec_id, label, CAST(SUM(t_e9) AS HUGEINT) AS d_e9
+      FROM terms GROUP BY 1, 2)
+    SELECT vec_id, label,
+           CAST(d_e9 AS DOUBLE) / 1000000000.0 AS m_dist2
+    FROM d ORDER BY d_e9 DESC, vec_id LIMIT {MAHA_TOPK}
+    """,
+    tags=("similarity", "outlier", "mahalanobis", "anomaly", "ml_eval"),
+)
+def mahalanobis_diag_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{MAHA_TOPK} embedding outliers by DIAGONAL-covariance
+    Mahalanobis distance: d²(x) = Σ_d (x_d − μ_d)²/σ²_d — the
+    per-dimension-standardized distance that catches vectors far from
+    the corpus along LOW-variance axes, which raw L2 (and the cosine
+    family) cannot see. The diagonal form is the one that scales: full
+    Mahalanobis needs Σ⁻¹ (embedding_covariance_matrix + a solve);
+    diagonal needs d sufficient-statistic rows and is the standard
+    embedding-space anomaly screen before dedup/clustering.
+
+    Determinism: components quantize to integers once (×{MAHA_Q}); with
+    S, Sxx exact per dimension, (x−μ)²/σ² == (n·v−S)²/(n·Sxx−S²) —
+    n cancels — so every term is an exact integer ratio, quantized by
+    integer division (`div`, truncation identical in both engines) at
+    1e-9 grain and summed order-free as integers; ONE double division
+    at the end.
+
+    Scale (100 TB): one explode pass to (corpus×d) rows feeding a
+    map-side-combinable d-row stats table; the term join broadcasts d
+    rows (planner-gated); top-k is TakeOrderedAndProject."""
+    cells = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ),
+    ).select(
+        "vec_id",
+        "label",
+        F.col("pos"),
+        F.round(F.col("col") * MAHA_Q).cast("long").alias("v"),
+    )
+    dec = "decimal(38,0)"
+    st = cells.groupBy("pos").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum((F.col("v").cast(dec) * F.col("v")).cast(dec)).cast(dec).alias("sxx"),
+    )
+    terms = cells.join(st, "pos").select(
+        "vec_id",
+        "label",
+        # integer `div` matches DuckDB's `//` (both truncate toward 0)
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0))*v - s) * (CAST(n AS DECIMAL(38,0))*v - s)"
+            " * 1000000000 div (CAST(n AS DECIMAL(38,0))*sxx"
+            " - CAST(s AS DECIMAL(38,0))*s) AS DECIMAL(38,0))"
+        ).alias("t_e9"),
+    )
+    d = terms.groupBy("vec_id", "label").agg(
+        F.sum("t_e9").cast(dec).alias("d_e9")
+    )
+    return (
+        d.select(
+            "vec_id",
+            "label",
+            (F.col("d_e9").cast("double") / 1e9).alias("m_dist2"),
+            "d_e9",
+        )
+        .orderBy(F.col("d_e9").desc(), "vec_id")
+        .limit(MAHA_TOPK)
+        .select("vec_id", "label", "m_dist2")
+    )
+
+
+# --- Rocchio nearest-centroid classification (round 10) --------------------------
+@register(
+    "rocchio_centroid_classify",
+    oracle=f"""
+    WITH cells AS (
+      SELECT vec_id, label, i.i AS pos,
+             CAST(ROUND(CAST(embedding[i.i] AS DOUBLE) * {MAHA_Q})
+                  AS BIGINT) AS v
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(range(1, {EMB_DIM} + 1)) AS i) i),
+    cent AS (
+      SELECT label AS clab, pos, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS nl,
+             CAST(SUM(v) AS BIGINT) AS s
+      FROM cells GROUP BY 1, 2),
+    scores AS (
+      SELECT c.vec_id, c.label, ct.clab,
+             CAST(SUM(CAST(c.v AS HUGEINT) * ct.s) AS HUGEINT) AS num,
+             MAX(ct.nl) AS nl
+      FROM cells c JOIN cent ct ON c.pos = ct.pos
+      GROUP BY 1, 2, 3),
+    ranked AS (
+      SELECT vec_id, label, clab,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY CAST(num AS DOUBLE)/CAST(nl AS DOUBLE) DESC, clab
+             ) AS r
+      FROM scores)
+    SELECT label AS true_label, clab AS predicted_label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM ranked WHERE r = 1 GROUP BY 1, 2
+    """,
+    tags=("similarity", "classification", "rocchio", "centroid", "ml_eval"),
+)
+def rocchio_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio / nearest-centroid classification (Rocchio 1971; the
+    nearest-prototype baseline every embedding classifier is measured
+    against): assign each vector to the label whose MEAN EMBEDDING has
+    the highest dot product with it, then emit the confusion matrix
+    against the true labels. One centroid row per (label, dim) makes
+    this the classifier that still works when kNN's per-query top-k
+    scan (knn_classify_embeddings) is too expensive — centroids are a
+    |labels|×d table at any corpus size.
+
+    Determinism: components quantize once (×{MAHA_Q}); centroid sums S
+    and the dot numerators Σ v·S are exact integers (order-free), and
+    the argmax compares num/n_label in ONE double division with a
+    label tie-break, so both engines rank identically.
+
+    Scale (100 TB): one explode pass, one map-side-combinable
+    (label, dim) centroid rollup (bounded — planner broadcasts it),
+    one corpus-side join + per-vector argmax window (entity-
+    partitioned), and a |labels|² confusion rollup."""
+    cells = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ),
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.round(F.col("col") * MAHA_Q).cast("long").alias("v"),
+    )
+    dec = "decimal(38,0)"
+    cent = cells.groupBy(F.col("label").alias("clab"), "pos").agg(
+        F.countDistinct("vec_id").cast("long").alias("nl"),
+        F.sum("v").cast("long").alias("s"),
+    )
+    scores = (
+        cells.join(cent, "pos")
+        .groupBy("vec_id", "label", "clab")
+        .agg(
+            F.sum((F.col("v").cast(dec) * F.col("s")).cast(dec))
+            .cast(dec)
+            .alias("num"),
+            F.max("nl").alias("nl"),
+        )
+    )
+    ranked = scores.select(
+        "vec_id",
+        "label",
+        "clab",
+        F.row_number()
+        .over(
+            W.partitionBy("vec_id").orderBy(
+                (F.col("num").cast("double") / F.col("nl").cast("double")).desc(),
+                "clab",
+            )
+        )
+        .alias("r"),
+    )
+    return (
+        ranked.filter(F.col("r") == 1)
+        .groupBy(
+            F.col("label").alias("true_label"),
+            F.col("clab").alias("predicted_label"),
+        )
+        .agg(F.count("*").cast("long").alias("n_vectors"))
     )

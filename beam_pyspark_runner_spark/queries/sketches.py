@@ -22,6 +22,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from beam_pyspark_runner_spark.functions.hashing import h32, h32_sql
+from beam_pyspark_runner_spark.plans.audit import checkpoint_audited
 from beam_pyspark_runner_spark.queries.registry import register
 from beam_pyspark_runner_spark.sources.readers import load_table
 
@@ -378,7 +379,9 @@ def exact_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_suppkey").alias("cand_key"))
     )
     return (
-        li.join(F.broadcast(cand), li.l_suppkey == F.col("cand_key"), "left_semi")
+        # cand grows as total/THRESHOLD (absolute threshold, so corpus-
+        # proportional) — no broadcast hint (round-10); planner decides.
+        li.join(cand, li.l_suppkey == F.col("cand_key"), "left_semi")
         .groupBy("l_suppkey")
         .agg(F.count("*").alias("exact_n"))
         .withColumn("is_true_heavy", F.col("exact_n") >= CMS_HH_THRESHOLD)
@@ -814,7 +817,12 @@ def sliding_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bitmaps replace (affordable only at fixture scale).
     """
     e = load_table(spark, sf_dir, "events")
-    state = (
+    # Every leg (daily counts, day spine, 7-day merge join) reads the
+    # state, so pin it once instead of re-deriving the raw-event scan
+    # per leg (lazy: computed at first action). On a cluster this is
+    # the persisted daily-bitmap table an incremental pipeline
+    # maintains.
+    state = checkpoint_audited(
         e.select(
             F.date_trunc("day", "ts").cast("date").alias("day"),
             F.col("user_id"),
@@ -822,13 +830,8 @@ def sliding_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", F.bitmap_bucket_number("user_id").alias("bucket"))
         .agg(
             F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm")
-        )
-        # The state table is THE materialization point: every downstream
-        # leg (daily counts, day spine, 7-day merge join) reads it, so pin
-        # it once instead of re-deriving the raw-event scan per leg (lazy:
-        # computed at first action). On a cluster this is the persisted
-        # daily-bitmap table an incremental pipeline maintains.
-        .localCheckpoint(eager=False)
+        ),
+        eager=False,
     )
     daily = (
         state.groupBy("day")

@@ -449,8 +449,10 @@ def stream_session_timeout_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("user_id").alias("m_user"))
         .agg(F.max("ts").alias("max_ts"))
     )
+    # user_max is user-grain (grows with the corpus) — no broadcast
+    # hint (round-10); the planner's size gate decides.
     return (
-        out.join(F.broadcast(user_max), out.user_id == F.col("m_user"))
+        out.join(user_max, out.user_id == F.col("m_user"))
         .filter(F.col("session_end") < F.col("max_ts"))
         .select("user_id", "session_start", "session_end", "n_events")
     )

@@ -2957,8 +2957,11 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (2 * F.col("df") + 1)
         ).cast("double")
     )
+    # dfreq is vocabulary-grain (grows with the corpus under Heaps'
+    # law) — no broadcast hint (round-10); the planner's size gate
+    # broadcasts it while small and shuffles beyond.
     term_scores = (
-        qtf.join(F.broadcast(dfreq), "token")
+        qtf.join(dfreq, "token")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus))
         .select("doc_id", "token", s.alias("s"))
@@ -4732,7 +4735,14 @@ def macro_f1_lang_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("es"),
     ).when(F.col("c_fr") >= F.col("c_zh"), F.lit("fr")).otherwise(F.lit("zh"))
     p = scored.select("lang", pred.alias("predicted"))
-    classes = spark.createDataFrame([(l,) for l in langs], ["cls"])
+    # VALUES, not createDataFrame: the literal class list plans as a
+    # LocalRelation (provably bounded to the audit, constant-foldable)
+    # instead of an opaque LogicalRDD (round-10).
+    classes = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"('{lang}')" for lang in langs)
+        + " AS classes(cls)"
+    )
     cls = (
         p.crossJoin(F.broadcast(classes))
         .groupBy("cls")

@@ -586,8 +586,10 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shipped") > 2600)
         .select("l_suppkey")
     )
+    # heavy is supplier-grain (grows with the corpus) — no broadcast
+    # hint (round-10); the planner's size gate decides.
     return (
-        s.join(F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi")
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
     )

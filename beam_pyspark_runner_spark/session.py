@@ -84,3 +84,21 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def drain_listener_bus(spark: SparkSession) -> None:
+    """Block until the async listener bus has processed all posted events.
+
+    Queries that create session-shared temp views and drop them on the
+    way out race the ``ExecutionListenerBus``: listeners (e.g. the
+    observation manager) may re-analyze a finished query's plan AFTER
+    the views it referenced are dropped, logging a spurious
+    ``TABLE_OR_VIEW_NOT_FOUND`` ERROR. Draining the bus between the
+    last action and the drop removes the race. Driver-side wait only —
+    no job, no data movement; the private-but-stable ``waitUntilEmpty``
+    is guarded so a future Spark rename degrades to a no-op instead of
+    breaking queries."""
+    try:
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+    except Exception:
+        pass

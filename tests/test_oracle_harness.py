@@ -75,9 +75,17 @@ def test_driver_window_spans_all_operator_families():
 
     certified = set(window)
     root = Path(__file__).resolve().parent.parent
+    # A query counts as certified only on hash_match (values verified),
+    # never on rows_match alone — right row count with wrong values must
+    # not satisfy family coverage (round-10 ADVICE fix). The one query
+    # that is rows-only BY DESIGN (no SQL-expressible oracle) is listed
+    # explicitly.
+    rows_only_by_design = {"cosine_topk_vectorized"}
     for path in glob.glob(str(root / "CORRECTNESS_r*.json")):
         for name, rec in json.load(open(path)).items():
-            if rec.get("hash_match") or rec.get("rows_match"):
+            if rec.get("hash_match") or (
+                name in rows_only_by_design and rec.get("rows_match")
+            ):
                 certified.add(name)
     covered = {
         t for n in certified if n in REGISTRY for t in REGISTRY[n].tags

@@ -1789,9 +1789,12 @@ def test_parse_plan_recovers_tree_structure(spark, tree):
 
 def test_bounded_rules_unit_cases(spark):
     """Unit pins for the audit's bounding rules: Range spines bound only
-    up to RANGE_CAP; LogicalRDD (localCheckpoint) bounds; a raw
-    Relation does not; a key-probe filter over a leaf bounds, a
-    category-equality filter does not."""
+    up to RANGE_CAP; LogicalRDD (localCheckpoint) does NOT bound — the
+    plan text carries no evidence about the pinned segment's size (the
+    round-9 blind spot); a raw Relation does not; a key-probe filter
+    over a leaf bounds only against a literal, never another column; a
+    category-equality filter does not; an Aggregate bounds only when
+    its grouping keys are provably low-cardinality."""
     from tests.broadcast_audit import RANGE_CAP, _bounded, parse_plan
 
     def bounded(text):
@@ -1799,11 +1802,46 @@ def test_bounded_rules_unit_cases(spark):
 
     assert bounded(f"Range (0, {RANGE_CAP}, step=1, splits=None)")
     assert not bounded(f"Range (0, {RANGE_CAP * 2}, step=1, splits=None)")
-    assert bounded("LogicalRDD [x#1L], false")
+    assert not bounded("LogicalRDD [x#1L], false")
     assert not bounded("Relation [x#1L] parquet")
     assert bounded(
         "Filter (vec_id#3L = 0)\n+- Relation [vec_id#3L] parquet"
     )
+    # column-to-column equality selects a corpus fraction, not a probe row
+    assert not bounded(
+        "Filter (vec_id#3L = other_id#4L)\n+- Relation [vec_id#3L,other_id#4L] parquet"
+    )
     assert not bounded(
         "Filter (p_brand#3 = Brand#23)\n+- Relation [p_brand#3] parquet"
+    )
+    rel = "+- Relation [o_custkey#1L,ts#2] parquet"
+    # global aggregate: one output row
+    assert bounded(f"Aggregate [count(1) AS n#9L]\n{rel}")
+    # entity-grain grouping key: output grows with the corpus
+    assert not bounded(
+        f"Aggregate [o_custkey#1L], [o_custkey#1L, count(1) AS d#9L]\n{rel}"
+    )
+    # constant-dim foreign key: nation is 25 rows at every scale factor
+    assert bounded(
+        "Aggregate [c_nationkey#2L], [c_nationkey#2L, count(1) AS n#9L]\n"
+        "+- Relation [c_custkey#1L,c_nationkey#2L] parquet"
+    )
+    # literal-modulus bucket behind Catalyst's _groupingexpression alias
+    assert bounded(
+        "Aggregate [_groupingexpression#7], [_groupingexpression#7 AS band#5, count(1) AS n#9L]\n"
+        "+- Project [pmod(hash(o_custkey#1L, 42), 8) AS _groupingexpression#7]\n"
+        f"   {rel}"
+    )
+    # calendar-grain key: grows with elapsed time, not data volume
+    assert bounded(
+        "Aggregate [_groupingexpression#7], [_groupingexpression#7 AS d#5, count(1) AS n#9L]\n"
+        "+- Project [cast(ts#2 as date) AS _groupingexpression#7]\n"
+        f"   {rel}"
+    )
+    # entity-grain agg over an already-bounded subtree still certifies
+    # via recursion into its children
+    assert bounded(
+        "Aggregate [x#1L], [x#1L, count(1) AS n#9L]\n"
+        "+- GlobalLimit 21\n"
+        "   +- Relation [x#1L] parquet"
     )

@@ -1340,19 +1340,26 @@ def test_winnowed_contamination_exchanges_confined_to_keys(spark):
 
 
 def test_round7_new_query_plan_shapes(spark):
-    """Round-7 additions keep their 100 TB contracts: bm25's df/corpus
-    statistics ride broadcasts (the corpus-sized tf table is never on
-    the build side of a shuffle join), the covariance matrix contains
-    NO join over corpus rows (dimension-keyed aggregation only, the
-    broadcasts are d-row), and the binned interval join is a keyed
-    equi-join — no BroadcastNestedLoopJoin, which is what the raw
-    BETWEEN predicate would have compiled to."""
+    """Round-7 additions keep their 100 TB contracts: bm25 joins its
+    statistics on (token, doc_id) keys only — no Cartesian blowup, no
+    Python in the plan (round-10: the vocabulary-grain dfreq table
+    lost its forced-broadcast hint, so the planner may legitimately
+    pick a shuffle join for it; the pin is the join KEYS, not the
+    physical strategy) — the covariance matrix contains NO join over
+    corpus rows (dimension-keyed aggregation only, the broadcasts are
+    d-row), and the binned interval join is a keyed equi-join — no
+    BroadcastNestedLoopJoin, which is what the raw BETWEEN predicate
+    would have compiled to."""
     import re
 
     plan = _executed_plan_of(spark, "bm25_topk")
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" not in plan  # dfreq/corpus joins all broadcast
     assert "Python" not in plan
+    keys = {
+        k.split(",")[0].split("#")[0].strip()
+        for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    assert keys <= {"token", "doc_id"}, keys
 
     plan = _executed_plan_of(spark, "embedding_covariance_matrix")
     assert "CartesianProduct" not in plan
@@ -1361,7 +1368,8 @@ def test_round7_new_query_plan_shapes(spark):
         k.split(",")[0].split("#")[0].strip()
         for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     }
-    assert keys <= {"i", "j"}, keys  # only dimension-keyed aggregation
+    # only dimension-keyed aggregation (dim_i/dim_j since round 10)
+    assert keys <= {"dim_i", "dim_j"}, keys
 
     plan = _executed_plan_of(spark, "binned_interval_join")
     assert "BroadcastNestedLoopJoin" not in plan
@@ -1430,11 +1438,12 @@ def test_round7_ml_and_sweep_plan_shapes(spark):
     """lsh_band_sweep must feed all three band configs from ONE
     signature aggregation (exchanges on the shingle/bucket/pair keys
     only — a per-config re-aggregation would show extra doc_id
-    exchanges); ALS keeps the factor join broadcast (corpus never on a
-    shuffle-join build side) and solves in codegen (no Python); the
-    stump evaluates every split without any corpus-row window (its only
-    exchanges build the month histogram and the single-partition
-    84-row prefix frame)."""
+    exchanges); ALS solves in codegen (no Python) and joins only on
+    its rating/factor keys (round-10: the item-grain factor table lost
+    its forced-broadcast hint — the planner picks the strategy, the
+    pin is the join KEYS); the stump evaluates every split without any
+    corpus-row window (its only exchanges build the month histogram
+    and the single-partition 84-row prefix frame)."""
     import re
 
     plan = _executed_plan_of(spark, "lsh_band_sweep")
@@ -1443,7 +1452,6 @@ def test_round7_ml_and_sweep_plan_shapes(spark):
 
     plan = _executed_plan_of(spark, "als_user_factor_solve")
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" not in plan  # item-factor join broadcast
     assert "Python" not in plan
     keys = {
         k.split(",")[0].split("#")[0].strip()
@@ -1653,35 +1661,12 @@ def test_safety_stock_topk_is_takeordered(spark):
 # silently.
 
 
-def _unpartitioned_ordered_windows(plan: str) -> list[str]:
-    """Window operator lines of the form `Window [exprs], [order]` —
-    i.e. ordered but unpartitioned. Partitioned-unordered windows also
-    print two bracket groups but their second group carries no
-    ASC/DESC sort direction."""
-    hits = []
-    for line in plan.splitlines():
-        s = line.strip().lstrip("+-: ")
-        if not s.startswith("Window "):
-            continue
-        body, groups, depth, cur = s[len("Window "):], [], 0, ""
-        for ch in body:
-            if ch == "[":
-                depth += 1
-                if depth == 1:
-                    cur = ""
-                    continue
-            elif ch == "]":
-                depth -= 1
-                if depth == 0:
-                    groups.append(cur)
-                    continue
-            if depth >= 1:
-                cur += ch
-        if len(groups) == 2 and (
-            " ASC" in groups[1] or " DESC" in groups[1]
-        ):
-            hits.append(groups[1][:80])
-    return hits
+# Moved into the package in round 10 (plans/audit.py) so
+# checkpoint_audited can run the same detector on pinned segments at
+# construction time; this alias keeps the test-local name.
+from beam_pyspark_runner_spark.plans.audit import (  # noqa: E402
+    unpartitioned_ordered_windows as _unpartitioned_ordered_windows,
+)
 
 
 def test_window_detector_positive_and_negative(spark):
@@ -1880,6 +1865,32 @@ def test_broadcast_detector_positive_and_negative(spark):
     )
     assert not bad_sides(c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
 
+    # Round-10 tightening (verdict #2): an Aggregate bounds only when
+    # its grouping keys are provably low-cardinality. A hinted
+    # broadcast of an ENTITY-grain aggregate — the degree-table /
+    # distinct-user shape — grows linearly with the corpus and must
+    # flag; a literal-modulus bucket aggregate and a calendar-grain
+    # rollup must still pass.
+    deg = o.groupBy("o_custkey").agg(F.count("*").alias("d"))
+    assert bad_sides(o.join(F.broadcast(deg), "o_custkey"))
+    buckets = o.groupBy(
+        F.pmod(F.hash("o_custkey"), F.lit(32)).alias("band")
+    ).count()
+    assert not bad_sides(
+        o.withColumn("band", F.pmod(F.hash("o_custkey"), F.lit(32))).join(
+            F.broadcast(buckets), "band"
+        )
+    )
+    days = o.groupBy(F.col("o_orderdate").alias("day")).count()
+    assert not bad_sides(
+        o.join(F.broadcast(days), o.o_orderdate == days.day)
+    )
+    # a checkpointed segment (LogicalRDD) carries no size evidence:
+    # hint-broadcasting it must flag even though the segment happens
+    # to be tiny here
+    pinned = o.limit(50).localCheckpoint()
+    assert bad_sides(o.join(F.broadcast(pinned), "o_orderkey"))
+
 
 @pytest.mark.skipif(
     __import__("os").environ.get("SPARK_GRAFT_SCALE_GATE", "0") != "1",
@@ -2005,3 +2016,59 @@ def test_all_cross_joins_have_a_bounded_side_or_tag(spark):
         if hits and "bounded_cross" not in q.tags:
             offenders[name] = hits
     assert not offenders, offenders
+
+
+# --- round 10: checkpoint governance (verdict #3) ------------------------------
+# A localCheckpoint cuts lineage, so whatever executed inside the pinned
+# segment — hinted broadcasts, Cartesian joins, single-task windows — is
+# invisible to every post-hoc plan audit (round-9 finding: k_core ran six
+# broadcast joins no audit could see). The mandated route is
+# plans.audit.checkpoint_audited, which runs all three auditors on the
+# segment's optimized plan BEFORE materializing.
+
+
+def test_query_code_never_checkpoints_directly():
+    """Every checkpoint in query code must go through checkpoint_audited
+    (or carry a site-recorded adjudication through it) — a direct
+    .localCheckpoint()/.checkpoint() call silently exempts its segment
+    from plan governance."""
+    import glob
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent / "beam_pyspark_runner_spark"
+    offenders = []
+    for path in glob.glob(str(root / "queries" / "*.py")) + glob.glob(
+        str(root / "streaming" / "*.py")
+    ):
+        src = open(path).read()
+        for lineno, line in enumerate(src.splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if ".localCheckpoint(" in code or ".checkpoint(" in code:
+                offenders.append(f"{path}:{lineno}")
+    assert not offenders, offenders
+
+
+def test_checkpoint_audited_rejects_corpus_grain_broadcast(spark):
+    """The construction-time audit must reproduce the k_core bug class:
+    pinning a segment that hint-broadcasts an entity-grain aggregate
+    raises; the same segment passes once adjudicated, and a governed
+    segment pins clean."""
+    import pytest as _pytest
+
+    from beam_pyspark_runner_spark.plans.audit import checkpoint_audited
+
+    o = load_table(spark, SF_CORRECT, "orders")
+    deg = o.groupBy("o_custkey").agg(F.count("*").alias("d"))
+    bad = o.join(F.broadcast(deg), "o_custkey")
+    with _pytest.raises(RuntimeError, match="plan governance"):
+        checkpoint_audited(bad)
+    # single-task ordered window inside the segment must also raise
+    from pyspark.sql import Window as _W
+
+    ranked = o.withColumn("rn", F.row_number().over(_W.orderBy("o_orderkey")))
+    with _pytest.raises(RuntimeError, match="unpartitioned ordered window"):
+        checkpoint_audited(ranked)
+    # the recorded-adjudication escape hatch and the governed path both pin
+    assert checkpoint_audited(bad, adjudicated="detector test").count() > 0
+    good = o.join(F.broadcast(deg.limit(10)), "o_custkey")
+    assert checkpoint_audited(good).count() >= 0
