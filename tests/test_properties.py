@@ -1845,3 +1845,129 @@ def test_bounded_rules_unit_cases(spark):
         "+- GlobalLimit 21\n"
         "   +- Relation [x#1L] parquet"
     )
+
+
+# --- round 10: grubbs integer formula == rational textbook formula -------------
+@_settings
+@given(vals=st.lists(st.integers(0, 10_000), min_size=3, max_size=40))
+def test_grubbs_integer_formula_matches_rational(spark, vals):
+    """grubbs_max_deviate's all-integer sufficient-statistic form
+    G = max|n·x − S| / √(n(n·Sxx − S²)/(n−1)) must equal the textbook
+    max|x − x̄|/s computed with exact rationals — the n-scaling is a
+    representation change, never a value change (identical doubles)."""
+    from fractions import Fraction
+    from math import sqrt
+
+    n, s = len(vals), sum(vals)
+    sxx = sum(v * v for v in vals)
+    if n * sxx == s * s:  # zero variance: G undefined in both forms
+        return
+    dev = max(n * max(vals) - s, s - n * min(vals))
+    g_int = dev / sqrt((n * (n * sxx - s * s)) / (n - 1))
+
+    mean = Fraction(s, n)
+    var = (Fraction(sxx, n) - mean * mean) * Fraction(n, n - 1)
+    g_ref = float(max(abs(Fraction(v) - mean) for v in vals)) / sqrt(var)
+    assert abs(g_int - g_ref) <= 1e-9 * max(1.0, abs(g_ref))
+
+
+# --- round 10: mann-kendall pairwise fold == brute force -----------------------
+@_settings
+@given(vals=st.lists(st.integers(0, 50), min_size=2, max_size=40))
+def test_mann_kendall_stats_match_brute_force(spark, vals):
+    """mann_kendall_trend's S (pairwise sign sum) and tie-corrected
+    variance must match the O(n²) textbook definition on arbitrary
+    integer series: Var = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18."""
+    n = len(vals)
+    s_brute = sum(
+        (vals[j] > vals[i]) - (vals[j] < vals[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    tt = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(vals).values()
+    )
+    var = (n * (n - 1) * (2 * n + 5) - tt) / 18.0
+    assert var >= 0
+    # the query's Z never divides by zero when S != 0 (S != 0 implies
+    # at least one strict pair, so not all values tie and var > 0)
+    if s_brute != 0:
+        assert var > 0
+
+
+# --- round 10: RBO integer-coefficient fold == direct float formula ------------
+@_settings
+@given(
+    dmins=st.lists(st.integers(1, 10), min_size=0, max_size=10),
+)
+def test_rbo_integer_fold_matches_float_formula(spark, dmins):
+    """rank_biased_overlap's exact-integer coefficient fold
+    Σ A_d·c_d / (lcm·10^k) must equal the direct float formula
+    Σ (1−p)p^(d−1)·A_d/d to float precision, and two identical
+    rankings must score exactly Σ(1−p)p^(d−1) = 1 − p^k."""
+    from beam_pyspark_runner_spark.queries.relational import (
+        RBO_COEFFS,
+        RBO_DEN,
+        RBO_K,
+        RBO_P,
+    )
+
+    a = [sum(1 for m in dmins if m <= d) for d in range(1, RBO_K + 1)]
+    rbo_int = sum(ad * c for ad, c in zip(a, RBO_COEFFS)) / RBO_DEN
+    rbo_float = sum(
+        (1 - RBO_P) * RBO_P ** (d - 1) * a[d - 1] / d
+        for d in range(1, RBO_K + 1)
+    )
+    assert abs(rbo_int - rbo_float) <= 1e-12
+    # identical top-k lists: dmin = d for the d-th shared item
+    ident = [sum(1 for m in range(1, RBO_K + 1) if m <= d) for d in range(1, RBO_K + 1)]
+    ident_rbo = sum(ad * c for ad, c in zip(ident, RBO_COEFFS)) / RBO_DEN
+    assert abs(ident_rbo - (1 - RBO_P ** RBO_K)) <= 1e-12
+
+
+# --- round 10: mahalanobis n-cancellation identity ------------------------------
+@_settings
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=2, max_size=30),
+    x=st.integers(-1000, 1000),
+)
+def test_mahalanobis_term_identity(spark, vals, x):
+    """mahalanobis_diag_outliers' integer term (n·v − S)²/(n·Sxx − S²)
+    must equal the textbook (v − μ)²/σ² with population moments — the
+    n-cancellation is exact, verified with rationals."""
+    from fractions import Fraction
+
+    n, s = len(vals), sum(vals)
+    sxx = sum(v * v for v in vals)
+    if n * sxx == s * s:
+        return
+    lhs = Fraction((n * x - s) ** 2, n * sxx - s * s)
+    mu = Fraction(s, n)
+    var = Fraction(sxx, n) - mu * mu
+    rhs = (Fraction(x) - mu) ** 2 / var
+    assert lhs == rhs
+
+
+# --- round 10: audit expression-list parsers round-trip -------------------------
+@_settings
+@given(
+    items=st.lists(
+        st.text(
+            alphabet="abcz_#0123456789 ",
+            min_size=1,
+            max_size=12,
+        ).map(str.strip).filter(bool),
+        min_size=1,
+        max_size=6,
+    ),
+    depth=st.integers(0, 3),
+)
+def test_audit_comma_splitter_round_trips(spark, items, depth):
+    """plans.audit._split_top_commas must recover exactly the top-level
+    items when each is wrapped in `depth` layers of parens/brackets —
+    the Aggregate-rule parser depends on this split."""
+    from beam_pyspark_runner_spark.plans.audit import _split_top_commas
+
+    wrapped = [("(" * depth) + it + (")" * depth) for it in items]
+    joined = ", ".join(wrapped)
+    assert _split_top_commas(joined) == wrapped
