@@ -2072,3 +2072,61 @@ def test_checkpoint_audited_rejects_corpus_grain_broadcast(spark):
     assert checkpoint_audited(bad, adjudicated="detector test").count() > 0
     good = o.join(F.broadcast(deg.limit(10)), "o_custkey")
     assert checkpoint_audited(good).count() >= 0
+
+
+# --- round 10: new-query plan pins ----------------------------------------------
+def test_round10_queries_stay_jvm_side(spark):
+    """None of the round-10 queries may fall out of codegen into
+    Python — every one is built from exact integer aggregates, bounded
+    windows, and built-in functions."""
+    for name in (
+        "mann_kendall_trend",
+        "cochran_armitage_trend",
+        "sax_symbolization",
+        "rank_biased_overlap",
+        "grubbs_max_deviate",
+        "mahalanobis_diag_outliers",
+        "rocchio_centroid_classify",
+    ):
+        assert "Python" not in _plan_of(spark, name), name
+
+
+def test_round10_pairwise_stages_are_calendar_bounded(spark):
+    """mann_kendall's pairwise sign stage must join two DATE-grain
+    aggregates (days² pairs, corpus-independent) — both join inputs sit
+    above the daily HashAggregate, never on raw lineitem rows."""
+    plan = _executed_plan_of(spark, "mann_kendall_trend")
+    assert "CartesianProduct" not in plan
+    # the only corpus-sized exchanges build the daily rollup
+    import re
+
+    keys = {
+        k.split(",")[0].split("#")[0].strip()
+        for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    assert keys <= {"d", "v", "d1", "d2", "_groupingexpression"}, keys
+
+
+def test_round10_aggregate_only_shapes_are_window_free(spark):
+    """cochran_armitage and grubbs are pure aggregate pipelines: a
+    Window operator appearing in either means a global sort snuck in."""
+    for name in ("cochran_armitage_trend", "grubbs_max_deviate"):
+        assert "Window" not in _plan_of(spark, name), name
+
+
+def test_round10_entity_partitioned_windows(spark):
+    """rocchio's argmax window must partition by vec_id (entity grain);
+    sax is window-free (groupBy + ordered-array fold only)."""
+    import re
+
+    plan = _plan_of(spark, "rocchio_centroid_classify")
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert spec.split(",")[0].strip().startswith("vec_id"), spec
+    assert "Window" not in _plan_of(spark, "sax_symbolization")
+
+
+def test_round10_topk_uses_takeordered(spark):
+    """mahalanobis' top-10 must compile to TakeOrderedAndProject
+    (per-partition heaps), never a global Sort."""
+    plan = _executed_plan_of(spark, "mahalanobis_diag_outliers")
+    assert "TakeOrderedAndProject" in plan
