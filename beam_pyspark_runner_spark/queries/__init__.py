@@ -165,7 +165,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # -- oracle-MATCH on registration day): mann_kendall_trend,
 # cochran_armitage_trend, sax_symbolization, rank_biased_overlap,
 # grubbs_max_deviate, mahalanobis_diag_outliers,
-# rocchio_centroid_classify
+# rocchio_centroid_classify, ngram_contamination_audit
 
 
 def _apply_driver_window() -> None:

@@ -2136,3 +2136,81 @@ def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weighted_jaccard"),
         )
     )
+
+
+# --- train/test n-gram contamination audit (round 10) -----------------------------
+CONTAM_TEST_MOD = 10  # every 10th doc is "the benchmark/test split"
+
+
+@register(
+    "ngram_contamination_audit",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    test_sh AS (SELECT doc_id, s FROM sh WHERE doc_id % {CONTAM_TEST_MOD} = 0),
+    train_g AS (SELECT DISTINCT s FROM sh
+                WHERE doc_id % {CONTAM_TEST_MOD} <> 0),
+    hits AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN g.s IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit
+      FROM test_sh t LEFT JOIN train_g g ON t.s = g.s
+      GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test_docs,
+           CAST(SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           CAST(SUM(CASE WHEN n_hit = n_grams THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fully_contained,
+           CAST(SUM(n_hit) AS DOUBLE) / CAST(SUM(n_grams) AS DOUBLE)
+               AS gram_overlap_rate
+    FROM hits
+    """,
+    tags=("dedup", "contamination", "decontamination", "ngram",
+          "train_test_split"),
+)
+def ngram_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: what fraction of the TEST split's
+    word {SHINGLE_K}-grams — and how many whole test documents — leak
+    from the TRAIN split? This is the decontamination check every
+    serious pretraining pipeline runs before reporting eval numbers
+    (GPT-3 appendix C and PaLM both document exactly this n-gram
+    overlap procedure); dup_ngram_spans finds repeated spans WITHIN a
+    corpus, this one measures leakage ACROSS the train/test cut that
+    temporal_group_split-style assembly produces. Emits the doc-level
+    contamination count (any shared gram), the fully-contained count
+    (every gram leaked — memorization risk), and the corpus-level gram
+    overlap rate.
+
+    Scale (100 TB): the shingle explosion feeds one distinct per split;
+    the audit is ONE equi-join on the gram key (bucketed by Spark's
+    hash partitioning, never all-pairs) plus a doc-grain rollup and a
+    global fold. No broadcast hints — the train gram table is
+    vocabulary-grain and the planner decides."""
+    sh = _shingle_df(spark, sf_dir)
+    test_sh = sh.filter(F.pmod(F.col("doc_id"), CONTAM_TEST_MOD) == 0)
+    train_g = (
+        sh.filter(F.pmod(F.col("doc_id"), CONTAM_TEST_MOD) != 0)
+        .select("s")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    hits = (
+        test_sh.join(train_g, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+    )
+    return hits.agg(
+        F.count("*").cast("long").alias("n_test_docs"),
+        F.sum(F.when(F.col("n_hit") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.sum(F.when(F.col("n_hit") == F.col("n_grams"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_fully_contained"),
+        (
+            F.sum("n_hit").cast("double") / F.sum("n_grams").cast("double")
+        ).alias("gram_overlap_rate"),
+    )

@@ -2130,3 +2130,18 @@ def test_round10_topk_uses_takeordered(spark):
     (per-partition heaps), never a global Sort."""
     plan = _executed_plan_of(spark, "mahalanobis_diag_outliers")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_round10_contamination_join_is_gram_keyed(spark):
+    """ngram_contamination_audit must stay an equi-join on the gram key
+    (plus the doc-grain rollup) — never Cartesian, never Python."""
+    import re
+
+    plan = _executed_plan_of(spark, "ngram_contamination_audit")
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    keys = {
+        k.split(",")[0].split("#")[0].strip()
+        for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    assert keys <= {"s", "doc_id"}, keys
