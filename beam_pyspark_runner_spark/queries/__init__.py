@@ -161,11 +161,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # goodman_kruskal_gamma, page_hinkley_drift, granger_causality_lag1,
 # bridge_table_weighted_rollup, edge_triangle_support,
 # simplified_silhouette
-# -- round-10 net-new registrations (7, <= the 10 cap; all dual-scale
+# -- round-10 net-new registrations (10, == the 10 cap; all dual-scale
 # -- oracle-MATCH on registration day): mann_kendall_trend,
 # cochran_armitage_trend, sax_symbolization, rank_biased_overlap,
 # grubbs_max_deviate, mahalanobis_diag_outliers,
-# rocchio_centroid_classify, ngram_contamination_audit
+# rocchio_centroid_classify, ngram_contamination_audit,
+# nn_descent_round_recall, cooks_distance_influence
 
 
 def _apply_driver_window() -> None:

@@ -9690,3 +9690,187 @@ def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(coeff * F.col("a_d")).cast("double") / float(RBO_DEN)
         ).alias("rbo"),
     )
+
+
+# --- OLS influence diagnostics (round 10) -----------------------------------
+
+_COOKS_TOP = 3  # most-influential months reported per nation
+
+
+@register(
+    "cooks_distance_influence",
+    oracle=f"""
+    WITH m AS (
+        SELECT c_nationkey AS nationkey,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                   AS x,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) * 100
+                    AS BIGINT) AS y
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM m GROUP BY 1
+    ),
+    f AS (
+        SELECT m.nationkey, m.x, m.y, s.n,
+               s.n * s.sxx - s.sx * s.sx AS sxx_n,
+               CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE)
+                   / CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE) AS slope,
+               s.sx, s.sy
+        FROM m JOIN s ON s.nationkey = m.nationkey
+        WHERE s.n >= 3
+    ),
+    r AS (
+        SELECT nationkey, x, n, sxx_n,
+               sxx_n + (n * x - sx) * (n * x - sx) AS hnum,
+               n * sxx_n AS hden,
+               CAST(FLOOR(
+                   (CAST(y AS DOUBLE) - slope * CAST(x AS DOUBLE)
+                    - (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE))
+                   * (CAST(y AS DOUBLE) - slope * CAST(x AS DOUBLE)
+                      - (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                        / CAST(n AS DOUBLE))
+                   / 10000.0) AS BIGINT) AS sq
+        FROM f
+    ),
+    g AS (
+        SELECT nationkey, x, n, hnum, hden, sq,
+               SUM(sq) OVER (PARTITION BY nationkey) AS sse
+        FROM r
+    ),
+    d AS (
+        SELECT nationkey, x,
+               CAST(hnum * 1000000 // hden AS BIGINT) AS leverage_e6,
+               CAST(FLOOR(
+                   CAST(sq AS DOUBLE) * CAST(hnum AS DOUBLE)
+                   * CAST(hden AS DOUBLE) * CAST(n - 2 AS DOUBLE)
+                   * 1000000.0
+                   / (2.0 * CAST(sse AS DOUBLE)
+                      * CAST(hden - hnum AS DOUBLE)
+                      * CAST(hden - hnum AS DOUBLE))
+               ) AS BIGINT) AS cooks_e6
+        FROM g WHERE sse > 0
+    )
+    SELECT nationkey, x AS month_x, leverage_e6, cooks_e6,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY nationkey
+                                     ORDER BY cooks_e6 DESC, x) AS rnk
+        FROM d
+    ) WHERE rnk <= {_COOKS_TOP}
+    """,
+    tags=("statistics", "regression", "influence", "outlier"),
+)
+def cooks_distance_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance (Cook 1977) per nation-month revenue trend: for
+    the simple OLS of monthly revenue on month index, D_i measures how
+    much the fitted line moves if month i is deleted — D_i =
+    e_i^2/(p*s^2) * h_i/(1-h_i)^2 with leverage h_i = 1/n +
+    (x_i-xbar)^2/Sxx. The top-{_COOKS_TOP} months per nation are the
+    observations that DOMINATE the trend estimate — the influence
+    audit that complements ols_trend_per_group (fit), theil_sen_slope
+    (robust fit) and huber_m_estimator_irls (robust weights): those
+    tell you the trend, this tells you which rows to distrust before
+    believing it. Arithmetic discipline: h_i is the exact integer
+    rational (Sxx_n + (n*x_i - Sx)^2) / (n*Sxx_n); residuals come from
+    exact BIGINT sufficient statistics through a fixed double op tree,
+    squared and floor-quantized so SSE is an exact integer sum; D_i is
+    one deterministic double expression over those integers, floored
+    to 1e-6 — every division happens in the same order in both
+    engines (the simplified_silhouette / mahalanobis idiom).
+
+    Scale (100 TB): one orders->customer join (AQE decides the
+    strategy), a (nation, month) rollup — the aggregate is
+    calendar x dimension grain, so every later stage is tiny — a
+    per-nation stats join back, and nation-partitioned windows.
+    Nothing corpus-grain past the first aggregate; no hints."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    m = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(20,2)")) * 100)
+            .cast("long")
+            .alias("y")
+        )
+    )
+    s = m.groupBy("nationkey").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    f = (
+        m.join(s, "nationkey")
+        .filter(F.col("n") >= 3)
+        .withColumn("sxx_n", F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .withColumn(
+            "slope",
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+        )
+    )
+    e_d = (
+        F.col("y").cast("double")
+        - F.col("slope") * F.col("x").cast("double")
+        - (F.col("sy").cast("double") - F.col("slope") * F.col("sx").cast("double"))
+        / F.col("n").cast("double")
+    )
+    r = f.select(
+        "nationkey",
+        "x",
+        "n",
+        "sxx_n",
+        (
+            F.col("sxx_n")
+            + (F.col("n") * F.col("x") - F.col("sx"))
+            * (F.col("n") * F.col("x") - F.col("sx"))
+        ).alias("hnum"),
+        (F.col("n") * F.col("sxx_n")).alias("hden"),
+        F.floor(e_d * e_d / F.lit(10000.0)).cast("long").alias("sq"),
+    )
+    g = r.withColumn("sse", F.sum("sq").over(W.partitionBy("nationkey")))
+    cooks = (
+        F.col("sq").cast("double")
+        * F.col("hnum").cast("double")
+        * F.col("hden").cast("double")
+        * (F.col("n") - 2).cast("double")
+        * F.lit(1000000.0)
+        / (
+            F.lit(2.0)
+            * F.col("sse").cast("double")
+            * (F.col("hden") - F.col("hnum")).cast("double")
+            * (F.col("hden") - F.col("hnum")).cast("double")
+        )
+    )
+    d = g.filter(F.col("sse") > 0).select(
+        "nationkey",
+        "x",
+        F.expr("hnum * 1000000 div hden").alias("leverage_e6"),
+        F.floor(cooks).cast("long").alias("cooks_e6"),
+    )
+    w = W.partitionBy("nationkey").orderBy(F.col("cooks_e6").desc(), "x")
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _COOKS_TOP)
+        .select(
+            "nationkey",
+            F.col("x").alias("month_x"),
+            "leverage_e6",
+            "cooks_e6",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -4077,3 +4077,183 @@ def rocchio_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n_vectors"))
     )
+
+
+# --- NN-descent (round 10) -------------------------------------------------
+
+K_NND = 5  # neighbor-list width for the NN-descent graph
+N_NND_PROBES = 16  # vec_id < N_NND_PROBES get exact ground truth
+_NND_A = 131071  # 2^17 - 1: id mixer, id*A stays < 2^63 up to ~7e13 ids
+_NND_B = 524287  # 2^19 - 1: slot mixer
+
+
+@register(
+    "nn_descent_round_recall",
+    oracle=f"""
+    WITH nv AS (SELECT COUNT(*) AS n_vec FROM embeddings),
+    init AS (
+        SELECT DISTINCT vec_id,
+               (vec_id * {_NND_A} + j * {_NND_B}) % n_vec AS nbr
+        FROM embeddings CROSS JOIN nv
+        CROSS JOIN (SELECT UNNEST(range(1, {K_NND} + 1)) AS j)
+        WHERE (vec_id * {_NND_A} + j * {_NND_B}) % n_vec <> vec_id
+    ),
+    expand AS (
+        SELECT a.vec_id, b.nbr
+        FROM init a JOIN init b ON a.nbr = b.vec_id
+        WHERE b.nbr <> a.vec_id
+    ),
+    cand AS (
+        SELECT DISTINCT vec_id, nbr FROM (
+            SELECT vec_id, nbr FROM init
+            UNION ALL SELECT vec_id, nbr FROM expand
+        )
+    ),
+    e AS (SELECT vec_id, {_EMB_DBL} AS emb FROM embeddings),
+    scored AS (
+        SELECT c.vec_id, c.nbr,
+               {_cos_sql('eu.emb', 'ew.emb')} AS cosine
+        FROM cand c
+        JOIN e eu ON eu.vec_id = c.vec_id
+        JOIN e ew ON ew.vec_id = c.nbr
+    ),
+    r1 AS (
+        SELECT vec_id, nbr FROM (
+            SELECT vec_id, nbr,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cosine DESC, nbr) AS rnk
+            FROM scored
+        ) WHERE rnk <= {K_NND}
+    ),
+    gt AS (
+        SELECT vec_id, nbr FROM (
+            SELECT q.vec_id, c.vec_id AS nbr,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_cos_sql('q.emb', 'c.emb')} DESC, c.vec_id
+                   ) AS rnk
+            FROM e q JOIN e c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_NND_PROBES}
+        ) WHERE rnk <= {K_NND}
+    ),
+    ncand AS (
+        SELECT vec_id, COUNT(*) AS n_cand FROM cand
+        WHERE vec_id < {N_NND_PROBES} GROUP BY vec_id
+    )
+    SELECT g.vec_id,
+           CAST(MAX(n.n_cand) AS BIGINT) AS n_cand,
+           CAST(COUNT(i.nbr) AS BIGINT) AS init_hits,
+           CAST(COUNT(r.nbr) AS BIGINT) AS round1_hits
+    FROM gt g
+    JOIN ncand n ON n.vec_id = g.vec_id
+    LEFT JOIN init i ON i.vec_id = g.vec_id AND i.nbr = g.nbr
+    LEFT JOIN r1 r ON r.vec_id = g.vec_id AND r.nbr = g.nbr
+    GROUP BY g.vec_id
+    """,
+    tags=("similarity", "ann", "nn_descent", "graph", "llm_data"),
+)
+def nn_descent_round_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One NN-descent round (Dong, Moses & Li, WWW 2011) with exact
+    recall audit: start from a DETERMINISTIC pseudo-random K-neighbor
+    graph (modular id mixing, so the oracle rebuilds it bit-identically),
+    expand each list with its neighbors-of-neighbors, score every
+    candidate edge with exact cosine, and keep the best K per node —
+    the graph-construction step behind HNSW/NN-descent ANN indexes,
+    which IVF/LSH (the repo's other ANN paths) do not cover. For a
+    literal probe set the query also computes brute-force ground truth
+    and reports init vs post-round hit counts as INTEGERS (recall = 
+    hits/K), so the oracle match is exact arithmetic end to end; the
+    round-1 hit count provably dominates the init hit count (a top-K
+    member can only be displaced by a better global neighbor, which is
+    itself a ground-truth member — pinned by a property test).
+
+    Scale (100 TB): the init graph is a narrow map over ids (K rows per
+    node); the expansion self-join fans out to at most K^2 rows per
+    node; scoring is two vec_id equi-joins against the corpus — all
+    linear in corpus size, AQE picks broadcast only for the tiny
+    probe/ncand sides. Ground truth alone is |probes|x|corpus| with the
+    literal probe set broadcast (the cosine_topk shape). No hints, no
+    pairwise corpus stage, no checkpoint."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nv = e.agg(F.count("*").alias("n_vec"))  # bounded: global aggregate
+    slot = F.explode(F.sequence(F.lit(1), F.lit(K_NND))).alias("j")
+    init = (
+        e.select("vec_id")
+        .crossJoin(F.broadcast(nv))
+        .select("vec_id", slot, "n_vec")
+        .select(
+            "vec_id",
+            (
+                (F.col("vec_id") * _NND_A + F.col("j") * _NND_B)
+                % F.col("n_vec")
+            ).alias("nbr"),
+        )
+        .filter(F.col("nbr") != F.col("vec_id"))
+        .distinct()
+    )
+    expand = (
+        init.alias("a")
+        .join(init.alias("b"), F.col("a.nbr") == F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_id"), F.col("b.nbr").alias("nbr"))
+        .filter(F.col("nbr") != F.col("vec_id"))
+    )
+    cand = init.unionAll(expand).distinct()
+    emb_u = e.select("vec_id", F.col("embedding").alias("eu"))
+    emb_w = e.select(F.col("vec_id").alias("nbr"), F.col("embedding").alias("ew"))
+    scored = (
+        cand.join(emb_u, "vec_id")
+        .join(emb_w, "nbr")
+        .select(
+            "vec_id",
+            "nbr",
+            cosine_similarity(F.col("eu"), F.col("ew")).alias("cosine"),
+        )
+    )
+    w_u = W.partitionBy("vec_id").orderBy(F.col("cosine").desc(), "nbr")
+    r1 = (
+        scored.withColumn("rnk", F.row_number().over(w_u))
+        .filter(F.col("rnk") <= K_NND)
+        .select("vec_id", "nbr")
+    )
+    probes = e.filter(F.col("vec_id") < N_NND_PROBES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    gt = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("vec_id").alias("nbr"),
+            cosine_similarity(F.col("qe"), F.col("embedding")).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w_u))
+        .filter(F.col("rnk") <= K_NND)
+        .select("vec_id", "nbr")
+    )
+    ncand = (
+        cand.filter(F.col("vec_id") < N_NND_PROBES)
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("n_cand"))
+    )
+    init_p = init.withColumnRenamed("nbr", "i_nbr")
+    r1_p = r1.withColumnRenamed("nbr", "r_nbr")
+    joined = (
+        gt.join(ncand, "vec_id")
+        .join(
+            init_p,
+            (init_p["vec_id"] == gt["vec_id"]) & (init_p["i_nbr"] == gt["nbr"]),
+            "left",
+        )
+        .drop(init_p["vec_id"])
+        .join(
+            r1_p,
+            (r1_p["vec_id"] == gt["vec_id"]) & (r1_p["r_nbr"] == gt["nbr"]),
+            "left",
+        )
+        .drop(r1_p["vec_id"])
+    )
+    return joined.groupBy(gt["vec_id"]).agg(
+        F.max("n_cand").cast("long").alias("n_cand"),
+        F.count("i_nbr").cast("long").alias("init_hits"),
+        F.count("r_nbr").cast("long").alias("round1_hits"),
+    )

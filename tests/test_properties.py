@@ -1971,3 +1971,112 @@ def test_audit_comma_splitter_round_trips(spark, items, depth):
     wrapped = [("(" * depth) + it + (")" * depth) for it in items]
     joined = ", ".join(wrapped)
     assert _split_top_commas(joined) == wrapped
+
+
+# --- round 10 (session 2): cooks distance kernel identities --------------------
+@_settings
+@given(xs=st.lists(st.integers(0, 200), min_size=3, max_size=30, unique=True))
+def test_cooks_leverage_integer_form_matches_textbook(spark, xs):
+    """cooks_distance_influence's all-integer leverage
+    h_i = (Sxx_n + (n·x_i − Sx)²) / (n·Sxx_n) with Sxx_n = n·Σx² − Sx²
+    must equal the textbook h_i = 1/n + (x_i−x̄)²/Σ(x−x̄)² EXACTLY —
+    it is a common-denominator rewrite, not an approximation."""
+    from fractions import Fraction
+
+    n, sx = len(xs), sum(xs)
+    sxx = sum(x * x for x in xs)
+    sxx_n = n * sxx - sx * sx
+    if sxx_n == 0:  # constant x: leverage undefined in both forms
+        return
+    xbar = Fraction(sx, n)
+    ssx = sum((Fraction(x) - xbar) ** 2 for x in xs)
+    for x in xs:
+        h_int = Fraction(sxx_n + (n * x - sx) ** 2, n * sxx_n)
+        h_ref = Fraction(1, n) + (Fraction(x) - xbar) ** 2 / ssx
+        assert h_int == h_ref
+
+
+@_settings
+@given(
+    sq=st.integers(0, 10**12),
+    hnum=st.integers(1, 10**7),
+    hgap=st.integers(1, 10**8),
+    n=st.integers(3, 100),
+    extra=st.integers(0, 10**13),
+)
+def test_cooks_double_assembly_tracks_rational_formula(spark, sq, hnum, hgap, n, extra):
+    """The one double expression that assembles cooks_e6 from exact
+    integers (sq·hnum·hden·(n−2)·1e6 / (2·sse·(hden−hnum)²), floored)
+    must sit within ±2 of the Fraction-exact value of the same formula
+    — i.e. the only loss is the documented 1e-6 quantization, never
+    the float op tree."""
+    import math
+    from fractions import Fraction
+
+    hden = hnum + hgap
+    sse = sq + extra + 1
+    pipe = math.floor(
+        float(sq) * float(hnum) * float(hden) * float(n - 2) * 1000000.0
+        / (2.0 * float(sse) * float(hden - hnum) * float(hden - hnum))
+    )
+    exact = Fraction(sq * hnum * hden * (n - 2) * 1000000,
+                     2 * sse * (hden - hnum) ** 2)
+    assert abs(pipe - math.floor(exact)) <= 2
+
+
+# --- round 10 (session 2): nn-descent round never loses recall ------------------
+def _nnd_sim(ids, embs, k=3):
+    """Plain-Python replica of nn_descent_round_recall's pipeline."""
+    n = len(ids)
+    init = {
+        u: sorted(
+            {(u * 131071 + j * 524287) % n for j in range(1, k + 1)} - {u}
+        )
+        for u in ids
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
+        return num / den
+
+    def topk(u, cands):
+        scored = sorted(
+            ((-cos(embs[u], embs[v]), v) for v in cands if v != u)
+        )
+        return [v for _, v in scored[:k]]
+
+    out = {}
+    for u in ids:
+        cand = set(init[u])
+        for v in init[u]:
+            cand.update(init[v])
+        cand.discard(u)
+        gt = topk(u, set(ids))
+        out[u] = (
+            len(set(init[u]) & set(gt)),
+            len(set(topk(u, cand)) & set(gt)),
+        )
+    return out
+
+
+@_settings
+@given(
+    vecs=st.lists(
+        st.tuples(*[st.integers(-4, 4) for _ in range(4)]),
+        min_size=6,
+        max_size=24,
+    )
+)
+def test_nn_descent_expansion_never_loses_recall(spark, vecs):
+    """Round-1 hits dominate init hits for EVERY node: a ground-truth
+    member present in init can only be displaced from top-k(cand) by a
+    strictly better neighbor, which is itself a ground-truth member —
+    so the intersection size cannot shrink. (The argument the query's
+    docstring makes; this pins it on arbitrary integer vectors.)"""
+    vecs = [v for v in vecs if any(x != 0 for x in v)]
+    if len(vecs) < 3:
+        return
+    ids = list(range(len(vecs)))
+    for u, (init_hits, r1_hits) in _nnd_sim(ids, dict(enumerate(vecs))).items():
+        assert r1_hits >= init_hits, u

@@ -2145,3 +2145,42 @@ def test_round10_contamination_join_is_gram_keyed(spark):
         for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     }
     assert keys <= {"s", "doc_id"}, keys
+
+
+# --- round 10 (session 2): nn-descent + cooks distance pins ---------------------
+def test_nn_descent_plan_is_vec_id_keyed_and_jvm_side(spark):
+    """nn_descent_round_recall: every exchange is vec_id-keyed (the
+    expansion/scoring equi-joins), every window is vec_id-partitioned,
+    and nothing falls to Python or a Cartesian product — the only
+    nested-loop joins are 1-row scalar (corpus count) and literal
+    probe-set broadcasts."""
+    import re
+
+    plan = _executed_plan_of(spark, "nn_descent_round_recall")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    keys = {
+        k.split(",")[0].split("#")[0].strip()
+        for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    assert keys <= {"vec_id", "nbr"}, keys
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert spec.split(",")[0].strip().startswith("vec_id"), spec
+
+
+def test_cooks_distance_windows_are_nation_partitioned(spark):
+    """cooks_distance_influence: the SSE and top-3 windows partition by
+    nationkey (dimension grain above the calendar rollup) and the plan
+    stays JVM-side with customer-key/nation-key exchanges only."""
+    import re
+
+    plan = _executed_plan_of(spark, "cooks_distance_influence")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    keys = {
+        k.split(",")[0].split("#")[0].strip()
+        for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    assert keys <= {"c_nationkey", "nationkey", "o_custkey", "c_custkey", "x"}, keys
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert spec.split(",")[0].strip().startswith("nationkey"), spec
