@@ -268,46 +268,70 @@ def _literal_modulus(expr: str) -> int | None:
 # Grouping by any deterministic function of such columns yields at most
 # |domain| rows at ANY corpus size -- the image of a bounded domain is
 # bounded -- which is what makes value-histogram / distinct-level tables
-# (kruskal-wallis midranks, skyline levels, price-bucket quantiles)
-# broadcast-safe at 100 TB.
-_VALUE_DOMAIN_COLS = frozenset(
-    {
-        "l_quantity",
-        "l_extendedprice",
-        "l_discount",
-        "l_tax",
-        "o_totalprice",
-        "c_acctbal",
-        "s_acctbal",
-        "ps_supplycost",
-        "ps_availqty",
-        "p_retailprice",
-        "p_size",
-        "n_chars",
-    }
-)
+# (kruskal-wallis midranks, price-bucket quantiles) broadcast-safe at
+# 100 TB.
+#
+# "Bounded" alone is NOT "broadcast-safe", though: boolean AND over
+# grouping keys would certify bounded x bounded COMPOSITES whose caps
+# MULTIPLY (nation x acctbal levels = 25 x 1.1M = 27.5M rows, an
+# OOM-class forced broadcast that never shows at bench scale). Every
+# bounded class therefore carries a numeric cardinality CAP, and an
+# Aggregate certifies only when the PRODUCT of its grouping-key caps
+# stays under AGG_CARD_CAP (~20M rows x ~20B of key ~ 400 MB: the outer
+# edge of a safe executor broadcast or single-task window sort).
+_VALUE_DOMAIN_CAPS = {
+    "l_quantity": 50,
+    "l_discount": 11,
+    "l_tax": 9,
+    "p_size": 50,
+    "ps_availqty": 10_000,
+    "n_chars": 65_536,
+    "ps_supplycost": 100_001,
+    "c_acctbal": 1_100_000,  # -999.99 .. 9999.99 at 2 decimals
+    "s_acctbal": 1_100_000,
+    "p_retailprice": 2_200_000,
+    "l_extendedprice": 8_000_000,  # quantity x retailprice image
+    "o_totalprice": 60_000_000,  # sum of up to 7 charged lineitems --
+    # above AGG_CARD_CAP by itself: a raw totalprice level table is
+    # bounded but NOT broadcastable; only contracted images (literal
+    # buckets) certify.
+}
+_VALUE_DOMAIN_COLS = frozenset(_VALUE_DOMAIN_CAPS)
+
+AGG_CARD_CAP = 20_000_000
+_CALENDAR_CAP = 4_096  # day grain over the fixtures' ~7-year history
+_ENUM_CAP = 4_096  # enum/label/bucket vocabularies (generous)
 
 _ATTR_TOKEN_RE = re.compile(r"(\w+)#\d+")
 
 
-def _bounded_col_name(name: str) -> bool:
+def _col_cap(name: str) -> int | None:
+    """Cardinality cap the data model fixes for this column NAME, or
+    None when the name alone proves nothing (entity-grain or unknown:
+    the caller must chase the defining expression)."""
     name = name.lower()
-    return (
-        name.endswith(_CONSTANT_DIM_KEY_SUFFIXES)
-        or _calendar_col(name)
-        or name in _BOUNDED_KEY_EXACT
-        or name.endswith(_BOUNDED_KEY_SUFFIXES)
-        or name in _VALUE_DOMAIN_COLS
-    )
+    if name.endswith("regionkey"):
+        return 5
+    if name.endswith("nationkey"):
+        return 25
+    if _calendar_col(name):
+        return _CALENDAR_CAP
+    if name in _BOUNDED_KEY_EXACT or name.endswith(_BOUNDED_KEY_SUFFIXES):
+        return _ENUM_CAP
+    return _VALUE_DOMAIN_CAPS.get(name)
 
 
-def _definition_of(
+def _bounded_col_name(name: str) -> bool:
+    return _col_cap(name) is not None
+
+
+def _find_def(
     attr: str, subtree: list[tuple[int, str]]
-) -> tuple[str, str] | None:
+) -> tuple[str, int] | None:
     """Find ``<expr> AS attr`` in any Project/Aggregate/Window list
-    below; returns (defining expression, defining node text)."""
+    below; returns (defining expression, subtree index of the node)."""
     needle = f" AS {attr}"
-    for _, text in subtree:
+    for i, (_, text) in enumerate(subtree):
         if needle not in text or not text.startswith(
             ("Project", "Aggregate", "Window")
         ):
@@ -315,8 +339,29 @@ def _definition_of(
         for group in _top_level_groups(text):
             for item in _split_top_commas(group):
                 if item.endswith(needle.strip()) and " AS " in item:
-                    return item.rsplit(" AS ", 1)[0].strip(), text
+                    return item.rsplit(" AS ", 1)[0].strip(), i
     return None
+
+
+def _definition_of(
+    attr: str, subtree: list[tuple[int, str]]
+) -> tuple[str, str] | None:
+    """Back-compat form of :func:`_find_def`: (expression, node text)."""
+    found = _find_def(attr, subtree)
+    if found is None:
+        return None
+    defn, i = found
+    return defn, subtree[i][1]
+
+
+def _own_subtree(
+    subtree: list[tuple[int, str]], i: int
+) -> list[tuple[int, str]]:
+    d = subtree[i][0]
+    j = i + 1
+    while j < len(subtree) and subtree[j][0] > d:
+        j += 1
+    return subtree[i:j]
 
 
 def _is_global_aggregate(node_text: str) -> bool:
@@ -329,40 +374,95 @@ def _is_global_aggregate(node_text: str) -> bool:
 def _bounded_group_expr(
     expr: str, subtree: list[tuple[int, str]], depth: int = 0
 ) -> bool:
-    """Is this grouping expression provably low-cardinality?
+    """Is this grouping expression provably low-cardinality?"""
+    cap = _expr_cap(expr, subtree, depth)
+    return cap is not None and cap <= AGG_CARD_CAP
 
-    A literal-modulus bucket caps its image outright; otherwise the
-    expression is bounded iff EVERY attribute it references is -- a
-    deterministic function's image is no larger than its domain, so
-    f(bounded columns, literals) is bounded no matter what f is."""
+
+def _expr_cap(
+    expr: str, subtree: list[tuple[int, str]], depth: int = 0
+) -> int | None:
+    """Cardinality CAP of this expression's image, or None (unbounded).
+
+    A literal-modulus bucket caps its image outright; a calendar
+    function caps at the day spine; otherwise a deterministic
+    function's image is no larger than its domain, so the cap is the
+    PRODUCT of the referenced attributes' caps — the multiplication is
+    what boolean bounding got wrong (bounded x bounded composites like
+    nation x acctbal multiply to 27.5M rows, far past broadcast-safe)."""
     if depth > 6:  # alias chains deeper than this are not decidable
-        return False
+        return None
     expr = expr.strip()
     mod = _literal_modulus(expr)
     if mod is not None:
-        return mod <= RANGE_CAP
+        return mod if mod <= RANGE_CAP else None
     if _CALENDAR_FN_RE.match(expr) or _CAST_DATE_RE.match(expr):
-        return True
+        return _CALENDAR_CAP
     attrs = set(re.findall(r"\w+#\d+[A-Za-z]*", expr))
     if not attrs:
-        return True  # pure literal expression
+        return 1  # pure literal expression
+    cap = 1
     for attr in attrs:
-        name = attr.split("#", 1)[0]
-        if _bounded_col_name(name):
-            continue
-        found = _definition_of(attr, subtree)
-        if found is None:
-            return False
-        defn, node = found
-        # a scalar plucked off a GLOBAL aggregate (count/sum/median of
-        # the whole input, cross-joined back in) is a single value --
-        # grouping by it collapses to one row per such scalar
-        if _is_global_aggregate(node):
-            continue
-        if not _bounded_group_expr(defn, subtree, depth + 1):
-            return False
-    return True
+        c = _attr_cap(attr, subtree, depth)
+        if c is None:
+            return None
+        cap *= c
+    return cap
 
+
+def _attr_cap(
+    attr: str, subtree: list[tuple[int, str]], depth: int
+) -> int | None:
+    """Cardinality cap of one attribute reference, or None."""
+    name = attr.split("#", 1)[0]
+    named = _col_cap(name)
+    if named is not None:
+        return named
+    found = _find_def(attr, subtree)
+    if found is None:
+        return None
+    defn, i = found
+    node = subtree[i][1]
+    # a scalar plucked off a GLOBAL aggregate (count/sum/median of the
+    # whole input, cross-joined back in) is a single value -- grouping
+    # by it collapses to one row per such scalar
+    if _is_global_aggregate(node):
+        return 1
+    if node.startswith("Aggregate"):
+        # a column an Aggregate produces takes at most one distinct
+        # value per group (its defining aggregate's GRAIN -- huber's
+        # carried IRLS scalars chase to 1 this way, each step grouping
+        # by the previous step's scalars) AND no more values than its
+        # expression's image (logrank's per-user datediff span is
+        # calendar-capped even though the user grain is unbounded):
+        # take the tighter of the two.
+        sub = _own_subtree(subtree, i)
+        grain = _agg_keys_cap(node, sub, depth + 1)
+        image = _expr_cap(defn, sub, depth + 1)
+        caps = [c for c in (grain, image) if c is not None]
+        return min(caps) if caps else None
+    return _expr_cap(defn, _own_subtree(subtree, i), depth + 1)
+
+
+def _agg_keys_cap(
+    text: str, subtree: list[tuple[int, str]], depth: int = 0
+) -> int | None:
+    """Cap of an Aggregate node's output cardinality, or None."""
+    groups = _top_level_groups(text)
+    if len(groups) <= 1:
+        return 1  # global aggregate: one row
+    if len(groups) != 2:
+        return None  # unparseable: conservative
+    keys = _split_top_commas(groups[0])
+    if not keys:
+        return 1  # empty grouping list: global aggregate
+    cap = 1
+    for k in keys:
+        c = _expr_cap(k, subtree, depth)
+        if c is None:
+            return None
+        cap *= c
+    return cap
 
 
 def _aggregate_bounds(text: str, subtree: list[tuple[int, str]]) -> bool:
@@ -372,17 +472,10 @@ def _aggregate_bounds(text: str, subtree: list[tuple[int, str]]) -> bool:
     exactly one output row; so is a bare ``Aggregate`` (zero groups:
     column pruning emptied BOTH lists, which only happens when there
     are no grouping keys — a grouped aggregate always prints its key
-    list). ``Aggregate [keys], [exprs]`` bounds only when every
-    grouping key is provably low-cardinality."""
-    groups = _top_level_groups(text)
-    if len(groups) <= 1:
-        return True  # global aggregate: one row
-    if len(groups) != 2:
-        return False  # unparseable: conservative
-    keys = _split_top_commas(groups[0])
-    if not keys:
-        return True  # empty grouping list: global aggregate
-    return all(_bounded_group_expr(k, subtree) for k in keys)
+    list). ``Aggregate [keys], [exprs]`` bounds only when the PRODUCT
+    of its grouping-key caps stays under AGG_CARD_CAP."""
+    cap = _agg_keys_cap(text, subtree)
+    return cap is not None and cap <= AGG_CARD_CAP
 
 
 def _node_bounds(nodes: list[tuple[int, str]], idx: int) -> bool:

@@ -1200,7 +1200,11 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher balances, (3) broadcast-join levels back and filter. The
     per-nation window sorts levels, not customers, so a nation with 10M
     customers but 100k distinct balances sorts 100k rows; the dominance
-    test itself never leaves the map side."""
+    test itself never leaves the map side. The level table's join back
+    carries NO broadcast hint: its cap is nation x balance-domain
+    (25 x 1.1M = 27.5M rows) — bounded, but past broadcast-safe — so
+    the size-gated planner broadcasts while small and hash-joins on
+    the (nation, balance) key beyond (the audit's AGG_CARD_CAP line)."""
     cust = load_table(spark, sf_dir, "customer").select(
         "c_nationkey", "c_custkey", "c_acctbal"
     )
@@ -1223,7 +1227,7 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        spent.join(F.broadcast(run), ["c_nationkey", "c_acctbal"])
+        spent.join(run, ["c_nationkey", "c_acctbal"])
         .filter(F.col("prev_max").isNull() | (F.col("prev_max") <= F.col("total_spent")))
         .join(F.broadcast(nation), spent.c_nationkey == nation.n_nationkey)
         .select(

@@ -2184,3 +2184,44 @@ def test_cooks_distance_windows_are_nation_partitioned(spark):
     assert keys <= {"c_nationkey", "nationkey", "o_custkey", "c_custkey", "x"}, keys
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert spec.split(",")[0].strip().startswith("nationkey"), spec
+
+
+def test_broadcast_detector_multiplies_composite_caps(spark):
+    """Round-10 session-2 tightening: boundedness caps MULTIPLY across
+    grouping keys. A hinted broadcast of a nation x balance-domain
+    composite level table (25 x 1.1M = 27.5M rows — the skyline shape)
+    must flag even though each key alone is bounded; the single-key
+    balance histogram (1.1M cap) still passes; a raw o_totalprice level
+    table (6e7-value domain, past AGG_CARD_CAP by itself) flags; and
+    grouping by scalars carried off a global aggregate (the huber IRLS
+    chain) resolves to ONE row and passes."""
+    from tests.broadcast_audit import unbounded_hinted_broadcasts
+
+    def bad_sides(df):
+        return unbounded_hinted_broadcasts(
+            df._jdf.queryExecution().optimizedPlan().toString()
+        )
+
+    o = load_table(spark, SF_CORRECT, "orders")
+    c = load_table(spark, SF_CORRECT, "customer")
+
+    levels = c.groupBy("c_nationkey", "c_acctbal").agg(
+        F.count("*").alias("m")
+    )
+    assert bad_sides(
+        c.join(F.broadcast(levels), ["c_nationkey", "c_acctbal"])
+    )
+    hist = c.groupBy("c_acctbal").agg(F.count("*").alias("m"))
+    assert not bad_sides(c.join(F.broadcast(hist), "c_acctbal"))
+    tp_levels = o.groupBy("o_totalprice").agg(F.count("*").alias("m"))
+    assert bad_sides(o.join(F.broadcast(tp_levels), "o_totalprice"))
+
+    scalars = o.agg(
+        F.count("*").alias("n"), F.sum("o_totalprice").alias("s")
+    )
+    step = (
+        o.crossJoin(F.broadcast(scalars))
+        .groupBy("n", "s")
+        .agg(F.avg("o_totalprice").alias("m1"))
+    )
+    assert not bad_sides(o.crossJoin(F.broadcast(step)))
