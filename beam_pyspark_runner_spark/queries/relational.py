@@ -8748,8 +8748,10 @@ LB_MAX_LAG = 6  # same lag depth as acf_lags; df of the Q statistic
                 // 1000000000 AS BIGINT) AS q_lb_e9
     FROM rk
     """,
-    tags=("statistics", "time_series", "ljung_box", "portmanteau",
-          "bounded_window"),
+    # (no bounded_window tag: round-10's cap-propagating audit PROVES
+    # the windowed acf input bounded, so the adjudication went stale —
+    # a stale tag would absorb a future unpartitioned-window regression)
+    tags=("statistics", "time_series", "ljung_box", "portmanteau"),
 )
 def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ljung-Box portmanteau Q (Ljung & Box 1978) over the first

@@ -2225,3 +2225,39 @@ def test_broadcast_detector_multiplies_composite_caps(spark):
         .agg(F.avg("o_totalprice").alias("m1"))
     )
     assert not bad_sides(o.crossJoin(F.broadcast(step)))
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("SPARK_GRAFT_SCALE_GATE", "0") != "1",
+    reason="full-registry plan audit is opt-in: set SPARK_GRAFT_SCALE_GATE=1",
+)
+def test_no_stale_adjudication_tags(spark):
+    """Full-registry governance, converse direction: every bounded_*
+    adjudication tag must still FIRE its auditor. A tag whose audit
+    finds nothing is stale — it documents a hazard that no longer
+    exists and would silently absorb a FUTURE regression of the same
+    class (the tag eats the new hit). When the audit learns to prove a
+    site bounded, the tag must come off."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+    from tests.broadcast_audit import (
+        unbounded_cross_joins,
+        unbounded_hinted_broadcasts,
+        unpartitioned_ordered_windows,
+    )
+
+    auditors = {
+        "bounded_broadcast": unbounded_hinted_broadcasts,
+        "bounded_cross": unbounded_cross_joins,
+        "bounded_window": unpartitioned_ordered_windows,
+    }
+    stale = {}
+    for name, q in REGISTRY.items():
+        rel = set(q.tags) & set(auditors)
+        if not rel:
+            continue
+        df = q.fn(spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for t in rel:
+            if not auditors[t](plan):
+                stale[f"{name}:{t}"] = True
+    assert not stale, stale
