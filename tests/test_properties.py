@@ -2080,3 +2080,65 @@ def test_nn_descent_expansion_never_loses_recall(spark, vecs):
     ids = list(range(len(vecs)))
     for u, (init_hits, r1_hits) in _nnd_sim(ids, dict(enumerate(vecs))).items():
         assert r1_hits >= init_hits, u
+
+
+def test_cardinality_cap_unit_cases(spark):
+    """Unit pins for round-10 session-2's multiplicative caps: bounded
+    keys MULTIPLY (nation x acctbal composite exceeds AGG_CARD_CAP and
+    stops bounding even though each key alone is bounded); a single
+    value-domain key within its cap still bounds; the o_totalprice
+    domain exceeds the cap by ITSELF; an Aggregate-produced column caps
+    at min(defining grain, expression image) — scalar chains resolve
+    through the grain side, calendar images through the image side."""
+    from beam_pyspark_runner_spark.plans.audit import (
+        AGG_CARD_CAP,
+        _VALUE_DOMAIN_CAPS,
+        _bounded,
+        parse_plan,
+    )
+
+    assert 25 * _VALUE_DOMAIN_CAPS["c_acctbal"] > AGG_CARD_CAP
+    assert _VALUE_DOMAIN_CAPS["o_totalprice"] > AGG_CARD_CAP
+
+    def bounded(text):
+        return _bounded(parse_plan(text), 0)
+
+    crel = "+- Relation [c_nationkey#1L,c_acctbal#2] parquet"
+    # single value-domain key: 1.1M cap, bounds
+    assert bounded(
+        f"Aggregate [c_acctbal#2], [c_acctbal#2, count(1) AS n#9L]\n{crel}"
+    )
+    # composite nation x acctbal: caps multiply past AGG_CARD_CAP
+    assert not bounded(
+        "Aggregate [c_nationkey#1L, c_acctbal#2], "
+        f"[c_nationkey#1L, c_acctbal#2, count(1) AS n#9L]\n{crel}"
+    )
+    # a value-domain column whose cap alone exceeds the line
+    assert not bounded(
+        "Aggregate [o_totalprice#2], [o_totalprice#2, count(1) AS n#9L]\n"
+        "+- Relation [o_orderkey#1L,o_totalprice#2] parquet"
+    )
+    # aggregate-output column, grain side: grouping by a scalar carried
+    # off a global aggregate collapses to one row (the huber chain)
+    assert bounded(
+        "Aggregate [n#5L], [n#5L, avg(x#2) AS m#9]\n"
+        "+- Project [x#2, n#5L]\n"
+        "   +- Join Cross\n"
+        "      :- Relation [x#2] parquet\n"
+        "      +- Aggregate [count(1) AS n#5L]\n"
+        "         +- Relation [y#3] parquet\n"
+    )
+    # aggregate-output column, image side: a per-user datediff span is
+    # calendar-capped even though the defining grain (user) is unbounded
+    assert bounded(
+        "Aggregate [t#7], [t#7, count(1) AS d#9L]\n"
+        "+- Aggregate [user_id#1L], [datediff(max(ts#2), min(ts#2)) AS t#7]\n"
+        "   +- Relation [user_id#1L,ts#2] parquet\n"
+    )
+    # ... but a per-user SUM has neither a bounded grain nor a bounded
+    # image: it must not certify
+    assert not bounded(
+        "Aggregate [s#7L], [s#7L, count(1) AS d#9L]\n"
+        "+- Aggregate [user_id#1L], [sum(v#2L) AS s#7L]\n"
+        "   +- Relation [user_id#1L,v#2L] parquet\n"
+    )
