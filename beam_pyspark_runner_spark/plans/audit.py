@@ -484,7 +484,10 @@ def _node_bounds(nodes: list[tuple[int, str]], idx: int) -> bool:
     if text.startswith("Aggregate"):
         return _aggregate_bounds(text, _subtree(nodes, idx))
     if text.startswith(("GlobalLimit", "LocalLimit")):
-        return True
+        # a Limit bounds only by its literal count -- limit(50_000_000)
+        # is "bounded" in the boolean sense but past broadcast-safe
+        m = re.match(r"^(?:Global|Local)Limit (\d+)", text)
+        return m is not None and int(m.group(1)) <= AGG_CARD_CAP
     if text.startswith(("LocalRelation", "OneRowRelation")):
         return True
     if text.startswith(_CONSTANT_DIM_LEAVES):

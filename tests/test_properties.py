@@ -2142,3 +2142,17 @@ def test_cardinality_cap_unit_cases(spark):
         "+- Aggregate [user_id#1L], [sum(v#2L) AS s#7L]\n"
         "   +- Relation [user_id#1L,v#2L] parquet\n"
     )
+
+
+def test_limit_rule_respects_cardinality_cap(spark):
+    """A Limit bounds only by its literal count: limit(123) certifies,
+    limit(50M) is past broadcast-safe and must not."""
+    from beam_pyspark_runner_spark.plans.audit import _bounded, parse_plan
+
+    assert _bounded(parse_plan(
+        "GlobalLimit 123\n+- Relation [x#1L] parquet"), 0)
+    assert not _bounded(parse_plan(
+        "GlobalLimit 50000000\n+- Relation [x#1L] parquet"), 0)
+    # an expression-valued limit carries no provable count
+    assert not _bounded(parse_plan(
+        "GlobalLimit limit#5\n+- Relation [x#1L] parquet"), 0)
