@@ -2007,9 +2007,13 @@ def test_cooks_leverage_integer_form_matches_textbook(spark, xs):
 def test_cooks_double_assembly_tracks_rational_formula(spark, sq, hnum, hgap, n, extra):
     """The one double expression that assembles cooks_e6 from exact
     integers (sq·hnum·hden·(n−2)·1e6 / (2·sse·(hden−hnum)²), floored)
-    must sit within ±2 of the Fraction-exact value of the same formula
-    — i.e. the only loss is the documented 1e-6 quantization, never
-    the float op tree."""
+    must track the Fraction-exact value of the same formula within
+    double rounding: ±2 absolute (the 1e-6 quantization's own unit)
+    plus a 2⁻⁴⁵ relative term for values past double's integer-exact
+    range, where a ~8-op chain legitimately drifts a few ulp (cooks_e6
+    in the shipped query stays ≤ ~1e9, inside the absolute band; the
+    relative term only covers hypothesis' adversarial magnitudes). A
+    WRONG op tree errs by O(value) and still fails."""
     import math
     from fractions import Fraction
 
@@ -2021,7 +2025,8 @@ def test_cooks_double_assembly_tracks_rational_formula(spark, sq, hnum, hgap, n,
     )
     exact = Fraction(sq * hnum * hden * (n - 2) * 1000000,
                      2 * sse * (hden - hnum) ** 2)
-    assert abs(pipe - math.floor(exact)) <= 2
+    tol = 2 + int(exact / 2**45)
+    assert abs(pipe - math.floor(exact)) <= tol
 
 
 # --- round 10 (session 2): nn-descent round never loses recall ------------------
