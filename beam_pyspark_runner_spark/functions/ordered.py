@@ -84,7 +84,16 @@ def bucketed_order_scan(
         )
     offsets = per_bucket.select(*sel)
 
-    joined = out.join(F.broadcast(offsets), "__bucket")
+    # No broadcast hint (round-11): the offsets table is one row per
+    # bucket — tiny whenever the caller honors the bucket contract —
+    # but the AUDITOR cannot prove a caller's coarsening expression is
+    # value-domain-bounded (floor(per_entity_sum/width) is bounded by
+    # the data model's fixed fan-out, which plan text cannot show).
+    # Spark's size gate / AQE sees the actual post-aggregate size and
+    # broadcasts on its own at any scale where that is safe; a hint
+    # here would force the broadcast even if a caller ever passed a
+    # corpus-grain bucket.
+    joined = out.join(offsets, "__bucket")
     final = cols.copy()
     proj = [F.col(c) for c in cols]
     if rank_name is not None:

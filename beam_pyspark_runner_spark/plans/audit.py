@@ -145,6 +145,7 @@ def _split_top_commas(s: str) -> list[str]:
 
 
 _ATTR_RE = re.compile(r"^(\w+)#\d+[A-Za-z]*$")
+_FIELD_ACCESS_RE = re.compile(r"^(\w+#\d+[A-Za-z]*)\.(\w+)$")
 
 # Column names whose value domain is fixed by the TPC-H data model
 # regardless of which table carries them: nation keys (25 values) and
@@ -246,6 +247,15 @@ _PMOD_RE = re.compile(r"^(?:pmod|abs)\(")
 
 
 _REMAINDER_RE = re.compile(r"^\(.+ % (-?\d+)\)$")
+
+# A fixed-length substring of a HEX-producing function's output takes
+# at most 16^len values — a fact of the function (md5/sha emit hex),
+# independent of the data. This is the global_rank_bucketed bucketing
+# idiom: substring(md5(key), 1, p) is a data-independent 16^p-way
+# split.
+_HEX_SUBSTR_RE = re.compile(
+    r"^substring\((?:md5|sha1|sha2|hex)\(.+\), -?\d+, (\d+)\)$"
+)
 
 
 def _literal_modulus(expr: str) -> int | None:
@@ -398,6 +408,21 @@ def _expr_cap(
         return mod if mod <= RANGE_CAP else None
     if _CALENDAR_FN_RE.match(expr) or _CAST_DATE_RE.match(expr):
         return _CALENDAR_CAP
+    hx = _HEX_SUBSTR_RE.match(expr)
+    if hx:
+        hex_cap = 16 ** int(hx.group(1))
+        return hex_cap if hex_cap <= RANGE_CAP else None
+    case = _case_literal_cap(expr)
+    if case is not None:
+        return case
+    fm = _FIELD_ACCESS_RE.match(expr)
+    if fm and _find_def(fm.group(1), subtree) is None:
+        # struct-field access whose base is a GENERATOR output (explode
+        # of in-row struct arrays — the covariance/gram idiom): the
+        # generator frontier has no chasable definition, so the field
+        # NAME is the only evidence, exactly like a relation-sourced
+        # column. `c#104.dim_i` certifies via _col_cap("dim_i").
+        return _col_cap(fm.group(2))
     attrs = set(re.findall(r"\w+#\d+[A-Za-z]*", expr))
     if not attrs:
         return 1  # pure literal expression
@@ -410,17 +435,157 @@ def _expr_cap(
     return cap
 
 
+def _case_literal_cap(expr: str) -> int | None:
+    """For ``CASE WHEN .. THEN v .. ELSE v END`` whose branch VALUES
+    are all literals (no attribute references, no nested CASE), the
+    image is the branch-value count — the honest label-column shape
+    (``CASE WHEN n_chars > 100 THEN long ELSE short END AS label``).
+    Conditions may reference anything: they pick a branch, they do not
+    enlarge the image. Returns None for any other shape."""
+    if not (expr.startswith("CASE WHEN ") and expr.endswith(" END")):
+        return None
+    body = expr[len("CASE") : -len("END")]
+    depth = 0  # parens only: <> are comparison operators inside conditions
+    nested = 0  # nested CASE..END spans hide their own keywords
+    marks: list[tuple[str, int]] = []  # (keyword, segment start)
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == " " and depth == 0:
+            if body.startswith(" CASE ", i):
+                nested += 1
+                i += 6
+                continue
+            if nested > 0 and body.startswith(" END", i):
+                nested -= 1
+                i += 4
+                continue
+            if nested == 0:
+                for kw in (" WHEN ", " THEN ", " ELSE "):
+                    if body.startswith(kw, i):
+                        marks.append((kw.strip(), i + 6))
+                        i += 6
+                        break
+                else:
+                    i += 1
+                continue
+        i += 1
+    vals = []
+    for k, (kw, s) in enumerate(marks):
+        e = marks[k + 1][1] - 6 if k + 1 < len(marks) else len(body)
+        if kw in ("THEN", "ELSE"):
+            vals.append(body[s:e])
+    if not vals or any("#" in v or "CASE" in v for v in vals):
+        return None
+    return len(vals)
+
+
+# Aggregate functions whose image GROWS with group size: a per-group
+# count/sum/avg takes as many distinct values as there are distinct
+# group sizes/totals — image-of-domain reasoning does not apply to
+# them (count(1) has no attrs and must NOT read as "pure literal").
+_GROWING_AGG_RE = re.compile(
+    r"\b(?:count|sum|avg|mean|median|product|stddev\w*|std|variance|"
+    r"var_\w+|skewness|kurtosis|corr|covar\w*|collect_list|collect_set|"
+    r"array_agg|listagg|string_agg|approx_\w+|percentile\w*|"
+    r"hll_\w+|bit_\w+|bool_and|bool_or|every|some|any|regr_\w+|"
+    r"grouping\w*)\(",
+    re.IGNORECASE,
+)
+# Aggregates that PASS one input row's value through: their image is a
+# subset of the argument's domain.
+_VALUE_PASSING_AGG_RE = re.compile(
+    r"^(?:min|max|first|last|any_value|mode)\((.*)\)$"
+)
+
+
+def _agg_image_cap(
+    defn: str, subtree: list[tuple[int, str]], depth: int
+) -> int | None:
+    """Image cap of an Aggregate OUTPUT expression, or None.
+
+    Image-of-domain reasoning is only sound for expressions that are
+    row-wise in their inputs, or whose outermost function bounds the
+    image by itself (calendar grain, literal modulus), or that pass a
+    single row's value through (min/max/first/last). ``count(*)`` /
+    ``sum(x)`` / ``collect_*`` images grow with GROUP SIZE — for those
+    only the grain cap applies (the round-10 advice finding:
+    ``_expr_cap('count(1)')`` read as a pure literal and certified a
+    per-user count as bounded)."""
+    defn = defn.strip()
+    if (
+        _CALENDAR_FN_RE.match(defn)
+        or _CAST_DATE_RE.match(defn)
+        or _literal_modulus(defn) is not None
+    ):
+        return _expr_cap(defn, subtree, depth)
+    m = _VALUE_PASSING_AGG_RE.match(defn)
+    if m:
+        args = _split_top_commas(m.group(1))
+        return _agg_image_cap(args[0], subtree, depth) if args else None
+    if _GROWING_AGG_RE.search(defn):
+        return None
+    return _expr_cap(defn, subtree, depth)
+
+
+# Window functions whose output image is bounded by the FUNCTION, not
+# by its spec columns: ntile(n) takes n values; lag/lead/first/last/
+# min/max/nth_value pass an input row's value through (image within the
+# argument's domain). Everything else — row_number/rank/dense_rank/
+# percent_rank/cume_dist and windowed count/sum/avg/collect — takes as
+# many values as the PARTITION SIZE and must not inherit a cap from
+# the columns its spec happens to order by (round-10 verdict corner:
+# ``row_number() OVER (ORDER BY l_quantity)`` is not bounded by 50).
+_NTILE_RE = re.compile(r"^ntile\((\d+)\)")
+_WIN_VALUE_PASSING_RE = re.compile(
+    r"^(?:lag|lead|first|last|first_value|last_value|nth_value|min|max|"
+    r"any_value)\((.*)\)$"
+)
+
+
+def _window_image_cap(
+    defn: str, subtree: list[tuple[int, str]], depth: int
+) -> int | None:
+    """Image cap of a Window OUTPUT expression, or None."""
+    fn_part = defn.split(" windowspecdefinition", 1)[0].strip()
+    m = _NTILE_RE.match(fn_part)
+    if m:
+        return int(m.group(1))
+    m = _WIN_VALUE_PASSING_RE.match(fn_part)
+    if m:
+        args = _split_top_commas(m.group(1))
+        if not args or _GROWING_AGG_RE.search(args[0]):
+            return None
+        return _expr_cap(args[0], subtree, depth)
+    if (
+        _CALENDAR_FN_RE.match(fn_part)
+        or _CAST_DATE_RE.match(fn_part)
+        or _literal_modulus(fn_part) is not None
+    ):
+        return _expr_cap(fn_part, subtree, depth)
+    return None
+
+
 def _attr_cap(
     attr: str, subtree: list[tuple[int, str]], depth: int
 ) -> int | None:
-    """Cardinality cap of one attribute reference, or None."""
+    """Cardinality cap of one attribute reference, or None.
+
+    A visible definition is a PROOF and takes precedence over the
+    name-based model cap (round-10 advice: a ``pmod(x, 1000000)``
+    aliased ``price_bucket`` must cap at its provable 1e6 image, not
+    the trusting name-suffix 4096 — and, conversely, a corpus-grain
+    expression aliased ``label`` must not certify by name). The name
+    cap applies only to relation-sourced columns with no definition in
+    the plan — where the fixture data model itself is the evidence."""
     name = attr.split("#", 1)[0]
-    named = _col_cap(name)
-    if named is not None:
-        return named
     found = _find_def(attr, subtree)
     if found is None:
-        return None
+        return _col_cap(name)
     defn, i = found
     node = subtree[i][1]
     # a scalar plucked off a GLOBAL aggregate (count/sum/median of the
@@ -428,20 +593,23 @@ def _attr_cap(
     # by it collapses to one row per such scalar
     if _is_global_aggregate(node):
         return 1
+    sub = _own_subtree(subtree, i)
     if node.startswith("Aggregate"):
         # a column an Aggregate produces takes at most one distinct
         # value per group (its defining aggregate's GRAIN -- huber's
         # carried IRLS scalars chase to 1 this way, each step grouping
         # by the previous step's scalars) AND no more values than its
-        # expression's image (logrank's per-user datediff span is
-        # calendar-capped even though the user grain is unbounded):
+        # expression's image where image reasoning is sound (logrank's
+        # per-user datediff span is calendar-capped even though the
+        # user grain is unbounded; a per-user count/sum is NOT):
         # take the tighter of the two.
-        sub = _own_subtree(subtree, i)
         grain = _agg_keys_cap(node, sub, depth + 1)
-        image = _expr_cap(defn, sub, depth + 1)
+        image = _agg_image_cap(defn, sub, depth + 1)
         caps = [c for c in (grain, image) if c is not None]
         return min(caps) if caps else None
-    return _expr_cap(defn, _own_subtree(subtree, i), depth + 1)
+    if node.startswith("Window"):
+        return _window_image_cap(defn, sub, depth + 1)
+    return _expr_cap(defn, sub, depth + 1)
 
 
 def _agg_keys_cap(
@@ -502,23 +670,42 @@ def _node_bounds(nodes: list[tuple[int, str]], idx: int) -> bool:
 # Selective key-probe filters: equality to a LITERAL, or a range cap
 # `key < N` / `key <= N` with a small literal N (dense-id probe sets
 # like `vec_id < 8` — the fixed query batch of the ANN suite). Only
-# KEY-LIKE columns count: an equality on a category column
-# (`p_brand = 'X'`) selects a linear corpus fraction, not a probe row.
-# The right-hand side must be a literal — `#` marks an attribute
-# reference, and column-to-column equality selects a corpus fraction.
-_EQ_FILTER_RE = re.compile(
-    r"^Filter .*?\(\w*(?:key|_id|\bid)#\d+L? = [^)=<>#]+\)"
-)
-_RANGE_FILTER_RE = re.compile(
-    r"^Filter .*?\(\w*(?:key|_id|\bid)#\d+L? <=? (\d+)\)"
-)
+# keys whose PER-KEY MULTIPLICITY the data model itself bounds count
+# (round-10 verdict corner #2): a literal probe certifies a bounded
+# row SET only when one key value selects a bounded number of rows at
+# ANY corpus size. Table primary keys qualify (one row each), and so
+# do the TPC-H foreign keys, whose fan-out the spec fixes per key
+# (~10 orders and ~70 lineitems per custkey, <=7 lineitems per
+# orderkey, 4 partsupp + ~30 lineitems per partkey, ~80 partsupp +
+# ~600 lineitems per suppkey — entity counts scale WITH the corpus,
+# so per-entity row counts stay constant). Open-ended fact-table
+# entity ids do NOT qualify: `events.user_id = 42` selects one user's
+# whole history, which grows with corpus TIME, not a probe row — and
+# neither does an equality on a category column (`p_brand = 'X'`, a
+# linear corpus fraction). The right-hand side must be a literal —
+# `#` marks an attribute reference, and column-to-column equality
+# selects a corpus fraction.
+_PROBE_KEY_SUFFIXES = ("orderkey", "custkey", "partkey", "suppkey")
+_PROBE_KEY_EXACT = frozenset({"vec_id", "doc_id", "event_id"})
+_EQ_FILTER_RE = re.compile(r"^Filter .*?\((\w+)#\d+L? = [^)=<>#]+\)")
+_RANGE_FILTER_RE = re.compile(r"^Filter .*?\((\w+)#\d+L? <=? (\d+)\)")
+
+
+def _probe_key_ok(name: str) -> bool:
+    name = name.lower()
+    return name in _PROBE_KEY_EXACT or name.endswith(_PROBE_KEY_SUFFIXES)
 
 
 def _probe_filter(text: str) -> bool:
-    if _EQ_FILTER_RE.match(text):
+    m = _EQ_FILTER_RE.match(text)
+    if m and _probe_key_ok(m.group(1)):
         return True
     m = _RANGE_FILTER_RE.match(text)
-    return bool(m) and int(m.group(1)) <= PROBE_CAP
+    return (
+        bool(m)
+        and _probe_key_ok(m.group(1))
+        and int(m.group(2)) <= PROBE_CAP
+    )
 
 
 def _bounded(nodes: list[tuple[int, str]], idx: int) -> bool:

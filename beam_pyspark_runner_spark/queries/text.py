@@ -5405,3 +5405,128 @@ def cochran_q_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (3 * F.col("s_r") - F.col("s_r2")).cast("double")
         ).alias("q_stat"),
     )
+
+
+# --- Hoover (Robin Hood) index with between/within decomposition (round 11) --------
+@register(
+    "hoover_index_decomposition",
+    oracle="""
+    WITH d AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS y FROM documents),
+    g AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(y) AS BIGINT) AS yg
+      FROM d GROUP BY 1),
+    t AS (
+      SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(yg) AS BIGINT) AS yy
+      FROM g),
+    w AS (
+      SELECT d.source,
+             SUM(ABS(CAST(d.y AS HUGEINT) * g.ng - g.yg)) AS wnum
+      FROM d JOIN g ON g.source = d.source
+      GROUP BY 1),
+    b AS (
+      SELECT g.source, g.ng, g.yg,
+             ABS(CAST(g.yg AS HUGEINT) * t.n - CAST(g.ng AS HUGEINT) * t.yy)
+                 AS bnum,
+             t.n, t.yy
+      FROM g, t)
+    SELECT b.source,
+           b.ng AS n_docs,
+           b.yg AS total_chars,
+           CAST(w.wnum AS DOUBLE)
+             / (2.0 * CAST(b.yg AS DOUBLE) * CAST(b.ng AS DOUBLE))
+               AS within_hoover,
+           CAST(b.bnum AS DOUBLE)
+             / (2.0 * CAST(b.yy AS DOUBLE) * CAST(b.n AS DOUBLE))
+               AS between_contrib,
+           (SELECT CAST(SUM(b2.bnum) AS DOUBLE) FROM b b2)
+             / (2.0 * CAST(b.yy AS DOUBLE) * CAST(b.n AS DOUBLE))
+               AS hoover_between
+    FROM b JOIN w ON w.source = b.source
+    """,
+    tags=("text", "inequality", "hoover", "data_mixing", "statistics"),
+)
+def hoover_index_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hoover (Robin Hood) index of the token-budget distribution, with
+    a between-source / within-source decomposition: H = half the total
+    share of characters that would have to move for perfect equality —
+    the most direct 'how skewed is my training mixture' number, read
+    in corpus-fraction units where gini_coefficient is an area and
+    atkinson_inequality_index a welfare ratio. between_contrib ranks
+    the sources whose SIZE distorts the mixture (the input
+    source_gini_diversity and mixture_weights act on); within_hoover
+    ranks sources whose internal doc-length skew will distort
+    length-bucketed packing (pack_token_budget).
+
+    Chosen over the Theil decomposition deliberately: Theil needs
+    ln() — banned cross-engine (IEEE libm ulp drift, the dsir/zipf
+    discipline) — while every Hoover numerator is an exact integer
+    |y_i*N_g - Y_g| (within) or |Y_g*N - N_g*Y| (between) in
+    HUGEINT / DECIMAL(38,0), and each output is ONE division of exact
+    integers. Magnitudes stay inside 128-bit range past 1e18 docs.
+
+    Scale (100 TB): one corpus scan joined to the |source|-row
+    broadcast of per-source scalars for the within numerators
+    (map-side combinable absolute sums); everything else runs on
+    |source| rows."""
+    dec = "decimal(38,0)"
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("y")
+    )
+    g = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("ng"),
+        F.sum("y").cast("long").alias("yg"),
+    )
+    t = g.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("yg").cast("long").alias("yy"),
+    )
+    w = (
+        d.join(F.broadcast(g), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.abs(
+                    (F.col("y").cast(dec) * F.col("ng")).cast(dec) - F.col("yg")
+                ).cast(dec)
+            )
+            .cast(dec)
+            .alias("wnum")
+        )
+    )
+    b = g.crossJoin(F.broadcast(t)).select(
+        "source",
+        "ng",
+        "yg",
+        "n",
+        "yy",
+        F.abs(
+            (F.col("yg").cast(dec) * F.col("n")).cast(dec)
+            - (F.col("ng").cast(dec) * F.col("yy")).cast(dec)
+        )
+        .cast(dec)
+        .alias("bnum"),
+    )
+    btot = b.agg(F.sum("bnum").cast(dec).alias("bsum"))
+    return (
+        b.join(w, "source")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "source",
+            F.col("ng").alias("n_docs"),
+            F.col("yg").alias("total_chars"),
+            (
+                F.col("wnum").cast("double")
+                / (F.lit(2.0) * F.col("yg").cast("double") * F.col("ng").cast("double"))
+            ).alias("within_hoover"),
+            (
+                F.col("bnum").cast("double")
+                / (F.lit(2.0) * F.col("yy").cast("double") * F.col("n").cast("double"))
+            ).alias("between_contrib"),
+            (
+                F.col("bsum").cast("double")
+                / (F.lit(2.0) * F.col("yy").cast("double") * F.col("n").cast("double"))
+            ).alias("hoover_between"),
+        )
+    )

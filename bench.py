@@ -93,6 +93,27 @@ def main() -> None:
         }
 
     total = round(sum(timings.values()), 4)
+    # The driver records only the LAST ~2000 chars of stdout, so the
+    # one contract JSON line must fit whole inside that tail (the r9/
+    # r10 artifacts landed parsed=null because per-query rep stats
+    # pushed the line past the capture). Per-query medians stay on the
+    # line (~900 chars for 22 queries); the full rep stats go to a
+    # sidecar file next to this script instead of stdout.
+    sidecar = {
+        "query_stats": stats,
+        "loadavg_1m": {
+            "before": load_before,
+            "after": round(os.getloadavg()[0], 2),
+        },
+        "sf": sf,
+        "total_sec": total,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_stats.json"),
+        "w",
+    ) as fh:
+        json.dump(sidecar, fh, indent=1)
     print(
         json.dumps(
             {
@@ -100,11 +121,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "query_stats": stats,
-                "loadavg_1m": {
-                    "before": load_before,
-                    "after": round(os.getloadavg()[0], 2),
-                },
                 "sf": sf,
             }
         )

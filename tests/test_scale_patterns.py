@@ -2227,6 +2227,153 @@ def test_broadcast_detector_multiplies_composite_caps(spark):
     assert not bad_sides(o.crossJoin(F.broadcast(step)))
 
 
+def test_broadcast_detector_window_outputs_and_entity_probes(spark):
+    """Round-11 tightening — the two corners the round-10 verdict
+    confirmed live, as detector negatives:
+
+    (a) a Window OUTPUT must not inherit a cap from its spec columns:
+    ``row_number() OVER (ORDER BY l_quantity)`` takes partition-size
+    many values, not 50 — a hinted broadcast of a
+    ``groupBy(row_number_output).count()`` over a corpus scan flags;
+    ``ntile(n)`` caps at its literal n and a windowed ``min`` of a
+    capped column at that column's domain, so both still pass.
+
+    (b) a key-equality-to-literal probe certifies only keys with
+    model-bounded per-key multiplicity: ``events.user_id = <lit>``
+    selects one user's whole history — which grows with corpus TIME —
+    so a hinted broadcast of that slice flags; a ``vec_id`` (embeddings
+    PK) probe still passes."""
+    from tests.broadcast_audit import unbounded_hinted_broadcasts
+    from pyspark.sql import Window as W
+
+    def bad_sides(df):
+        return unbounded_hinted_broadcasts(
+            df._jdf.queryExecution().optimizedPlan().toString()
+        )
+
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    e = load_table(spark, SF_CORRECT, "events")
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+
+    # (a) positive: row_number inherits NO cap from ORDER BY l_quantity
+    rn_agg = li.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("l_orderkey").orderBy("l_quantity")
+        ),
+    ).groupBy("rn").count()
+    assert bad_sides(
+        li.withColumn("rn", F.lit(1)).join(F.broadcast(rn_agg), "rn")
+    )
+    # (a) negatives: ntile(4) caps at 4; windowed min passes its
+    # argument's value domain (l_quantity: 50) through
+    nt_agg = li.withColumn(
+        "q4",
+        F.ntile(4).over(W.partitionBy("l_orderkey").orderBy("l_quantity")),
+    ).groupBy("q4").count()
+    assert not bad_sides(
+        li.withColumn("q4", F.lit(1)).join(F.broadcast(nt_agg), "q4")
+    )
+    mn_agg = li.withColumn(
+        "mn",
+        F.min("l_quantity").over(W.partitionBy("l_orderkey")),
+    ).groupBy("mn").count()
+    assert not bad_sides(
+        li.withColumn("mn", F.col("l_quantity")).join(
+            F.broadcast(mn_agg), "mn"
+        )
+    )
+
+    # (b) positive: one user's history is not a bounded row set
+    probe = e.filter(F.col("user_id") == 42)
+    assert bad_sides(e.join(F.broadcast(probe), "user_id"))
+    # (b) negative: embeddings PK probe selects a fixed row batch
+    q = emb.filter(F.col("vec_id") < 8).select("vec_id", "label")
+    assert not bad_sides(emb.join(F.broadcast(q.select("vec_id")), "vec_id"))
+
+
+def test_broadcast_detector_aggregate_image_and_alias_rules(spark):
+    """Round-11 tightening (round-10 ADVICE #1/#4 follow-through):
+
+    (1) image-of-domain reasoning stops at growing aggregates — a
+    per-entity ``count(*)`` / ``sum(capped_col)`` level table flags
+    (count(1) must not read as a pure literal, sum(l_quantity) must
+    not read as 50) while ``min(l_quantity)`` still passes its
+    argument's domain through;
+
+    (2) a visible definition beats the name cap in BOTH directions: a
+    ``pmod(x, 1000000)`` aliased to a trusted bucket name carries its
+    provable 1e6 image (so x25 nation composite = 25M > AGG_CARD_CAP
+    flags), and a corpus-grain expression aliased ``label`` no longer
+    certifies by name — while an honest all-literal CASE label still
+    does."""
+    from tests.broadcast_audit import unbounded_hinted_broadcasts
+
+    def bad_sides(df):
+        return unbounded_hinted_broadcasts(
+            df._jdf.queryExecution().optimizedPlan().toString()
+        )
+
+    o = load_table(spark, SF_CORRECT, "orders")
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    e = load_table(spark, SF_CORRECT, "events")
+
+    # (1) growing-aggregate images
+    cnt_levels = (
+        o.groupBy("o_custkey").agg(F.count("*").alias("c"))
+        .groupBy("c").count()
+    )
+    assert bad_sides(
+        o.withColumn("c", F.lit(1)).join(F.broadcast(cnt_levels), "c")
+    )
+    sum_levels = (
+        li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("s"))
+        .groupBy("s").count()
+    )
+    assert bad_sides(
+        li.withColumn("s", F.lit(1)).join(F.broadcast(sum_levels), "s")
+    )
+    min_levels = (
+        li.groupBy("l_orderkey").agg(F.min("l_quantity").alias("mn"))
+        .groupBy("mn").count()
+    )
+    assert not bad_sides(
+        li.withColumn("mn", F.col("l_quantity")).join(
+            F.broadcast(min_levels), "mn"
+        )
+    )
+
+    # (2) definition-over-name in both directions
+    wide_bucket = li.select(
+        F.pmod(F.hash("l_partkey"), F.lit(1_000_000)).alias("price_bucket"),
+        (F.col("l_suppkey") % 25).alias("nk"),
+    ).groupBy("price_bucket", "nk").count()
+    assert bad_sides(
+        li.withColumn("price_bucket", F.lit(1))
+        .withColumn("nk", F.lit(1))
+        .join(F.broadcast(wide_bucket), ["price_bucket", "nk"])
+    )
+    alias_label = e.select(
+        F.concat(F.col("user_id").cast("string"), F.lit("_x")).alias("label")
+    ).groupBy("label").count()
+    assert bad_sides(
+        e.withColumn("label", F.lit("a")).join(
+            F.broadcast(alias_label), "label"
+        )
+    )
+    case_label = e.select(
+        F.when(F.col("value") > 50, F.lit("hi"))
+        .when(F.col("value") > 10, F.lit("mid"))
+        .otherwise(F.lit("lo"))
+        .alias("label")
+    ).groupBy("label").count()
+    assert not bad_sides(
+        e.withColumn("label", F.lit("a")).join(
+            F.broadcast(case_label), "label"
+        )
+    )
+
+
 @pytest.mark.skipif(
     __import__("os").environ.get("SPARK_GRAFT_SCALE_GATE", "0") != "1",
     reason="full-registry plan audit is opt-in: set SPARK_GRAFT_SCALE_GATE=1",
