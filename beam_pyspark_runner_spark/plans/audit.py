@@ -170,68 +170,38 @@ def _calendar_col(name: str) -> bool:
 
 
 # Grouping-key names that are provably low-cardinality in THIS data
-# model — enum-valued dimension attributes (TPC-H spec fixes their
-# domains: 5 market segments, 5 order priorities, 25 nation names, …),
-# fixture enums (event_type/source are generator-fixed label sets),
-# embedding-dimension indexes (bounded by vector width), and the
-# bucket/band/label vocabulary used by every literal-bucketing kernel
-# in the repo (`__bucket` specifically is bucketed_order_scan's
-# contract name: callers must pass an order-preserving coarsening of a
-# VALUE-range-bounded column — functions/ordered.py documents and
-# property-tests that contract). Entity-grain names (custkey, doc_id,
-# node, token, …) are deliberately absent: an unknown name only
-# certifies if its defining expression can be chased to a bounded
-# form.
+# model. Contract (round-11): every entry cites the fixture domain
+# that bounds it, and every entry must have at least one registered
+# dependent — the round-11 ablation (instrumented _col_cap over all
+# 524 optimized plans: /tmp-reproducible via ARCHITECTURE round-11
+# notes) deleted the 19 exact names and 12 suffixes with ZERO
+# dependents (band/bucket/bin/cell/decile/… — all now proven via
+# their defining expressions instead: literal modulus, hex-substring,
+# CASE-literal, or dropped hints). A name cap only ever applies to
+# relation-sourced columns / generator-frontier struct fields with no
+# visible definition — a visible definition always wins (_attr_cap).
+# Entity-grain names (custkey, doc_id, node, token, …) are
+# deliberately absent: an unknown name only certifies if its defining
+# expression can be chased to a bounded form.
 _BOUNDED_KEY_EXACT = frozenset(
     {
-        "n_name",
-        "r_name",
-        "nation",
-        "region",
-        "seg",
-        "source",
-        "grp",
-        "flag",
-        "variant",
-        "arm",
-        "cls",
-        "action",
-        "label",
-        "mask",
-        "col",
-        "dim",
-        "pos",
-        "dow",
-        "dd",
-        "ym",
-        "dim_i",
-        "dim_j",
-        "band",
-        "bucket",
-        "bin",
-        "cell",
-        "decile",
-        "__bucket",
+        "n_name",  # TPC-H: 25 nation names at every SF
+        "source",  # documents.source: generator-fixed 20-label set
+        "variant",  # events.props['variant']: generator-fixed A/B arms
+        "cls",  # embeddings.label-derived class labels (fixture enum)
+        "label",  # embeddings.label: generator-fixed label set
+        "pos",  # posexplode ordinal over fixture-width vectors (<= dims)
+        "dd",  # day-digit / dense-dim indexes (sketch bucket fixtures)
+        "dim_i",  # embedding dimension index (<= vector width)
+        "dim_j",  # embedding dimension index (<= vector width)
     }
 )
 _BOUNDED_KEY_SUFFIXES = (
     "type",  # event_type / prev_type / p_type — enum domains
-    "_state",  # from_state / to_state — state-machine labels (enum-grain)
-    "_label",
-    "priority",  # o_orderpriority
-    "segment",  # c_mktsegment
-    "status",  # o_orderstatus / l_linestatus
-    "returnflag",
-    "shipmode",
-    "shipinstruct",
-    "brand",
-    "mfgr",
-    "container",
-    "_band",
-    "_bucket",
-    "_bin",
-    "_cell",
-    "_decile",
+    "priority",  # o_orderpriority: 5 values (TPC-H spec)
+    "segment",  # c_mktsegment: 5 values (TPC-H spec)
+    "returnflag",  # l_returnflag: 3 values (TPC-H spec)
+    "brand",  # p_brand: 25 values (TPC-H spec)
 )
 
 # Calendar-grain functions: grouping by a day/month/year collapses the

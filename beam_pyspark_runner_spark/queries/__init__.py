@@ -86,11 +86,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "binary_hamming_topk",
     "retrieval_eval_map",
     "knn_classify_embeddings",
-    "binary_recall_at_k",
-    "ndcg_at_k",
-    "random_projection_recall",
-    "kcenter_coreset_greedy",
-    "smote_interpolation_synthesis",
+    # pulled forward past the strict queue head (family-diversity
+    # invariant: the 30-seat head slice carried no streaming/sketch/
+    # multimodal/join/window-tagged query — the round-10 lsh_band_sweep
+    # precedent; the displaced head entries binary_recall_at_k …
+    # smote_interpolation_synthesis return to the round-12 queue head).
+    # sliding_distinct_bitmap doubles as the verdict-#5 re-measure
+    # target, giving it first-hand driver signal the same round:
+    "stream_chained_window_aggs",
+    "sliding_distinct_bitmap",
+    "frame_hash_dedup",
+    "runtime_bloom_filter_join",
+    "semi_additive_last_balance",
 )
 
 # ROUND-12 ROTATION QUEUE — the remaining never-driver-checked queries
@@ -100,6 +107,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # round-10 registrations pulled forward per the verdict; net-new
 # round-11 registrations append at the END as they land (the r5
 # discipline, continued):
+# binary_recall_at_k, ndcg_at_k, random_projection_recall,
+# kcenter_coreset_greedy, smote_interpolation_synthesis (displaced by
+# the round-11 family-diversity pull-forward),
 # bigram_lm_probs, mixture_weights,
 # source_gini_diversity, token_lift_pairs, dataset_card_report,
 # feature_hashing_stats, keyword_in_context, unicode_nfc_clean,
@@ -110,12 +120,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # roc_auc_exact, cramers_v_association, span_corruption_targets,
 # pr_curve_points, isotonic_calibration, brier_score_decomposition,
 # stream_windowed_custom_combine, stream_sliding_distinct,
-# stream_chained_window_aggs, stream_stream_full_outer,
-# approx_top_k_events, sliding_distinct_bitmap, ams_f2_moment,
-# ams_join_size_estimate, frame_hash_dedup, cas_dedup_savings,
+# stream_stream_full_outer,
+# approx_top_k_events, ams_f2_moment,
+# ams_join_size_estimate, cas_dedup_savings,
 # python_stream_source_agg, rendezvous_shard_rebalance,
 # dict_encoding_estimate, zorder_pruning_audit,
-# dynamic_partition_prune_join, runtime_bloom_filter_join,
+# dynamic_partition_prune_join,
 # hilbert_curve_key, hilbert_vs_zorder_locality,
 # curve_file_skipping_audit, link_prediction_jaccard,
 # resource_allocation_linkpred, degree_assortativity, modularity_score,
@@ -126,7 +136,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # expected_calibration_error, macro_f1_lang_multiclass,
 # mcnemar_paired_classifiers, fleiss_kappa_multirater,
 # mood_median_test, cvm_ecdf_drift, levene_brown_forsythe,
-# lift_gains_by_decile, semi_additive_last_balance,
+# lift_gains_by_decile,
 # allen_interval_relations, time_decay_attribution,
 # delete_vector_apply_audit,
 # heaps_vocab_growth_curve, histogram_distance_drift,
@@ -150,6 +160,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # grubbs_max_deviate, mahalanobis_diag_outliers,
 # rocchio_centroid_classify, ngram_contamination_audit,
 # nn_descent_round_recall, cooks_distance_influence
+# -- round-11 net-new registrations (10, == the 10 cap; all TRI-scale
+# -- oracle-MATCH on registration day, sf0.001/0.01/0.1):
+# welch_t_test, generalized_esd_outliers, benjamini_hochberg_fdr,
+# hurst_rescaled_range, bass_diffusion_fit, hoover_index_decomposition,
+# hnsw_level_assignment, betweenness_centrality_sampled,
+# video_keyframe_delta_stub, recursive_cte_cycle_guard
 
 
 def _apply_driver_window() -> None:

@@ -6950,16 +6950,20 @@ _BASS_Q = 1000  # adoption-share quantization (1e-3 resolution)
                  AS d1,
              m0*(m2*r2 - m3*r1) - m1*(m1*r2 - m2*r1) + r0*(m1*m3 - m2*m2)
                  AS d2
-      FROM m, tot)
-    SELECT CAST(m0 AS BIGINT) AS n_periods, u AS n_adopters,
-           CAST(d0 AS DOUBLE) / CAST(dd AS DOUBLE) AS b0,
-           CAST(d1 AS DOUBLE) / CAST(dd AS DOUBLE) AS b1,
-           CAST(d2 AS DOUBLE) / CAST(dd AS DOUBLE) AS b2,
-           (CAST(d0 AS DOUBLE) / CAST(dd AS DOUBLE)) / CAST(u AS DOUBLE)
-               AS p_hat,
-           -(CAST(d2 AS DOUBLE) / CAST(dd AS DOUBLE))
-               * {_BASS_Q}.0 * {_BASS_Q}.0 / CAST(u AS DOUBLE) AS q_hat
-    FROM det WHERE dd <> 0
+      FROM m, tot),
+    q AS (
+      SELECT CAST(m0 AS BIGINT) AS n_periods, u,
+             d0 // (dd // 1000000) AS b0_e6,
+             d1 // (dd // 1000000000) AS b1_e9,
+             d2 // (dd // 1000000000000) AS b2_e12
+      FROM det WHERE dd >= 1000000000000)
+    SELECT n_periods, u AS n_adopters,
+           CAST(b0_e6 AS BIGINT) AS b0_e6,
+           CAST(b1_e9 AS BIGINT) AS b1_e9,
+           CAST(b2_e12 AS BIGINT) AS b2_e12,
+           CAST((b0_e6 * 1000) // u AS BIGINT) AS p_hat_e9,
+           CAST(-((b2_e12 * 1000) // u) AS BIGINT) AS q_hat_e9
+    FROM q
     """,
     tags=("events", "forecasting", "bass_diffusion", "regression",
           "statistics", "bounded_window"),
@@ -6979,11 +6983,18 @@ def bass_diffusion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     3x3 normal equations solve by Cramer's rule with determinants
     expanded in 128-bit-class integers (HUGEINT / DECIMAL(38,0)) —
     the multivariate step up from ols_trend_per_group (simple OLS)
-    and yule_walker_ar2 (2x2 Toeplitz) — and the only doubles are the
-    final determinant ratios. Determinant magnitudes stay under ~1e37
-    for corpora up to ~1e18 adopters over a decade of months
-    (documented bound: {_BASS_Q}^4 per pure moment times the period
-    count, adopter totals in the response moments).
+    and yule_walker_ar2 (2x2 Toeplitz). The coefficients ship as
+    INTEGER-quantized ratios (b0_e6 = d0 // (dd // 1e6), ...): a
+    128-bit determinant cast to double rounds DIFFERENTLY in the two
+    engines once past 2^53 (the pagerank family's conversion rule),
+    while nested truncating division is exact everywhere and keeps
+    every numerator inside 128-bit range at any corpus size — the
+    divisor shrink loses at most 1e-6 relative where dd >= 1e12 (the
+    WHERE guard; any non-degenerate multi-year fit clears it).
+    Determinant magnitudes stay under ~1e37 for corpora up to ~1e18
+    adopters over a decade of months (documented bound: {_BASS_Q}^4
+    per pure moment times the period count, adopter totals in the
+    response moments).
 
     Scale (100 TB): first-touch reduction per customer (map-side
     combinable), a calendar-grain monthly rollup, a bounded_window
@@ -7078,16 +7089,19 @@ def bass_diffusion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             c["m2"], c["m3"], c["r2"],
         ).alias("d2"),
     )
-    b0 = F.col("d0").cast("double") / F.col("dd").cast("double")
-    b2 = F.col("d2").cast("double") / F.col("dd").cast("double")
-    return det.filter(F.col("dd") != 0).select(
+    q = det.filter(F.col("dd") >= 1_000_000_000_000).select(
         F.col("m0").cast("long").alias("n_periods"),
+        "u",
+        F.expr("d0 div (dd div 1000000)").alias("b0_e6"),
+        F.expr("d1 div (dd div 1000000000)").alias("b1_e9"),
+        F.expr("d2 div (dd div 1000000000000)").alias("b2_e12"),
+    )
+    return q.select(
+        "n_periods",
         F.col("u").alias("n_adopters"),
-        b0.alias("b0"),
-        (F.col("d1").cast("double") / F.col("dd").cast("double")).alias("b1"),
-        b2.alias("b2"),
-        (b0 / F.col("u").cast("double")).alias("p_hat"),
-        (
-            -b2 * float(_BASS_Q) * float(_BASS_Q) / F.col("u").cast("double")
-        ).alias("q_hat"),
+        F.col("b0_e6").cast("long").alias("b0_e6"),
+        F.col("b1_e9").cast("long").alias("b1_e9"),
+        F.col("b2_e12").cast("long").alias("b2_e12"),
+        F.expr("CAST((b0_e6 * 1000) div u AS BIGINT)").alias("p_hat_e9"),
+        F.expr("CAST(-((b2_e12 * 1000) div u) AS BIGINT)").alias("q_hat_e9"),
     )

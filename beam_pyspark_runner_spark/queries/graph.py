@@ -2064,3 +2064,202 @@ def edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_edge.groupBy("support").agg(
         F.count("*").cast("long").alias("n_edges")
     )
+
+
+# --- Sampled bounded-distance betweenness centrality (round 11) --------------------
+_BETW_DEPTH = 12  # kappa: shortest-path length cap (bounded-distance Brandes)
+
+
+def _betw_oracle_sql() -> str:
+    """Unrolled Brandes forward/backward pass as chained CTEs (DuckDB
+    recursive CTEs cannot aggregate in the recursive term, and the
+    sigma accumulation per level IS a GROUP BY — so the bounded depth
+    unrolls, one CTE pair per level, exactly mirroring the Spark
+    loop)."""
+    seeds = ", ".join(str(s) for s in _CLOSE_SEEDS)
+    parts = [
+        f"""
+    e AS (
+        SELECT k AS src, (3 * k + 1) % {_BFS_N} AS dst
+        FROM range({_BFS_N}) t(k)
+        UNION ALL
+        SELECT k, (5 * k + 2) % {_BFS_N} FROM range({_BFS_N}) t(k)
+    ),
+    l0 AS (
+        SELECT CAST(seed AS BIGINT) AS seed, CAST(seed AS BIGINT) AS node,
+               CAST(1 AS BIGINT) AS sigma
+        FROM (SELECT unnest(ARRAY[{seeds}]) AS seed)
+    ),
+    seen0 AS (SELECT seed, node, sigma FROM l0)"""
+    ]
+    for d in range(1, _BETW_DEPTH + 1):
+        parts.append(f"""
+    l{d} AS MATERIALIZED (
+        SELECT c.seed, c.node, c.sigma FROM (
+            SELECT p.seed, e.dst AS node, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+            FROM l{d - 1} p JOIN e ON e.src = p.node
+            GROUP BY 1, 2
+        ) c
+        LEFT JOIN seen{d - 1} s ON s.seed = c.seed AND s.node = c.node
+        WHERE s.node IS NULL
+    ),
+    seen{d} AS MATERIALIZED (
+        SELECT seed, node, sigma FROM l{d}
+        UNION ALL SELECT seed, node, sigma FROM seen{d - 1}
+    )""")
+    parts.append(f"""
+    b{_BETW_DEPTH} AS MATERIALIZED (
+        SELECT seed, node, sigma, CAST(0.0 AS DOUBLE) AS delta
+        FROM l{_BETW_DEPTH}
+    )""")
+    for d in range(_BETW_DEPTH - 1, -1, -1):
+        parts.append(f"""
+    b{d} AS MATERIALIZED (
+        SELECT v.seed, v.node, v.sigma,
+               COALESCE(CAST(SUM(CAST(
+                   CAST(v.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE)
+                   * (1.0 + w.delta) AS DECIMAL(38,10))) AS DOUBLE),
+                 0.0) AS delta
+        FROM l{d} v
+        LEFT JOIN e ON e.src = v.node
+        LEFT JOIN b{d + 1} w ON w.seed = v.seed AND w.node = e.dst
+        GROUP BY 1, 2, 3
+    )""")
+    unions = "\n        UNION ALL ".join(
+        f"SELECT seed, node, delta FROM b{d}"
+        for d in range(_BETW_DEPTH + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""",
+    allb AS (
+        {unions}
+    )
+    SELECT node,
+           CAST(SUM(CAST(delta AS DECIMAL(38,10))) AS DOUBLE) AS betweenness
+    FROM allb WHERE node <> seed
+    GROUP BY node
+    """
+    )
+
+
+@register(
+    "betweenness_centrality_sampled",
+    oracle=_betw_oracle_sql(),
+    tags=("graph", "betweenness_centrality", "brandes", "bfs",
+          "iterative", "pivot_sample"),
+)
+def betweenness_centrality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Betweenness centrality by Brandes' dependency accumulation
+    (Brandes 2001) from the fixed pivot sample, distance-bounded at
+    kappa = {_BETW_DEPTH} — the two standard approximations composed:
+    source-sampling (Brandes-Pich 2007: sum dependencies from k pivots
+    instead of all |V| sources) and bounded-distance (k-betweenness,
+    Borgatti's bounded-path variant; also what the closeness family's
+    depth cap already does, `closeness_centrality_sampled`). This is
+    the one centrality the graph family lacked: degree counts contact,
+    closeness measures reach, PageRank measures endorsement flow —
+    betweenness measures BROKERAGE (how much shortest-path traffic
+    routes THROUGH a node), and Brandes' backward pass is its only
+    scalable form (the naive definition enumerates all-pairs paths).
+
+    Forward: the shared-frontier multi-source BFS of the BFS family,
+    carrying per-(seed, node) shortest-path COUNTS sigma — each level
+    is one frontier-edges join + one exact integer partial aggregate,
+    anti-joined against the seen set. Backward: per level (deepest
+    first), delta(v) = sum over successors w of
+    sigma_v/sigma_w * (1 + delta_w); each term is one fixed double
+    expression over exact integers and the previous level's delta, and
+    the per-node sum accumulates through exact DECIMAL(38,10) (the
+    pagerank dsum discipline), so no float summation order exists in
+    either engine. Betweenness(v) = sum of deltas over seeds, v != seed.
+
+    Lineage discipline: per-round localCheckpoint via checkpoint_audited
+    exactly like bfs_shortest_hops; the unrolled-CTE oracle mirrors the
+    loop level-for-level, so a MATCH certifies sigma counting, the
+    level-(d+1)-successor relation AND the dependency recursion.
+
+    Scale (100 TB): every round is one frontier-vs-edges equi-join
+    shared by all seeds (state is (seed, node) — k x |V| at worst); no
+    all-pairs stage exists anywhere. On a billion-node edge list the
+    same loop runs with the edge relation disk-backed; the depth cap
+    bounds rounds, and Brandes-Pich pivot counts, not |V|, set the
+    constant."""
+    n = spark.range(_BFS_N)
+    edges = checkpoint_audited(
+        n.select(
+            F.col("id").alias("src"),
+            ((3 * F.col("id") + 1) % _BFS_N).alias("dst"),
+        ).unionAll(n.select(F.col("id"), ((5 * F.col("id") + 2) % _BFS_N)))
+    )
+    seeds = spark.createDataFrame([(s,) for s in _CLOSE_SEEDS], "seed long")
+    lev0 = seeds.select(
+        "seed",
+        F.col("seed").alias("node"),
+        F.lit(1).cast("long").alias("sigma"),
+    )
+    levels = [lev0]
+    seen = lev0
+    for _depth in range(1, _BETW_DEPTH + 1):
+        prev = levels[-1]
+        cand = (
+            prev.join(edges, prev.node == edges.src)
+            .groupBy("seed", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+        )
+        new = checkpoint_audited(
+            cand.join(seen, ["seed", "node"], "left_anti")
+        )
+        if new.isEmpty():
+            break
+        levels.append(new)
+        seen = checkpoint_audited(seen.unionAll(new))
+    acc = "decimal(38,10)"
+    deltas = [
+        levels[-1].withColumn("delta", F.lit(0.0).cast("double"))
+    ]
+    for d in range(len(levels) - 2, -1, -1):
+        v = levels[d].alias("v")
+        w = deltas[-1].select(
+            F.col("seed").alias("wseed"),
+            F.col("node").alias("wnode"),
+            F.col("sigma").alias("wsigma"),
+            F.col("delta").alias("wdelta"),
+        )
+        term = (
+            F.col("v.sigma").cast("double")
+            / F.col("wsigma").cast("double")
+            * (F.lit(1.0) + F.col("wdelta"))
+        )
+        contrib = (
+            v.join(edges, F.col("v.node") == edges.src, "left")
+            .join(
+                w,
+                (F.col("wseed") == F.col("v.seed"))
+                & (F.col("wnode") == F.col("dst")),
+                "left",
+            )
+            .groupBy(F.col("v.seed").alias("seed"), F.col("v.node").alias("node"))
+            .agg(
+                F.first(F.col("v.sigma")).alias("sigma"),
+                F.coalesce(
+                    F.sum(term.cast(acc)).cast("double"), F.lit(0.0)
+                ).alias("delta"),
+            )
+        )
+        # no per-round pin here: every input (levels[d], edges, the
+        # previous delta) is already checkpointed, so the backward
+        # chain grows the plan only linearly per level (O(L^2) nodes
+        # total) — one declarative plan, zero extra jobs, unlike the
+        # forward pass where the seen-set union would nest
+        # exponentially without a pin
+        deltas.append(contrib)
+    allb = deltas[0].select("seed", "node", "delta")
+    for dd in deltas[1:]:
+        allb = allb.unionAll(dd.select("seed", "node", "delta"))
+    return (
+        allb.filter(F.col("node") != F.col("seed"))
+        .groupBy("node")
+        .agg(F.sum(F.col("delta").cast(acc)).cast("double").alias("betweenness"))
+    )

@@ -846,3 +846,111 @@ def audio_vad_segments_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact (sum >= level·len, no float means), so the DuckDB
     gaps-and-islands oracle reproduces segment boundaries bit-for-bit."""
     return _payload_df(spark, sf_dir).mapInPandas(_vad_segment_kernel, _VAD_SCHEMA)
+
+
+# --- Keyframe selection by inter-frame feature delta (round 11) --------------------
+KEYFRAME_DELTA = 2048  # absolute inter-frame feature-change threshold
+
+_KEYFEAT_SCHEMA = "doc_id bigint, frame_idx bigint, frame_bytes bigint, feat bigint"
+
+
+def _keyframe_feature_kernel(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic FAKE per-frame feature extraction for keyframe
+    selection.
+
+    A real kernel would decode every frame (ffmpeg) and emit a compact
+    visual feature (color histogram, perceptual hash); here a "frame"
+    is a FRAME_BYTES-sized payload slice and its feature is the exact
+    int64 byte sum — order-free integer arithmetic, so the value
+    bit-matches the SQL oracle. The kernel deliberately emits EVERY
+    frame's feature and leaves the keyframe DECISION to DataFrame
+    algebra: the division of labor a production pipeline wants (Python
+    touches bytes once; the shuffle-side lag/filter logic stays in
+    Catalyst, where the planner can push it around)."""
+    for pdf in batches:
+        out_doc, out_idx, out_len, out_feat = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            n_frames = (len(b) + FRAME_BYTES - 1) // FRAME_BYTES
+            for idx in range(n_frames):
+                chunk = b[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+                out_doc.append(doc_id)
+                out_idx.append(idx)
+                out_len.append(len(chunk))
+                out_feat.append(sum(chunk))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "frame_idx": pd.Series(out_idx, dtype="int64"),
+                "frame_bytes": pd.Series(out_len, dtype="int64"),
+                "feat": pd.Series(out_feat, dtype="int64"),
+            }
+        )
+
+
+@register(
+    "video_keyframe_delta_stub",
+    # ASCII corpus: frame f of doc covers chars [f*FB+1, min((f+1)*FB, n)]
+    # and its byte sum equals the char-codepoint sum over that slice.
+    oracle=f"""
+    WITH ch AS (
+        SELECT doc_id,
+               (unnest(range(1, length(text) + 1)) - 1) // {FRAME_BYTES}
+                   AS frame_idx,
+               unnest(range(1, length(text) + 1)) AS i, text
+        FROM documents
+    ),
+    frames AS (
+        SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(COUNT(*) AS BIGINT) AS frame_bytes,
+               CAST(SUM(ascii(substr(text, CAST(i AS INT), 1))) AS BIGINT)
+                   AS feat
+        FROM ch GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT *, feat - LAG(feat) OVER (PARTITION BY doc_id
+                                         ORDER BY frame_idx) AS delta
+        FROM frames
+    )
+    SELECT doc_id, frame_idx, frame_bytes, feat,
+           COALESCE(delta, CAST(0 AS BIGINT)) AS delta,
+           (delta IS NULL OR ABS(delta) >= {KEYFRAME_DELTA}) AS is_keyframe
+    FROM lagged
+    """,
+    tags=("multimodal", "binary", "video", "keyframe", "decode_stub",
+          "map_in_pandas"),
+)
+def video_keyframe_delta_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe selection by inter-frame feature delta — the
+    shot-boundary heuristic every video curation pipeline runs before
+    captioning/embedding (sample MORE where content changes), and the
+    content-adaptive complement to video_frame_sample_stub's fixed
+    STRIDE sampling. The mapInPandas kernel fake-decodes frames to an
+    exact-integer feature (see kernel docstring: real decode is
+    environment-gated, the Spark-side plumbing is real); frame deltas
+    and the keyframe decision run JVM-side as a lag window partitioned
+    by doc — no Python in the selection path, so at 100 TB the decode
+    kernel is the only Arrow hop and the planner is free to prune
+    non-key frames before any downstream shuffle. Frame 0 is always a
+    keyframe; later frames qualify when |feat - prev_feat| >=
+    {KEYFRAME_DELTA} (a literal contract, not a tuned constant)."""
+    from pyspark.sql import Window as W
+
+    frames = _payload_df(spark, sf_dir).mapInPandas(
+        _keyframe_feature_kernel, _KEYFEAT_SCHEMA
+    )
+    lag = F.lag("feat").over(W.partitionBy("doc_id").orderBy("frame_idx"))
+    lagged = frames.withColumn("delta_raw", F.col("feat") - lag)
+    return lagged.select(
+        "doc_id",
+        "frame_idx",
+        "frame_bytes",
+        "feat",
+        F.coalesce(F.col("delta_raw"), F.lit(0).cast("long")).alias("delta"),
+        (
+            F.col("delta_raw").isNull()
+            | (F.abs(F.col("delta_raw")) >= KEYFRAME_DELTA)
+        ).alias("is_keyframe"),
+    )

@@ -163,3 +163,71 @@ def lateral_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_custkey <= 20
         """
     )
+
+
+_RHO_N = 256  # node count of the Pollard-rho functional graph
+
+
+_CYCLE_GUARD_BODY = f"""
+    WITH RECURSIVE walk(start, cur, depth, path) AS (
+        SELECT {{k}}, {{k}}, 0,
+               '|' || CAST({{k}} AS STRING) || '|'
+        FROM range({_RHO_N})
+        UNION ALL
+        SELECT start, (cur * cur + 1) % {_RHO_N}, depth + 1,
+               path || CAST((cur * cur + 1) % {_RHO_N} AS STRING) || '|'
+        FROM walk
+        WHERE POSITION(('|' || CAST((cur * cur + 1) % {_RHO_N} AS STRING)
+                        || '|') IN path) = 0
+    ),
+    fin AS (SELECT start, MAX(depth) AS d FROM walk GROUP BY start),
+    last AS (
+        SELECT w.start, w.cur, w.depth
+        FROM walk w JOIN fin ON fin.start = w.start AND fin.d = w.depth
+    ),
+    entry AS (
+        SELECT start, (cur * cur + 1) % {_RHO_N} AS e,
+               depth + 1 AS rho FROM last
+    ),
+    t AS (
+        SELECT e.start, e.rho, w.depth AS tail_len
+        FROM entry e JOIN walk w ON w.start = e.start AND w.cur = e.e
+    )
+    SELECT CAST(start AS BIGINT) AS node,
+           CAST(rho AS BIGINT) AS rho_len,
+           CAST(tail_len AS BIGINT) AS tail_len,
+           CAST(rho - tail_len AS BIGINT) AS cycle_len
+    FROM t
+"""
+
+
+@register(
+    "recursive_cte_cycle_guard",
+    oracle=_CYCLE_GUARD_BODY.format(k="CAST(range AS BIGINT)").replace(
+        "AS STRING", "AS VARCHAR"
+    ),
+    tags=("recursive_cte", "cycle_detection", "graph"),
+)
+def recursive_cte_cycle_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cycle-safe recursive traversal — the path-guard idiom the SQL
+    standard's CYCLE clause formalizes, hand-rolled the portable way:
+    each recursive step refuses to revisit a node already on its own
+    path ('|'-delimited id string + POSITION guard), so the recursion
+    TERMINATES on cyclic graphs where recursive_cte_hierarchy /
+    recursive_cte_reachability (acyclic by construction) would loop
+    until the engine's depth limit. The walked graph is Pollard's rho
+    map x -> x^2+1 mod {_RHO_N} — every start's trajectory is a tail
+    into a cycle (the rho shape), and the query reports each node's
+    rho decomposition: total trajectory length, tail length, and cycle
+    length, recovered purely RELATIONALLY from the walk rows (the
+    cycle entry is the first revisited successor; its recorded depth
+    IS the tail length) — no string arithmetic beyond the guard.
+
+    Scale (100 TB): each recursion step shuffles only the still-
+    walking frontier; the path string grows with trajectory length
+    (bounded by the guard at the graph's rho length, <= ~10 here, and
+    by the engine's recursion cap in the worst case) — on a real
+    billion-node graph the same guard bounds per-row state to the
+    trajectory, never the graph."""
+    register_views(spark, sf_dir, ("supplier",))  # contract parity; graph is synthetic
+    return spark.sql(_CYCLE_GUARD_BODY.format(k="id"))

@@ -2161,3 +2161,277 @@ def test_limit_rule_respects_cardinality_cap(spark):
     # an expression-valued limit carries no provable count
     assert not _bounded(parse_plan(
         "GlobalLimit limit#5\n+- Relation [x#1L] parquet"), 0)
+
+
+# --- round 11: new-query kernel properties ---------------------------------------
+@_settings
+@given(
+    xs=st.lists(st.integers(-5000, 5000), min_size=2, max_size=40),
+    ys=st.lists(st.integers(-5000, 5000), min_size=2, max_size=40),
+)
+def test_welch_integer_moments_match_textbook(spark, xs, ys):
+    """welch_t_test's integer-moment form se² = (nΣv²−(Σv)²)/(n·n·(n−1))
+    must equal the textbook s²/n EXACTLY (a common-denominator rewrite),
+    and the assembled t must track the float textbook value."""
+    import math
+    from fractions import Fraction
+    from statistics import variance
+
+    for arm in (xs, ys):
+        n, s = len(arm), sum(arm)
+        sxx = sum(v * v for v in arm)
+        got = Fraction(n * sxx - s * s, n * n * (n - 1))
+        if len(set(arm)) == 1:
+            assert got == 0
+            continue
+        exact_var = variance([Fraction(v) for v in arm])
+        assert got == exact_var / n  # exact rational var/n
+    if len(set(xs)) > 1 and len(set(ys)) > 1:
+        n0, n1 = len(xs), len(ys)
+        se2 = variance(xs) / n0 + variance(ys) / n1
+        t_ref = (sum(xs) / n0 - sum(ys) / n1) / math.sqrt(se2)
+        s0, s1 = sum(xs), sum(ys)
+        sxx0 = sum(v * v for v in xs)
+        sxx1 = sum(v * v for v in ys)
+        t_pipe = (s0 / n0 - s1 / n1) / math.sqrt(
+            (n0 * sxx0 - s0 * s0) / (n0 * n0 * (n0 - 1))
+            + (n1 * sxx1 - s1 * s1) / (n1 * n1 * (n1 - 1))
+        )
+        assert abs(t_pipe - t_ref) <= 1e-9 * max(1.0, abs(t_ref))
+
+
+@_settings
+@given(xs=st.lists(st.integers(-10000, 10000), min_size=7, max_size=50))
+def test_esd_sufficient_statistic_removal_matches_multiset(spark, xs):
+    """generalized_esd_outliers removes 'one instance of the suspect
+    extreme' purely in sufficient statistics (n−1, S−x, Σx²−x²); that
+    must equal literally deleting one instance from the multiset and
+    recomputing — and the suspect choice (larger studentized extreme,
+    hi wins ties) must match a naive re-scan each round."""
+    from fractions import Fraction
+
+    vals = sorted(xs)
+    n, s, sxx = len(vals), sum(vals), sum(v * v for v in vals)
+    for _ in range(3):
+        if n < 3:
+            break
+        hi, lo = max(vals), min(vals)
+        dev_hi, dev_lo = n * hi - s, s - n * lo
+        pick = hi if dev_hi >= dev_lo else lo
+        # moment identity (exact): n·Σv²−S² == Σ(n·v−S)²/n
+        var_n2 = n * sxx - s * s
+        assert Fraction(var_n2) == sum(
+            Fraction(v * n - s) ** 2 for v in vals
+        ) / n
+        # remove one instance two ways
+        n2, s2, sxx2 = n - 1, s - pick, sxx - pick * pick
+        vals.remove(pick)
+        assert n2 == len(vals)
+        assert s2 == sum(vals)
+        assert sxx2 == sum(v * v for v in vals)
+        n, s, sxx = n2, s2, sxx2
+
+
+@_settings
+@given(
+    ps=st.lists(
+        st.floats(0.0001, 1.0, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=30,
+    ),
+    alpha=st.floats(0.01, 0.5),
+)
+def test_bh_stepup_matches_reference_procedure(spark, ps, alpha):
+    """benjamini_hochberg_fdr's window form (rank by p, kmax = max rank
+    with p ≤ rank·α/m, reject rank ≤ kmax) must equal the textbook
+    step-up procedure on arbitrary p-vectors — including vectors WITH
+    real signal, which the uniform fixtures cannot produce."""
+    m = len(ps)
+    order = sorted(range(m), key=lambda i: ps[i])
+    kmax = 0
+    for rank, i in enumerate(order, start=1):
+        if ps[i] <= rank * alpha / m:
+            kmax = rank
+    reference_reject = {order[r - 1] for r in range(1, kmax + 1)}
+    # window-form replica (what the query computes)
+    ranks = {i: r for r, i in enumerate(order, start=1)}
+    kmax2 = max(
+        (ranks[i] for i in range(m) if ps[i] <= ranks[i] * alpha / m),
+        default=0,
+    )
+    window_reject = {i for i in range(m) if ranks[i] <= kmax2}
+    assert window_reject == reference_reject
+
+
+@_settings
+@given(xs=st.lists(st.integers(0, 100000), min_size=4, max_size=64))
+def test_hurst_integer_scaling_cancels_exactly(spark, xs):
+    """hurst_rescaled_range computes R/S as
+    (max−min of n·csum−(k+1)·S) / sqrt(n·Σx²−S²): the n-scalings of
+    range and sd must cancel so the value equals the naive
+    mean-deviation R/S."""
+    import math
+
+    n, s = len(xs), sum(xs)
+    sxx = sum(v * v for v in xs)
+    var_n2 = n * sxx - s * s
+    if var_n2 == 0:
+        return
+    mean = s / n
+    cum, dev = 0.0, []
+    for k, v in enumerate(xs):
+        cum += v - mean
+        dev.append(cum)
+    r_naive = max(dev) - min(dev)
+    s_naive = math.sqrt((sxx - n * mean * mean) / n)
+    csum = 0
+    idev = []
+    for k, v in enumerate(xs):
+        csum += v
+        idev.append(n * csum - (k + 1) * s)
+    pipe = (max(idev) - min(idev)) / math.sqrt(var_n2)
+    assert abs(pipe - r_naive / s_naive) <= 1e-6 * max(1.0, abs(pipe))
+
+
+@_settings
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(0, 10000)),
+        min_size=4,
+        max_size=60,
+    )
+)
+def test_bass_cramer_solves_normal_equations_exactly(spark, rows):
+    """bass_diffusion_fit's Cramer determinants must solve the 3x3
+    normal equations EXACTLY in rational arithmetic: substituting
+    b = (d0, d1, d2)/dd back reproduces the moment identities."""
+    from fractions import Fraction
+
+    m0 = len(rows)
+    m1 = sum(s for s, _ in rows)
+    m2 = sum(s * s for s, _ in rows)
+    m3 = sum(s**3 for s, _ in rows)
+    m4 = sum(s**4 for s, _ in rows)
+    r0 = sum(y for _, y in rows)
+    r1 = sum(y * s for s, y in rows)
+    r2 = sum(y * s * s for s, y in rows)
+
+    def det3(a, b, c, d, e, f, g, h, i):
+        return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+    dd = det3(m0, m1, m2, m1, m2, m3, m2, m3, m4)
+    if dd == 0:
+        return
+    d0 = det3(r0, m1, m2, r1, m2, m3, r2, m3, m4)
+    d1 = det3(m0, r0, m2, m1, r1, m3, m2, r2, m4)
+    d2 = det3(m0, m1, r0, m1, m2, r1, m2, m3, r2)
+    b0, b1, b2 = (Fraction(d, dd) for d in (d0, d1, d2))
+    assert b0 * m0 + b1 * m1 + b2 * m2 == r0
+    assert b0 * m1 + b1 * m2 + b2 * m3 == r1
+    assert b0 * m2 + b1 * m3 + b2 * m4 == r2
+
+
+@_settings
+@given(
+    groups=st.lists(
+        st.lists(st.integers(1, 100000), min_size=1, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_hoover_numerators_match_share_form(spark, groups):
+    """hoover_index_decomposition's integer numerators must equal the
+    share-definition Hoover index exactly in rational arithmetic, and
+    both between- and within-source indexes must land in [0, 1)."""
+    from fractions import Fraction
+
+    ys = [y for g in groups for y in g]
+    n, yy = len(ys), sum(ys)
+    between = sum(
+        Fraction(abs(sum(g) * n - len(g) * yy), 2 * yy * n) for g in groups
+    )
+    share_form = (
+        sum(abs(Fraction(sum(g), yy) - Fraction(len(g), n)) for g in groups)
+        / 2
+    )
+    assert between == share_form
+    assert 0 <= between < 1
+    for g in groups:
+        ng, yg = len(g), sum(g)
+        within = sum(
+            Fraction(abs(y * ng - yg), 2 * yg * ng) for y in g
+        )
+        assert within == sum(
+            abs(Fraction(y, yg) - Fraction(1, ng)) for y in g
+        ) / 2
+        assert 0 <= within < 1
+
+
+@_settings
+@given(h=st.integers(1, 2**32 - 1))
+def test_hnsw_trailing_zero_bit_trick(spark, h):
+    """hnsw_level_assignment's bit_count((h & -h) - 1) must equal the
+    plain trailing-zero count for every 32-bit hash value."""
+    tz = 0
+    x = h
+    while x % 2 == 0:
+        tz += 1
+        x //= 2
+    assert bin((h & -h) - 1).count("1") == tz
+
+
+def test_betweenness_matches_python_brandes_replica(spark):
+    """Third independent implementation: a plain-Python bounded-depth
+    Brandes over the same 512-node functional graph must reproduce the
+    query's betweenness values within decimal-accumulation tolerance."""
+    from collections import deque
+
+    from beam_pyspark_runner_spark.queries import REGISTRY
+    from beam_pyspark_runner_spark.queries.graph import (
+        _BETW_DEPTH,
+        _BFS_N,
+        _CLOSE_SEEDS,
+    )
+
+    adj = {}
+    for k in range(_BFS_N):
+        adj[k] = [(3 * k + 1) % _BFS_N, (5 * k + 2) % _BFS_N]
+    bc = {}
+    for s in _CLOSE_SEEDS:
+        dist = {s: 0}
+        sigma = {s: 1}
+        frontier = [s]
+        levels = [[s]]
+        for d in range(1, _BETW_DEPTH + 1):
+            nxt = {}
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        nxt[v] = nxt.get(v, 0) + sigma[u]
+            if not nxt:
+                break
+            for v, c in nxt.items():
+                dist[v] = d
+                sigma[v] = c
+            frontier = list(nxt)
+            levels.append(frontier)
+        delta = {v: 0.0 for v in dist}
+        for d in range(len(levels) - 2, -1, -1):
+            for v in levels[d]:
+                acc = 0.0
+                for w in adj[v]:
+                    if dist.get(w) == d + 1:
+                        acc += sigma[v] / sigma[w] * (1.0 + delta[w])
+                delta[v] = acc
+        for v, dl in delta.items():
+            if v != s:
+                bc[v] = bc.get(v, 0.0) + dl
+    got = {
+        r["node"]: r["betweenness"]
+        for r in REGISTRY["betweenness_centrality_sampled"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert set(got) == {v for v, b in bc.items()}
+    for v, b in bc.items():
+        assert abs(got[v] - b) <= 1e-6 * max(1.0, abs(b)), (v, got[v], b)

@@ -2408,3 +2408,124 @@ def test_no_stale_adjudication_tags(spark):
             if not auditors[t](plan):
                 stale[f"{name}:{t}"] = True
     assert not stale, stale
+
+
+# --- round 11: new-query plan pins ----------------------------------------------
+def test_round11_queries_stay_jvm_side(spark):
+    """None of the round-11 statistics/graph/recursive queries may fall
+    out of codegen into Python — every one is exact integer aggregates,
+    partitioned/bounded windows and built-in functions. (The one
+    deliberate exception, video_keyframe_delta_stub's decode kernel,
+    has its own pin below.)"""
+    for name in (
+        "welch_t_test",
+        "generalized_esd_outliers",
+        "benjamini_hochberg_fdr",
+        "hurst_rescaled_range",
+        "bass_diffusion_fit",
+        "hoover_index_decomposition",
+        "hnsw_level_assignment",
+        "betweenness_centrality_sampled",
+        "recursive_cte_cycle_guard",
+    ):
+        assert "Python" not in _plan_of(spark, name), name
+
+
+def test_round11_aggregate_only_shapes_are_window_free(spark):
+    """welch, hoover and hnsw are pure aggregate/map pipelines: a
+    Window operator in any of them means a global sort snuck in."""
+    for name in (
+        "welch_t_test",
+        "hoover_index_decomposition",
+        "hnsw_level_assignment",
+    ):
+        assert "Window" not in _plan_of(spark, name), name
+
+
+def test_round11_partitioned_windows(spark):
+    """The round-11 windows that run over corpus-grain rows must be
+    PARTITIONED: ESD's extreme-instance ranks by event_type, hurst's
+    block walks by (n, blk), keyframe's lag by doc_id. (BH / hurst-index
+    / bass also carry bounded_window-tagged walks over enum- or
+    calendar-bounded aggregates — covered by the tag gate.)"""
+    import re
+
+    for name, lead in (
+        ("generalized_esd_outliers", "event_type"),
+        ("video_keyframe_delta_stub", "doc_id"),
+    ):
+        plan = _plan_of(spark, name)
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs, name
+        for spec in specs:
+            assert spec.split(",")[0].split("#")[0].strip() == lead, (name, spec)
+    plan = _plan_of(spark, "hurst_rescaled_range")
+    parted = [
+        s
+        for s in re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        if s.split(",")[0].split("#")[0].strip() == "n"
+    ]
+    assert parted, "hurst block walks must partition by (n, blk)"
+
+
+def test_round11_walks_run_above_calendar_rollup(spark):
+    """hurst (hourly) and bass (monthly): the sequential walk must sit
+    ABOVE the calendar-grain HashAggregate rollup — the only
+    corpus-sized stage is the map-side-combinable groupBy (the
+    durbin/sprt discipline)."""
+    for name in ("hurst_rescaled_range", "bass_diffusion_fit"):
+        plan = _plan_of(spark, name)
+        win = plan.find("Window")
+        assert win != -1, name
+        assert "HashAggregate" in plan[win:], name
+
+
+def test_round11_betweenness_has_no_cartesian_and_bounded_state(spark):
+    """Brandes must stay frontier-shaped: no CartesianProduct anywhere
+    (the naive all-pairs betweenness), no Python, and the backward pass
+    accumulates through exact decimal sums (plan shows decimal(38,10)
+    accumulators)."""
+    plan = _plan_of(spark, "betweenness_centrality_sampled")
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert "decimal(38,10)" in plan
+
+
+def test_round11_keyframe_decision_is_jvm_side(spark):
+    """video_keyframe_delta_stub: exactly ONE Arrow hop (the decode
+    kernel); the lag window and keyframe filter run JVM-side above it."""
+    plan = _plan_of(spark, "video_keyframe_delta_stub")
+    assert plan.count("MapInPandas") == 1, "decode kernel is the one Arrow hop"
+    win = plan.find("Window")
+    assert win != -1 and "MapInPandas" in plan[win:], (
+        "keyframe lag window must sit above the decode kernel"
+    )
+
+
+def test_round11_cycle_guard_terminates_and_is_exact(spark):
+    """recursive_cte_cycle_guard must terminate under the engine
+    recursion cap (the guard, not the cap, ends every trajectory) and
+    reproduce Pollard's rho decomposition exactly: rho = tail + cycle
+    for every node, verified against a plain-Python walk."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+    from beam_pyspark_runner_spark.queries.recursive import _RHO_N
+
+    rows = {
+        r["node"]: (r["rho_len"], r["tail_len"], r["cycle_len"])
+        for r in REGISTRY["recursive_cte_cycle_guard"]
+        .fn(spark, SF_CORRECT)
+        .collect()
+    }
+    assert len(rows) == _RHO_N
+    for k in range(_RHO_N):
+        seen = {k: 0}
+        cur, d = k, 0
+        while True:
+            nxt = (cur * cur + 1) % _RHO_N
+            if nxt in seen:
+                expect = (d + 1, seen[nxt], d + 1 - seen[nxt])
+                break
+            d += 1
+            seen[nxt] = d
+            cur = nxt
+        assert rows[k] == expect, (k, rows[k], expect)
