@@ -451,7 +451,11 @@ def _case_literal_cap(expr: str) -> int | None:
             vals.append(body[s:e])
     if not vals or any("#" in v or "CASE" in v for v in vals):
         return None
-    return len(vals)
+    # a CASE with no ELSE yields NULL for unmatched rows — one more
+    # image value than the literal branches (round-11 self-probe: the
+    # undercount was in the unsound direction)
+    has_else = any(kw == "ELSE" for kw, _ in marks)
+    return len(vals) + (0 if has_else else 1)
 
 
 # Aggregate functions whose image GROWS with group size: a per-group
@@ -459,7 +463,8 @@ def _case_literal_cap(expr: str) -> int | None:
 # group sizes/totals — image-of-domain reasoning does not apply to
 # them (count(1) has no attrs and must NOT read as "pure literal").
 _GROWING_AGG_RE = re.compile(
-    r"\b(?:count|sum|avg|mean|median|product|stddev\w*|std|variance|"
+    r"\b(?:count\w*|sum|try_sum|try_avg|avg|mean|median|product|"
+    r"stddev\w*|std|variance|"
     r"var_\w+|skewness|kurtosis|corr|covar\w*|collect_list|collect_set|"
     r"array_agg|listagg|string_agg|approx_\w+|percentile\w*|"
     r"hll_\w+|bit_\w+|bool_and|bool_or|every|some|any|regr_\w+|"
@@ -667,6 +672,15 @@ def _probe_key_ok(name: str) -> bool:
 
 
 def _probe_filter(text: str) -> bool:
+    # A probe certifies only as a plain CONJUNCT: under NOT the match
+    # is the COMPLEMENT (everything but one row), and inside an OR it
+    # is one disjunct of a union that can be corpus-sized (round-11
+    # self-probe: `NOT (doc_id = 3)` certified before this guard, and
+    # `(doc_id = 3) OR (lang = 'en')` certified when the probe leg
+    # happened to print first). Rejecting any NOT/OR in the node text
+    # is conservative — every registered probe is a plain conjunction.
+    if " OR " in text or "NOT " in text:
+        return False
     m = _EQ_FILTER_RE.match(text)
     if m and _probe_key_ok(m.group(1)):
         return True

@@ -2291,6 +2291,22 @@ def test_broadcast_detector_window_outputs_and_entity_probes(spark):
     q = emb.filter(F.col("vec_id") < 8).select("vec_id", "label")
     assert not bad_sides(emb.join(F.broadcast(q.select("vec_id")), "vec_id"))
 
+    # round-11 self-probe hardening: a probe equality certifies only as
+    # a plain CONJUNCT — under NOT it selects the COMPLEMENT
+    # (everything but one row) and inside an OR it is one leg of a
+    # union that can be corpus-sized regardless of print order.
+    docs = load_table(spark, SF_CORRECT, "documents")
+    comp = docs.filter(~(F.col("doc_id") == 3)).select("doc_id")
+    assert bad_sides(docs.join(F.broadcast(comp), "doc_id"))
+    disj = docs.filter(
+        (F.col("doc_id") == 3) | (F.col("lang") == "en")
+    ).select("doc_id")
+    assert bad_sides(docs.join(F.broadcast(disj), "doc_id"))
+    conj = emb.filter(
+        (F.col("vec_id") == 3) & (F.col("label") >= 0)
+    ).select("vec_id")
+    assert not bad_sides(emb.join(F.broadcast(conj), "vec_id"))
+
 
 def test_broadcast_detector_aggregate_image_and_alias_rules(spark):
     """Round-11 tightening (round-10 ADVICE #1/#4 follow-through):
