@@ -70,6 +70,18 @@ def main() -> None:
     # the median and stamp 1-min loadavg before/after the sweep. A
     # loaded-host run shows median >> min and a high load stamp, so a
     # drift-vs-last-round adjudication needs no re-measure cycle.
+    # Round-11 addition: loadavg can read 0.4 while the VM runs ~2x
+    # slow (hypervisor frequency capping shows neither in loadavg nor
+    # in steal%), so also stamp a fixed single-thread spin calibration
+    # — cross-round query-time comparisons divide by this first.
+    def _cpu_calib() -> float:
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(10_000_000):
+            acc += i * i
+        return round(time.perf_counter() - t0, 4)
+
+    cpu_calib = _cpu_calib()
     load_before = round(os.getloadavg()[0], 2)
     timings: dict[str, float] = {}
     stats: dict[str, dict[str, float]] = {}
@@ -105,6 +117,7 @@ def main() -> None:
             "before": load_before,
             "after": round(os.getloadavg()[0], 2),
         },
+        "cpu_calib_sec": {"before": cpu_calib, "after": _cpu_calib()},
         "sf": sf,
         "total_sec": total,
     }
