@@ -6496,29 +6496,38 @@ def generalized_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
     )
-    ranked = e.select(
+    # two SEPARATE rank pipelines, each filtered on its own rank: a
+    # single pipeline with `(rd <= 3) OR (ra <= 3)` defeats the
+    # WindowGroupLimit rank pushdown (verified in the executed plan),
+    # leaving two full per-type sorts of the corpus — split, each
+    # window carries its map-side top-3 limit
+    rhi = e.select(
         "event_type",
         "v",
         F.row_number()
         .over(W.partitionBy("event_type").orderBy(F.col("v").desc()))
         .alias("rd"),
+    ).filter(F.col("rd") <= 3)
+    rlo = e.select(
+        "event_type",
+        "v",
         F.row_number()
         .over(W.partitionBy("event_type").orderBy(F.col("v").asc()))
         .alias("ra"),
-    )
-    ext = (
-        ranked.filter((F.col("rd") <= 3) | (F.col("ra") <= 3))
-        .groupBy("event_type")
-        .agg(
-            *[
-                F.max(F.when(F.col("rd") == i, F.col("v"))).alias(f"hi{i}")
-                for i in (1, 2, 3)
-            ],
+    ).filter(F.col("ra") <= 3)
+    ext = rhi.groupBy("event_type").agg(
+        *[
+            F.max(F.when(F.col("rd") == i, F.col("v"))).alias(f"hi{i}")
+            for i in (1, 2, 3)
+        ]
+    ).join(
+        rlo.groupBy("event_type").agg(
             *[
                 F.max(F.when(F.col("ra") == i, F.col("v"))).alias(f"lo{i}")
                 for i in (1, 2, 3)
-            ],
-        )
+            ]
+        ),
+        "event_type",
     )
     st = e.groupBy("event_type").agg(
         F.count("*").cast(dec).alias("n"),

@@ -2475,6 +2475,11 @@ def test_round11_partitioned_windows(spark):
         assert specs, name
         for spec in specs:
             assert spec.split(",")[0].split("#")[0].strip() == lead, (name, spec)
+    # ESD's two extreme-instance ranks must keep their map-side top-3
+    # pushdown (an OR across both ranks defeats it — found live)
+    assert _plan_of(spark, "generalized_esd_outliers").count(
+        "WindowGroupLimit"
+    ) >= 2
     plan = _plan_of(spark, "hurst_rescaled_range")
     parted = [
         s
