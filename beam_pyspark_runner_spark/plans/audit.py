@@ -703,8 +703,14 @@ def _bounded(nodes: list[tuple[int, str]], idx: int) -> bool:
     if _node_bounds(nodes, idx):
         return True
     kids = _children(nodes, idx)
+    # The probe's bounded-multiplicity argument holds only over a plain
+    # BASE-RELATION pipeline, where the filtered column is the table's
+    # own key. A LogicalRDD leaf (checkpointed segment) is excluded
+    # (round-11 self-probe): a pinned equi-join fan-out can carry
+    # corpus-scale rows per key under the same column name, and the
+    # checkpoint-time audit cannot see a later probe's assumption.
     if _probe_filter(nodes[idx][1]) and all(
-        t.startswith(("Relation", "Project", "Filter", "LogicalRDD"))
+        t.startswith(("Relation", "Project", "Filter"))
         for _, t in _subtree(nodes, idx)[1:]
     ):
         return True

@@ -2307,6 +2307,14 @@ def test_broadcast_detector_window_outputs_and_entity_probes(spark):
     ).select("vec_id")
     assert not bad_sides(emb.join(F.broadcast(conj), "vec_id"))
 
+    # a probe over a CHECKPOINTED segment must not certify: the pinned
+    # plan can be an equi-join fan-out carrying corpus-scale rows per
+    # key under the probe column's name — LogicalRDD leaves carry no
+    # multiplicity evidence (round-11 self-probe hardening)
+    pinned = docs.select("doc_id", "lang").localCheckpoint()
+    pk = pinned.filter(F.col("doc_id") == 3)
+    assert bad_sides(docs.join(F.broadcast(pk), "doc_id"))
+
 
 def test_broadcast_detector_aggregate_image_and_alias_rules(spark):
     """Round-11 tightening (round-10 ADVICE #1/#4 follow-through):
