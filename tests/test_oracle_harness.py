@@ -133,3 +133,28 @@ def test_empty_at_small_sf_queries_are_nonempty_at_scale(spark):
             assert r["spark_rows"] > 0, (name, "still empty at sf0.1")
     finally:
         con.close()
+
+
+def test_bench_contract_line_fits_driver_tail():
+    """The driver records only the LAST ~2000 chars of bench.py's
+    stdout, so the one contract JSON line must fit whole inside that
+    tail (BENCH_r9/r10 landed parsed=null when per-query rep stats
+    pushed it past the capture). Reconstruct the line exactly as
+    bench.py prints it, with worst-case-width timings, and pin the
+    budget with headroom for the total/metric fields."""
+    import json
+
+    from beam_pyspark_runner_spark.queries import REGISTRY
+
+    names = [n for n, q in REGISTRY.items() if q.bench]
+    assert names, "headline set must be non-empty"
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_sec",
+            "value": 9999.9999,
+            "unit": "sec",
+            "queries": {n: 9999.9999 for n in names},
+            "sf": 0.1,
+        }
+    )
+    assert len(line) < 1900, (len(line), "bench JSON line would overflow")
