@@ -229,7 +229,11 @@ _HEX_SUBSTR_RE = re.compile(
 
 
 def _literal_modulus(expr: str) -> int | None:
-    """For ``pmod(<anything>, N)`` or ``(<anything> % N)`` return N."""
+    """Image cap of ``pmod(<anything>, N)`` (non-negative: N values) or
+    ``(<anything> % N)`` (the ``%`` remainder takes the DIVIDEND's
+    sign in both engines, so a signed dividend yields 2N-1 values —
+    round-11 self-probe: returning N understated in the unsound
+    direction)."""
     if expr.startswith("pmod("):
         args = _split_top_commas(expr[len("pmod(") : -1])
         if len(args) == 2 and re.fullmatch(r"-?\d+", args[1]):
@@ -237,7 +241,7 @@ def _literal_modulus(expr: str) -> int | None:
         return None
     m = _REMAINDER_RE.match(expr)
     if m:
-        return abs(int(m.group(1)))
+        return 2 * abs(int(m.group(1))) - 1
     return None
 
 
@@ -377,6 +381,10 @@ def _expr_cap(
     if mod is not None:
         return mod if mod <= RANGE_CAP else None
     if _CALENDAR_FN_RE.match(expr) or _CAST_DATE_RE.match(expr):
+        # date DIFFERENCES are signed: their image spans +-spine, twice
+        # the single-date calendar cap (round-11 self-probe)
+        if expr.startswith(("datediff(", "date_diff(")):
+            return 2 * _CALENDAR_CAP
         return _CALENDAR_CAP
     hx = _HEX_SUBSTR_RE.match(expr)
     if hx:
