@@ -27,15 +27,18 @@ from beam_pyspark_runner_spark.queries import partsupp  # noqa: E402,F401
 from beam_pyspark_runner_spark.queries import recursive  # noqa: E402,F401
 
 # The external driver's correctness gate checks the FIRST 50 registry
-# entries (dict iteration order). Round-11 rotation (the round-10
+# entries (dict iteration order). Round-12 rotation (the round-11
 # verdict's #2 ask, verbatim): the 5 sentinel family anchors keep
 # their seats; the other 45 are ALL first-time-checked — the ten
-# round-10 registrations (the only queries with zero driver history,
-# named by the verdict for these seats) plus 35 straight off the
-# queue head in registration order. Debt 134 → ≤94 (+net-new ≤10).
-# All 50 are locally oracle-MATCH at sf0.01 AND sf0.1
-# (tests/oracle_check.py).
-# ROUND-12 ROTATION QUEUE: see the comment block right after this tuple.
+# round-11 registrations (the only queries with zero driver history,
+# named by the verdict for these seats) plus 35 off the queue head in
+# registration order, with ONE family-diversity pull-forward (the
+# round-10/11 precedent): the 35-seat head slice carried no
+# join-tagged query, so dynamic_partition_prune_join takes the last
+# seat and the displaced head entry ams_f2_moment returns to the
+# round-13 queue head. Debt 99 → ≤59 (+net-new). All 50 are locally
+# oracle-MATCH at sf0.01 (tests/oracle_check.py).
+# ROUND-13 ROTATION QUEUE: see the comment block right after this tuple.
 DRIVER_WINDOW: tuple[str, ...] = (
     # sentinels: continuity + single-representative family anchors
     # (metrics/UDTF/pandas-UDF each have one canonical query — pinned)
@@ -44,88 +47,71 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "metrics_counters",
     "udtf_token_positions",
     "pandas_udf_density_score",
-    # --- verdict #2: the ten round-10 registrations (zero driver history) ---
-    "mann_kendall_trend",
-    "cochran_armitage_trend",
-    "sax_symbolization",
-    "rank_biased_overlap",
-    "grubbs_max_deviate",
-    "mahalanobis_diag_outliers",
-    "rocchio_centroid_classify",
-    "ngram_contamination_audit",
-    "nn_descent_round_recall",
-    "cooks_distance_influence",
+    # --- verdict #2: the ten round-11 registrations (zero driver history) ---
+    "welch_t_test",
+    "generalized_esd_outliers",
+    "benjamini_hochberg_fdr",
+    "hurst_rescaled_range",
+    "bass_diffusion_fit",
+    "hoover_index_decomposition",
+    "hnsw_level_assignment",
+    "betweenness_centrality_sampled",
+    "video_keyframe_delta_stub",
+    "recursive_cte_cycle_guard",
     # --- queue head (never driver-checked, registration order) ---
-    "expected_shortfall",
-    "cumulative_distinct_curve",
-    "slo_error_budget_burn",
-    "batch_match_recognize",
-    "udtf_table_arg_sessions",
-    "quantile_treatment_effect",
-    "two_proportion_ztest",
-    "shapley_channel_attribution",
-    "logrank_test",
-    "dispersion_index",
-    "capture_recapture_estimate",
-    "concordance_index",
-    "propensity_stratified_ate",
-    "offpolicy_ips_evaluation",
-    "dp_geometric_noise_counts",
-    "revenue_recognition_proration",
-    "frequent_sequence_pairs",
-    "propensity_nn_matching_att",
-    "dup_ngram_spans",
-    "blocking_quality_audit",
-    "dedup_cluster_precision",
-    "weighted_jaccard_pairs",
-    "label_centroid_dispersion",
-    "embedding_covariance_matrix",
-    "colbert_maxsim_topk",
-    "pca_power_iteration",
-    "als_user_factor_solve",
-    "binary_hamming_topk",
-    "retrieval_eval_map",
-    "knn_classify_embeddings",
-    # pulled forward past the strict queue head (family-diversity
-    # invariant: the 30-seat head slice carried no streaming/sketch/
-    # multimodal/join/window-tagged query — the round-10 lsh_band_sweep
-    # precedent; the displaced head entries binary_recall_at_k …
-    # smote_interpolation_synthesis return to the round-12 queue head).
-    # sliding_distinct_bitmap doubles as the verdict-#5 re-measure
-    # target, giving it first-hand driver signal the same round:
-    "stream_chained_window_aggs",
-    "sliding_distinct_bitmap",
-    "frame_hash_dedup",
-    "runtime_bloom_filter_join",
-    "semi_additive_last_balance",
+    "binary_recall_at_k",
+    "ndcg_at_k",
+    "random_projection_recall",
+    "kcenter_coreset_greedy",
+    "smote_interpolation_synthesis",
+    "bigram_lm_probs",
+    "mixture_weights",
+    "source_gini_diversity",
+    "token_lift_pairs",
+    "dataset_card_report",
+    "feature_hashing_stats",
+    "keyword_in_context",
+    "unicode_nfc_clean",
+    "classifier_eval_f1",
+    "doc_length_pow2_histogram",
+    "cohens_kappa_agreement",
+    "bm25_topk",
+    "gopher_quality_rules",
+    "shard_manifest_packing",
+    "classifier_calibration_bins",
+    "priority_sample_sources",
+    "flesch_readability",
+    "quantile_prune_per_source",
+    "mixture_epoch_plan",
+    "roc_auc_exact",
+    "cramers_v_association",
+    "span_corruption_targets",
+    "pr_curve_points",
+    "isotonic_calibration",
+    "brier_score_decomposition",
+    "stream_windowed_custom_combine",
+    "stream_sliding_distinct",
+    "stream_stream_full_outer",
+    "approx_top_k_events",
+    # family-diversity pull-forward (join coverage; displaces
+    # ams_f2_moment back to the round-13 queue head):
+    "dynamic_partition_prune_join",
 )
 
-# ROUND-12 ROTATION QUEUE — the remaining never-driver-checked queries
+# ROUND-13 ROTATION QUEUE — the remaining never-driver-checked queries
 # in registration order (cosine_topk_vectorized stays out: rows-only by
-# design). The 35 round-11 queue seats were consumed off the head
-# (expected_shortfall … smote_interpolation_synthesis) and the ten
-# round-10 registrations pulled forward per the verdict; net-new
-# round-11 registrations append at the END as they land (the r5
-# discipline, continued):
-# binary_recall_at_k, ndcg_at_k, random_projection_recall,
-# kcenter_coreset_greedy, smote_interpolation_synthesis (displaced by
-# the round-11 family-diversity pull-forward),
-# bigram_lm_probs, mixture_weights,
-# source_gini_diversity, token_lift_pairs, dataset_card_report,
-# feature_hashing_stats, keyword_in_context, unicode_nfc_clean,
-# classifier_eval_f1, doc_length_pow2_histogram, cohens_kappa_agreement,
-# bm25_topk, gopher_quality_rules, shard_manifest_packing,
-# classifier_calibration_bins, priority_sample_sources,
-# flesch_readability, quantile_prune_per_source, mixture_epoch_plan,
-# roc_auc_exact, cramers_v_association, span_corruption_targets,
-# pr_curve_points, isotonic_calibration, brier_score_decomposition,
-# stream_windowed_custom_combine, stream_sliding_distinct,
-# stream_stream_full_outer,
-# approx_top_k_events, ams_f2_moment,
+# design). The 34 round-12 queue seats were consumed off the head
+# (binary_recall_at_k … approx_top_k_events), the ten round-11
+# registrations pulled forward per the verdict, and
+# dynamic_partition_prune_join pulled forward for join coverage
+# (displacing ams_f2_moment back to this head); net-new round-12
+# registrations append at the END as they land (the r5 discipline,
+# continued):
+# ams_f2_moment (displaced by the round-12 family-diversity
+# pull-forward),
 # ams_join_size_estimate, cas_dedup_savings,
 # python_stream_source_agg, rendezvous_shard_rebalance,
 # dict_encoding_estimate, zorder_pruning_audit,
-# dynamic_partition_prune_join,
 # hilbert_curve_key, hilbert_vs_zorder_locality,
 # curve_file_skipping_audit, link_prediction_jaccard,
 # resource_allocation_linkpred, degree_assortativity, modularity_score,
@@ -161,11 +147,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # rocchio_centroid_classify, ngram_contamination_audit,
 # nn_descent_round_recall, cooks_distance_influence
 # -- round-11 net-new registrations (10, == the 10 cap; all TRI-scale
-# -- oracle-MATCH on registration day, sf0.001/0.01/0.1):
-# welch_t_test, generalized_esd_outliers, benjamini_hochberg_fdr,
-# hurst_rescaled_range, bass_diffusion_fit, hoover_index_decomposition,
-# hnsw_level_assignment, betweenness_centrality_sampled,
-# video_keyframe_delta_stub, recursive_cte_cycle_guard
+# -- oracle-MATCH on registration day, sf0.001/0.01/0.1): pulled
+# -- forward into the round-12 window per the verdict (no longer
+# -- queued): welch_t_test, generalized_esd_outliers,
+# -- benjamini_hochberg_fdr, hurst_rescaled_range, bass_diffusion_fit,
+# -- hoover_index_decomposition, hnsw_level_assignment,
+# -- betweenness_centrality_sampled, video_keyframe_delta_stub,
+# -- recursive_cte_cycle_guard
 
 
 def _apply_driver_window() -> None:
