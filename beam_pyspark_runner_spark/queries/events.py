@@ -6996,10 +6996,21 @@ def bass_diffusion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     INTEGER-quantized ratios (b0_e6 = d0 // (dd // 1e6), ...): a
     128-bit determinant cast to double rounds DIFFERENTLY in the two
     engines once past 2^53 (the pagerank family's conversion rule),
-    while nested truncating division is exact everywhere and keeps
-    every numerator inside 128-bit range at any corpus size — the
-    divisor shrink loses at most 1e-6 relative where dd >= 1e12 (the
-    WHERE guard; any non-degenerate multi-year fit clears it).
+    while nested truncating division is exact everywhere. Every
+    truncating division on a DECIMAL(38,0) operand runs as
+    CAST((x - x % y) / y AS DECIMAL(38,0)) — decimal-exact trunc
+    toward zero, matching DuckDB's HUGEINT ``//`` for either sign of
+    x — NOT Spark's ``div``, whose IntegralDivide returns a 64-bit
+    LONG that silently WRAPS once the quotient passes 2^63 (dd div
+    1e6 wraps for dd > ~9.2e24, well inside the documented ~1e37
+    determinant bound; round-11 ADVICE finding). The quotient
+    dd // 1e6 <= 1e31 has <= 32 integer digits, so Spark's
+    DECIMAL(38,6) division result is exact before the scale-0 cast.
+    The divisor shrink loses at most 1e-6 relative where dd >= 1e12
+    (the WHERE guard; any non-degenerate multi-year fit clears it);
+    the final coefficient quotients are coefficient-scale (bounded
+    by the per-month adopter counts times 1e12) and fit BIGINT with
+    wide margin.
     Determinant magnitudes stay under ~1e37 for corpora up to ~1e18
     adopters over a decade of months (documented bound: {_BASS_Q}^4
     per pure moment times the period count, adopter totals in the
@@ -7098,12 +7109,19 @@ def bass_diffusion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             c["m2"], c["m3"], c["r2"],
         ).alias("d2"),
     )
+    def truncdiv(num: str, den: str) -> str:
+        # Decimal-exact trunc-toward-zero division (== DuckDB HUGEINT
+        # //). Spark `div` would wrap at 2^63 (see docstring).
+        return f"CAST((({num}) - ({num}) % ({den})) / ({den}) AS DECIMAL(38,0))"
+
     q = det.filter(F.col("dd") >= 1_000_000_000_000).select(
         F.col("m0").cast("long").alias("n_periods"),
         "u",
-        F.expr("d0 div (dd div 1000000)").alias("b0_e6"),
-        F.expr("d1 div (dd div 1000000000)").alias("b1_e9"),
-        F.expr("d2 div (dd div 1000000000000)").alias("b2_e12"),
+        F.expr(truncdiv("d0", truncdiv("dd", "1000000"))).alias("b0_e6"),
+        F.expr(truncdiv("d1", truncdiv("dd", "1000000000"))).alias("b1_e9"),
+        F.expr(truncdiv("d2", truncdiv("dd", "1000000000000"))).alias(
+            "b2_e12"
+        ),
     )
     return q.select(
         "n_periods",

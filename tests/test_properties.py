@@ -2331,6 +2331,38 @@ def test_bass_cramer_solves_normal_equations_exactly(spark, rows):
     assert b0 * m2 + b1 * m3 + b2 * m4 == r2
 
 
+def test_bass_decimal_truncdiv_exact_past_long_range(spark):
+    """Round-11 ADVICE regression: Spark's ``div`` (IntegralDivide)
+    returns a 64-bit LONG that silently WRAPS once the quotient passes
+    2^63, so bass_diffusion_fit's determinant shrink must use the
+    decimal-exact CAST((x - x % y) / y AS DECIMAL(38,0)) construction
+    instead. Pin that the construction matches Python's exact
+    trunc-toward-zero division in the wrap regime and for negative
+    numerators (DuckDB HUGEINT // semantics)."""
+    cases = [
+        (120000000000000000000000000000, 7),           # div wraps here
+        (10**37 - 1, 10**6),                            # documented dd bound
+        (-120000000000000000000000000000, 1000000),     # negative numerator
+        (999999, 1000000),                              # quotient 0
+    ]
+    exprs, expected = [], []
+    for i, (x, y) in enumerate(cases):
+        exprs.append(
+            f"CAST((CAST('{x}' AS DECIMAL(38,0)) - CAST('{x}' AS DECIMAL(38,0)) % {y})"
+            f" / {y} AS DECIMAL(38,0)) AS c{i}"
+        )
+        q, r = divmod(abs(x), y)
+        expected.append(q if x >= 0 else -q)
+    row = spark.sql("SELECT " + ", ".join(exprs)).collect()[0]
+    got = [int(row[f"c{i}"]) for i in range(len(cases))]
+    assert got == expected
+    # And pin the failure mode being guarded against: plain div wraps.
+    wrapped = spark.sql(
+        "SELECT CAST('120000000000000000000000000000' AS DECIMAL(38,0)) div 7 AS w"
+    ).collect()[0]["w"]
+    assert wrapped != 120000000000000000000000000000 // 7
+
+
 @_settings
 @given(
     groups=st.lists(
