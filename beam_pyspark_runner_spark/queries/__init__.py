@@ -146,6 +146,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # grubbs_max_deviate, mahalanobis_diag_outliers,
 # rocchio_centroid_classify, ngram_contamination_audit,
 # nn_descent_round_recall, cooks_distance_influence
+# -- round-12 net-new registrations (2, <= the 10 cap — the verdict's
+# -- two named genuine gaps, breadth deliberately stopped there):
+# stream_foreach_batch_exactly_once, stream_static_enrich_watermarked
 # -- round-11 net-new registrations (10, == the 10 cap; all TRI-scale
 # -- oracle-MATCH on registration day, sf0.001/0.01/0.1): pulled
 # -- forward into the round-12 window per the verdict (no longer

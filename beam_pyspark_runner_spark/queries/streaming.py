@@ -1683,3 +1683,140 @@ def stream_windowed_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(exact, "window_start").select(
         "window_start", "n_present", "exact_distinct", est.alias("hll_estimate")
     )
+
+
+@register(
+    "stream_foreach_batch_exactly_once",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "foreach_batch", "exactly_once", "idempotent_sink",
+          "replay"),
+)
+def stream_foreach_batch_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once foreachBatch sink, CERTIFIED under replay.
+
+    foreachBatch gives at-least-once delivery: after a failure, Spark
+    re-invokes the sink with the SAME (batch_df, batch_id) it may have
+    already delivered. The production recipe for effectively-exactly-once
+    is therefore an IDEMPOTENT sink keyed by the epoch: each batch
+    OVERWRITES its own ``epoch=<batch_id>`` directory, so re-delivery
+    replaces rather than appends (the same rule a JDBC sink implements
+    as ``DELETE WHERE epoch = ? ; INSERT``, or a lakehouse as
+    ``INSERT OVERWRITE PARTITION (epoch)``).
+
+    Unlike stream_foreach_batch_sink (which writes once and checks
+    nothing about re-delivery), this query EXERCISES the failure path:
+    after the stream completes, the last epoch is re-delivered through
+    the same sink — exactly what a recovery replay does — and the final
+    re-read aggregate must still equal the plain batch oracle. An
+    append-mode sink would double-count the replayed epoch and fail the
+    value-hash; idempotent overwrite loses and duplicates nothing.
+
+    Scale: each epoch directory is written once per delivery, bounded
+    by micro-batch size; the replay cost is one epoch, not the stream.
+    The staging re-write before re-delivery is the harness's way of
+    breaking file lineage (a real recovery re-reads from the SOURCE, so
+    it never reads the directory it is about to overwrite)."""
+    import uuid
+
+    out = _scratch_dir("bprs_fbx1", sf_dir, uuid.uuid4().hex[:8])
+    ckpt = out + "_ckpt"
+    delivered: list[int] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # IDEMPOTENT by construction: the epoch keys its own directory
+        # and the write OVERWRITES it — re-delivery replaces, never
+        # appends.
+        batch_df.write.mode("overwrite").parquet(f"{out}/epoch={batch_id}")
+        delivered.append(batch_id)
+
+    e = _events_stream(spark, sf_dir)
+    query = (
+        e.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(300):
+            raise TimeoutError("exactly-once stream did not finish in 300s")
+    finally:
+        if query.isActive:
+            query.stop()
+
+    # Simulate the at-least-once failure path: re-deliver the LAST
+    # epoch with its original batch_id, as checkpoint recovery would.
+    # Buffer it first so the sink never overwrites files it is reading.
+    last = max(delivered)
+    staging = out + "_replaybuf"
+    spark.read.parquet(f"{out}/epoch={last}").write.mode("overwrite").parquet(
+        staging
+    )
+    sink(spark.read.parquet(staging), last)
+
+    back = spark.read.parquet(out)  # partition-discovers every epoch
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), dsum("value").alias("total_value")
+    )
+
+
+@register(
+    "stream_static_enrich_watermarked",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(ts) AS max_ts FROM events)
+    SELECT time_bucket(INTERVAL '1 hour', e.ts) AS window_start,
+           c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_events,
+           {dsum_sql('e.value')} AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id, mx
+    GROUP BY 1, 2, mx.max_ts
+    HAVING time_bucket(INTERVAL '1 hour', MIN(e.ts)) + INTERVAL '1 hour'
+           <= mx.max_ts - INTERVAL '1 hour'
+    """,
+    tags=("streaming", "stream_static_join", "watermark", "append_mode",
+          "enrichment"),
+)
+def stream_static_enrich_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment UNDER A WATERMARK: the event stream is
+    watermarked BEFORE the dimension join, the watermark propagates
+    through the join (the static side has no event time to hold it
+    back), and the downstream tumbling aggregate runs in APPEND mode —
+    each (window, segment) row is emitted exactly once, after the
+    watermark passes its window end.
+
+    This is the missing composition between stream_static_join
+    (enrichment, complete mode, no watermark) and
+    stream_append_mode_tumbling (watermark + append, no enrichment):
+    the standard production shape — enrich, then finalize windows for
+    an exactly-once downstream sink. The oracle states the finalization
+    contract: only windows whose end <= final watermark (max ts − 1h)
+    appear; the open tail hours are deliberately absent.
+
+    Scale: the dimension join is STATELESS per micro-batch (no join
+    state store); no broadcast hint — the planner sizes the static side
+    itself (auto-broadcast under the threshold, shuffle join above it),
+    which is the right call when the dimension outgrows one executor.
+    Stateful footprint is the windowed agg alone: O(open windows x
+    segments), bounded by the watermark's eviction."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    e = _events_stream(spark, sf_dir)
+    enriched = e.withWatermark("ts", "1 hour").join(
+        c, F.col("user_id") == F.col("c_custkey"), "inner"
+    )
+    agg = (
+        enriched.groupBy(F.window("ts", "1 hour"), "c_mktsegment")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_stream_to_df(agg, output_mode="append")

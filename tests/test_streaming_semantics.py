@@ -402,3 +402,101 @@ def test_tumbling_agg_source_agnostic_rate_parity(spark):
     assert set(rows[0].asDict()) == {
         "window_start", "event_type", "n_events", "total_value"
     }
+
+
+def test_exactly_once_sink_replay_idempotent(spark, tmp_path):
+    """Round-12: the epoch-keyed OVERWRITE sink is idempotent under
+    at-least-once re-delivery — re-invoking the sink with the same
+    (batch, batch_id) leaves the sink contents unchanged — while the
+    naive append sink double-counts the replayed epoch (why
+    stream_foreach_batch_exactly_once certifies overwrite, not append)."""
+    src = str(tmp_path / "xsrc")
+    events = load_table(spark, SF_SMOKE, "events").select("event_id", "value")
+    events.repartition(2).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+
+    outs = {"idem": str(tmp_path / "idem"), "naive": str(tmp_path / "naive")}
+    delivered = []
+
+    def idem_sink(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(
+            f"{outs['idem']}/epoch={batch_id}"
+        )
+        delivered.append(batch_id)
+
+    def naive_sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(outs["naive"])
+
+    for name, sink in (("idem", idem_sink), ("naive", naive_sink)):
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    assert delivered, "no micro-batches executed"
+    n = events.count()
+    # replay the last epoch through both sinks, as recovery would
+    last = max(delivered)
+    buf = str(tmp_path / "buf")
+    spark.read.parquet(f"{outs['idem']}/epoch={last}").write.parquet(buf)
+    replay = spark.read.parquet(buf)
+    idem_sink(replay, last)
+    naive_sink(replay, last)
+
+    assert spark.read.parquet(outs["idem"]).count() == n  # unchanged
+    assert spark.read.parquet(outs["naive"]).count() == n + replay.count()
+
+
+def test_watermark_propagates_through_stream_static_join(spark, tmp_path):
+    """Round-12: a watermark applied BEFORE a stream-static join still
+    governs the downstream append-mode windowed agg — the static side
+    holds no event time, so finalized windows emit and stragglers drop
+    exactly as in the unjoined case (the contract
+    stream_static_enrich_watermarked builds on)."""
+    import time
+
+    src = str(tmp_path / "jsrc")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "uid long, ts_s string").withColumn(
+            "ts", F.col("ts_s").cast("timestamp")
+        ).drop("ts_s").write.parquet(f"{src}/{name}")
+        time.sleep(1.1)
+
+    write_batch("b1", [(i % 2, "2024-01-01 12:00:00") for i in range(10)])
+    write_batch("b2", [(0, "2024-01-01 10:00:00")])  # late; would join fine
+    write_batch("b3", [(0, "2024-01-01 12:30:00") for _ in range(3)])
+
+    dim = spark.createDataFrame([(0, "a"), (1, "b")], "uid long, seg string")
+    stream = (
+        spark.readStream.schema("uid long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .join(dim, "uid", "inner")
+        .groupBy(F.window("ts", "5 minutes"), "seg")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("ws"), "seg", "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_join_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "jckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = {
+        (r["ws"].hour, r["ws"].minute, r["seg"]): r["n"]
+        for r in spark.sql("SELECT * FROM wm_join_test").collect()
+    }
+    assert emitted.get((12, 0, "a")) == 5, emitted
+    assert emitted.get((12, 0, "b")) == 5, emitted
+    assert not any(k[0] == 10 for k in emitted), emitted  # straggler dropped
