@@ -223,8 +223,15 @@ _REMAINDER_RE = re.compile(r"^\(.+ % (-?\d+)\)$")
 # independent of the data. This is the global_rank_bucketed bucketing
 # idiom: substring(md5(key), 1, p) is a data-independent 16^p-way
 # split.
+# Fixed-width digests ONLY (round-11 ADVICE): for variable-length hex
+# producers (hex(...) of arbitrary input) or start positions past the
+# digest end, the image also contains shorter strings and can exceed
+# 16^len — so the rule is restricted to md5/sha1/sha2 with a POSITIVE
+# literal start, and the code gate below additionally requires the
+# slice to fit inside the shortest digest (md5 = 32 hex chars), where
+# 16^len is exact.
 _HEX_SUBSTR_RE = re.compile(
-    r"^substring\((?:md5|sha1|sha2|hex)\(.+\), -?\d+, (\d+)\)$"
+    r"^substring\((?:md5|sha1|sha2)\(.+\), (\d+), (\d+)\)$"
 )
 
 
@@ -388,8 +395,16 @@ def _expr_cap(
         return _CALENDAR_CAP
     hx = _HEX_SUBSTR_RE.match(expr)
     if hx:
-        hex_cap = 16 ** int(hx.group(1))
-        return hex_cap if hex_cap <= RANGE_CAP else None
+        start, width = int(hx.group(1)), int(hx.group(2))
+        # exact only when the slice sits fully inside the SHORTEST
+        # fixed-width digest (md5 = 32 hex chars); otherwise shorter
+        # strings join the image and 16^len undercounts (round-11
+        # ADVICE)
+        if start >= 1 and start + width - 1 <= 32:
+            hex_cap = 16**width
+            return hex_cap if hex_cap <= RANGE_CAP else None
+        # out-of-digest slices fall through to the (sound) image-of-
+        # domain product rule below
     case = _case_literal_cap(expr)
     if case is not None:
         return case
@@ -484,22 +499,118 @@ _GROWING_AGG_RE = re.compile(
 _VALUE_PASSING_AGG_RE = re.compile(
     r"^(?:min|max|first|last|any_value|mode)\((.*)\)$"
 )
+_VALUE_PASSING_CALL_RE = re.compile(
+    r"\b(?:min|max|first|last|any_value|mode)\("
+)
+# Row-wise scalar heads PERMITTED inside an aggregate-output composite
+# (an expression combining value-passing aggregates, grouping keys and
+# literals, e.g. shapley's ``max(CASE..)+2*max(CASE..)+4*max(CASE..)``
+# bitmask). Allowlist polarity: any call head NOT listed here — a
+# growing aggregate, an aggregate the growing regex misses
+# (bitmap_construct_agg, histogram_numeric), a future UDAF — makes the
+# composite un-cappable. Deterministic row-wise functions only: image
+# of a composite is then bounded by the PRODUCT of its parts' images.
+_SCALAR_HEADS = frozenset(
+    """cast coalesce nvl nanvl ifnull nullif isnull isnotnull if abs
+    round bround rint floor ceil ceiling greatest least pmod concat
+    substring substr substring_index left right lpad rpad trim ltrim
+    rtrim btrim upper lower ucase lcase initcap reverse repeat replace
+    translate split split_part elt locate instr position overlay
+    length char_length character_length octet_length bit_length ascii
+    chr format_number format_string printf levenshtein soundex
+    datediff date_diff year month day dayofmonth hour minute second
+    quarter dayofweek dayofyear weekofyear weekday date_trunc trunc
+    date_add date_sub add_months months_between last_day next_day
+    make_date make_dt_interval to_date to_timestamp unix_timestamp
+    to_unix_timestamp from_unixtime timestamp_seconds unix_date
+    date_part date_format extract shiftleft shiftright shiftrightunsigned
+    named_struct struct exp expm1 ln log log2 log10 log1p sqrt cbrt
+    pow power sin cos tan asin acos atan atan2 sinh cosh tanh degrees
+    radians signum sign factorial bin hex unhex conv base64 unbase64
+    md5 sha sha1 sha2 crc32 xxhash64 hash murmur3hash
+    knownfloatingpointnormalized normalizenanandzero""".split()
+)
+
+
+def _balanced(s: str) -> bool:
+    """Paren-balance check for regex-captured argument text: the greedy
+    ``(.*)`` in ``^max\\((.*)\\)$`` happily captures ``a) + count(b``
+    out of ``max(a) + count(b)`` — running depth must never dip
+    negative and must end at zero, else the capture spans MORE than one
+    call's arguments and value-passing reasoning does not apply
+    (round-12 self-probe: ``max(a) + histogram_numeric(b, 3)`` would
+    otherwise certify at product-of-domains through the top-level
+    value-passing branch)."""
+    d = 0
+    for ch in s:
+        if ch == "(":
+            d += 1
+        elif ch == ")":
+            d -= 1
+            if d < 0:
+                return False
+    return d == 0
+
+
+def _strip_value_passing_calls(
+    defn: str, subtree: list[tuple[int, str]], depth: int
+) -> tuple[str, int] | None:
+    """Replace every value-passing aggregate CALL in ``defn`` with a
+    placeholder and return (residual_text, product_of_their_caps), or
+    None when any call's argument image is uncappable (or hides a
+    growing aggregate)."""
+    product = 1
+    while True:
+        m = _VALUE_PASSING_CALL_RE.search(defn)
+        if m is None:
+            return defn, product
+        # balanced-paren extraction of the call body
+        i, d = m.end(), 1
+        while i < len(defn) and d:
+            if defn[i] == "(":
+                d += 1
+            elif defn[i] == ")":
+                d -= 1
+            i += 1
+        if d:
+            return None  # unbalanced: not decidable
+        args = _split_top_commas(defn[m.end() : i - 1])
+        if not args or _GROWING_AGG_RE.search(args[0]):
+            return None
+        cap = _expr_cap(args[0], subtree, depth)
+        if cap is None:
+            return None
+        product *= cap
+        defn = defn[: m.start()] + " __vp__ " + defn[i:]
 
 
 def _agg_image_cap(
-    defn: str, subtree: list[tuple[int, str]], depth: int
+    defn: str, node: str, subtree: list[tuple[int, str]], depth: int
 ) -> int | None:
     """Image cap of an Aggregate OUTPUT expression, or None.
 
     Image-of-domain reasoning is only sound for expressions that are
-    row-wise in their inputs, or whose outermost function bounds the
-    image by itself (calendar grain, literal modulus), or that pass a
+    row-wise in their inputs — which, inside an Aggregate's output
+    list, means exactly the GROUPING-KEY expressions — or that pass a
     single row's value through (min/max/first/last). ``count(*)`` /
     ``sum(x)`` / ``collect_*`` images grow with GROUP SIZE — for those
     only the grain cap applies (the round-10 advice finding:
     ``_expr_cap('count(1)')`` read as a pure literal and certified a
-    per-user count as bounded)."""
+    per-user count as bounded).
+
+    ALLOWLIST polarity (round-11 ADVICE): any output expression that is
+    neither a grouping key of ``node`` nor a value-passing aggregate is
+    treated as an aggregate whose image grows with group size — None —
+    rather than falling through to image-of-domain. A blocklist regex
+    can't enumerate every growing aggregate (``bitmap_construct_agg``
+    escapes ``bit_\\w+``; ``histogram_numeric`` and future UDAFs match
+    nothing), and an escape certifies at argument-domain cap in the
+    UNSOUND direction."""
     defn = defn.strip()
+    # an outermost head that bounds the image BY ITSELF (calendar
+    # extractor, datediff, literal modulus) is sound whatever sits
+    # inside — aggregate or not (logrank's datediff(max(ts), min(ts))
+    # is day-spine-bounded regardless of the maxes)
     if (
         _CALENDAR_FN_RE.match(defn)
         or _CAST_DATE_RE.match(defn)
@@ -507,27 +618,60 @@ def _agg_image_cap(
     ):
         return _expr_cap(defn, subtree, depth)
     m = _VALUE_PASSING_AGG_RE.match(defn)
-    if m:
+    if m and _balanced(m.group(1)):
         args = _split_top_commas(m.group(1))
-        return _agg_image_cap(args[0], subtree, depth) if args else None
-    if _GROWING_AGG_RE.search(defn):
+        if not args or _GROWING_AGG_RE.search(args[0]):
+            return None
+        # the ARGUMENT of a value-passing aggregate is row-wise, so
+        # image-of-domain reasoning applies to it directly
+        return _expr_cap(args[0], subtree, depth)
+    groups = _top_level_groups(node)
+    keys = (
+        {k.strip() for k in _split_top_commas(groups[0])}
+        if len(groups) == 2
+        else set()
+    )
+    if defn in keys:
+        return _expr_cap(defn, subtree, depth)
+    # Composite shapes: strip each recognized value-passing aggregate
+    # CALL, then require every remaining call head to be a known
+    # row-wise scalar — any other head (growing agg, an aggregate the
+    # regexes miss, a future UDAF) keeps the None default. What remains
+    # is row-wise (over grouping keys and the stripped calls' values):
+    # a Project the optimizer collapsed into the Aggregate output
+    # (logrank's arm CASE over md5(user_id)) or an arithmetic composite
+    # of value-passing aggregates (shapley's bitmask sum). Its image is
+    # bounded by _expr_cap of the residual times the product of the
+    # stripped calls' images.
+    stripped = _strip_value_passing_calls(defn, subtree, depth)
+    if stripped is None:
         return None
-    return _expr_cap(defn, subtree, depth)
+    resid, vp_cap = stripped
+    heads = {h.lower() for h in re.findall(r"(\w+)\(", resid)}
+    if not heads <= _SCALAR_HEADS:
+        return None
+    base = _expr_cap(resid, subtree, depth)
+    return None if base is None else base * vp_cap
 
 
 # Window functions whose output image is bounded by the FUNCTION, not
-# by its spec columns: ntile(n) takes n values; lag/lead/first/last/
-# min/max/nth_value pass an input row's value through (image within the
-# argument's domain). Everything else — row_number/rank/dense_rank/
+# by its spec columns: ntile(n) takes n values; first/last/min/max
+# pass an input row's value through (image within the argument's
+# domain); lag/lead/nth_value pass a value through PLUS their default/
+# NULL edge value. Everything else — row_number/rank/dense_rank/
 # percent_rank/cume_dist and windowed count/sum/avg/collect — takes as
 # many values as the PARTITION SIZE and must not inherit a cap from
 # the columns its spec happens to order by (round-10 verdict corner:
 # ``row_number() OVER (ORDER BY l_quantity)`` is not bounded by 50).
 _NTILE_RE = re.compile(r"^ntile\((\d+)\)")
 _WIN_VALUE_PASSING_RE = re.compile(
-    r"^(?:lag|lead|first|last|first_value|last_value|nth_value|min|max|"
-    r"any_value)\((.*)\)$"
+    r"^(?:first|last|first_value|last_value|min|max|any_value)\((.*)\)$"
 )
+# lag/lead inject their DEFAULT argument (NULL when absent) into the
+# image at partition edges, and nth_value yields NULL when the
+# partition is shorter than the offset — the plain value-passing cap
+# undercounts them (round-11 ADVICE).
+_WIN_OFFSET_FN_RE = re.compile(r"^(lag|lead|nth_value)\((.*)\)$")
 
 
 def _window_image_cap(
@@ -538,8 +682,29 @@ def _window_image_cap(
     m = _NTILE_RE.match(fn_part)
     if m:
         return int(m.group(1))
+    m = _WIN_OFFSET_FN_RE.match(fn_part)
+    if m and _balanced(m.group(2)):
+        fn, args = m.group(1), _split_top_commas(m.group(2))
+        if not args or _GROWING_AGG_RE.search(args[0]):
+            return None
+        base = _expr_cap(args[0], subtree, depth)
+        if base is None:
+            return None
+        if fn == "nth_value":
+            # nth_value(x, n[, ignoreNulls]): NULL joins the image for
+            # partitions shorter than n
+            return base + 1
+        # lag/lead print as lag(x, off, default); the default joins
+        # the image at partition edges: +1 for NULL or any literal,
+        # the default's own domain cap for an attribute (None if that
+        # is uncapped)
+        default = args[2].strip() if len(args) >= 3 else "null"
+        if "#" in default:
+            dcap = _expr_cap(default, subtree, depth)
+            return None if dcap is None else base + dcap
+        return base + 1
     m = _WIN_VALUE_PASSING_RE.match(fn_part)
-    if m:
+    if m and _balanced(m.group(1)):
         args = _split_top_commas(m.group(1))
         if not args or _GROWING_AGG_RE.search(args[0]):
             return None
@@ -587,7 +752,7 @@ def _attr_cap(
         # user grain is unbounded; a per-user count/sum is NOT):
         # take the tighter of the two.
         grain = _agg_keys_cap(node, sub, depth + 1)
-        image = _agg_image_cap(defn, sub, depth + 1)
+        image = _agg_image_cap(defn, node, sub, depth + 1)
         caps = [c for c in (grain, image) if c is not None]
         return min(caps) if caps else None
     if node.startswith("Window"):
@@ -670,8 +835,8 @@ def _node_bounds(nodes: list[tuple[int, str]], idx: int) -> bool:
 # selects a corpus fraction.
 _PROBE_KEY_SUFFIXES = ("orderkey", "custkey", "partkey", "suppkey")
 _PROBE_KEY_EXACT = frozenset({"vec_id", "doc_id", "event_id"})
-_EQ_FILTER_RE = re.compile(r"^Filter .*?\((\w+)#\d+L? = [^)=<>#]+\)")
-_RANGE_FILTER_RE = re.compile(r"^Filter .*?\((\w+)#\d+L? <=? (\d+)\)")
+_EQ_FILTER_RE = re.compile(r"^Filter .*?\((\w+#\d+L?) = [^)=<>#]+\)")
+_RANGE_FILTER_RE = re.compile(r"^Filter .*?\((\w+#\d+L?) <=? (\d+)\)")
 
 
 def _probe_key_ok(name: str) -> bool:
@@ -679,25 +844,30 @@ def _probe_key_ok(name: str) -> bool:
     return name in _PROBE_KEY_EXACT or name.endswith(_PROBE_KEY_SUFFIXES)
 
 
-def _probe_filter(text: str) -> bool:
-    # A probe certifies only as a plain CONJUNCT: under NOT the match
-    # is the COMPLEMENT (everything but one row), and inside an OR it
-    # is one disjunct of a union that can be corpus-sized (round-11
-    # self-probe: `NOT (doc_id = 3)` certified before this guard, and
-    # `(doc_id = 3) OR (lang = 'en')` certified when the probe leg
-    # happened to print first). Rejecting any NOT/OR in the node text
-    # is conservative — every registered probe is a plain conjunction.
+def _probe_filter(text: str) -> str | None:
+    """The probed attribute token (``vec_id#12L``) when this Filter is
+    a certifiable key probe, else None.
+
+    A probe certifies only as a plain CONJUNCT: under NOT the match
+    is the COMPLEMENT (everything but one row), and inside an OR it
+    is one disjunct of a union that can be corpus-sized (round-11
+    self-probe: `NOT (doc_id = 3)` certified before this guard, and
+    `(doc_id = 3) OR (lang = 'en')` certified when the probe leg
+    happened to print first). Rejecting any NOT/OR in the node text
+    is conservative — every registered probe is a plain conjunction."""
     if " OR " in text or "NOT " in text:
-        return False
+        return None
     m = _EQ_FILTER_RE.match(text)
-    if m and _probe_key_ok(m.group(1)):
-        return True
+    if m and _probe_key_ok(m.group(1).split("#", 1)[0]):
+        return m.group(1)
     m = _RANGE_FILTER_RE.match(text)
-    return (
-        bool(m)
-        and _probe_key_ok(m.group(1))
+    if (
+        m
+        and _probe_key_ok(m.group(1).split("#", 1)[0])
         and int(m.group(2)) <= PROBE_CAP
-    )
+    ):
+        return m.group(1)
+    return None
 
 
 def _bounded(nodes: list[tuple[int, str]], idx: int) -> bool:
@@ -717,11 +887,20 @@ def _bounded(nodes: list[tuple[int, str]], idx: int) -> bool:
     # (round-11 self-probe): a pinned equi-join fan-out can carry
     # corpus-scale rows per key under the same column name, and the
     # checkpoint-time audit cannot see a later probe's assumption.
-    if _probe_filter(nodes[idx][1]) and all(
-        t.startswith(("Relation", "Project", "Filter"))
-        for _, t in _subtree(nodes, idx)[1:]
-    ):
-        return True
+    probe_attr = _probe_filter(nodes[idx][1])
+    if probe_attr is not None:
+        sub = _subtree(nodes, idx)
+        # The probed NAME is evidence only when it is the relation's
+        # own column: a Project that RENAMES another column to a
+        # probe-key name (and blocks predicate pushdown, e.g. via a
+        # nondeterministic sibling expression) would otherwise smuggle
+        # an open-ended key past the model (round-12 self-probe). A
+        # relation-sourced column has no in-plan definition.
+        if _find_def(probe_attr, sub) is None and all(
+            t.startswith(("Relation", "Project", "Filter"))
+            for _, t in sub[1:]
+        ):
+            return True
     if not kids:
         return False
     return all(_bounded(nodes, k) for k in kids)

@@ -2316,6 +2316,165 @@ def test_broadcast_detector_window_outputs_and_entity_probes(spark):
     assert bad_sides(docs.join(F.broadcast(pk), "doc_id"))
 
 
+def test_broadcast_detector_round12_advice_rules(spark):
+    """Round-12 tightening — the three round-11 ADVICE audit findings,
+    as detector positives/negatives:
+
+    (a) _agg_image_cap is ALLOWLIST-polarity: an aggregate the growing
+    regex does not name (bitmap_construct_agg escapes ``bit_\\w+``)
+    must NOT certify at its argument-domain cap — its image grows with
+    group content. Value-passing min and grouping-KEY expressions under
+    an unbounded co-key still certify.
+
+    (b) lag/lead image includes the DEFAULT argument: an
+    attribute default with uncapped domain un-certifies the output;
+    the absent-default (NULL) form still caps at domain+1, as does
+    nth_value.
+
+    (c) the hex-substring cap applies only to fixed-width digests:
+    ``substring(hex(id), 1, 4)`` (variable-length producer) and an
+    out-of-digest md5 slice fall back to image-of-domain; an in-digest
+    md5 prefix still certifies 16^len."""
+    from tests.broadcast_audit import unbounded_hinted_broadcasts
+    from pyspark.sql import Window as W
+
+    def bad_sides(df):
+        return unbounded_hinted_broadcasts(
+            df._jdf.queryExecution().optimizedPlan().toString()
+        )
+
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    docs = load_table(spark, SF_CORRECT, "documents")
+
+    # (a) positive: bitmap_construct_agg image grows with group content
+    bm = li.groupBy("l_orderkey").agg(
+        F.expr("bitmap_construct_agg(cast(l_quantity % 8 as int))").alias("bm")
+    )
+    assert bad_sides(bm.join(F.broadcast(bm.groupBy("bm").count()), "bm"))
+    # (a) negatives: value-passing min certifies at its argument's
+    # domain; a grouping-KEY expression certifies by image even when
+    # the co-key makes the grain unbounded
+    mn = li.groupBy("l_orderkey").agg(F.min("l_quantity").alias("mn"))
+    assert not bad_sides(mn.join(F.broadcast(mn.groupBy("mn").count()), "mn"))
+    g3 = li.groupBy(
+        "l_orderkey", (F.col("l_quantity") % 5).alias("qb")
+    ).agg(F.count("*").alias("c"))
+    assert not bad_sides(g3.join(F.broadcast(g3.groupBy("qb").count()), "qb"))
+
+    # (b) positive: lag DEFAULT is an uncapped attribute
+    lag_bad = li.withColumn(
+        "lg",
+        F.expr(
+            "lag(l_quantity, 1, cast(l_suppkey as double)) over "
+            "(partition by l_orderkey order by l_linenumber)"
+        ),
+    ).groupBy("lg").count()
+    assert bad_sides(
+        li.withColumn("lg", F.lit(1.0)).join(F.broadcast(lag_bad), "lg")
+    )
+    # (b) negatives: absent default (NULL edge) caps at domain+1;
+    # nth_value caps at domain+1
+    lag_ok = li.withColumn(
+        "lg",
+        F.lag("l_quantity", 1).over(
+            W.partitionBy("l_orderkey").orderBy("l_linenumber")
+        ),
+    ).groupBy("lg").count()
+    assert not bad_sides(
+        li.withColumn("lg", F.col("l_quantity")).join(
+            F.broadcast(lag_ok), "lg"
+        )
+    )
+    nth_ok = li.withColumn(
+        "nv",
+        F.nth_value("l_quantity", 3).over(
+            W.partitionBy("l_orderkey").orderBy("l_linenumber")
+        ),
+    ).groupBy("nv").count()
+    assert not bad_sides(
+        li.withColumn("nv", F.col("l_quantity")).join(
+            F.broadcast(nth_ok), "nv"
+        )
+    )
+
+    # (c) positive: hex(...) is variable-length — no 16^len cap
+    hx = docs.groupBy(
+        F.expr("substring(hex(doc_id), 1, 4)").alias("hk")
+    ).agg(F.count("*").alias("c"))
+    assert bad_sides(docs.crossJoin(F.broadcast(hx)))
+    # (c) positive: md5 slice past the 32-char digest end
+    over = docs.groupBy(
+        F.expr("substring(md5(cast(doc_id as string)), 29, 8)").alias("hk")
+    ).agg(F.count("*").alias("c"))
+    assert bad_sides(docs.crossJoin(F.broadcast(over)))
+    # (c) negative: in-digest md5 prefix still certifies 16^4
+    pref = docs.groupBy(
+        F.expr("substring(md5(cast(doc_id as string)), 1, 4)").alias("hk")
+    ).agg(F.count("*").alias("c"))
+    assert not bad_sides(docs.crossJoin(F.broadcast(pref)))
+
+
+def test_broadcast_detector_round12_self_probes(spark):
+    """Round-12 adversarial self-probe (verdict #5), pinned:
+
+    (a) RENAMED-ALIAS PROBE: a Filter on a column renamed to a
+    probe-key name, held above the renaming Project by a
+    nondeterministic sibling (rand blocks predicate pushdown), must
+    not certify — the probed name is evidence only when it is the
+    relation's own column (no in-plan definition).
+
+    (b) UNBALANCED VALUE-PASSING CAPTURE: ``max(a) + max_by(b, c)``
+    matches ``^max\\((.*)\\)$`` with a paren-unbalanced pseudo-argument;
+    the balance gate must push it to the composite path, where the
+    unrecognized max_by head keeps the None default. The balanced
+    composite of recognized maxes (the shapley bitmask shape) still
+    certifies.
+
+    (c) COMPOSITE CALENDAR HEAD: datediff over value-passing maxes
+    (the logrank lifespan shape) stays certified — the outermost
+    calendar head bounds the image regardless of aggregate args."""
+    from tests.broadcast_audit import unbounded_hinted_broadcasts
+
+    def bad_sides(df):
+        return unbounded_hinted_broadcasts(
+            df._jdf.queryExecution().optimizedPlan().toString()
+        )
+
+    e = load_table(spark, SF_CORRECT, "events")
+    li = load_table(spark, SF_CORRECT, "lineitem")
+
+    # (a) positive: renamed probe above a pushdown-blocking Project
+    e2 = e.select(F.col("user_id").alias("fake_custkey"), F.rand().alias("r"))
+    probe = e2.filter(F.col("fake_custkey") == 42)
+    j = e2.join(F.broadcast(probe), "fake_custkey")
+    plan = j._jdf.queryExecution().optimizedPlan().toString()
+    assert any(  # the adversarial shape actually materialized…
+        "Filter" in ln and "fake_custkey" in ln and "= 42" in ln
+        for ln in plan.splitlines()
+    ), plan
+    assert unbounded_hinted_broadcasts(plan)  # …and is rejected
+
+    # (b) positive: unbalanced capture falls to the composite path,
+    # where the unknown max_by head keeps None
+    z = li.groupBy("l_orderkey").agg(
+        (F.max("l_quantity") + F.expr("max_by(l_tax, l_quantity)")).alias("z")
+    )
+    assert bad_sides(z.join(F.broadcast(z.groupBy("z").count()), "z"))
+    # (b) negative: balanced composite of recognized maxes certifies
+    # (50 * 9 image product — the shapley bitmask shape)
+    z2 = li.groupBy("l_orderkey").agg(
+        (F.max("l_quantity") + F.lit(100) * F.max("l_tax")).alias("z2")
+    )
+    assert not bad_sides(z2.join(F.broadcast(z2.groupBy("z2").count()), "z2"))
+
+    # (c) negative: calendar head over aggregates stays certified
+    span = e.groupBy("user_id").agg(
+        F.datediff(F.max("ts"), F.min("ts")).alias("t")
+    )
+    hist = span.groupBy("t").agg(F.count("*").alias("d"))
+    assert not bad_sides(span.join(F.broadcast(hist), "t"))
+
+
 def test_broadcast_detector_aggregate_image_and_alias_rules(spark):
     """Round-11 tightening (round-10 ADVICE #1/#4 follow-through):
 
