@@ -2717,3 +2717,47 @@ def test_round11_cycle_guard_terminates_and_is_exact(spark):
             seen[nxt] = d
             cur = nxt
         assert rows[k] == expect, (k, rows[k], expect)
+
+
+def test_agg_image_cap_composite_unit_edges():
+    """Spark-free unit pins for _agg_image_cap's round-12 composite
+    path — the shapes the detector tests exercise through full plans,
+    held here at the function level so a refactor that drifts any one
+    of them fails in milliseconds:
+
+    - a CASE whose THEN carries a value-passing max caps at
+      branch-count x the max argument's domain;
+    - a literal output caps at 1; an unknown aggregate head
+      (histogram_numeric) keeps None;
+    - a paren-unbalanced top-level capture (max + max_by) keeps None;
+    - a balanced bitmask composite multiplies its maxes' images;
+    - an outermost calendar head bounds datediff-of-maxes at the
+      signed day spine; a growing aggregate inside a value-passing
+      argument keeps None."""
+    from beam_pyspark_runner_spark.plans.audit import (
+        _agg_image_cap,
+        _balanced,
+    )
+
+    node = (
+        "Aggregate [user_id#1L], [user_id#1L, CASE WHEN (x#2 = 1) "
+        "THEN max(l_quantity#3) ELSE 0 END AS z#9]"
+    )
+    sub = [(0, node)]
+
+    def cap(defn):
+        return _agg_image_cap(defn, node, sub, 0)
+
+    assert cap(
+        "CASE WHEN (x#2 = 1) THEN max(l_quantity#3) ELSE 0 END"
+    ) == 100  # 2 branches x 50-value domain
+    assert cap("1") == 1
+    assert cap("histogram_numeric(l_quantity#3, 3)") is None
+    assert cap("max(l_tax#4) + max_by(l_tax#4, l_quantity#3)") is None
+    assert cap("(max(l_tax#4) + (2 * max(l_tax#4)))") == 81  # 9 x 9
+    assert cap(
+        "datediff(cast(max(ts#5) as date), cast(min(ts#5) as date))"
+    ) == 8192  # 2 x calendar spine
+    assert cap("max(sum(x#2))") is None
+    assert not _balanced("a#1) + max_by(b#2, c#3")
+    assert _balanced("coalesce(a#1, b#2)")
