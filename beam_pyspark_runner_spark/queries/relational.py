@@ -5811,11 +5811,13 @@ def boosting_residual_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     tsrr_d = F.col("tsrr").cast("double") / 10000.0
     rsr_d = (F.col("tsr") - F.col("csr")).cast("double") / 10000.0
     rsrr_d = (F.col("tsrr") - F.col("csrr")).cast("double") / 10000.0
+    # Explicit (left) + (right) grouping: the oracle parenthesizes
+    # (A - B) + (C - D), and the un-parenthesized Python chain
+    # ((A - B) + C) - D drifts 1 ULP at unlucky magnitudes (found by
+    # the round-12 full sf0.001 sweep; sf0.01/0.1 happened to agree).
     sse2 = (
-        csrr_d
-        - csr_d * csr_d / F.col("cn")
-        + rsrr_d
-        - rsr_d * rsr_d / (F.col("tn") - F.col("cn"))
+        (csrr_d - csr_d * csr_d / F.col("cn"))
+        + (rsrr_d - rsr_d * rsr_d / (F.col("tn") - F.col("cn")))
     )
     resid_root = tsrr_d - tsr_d * tsr_d / F.col("tn")
     b2 = (
