@@ -47,6 +47,12 @@ AXES: dict[str, dict[str, str]] = {
             "RocksDBStateStoreProvider"
         ),
     },
+    # Row-based parquet reader: the fallback path for schemas the
+    # vectorized reader can't handle (and a distinct decode engine —
+    # reader bugs are a real class).
+    "no_vectorized_reader": {
+        "spark.sql.parquet.enableVectorizedReader": "false",
+    },
 }
 
 # Narrow axes: the failure mode only exists on a subset, so don't pay

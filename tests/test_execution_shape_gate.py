@@ -29,7 +29,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.parametrize(
-    "axis", ["partitions7", "aqe_off", "no_codegen", "arrow137", "rocksdb"]
+    "axis",
+    [
+        "partitions7",
+        "aqe_off",
+        "no_codegen",
+        "arrow137",
+        "rocksdb",
+        "no_vectorized_reader",
+    ],
 )
 def test_shape_axis(axis):
     env = dict(os.environ)
