@@ -2761,3 +2761,34 @@ def test_agg_image_cap_composite_unit_edges():
     assert cap("max(sum(x#2))") is None
     assert not _balanced("a#1) + max_by(b#2, c#3")
     assert _balanced("coalesce(a#1, b#2)")
+
+
+def test_window_image_cap_unit_edges():
+    """Spark-free unit pins for _window_image_cap's round-12 lag/lead
+    default handling (ADVICE #3) and its balance gate: NULL and literal
+    defaults add one image value, an attribute default adds its own
+    domain cap (None when uncapped), nth_value gets its
+    short-partition NULL, ntile/min/row_number keep their round-11
+    semantics, a growing aggregate inside lag keeps None, and a FILTER
+    clause (paren-unbalanced capture) keeps None."""
+    from beam_pyspark_runner_spark.plans.audit import _window_image_cap
+
+    node = (
+        "Window [lag(l_quantity#3, 1, null) windowspecdefinition(...) "
+        "AS lg#9], [l_orderkey#1L], [l_linenumber#2 ASC NULLS FIRST]"
+    )
+    sub = [(0, node)]
+
+    def cap(defn):
+        return _window_image_cap(defn + " windowspecdefinition(x)", sub, 0)
+
+    assert cap("lag(l_quantity#3, 1, null)") == 51       # domain + NULL
+    assert cap("lag(l_quantity#3, 1, 0)") == 51          # domain + literal
+    assert cap("lag(l_quantity#3, 1, l_tax#4)") == 59    # domain + domain
+    assert cap("lag(l_quantity#3, 1, o_custkey#5L)") is None  # uncapped dflt
+    assert cap("nth_value(l_quantity#3, 3, false)") == 51
+    assert cap("ntile(4)") == 4
+    assert cap("min(l_quantity#3)") == 50                # pure pass-through
+    assert cap("row_number()") is None
+    assert cap("lag(sum(x#6), 1, null)") is None         # growing inside
+    assert cap("max(l_quantity#3) FILTER (WHERE (a#7 = 1))") is None
