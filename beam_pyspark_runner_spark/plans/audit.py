@@ -925,21 +925,52 @@ def unbounded_hinted_broadcasts(plan: str) -> list[str]:
     return bad
 
 
-def unbounded_cross_joins(plan: str) -> list[str]:
-    """Node texts of Cartesian (``Join Cross``) joins where NEITHER
-    side's subtree is bounded by construction — the quadratic-blowup
-    class (empty list == plan is governed).
+# Hint clauses on a Join node, e.g. ", rightHint=(strategy=broadcast)".
+_JOIN_HINT_RE = re.compile(r", (?:left|right)Hint=\([^)]*\)")
 
-    A cross join with one bounded side is a scan decorated with
-    constants/aggregates (linear); with BOTH sides corpus-grain it is
-    quadratic at 100 TB no matter how it executes. Same bounded-ness
-    rules as the hinted-broadcast audit; queries with a cross join
-    that is bounded for reasons structural rules cannot see carry the
-    ``bounded_cross`` tag."""
+
+def unbounded_cross_joins(plan: str) -> list[str]:
+    """Node texts of Cartesian-CLASS joins where NEITHER side's subtree
+    is bounded by construction — the quadratic-blowup class (empty list
+    == plan is governed).
+
+    Three shapes are in the class (round-12 self-probe: the original
+    rule matched only the first):
+    - ``Join Cross`` — the explicit crossJoin;
+    - a conditionless ``Join Inner`` — ``a.join(b)`` with no ON, or a
+      trivially-true condition the optimizer folded away, prints
+      ``Join Inner`` with NO condition and executes as the very same
+      cartesian;
+    - a PURE THETA join — a condition with no equality conjunct at all
+      (``user_id < doc_id``) plans as a nested-loop scan of one whole
+      side per row of the other. In an OPTIMIZED plan a Join condition
+      keeps only cross-side predicates (single-side equalities push
+      down), so any `` = `` / `` <=> `` conjunct IS a hashable join
+      key — including expression keys like ``least(b, c) = cu``
+      (edge_triangle_support), which an attribute-only pattern would
+      misread as theta.
+
+    A cartesian-class join with one bounded side is a scan decorated
+    with constants/aggregates (linear); with BOTH sides corpus-grain it
+    is quadratic at 100 TB no matter how it executes. Same bounded-ness
+    rules as the hinted-broadcast audit; queries bounded for reasons
+    structural rules cannot see carry the ``bounded_cross`` tag."""
     nodes = parse_plan(plan)
     bad = []
     for i, (_, text) in enumerate(nodes):
-        if not text.startswith("Join Cross"):
+        if not text.startswith("Join "):
+            continue
+        stripped = _JOIN_HINT_RE.sub("", text).strip()
+        cartesian_class = (
+            stripped.startswith("Join Cross")
+            or re.fullmatch(r"Join \w+", stripped) is not None  # no cond
+            or (
+                stripped.startswith("Join Inner, ")
+                and " = " not in stripped
+                and " <=> " not in stripped
+            )
+        )
+        if not cartesian_class:
             continue
         kids = _children(nodes, i)
         if len(kids) != 2:

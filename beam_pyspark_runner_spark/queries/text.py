@@ -4140,8 +4140,16 @@ _PAVA_BASE_SQL = f"""
            MAX(m) AS fitted_rate
     FROM inner_min GROUP BY i, bin, n, p
     """,
-    tags=("bounded_window", "text", "classifier_eval", "calibration", "isotonic", "pava",
-          "model_scoring"),
+    # bounded_cross: the minimax interval joins are theta joins
+    # (ji <= ki; ji <= i <= ki) over the CALIB_BINS-row bin table —
+    # O(B³) on B = CALIB_BINS ≈ a thousand broadcast-side rows at any
+    # corpus size. The structural walker cannot prove it: the bin grain
+    # comes from least(score_div, CALIB_BINS - 1), whose upper clamp
+    # bounds the image only because the dividend is non-negative by
+    # construction — a fact plan text does not carry (round-12
+    # cartesian-class audit widening).
+    tags=("bounded_window", "bounded_cross", "text", "classifier_eval",
+          "calibration", "isotonic", "pava", "model_scoring"),
 )
 def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic regression (PAVA) calibration of the corpus quality

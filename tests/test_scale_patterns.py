@@ -2792,3 +2792,37 @@ def test_window_image_cap_unit_edges():
     assert cap("row_number()") is None
     assert cap("lag(sum(x#6), 1, null)") is None         # growing inside
     assert cap("max(l_quantity#3) FILTER (WHERE (a#7 = 1))") is None
+
+
+def test_cross_join_detector_cartesian_class(spark):
+    """Round-12 self-probe: the cross-join audit must catch the whole
+    CARTESIAN CLASS, not just the ``Join Cross`` spelling —
+    a conditionless ``a.join(b)`` and a trivially-true condition both
+    print ``Join Inner`` with no condition and execute as the same
+    cartesian, and a pure theta join (no equi-conjunct) plans as a
+    nested-loop scan of one side per row of the other. Equi joins,
+    bounded-side crosses, and banded range joins (equi conjunct +
+    range refine) stay unflagged."""
+    from beam_pyspark_runner_spark.plans.audit import unbounded_cross_joins
+
+    def hits(df):
+        return unbounded_cross_joins(
+            df._jdf.queryExecution().optimizedPlan().toString()
+        )
+
+    e = load_table(spark, SF_CORRECT, "events")
+    d = load_table(spark, SF_CORRECT, "documents")
+
+    assert hits(e.join(d))  # conditionless
+    assert hits(e.join(d, F.lit(1) == F.lit(1)))  # folded-away condition
+    assert hits(e.join(d, F.col("user_id") < F.col("doc_id")))  # theta
+    assert not hits(e.join(d, F.col("user_id") == F.col("doc_id")))
+    tot = d.agg(F.count("*").alias("n"))
+    assert not hits(e.crossJoin(F.broadcast(tot)))  # bounded side
+    assert not hits(  # banded range join: equi conjunct + range refine
+        e.join(
+            d,
+            (F.col("user_id") == F.col("doc_id"))
+            & (F.col("value") < F.col("n_chars")),
+        )
+    )
