@@ -27,18 +27,16 @@ from beam_pyspark_runner_spark.queries import partsupp  # noqa: E402,F401
 from beam_pyspark_runner_spark.queries import recursive  # noqa: E402,F401
 
 # The external driver's correctness gate checks the FIRST 50 registry
-# entries (dict iteration order). Round-12 rotation (the round-11
-# verdict's #2 ask, verbatim): the 5 sentinel family anchors keep
-# their seats; the other 45 are ALL first-time-checked — the ten
-# round-11 registrations (the only queries with zero driver history,
-# named by the verdict for these seats) plus 35 off the queue head in
-# registration order, with ONE family-diversity pull-forward (the
-# round-10/11 precedent): the 35-seat head slice carried no
-# join-tagged query, so dynamic_partition_prune_join takes the last
-# seat and the displaced head entry ams_f2_moment returns to the
-# round-13 queue head. Debt 99 → ≤59 (+net-new). All 50 are locally
-# oracle-MATCH at sf0.01 (tests/oracle_check.py).
-# ROUND-13 ROTATION QUEUE: see the comment block right after this tuple.
+# entries (dict iteration order). Round-13 rotation (the round-12
+# verdict's #1 ask, verbatim): the 5 sentinel family anchors keep
+# their seats; the other 45 are ALL first-time-checked — the 22-query
+# queue head in registration order (ams_f2_moment first, as the
+# round-12 displacement note promised), the TWO round-12 streaming
+# registrations pulled forward per the verdict (the round-11/12
+# precedent for net-new regs), then the next 21 off the round-8 block
+# in documented queue order. Debt 56 -> 11 (+net-new). All 50 are
+# locally oracle-MATCH at sf0.01 (tests/oracle_check.py).
+# ROUND-14 PRE-STAGED WINDOW: see the comment block after the queue.
 DRIVER_WINDOW: tuple[str, ...] = (
     # sentinels: continuity + single-representative family anchors
     # (metrics/UDTF/pandas-UDF each have one canonical query — pinned)
@@ -47,117 +45,75 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "metrics_counters",
     "udtf_token_positions",
     "pandas_udf_density_score",
-    # --- verdict #2: the ten round-11 registrations (zero driver history) ---
-    "welch_t_test",
-    "generalized_esd_outliers",
-    "benjamini_hochberg_fdr",
-    "hurst_rescaled_range",
-    "bass_diffusion_fit",
-    "hoover_index_decomposition",
-    "hnsw_level_assignment",
-    "betweenness_centrality_sampled",
-    "video_keyframe_delta_stub",
-    "recursive_cte_cycle_guard",
     # --- queue head (never driver-checked, registration order) ---
-    "binary_recall_at_k",
-    "ndcg_at_k",
-    "random_projection_recall",
-    "kcenter_coreset_greedy",
-    "smote_interpolation_synthesis",
-    "bigram_lm_probs",
-    "mixture_weights",
-    "source_gini_diversity",
-    "token_lift_pairs",
-    "dataset_card_report",
-    "feature_hashing_stats",
-    "keyword_in_context",
-    "unicode_nfc_clean",
-    "classifier_eval_f1",
-    "doc_length_pow2_histogram",
-    "cohens_kappa_agreement",
-    "bm25_topk",
-    "gopher_quality_rules",
-    "shard_manifest_packing",
-    "classifier_calibration_bins",
-    "priority_sample_sources",
-    "flesch_readability",
-    "quantile_prune_per_source",
-    "mixture_epoch_plan",
-    "roc_auc_exact",
-    "cramers_v_association",
-    "span_corruption_targets",
-    "pr_curve_points",
-    "isotonic_calibration",
-    "brier_score_decomposition",
-    "stream_windowed_custom_combine",
-    "stream_sliding_distinct",
-    "stream_stream_full_outer",
-    "approx_top_k_events",
-    # family-diversity pull-forward (join coverage; displaces
-    # ams_f2_moment back to the round-13 queue head):
-    "dynamic_partition_prune_join",
+    "ams_f2_moment",
+    "ams_join_size_estimate",
+    "cas_dedup_savings",
+    "python_stream_source_agg",
+    "rendezvous_shard_rebalance",
+    "dict_encoding_estimate",
+    "zorder_pruning_audit",
+    "hilbert_curve_key",
+    "hilbert_vs_zorder_locality",
+    "curve_file_skipping_audit",
+    "link_prediction_jaccard",
+    "resource_allocation_linkpred",
+    "degree_assortativity",
+    "modularity_score",
+    "closeness_centrality_sampled",
+    "scc_pivot_fwbw",
+    "dag_longest_path_layers",
+    "bellman_ford_weighted_paths",
+    "bom_quantity_rollup",
+    "boruvka_msf_round",
+    "gnn_mean_aggregation_2hop",
+    "fifo_inventory_allocation",
+    # --- verdict #1: the two round-12 registrations (zero driver
+    # history), pulled forward per the round-11/12 precedent ---
+    "stream_foreach_batch_exactly_once",
+    "stream_static_enrich_watermarked",
+    # --- next 21 off the round-8 block, documented queue order ---
+    "expected_calibration_error",
+    "macro_f1_lang_multiclass",
+    "mcnemar_paired_classifiers",
+    "fleiss_kappa_multirater",
+    "mood_median_test",
+    "cvm_ecdf_drift",
+    "levene_brown_forsythe",
+    "lift_gains_by_decile",
+    "allen_interval_relations",
+    "time_decay_attribution",
+    "delete_vector_apply_audit",
+    "heaps_vocab_growth_curve",
+    "histogram_distance_drift",
+    "thumbnail_resize_stub",
+    "user_activity_streaks",
+    "qini_uplift_curve",
+    "clv_btyd_model_inputs",
+    "seasonal_naive_mase",
+    "embedding_centroid_shift",
+    "benford_law_audit",
+    "wald_wolfowitz_runs_test",
 )
 
-# ROUND-13 ROTATION QUEUE — the remaining never-driver-checked queries
-# in registration order (cosine_topk_vectorized stays out: rows-only by
-# design). The 34 round-12 queue seats were consumed off the head
-# (binary_recall_at_k … approx_top_k_events), the ten round-11
-# registrations pulled forward per the verdict, and
-# dynamic_partition_prune_join pulled forward for join coverage
-# (displacing ams_f2_moment back to this head); net-new round-12
-# registrations append at the END as they land (the r5 discipline,
-# continued):
-# ams_f2_moment (displaced by the round-12 family-diversity
-# pull-forward),
-# ams_join_size_estimate, cas_dedup_savings,
-# python_stream_source_agg, rendezvous_shard_rebalance,
-# dict_encoding_estimate, zorder_pruning_audit,
-# hilbert_curve_key, hilbert_vs_zorder_locality,
-# curve_file_skipping_audit, link_prediction_jaccard,
-# resource_allocation_linkpred, degree_assortativity, modularity_score,
-# closeness_centrality_sampled, scc_pivot_fwbw, dag_longest_path_layers,
-# bellman_ford_weighted_paths, bom_quantity_rollup, boruvka_msf_round,
-# gnn_mean_aggregation_2hop, fifo_inventory_allocation
-# -- net-new round 8 --
-# expected_calibration_error, macro_f1_lang_multiclass,
-# mcnemar_paired_classifiers, fleiss_kappa_multirater,
-# mood_median_test, cvm_ecdf_drift, levene_brown_forsythe,
-# lift_gains_by_decile,
-# allen_interval_relations, time_decay_attribution,
-# delete_vector_apply_audit,
-# heaps_vocab_growth_curve, histogram_distance_drift,
-# thumbnail_resize_stub, user_activity_streaks, qini_uplift_curve,
-# clv_btyd_model_inputs, seasonal_naive_mase,
-# embedding_centroid_shift,
-# benford_law_audit, wald_wolfowitz_runs_test, atkinson_inequality_index,
-# friedman_test, goodman_kruskal_tau, group_skewness_kurtosis,
-# fk_orphan_audit, platt_scaling_newton_step, chao1_vocab_richness,
-# stratified_kfold_assignment, mcc_matthews_correlation,
-# cochran_q_test
-# -- round-9 net-new registrations (10, <= the 20 cap; all dual-scale
-# -- oracle-MATCH on registration day): ljung_box_test,
-# durbin_watson_statistic, jarque_bera_test, huber_m_estimator_irls,
-# goodman_kruskal_gamma, page_hinkley_drift, granger_causality_lag1,
-# bridge_table_weighted_rollup, edge_triangle_support,
-# simplified_silhouette
-# -- round-10 net-new registrations (10, == the 10 cap; all dual-scale
-# -- oracle-MATCH on registration day): mann_kendall_trend,
-# cochran_armitage_trend, sax_symbolization, rank_biased_overlap,
-# grubbs_max_deviate, mahalanobis_diag_outliers,
-# rocchio_centroid_classify, ngram_contamination_audit,
-# nn_descent_round_recall, cooks_distance_influence
-# -- round-12 net-new registrations (2, <= the 10 cap — the verdict's
-# -- two named genuine gaps, breadth deliberately stopped there):
-# stream_foreach_batch_exactly_once, stream_static_enrich_watermarked
-# -- round-11 net-new registrations (10, == the 10 cap; all TRI-scale
-# -- oracle-MATCH on registration day, sf0.001/0.01/0.1): pulled
-# -- forward into the round-12 window per the verdict (no longer
-# -- queued): welch_t_test, generalized_esd_outliers,
-# -- benjamini_hochberg_fdr, hurst_rescaled_range, bass_diffusion_fit,
-# -- hoover_index_decomposition, hnsw_level_assignment,
-# -- betweenness_centrality_sampled, video_keyframe_delta_stub,
-# -- recursive_cte_cycle_guard
-
+# ROUND-14 PRE-STAGED WINDOW (the round-12 verdict's #4 ask): after
+# this rotation the never-driver-checked tail is exactly the 10
+# remaining round-8-block queries, in documented queue order:
+# atkinson_inequality_index, friedman_test, goodman_kruskal_tau,
+# group_skewness_kurtosis, fk_orphan_audit, platt_scaling_newton_step,
+# chao1_vocab_richness, stratified_kfold_assignment,
+# mcc_matthews_correlation, cochran_q_test
+# — plus cosine_topk_vectorized (rows-only by design; seat it in
+# round 14 so the driver records its weaker rows-only check and
+# cumulative coverage closes at the full registry), plus the round-13
+# net-new registrations (appended at the END as they land, the r5
+# discipline, continued):
+# stream_checkpoint_restart_resume (the round-12 verdict's named
+# streaming gap — source-offset recovery; TRI-scale oracle-MATCH on
+# registration day, sf0.001/0.01/0.1)
+# Round-14 window = the 5 sentinels + that tail (10 + 1 + 1 = 12
+# first-time seats); the remaining seats are free for
+# re-confirmation picks.
 
 def _apply_driver_window() -> None:
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]

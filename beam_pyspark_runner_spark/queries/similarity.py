@@ -3010,7 +3010,7 @@ _SMOTE_NORM_SQL = (
     FROM synth
     """,
     tags=("similarity", "smote", "class_balancing", "data_augmentation",
-          "bounded_broadcast"),
+          "bounded_broadcast", "bounded_cross"),
 )
 def smote_interpolation_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SMOTE-style synthetic minority oversampling (Chawla et al.
@@ -3032,12 +3032,18 @@ def smote_interpolation_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame
     midpoint is the λ=1/2 member of that family, chosen for
     reproducibility.
 
-    bounded_broadcast: the hinted side is the MINORITY-CLASS pool
-    (rarest label, pinned by checkpoint, so the audit cannot see the
-    label filter). SMOTE's pairwise kNN is quadratic in that pool by
-    construction — at corpus-scale minority classes you subsample
-    BEFORE oversampling (the published guidance), so the pool is
-    operated dimension-sized, not corpus-sized."""
+    bounded_broadcast + bounded_cross: the hinted side is the
+    MINORITY-CLASS pool (rarest label, pinned by checkpoint, so the
+    audit cannot see the label filter), and the kNN join's only
+    condition is the NEGATED equality ``vec_id != nb`` — which the
+    round-13 conjunct-level audit correctly classifies as
+    cartesian-class (a NOT-equality is not a hashable key; the join
+    nested-loops). That is SMOTE's published shape: pairwise kNN,
+    quadratic in the minority pool by construction — at corpus-scale
+    minority classes you subsample BEFORE oversampling (the published
+    guidance), so the pool is operated dimension-sized, not
+    corpus-sized. Both bounds are real but structurally invisible,
+    hence the adjudication tags (the isotonic_calibration precedent)."""
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").alias("emb")
     )

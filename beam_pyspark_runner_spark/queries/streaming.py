@@ -1820,3 +1820,111 @@ def stream_static_enrich_watermarked(spark: SparkSession, sf_dir: str) -> DataFr
         )
     )
     return run_stream_to_df(agg, output_mode="append")
+
+
+@register(
+    "stream_checkpoint_restart_resume",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS window_day,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "checkpoint", "restart", "source_recovery",
+          "foreach_batch", "exactly_once"),
+)
+def stream_checkpoint_restart_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-RESTART continuation: a stream FAILS mid-source and a
+    second run resumes from the same checkpoint directory — certifying
+    SOURCE-OFFSET recovery end-to-end, the one streaming failure mode
+    the suite didn't drive (round-12 verdict #3).
+
+    stream_foreach_batch_exactly_once certifies the SINK half of
+    recovery (epoch re-delivery through an idempotent sink); this query
+    certifies the SOURCE half, by actually exercising the write-ahead
+    protocol: Spark writes the offset log entry for micro-batch N
+    BEFORE invoking the sink and the commit log entry AFTER it returns,
+    so an injected sink failure at batch 1 leaves batch 0 committed and
+    batch 1 planned-but-uncommitted. The restarted query (same
+    checkpoint dir) must therefore
+      * NEVER re-deliver batch 0 (its offsets are committed — a reread
+        would mean offset recovery is broken),
+      * FIRST re-execute batch 1 with its original batch_id and file
+        slice (the WAL replay), then latch and process the remaining
+        files,
+    and the union of the two runs' epoch directories must equal the
+    batch table exactly — no loss, no duplication (the re-delivered
+    epoch overwrites itself, the exactly-once sink recipe). All three
+    properties are asserted in-line; the oracle then certifies the
+    recovered stream's aggregate against the plain batch semantics.
+
+    Scale: recovery cost is ONE micro-batch re-execution plus the
+    checkpoint read — independent of stream history length; state here
+    is the source log alone (the sink is stateless per batch), so a
+    1000-executor restart replays in seconds regardless of how many
+    epochs preceded the failure."""
+    import uuid
+
+    out = _scratch_dir("bprs_ckre", sf_dir, uuid.uuid4().hex[:8])
+    ckpt = out + "_ckpt"
+
+    class _InjectedFailure(Exception):
+        pass
+
+    def make_sink(log: list, fail_at: int | None):
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            if fail_at is not None and batch_id >= fail_at:
+                raise _InjectedFailure(f"bprs injected failure at batch {batch_id}")
+            n = batch_df.count()
+            batch_df.write.mode("overwrite").parquet(f"{out}/epoch={batch_id}")
+            log.append((batch_id, n))
+        return sink
+
+    def run(sink) -> None:
+        query = (
+            _events_stream(spark, sf_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not query.awaitTermination(300):
+                raise TimeoutError("restart stream did not finish in 300s")
+        finally:
+            if query.isActive:
+                query.stop()
+
+    # Run 1: batch 0 commits, the injected failure kills the query while
+    # batch 1 sits planned-but-uncommitted in the offset log.
+    run1: list[tuple[int, int]] = []
+    try:
+        run(make_sink(run1, fail_at=1))
+        raise AssertionError("run 1 was expected to fail at batch 1")
+    except Exception as ex:  # noqa: BLE001 — must be OUR injected failure
+        # str(), not repr(): pyspark's CapturedException carries its
+        # message in __str__ only (its repr is the bare class name)
+        if "bprs injected failure" not in str(ex):
+            raise
+    assert [b for b, _ in run1] == [0], f"run 1 committed {run1}"
+
+    # Run 2: same checkpoint, healthy sink — must RESUME, not reread.
+    run2: list[tuple[int, int]] = []
+    run(make_sink(run2, fail_at=None))
+
+    ids2 = [b for b, _ in run2]
+    assert ids2 and 0 not in ids2, f"restart re-delivered committed batch: {ids2}"
+    assert min(ids2) == 1, f"restart skipped the WAL-pending batch: {ids2}"
+    committed = sorted(b for b, _ in run1 + run2)
+    assert committed == list(range(len(committed))), f"epoch gaps: {committed}"
+    total = load_table(spark, sf_dir, "events").count()
+    rows1 = sum(n for _, n in run1)
+    rows2 = sum(n for _, n in run2)
+    assert rows2 < total, "restart reprocessed the whole source"
+    assert rows1 + rows2 == total, f"loss/duplication: {rows1}+{rows2} != {total}"
+
+    back = spark.read.parquet(out)  # partition-discovers every epoch
+    return back.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("window_day"), "event_type"
+    ).agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))

@@ -5,16 +5,18 @@ actually present — and local[32] never does.
 Each axis needs its OWN SparkSession conf, and a session is a
 per-process singleton, so this runs one axis per process:
 
-    python -m tests.shape_probe partitions7   # 7-way parallelism + shuffle
-    python -m tests.shape_probe aqe_off       # no runtime re-planning
-    python -m tests.shape_probe no_codegen    # interpreted expression engine
-    python -m tests.shape_probe arrow137      # hostile Arrow batches + splits
-    python -m tests.shape_probe rocksdb       # RocksDB state store (streaming)
+    python -m tests.shape_probe partitions7           # 7-way parallelism + shuffle
+    python -m tests.shape_probe aqe_off               # no runtime re-planning
+    python -m tests.shape_probe no_codegen            # interpreted expression engine
+    python -m tests.shape_probe arrow137              # hostile Arrow batches + splits
+    python -m tests.shape_probe rocksdb               # RocksDB state store (streaming)
+    python -m tests.shape_probe no_vectorized_reader  # row-based parquet decode
 
 A result that changes under any axis is a real bug (fold-order
 dependence, cross-batch kernel state, engine-divergent expressions,
-provider-dependent state semantics). The round-12 baseline: all five
-axes green over the full registry (see ARCHITECTURE.md round 12).
+provider-dependent state semantics, reader-dependent decode). The
+round-12 baseline: all six axes green over the full registry (see
+ARCHITECTURE.md round 12).
 
 ``tests/test_execution_shape_gate.py`` wraps these as opt-in pytest
 params (SPARK_GRAFT_SHAPE_GATE=1).
@@ -75,7 +77,7 @@ def _axis_names(axis: str, registry) -> list[str]:
                 src = inspect.getsource(q.fn)
             except OSError:
                 continue
-            if any(h in src or h in src.lower() for h in _PANDAS_SRC):
+            if any(h.lower() in src.lower() for h in _PANDAS_SRC):
                 names.append(n)
         return names
     return list(registry)

@@ -3,11 +3,12 @@
 Each axis re-runs the DuckDB-oracle compare under a runtime shape the
 production target presents and local[32] doesn't: a different
 partition count, no AQE, the interpreted expression engine, hostile
-Arrow batch boundaries, the RocksDB state store. A session is a
-per-process singleton, so each axis runs in a subprocess via
-``python -m tests.shape_probe <axis>`` (see that module).
+Arrow batch boundaries, the RocksDB state store, the row-based
+parquet reader. A session is a per-process singleton, so each axis
+runs in a subprocess via ``python -m tests.shape_probe <axis>`` (see
+that module).
 
-Round-12 baseline: all five axes green over the full registry.
+Round-12 baseline: all six axes green over the full registry.
 Budget ~10-20 min per wide axis — the same class of opt-in as the
 sf0.1 scale gate, not part of the default suite.
 """

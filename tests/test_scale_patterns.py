@@ -2826,3 +2826,96 @@ def test_cross_join_detector_cartesian_class(spark):
             & (F.col("value") < F.col("n_chars")),
         )
     )
+
+
+def test_cross_join_detector_conjunct_granularity(spark):
+    """Round-13 (round-12 verdict corner + ADVICE): the equi test must
+    work at top-level AND-conjunct granularity and on EVERY join type.
+    ``(a = b) OR (c < d)`` contains ' = ' but Spark nested-loops it;
+    ``NOT (a = b)`` likewise; an outer/semi pure theta join is the
+    same quadratic scan as an Inner one; an equality against a literal
+    inside an outer-join condition is a filter, not a hash key."""
+    from beam_pyspark_runner_spark.plans.audit import unbounded_cross_joins
+
+    def hits(df):
+        return unbounded_cross_joins(
+            df._jdf.queryExecution().optimizedPlan().toString()
+        )
+
+    e = load_table(spark, SF_CORRECT, "events")
+    d = load_table(spark, SF_CORRECT, "documents")
+    eq = F.col("user_id") == F.col("doc_id")
+    theta = F.col("value") < F.col("n_chars")
+
+    # OR-disjunct evasion: ' = ' present, not extractable -> flag
+    assert hits(e.join(d, eq | theta))
+    # negated equality: ' = ' present inside NOT -> flag
+    assert hits(e.join(d, ~eq))
+    # pure theta on non-Inner types (ADVICE): same nested-loop scan
+    assert hits(e.join(d, theta, "left"))
+    assert hits(e.join(d, theta, "full"))
+    assert hits(e.join(d, theta, "left_semi"))
+    # genuine AND-conjunct equi stays clean on every type
+    assert not hits(e.join(d, eq & theta, "left"))
+    assert not hits(e.join(d, eq & theta, "left_semi"))
+    # (a = b) AND ((c < d) OR (e = f)): extractable equi conjunct -> clean
+    assert not hits(
+        e.join(d, eq & (theta | (F.col("event_id") == F.col("doc_id"))))
+    )
+    # literal equality in an outer-join condition is a filter, not a key
+    assert hits(e.join(d, F.col("lang") == F.lit("en"), "left"))
+
+
+def test_equi_conjunct_analysis_unit_edges():
+    """Spark-free unit pins for the round-13 conjunct-level equi test
+    (round-12 verdict corner + ADVICE #1/#2) — the shapes
+    test_cross_join_detector_conjunct_granularity exercises through
+    full plans, held at the function level:
+
+    - an equality under a top-level OR is NOT an extractable hash key;
+    - a negated equality (``NOT (a = b)``) is NOT;
+    - nested AND wrapping still flattens to its conjuncts;
+    - a literal-side equality (``b_flag = true``) is a filter, not a
+      key; an attribute-both-sides equality (including expression
+      keys and null-safe ``<=>``) is;
+    - the join-type prefix parser accepts multi-word types
+      (``ExistenceJoin(exists#1)``) so their conditions are analyzed
+      rather than skipped."""
+    from beam_pyspark_runner_spark.plans.audit import (
+        _JOIN_TYPE_RE,
+        _and_conjuncts,
+        _has_equi_conjunct,
+    )
+
+    assert _has_equi_conjunct("(a#1 = b#2)")
+    assert _has_equi_conjunct("((a#1 = b#2) AND (c#3 < d#4))")
+    assert not _has_equi_conjunct("((a#1 = b#2) OR (c#3 < d#4))")
+    assert not _has_equi_conjunct("NOT (a#1 = b#2)")
+    assert not _has_equi_conjunct("(NOT (a#1 = b#2))")
+    assert _has_equi_conjunct("(NOT (a#1 = b#2) AND (c#3 = d#4))")
+    assert _has_equi_conjunct("(((a#1 = b#2) AND (c#3 = d#4)) AND (e#5 < f#6))")
+    assert not _has_equi_conjunct("(b_flag#3 = true)")
+    assert _has_equi_conjunct("(least(b#1, c#2) = cu#3)")
+    assert _has_equi_conjunct("(a#1 <=> b#2)")
+    assert not _has_equi_conjunct("(a#1 < b#2)")
+    assert not _has_equi_conjunct(
+        "((a#1 = b#2) OR ((c#3 = d#4) AND (e#5 = f#6)))"
+    )
+    assert _and_conjuncts("(((a) AND (b)) AND (c))") == ["a", "b", "c"]
+
+    m = _JOIN_TYPE_RE.match("ExistenceJoin(exists#1), (a#1 = b#2)")
+    assert m.group(1) == "ExistenceJoin"
+    assert m.group(2) == "(exists#1)"
+    assert _JOIN_TYPE_RE.match("LeftSemi, (a#1 < b#2)").group(1) == "LeftSemi"
+
+
+def test_hex_substring_cap_counts_null_edge():
+    """Round-13 ADVICE #3: md5/sha of a NULL input is NULL, so an
+    in-digest hex-substring image is 16^width + 1 — consistent with
+    the NULL-edge accounting of CASE-without-ELSE and lag/lead."""
+    from beam_pyspark_runner_spark.plans.audit import _expr_cap
+
+    node = "Project [substring(md5(cast(doc_id#1L as string)), 1, 4) AS hk#9]"
+    sub = [(0, node)]
+    cap = _expr_cap("substring(md5(cast(doc_id#1L as string)), 1, 4)", sub)
+    assert cap == 16**4 + 1
