@@ -542,15 +542,29 @@ def _balanced(s: str) -> bool:
     call's arguments and value-passing reasoning does not apply
     (round-12 self-probe: ``max(a) + histogram_numeric(b, 3)`` would
     otherwise certify at product-of-domains through the top-level
-    value-passing branch)."""
+    value-passing branch).
+
+    Backslash-ESCAPED parens don't count (round-13 probe of the
+    round-12 queue note): Catalyst prints string/regex literals BARE,
+    so ``regexp_extract(text#1, \\((\\d+), 1)`` carries ``\\(`` — a
+    character of the pattern, not call structure. Skipping them keeps
+    real regex-bearing aggregates certifiable; a literal containing an
+    UNESCAPED paren (``[(]`` in a character class) still reads
+    unbalanced and falls to the conservative composite path — the
+    sound direction."""
     d = 0
+    prev = ""
     for ch in s:
+        if prev == "\\":
+            prev = ""  # escaped char: not structural (incl. \( and \))
+            continue
         if ch == "(":
             d += 1
         elif ch == ")":
             d -= 1
             if d < 0:
                 return False
+        prev = ch
     return d == 0
 
 
@@ -991,9 +1005,14 @@ def _is_hashable_equi_conjunct(conj: str) -> bool:
     """True iff this AND-conjunct is an equality Spark can extract as a
     hash-join key: a depth-0 ``=`` / ``<=>`` (not under NOT, not under
     an OR disjunct) with an attribute reference on BOTH sides — an
-    equality against a literal (``b_flag#3 = true``, legal in OUTER
-    join conditions where single-side predicates don't push down) is a
-    filter, not a key, and the join still nested-loops."""
+    equality against a literal (``b_flag#3 = true``, possible in join
+    conditions when pushdown doesn't fire) is a filter, not a key, and
+    the join still nested-loops. Residual (plan-text-inherent, same
+    class as the same-child-attrs note on the caller): Catalyst prints
+    string literals BARE, so a literal whose TEXT contains an
+    attr-shaped token (``s#1 = prefix a#2 suffix``) is
+    indistinguishable from a real reference — adversarial-only; no
+    registry query can reach it."""
     conj = _strip_outer_parens(conj)
     if conj.startswith("NOT ") or conj.startswith("NOT("):
         return False

@@ -110,8 +110,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # discipline, continued):
 # stream_checkpoint_restart_resume (the round-12 verdict's named
 # streaming gap — source-offset recovery; TRI-scale oracle-MATCH on
-# registration day, sf0.001/0.01/0.1)
-# Round-14 window = the 5 sentinels + that tail (10 + 1 + 1 = 12
+# registration day, sf0.001/0.01/0.1),
+# stream_stateful_restart_recovery (the third recovery leg — a
+# watermarked tumbling aggregate's STATE STORE across the failure
+# boundary; TRI-scale oracle-MATCH on registration day)
+# Round-14 window = the 5 sentinels + that tail (10 + 1 + 2 = 13
 # first-time seats); the remaining seats are free for
 # re-confirmation picks.
 

@@ -1928,3 +1928,113 @@ def stream_checkpoint_restart_resume(spark: SparkSession, sf_dir: str) -> DataFr
     return back.groupBy(
         F.date_trunc("day", F.col("ts")).alias("window_day"), "event_type"
     ).agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+
+
+@register(
+    "stream_stateful_restart_recovery",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(ts) AS max_ts FROM events)
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM events, mx
+    GROUP BY 1, mx.max_ts
+    HAVING time_bucket(INTERVAL '1 hour', MIN(ts)) + INTERVAL '1 hour'
+           <= mx.max_ts - INTERVAL '1 hour'
+    """,
+    tags=("streaming", "checkpoint", "restart", "state_recovery",
+          "tumbling_window", "watermark", "append_mode", "foreach_batch"),
+)
+def stream_stateful_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE-STORE recovery across a mid-stream failure — the third leg
+    of the recovery triad: stream_foreach_batch_exactly_once certifies
+    the SINK (idempotent epoch re-delivery),
+    stream_checkpoint_restart_resume certifies the SOURCE (offset-log
+    WAL replay, stateless); this query puts a watermarked tumbling
+    aggregate's STATE STORE across the failure boundary. Micro-batches
+    0-1 commit — their partial per-window counts live only in state
+    snapshots — then an injected sink failure kills the stream while
+    batch 2 is WAL-pending. The restarted run must load state version
+    2 (the post-batch-1 snapshot), re-execute batch 2 against it, and
+    keep aggregating; any state-recovery defect (lost snapshot, wrong
+    version, replayed rows double-counted into recovered state) shows
+    up as a wrong count in exactly the windows whose rows SPAN the
+    failure boundary — and fails the value hash against the plain
+    batch oracle. Append mode makes the sink contract exact: each
+    window row is emitted once, after the watermark (max ts − 1h)
+    passes its end; the committed epochs keep their rows, the
+    re-executed epoch overwrites its own directory.
+
+    Scale: recovery cost = one state-store version load (bounded by
+    open-window state, not stream history) + one micro-batch
+    re-execution — the same contract a 1000-executor RocksDB
+    deployment relies on (provider-independence certified by the
+    rocksdb shape axis)."""
+    import uuid
+
+    out = _scratch_dir("bprs_stre", sf_dir, uuid.uuid4().hex[:8])
+    ckpt = out + "_ckpt"
+
+    def make_sink(log: list, fail_at: int | None):
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            if fail_at is not None and batch_id >= fail_at:
+                raise RuntimeError(f"bprs injected failure at batch {batch_id}")
+            batch_df.write.mode("overwrite").parquet(f"{out}/epoch={batch_id}")
+            log.append(batch_id)
+        return sink
+
+    def run(sink) -> None:
+        agg = (
+            _events_stream(spark, sf_dir)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(
+                F.count("*").alias("n_events"),
+                dsum("value").alias("total_value"),
+            )
+            .select(
+                F.col("window.start").alias("window_start"),
+                "n_events",
+                "total_value",
+            )
+        )
+        # state-store count is frozen into the checkpoint at stream
+        # start — size it like streaming/runner.py does for every other
+        # stateful stream
+        key = "spark.sql.shuffle.partitions"
+        saved = spark.conf.get(key)
+        spark.conf.set(key, str(min(8, int(saved))))
+        try:
+            query = (
+                agg.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set(key, saved)
+        try:
+            if not query.awaitTermination(300):
+                raise TimeoutError("stateful restart stream did not finish in 300s")
+        finally:
+            if query.isActive:
+                query.stop()
+
+    run1: list[int] = []
+    try:
+        run(make_sink(run1, fail_at=2))
+        raise AssertionError("run 1 was expected to fail at batch 2")
+    except Exception as ex:  # noqa: BLE001 — must be OUR injected failure
+        if "bprs injected failure" not in str(ex):
+            raise
+    assert run1 == [0, 1], f"run 1 committed {run1}"
+
+    run2: list[int] = []
+    run(make_sink(run2, fail_at=None))
+    assert run2 and min(run2) == 2, f"restart did not resume at the WAL batch: {run2}"
+    assert not set(run1) & set(run2), f"committed epochs re-delivered: {run2}"
+
+    return spark.read.parquet(out).select(
+        "window_start", "n_events", "total_value"
+    )

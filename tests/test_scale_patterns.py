@@ -2761,6 +2761,13 @@ def test_agg_image_cap_composite_unit_edges():
     assert cap("max(sum(x#2))") is None
     assert not _balanced("a#1) + max_by(b#2, c#3")
     assert _balanced("coalesce(a#1, b#2)")
+    # round-13 probe: Catalyst prints regex/string literals BARE with
+    # backslash-escaped parens — pattern characters, not call structure
+    assert _balanced(r"regexp_extract(text#1, \((\d+), 1)")
+    assert _balanced(r"split(s#1, \), -1)")
+    # a bare unescaped paren inside a literal (char class) stays
+    # conservative — unbalanced, falls to the composite path
+    assert not _balanced(r"regexp_extract(s#1, [(], 1)")
 
 
 def test_window_image_cap_unit_edges():
