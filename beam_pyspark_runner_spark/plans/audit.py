@@ -1001,18 +1001,39 @@ def _and_conjuncts(cond: str) -> list[str]:
     return out
 
 
-def _is_hashable_equi_conjunct(conj: str) -> bool:
+def _attr_ids(text: str) -> set[str]:
+    """Expression-id numbers referenced in ``text`` (``rn#25921`` →
+    ``25921``). Ids are allocated uniquely per plan-tree occurrence,
+    so they attribute an expression to the child subtree that defines
+    it — the one piece of structure bare condition text lacks."""
+    return set(re.findall(r"#(\d+)", text))
+
+
+def _is_hashable_equi_conjunct(
+    conj: str,
+    left_ids: set[str] | None = None,
+    right_ids: set[str] | None = None,
+) -> bool:
     """True iff this AND-conjunct is an equality Spark can extract as a
     hash-join key: a depth-0 ``=`` / ``<=>`` (not under NOT, not under
     an OR disjunct) with an attribute reference on BOTH sides — an
     equality against a literal (``b_flag#3 = true``, possible in join
     conditions when pushdown doesn't fire) is a filter, not a key, and
-    the join still nested-loops. Residual (plan-text-inherent, same
-    class as the same-child-attrs note on the caller): Catalyst prints
+    the join still nested-loops.
+
+    When the caller supplies the children's expression-id sets, each
+    side must additionally resolve WHOLLY to one child and the two
+    sides to DIFFERENT children (round-13 physical cross-check catch:
+    ``rn = ((decile * n + 9) div 10)`` has attributes on both sides,
+    but ``decile`` comes from the broadcast spine while ``n`` comes
+    from the ranked stream — one side mixes children, no hash key
+    exists, and Spark plans BroadcastNestedLoopJoin). Without child
+    ids (bare-string mode, unit tests) the attribution check is
+    skipped. Remaining residual (plan-text-inherent): Catalyst prints
     string literals BARE, so a literal whose TEXT contains an
     attr-shaped token (``s#1 = prefix a#2 suffix``) is
-    indistinguishable from a real reference — adversarial-only; no
-    registry query can reach it."""
+    indistinguishable from a real reference — adversarial-only, and
+    the physical nested-loop cross-check gate would surface it."""
     conj = _strip_outer_parens(conj)
     if conj.startswith("NOT ") or conj.startswith("NOT("):
         return False
@@ -1020,15 +1041,29 @@ def _is_hashable_equi_conjunct(conj: str) -> bool:
         return False  # equality under a disjunction is not extractable
     for op in (" = ", " <=> "):
         sides = _split_top_level(conj, op)
-        if len(sides) >= 2 and all(
-            _ATTR_REF_RE.search(side) for side in sides[:2]
+        if len(sides) < 2:
+            continue
+        s0, s1 = _attr_ids(sides[0]), _attr_ids(sides[1])
+        if not (s0 and s1):
+            continue
+        if left_ids is None or right_ids is None:
+            return True
+        if (s0 <= left_ids and s1 <= right_ids) or (
+            s0 <= right_ids and s1 <= left_ids
         ):
             return True
     return False
 
 
-def _has_equi_conjunct(cond: str) -> bool:
-    return any(_is_hashable_equi_conjunct(c) for c in _and_conjuncts(cond))
+def _has_equi_conjunct(
+    cond: str,
+    left_ids: set[str] | None = None,
+    right_ids: set[str] | None = None,
+) -> bool:
+    return any(
+        _is_hashable_equi_conjunct(c, left_ids, right_ids)
+        for c in _and_conjuncts(cond)
+    )
 
 
 def unbounded_cross_joins(plan: str) -> list[str]:
@@ -1064,6 +1099,23 @@ def unbounded_cross_joins(plan: str) -> list[str]:
     structural rules cannot see carry the ``bounded_cross`` tag."""
     nodes = parse_plan(plan)
     bad = []
+    for i, text in cartesian_class_joins(plan):
+        kids = _children(nodes, i)
+        if len(kids) != 2:
+            continue
+        if not (_bounded(nodes, kids[0]) or _bounded(nodes, kids[1])):
+            bad.append(text[:120])
+    return bad
+
+
+def cartesian_class_joins(plan: str) -> list[tuple[int, str]]:
+    """(node index, text) of every Cartesian-CLASS Join node — the
+    DETECTION half of ``unbounded_cross_joins``, before its
+    boundedness exemption. Exposed separately so the physical-layer
+    cross-check can ask "did the textual rule SEE this join at all?"
+    independently of whether a bounded side excuses it."""
+    nodes = parse_plan(plan)
+    out = []
     for i, (_, text) in enumerate(nodes):
         if not text.startswith("Join "):
             continue
@@ -1073,20 +1125,47 @@ def unbounded_cross_joins(plan: str) -> list[str]:
             continue
         jtype = tm.group(1)
         tail = stripped[len("Join ") + tm.end() :]
-        cond = tail[2:].strip() if tail.startswith(",") else ""
-        cartesian_class = (
+        cond = tail[1:].strip() if tail.startswith(",") else ""
+        # Attribute each equality side to a child subtree via expr ids
+        # (unique per occurrence) — a side that mixes children has no
+        # hash key and the join nested-loops regardless of the `=`.
+        kids = _children(nodes, i)
+        left_ids = right_ids = None
+        if len(kids) == 2:
+            left_ids = _attr_ids(
+                " ".join(t for _, t in _subtree(nodes, kids[0]))
+            )
+            right_ids = _attr_ids(
+                " ".join(t for _, t in _subtree(nodes, kids[1]))
+            )
+        if (
             jtype == "Cross"
             or not cond  # conditionless join, any type
-            or not _has_equi_conjunct(cond)  # pure theta, any type
-        )
-        if not cartesian_class:
-            continue
-        kids = _children(nodes, i)
-        if len(kids) != 2:
-            continue
-        if not (_bounded(nodes, kids[0]) or _bounded(nodes, kids[1])):
-            bad.append(text[:120])
-    return bad
+            or not _has_equi_conjunct(cond, left_ids, right_ids)
+        ):
+            out.append((i, text))
+    return out
+
+
+def physical_nested_loop_joins(physical_plan: str) -> list[str]:
+    """Operator lines where SPARK ITSELF chose a nested-loop strategy
+    (``BroadcastNestedLoopJoin`` / ``CartesianProduct``) in the
+    executed plan. This is ground truth for the cartesian class — the
+    planner only nested-loops when it could extract no hash key — and
+    it closes the two plan-TEXT residuals the logical rule documents
+    (same-child attribute equality; a string literal whose text mimics
+    an attr reference): the governance cross-check asserts every
+    physical nested-loop join is matched by a textual
+    ``cartesian_class_joins`` detection, so a textual false negative
+    cannot pass silently."""
+    hits = []
+    for line in physical_plan.splitlines():
+        s = line.strip().lstrip("+-*: ")
+        if s.startswith("(") and ")" in s[:8]:
+            s = s.split(") ", 1)[-1]  # codegen stage ids: "(3) Node"
+        if s.startswith(("BroadcastNestedLoopJoin", "CartesianProduct")):
+            hits.append(s[:120])
+    return hits
 
 
 def unpartitioned_ordered_windows(plan: str) -> list[str]:

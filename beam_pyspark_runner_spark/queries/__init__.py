@@ -117,6 +117,25 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # Round-14 window = the 5 sentinels + that tail (10 + 1 + 2 = 13
 # first-time seats); the remaining seats are free for
 # re-confirmation picks.
+#
+# Machine-checkable form (test_round14_prestage_matches_remaining_debt
+# pins this tuple == registry − cumulative-driver-certified − current
+# window, so the pre-stage can never drift from the actual tail):
+ROUND_14_PRESTAGE: tuple[str, ...] = (
+    "atkinson_inequality_index",
+    "friedman_test",
+    "goodman_kruskal_tau",
+    "group_skewness_kurtosis",
+    "fk_orphan_audit",
+    "platt_scaling_newton_step",
+    "chao1_vocab_richness",
+    "stratified_kfold_assignment",
+    "mcc_matthews_correlation",
+    "cochran_q_test",
+    "cosine_topk_vectorized",
+    "stream_checkpoint_restart_resume",
+    "stream_stateful_restart_recovery",
+)
 
 def _apply_driver_window() -> None:
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
@@ -130,4 +149,10 @@ def _apply_driver_window() -> None:
 
 _apply_driver_window()
 
-__all__ = ["DRIVER_WINDOW", "REGISTRY", "Query", "register"]
+__all__ = [
+    "DRIVER_WINDOW",
+    "REGISTRY",
+    "ROUND_14_PRESTAGE",
+    "Query",
+    "register",
+]

@@ -158,3 +158,41 @@ def test_bench_contract_line_fits_driver_tail():
         }
     )
     assert len(line) < 1900, (len(line), "bench JSON line would overflow")
+
+
+def test_round14_prestage_matches_remaining_debt():
+    """Round-13 (round-12 verdict #4): the pre-staged round-14 window
+    tail must equal EXACTLY the queries with no driver signal once the
+    round-13 window lands — registry minus cumulative hash-certified
+    (rows-only for the one by-design exemption) minus the current
+    window. A drift here means round 14 would either burn a seat on a
+    certified query or strand one past the close of cumulative
+    coverage."""
+    import glob
+    import json
+    from pathlib import Path
+
+    from beam_pyspark_runner_spark.queries import (
+        DRIVER_WINDOW,
+        REGISTRY,
+        ROUND_14_PRESTAGE,
+    )
+
+    rows_only_by_design = {"cosine_topk_vectorized"}
+    certified = set()
+    root = Path(__file__).resolve().parent.parent
+    for path in glob.glob(str(root / "CORRECTNESS_r*.json")):
+        for name, rec in json.load(open(path)).items():
+            if rec.get("hash_match") or (
+                name in rows_only_by_design and rec.get("rows_match")
+            ):
+                certified.add(name)
+    remaining = [
+        n
+        for n in REGISTRY
+        if n not in certified and n not in DRIVER_WINDOW
+    ]
+    assert sorted(remaining) == sorted(ROUND_14_PRESTAGE), (
+        sorted(set(remaining) ^ set(ROUND_14_PRESTAGE))
+    )
+    assert len(ROUND_14_PRESTAGE) == len(set(ROUND_14_PRESTAGE))

@@ -2915,6 +2915,19 @@ def test_equi_conjunct_analysis_unit_edges():
     assert m.group(2) == "(exists#1)"
     assert _JOIN_TYPE_RE.match("LeftSemi, (a#1 < b#2)").group(1) == "LeftSemi"
 
+    # round-13 physical cross-check catch, pinned at the unit level:
+    # with child attribution, a side that MIXES children (decile from
+    # the right spine, n from the left stream) has no hash key even
+    # though both sides carry attr refs — while a clean cross-side
+    # equality still certifies, including flipped orientation.
+    qte = "(cast(rn#9 as bigint) = (((decile#14L * n#10L) + 9) div 10))"
+    L, R = {"9", "10"}, {"14"}
+    assert _has_equi_conjunct(qte)  # bare-string mode: attrs both sides
+    assert not _has_equi_conjunct(qte, L, R)  # attribution: mixed side
+    assert _has_equi_conjunct("(a#1 = b#2)", {"1"}, {"2"})
+    assert _has_equi_conjunct("(a#1 = b#2)", {"2"}, {"1"})  # flipped
+    assert not _has_equi_conjunct("(a#1 = b#2)", {"1", "2"}, {"3"})
+
 
 def test_hex_substring_cap_counts_null_edge():
     """Round-13 ADVICE #3: md5/sha of a NULL input is NULL, so an
@@ -2926,3 +2939,67 @@ def test_hex_substring_cap_counts_null_edge():
     sub = [(0, node)]
     cap = _expr_cap("substring(md5(cast(doc_id#1L as string)), 1, 4)", sub)
     assert cap == 16**4 + 1
+
+
+def test_physical_nested_loop_detector(spark):
+    """Round-13: the physical-layer ground-truth detector — Spark's own
+    strategy choice — fires on BroadcastNestedLoopJoin and
+    CartesianProduct operators and stays silent on hash/sort-merge equi
+    joins, and the textual cartesian_class_joins detection agrees on
+    each (the invariant the full-registry cross-check enforces)."""
+    from beam_pyspark_runner_spark.plans.audit import (
+        cartesian_class_joins,
+        physical_nested_loop_joins,
+    )
+
+    e = load_table(spark, SF_CORRECT, "events")
+    d = load_table(spark, SF_CORRECT, "documents")
+
+    def phys(df):
+        return physical_nested_loop_joins(
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+
+    def logical(df):
+        return cartesian_class_joins(
+            df._jdf.queryExecution().optimizedPlan().toString()
+        )
+
+    theta = e.join(d, F.col("value") < F.col("n_chars"))
+    assert phys(theta) and logical(theta)
+    nl_outer = e.join(d, ~(F.col("user_id") == F.col("doc_id")), "left")
+    assert phys(nl_outer) and logical(nl_outer)
+    equi = e.join(d, F.col("user_id") == F.col("doc_id"))
+    assert not phys(equi) and not logical(equi)
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("SPARK_GRAFT_SCALE_GATE", "0") != "1",
+    reason="full-registry plan audit is opt-in: set SPARK_GRAFT_SCALE_GATE=1",
+)
+def test_physical_nested_loops_all_textually_detected(spark):
+    """Full-registry governance, round-13 cross-check: every join the
+    PLANNER nested-loops (BroadcastNestedLoopJoin / CartesianProduct in
+    the executed plan — ground truth, no text parsing of conditions)
+    must be SEEN by the textual cartesian_class_joins detection on the
+    optimized plan. This converts the logical rule's two documented
+    plan-text residuals (same-child attribute equality; literal text
+    mimicking an attr reference) from 'adversarial-only, unreachable'
+    claims into a checked invariant: a textual false negative would
+    surface here as a physical hit with zero logical detections."""
+    from beam_pyspark_runner_spark.queries import REGISTRY
+    from beam_pyspark_runner_spark.plans.audit import (
+        cartesian_class_joins,
+        physical_nested_loop_joins,
+    )
+
+    missed = {}
+    for name, q in REGISTRY.items():
+        df = q.fn(spark, SF_CORRECT)
+        qe = df._jdf.queryExecution()
+        phys = physical_nested_loop_joins(qe.executedPlan().toString())
+        if not phys:
+            continue
+        if not cartesian_class_joins(qe.optimizedPlan().toString()):
+            missed[name] = phys
+    assert not missed, missed
