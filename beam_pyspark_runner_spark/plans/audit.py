@@ -1003,9 +1003,19 @@ def _and_conjuncts(cond: str) -> list[str]:
 
 def _attr_ids(text: str) -> set[str]:
     """Expression-id numbers referenced in ``text`` (``rn#25921`` →
-    ``25921``). Ids are allocated uniquely per plan-tree occurrence,
-    so they attribute an expression to the child subtree that defines
-    it — the one piece of structure bare condition text lacks."""
+    ``25921``). Ids are allocated uniquely per plan-tree occurrence
+    (DeduplicateRelations re-ids self-join reuse — probe-verified), so
+    they attribute an expression to the child subtree that defines
+    it — the one piece of structure bare condition text lacks.
+
+    Known echo: a dynamic-partition-pruning Filter inside one child
+    prints the OTHER child's pruning key (``... IN (dynamicpruning#N
+    [p_partkey#M])``), so M leaks into the wrong side's id set. The
+    hashability test tries BOTH orientations, so genuine cross-side
+    keys still certify; a mixed-side key could in principle exploit
+    the echo to certify both orientations, but that requires a DPP
+    filter referencing exactly the mixed attrs — the physical
+    nested-loop cross-check gate is the empirical backstop."""
     return set(re.findall(r"#(\d+)", text))
 
 
