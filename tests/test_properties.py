@@ -2467,3 +2467,102 @@ def test_betweenness_matches_python_brandes_replica(spark):
     assert set(got) == {v for v, b in bc.items()}
     for v, b in bc.items():
         assert abs(got[v] - b) <= 1e-6 * max(1.0, abs(b)), (v, got[v], b)
+
+
+# --- round 13: conjunct-parser property (Spark-free) --------------------------
+# The cartesian-class audit's equi detection re-parses Catalyst's
+# condition TEXT; this property pins the text pipeline (render → split
+# → attribute) against ground truth computed on the condition AST, for
+# arbitrary trees of AND/OR/NOT over equalities, null-safe equalities,
+# theta comparisons, literals, casts and binary fns — including sides
+# that MIX children (the quantile_treatment_effect class).
+
+_L_IDS = frozenset(str(10 + i) for i in range(10))
+_R_IDS = frozenset(str(20 + i) for i in range(10))
+
+_leaf_expr = st.one_of(
+    st.integers(0, 9).map(lambda i: ("attr", "L", i)),
+    st.integers(0, 9).map(lambda i: ("attr", "R", i)),
+    st.sampled_from([("lit", "true"), ("lit", "5"), ("lit", "en")]),
+)
+_side_expr = st.recursive(
+    _leaf_expr,
+    lambda c: st.one_of(
+        st.tuples(st.just("cast"), c),
+        st.tuples(st.just("fn2"), c, c),
+    ),
+    max_leaves=4,
+)
+_cmp_node = st.one_of(
+    st.tuples(st.sampled_from(["=", "<=>"]), _side_expr, _side_expr),
+    st.tuples(st.just("<"), _side_expr, _side_expr),
+)
+_cond_tree = st.recursive(
+    _cmp_node,
+    lambda c: st.one_of(
+        st.tuples(st.just("not"), c),
+        st.tuples(st.just("and"), c, c),
+        st.tuples(st.just("or"), c, c),
+    ),
+    max_leaves=8,
+)
+
+
+def _render_expr(e):
+    tag = e[0]
+    if tag == "attr":
+        _, side, i = e
+        base = 10 + i if side == "L" else 20 + i
+        return f"{'a' if side == 'L' else 'b'}{i}#{base}L"
+    if tag == "lit":
+        return e[1]
+    if tag == "cast":
+        return f"cast({_render_expr(e[1])} as bigint)"
+    return f"({_render_expr(e[1])} + {_render_expr(e[2])})"
+
+
+def _expr_ids(e):
+    tag = e[0]
+    if tag == "attr":
+        _, side, i = e
+        return {str((10 if side == "L" else 20) + i)}
+    if tag == "lit":
+        return set()
+    if tag == "cast":
+        return _expr_ids(e[1])
+    return _expr_ids(e[1]) | _expr_ids(e[2])
+
+
+def _render_cond(c):
+    tag = c[0]
+    if tag in ("=", "<=>", "<"):
+        return f"({_render_expr(c[1])} {tag} {_render_expr(c[2])})"
+    if tag == "not":
+        return f"NOT {_render_cond(c[1])}"
+    return f"({_render_cond(c[1])} {tag.upper()} {_render_cond(c[2])})"
+
+
+def _truth_has_equi(c):
+    tag = c[0]
+    if tag == "and":
+        return _truth_has_equi(c[1]) or _truth_has_equi(c[2])
+    if tag in ("=", "<=>"):
+        s0, s1 = _expr_ids(c[1]), _expr_ids(c[2])
+        return bool(s0 and s1) and (
+            (s0 <= _L_IDS and s1 <= _R_IDS)
+            or (s0 <= _R_IDS and s1 <= _L_IDS)
+        )
+    return False  # not / or / theta at this position
+
+
+@settings(max_examples=400, deadline=None)
+@given(cond=_cond_tree, wraps=st.integers(0, 2))
+def test_equi_conjunct_parser_matches_ast_oracle(cond, wraps):
+    from beam_pyspark_runner_spark.plans.audit import _has_equi_conjunct
+
+    text = _render_cond(cond)
+    for _ in range(wraps):
+        text = f"({text})"
+    assert _has_equi_conjunct(text, set(_L_IDS), set(_R_IDS)) == (
+        _truth_has_equi(cond)
+    ), text
