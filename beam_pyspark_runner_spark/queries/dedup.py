@@ -1039,10 +1039,21 @@ def ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification on the broadcast-free array intersection of candidate
     pairs. Verification arrays are per-doc shingle sets (doc-length
     bounded), carried only for candidate rows."""
+    from pyspark.sql import Window as W
+
     sh = _shingle_df(spark, sf_dir)
-    df_cnt = sh.groupBy("s").agg(F.count("*").alias("df"))
+    # Document frequency via a window count over the SAME shingle rows
+    # instead of groupBy(s) + join-back (round-13 opt, guide §2.4): the
+    # join form planned the shingle lineage TWICE (the df branch prunes
+    # doc_id, so its spread exchange is not byte-identical and AQE's
+    # ReusedExchange cannot dedup it — two full scans+explodes, the two
+    # hottest stages of the old profile) and then broadcast the entire
+    # exploded shingle table as the join build side. One window over
+    # partitionBy(s) is a single shuffle of the one shingle pass and
+    # yields the identical per-row count (long, same values), so the
+    # (df, s) ranking — and everything downstream — is unchanged.
     ranked = (
-        sh.join(df_cnt, "s")
+        sh.withColumn("df", F.count("*").over(W.partitionBy("s")))
         .groupBy("doc_id")
         .agg(
             F.sort_array(

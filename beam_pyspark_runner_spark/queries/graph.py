@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from beam_pyspark_runner_spark.plans.audit import checkpoint_audited
 from beam_pyspark_runner_spark.queries.registry import register
-from beam_pyspark_runner_spark.sources.readers import load_table
+from beam_pyspark_runner_spark.sources.readers import load_table, parquet_rowcount
 
 DAMPING = 0.85
 BASE = 0.15
@@ -121,7 +121,7 @@ def pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold = int(
         spark.conf.get("spark.graft.pagerank.broadcastNodes", "10000000")
     )
-    node_upper_bound = load_table(spark, sf_dir, "supplier").count()
+    node_upper_bound = parquet_rowcount(spark, sf_dir, "supplier")
     rank_hint = F.broadcast if node_upper_bound <= threshold else (lambda df: df)
 
     # Edge build without a self-join (the minhash_lsh pattern): group per
@@ -169,15 +169,26 @@ def pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib = e.join(
             rank_hint(ranks.withColumnRenamed("node", "src")), "src"
         ).select("dst", (F.col("frac") * F.col("r")).alias("term"))
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .groupBy("node")
-            .agg(
-                (
-                    F.lit(BASE)
-                    + F.lit(DAMPING) * F.coalesce(_dsum_exact(F.col("term")), F.lit(0.0))
-                ).alias("r")
-            )
+        # Aggregate-before-join (opt guide §2.3): summing term by dst
+        # FIRST lets the partial (map-side) aggregate shrink |edges|
+        # scored rows to |nodes| partials before any data moves — the
+        # previous shape (nodes LEFT JOIN contrib, then groupBy(node))
+        # planned the FULL |edges|-row contrib table as the broadcast
+        # build side of the left join, i.e. a per-iteration driver
+        # collect+rebroadcast of every scored edge. The decimal
+        # accumulator is order-insensitive, so regrouping by dst
+        # instead of by node after the join is bit-identical (same
+        # multiset of terms per node; unmatched nodes see NULL → BASE
+        # in both shapes).
+        per_dst = contrib.groupBy("dst").agg(
+            _dsum_exact(F.col("term")).alias("sum_term")
+        )
+        ranks = nodes.join(per_dst, nodes.node == per_dst.dst, "left").select(
+            "node",
+            (
+                F.lit(BASE)
+                + F.lit(DAMPING) * F.coalesce(F.col("sum_term"), F.lit(0.0))
+            ).alias("r"),
         )
     return ranks.select(F.col("node").alias("supplier"), F.col("r").alias("pagerank"))
 
@@ -410,7 +421,7 @@ def label_prop_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold = int(
         spark.conf.get("spark.graft.pagerank.broadcastNodes", "10000000")
     )
-    node_upper_bound = load_table(spark, sf_dir, "supplier").count()
+    node_upper_bound = parquet_rowcount(spark, sf_dir, "supplier")
     label_hint = F.broadcast if node_upper_bound <= threshold else (lambda df: df)
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")

@@ -1082,7 +1082,14 @@ def global_rank_bucketed(
     local = keyed.withColumn(
         "local_rank", F.row_number().over(W.partitionBy("bucket").orderBy("k"))
     )
-    counts = keyed.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    # Bucket sizes from the ranked rows themselves (max(row_number) ==
+    # count, exactly): the old groupBy over ``keyed`` planned a SECOND
+    # full scan + md5 pass of orders for a 16^prefix_len-row count
+    # table; this shape reuses the bucket shuffle already paid for the
+    # window (round-13 opt, guide §2.4 — one scan, one shuffle total).
+    counts = local.groupBy("bucket").agg(
+        F.max("local_rank").cast("long").alias("cnt")
+    )
     offsets = counts.select(
         "bucket",
         F.coalesce(

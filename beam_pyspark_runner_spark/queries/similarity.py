@@ -20,7 +20,12 @@ from pyspark.sql import Window as W
 
 from beam_pyspark_runner_spark.functions.hashing import unit_hash, unit_hash_sql
 from beam_pyspark_runner_spark.functions.numeric import dsum, dsum_sql
-from beam_pyspark_runner_spark.functions.vectors import cosine_similarity, dot, l2_sq
+from beam_pyspark_runner_spark.functions.vectors import (
+    cosine_similarity,
+    dot,
+    l2_norm,
+    l2_sq,
+)
 from beam_pyspark_runner_spark.plans.audit import checkpoint_audited
 from beam_pyspark_runner_spark.queries.registry import register
 from beam_pyspark_runner_spark.sources.readers import load_table, spread
@@ -70,11 +75,21 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the query set, stream the corpus
     once, per-query heap via ranked window (WindowGroupLimit under AQE)."""
     e = load_table(spark, sf_dir, "embeddings")
+    # Norms are computed ONCE per vector BELOW the cross join (projects
+    # don't move across joins), so each of the |corpus|×|queries| scored
+    # pairs pays only the dot fold instead of dot + two norm folds —
+    # per-pair flops drop ~3x (opt guide §1.2 step 2). cosine stays
+    # dot(qe,ce) / (norm(qe) * norm(ce)) with the SAME operand order,
+    # so every double is bit-identical to the fused form.
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        l2_norm(F.col("embedding")).alias("qn"),
     )
     c = spread(e).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        l2_norm(F.col("embedding")).alias("cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -82,7 +97,9 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity(F.col("qe"), F.col("ce")).alias("cosine"),
+            (dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
+                "cosine"
+            ),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -296,17 +313,27 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster size, here the fixture's {N_CENTROIDS}). Drop verdicts
     reduce to a DISTINCT on the dropped id before the final left join —
     no pair row survives past its cluster."""
+    # Per-vector norms computed once below the cross join (same exact
+    # operand order as the fused cosine_similarity → bit-identical; see
+    # ivf_topk_search for the flop accounting).
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.col("embedding").alias("emb")
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        l2_norm(F.col("embedding")).alias("en"),
     )
     cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+        F.col("vec_id").alias("centroid_id"),
+        F.col("emb").alias("cemb"),
+        F.col("en").alias("cn"),
     )
     scored = e.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "emb",
+        "en",
         "centroid_id",
-        cosine_similarity(F.col("emb"), F.col("cemb")).alias("cosine"),
+        (dot(F.col("emb"), F.col("cemb")) / (F.col("en") * F.col("cn"))).alias(
+            "cosine"
+        ),
     )
     assigned = scored.groupBy("vec_id").agg(
         F.max_by(
@@ -314,20 +341,22 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.col("cosine"), (-F.col("centroid_id")).alias("nc")),
         ).alias("centroid_id"),
         F.first("emb").alias("emb"),  # emb functionally dependent on vec_id
+        F.first("en").alias("en"),  # …and so is its precomputed norm
     )
     a = assigned.select(
         F.col("vec_id").alias("a_id"), F.col("centroid_id").alias("cid"),
-        F.col("emb").alias("a_emb"),
+        F.col("emb").alias("a_emb"), F.col("en").alias("an"),
     )
     b = assigned.select(
         F.col("vec_id").alias("b_id"), F.col("centroid_id").alias("cid"),
-        F.col("emb").alias("b_emb"),
+        F.col("emb").alias("b_emb"), F.col("en").alias("bn"),
     )
     drops = (
         a.join(b, "cid")
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(
-            cosine_similarity(F.col("a_emb"), F.col("b_emb")) >= SEMDEDUP_COSINE
+            dot(F.col("a_emb"), F.col("b_emb")) / (F.col("an") * F.col("bn"))
+            >= SEMDEDUP_COSINE
         )
         .select(F.col("b_id").alias("vec_id"))
         .distinct()
@@ -392,24 +421,41 @@ def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe), the corpus streams once to build assignments, and the search
     join touches only |probed lists| ≈ N_PROBE/N_CENTROIDS of the corpus
     — never an all-pairs scan. Recall tunes with N_PROBE."""
+    # Each vector's l2 norm is computed ONCE at the scan projection and
+    # carried as a column through every scoring join below (index build,
+    # query probe, final search) — the fused cosine_similarity() form
+    # re-folded BOTH operand norms per scored pair, tripling the per-pair
+    # array-fold work (opt guide §1.2 step 2). Operand order inside each
+    # cosine (dot / (left_norm * right_norm)) is preserved exactly, so
+    # every double is bit-identical to the previous form.
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.col("embedding").alias("emb")
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        l2_norm(F.col("embedding")).alias("en"),
     )
     cent = (
         e.filter(F.col("vec_id") < N_CENTROIDS)
-        .select(F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb"))
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("emb").alias("cemb"),
+            F.col("en").alias("cn"),
+        )
     )
     # Index build: best centroid per corpus vector (broadcast centroids).
     # max_by in a hash aggregate, not a sort window: one partial+final agg
     # instead of shuffling + sorting |corpus|×|centroids| scored rows.
-    # emb is functionally dependent on vec_id, so first() is deterministic.
+    # emb (and its norm) are functionally dependent on vec_id, so first()
+    # is deterministic.
     assigned = (
         e.crossJoin(F.broadcast(cent))
         .select(
             "vec_id",
             "emb",
+            "en",
             "centroid_id",
-            cosine_similarity(F.col("emb"), F.col("cemb")).alias("cos"),
+            (dot(F.col("emb"), F.col("cemb")) / (F.col("en") * F.col("cn"))).alias(
+                "cos"
+            ),
         )
         .groupBy("vec_id")
         .agg(
@@ -418,11 +464,14 @@ def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(F.col("cos"), (-F.col("centroid_id")).alias("nc")),
             ).alias("centroid_id"),
             F.first("emb").alias("vemb"),
+            F.first("en").alias("vn"),
         )
     )
     # Query probe: N_PROBE best centroid lists per query.
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("en").alias("qn"),
     )
     w_probe = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("centroid_id"))
     probes = (
@@ -430,12 +479,15 @@ def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "qemb",
+            "qn",
             "centroid_id",
-            cosine_similarity(F.col("qemb"), F.col("cemb")).alias("cos"),
+            (dot(F.col("qemb"), F.col("cemb")) / (F.col("qn") * F.col("cn"))).alias(
+                "cos"
+            ),
         )
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= N_PROBE)
-        .select("query_id", "qemb", "centroid_id")
+        .select("query_id", "qemb", "qn", "centroid_id")
     )
     # Search only the probed lists; exact cosine rank within them.
     w_rank = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -445,7 +497,9 @@ def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine_similarity(F.col("qemb"), F.col("vemb")).alias("cosine"),
+            (dot(F.col("qemb"), F.col("vemb")) / (F.col("qn") * F.col("vn"))).alias(
+                "cosine"
+            ),
         )
         .withColumn("rnk", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rnk") <= IVF_TOP_K)
@@ -569,17 +623,27 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids; the recompute shuffles (centroid, dim) partial sums only
     — K×DIM groups regardless of corpus size, the canonical mergeable
     partial-agg shape."""
+    # Per-vector norms computed once below the cross join (same exact
+    # operand order as the fused cosine_similarity → bit-identical; see
+    # ivf_topk_search for the flop accounting).
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.col("embedding").alias("emb")
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        l2_norm(F.col("embedding")).alias("en"),
     )
     cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+        F.col("vec_id").alias("centroid_id"),
+        F.col("emb").alias("cemb"),
+        F.col("en").alias("cn"),
     )
     scored = e.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "emb",
+        "en",
         "centroid_id",
-        cosine_similarity(F.col("emb"), F.col("cemb")).alias("cosine"),
+        (dot(F.col("emb"), F.col("cemb")) / (F.col("en") * F.col("cn"))).alias(
+            "cosine"
+        ),
     )
     assigned = scored.groupBy("vec_id").agg(
         F.max_by(

