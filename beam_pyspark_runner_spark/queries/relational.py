@@ -1082,14 +1082,19 @@ def global_rank_bucketed(
     local = keyed.withColumn(
         "local_rank", F.row_number().over(W.partitionBy("bucket").orderBy("k"))
     )
-    # Bucket sizes from the ranked rows themselves (max(row_number) ==
-    # count, exactly): the old groupBy over ``keyed`` planned a SECOND
-    # full scan + md5 pass of orders for a 16^prefix_len-row count
-    # table; this shape reuses the bucket shuffle already paid for the
-    # window (round-13 opt, guide §2.4 — one scan, one shuffle total).
-    counts = local.groupBy("bucket").agg(
-        F.max("local_rank").cast("long").alias("cnt")
-    )
+    # Bucket counts via a SEPARATE map-side-aggregated pass (guide
+    # §2.3), deliberately NOT derived from ``local``: the round-13
+    # attempt (counts = local.groupBy(bucket).agg(max(local_rank)))
+    # aimed to reuse the bucket exchange, but column pruning strips
+    # o_orderkey from the count branch, so the two exchanges are never
+    # canonically identical, ReusedExchange cannot fire (verified on
+    # the executed plan: 0 ReusedExchange), and the "reuse" shape
+    # actually paid the full-width shuffle + sort + window TWICE. This
+    # shape's second pass reads ONE pruned column (o_orderkey), does a
+    # partial count per partition, and shuffles 16^prefix_len partial
+    # rows — at 100 TB that is a key-column scan + a few KB of shuffle,
+    # strictly cheaper than re-shuffling and re-sorting the table.
+    counts = keyed.groupBy("bucket").agg(F.count("*").alias("cnt"))
     offsets = counts.select(
         "bucket",
         F.coalesce(

@@ -145,6 +145,9 @@ def _stage_events(spark: SparkSession, sf_dir: str) -> str:
     return staged
 
 
+_STAGED_SCHEMA_CACHE: dict[str, "T.StructType"] = {}
+
+
 def _events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
@@ -165,9 +168,19 @@ def _events_stream(
     smaller ones bound latency and state-store write bursts.
     """
     staged = _stage_events(spark, sf_dir)
-    batch = spark.read.parquet(staged)
+    # Schema cache keyed by the staged path: the dir NAME embeds the
+    # fixture content fingerprint and the staged copy is immutable once
+    # its _SUCCESS marker exists, so the path alone is a sound key. The
+    # streaming source needs an explicit schema, and inferring it via
+    # spark.read.parquet ran a footer-read job on EVERY stream
+    # construction (round-13 opt, same metadata-cache class as
+    # sources/readers.py — metadata only, never rows or results).
+    schema = _STAGED_SCHEMA_CACHE.get(staged)
+    if schema is None:
+        schema = spark.read.parquet(staged).schema
+        _STAGED_SCHEMA_CACHE[staged] = schema
     return read_parquet_stream(
-        spark, staged, batch.schema, max_files_per_trigger=max_files_per_trigger
+        spark, staged, schema, max_files_per_trigger=max_files_per_trigger
     )
 
 
