@@ -21,7 +21,9 @@ declarative for Catalyst.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from beam_pyspark_runner_spark.plans.audit import checkpoint_audited
@@ -44,6 +46,49 @@ _ACC = "decimal(38,10)"
 
 def _dsum_exact(col: Column) -> Column:
     return F.sum(col.cast(_ACC)).cast("double")
+
+
+def _ckpt_observed(df: DataFrame, metric: Column, **kw):
+    """checkpoint_audited with a scalar metric observed on the SAME
+    materialization job.
+
+    Round-13 (guide §1.2 step 1 — don't schedule jobs you can avoid):
+    Observation metrics fire on the eager localCheckpoint's own action,
+    so a loop's per-round termination test (`isEmpty()` / a one-row
+    `agg().collect()`) costs ZERO extra jobs instead of one per round.
+    Metric choice is the caller's; it must be grouping-free (Spark's
+    `observe` contract) and order-insensitive (count / exact-integer
+    sum here — never a float fold)."""
+    obs = Observation()
+    pinned = checkpoint_audited(df.observe(obs, metric.alias("m")), **kw)
+    return pinned, obs.get["m"]
+
+
+def _ckpt_counted(df: DataFrame, **kw):
+    """`_ckpt_observed` with a row count — the frontier-loop emptiness
+    test fused into the frontier's checkpoint job."""
+    pinned, n = _ckpt_observed(df, F.count(F.lit(1)), **kw)
+    return pinned, int(n)
+
+
+def _ckpt_merged(df: DataFrame, new_pred: Column, **kw):
+    """Pin the MERGED visited set and observe the just-appended layer's
+    row count on the same job.
+
+    Round-13 A/B result (quiet host, stash method): keeping the visited
+    set as a LAZY union of per-round checkpointed layers regressed the
+    seed-keyed BFS loops (closeness 7.1 s → 13.8 s, betweenness
+    10.0 s → 14.0 s medians at sf0.1) — every round's anti-join right
+    side became a K-leaf RDD union whose task count grows with depth.
+    Re-pinning the merged set keeps the anti-join side ONE compact RDD
+    while the fused Observation still makes the round cost exactly one
+    job: strictly fewer jobs than the old 3-jobs-per-round shape and
+    strictly fewer tasks than the layered shape. The next frontier is a
+    lazy `filter(new_pred)` over the pinned blocks — no extra job."""
+    pinned, n = _ckpt_observed(
+        df, F.sum(F.when(new_pred, 1).otherwise(0)), **kw
+    )
+    return pinned, int(n or 0)
 
 
 _EDGE_SQL = """
@@ -580,6 +625,16 @@ def bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             n.select(F.col("id"), ((5 * F.col("id") + 2) % _BFS_N))
         ))
     )
+    # Merged-pin visited set (round-13, guide §1.2 step 1 / §5.4): each
+    # round pins checkpoint(dist ∪ new) ONCE, with the new-layer row
+    # count observed on that same materialization job (_ckpt_merged) —
+    # the old shape's separate `new` checkpoint and `isEmpty()` probe
+    # jobs are gone (3 jobs/round → 1), and unlike a lazy union of
+    # per-layer checkpoints the anti-join's right side stays one
+    # compact RDD (the layered variant's per-round task count grew
+    # with depth and measured SLOWER; see _ckpt_merged docstring).
+    # The next frontier is a lazy filter(hops == depth) over the
+    # pinned blocks.
     dist = spark.range(1).select(
         F.lit(0).cast("long").alias("node"), F.lit(0).cast("long").alias("hops")
     )
@@ -593,11 +648,12 @@ def bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         new = reached.join(dist, "node", "left_anti").select(
             "node", F.lit(depth).cast("long").alias("hops")
         )
-        new = checkpoint_audited(new)
-        if new.isEmpty():
-            return dist
-        dist = checkpoint_audited(dist.unionAll(new))
-        frontier = new
+        dist, n_new = _ckpt_merged(
+            dist.unionAll(new), F.col("hops") == depth
+        )
+        if n_new == 0:
+            break
+        frontier = dist.filter(F.col("hops") == depth)
     return dist
 
 
@@ -1289,6 +1345,8 @@ def closeness_centrality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = spark.createDataFrame(
         [(s,) for s in _CLOSE_SEEDS], "seed long"
     )
+    # Merged-pin visited set + fused emptiness test (round-13): see
+    # bfs_shortest_hops — identical discipline, (seed, node) keyed.
     dist = seeds.select(
         "seed",
         F.col("seed").alias("node"),
@@ -1304,11 +1362,12 @@ def closeness_centrality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         new = reached.join(dist, ["seed", "node"], "left_anti").select(
             "seed", "node", F.lit(depth).cast("long").alias("hops")
         )
-        new = checkpoint_audited(new)
-        if new.isEmpty():
+        dist, n_new = _ckpt_merged(
+            dist.unionAll(new), F.col("hops") == depth
+        )
+        if n_new == 0:
             break
-        dist = checkpoint_audited(dist.unionAll(new))
-        frontier = new
+        frontier = dist.filter(F.col("hops") == depth)
     return dist.groupBy("seed").agg(
         F.count("*").cast("long").alias("n_reached"),
         F.sum("hops").cast("long").alias("sum_hops"),
@@ -1385,25 +1444,46 @@ def scc_pivot_fwbw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def reach(key_col: str, next_col: str) -> DataFrame:
+        # Merged-pin visited set + fused emptiness test (round-13): the
+        # sparsified graph's BFS runs ~100 rounds per direction, so the
+        # old 3-jobs-per-round shape (new-ckpt, isEmpty, seen-re-ckpt)
+        # dominated wall-clock. See bfs_shortest_hops / _ckpt_merged;
+        # the round number rides along as `d` purely to mark each
+        # round's new layer for the frontier filter, and is dropped at
+        # return.
         seen = spark.range(1).select(
-            F.lit(_SCC_PIVOT).cast("long").alias("node")
+            F.lit(_SCC_PIVOT).cast("long").alias("node"),
+            F.lit(0).cast("long").alias("d"),
         )
         frontier = seen
-        for _ in range(_BFS_N):  # hard upper bound; frontier exhausts first
+        for rnd in range(1, _BFS_N + 1):  # hard upper bound; frontier exhausts first
             step = (
                 frontier.join(edges, frontier.node == edges[key_col])
                 .select(F.col(next_col).alias("node"))
                 .distinct()
             )
-            new = checkpoint_audited(step.join(seen, "node", "left_anti"))
-            if new.isEmpty():
+            new = step.join(seen, "node", "left_anti").select(
+                "node", F.lit(rnd).cast("long").alias("d")
+            )
+            seen, n_new = _ckpt_merged(
+                seen.unionAll(new), F.col("d") == rnd
+            )
+            if n_new == 0:
                 break
-            seen = checkpoint_audited(seen.unionAll(new))
-            frontier = new
-        return seen
+            frontier = seen.filter(F.col("d") == rnd)
+        return seen.select("node")
 
-    fwd = reach("src", "dst")
-    bwd = reach("dst", "src")
+    # The two reachability passes are independent until the final
+    # intersection — run them as concurrent driver-submitted job streams
+    # (guide §2.6: overlap independent jobs; each round's 512-row tasks
+    # leave most executor slots idle, so the passes interleave instead
+    # of serializing ~100 rounds twice).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fwd_f = pool.submit(reach, "src", "dst")
+        bwd_f = pool.submit(reach, "dst", "src")
+        fwd, bwd = fwd_f.result(), bwd_f.result()
     return fwd.join(bwd, "node").select("node")
 
 
@@ -1479,12 +1559,13 @@ def dag_longest_path_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.join(edges, dist.node == edges.src)
             .select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
         )
-        dist = (
-            checkpoint_audited(dist.unionAll(cand)
-            .groupBy("node")
-            .agg(F.max("d").alias("d")))
+        # Round-13: the Σd fixpoint probe rides the checkpoint job via
+        # Observation (_ckpt_observed) — previously a separate
+        # agg().collect() job per round. Exact integer sum either way.
+        dist, cur = _ckpt_observed(
+            dist.unionAll(cand).groupBy("node").agg(F.max("d").alias("d")),
+            F.sum("d"),
         )
-        cur = dist.agg(F.sum("d")).collect()[0][0]
         if cur == prev_sum:
             break
         prev_sum = cur
@@ -1581,16 +1662,21 @@ def bellman_ford_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.min("d").alias("d"))
         )
-        improved = (
-            checkpoint_audited(cand.join(
+        # Round-13: emptiness test fused into the frontier checkpoint
+        # (_ckpt_counted) — one job per round instead of two; the dist
+        # re-aggregation below keeps its own pin (it is a relaxation,
+        # not an append-only set, so the merged table must stay the
+        # next round's join input with flat lineage).
+        improved, n_improved = _ckpt_counted(
+            cand.join(
                 dist.select(F.col("node"), F.col("d").alias("old")),
                 "node",
                 "left",
             )
             .filter(F.col("old").isNull() | (F.col("d") < F.col("old")))
-            .select("node", "d"))
+            .select("node", "d")
         )
-        if improved.isEmpty():
+        if n_improved == 0:
             break
         dist = (
             checkpoint_audited(dist.unionAll(improved)
@@ -2210,8 +2296,15 @@ def betweenness_centrality_sampled(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("seed").alias("node"),
         F.lit(1).cast("long").alias("sigma"),
     )
+    # Merged-pin visited set + fused emptiness test (round-13): see
+    # bfs_shortest_hops / _ckpt_merged. `seen` is re-pinned as ONE
+    # compact RDD per round with the new level's row count observed on
+    # the same job (3 jobs/round → 1, without the layered variant's
+    # per-round task growth); each levels[d] is a lazy filter(lv == d)
+    # over the round-d pinned set — no extra job, and the backward pass
+    # reads only pinned blocks.
     levels = [lev0]
-    seen = lev0
+    seen = lev0.withColumn("lv", F.lit(0).cast("long"))
     for _depth in range(1, _BETW_DEPTH + 1):
         prev = levels[-1]
         cand = (
@@ -2219,13 +2312,17 @@ def betweenness_centrality_sampled(spark: SparkSession, sf_dir: str) -> DataFram
             .groupBy("seed", F.col("dst").alias("node"))
             .agg(F.sum("sigma").cast("long").alias("sigma"))
         )
-        new = checkpoint_audited(
-            cand.join(seen, ["seed", "node"], "left_anti")
+        new = cand.join(seen, ["seed", "node"], "left_anti").select(
+            "seed", "node", "sigma", F.lit(_depth).cast("long").alias("lv")
         )
-        if new.isEmpty():
+        seen, n_new = _ckpt_merged(
+            seen.unionAll(new), F.col("lv") == _depth
+        )
+        if n_new == 0:
             break
-        levels.append(new)
-        seen = checkpoint_audited(seen.unionAll(new))
+        levels.append(
+            seen.filter(F.col("lv") == _depth).select("seed", "node", "sigma")
+        )
     acc = "decimal(38,10)"
     deltas = [
         levels[-1].withColumn("delta", F.lit(0.0).cast("double"))
