@@ -6,8 +6,8 @@ The reference evaluates arbitrary Beam CombineFns with
 which forces every aggregation through Python. Here the *recognized*
 combiners (sum/min/max/count/mean/collect) lower to builtin Catalyst
 aggregates — partial+final HashAggregate, whole-stage codegen, zero
-Python — and only genuinely custom merge logic pays the Arrow path via
-``applyInPandas``.
+Python — and only genuinely custom merge logic pays the Arrow path (a
+per-partition ``mapInPandas`` fold over a key-hash repartition).
 
 Contract (SURVEY.md §7 hard-part 4): ``merge`` must be commutative and
 associative — partition merge order is nondeterministic by design.
@@ -61,8 +61,8 @@ def combine_per_key(
     extra_keys: list[str] | None = None,
 ) -> DataFrame:
     """Keyed combine. ``fn`` is a builtin name (fast path) or a CombineFn
-    (Arrow path: per-key pandas fold — add_input over rows, single
-    partition-group extract). ``extra_keys`` adds grouping columns —
+    (Arrow path: per-partition pandas fold over a key-hash repartition —
+    add_input over rows, extract per key). ``extra_keys`` adds grouping columns —
     how windowed combines group per (key, window_start, window_end)."""
     keys = [key, *(extra_keys or [])]
     if isinstance(fn, str):
@@ -77,21 +77,47 @@ def combine_per_key(
 
     combine = fn
 
-    def apply(pdf):
-        import pandas as pd
-
-        acc = combine.create()
-        for v in pdf[value]:
-            acc = combine.add(acc, v)
-        head = {k: [pdf[k].iloc[0]] for k in keys}
-        return pd.DataFrame({**head, out: [combine.extract(acc)]})
-
     dtypes = dict(df.dtypes)
     key_schema = ", ".join(f"{k} {dtypes[k]}" for k in keys)
+
+    # Round-13: fold per PARTITION (mapInPandas over a hash repartition
+    # on the keys), not per group. groupBy().applyInPandas invokes the
+    # Python function — and builds a pandas frame plus an Arrow batch —
+    # once per key, which at window-grain key counts (3,600 groups on
+    # the sf0.1 events fixture) costs ~15 s of pure per-group overhead
+    # for ~0.5 s of folding (guide §4.1: control how often the JVM to
+    # Python boundary is paid, not just how wide). The repartition hash-
+    # co-locates each key exactly as the groupBy shuffle did, the fold
+    # keeps one accumulator per key in a dict (same bounded state the
+    # JVM hash aggregate holds), and one output frame per partition
+    # crosses back. add/merge contract unchanged — merge is still never
+    # needed because every key is complete within its one partition.
+    _missing = object()
+
+    def fold_partition(batches):
+        import pandas as pd
+
+        accs: dict[tuple, Any] = {}
+        add, create, get = combine.add, combine.create, None
+        for pdf in batches:
+            kcols = [pdf[k].tolist() for k in keys]
+            get = accs.get
+            for i, v in enumerate(pdf[value].tolist()):
+                kt = tuple(c[i] for c in kcols)
+                acc = get(kt, _missing)
+                accs[kt] = add(create() if acc is _missing else acc, v)
+        if accs:
+            kts = list(accs)
+            data = {k: [kt[j] for kt in kts] for j, k in enumerate(keys)}
+            data[out] = [combine.extract(accs[kt]) for kt in kts]
+            yield pd.DataFrame(data)
+
     return (
         df.select(*keys, value)
-        .groupBy(*keys)
-        .applyInPandas(apply, schema=f"{key_schema}, {out} {combine.output_type}")
+        .repartition(*[F.col(k) for k in keys])
+        .mapInPandas(
+            fold_partition, schema=f"{key_schema}, {out} {combine.output_type}"
+        )
     )
 
 

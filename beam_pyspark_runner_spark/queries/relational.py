@@ -3547,30 +3547,62 @@ def sql_scripting_threshold_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the set-based twin (descending cumulative window +
     first-hit filter), proving the script and the relational form
     compute the same answer; revenue is integer cents throughout, so
-    the 20% test (cum·5 ≥ total) is exact in both engines."""
+    the 20% test (cum·5 ≥ total) is exact in both engines.
+
+    Round 13: every interpreted scripting statement costs a driver-side
+    parse/analyze/execute cycle (~50-150 ms measured), so the flat walk
+    paid ~3 statements x O(bands-to-hit) iterations (529 at sf0.1,
+    ~1,600 statements). The walk is now two-phase — coarse over $10,000
+    superbands to locate the crossing block (~6 iterations), then fine
+    over the $100 bands inside that one block (~30 iterations) — and
+    accumulates into `thr` only at the hit, cutting interpreted
+    statements ~20x while the FOR/IF/LEAVE search stays load-bearing.
+    The band table is aggregated once outside the script and pinned
+    (localCheckpoint), so orders is scanned once instead of once per
+    view reference; the crossing band is inside the coarse-hit block by
+    construction (cum before it < 20%, cum through it >= 20%, and every
+    band above the block exceeds every band inside it), so the fine
+    walk finds the identical first-hit band and identical cumulative
+    cents as the flat walk."""
     saved_scripting = spark.conf.get("spark.sql.scripting.enabled", None)
     spark.conf.set("spark.sql.scripting.enabled", "true")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(
         "bprs_script_orders"
     )
+    bands = spark.sql(
+        """
+        SELECT CAST(FLOOR(o_totalprice / 100) AS BIGINT) AS band,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM bprs_script_orders GROUP BY 1
+        """
+    )
+    checkpoint_audited(bands).createOrReplaceTempView("bprs_script_bands")
     script = """
     BEGIN
       DECLARE above BIGINT = 0;
       DECLARE thr BIGINT = 0;
       DECLARE tot BIGINT;
-      CREATE OR REPLACE TEMPORARY VIEW bprs_script_bands AS
-        SELECT CAST(FLOOR(o_totalprice / 100) AS BIGINT) AS band,
-               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
-        FROM bprs_script_orders GROUP BY 1;
+      DECLARE cut BIGINT;
       SET tot = (SELECT SUM(cents) FROM bprs_script_bands);
-      walk: FOR r AS SELECT band, cents FROM bprs_script_bands
+      coarse: FOR c AS SELECT CAST(FLOOR(band / 100) AS BIGINT) AS sb,
+                              CAST(SUM(cents) AS BIGINT) AS chunk
+                       FROM bprs_script_bands
+                       GROUP BY 1 ORDER BY sb DESC DO
+        IF (above + c.chunk) * 5 >= tot THEN
+          SET cut = c.sb;
+          LEAVE coarse;
+        END IF;
+        SET above = above + c.chunk;
+      END FOR coarse;
+      fine: FOR r AS SELECT band, cents FROM bprs_script_bands
+                     WHERE CAST(FLOOR(band / 100) AS BIGINT) = cut
                      ORDER BY band DESC DO
         SET above = above + r.cents;
-        SET thr = r.band * 100;
         IF above * 5 >= tot THEN
-          LEAVE walk;
+          SET thr = r.band * 100;
+          LEAVE fine;
         END IF;
-      END FOR walk;
+      END FOR fine;
       SELECT thr AS threshold, above AS above_cents, tot AS total_cents,
              CAST(above AS DOUBLE) / CAST(tot AS DOUBLE) AS above_fraction;
     END
@@ -7762,9 +7794,13 @@ def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a fixed-order double expression, with the two k-term sums of
     squares scaled to dollars-squared (keeping the decimal sum's
     unscaled value inside the 2^53 double-conversion headroom) and
-    accumulated through exact decimal (dsum). Scale: two scans
-    (value table, deviations), broadcast 5-row median table,
-    constant tail."""
+    accumulated through exact decimal (dsum). Scale: ONE scan — the
+    deviation power sums are value-weighted sums over the pinned
+    distinct-value table (z contributes c times per distinct v:
+    Σz = Σ c·|v−med|, exactly the per-row sums as integers), so the
+    round-13 shape drops the second corpus scan AND the re-executed
+    median lineage the old base-join paid per reference; broadcast
+    5-row median table, constant tail."""
     base = load_table(spark, sf_dir, "customer").select(
         F.col("c_mktsegment").alias("grp"),
         F.round(F.col("c_acctbal") * 100).cast("long").alias("v"),
@@ -7775,24 +7811,32 @@ def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("v")
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    gcum = gvals.select(
-        "grp",
-        "v",
-        F.sum("c").over(wg).alias("cm"),
-        F.sum("c").over(W.partitionBy("grp")).alias("ng"),
+    # Pinned: referenced by both the median derivation and the weighted
+    # deviation sums — unpinned, each reference re-ran the scan + window.
+    gcum = checkpoint_audited(
+        gvals.select(
+            "grp",
+            "v",
+            "c",
+            F.sum("c").over(wg).alias("cm"),
+            F.sum("c").over(W.partitionBy("grp")).alias("ng"),
+        )
     )
     gmed = (
         gcum.filter(F.col("cm") >= F.expr("(ng + 1) div 2"))
         .groupBy("grp")
         .agg(F.min("v").alias("med"))
     )
-    dev = base.join(F.broadcast(gmed), "grp").select(
-        "grp", F.abs(F.col("v") - F.col("med")).alias("z")
-    )
-    g = dev.groupBy("grp").agg(
-        F.count("*").cast("long").alias("ng"),
-        F.sum("z").cast("long").alias("s1"),
-        F.sum(F.col("z") * F.col("z")).cast("long").alias("s2"),
+    z = F.abs(F.col("v") - F.col("med"))
+    g = (
+        gcum.join(F.broadcast(gmed), "grp")
+        .select("grp", "c", z.alias("z"))
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast("long").alias("ng"),
+            F.sum(F.col("c") * F.col("z")).cast("long").alias("s1"),
+            F.sum(F.col("c") * F.col("z") * F.col("z")).cast("long").alias("s2"),
+        )
     )
     tot = g.agg(
         F.sum("ng").cast("long").alias("n"),

@@ -14,7 +14,9 @@ plans (groupBy bucket / broadcast-join centroids).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+import math
+
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
@@ -1572,7 +1574,11 @@ def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     {EMB_DIM}-row broadcast. At 100 TB this plan is unchanged — the
     only growth is the number of partial-agg states, which is constant
     per partition."""
-    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+    # Round-13: spread the scan — the single-row-group fixture gives the
+    # d²/2-struct explode ONE task; the round-robin shuffle moves only
+    # the compact embedding rows and buys full parallelism for the
+    # per-row d² products (spread() is a no-op on well-split sources).
+    e = spread(load_table(spark, sf_dir, "embeddings").select("embedding"))
     emb = F.col("embedding")
     pair_structs = F.filter(
         F.flatten(
@@ -1806,11 +1812,16 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     size) — the checkpoint leaves a LogicalRDD the audit cannot
     size, hence the tag."""
     cov = embedding_covariance_matrix(spark, sf_dir).select("i", "j", "cov")
-    full = checkpoint_audited(cov.unionAll(
-        cov.filter(F.col("i") != F.col("j")).select(
+    # Round-13: pin the upper-triangle covariance BEFORE mirroring. The
+    # mirrored union's two branches each re-executed the whole corpus
+    # scan + 2080-struct explode (measured ~5 s x2 at sf0.1); pinned,
+    # the mirror is a lazy 2-leaf union over ONE materialization.
+    cov_p = checkpoint_audited(cov)
+    full = cov_p.unionAll(
+        cov_p.filter(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "cov"
         )
-    ))
+    )
     v = spark.range(EMB_DIM).select(
         F.col("id").alias("i"),
         unit_hash(
@@ -1831,16 +1842,34 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy(F.col("f.i").alias("i"))
                 .agg(_psum(F.col("f.cov") * F.col("v.x")).alias("w"))
             )
-            nrm = w.agg(F.sqrt(_psum(F.col("w") * F.col("w"))).alias("nrm"))
-            # checkpoint each step: without it, the nested broadcast
-            # subplans compound (measured 83 s vs 11.6 s pinned)
-            v = checkpoint_audited(
-                w.crossJoin(F.broadcast(nrm))
-                .select("i", (F.col("w") / F.col("nrm")).alias("x")),
+            # Round-13: checkpoint W (not v) and fuse the norm reduction
+            # onto the checkpoint's own job (graph.py _ckpt_observed
+            # pattern). The old shape ran the mat-vec TWICE per
+            # iteration — once building the norm's broadcast, once
+            # re-materializing w under the v-checkpoint — plus a
+            # crossJoin broadcast job. sum(w²) through exact decimal is
+            # order-insensitive (observe contract); decimal→double and
+            # Math.sqrt are single correctly-rounded IEEE steps in both
+            # the JVM and Python, so nrm is bit-identical to the old
+            # F.sqrt(_psum(...)) column. The step vector v stays a lazy
+            # one-divide projection over the pinned w.
+            # (Per-step pinning itself is load-bearing: without it the
+            # nested broadcast subplans compound — measured 83 s vs
+            # 11.6 s pinned in round 7.)
+            obs = Observation()
+            w_p = checkpoint_audited(
+                w.observe(
+                    obs,
+                    F.sum(
+                        (F.col("w") * F.col("w")).cast("decimal(38,10)")
+                    ).alias("ss"),
+                ),
                 adjudicated="broadcasts the EMB_DIM-row iteration vector "
-                "(prior checkpoint of the range-spine seed / previous "
-                "step) into the d x d covariance table",
+                "(lazy projection over the pinned previous step) into "
+                "the d x d covariance table",
             )
+            nrm = math.sqrt(float(obs.get["ss"]))
+            v = w_p.select("i", (F.col("w") / F.lit(nrm)).alias("x"))
     finally:
         spark.conf.set(shuffle_key, saved_parts)
     wf = (

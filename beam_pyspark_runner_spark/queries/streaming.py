@@ -347,20 +347,28 @@ def _session_timeout_fn(key, pdf_iter, state):
 
     gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
 
-    def session_row(start_us, last_us, n):
+    def session_rows(sessions):
+        # ONE frame for every session closed by this invocation — the
+        # round-13 fix: the per-session 1-row pd.DataFrame (+ its own
+        # Arrow batch on the way back) cost ~0.3 ms x ~94k sessions at
+        # sf0.1, dominating the whole query (guide §4.1 boundary count).
         return pd.DataFrame(
             {
-                "user_id": [key[0]],
-                "session_start": [pd.Timestamp(start_us, unit="us")],
-                "session_end": [pd.Timestamp(last_us, unit="us")],
-                "n_events": [n],
+                "user_id": [key[0]] * len(sessions),
+                "session_start": [
+                    pd.Timestamp(s, unit="us") for s, _, _ in sessions
+                ],
+                "session_end": [
+                    pd.Timestamp(e, unit="us") for _, e, _ in sessions
+                ],
+                "n_events": [n for _, _, n in sessions],
             }
         )
 
     if state.hasTimedOut:
         start_us, last_us, n = state.get
         state.remove()
-        yield session_row(start_us, last_us, n)
+        yield session_rows([(start_us, last_us, n)])
         return
 
     rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values(
@@ -368,8 +376,9 @@ def _session_timeout_fn(key, pdf_iter, state):
     )
     start_us, last_us, n = state.get if state.exists else (None, None, 0)
     closed = []
-    for ts in rows["ts"]:
-        us = ts.value // 1000  # pandas ns → µs
+    # int64 ns -> µs once, vectorized; the per-row pd.Timestamp.value
+    # attribute walk was ~3x the loop body.
+    for us in (rows["ts"].astype("int64") // 1000).tolist():
         if last_us is not None and us - last_us > gap_us:
             closed.append((start_us, last_us, n))
             start_us, n = None, 0
@@ -381,8 +390,8 @@ def _session_timeout_fn(key, pdf_iter, state):
     # Timeout at last event + gap (event time, ms). Always ahead of the
     # current watermark: arriving events are ≥ watermark by definition.
     state.setTimeoutTimestamp(last_us // 1000 + SESSION_GAP_MINUTES * 60 * 1000)
-    for start, last, cnt in closed:
-        yield session_row(start, last, cnt)
+    if closed:
+        yield session_rows(closed)
 
 
 @register(
@@ -436,10 +445,20 @@ def stream_session_timeout_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: this is the stateful-DoFn niche
     (``/root/reference/beam_pyspark_runner/transform_evaluators.py:57-75``
     has only stateless ParDo; Beam's timers/state have no reference
-    implementation at all)."""
+    implementation at all).
+
+    Runs at mft=2 (2 micro-batches — the stream_tumbling_agg precedent):
+    session boundaries depend only on per-user event-time gaps, which the
+    kernel detects within a batch exactly as across batches, and the
+    replay's ascending ts ranges mean a coarser watermark cadence can
+    only shift closures from the timeout path to the gap path — same
+    (start, end, n) rows either way, and the one nondeterministic tail
+    session is excluded by both sides (see oracle note). Cross-batch
+    state + the timeout path stay exercised (2 batches; the final batch
+    still times out tail sessions)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    e = _events_stream(spark, sf_dir)
+    e = _events_stream(spark, sf_dir, max_files_per_trigger=2)
     sessions = (
         e.withWatermark("ts", "1 hour")
         .select("user_id", "ts", "event_id")
@@ -1814,11 +1833,17 @@ def stream_static_enrich_watermarked(spark: SparkSession, sf_dir: str) -> DataFr
     itself (auto-broadcast under the threshold, shuffle join above it),
     which is the right call when the dimension outgrows one executor.
     Stateful footprint is the windowed agg alone: O(open windows x
-    segments), bounded by the watermark's eviction."""
+    segments), bounded by the watermark's eviction.
+
+    Runs at mft=2 (stream_tumbling_agg precedent): the append-mode
+    output is exactly the windows whose end <= FINAL watermark
+    (max ts − 1h) — batch cadence only shifts WHEN a window finalizes
+    (no-data micro-batches flush the tail either way), never the final
+    emitted set, and the per-batch static join is stateless."""
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
-    e = _events_stream(spark, sf_dir)
+    e = _events_stream(spark, sf_dir, max_files_per_trigger=2)
     enriched = e.withWatermark("ts", "1 hour").join(
         c, F.col("user_id") == F.col("c_custkey"), "inner"
     )

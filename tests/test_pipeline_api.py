@@ -733,3 +733,33 @@ def test_as_multimap_groups_duplicate_keys(spark):
     assert {k: sorted(v) for k, v in mm.items()} == {
         "a": [1, 3], "b": [2], "c": [4]
     }
+
+
+def test_combine_per_key_partition_fold_many_keys(spark):
+    """Round-13 internals pin: the custom-CombineFn path folds per
+    PARTITION (mapInPandas over a key-hash repartition), holding one
+    accumulator per key in a dict. Many keys sharing a partition, keys
+    split across Arrow batches, and a null key must each fold
+    independently and exactly once."""
+    from beam_pyspark_runner_spark.operators.combiners import combine_per_key
+
+    n_keys, per_key = 97, 5  # 97 keys >> 32 shuffle partitions: keys share partitions
+    rows = [(f"k{i:02d}", j + 1) for i in range(n_keys) for j in range(per_key)]
+    rows += [(None, 100), (None, 1)]  # null key is a group of its own
+    df = spark.createDataFrame(rows, "key string, value bigint")
+
+    trace = []  # extract sees exactly one acc per key
+    fn = CombineFn(
+        create=lambda: 0,
+        add=lambda acc, v: acc + int(v),
+        merge=lambda a, b: a + b,
+        extract=lambda acc: trace.append(acc) or float(acc * 2),
+        output_type="double",
+    )
+    got = dict(
+        (r["key"], r["total"])
+        for r in combine_per_key(df, "key", "value", fn, out="total").collect()
+    )
+    want = {f"k{i:02d}": 2.0 * sum(range(1, per_key + 1)) for i in range(n_keys)}
+    want[None] = 2.0 * 101
+    assert got == want
