@@ -21,6 +21,7 @@ declarative for Catalyst.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Observation, SparkSession
@@ -89,6 +90,31 @@ def _ckpt_merged(df: DataFrame, new_pred: Column, **kw):
         df, F.sum(F.when(new_pred, 1).otherwise(0)), **kw
     )
     return pinned, int(n or 0)
+
+
+@contextmanager
+def _narrow_shuffle(spark: SparkSession, parts: str = "1"):
+    """Narrow the shuffle width for a BOUNDED-state iteration, restored
+    on exit (the pca_power_iteration / markov_removal_attribution
+    pattern).
+
+    Round-13 (guide §2.2 — size partitions to the data): the synthetic
+    ≤512-node graph loops shuffle ≤(seeds x 512)-row frontiers, but each
+    round's distinct/anti-join/agg stages still launched
+    spark.sql.shuffle.partitions-many tasks; at ~100 rounds the task
+    overhead dominated (closeness A/B same-session: 19.6-32.9 s at 32
+    partitions vs ~9.0 s at 1, sf0.01). Scope: ONLY loops whose state
+    is capped by the fixture graph's node count — corpus-scale loops
+    (pagerank, dedup_components) keep the session width, where the same
+    narrowing would serialize real data. Partition count never changes
+    results (the r12 partitions7 shape axis certifies)."""
+    key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(key)
+    spark.conf.set(key, parts)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, saved)
 
 
 _EDGE_SQL = """
@@ -639,21 +665,22 @@ def bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("node"), F.lit(0).cast("long").alias("hops")
     )
     frontier = dist
-    for depth in range(1, _BFS_DEPTH_CAP + 1):
-        reached = (
-            frontier.join(edges, frontier.node == edges.src)
-            .select(F.col("dst").alias("node"))
-            .distinct()
-        )
-        new = reached.join(dist, "node", "left_anti").select(
-            "node", F.lit(depth).cast("long").alias("hops")
-        )
-        dist, n_new = _ckpt_merged(
-            dist.unionAll(new), F.col("hops") == depth
-        )
-        if n_new == 0:
-            break
-        frontier = dist.filter(F.col("hops") == depth)
+    with _narrow_shuffle(spark):
+        for depth in range(1, _BFS_DEPTH_CAP + 1):
+            reached = (
+                frontier.join(edges, frontier.node == edges.src)
+                .select(F.col("dst").alias("node"))
+                .distinct()
+            )
+            new = reached.join(dist, "node", "left_anti").select(
+                "node", F.lit(depth).cast("long").alias("hops")
+            )
+            dist, n_new = _ckpt_merged(
+                dist.unionAll(new), F.col("hops") == depth
+            )
+            if n_new == 0:
+                break
+            frontier = dist.filter(F.col("hops") == depth)
     return dist
 
 
@@ -1353,21 +1380,22 @@ def closeness_centrality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("hops"),
     )
     frontier = dist
-    for depth in range(1, _BFS_DEPTH_CAP + 1):
-        reached = (
-            frontier.join(edges, frontier.node == edges.src)
-            .select("seed", F.col("dst").alias("node"))
-            .distinct()
-        )
-        new = reached.join(dist, ["seed", "node"], "left_anti").select(
-            "seed", "node", F.lit(depth).cast("long").alias("hops")
-        )
-        dist, n_new = _ckpt_merged(
-            dist.unionAll(new), F.col("hops") == depth
-        )
-        if n_new == 0:
-            break
-        frontier = dist.filter(F.col("hops") == depth)
+    with _narrow_shuffle(spark):
+        for depth in range(1, _BFS_DEPTH_CAP + 1):
+            reached = (
+                frontier.join(edges, frontier.node == edges.src)
+                .select("seed", F.col("dst").alias("node"))
+                .distinct()
+            )
+            new = reached.join(dist, ["seed", "node"], "left_anti").select(
+                "seed", "node", F.lit(depth).cast("long").alias("hops")
+            )
+            dist, n_new = _ckpt_merged(
+                dist.unionAll(new), F.col("hops") == depth
+            )
+            if n_new == 0:
+                break
+            frontier = dist.filter(F.col("hops") == depth)
     return dist.groupBy("seed").agg(
         F.count("*").cast("long").alias("n_reached"),
         F.sum("hops").cast("long").alias("sum_hops"),
@@ -1480,7 +1508,9 @@ def scc_pivot_fwbw(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of serializing ~100 rounds twice).
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    # _narrow_shuffle wraps BOTH passes: session conf is shared, so one
+    # set/restore around the pool covers the two concurrent job streams.
+    with _narrow_shuffle(spark), ThreadPoolExecutor(max_workers=2) as pool:
         fwd_f = pool.submit(reach, "src", "dst")
         bwd_f = pool.submit(reach, "dst", "src")
         fwd, bwd = fwd_f.result(), bwd_f.result()
@@ -1554,22 +1584,25 @@ def dag_longest_path_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("node"), F.lit(0).cast("long").alias("d")
     )
     prev_sum = 0
-    for _ in range(_DAG_CAP):
-        cand = (
-            dist.join(edges, dist.node == edges.src)
-            .select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
-        )
-        # Round-13: the Σd fixpoint probe rides the checkpoint job via
-        # Observation (_ckpt_observed) — previously a separate
-        # agg().collect() job per round. Exact integer sum either way.
-        dist, cur = _ckpt_observed(
-            dist.unionAll(cand).groupBy("node").agg(F.max("d").alias("d")),
-            F.sum("d"),
-        )
-        if cur == prev_sum:
-            break
-        prev_sum = cur
-    else:
+    fixpoint = False
+    with _narrow_shuffle(spark):
+        for _ in range(_DAG_CAP):
+            cand = (
+                dist.join(edges, dist.node == edges.src)
+                .select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+            )
+            # Round-13: the Σd fixpoint probe rides the checkpoint job
+            # via Observation (_ckpt_observed) — previously a separate
+            # agg().collect() job per round. Exact integer sum either way.
+            dist, cur = _ckpt_observed(
+                dist.unionAll(cand).groupBy("node").agg(F.max("d").alias("d")),
+                F.sum("d"),
+            )
+            if cur == prev_sum:
+                fixpoint = True
+                break
+            prev_sum = cur
+    if not fixpoint:
         raise RuntimeError(
             "dag_longest_path_layers: no fixpoint within "
             f"{_DAG_CAP} rounds — input graph has a cycle"
@@ -1655,36 +1688,42 @@ def bellman_ford_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("node"), F.lit(0).cast("long").alias("d")
     )
     frontier = dist
-    for _ in range(_BFS_N):
-        cand = (
-            frontier.join(edges, frontier.node == edges.src)
-            .select(F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d"))
-            .groupBy("node")
-            .agg(F.min("d").alias("d"))
-        )
-        # Round-13: emptiness test fused into the frontier checkpoint
-        # (_ckpt_counted) — one job per round instead of two; the dist
-        # re-aggregation below keeps its own pin (it is a relaxation,
-        # not an append-only set, so the merged table must stay the
-        # next round's join input with flat lineage).
-        improved, n_improved = _ckpt_counted(
-            cand.join(
-                dist.select(F.col("node"), F.col("d").alias("old")),
-                "node",
-                "left",
+    fixpoint = False
+    with _narrow_shuffle(spark):
+        for _ in range(_BFS_N):
+            cand = (
+                frontier.join(edges, frontier.node == edges.src)
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("d") + F.col("w")).alias("d"),
+                )
+                .groupBy("node")
+                .agg(F.min("d").alias("d"))
             )
-            .filter(F.col("old").isNull() | (F.col("d") < F.col("old")))
-            .select("node", "d")
-        )
-        if n_improved == 0:
-            break
-        dist = (
-            checkpoint_audited(dist.unionAll(improved)
-            .groupBy("node")
-            .agg(F.min("d").alias("d")))
-        )
-        frontier = improved
-    else:
+            # Round-13: emptiness test fused into the frontier checkpoint
+            # (_ckpt_counted) — one job per round instead of two; the dist
+            # re-aggregation below keeps its own pin (it is a relaxation,
+            # not an append-only set, so the merged table must stay the
+            # next round's join input with flat lineage).
+            improved, n_improved = _ckpt_counted(
+                cand.join(
+                    dist.select(F.col("node"), F.col("d").alias("old")),
+                    "node",
+                    "left",
+                )
+                .filter(F.col("old").isNull() | (F.col("d") < F.col("old")))
+                .select("node", "d")
+            )
+            if n_improved == 0:
+                fixpoint = True
+                break
+            dist = (
+                checkpoint_audited(dist.unionAll(improved)
+                .groupBy("node")
+                .agg(F.min("d").alias("d")))
+            )
+            frontier = improved
+    if not fixpoint:
         raise RuntimeError(
             "bellman_ford_weighted_paths: no fixpoint within "
             f"{_BFS_N} rounds"
@@ -2305,24 +2344,25 @@ def betweenness_centrality_sampled(spark: SparkSession, sf_dir: str) -> DataFram
     # reads only pinned blocks.
     levels = [lev0]
     seen = lev0.withColumn("lv", F.lit(0).cast("long"))
-    for _depth in range(1, _BETW_DEPTH + 1):
-        prev = levels[-1]
-        cand = (
-            prev.join(edges, prev.node == edges.src)
-            .groupBy("seed", F.col("dst").alias("node"))
-            .agg(F.sum("sigma").cast("long").alias("sigma"))
-        )
-        new = cand.join(seen, ["seed", "node"], "left_anti").select(
-            "seed", "node", "sigma", F.lit(_depth).cast("long").alias("lv")
-        )
-        seen, n_new = _ckpt_merged(
-            seen.unionAll(new), F.col("lv") == _depth
-        )
-        if n_new == 0:
-            break
-        levels.append(
-            seen.filter(F.col("lv") == _depth).select("seed", "node", "sigma")
-        )
+    with _narrow_shuffle(spark):
+        for _depth in range(1, _BETW_DEPTH + 1):
+            prev = levels[-1]
+            cand = (
+                prev.join(edges, prev.node == edges.src)
+                .groupBy("seed", F.col("dst").alias("node"))
+                .agg(F.sum("sigma").cast("long").alias("sigma"))
+            )
+            new = cand.join(seen, ["seed", "node"], "left_anti").select(
+                "seed", "node", "sigma", F.lit(_depth).cast("long").alias("lv")
+            )
+            seen, n_new = _ckpt_merged(
+                seen.unionAll(new), F.col("lv") == _depth
+            )
+            if n_new == 0:
+                break
+            levels.append(
+                seen.filter(F.col("lv") == _depth).select("seed", "node", "sigma")
+            )
     acc = "decimal(38,10)"
     deltas = [
         levels[-1].withColumn("delta", F.lit(0.0).cast("double"))
