@@ -7780,7 +7780,7 @@ def cvm_ecdf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM terms
     """,
     tags=("statistics", "levene", "brown_forsythe", "variance_homogeneity",
-          "robust_statistics"),
+          "robust_statistics", "bounded_broadcast"),
 )
 def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brown–Forsythe test (median-based Levene) for variance
@@ -7800,7 +7800,13 @@ def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σz = Σ c·|v−med|, exactly the per-row sums as integers), so the
     round-13 shape drops the second corpus scan AND the re-executed
     median lineage the old base-join paid per reference; broadcast
-    5-row median table, constant tail."""
+    5-row median table, constant tail.
+
+    bounded_broadcast: the hinted side is the per-segment median table
+    — one row per c_mktsegment value (5), constant at any corpus size.
+    The round-13 checkpoint pins the distinct-value table as a
+    LogicalRDD the hint audit cannot chase a column-name cap through
+    (the pca_power_iteration situation), hence the tag."""
     base = load_table(spark, sf_dir, "customer").select(
         F.col("c_mktsegment").alias("grp"),
         F.round(F.col("c_acctbal") * 100).cast("long").alias("v"),

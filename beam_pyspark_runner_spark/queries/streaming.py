@@ -537,8 +537,15 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     view by the same user. Both sides carry watermarks and the join
     condition bounds event-time skew, so the state store evicts rows once
     the watermark passes — bounded state at any scale. Append mode: rows
-    emit exactly once when matched."""
-    e = _events_stream(spark, sf_dir)
+    emit exactly once when matched.
+
+    Runs at mft=2 (the outer stream-stream variants' precedent): a
+    matched pair emits iff both rows co-reside in state, and a view can
+    only miss its purchase if evicted first — eviction needs watermark >
+    view_ts + 10min + 1h, impossible before the ≤10-min-later purchase
+    arrives under the replay's ascending ts ranges, at ANY batch
+    cadence. Match set is cadence-free."""
+    e = _events_stream(spark, sf_dir, max_files_per_trigger=2)
     views = (
         e.filter(F.col("event_type") == "view")
         .select(
