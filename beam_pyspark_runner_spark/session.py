@@ -28,6 +28,7 @@ def get_spark(
     everything here is safe cluster-side too (AQE, Arrow, UTC).
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    local_mode = master is None
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
@@ -56,6 +57,22 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing floor. With parallelismFirst (default true) the
+        # coalesce target is max(shuffleBytes/defaultParallelism,
+        # minPartitionSize), so the 1 MiB default floor is what decides
+        # partition counts for SMALL shuffles — and it over-coalesces
+        # them: a ~3 MiB compact shuffle feeding a compute-heavy stage
+        # (pair explode, per-doc array sorts) ran on 3-7 of 32 slots.
+        # Measured round 13 (interleaved A/B, min-of-5): pagerank 2.25 →
+        # 1.62 s, ppjoin 1.63 → 1.34, kmeans 0.74 → 0.57, q18 0.76 →
+        # 0.57; no query regressed. The knob is inert for large
+        # shuffles (bytes/parallelism dominates the max at cluster
+        # scale), so production plans are unchanged; override via env
+        # if a deployment prefers the stock floor.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Let the planner pick shuffled-hash join when its size gates
         # hold (opt guide §3.1/§9): same shuffle, no per-partition sort
@@ -86,6 +103,20 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
+    if local_mode:
+        # In local[N] the ONE JVM is driver + all N task slots, but
+        # spark.driver.memory defaults to 1g — 32 concurrent tasks
+        # (broadcast builds, window buffers, per-doc arrays) churn a
+        # 1 GiB G1 heap hard. Measured (JMX GC beans, round 13): the
+        # heaviest bench queries paid ~100-125 ms GC per run at 1g vs
+        # 25-70 ms at 8g. Applied ONLY when this factory constructs a
+        # local master (a cluster deploy sizes executors externally and
+        # an already-running JVM ignores it); override via env for
+        # smaller hosts.
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_LOCAL_DRIVER_MEM", "8g"),
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
