@@ -202,7 +202,19 @@ def pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in-group expansion is bounded by per-order supplier fan-out (≤ the
     # order's line count), not by graph size.
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    per_order = li.groupBy("l_orderkey").agg(
+    # Hash-repartition on the groupBy key BEFORE the set aggregation
+    # (round-13, guide §2.2/§2.3): collect_set is a no-reduction
+    # aggregate — every supplier element survives into the shuffle, and
+    # per-order rows scatter across map tasks at scale, so the map-side
+    # partial pass reduces (almost) nothing while the single-row-group
+    # fixture pins that partial set-build onto the scan's ONE task. The
+    # explicit exchange carries the same compact (orderkey, suppkey)
+    # rows the partial would have shipped inside its sets, satisfies the
+    # groupBy's distribution (no second exchange), and lets the set
+    # build run at full width. A/B min-of-6 at sf0.1: 1.86 -> 1.49 s.
+    # Results are unaffected: the pair expansion below consumes the SET
+    # (order-insensitive), and every downstream op is an aggregation.
+    per_order = li.repartition(F.col("l_orderkey")).groupBy("l_orderkey").agg(
         F.collect_set("l_suppkey").alias("ss")
     )
     pairs = per_order.select(
