@@ -107,14 +107,27 @@ def _narrow_shuffle(spark: SparkSession, parts: str = "1"):
     is capped by the fixture graph's node count — corpus-scale loops
     (pagerank, dedup_components) keep the session width, where the same
     narrowing would serialize real data. Partition count never changes
-    results (the r12 partitions7 shape axis certifies)."""
-    key = "spark.sql.shuffle.partitions"
-    saved = spark.conf.get(key)
-    spark.conf.set(key, parts)
+    results (the r12 partitions7 shape axis certifies).
+
+    Round-13 session 3: AQE is suspended for the same scope. A loop
+    narrowed to 1 shuffle partition gives AQE nothing to adapt — no
+    partitions to coalesce, no skew to split — yet it still pays a
+    per-round re-optimization pass and stage-materialization jobs.
+    A/B min-of-3 at sf0.01: closeness 5.91 → 5.28 s, bfs 4.60 → 4.21,
+    bellman-ford 8.37 → 7.14. Result-identity under AQE-off is
+    certified for the whole registry by the r12 shape axis."""
+    keys = {
+        "spark.sql.shuffle.partitions": parts,
+        "spark.sql.adaptive.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
     try:
         yield
     finally:
-        spark.conf.set(key, saved)
+        for k, v in saved.items():
+            spark.conf.set(k, v)
 
 
 _EDGE_SQL = """
