@@ -307,10 +307,20 @@ def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DoFn-like custom stateful operator via applyInPandasWithState: a
     running per-key counter held in the state store across micro-batches.
     This is the reference's ParDo-lifecycle niche (SURVEY.md §2.1 op 3)
-    done the Structured Streaming way."""
+    done the Structured Streaming way.
+
+    Runs at mft=2 (round-13, the stream_tumbling_agg precedent) with a
+    per-query cadence-independence proof: the declared result is
+    max(n_events) per user over the update-mode emissions, n_events is
+    a monotone exact-integer counter that only grows when the user's
+    rows arrive, so each user's LAST emission carries the full count
+    whatever the batch boundaries — 2 batches and 4 batches emit
+    different intermediates but the identical final row set. Users
+    still span both batches (state crossing stays exercised); measured
+    3.9 s → 2.3 s warm at sf0.01."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    e = _events_stream(spark, sf_dir)
+    e = _events_stream(spark, sf_dir, max_files_per_trigger=2)
     result = (
         e.select("user_id", "value")
         .groupBy("user_id")
