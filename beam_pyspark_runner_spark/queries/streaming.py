@@ -847,8 +847,16 @@ def stream_windowed_custom_combine(spark: SparkSession, sf_dir: str) -> DataFram
     At scale this is the template for any custom incremental aggregate
     (sketches, weighted means, bounded top-k per key): state is O(keys),
     emissions are per-batch deltas, and the shuffle key (type, window)
-    spreads hot event types across time."""
-    e = _events_stream(spark, sf_dir)
+    spreads hot event types across time.
+
+    Runs at mft=2 (round-13): the cadence-independence proof is the
+    emission contract above — sum_sq accumulates as exact scaled
+    integers (commutative), n_acc is a monotone counter, and the final
+    max_by(n_acc) row per key equals the full fold for ANY batch
+    boundaries; only the intermediate running totals differ. Keys near
+    the staged-file time boundaries still cross batches (state crossing
+    stays exercised). Measured 5.6 → 3.4 s warm at sf0.01."""
+    e = _events_stream(spark, sf_dir, max_files_per_trigger=2)
     keyed = e.select(
         "event_type",
         F.timestamp_seconds(
