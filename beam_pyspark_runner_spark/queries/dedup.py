@@ -16,7 +16,7 @@ tuning thresholds, quadratic only within shingle-sharing groups.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from beam_pyspark_runner_spark.functions.hashing import (
@@ -311,14 +311,23 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # Convergence metric fused onto the checkpoint's own
+        # materialization job via Observation (round-14; the graph.py
+        # _ckpt_observed pattern from round 13): the separate
+        # labels.agg(sum).first() probe cost one extra driver job per
+        # round. Sum of labels is a grouping-free, order-insensitive
+        # integer aggregate — exactly the observe contract — and is
+        # computed over the same rows the old post-pin agg saw.
+        obs = Observation()
         labels = _pin(
             labels.join(nbr, labels.id == nbr.src, "left")
             .select(
                 "id",
                 F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
             )
+            .observe(obs, F.sum("comp").alias("total"))
         )
-        total = labels.agg(F.sum("comp")).first()[0]
+        total = obs.get["total"]
         if total == prev_total:
             return labels
         prev_total = total
@@ -349,7 +358,15 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components over the LSH candidate
     graph via iterative min-label propagation (SURVEY.md §7 hard part 5).
     Core loop in ``connected_components`` (reliable-checkpoint capable)."""
-    edges = _lsh_candidate_pairs(spark, sf_dir)
+    # Pin the candidate lineage BEFORE mirroring (round-14; the
+    # pca_power_iteration mirror-union lesson): the symmetrized edge
+    # union's two branches are projection-twisted, so exchange reuse
+    # cannot dedup them — unpinned, the whole LSH candidate lineage
+    # (scan + shingle Generates + band joins) executed TWICE inside
+    # connected_components' first materialization (verified: 2 parquet
+    # scans / 0 ReusedExchange in the executed sym plan). Pinned, the
+    # union is a lazy 2-branch projection over one compact RDD.
+    edges = checkpoint_audited(_lsh_candidate_pairs(spark, sf_dir))
     sym = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
@@ -1911,7 +1928,13 @@ def dedup_cluster_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-shaped work is joining the tiny truth set against the label
     table. Both composed oracles are inlined verbatim (nested CTEs),
     so audit and audited lineage cannot drift."""
-    edges = (
+    # Pin both composed lineages once (round-14, same duplicate-lineage
+    # audit as dedup_components): unpinned, the simhash lineage ran
+    # TWICE under the projection-twisted sym union (2 scans, 0
+    # ReusedExchange in the executed plan) and the exact-jaccard truth
+    # lineage ran TWICE (the verified join AND the n_true_pairs
+    # broadcast each re-derive it). Both pin to compact pair-id RDDs.
+    edges = checkpoint_audited(
         _REG["simhash_pairs"].fn(spark, sf_dir)
         .filter(F.col("hamming") <= _CLUSTER_HAMMING)
         .select("doc_a", "doc_b")
@@ -1923,8 +1946,8 @@ def dedup_cluster_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = connected_components(sym)  # (id, comp)
     csizes = labels.groupBy("comp").agg(F.count("*").cast("long").alias("c"))
-    truth = _REG["ngram_jaccard_pairs"].fn(spark, sf_dir).select(
-        "doc_a", "doc_b"
+    truth = checkpoint_audited(
+        _REG["ngram_jaccard_pairs"].fn(spark, sf_dir).select("doc_a", "doc_b")
     )
     la = labels.select(F.col("id").alias("doc_a"), F.col("comp").alias("ca"))
     lb = labels.select(F.col("id").alias("doc_b"), F.col("comp").alias("cb"))

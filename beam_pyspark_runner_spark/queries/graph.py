@@ -93,10 +93,31 @@ def _ckpt_merged(df: DataFrame, new_pred: Column, **kw):
 
 
 @contextmanager
-def _narrow_shuffle(spark: SparkSession, parts: str = "1"):
+def _narrow_shuffle(spark: SparkSession, *, state_rows: int,
+                    rows_per_partition: int = 1_000_000):
     """Narrow the shuffle width for a BOUNDED-state iteration, restored
     on exit (the pca_power_iteration / markov_removal_attribution
     pattern).
+
+    ``state_rows`` is REQUIRED: callers must state the provable upper
+    bound on the loop's per-round state row count, and the width is
+    derived as ceil(state_rows / rows_per_partition) instead of a
+    hard-coded 1 (round-14, verdict ask #4) — copy-pasting this wrapper
+    onto a loop over a data-scaled graph now yields a width that grows
+    with the stated bound rather than silently serializing 100 TB. The
+    six fixture-graph callers pass bounds ≤ a few thousand compact
+    (long, long) rows, so they derive the same single partition the
+    round-13 measurements were taken at. ~1M tiny rows per partition
+    keeps iteration-state partitions in the tens of MB (guide §2.2's
+    small end, appropriate for shuffle-per-round loop state).
+
+    Scope caveat: the mutation is SESSION-global conf — any query
+    running concurrently on the same session (e.g. the scc fwd/bwd
+    thread pool, which is the one sanctioned case) also sees the
+    narrowed width / disabled AQE for the duration. Result-safe
+    (partition count and AQE never change results — r12 shape axes),
+    but a perf trap for unrelated concurrent work: don't hold this
+    context around anything but the loop itself.
 
     Round-13 (guide §2.2 — size partitions to the data): the synthetic
     ≤512-node graph loops shuffle ≤(seeds x 512)-row frontiers, but each
@@ -116,14 +137,18 @@ def _narrow_shuffle(spark: SparkSession, parts: str = "1"):
     A/B min-of-3 at sf0.01: closeness 5.91 → 5.28 s, bfs 4.60 → 4.21,
     bellman-ford 8.37 → 7.14. Result-identity under AQE-off is
     certified for the whole registry by the r12 shape axis."""
+    parts = max(1, -(-state_rows // rows_per_partition))
     keys = {
-        "spark.sql.shuffle.partitions": parts,
+        "spark.sql.shuffle.partitions": str(parts),
         "spark.sql.adaptive.enabled": "false",
     }
     saved = {k: spark.conf.get(k) for k in keys}
-    for k, v in keys.items():
-        spark.conf.set(k, v)
     try:
+        # Sets live INSIDE the try (round-13 ADVICE): a throw after the
+        # first set still hits the finally, so no partial application
+        # can leak a narrowed session.
+        for k, v in keys.items():
+            spark.conf.set(k, v)
         yield
     finally:
         for k, v in saved.items():
@@ -227,6 +252,12 @@ def pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build run at full width. A/B min-of-6 at sf0.1: 1.86 -> 1.49 s.
     # Results are unaffected: the pair expansion below consumes the SET
     # (order-insensitive), and every downstream op is an aggregation.
+    # Width note (round-13 ADVICE): numPartitions is deliberately
+    # omitted so AQE sizes the exchange; how far AQE re-coalesces it is
+    # bounded below by the session's coalescePartitions.minPartitionSize
+    # floor (session.py). A deployment overriding
+    # SPARK_GRAFT_AQE_MIN_PARTITION back to the stock 1m may see this
+    # exchange coalesced narrower (perf-only; results unaffected).
     per_order = li.repartition(F.col("l_orderkey")).groupBy("l_orderkey").agg(
         F.collect_set("l_suppkey").alias("ss")
     )
@@ -690,7 +721,7 @@ def bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("node"), F.lit(0).cast("long").alias("hops")
     )
     frontier = dist
-    with _narrow_shuffle(spark):
+    with _narrow_shuffle(spark, state_rows=_BFS_N):
         for depth in range(1, _BFS_DEPTH_CAP + 1):
             reached = (
                 frontier.join(edges, frontier.node == edges.src)
@@ -1405,7 +1436,7 @@ def closeness_centrality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("hops"),
     )
     frontier = dist
-    with _narrow_shuffle(spark):
+    with _narrow_shuffle(spark, state_rows=len(_CLOSE_SEEDS) * _BFS_N):
         for depth in range(1, _BFS_DEPTH_CAP + 1):
             reached = (
                 frontier.join(edges, frontier.node == edges.src)
@@ -1535,7 +1566,8 @@ def scc_pivot_fwbw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # _narrow_shuffle wraps BOTH passes: session conf is shared, so one
     # set/restore around the pool covers the two concurrent job streams.
-    with _narrow_shuffle(spark), ThreadPoolExecutor(max_workers=2) as pool:
+    with _narrow_shuffle(spark, state_rows=2 * _BFS_N), \
+            ThreadPoolExecutor(max_workers=2) as pool:
         fwd_f = pool.submit(reach, "src", "dst")
         bwd_f = pool.submit(reach, "dst", "src")
         fwd, bwd = fwd_f.result(), bwd_f.result()
@@ -1610,7 +1642,7 @@ def dag_longest_path_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev_sum = 0
     fixpoint = False
-    with _narrow_shuffle(spark):
+    with _narrow_shuffle(spark, state_rows=_BFS_N):
         for _ in range(_DAG_CAP):
             cand = (
                 dist.join(edges, dist.node == edges.src)
@@ -1714,7 +1746,7 @@ def bellman_ford_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frontier = dist
     fixpoint = False
-    with _narrow_shuffle(spark):
+    with _narrow_shuffle(spark, state_rows=_BFS_N):
         for _ in range(_BFS_N):
             cand = (
                 frontier.join(edges, frontier.node == edges.src)
@@ -2369,7 +2401,7 @@ def betweenness_centrality_sampled(spark: SparkSession, sf_dir: str) -> DataFram
     # reads only pinned blocks.
     levels = [lev0]
     seen = lev0.withColumn("lv", F.lit(0).cast("long"))
-    with _narrow_shuffle(spark):
+    with _narrow_shuffle(spark, state_rows=len(_CLOSE_SEEDS) * _BFS_N):
         for _depth in range(1, _BETW_DEPTH + 1):
             prev = levels[-1]
             cand = (

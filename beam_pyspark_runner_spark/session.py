@@ -15,6 +15,24 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_driver_mem_default() -> str:
+    """Default local-mode driver heap: 8g, CLAMPED to ~half of the
+    host's MemTotal (round-13 ADVICE: an unconditional -Xmx8g under 32
+    task slots gets OOM-killed on sub-8-GiB hosts/CI containers instead
+    of degrading). On the 128 GiB bench host this still resolves to 8g,
+    so bench comparability is unchanged; override via
+    ``SPARK_GRAFT_LOCAL_DRIVER_MEM`` either way."""
+    try:
+        with open("/proc/meminfo") as fh:
+            kb = int(
+                next(ln for ln in fh if ln.startswith("MemTotal")).split()[1]
+            )
+        half_gib = kb // (2 * 1024 * 1024)
+    except (OSError, StopIteration, ValueError):
+        half_gib = 8  # no /proc (non-Linux): keep the measured default
+    return f"{min(8, max(1, half_gib))}g"
+
+
 def get_spark(
     app_name: str = "beam_pyspark_runner_spark",
     master: str | None = None,
@@ -115,7 +133,9 @@ def get_spark(
         # smaller hosts.
         builder = builder.config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_LOCAL_DRIVER_MEM", "8g"),
+            os.environ.get(
+                "SPARK_GRAFT_LOCAL_DRIVER_MEM", _local_driver_mem_default()
+            ),
         )
     if extra_conf:
         for k, v in extra_conf.items():
