@@ -17,6 +17,7 @@ store rather than via a global sort.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -351,57 +352,86 @@ def _session_timeout_fn(key, pdf_iter, state):
     emit + remove — the state-GC guarantee that keeps per-key state
     bounded on an unbounded stream even for users who never return).
     Batches replay in disjoint ascending ts ranges, so sorting each
-    batch by (ts, event_id) yields a globally ordered per-user scan.
+    batch's timestamps yields a globally ordered per-user scan.
+
+    Round-14 (guide §4.2/§4.3 — vectorize inside the kernel, move only
+    the columns the function needs): gap detection is a pure function of
+    the sorted int64 µs timestamp array, so the per-event Python loop is
+    replaced by np.diff over that one array, the per-cell pd.Timestamp
+    construction in the emission frame by one pd.to_datetime over the
+    closed-session arrays, and the full-frame pd.concat + 2-key
+    sort_values by np.sort of the single ts column. Event-order
+    tie-breaks cannot change any (start, end, n): tied timestamps have
+    zero gap under every ordering, and start/end/n are the min/max/count
+    of each gap-delimited timestamp run.
     """
     from beam_pyspark_runner_spark.queries.events import SESSION_GAP_MINUTES
 
     gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
 
-    def session_rows(sessions):
+    def session_rows(starts_us, ends_us, counts):
         # ONE frame for every session closed by this invocation — the
         # round-13 fix: the per-session 1-row pd.DataFrame (+ its own
         # Arrow batch on the way back) cost ~0.3 ms x ~94k sessions at
         # sf0.1, dominating the whole query (guide §4.1 boundary count).
+        starts_us = np.asarray(starts_us, dtype="int64")
+        ends_us = np.asarray(ends_us, dtype="int64")
         return pd.DataFrame(
             {
-                "user_id": [key[0]] * len(sessions),
-                "session_start": [
-                    pd.Timestamp(s, unit="us") for s, _, _ in sessions
-                ],
-                "session_end": [
-                    pd.Timestamp(e, unit="us") for _, e, _ in sessions
-                ],
-                "n_events": [n for _, _, n in sessions],
+                "user_id": np.full(starts_us.size, key[0], dtype="int64"),
+                "session_start": pd.to_datetime(starts_us, unit="us"),
+                "session_end": pd.to_datetime(ends_us, unit="us"),
+                "n_events": np.asarray(counts, dtype="int64"),
             }
         )
 
     if state.hasTimedOut:
         start_us, last_us, n = state.get
         state.remove()
-        yield session_rows([(start_us, last_us, n)])
+        yield session_rows([start_us], [last_us], [n])
         return
 
-    rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values(
-        ["ts", "event_id"]
-    )
+    # int64 ns -> µs once, vectorized, over just the ts column.
+    us = np.sort(
+        np.concatenate(
+            [chunk["ts"].astype("int64").to_numpy() for chunk in pdf_iter]
+        )
+    ) // 1000
     start_us, last_us, n = state.get if state.exists else (None, None, 0)
-    closed = []
-    # int64 ns -> µs once, vectorized; the per-row pd.Timestamp.value
-    # attribute walk was ~3x the loop body.
-    for us in (rows["ts"].astype("int64") // 1000).tolist():
-        if last_us is not None and us - last_us > gap_us:
-            closed.append((start_us, last_us, n))
-            start_us, n = None, 0
-        if start_us is None:
-            start_us = us
-        last_us = us
-        n += 1
-    state.update((start_us, last_us, n))
+
+    # Gap-delimited runs of us: run i spans [seg_start[i], seg_end[i]].
+    brk = np.nonzero(np.diff(us) > gap_us)[0]
+    seg_start = np.concatenate(([0], brk + 1))
+    seg_end = np.concatenate((brk, [us.size - 1]))
+    starts = us[seg_start]
+    ends = us[seg_end]
+    counts = seg_end - seg_start + 1
+
+    # Carried session: closes before the batch if the first event is
+    # >gap past it, otherwise merges into the first run.
+    pre = None
+    if last_us is not None:
+        if us[0] - last_us > gap_us:
+            pre = (start_us, last_us, n)
+        else:
+            starts[0] = start_us
+            counts[0] += n
+
+    # Last run stays open in state; everything before it has closed.
+    state.update((int(starts[-1]), int(ends[-1]), int(counts[-1])))
     # Timeout at last event + gap (event time, ms). Always ahead of the
     # current watermark: arriving events are ≥ watermark by definition.
-    state.setTimeoutTimestamp(last_us // 1000 + SESSION_GAP_MINUTES * 60 * 1000)
-    if closed:
-        yield session_rows(closed)
+    state.setTimeoutTimestamp(
+        int(ends[-1]) // 1000 + SESSION_GAP_MINUTES * 60 * 1000
+    )
+
+    if pre is not None or starts.size > 1:
+        cs, ce, cn = starts[:-1], ends[:-1], counts[:-1]
+        if pre is not None:
+            cs = np.concatenate(([pre[0]], cs))
+            ce = np.concatenate(([pre[1]], ce))
+            cn = np.concatenate(([pre[2]], cn))
+        yield session_rows(cs, ce, cn)
 
 
 @register(
@@ -469,9 +499,14 @@ def stream_session_timeout_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     e = _events_stream(spark, sf_dir, max_files_per_trigger=2)
+    # Projection = only what the kernel reads (guide §4.3): gap
+    # detection is a function of ts alone — event_id was a sort
+    # tie-break that provably cannot change any (start, end, n) (tied
+    # timestamps have zero gap under every ordering), so shipping it
+    # through Arrow bought nothing.
     sessions = (
         e.withWatermark("ts", "1 hour")
-        .select("user_id", "ts", "event_id")
+        .select("user_id", "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
             _session_timeout_fn,

@@ -51,13 +51,33 @@ def run_stream_to_df(
     the local floor where maintenance stops dominating); production
     streams set ``spark.graft.stream.partitions`` explicitly (hundreds,
     for millions of keys). Partition count never affects results — only
-    where state lives."""
+    where state lives.
+
+    Python-stateful streams (applyInPandasWithState) get a WIDER default
+    (round-14, guide §4/§2.2): their per-partition cost is dominated not
+    by store maintenance but by the per-key Python protocol (per-key
+    Arrow slice→pandas conversion, GroupState construct, json+pickle
+    state round-trip — pyspark's serializer, ~ms/key), which parallelizes
+    one Python worker per partition. Measured on the session-timeout
+    state stage at sf0.1/local[32], interleaved min-of-4: p4 5.44 s,
+    p8 4.42, p16 3.77, p32 4.48 (maintenance overtakes) — optimum at
+    half the task slots, so the default derives from defaultParallelism
+    rather than a local constant (8-core hosts derive 4, unchanged).
+    JVM-stateful streams keep the maintenance floor of 4."""
     spark = streaming_df.sparkSession
     key = "spark.sql.shuffle.partitions"
     saved = spark.conf.get(key)
     target = spark.conf.get("spark.graft.stream.partitions", "")
     if not target:
-        target = str(min(4, int(saved)))
+        try:
+            analyzed = streaming_df._jdf.queryExecution().analyzed().toString()
+            py_stateful = "FlatMapGroupsInPandasWithState" in analyzed
+        except Exception:  # noqa: BLE001 — plan introspection is best-effort
+            py_stateful = False
+        if py_stateful:
+            target = str(max(4, spark.sparkContext.defaultParallelism // 2))
+        else:
+            target = str(min(4, int(saved)))
     name = f"stream_result_{next(_sink_counter)}"
     spark.conf.set(key, target)
     try:

@@ -551,3 +551,206 @@ def test_restart_resumes_wal_pending_batch(spark, tmp_path):
     ids = [b for b, _ in seen]
     assert ids == [0, 1, 2], ids  # 0 once; 1 re-executed; 2 fresh
     assert sum(n for _, n in seen) == 300  # no loss, no duplication
+
+
+class _FakeGroupState:
+    """Minimal GroupState double for driving kernels off-Spark."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(int(x) for x in v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = int(ms)
+
+
+def test_session_timeout_kernel_vectorized_equivalence():
+    """The vectorized _session_timeout_fn (round-14: np.diff gap
+    detection over the sorted ts array, array-built emission frame)
+    must replay identically to the reference per-event state machine —
+    emitted (start, end, n) frames, carried state tuple, and timeout
+    timestamp — across randomized multi-batch streams with timestamp
+    ties, exact-gap boundaries, and the timeout path."""
+    import numpy as np
+    import pandas as pd
+
+    from beam_pyspark_runner_spark.queries.events import SESSION_GAP_MINUTES
+    from beam_pyspark_runner_spark.queries.streaming import _session_timeout_fn
+
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
+
+    def reference(key, pdf_iter, state):
+        # The pre-round-14 per-event loop, kept verbatim as the spec.
+        def frame(sessions):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(sessions),
+                    "session_start": [
+                        pd.Timestamp(s, unit="us") for s, _, _ in sessions
+                    ],
+                    "session_end": [
+                        pd.Timestamp(e, unit="us") for _, e, _ in sessions
+                    ],
+                    "n_events": [n for _, _, n in sessions],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield frame([(start_us, last_us, n)])
+            return
+        rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values("ts")
+        start_us, last_us, n = state.get if state.exists else (None, None, 0)
+        closed = []
+        for us in (rows["ts"].astype("int64") // 1000).tolist():
+            if last_us is not None and us - last_us > gap_us:
+                closed.append((start_us, last_us, n))
+                start_us, n = None, 0
+            if start_us is None:
+                start_us = us
+            last_us = us
+            n += 1
+        state.update((start_us, last_us, n))
+        state.setTimeoutTimestamp(
+            last_us // 1000 + SESSION_GAP_MINUTES * 60 * 1000
+        )
+        if closed:
+            yield frame(closed)
+
+    def replay(kernel, batches, do_timeout):
+        st = _FakeGroupState()
+        frames = []
+        for b in batches:
+            pdf = pd.DataFrame(
+                {"ts": pd.to_datetime(np.asarray(b, dtype="int64") * 1000)}
+            )
+            chunks = (
+                [pdf.iloc[: len(pdf) // 2], pdf.iloc[len(pdf) // 2 :]]
+                if len(pdf) > 1
+                else [pdf]
+            )
+            frames.extend(list(kernel((123,), iter(chunks), st)))
+        if do_timeout and st.exists:
+            st.hasTimedOut = True
+            frames.extend(list(kernel((123,), iter([]), st)))
+        if not frames:
+            return None, st._v, st.timeout_ms
+        out = (
+            pd.concat(frames, ignore_index=True)
+            .sort_values(["session_start", "session_end"])
+            .reset_index(drop=True)
+        )
+        return out, st._v, st.timeout_ms
+
+    rng = np.random.default_rng(20260818)
+    for _ in range(200):
+        n = int(rng.integers(1, 50))
+        steps = rng.choice(
+            [0, 1, 10_000_000, gap_us, gap_us + 1, 3 * gap_us],
+            size=n,
+            p=[0.15, 0.2, 0.3, 0.1, 0.15, 0.1],
+        )
+        ts = 1_600_000_000_000_000 + np.cumsum(steps)
+        n_cuts = int(min(rng.integers(0, 4), n - 1))
+        cuts = (
+            np.sort(rng.choice(np.arange(1, n), size=n_cuts, replace=False))
+            if n > 1
+            else []
+        )
+        batches = [b.tolist() for b in np.split(ts, cuts)]
+        do_timeout = bool(rng.integers(0, 2))
+        ref, ref_state, ref_tmo = replay(reference, batches, do_timeout)
+        got, got_state, got_tmo = replay(_session_timeout_fn, batches, do_timeout)
+        assert (ref is None) == (got is None)
+        if ref is not None:
+            pd.testing.assert_frame_equal(ref, got)
+        assert ref_state == got_state
+        assert ref_tmo == got_tmo
+
+
+def test_stream_width_python_stateful_vs_jvm(spark):
+    """run_stream_to_df's state-partition default: Python-stateful
+    streams derive a wider width (defaultParallelism // 2, floor 4 —
+    their cost is per-key Python protocol, which parallelizes across
+    workers), JVM-stateful streams keep the maintenance floor of 4, and
+    the explicit spark.graft.stream.partitions knob overrides both."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from beam_pyspark_runner_spark.queries.streaming import (
+        _events_stream,
+        _session_timeout_fn,
+    )
+    from beam_pyspark_runner_spark.streaming.runner import run_stream_to_df
+
+    def state_stage():
+        e = _events_stream(spark, SF_SMOKE, max_files_per_trigger=2)
+        return (
+            e.withWatermark("ts", "1 hour")
+            .select("user_id", "ts")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _session_timeout_fn,
+                outputStructType=(
+                    "user_id bigint, session_start timestamp, "
+                    "session_end timestamp, n_events bigint"
+                ),
+                stateStructType="start_us bigint, last_us bigint, n bigint",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+
+    def jvm_stage():
+        e = _events_stream(spark, SF_SMOKE, max_files_per_trigger=2)
+        return (
+            e.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"))
+            .count()
+        )
+
+    expected_py = max(4, spark.sparkContext.defaultParallelism // 2)
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+
+    # The runner sets the width, starts the stream, then restores the
+    # session default — spy on conf.set and assert the set-then-restore
+    # sequence, whose first element is the chosen width.
+    sets = []
+    orig_set = spark.conf.set
+
+    def spy_set(k, v):
+        if k == "spark.sql.shuffle.partitions":
+            sets.append(v)
+        return orig_set(k, v)
+
+    spark.conf.set = spy_set
+    try:
+        run_stream_to_df(state_stage(), output_mode="update")
+        assert sets == [str(expected_py), saved], sets
+        sets.clear()
+        run_stream_to_df(jvm_stage(), output_mode="complete")
+        assert sets == ["4", saved], sets
+        orig_set("spark.graft.stream.partitions", "7")
+        try:
+            sets.clear()
+            run_stream_to_df(state_stage(), output_mode="update")
+            assert sets == ["7", saved], sets
+        finally:
+            spark.conf.unset("spark.graft.stream.partitions")
+    finally:
+        spark.conf.set = orig_set
