@@ -92,6 +92,55 @@ def _ckpt_merged(df: DataFrame, new_pred: Column, **kw):
     return pinned, int(n or 0)
 
 
+_STRIDE_LOG = 4  # jump-table doubling levels → stride = 2**4 = 16 hops/round
+
+
+def _jump_table(edges: DataFrame, *, weight: str | None = None) -> DataFrame:
+    """Min-plus JUMP TABLE over a fixture-bounded graph: (src, dst, d)
+    with d = cheapest path of ≤ 2**_STRIDE_LOG edges (hop count when
+    ``weight`` is None, else summed edge weight).
+
+    Round-14 (guide §1.2 do less work / §2.6 fewer rounds): the
+    BFS-family loops' cost is the per-round driver-job floor
+    (~90-130 ms × eccentricity rounds — scc's two reach passes ran
+    ~95 rounds each). Recursive doubling — J_{2s} = min(J_s,
+    J_s ∘ J_s), the classic parallel path-doubling technique — builds
+    in _STRIDE_LOG pinned squarings a table that lets each loop round
+    advance 2**_STRIDE_LOG hops, cutting rounds (and driver jobs) by
+    that factor while each round's join stays tiny. Exactness: the
+    union+groupBy-min squaring is min-plus matrix squaring, so
+    J_k(u,v) = exact cheapest path among paths of ≤ k edges.
+
+    Boundedness (the _narrow_shuffle contract): the table is a prefix
+    of the transitive closure of the ≤``_BFS_N``-node fixture graph —
+    ≤ _BFS_N² rows by construction (measured 35,548 at stride 16 on
+    the 512-node functional graph; the FULL closure, 181,902 rows, is
+    why doubling stops at 2**4: building it measured SLOWER than the
+    stride loop it replaced). At data-scaled |V| this prefix is O(|V|·
+    reach₁₆) — the standard doubling trade of more memory per round
+    for O(log d) instead of O(d) global synchronization barriers."""
+    w = (F.col(weight) if weight else F.lit(1)).cast("long")
+    j = checkpoint_audited(
+        edges.select("src", "dst", w.alias("d"))
+        .groupBy("src", "dst")
+        .agg(F.min("d").alias("d"))
+    )
+    for _ in range(_STRIDE_LOG):
+        comp = (
+            j.alias("a")
+            .join(j.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(
+                F.col("a.src").alias("src"),
+                F.col("b.dst").alias("dst"),
+                (F.col("a.d") + F.col("b.d")).alias("d"),
+            )
+        )
+        j = checkpoint_audited(
+            j.unionAll(comp).groupBy("src", "dst").agg(F.min("d").alias("d"))
+        )
+    return j
+
+
 @contextmanager
 def _narrow_shuffle(spark: SparkSession, *, state_rows: int,
                     rows_per_partition: int = 1_000_000):
@@ -721,23 +770,35 @@ def bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("node"), F.lit(0).cast("long").alias("hops")
     )
     frontier = dist
-    with _narrow_shuffle(spark, state_rows=_BFS_N):
-        for depth in range(1, _BFS_DEPTH_CAP + 1):
+    # Round-14: stride-16 rounds over the min-plus jump table instead of
+    # 1-hop rounds over the raw edges (_jump_table) — 20 driver-job
+    # rounds → 2. Exactness: round i discovers exactly the nodes with
+    # true depth in ((i-1)·s, i·s] at their exact depth (a shortest path
+    # to such a node passes a node at depth d-s, discovered exactly in
+    # round i-1, and J_s covers the ≤s-edge suffix with its true
+    # length); nodes past the oracle's depth cap are filtered at return,
+    # matching the capped recursion the oracle declares.
+    stride = 1 << _STRIDE_LOG
+    with _narrow_shuffle(spark, state_rows=_BFS_N * _BFS_N):
+        jt = _jump_table(edges)
+        for rnd in range(1, -(-_BFS_DEPTH_CAP // stride) + 1):
             reached = (
-                frontier.join(edges, frontier.node == edges.src)
-                .select(F.col("dst").alias("node"))
-                .distinct()
+                frontier.join(jt, frontier.node == jt.src)
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("hops") + F.col("d")).alias("hops"),
+                )
+                .groupBy("node")
+                .agg(F.min("hops").alias("hops"))
             )
-            new = reached.join(dist, "node", "left_anti").select(
-                "node", F.lit(depth).cast("long").alias("hops")
-            )
+            new = reached.join(dist, "node", "left_anti").select("node", "hops")
             dist, n_new = _ckpt_merged(
-                dist.unionAll(new), F.col("hops") == depth
+                dist.unionAll(new), F.col("hops") > (rnd - 1) * stride
             )
             if n_new == 0:
                 break
-            frontier = dist.filter(F.col("hops") == depth)
-    return dist
+            frontier = dist.filter(F.col("hops") > (rnd - 1) * stride)
+    return dist.filter(F.col("hops") <= _BFS_DEPTH_CAP)
 
 
 @register(
@@ -1436,23 +1497,35 @@ def closeness_centrality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("hops"),
     )
     frontier = dist
-    with _narrow_shuffle(spark, state_rows=len(_CLOSE_SEEDS) * _BFS_N):
-        for depth in range(1, _BFS_DEPTH_CAP + 1):
+    # Round-14: stride-16 rounds over the min-plus jump table (see
+    # bfs_shortest_hops — identical exactness argument, (seed, node)
+    # keyed; the depth-capped membership the oracle declares is restored
+    # by the hops filter below). state bound includes the jump table
+    # (a transitive-closure prefix, ≤ _BFS_N² rows).
+    stride = 1 << _STRIDE_LOG
+    with _narrow_shuffle(spark, state_rows=_BFS_N * _BFS_N):
+        jt = _jump_table(edges)
+        for rnd in range(1, -(-_BFS_DEPTH_CAP // stride) + 1):
             reached = (
-                frontier.join(edges, frontier.node == edges.src)
-                .select("seed", F.col("dst").alias("node"))
-                .distinct()
+                frontier.join(jt, frontier.node == jt.src)
+                .select(
+                    "seed",
+                    F.col("dst").alias("node"),
+                    (F.col("hops") + F.col("d")).alias("hops"),
+                )
+                .groupBy("seed", "node")
+                .agg(F.min("hops").alias("hops"))
             )
             new = reached.join(dist, ["seed", "node"], "left_anti").select(
-                "seed", "node", F.lit(depth).cast("long").alias("hops")
+                "seed", "node", "hops"
             )
             dist, n_new = _ckpt_merged(
-                dist.unionAll(new), F.col("hops") == depth
+                dist.unionAll(new), F.col("hops") > (rnd - 1) * stride
             )
             if n_new == 0:
                 break
-            frontier = dist.filter(F.col("hops") == depth)
-    return dist.groupBy("seed").agg(
+            frontier = dist.filter(F.col("hops") > (rnd - 1) * stride)
+    return dist.filter(F.col("hops") <= _BFS_DEPTH_CAP).groupBy("seed").agg(
         F.count("*").cast("long").alias("n_reached"),
         F.sum("hops").cast("long").alias("sum_hops"),
         (
@@ -1527,14 +1600,17 @@ def scc_pivot_fwbw(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
     )
 
-    def reach(key_col: str, next_col: str) -> DataFrame:
-        # Merged-pin visited set + fused emptiness test (round-13): the
-        # sparsified graph's BFS runs ~100 rounds per direction, so the
-        # old 3-jobs-per-round shape (new-ckpt, isEmpty, seen-re-ckpt)
-        # dominated wall-clock. See bfs_shortest_hops / _ckpt_merged;
-        # the round number rides along as `d` purely to mark each
-        # round's new layer for the frontier filter, and is dropped at
-        # return.
+    def reach(jt: DataFrame, key_col: str, next_col: str) -> DataFrame:
+        # Merged-pin visited set + fused emptiness test (round-13; see
+        # bfs_shortest_hops / _ckpt_merged). Round-14: each round walks
+        # the stride-16 JUMP TABLE instead of raw edges (_jump_table) —
+        # the sparsified graph's reach ran ~95 one-hop rounds per
+        # direction at ~90-130 ms of driver-job floor each; stride-16
+        # rounds cut that to ~7, and ONE jump table serves both
+        # directions (reachability in the reversed graph is the same
+        # table joined on dst). Reachability needs only the SET, so the
+        # round number rides along as `d` purely to mark each round's
+        # new layer for the frontier filter, and is dropped at return.
         seen = spark.range(1).select(
             F.lit(_SCC_PIVOT).cast("long").alias("node"),
             F.lit(0).cast("long").alias("d"),
@@ -1542,7 +1618,7 @@ def scc_pivot_fwbw(spark: SparkSession, sf_dir: str) -> DataFrame:
         frontier = seen
         for rnd in range(1, _BFS_N + 1):  # hard upper bound; frontier exhausts first
             step = (
-                frontier.join(edges, frontier.node == edges[key_col])
+                frontier.join(jt, frontier.node == jt[key_col])
                 .select(F.col(next_col).alias("node"))
                 .distinct()
             )
@@ -1561,15 +1637,18 @@ def scc_pivot_fwbw(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intersection — run them as concurrent driver-submitted job streams
     # (guide §2.6: overlap independent jobs; each round's 512-row tasks
     # leave most executor slots idle, so the passes interleave instead
-    # of serializing ~100 rounds twice).
+    # of serializing the rounds twice).
     from concurrent.futures import ThreadPoolExecutor
 
     # _narrow_shuffle wraps BOTH passes: session conf is shared, so one
     # set/restore around the pool covers the two concurrent job streams.
-    with _narrow_shuffle(spark, state_rows=2 * _BFS_N), \
+    # State bound includes the shared jump table (a transitive-closure
+    # prefix, ≤ _BFS_N² rows).
+    with _narrow_shuffle(spark, state_rows=_BFS_N * _BFS_N), \
             ThreadPoolExecutor(max_workers=2) as pool:
-        fwd_f = pool.submit(reach, "src", "dst")
-        bwd_f = pool.submit(reach, "dst", "src")
+        jt = _jump_table(edges)
+        fwd_f = pool.submit(reach, jt, "src", "dst")
+        bwd_f = pool.submit(reach, jt, "dst", "src")
         fwd, bwd = fwd_f.result(), bwd_f.result()
     return fwd.join(bwd, "node").select("node")
 
@@ -1746,10 +1825,21 @@ def bellman_ford_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frontier = dist
     fixpoint = False
-    with _narrow_shuffle(spark, state_rows=_BFS_N):
+    # Round-14: relax over the stride-16 min-plus jump table
+    # (_jump_table with the edge weights) instead of raw edges — after
+    # round i the table is exact for every optimal path of ≤ 16·i
+    # edges, so the fixpoint arrives in ceil(max-optimal-path-edges/16)
+    # rounds instead of one round per edge. The relaxation algebra is
+    # unchanged (per-node MIN of additive path costs); the fixpoint is
+    # the same unique shortest-distance table. State bound includes the
+    # jump table (a transitive-closure prefix, ≤ _BFS_N² rows).
+    with _narrow_shuffle(spark, state_rows=_BFS_N * _BFS_N):
+        jt = _jump_table(edges, weight="w").select(
+            "src", "dst", F.col("d").alias("w")
+        )
         for _ in range(_BFS_N):
             cand = (
-                frontier.join(edges, frontier.node == edges.src)
+                frontier.join(jt, frontier.node == jt.src)
                 .select(
                     F.col("dst").alias("node"),
                     (F.col("d") + F.col("w")).alias("d"),

@@ -255,8 +255,17 @@ def _tumbling_transform(e: DataFrame) -> DataFrame:
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native streaming session windows (30-min gap) via F.session_window —
     state-store merge, no global sort. window.end is last-event + gap, so
-    session_end = window.end - gap, aligning with the batch oracle."""
-    e = _events_stream(spark, sf_dir)
+    session_end = window.end - gap, aligning with the batch oracle.
+
+    Runs at mft=2 (round-14, the stream_tumbling_agg precedent).
+    Cadence-independence proof: complete output mode with NO watermark —
+    nothing is ever dropped, so the final emitted table is a pure
+    function of the input row MULTISET; session-window state merges are
+    gap-unions, associative and commutative over that multiset, so the
+    drained result is identical at any micro-batch cadence. Cross-batch
+    state (sessions spanning the batch boundary) stays exercised with
+    2 batches."""
+    e = _events_stream(spark, sf_dir, max_files_per_trigger=2)
     # complete output mode keeps full state, so no watermark: file replay
     # order is only approximately event-time ordered and a watermark
     # would drop cross-file stragglers.
@@ -552,8 +561,16 @@ def stream_session_timeout_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (1h size, 30m slide) over the replayed stream, 1h
     watermark; each event contributes to 2 windows. Must equal the batch
-    twin (sliding_window_agg)."""
-    e = _events_stream(spark, sf_dir)
+    twin (sliding_window_agg).
+
+    Runs at mft=2 (round-14, the stream_tumbling_agg precedent).
+    Cadence-independence proof: complete output mode re-emits full state,
+    so the drained table = (count, dsum) per window over every undropped
+    row; the staged replay's disjoint ascending ts ranges keep each
+    incoming event ahead of the 1h watermark at ANY cadence (prior-batch
+    max ≤ event ts, so watermark ≤ ts − 1h < ts), so no row is ever
+    dropped, and count/dsum are batching-order-independent."""
+    e = _events_stream(spark, sf_dir, max_files_per_trigger=2)
     agg = (
         e.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour", "30 minutes"))
@@ -678,8 +695,15 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateless per micro-batch (no join state store at all, unlike
     stream-stream joins); at 100 TB/day the only state is the downstream
     aggregation's. The static table is re-resolvable per batch, which is
-    how slowly-changing dimensions refresh mid-stream."""
-    e = _events_stream(spark, sf_dir)
+    how slowly-changing dimensions refresh mid-stream.
+
+    Runs at mft=2 (round-14, the stream_tumbling_agg precedent).
+    Cadence-independence proof: the join is stateless and per-row (each
+    event maps to the same enriched row whatever batch carries it; the
+    static side is identical every batch), and the downstream aggregate
+    is complete-mode count/dsum with no watermark on the agg keys —
+    the drained table is a pure function of the input row multiset."""
+    e = _events_stream(spark, sf_dir, max_files_per_trigger=2)
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     agg = (
         e.join(F.broadcast(c), e.user_id == c.c_custkey, "inner")
@@ -944,8 +968,20 @@ def stream_append_mode_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     are deliberately NOT in the result). This is the semantic difference
     between "what the stream knows" and "what the stream has finalized",
     and at 100 TB append mode is the only mode whose sink writes scale
-    with *new* results per batch rather than total state."""
-    e = _events_stream(spark, sf_dir)
+    with *new* results per batch rather than total state.
+
+    Runs at mft=2 (round-14). Cadence-independence proof: the emitted
+    SET is {windows whose end ≤ final watermark}, and the final
+    watermark (global max ts − 1h) is cadence-independent; intermediate
+    watermarks only decide WHICH batch emits a window, never whether.
+    No window's data is ever late (ascending replay: prior-batch max ≤
+    event ts keeps every arriving event ahead of the watermark at any
+    cadence), and AvailableNow's final no-data batch flushes every
+    finalizable window whatever the batch count. Each emitted row's
+    values are count/dsum over the window's full event set — complete by
+    emission time since every member event precedes the watermark
+    crossing. Cross-batch window state stays exercised (2 batches)."""
+    e = _events_stream(spark, sf_dir, max_files_per_trigger=2)
     agg = (
         e.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
@@ -1198,8 +1234,21 @@ def stream_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows, exactly the daily-bitmap state the batch twin materializes.
     Append mode emits each window once, after the watermark (max ts −
     1 h) passes its end; the oracle states that contract (open trailing
-    windows are deliberately absent)."""
-    e = _events_stream(spark, sf_dir)
+    windows are deliberately absent).
+
+    Runs at mft=2 (round-14). Cadence-independence proof: (1) the dedup
+    stage's suppressed set — later (window, user) duplicates — depends
+    only on first-occurrence order, which the replay's disjoint
+    ascending ts ranges fix identically at any cadence, and no event is
+    ever late (prior-batch max ≤ event ts); (2) the downstream count per
+    window aggregates the SAME first-occurrence rows, all of which
+    arrive before the watermark passes the window's end (every member
+    event's ts < window end ≤ watermark-crossing point); (3) the emitted
+    set is {windows whose end ≤ final watermark}, and the final
+    watermark (global max ts − 1h) is cadence-independent. Chained
+    stateful operators and cross-batch dedup state stay exercised
+    (2 batches)."""
+    e = _events_stream(spark, sf_dir, max_files_per_trigger=2)
     dedup = (
         e.withWatermark("ts", "1 hour")
         .select(F.window("ts", "7 days", "1 day").alias("win"), "user_id")
@@ -1450,8 +1499,20 @@ def stream_chained_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     member hour has closed, so the daily row is complete and final
     (append mode's exactly-once contract, one level up). The oracle
     states exactly that: all days whose end <= the final watermark.
-    State is two bounded stores: open hours and open days."""
-    e = _events_stream(spark, sf_dir)
+    State is two bounded stores: open hours and open days.
+
+    Runs at mft=2 (round-14). Cadence-independence proof: the emitted
+    set is {days whose end ≤ final watermark}, and the final watermark
+    (global max ts − 1h) is cadence-independent. An emitted day's values
+    aggregate exactly its member hours with hour-end ≤ day-end ≤ final
+    watermark: every member hour closes by the AvailableNow final batch
+    (same batch the day emits in — both operators run in one plan pass),
+    no event is ever late under the ascending replay (prior-batch max ≤
+    event ts at any cadence), and each hour reaches the daily layer
+    exactly once (append semantics). Intermediate watermarks only move
+    WHICH batch a row emits in. Cross-batch hour state stays exercised
+    (2 batches)."""
+    e = _events_stream(spark, sf_dir, max_files_per_trigger=2)
     hourly = (
         e.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"))
@@ -1727,8 +1788,16 @@ def stream_windowed_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     purely as the audit column. Same 1-day watermark/window as the
     tumbling family; a MATCH certifies that streaming register
     maintenance ≡ the batch sketch ≡ what a merge of per-executor
-    sketches would give (max is what makes HLL mergeable)."""
-    e = _events_stream(spark, sf_dir)
+    sketches would give (max is what makes HLL mergeable).
+
+    Runs at mft=2 (round-14, the stream_tumbling_agg precedent).
+    Cadence-independence proof: complete output mode, and the stateful
+    aggregate is MAX over (day, bucket) — idempotent, commutative,
+    associative, so the drained register table is a pure function of the
+    undropped row multiset; the ascending replay keeps every event ahead
+    of the 1-day watermark at any cadence (no drops). The
+    register→estimate reduction runs on the drained batch table."""
+    e = _events_stream(spark, sf_dir, max_files_per_trigger=2)
     h = h32(F.concat_ws("-", F.lit("shll"), F.col("user_id")))
     w = (h / HLL_M).cast("long")
     rank = F.when(w == 0, F.lit(_HLL_RMAX)).otherwise(

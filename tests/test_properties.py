@@ -2566,3 +2566,88 @@ def test_equi_conjunct_parser_matches_ast_oracle(cond, wraps):
     assert _has_equi_conjunct(text, set(_L_IDS), set(_R_IDS)) == (
         _truth_has_equi(cond)
     ), text
+
+
+def test_jump_table_minplus_exact_vs_python_reference(spark):
+    """_jump_table (round-14 stride doubling) must hold its exactness
+    contract — J(u, v) = cheapest path of ≤ 2**_STRIDE_LOG edges — for
+    both the hop-count and the weighted form, checked against a plain
+    Python hop-limited Bellman-Ford over the same 512-node fixture
+    graphs the BFS-family queries walk."""
+    from collections import defaultdict
+
+    from beam_pyspark_runner_spark.functions.hashing import h32
+    from beam_pyspark_runner_spark.queries.graph import (
+        _BFS_N,
+        _STRIDE_LOG,
+        _jump_table,
+    )
+
+    def py_hop_limited(edge_list, max_edges):
+        # dist[k][(u,v)] = cheapest path using <= k edges
+        adj = defaultdict(list)
+        for s, d, w in edge_list:
+            adj[s].append((d, w))
+        best = {}
+        for u in {s for s, _, _ in edge_list}:
+            dist = {u: 0}
+            frontier = {u: 0}
+            for _ in range(max_edges):
+                nxt = {}
+                for node, dd in frontier.items():
+                    for d, w in adj[node]:
+                        nd = dd + w
+                        if nd < dist.get(d, 1 << 60):
+                            dist[d] = nd
+                            nxt[d] = nd
+                frontier = nxt
+                if not frontier:
+                    break
+            for v, dd in dist.items():
+                if v != u or dd > 0:
+                    if v != u:
+                        best[(u, v)] = dd
+        return best
+
+    # the bfs/closeness graph (full 2-generator, unit weights)
+    edges_py = [
+        (k, dst, 1)
+        for k in range(_BFS_N)
+        for dst in ((3 * k + 1) % _BFS_N, (5 * k + 2) % _BFS_N)
+    ]
+    edges_df = spark.createDataFrame(
+        [(s, d) for s, d, _ in edges_py], "src long, dst long"
+    )
+    jt = {
+        (r["src"], r["dst"]): r["d"]
+        for r in _jump_table(edges_df).collect()
+    }
+    ref = py_hop_limited(edges_py, 1 << _STRIDE_LOG)
+    # self-pairs: the reference skips trivial u->u zero paths; the jump
+    # table legitimately contains u->..->u cycles — compare on the
+    # reference's domain plus check no jump entry beats the reference.
+    for (u, v), d in ref.items():
+        assert jt.get((u, v)) == d, ((u, v), d, jt.get((u, v)))
+    for (u, v), d in jt.items():
+        if (u, v) in ref:
+            assert d == ref[(u, v)]
+
+    # weighted form on the sparsified bellman-ford graph (w = 1..9)
+    import hashlib
+
+    def w_of(s, d):
+        hx = hashlib.md5(f"w-{s}-{d}".encode()).hexdigest()[:8]
+        return int(hx, 16) % 9 + 1
+
+    wedges_py = [
+        (k, (3 * k + 1) % _BFS_N) for k in range(_BFS_N) if k % 3 != 0
+    ] + [(k, (5 * k + 2) % _BFS_N) for k in range(_BFS_N) if k % 2 == 0]
+    wedges_py = [(s, d, w_of(s, d)) for s, d in wedges_py]
+    wdf = spark.createDataFrame(wedges_py, "src long, dst long, w long")
+    jtw = {
+        (r["src"], r["dst"]): r["d"]
+        for r in _jump_table(wdf, weight="w").collect()
+    }
+    refw = py_hop_limited(wedges_py, 1 << _STRIDE_LOG)
+    for (u, v), d in refw.items():
+        assert jtw.get((u, v)) == d, ((u, v), d, jtw.get((u, v)))
