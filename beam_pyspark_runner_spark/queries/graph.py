@@ -95,7 +95,9 @@ def _ckpt_merged(df: DataFrame, new_pred: Column, **kw):
 _STRIDE_LOG = 4  # jump-table doubling levels → stride = 2**4 = 16 hops/round
 
 
-def _jump_table(edges: DataFrame, *, weight: str | None = None) -> DataFrame:
+def _jump_table(
+    edges: DataFrame, *, weight: str | None = None, longest: bool = False
+) -> DataFrame:
     """Min-plus JUMP TABLE over a fixture-bounded graph: (src, dst, d)
     with d = cheapest path of ≤ 2**_STRIDE_LOG edges (hop count when
     ``weight`` is None, else summed edge weight).
@@ -118,12 +120,19 @@ def _jump_table(edges: DataFrame, *, weight: str | None = None) -> DataFrame:
     why doubling stops at 2**4: building it measured SLOWER than the
     stride loop it replaced). At data-scaled |V| this prefix is O(|V|·
     reach₁₆) — the standard doubling trade of more memory per round
-    for O(log d) instead of O(d) global synchronization barriers."""
+    for O(log d) instead of O(d) global synchronization barriers.
+
+    ``longest=True`` flips the semiring to MAX-plus — d = the LONGEST
+    path of ≤ 2**_STRIDE_LOG edges. Sound ONLY on acyclic graphs (on a
+    DAG every walk is a path, so the squaring's max over compositions
+    is a max over real paths; on a cyclic graph it would diverge) —
+    dag_longest_path_layers' src<dst orientation guarantees that."""
+    agg = F.max if longest else F.min
     w = (F.col(weight) if weight else F.lit(1)).cast("long")
     j = checkpoint_audited(
         edges.select("src", "dst", w.alias("d"))
         .groupBy("src", "dst")
-        .agg(F.min("d").alias("d"))
+        .agg(agg("d").alias("d"))
     )
     for _ in range(_STRIDE_LOG):
         comp = (
@@ -136,7 +145,7 @@ def _jump_table(edges: DataFrame, *, weight: str | None = None) -> DataFrame:
             )
         )
         j = checkpoint_audited(
-            j.unionAll(comp).groupBy("src", "dst").agg(F.min("d").alias("d"))
+            j.unionAll(comp).groupBy("src", "dst").agg(agg("d").alias("d"))
         )
     return j
 
@@ -1721,11 +1730,22 @@ def dag_longest_path_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev_sum = 0
     fixpoint = False
-    with _narrow_shuffle(spark, state_rows=_BFS_N):
+    # Round-14: relax over the stride-16 MAX-plus jump table
+    # (_jump_table(longest=True) — sound here because the src<dst
+    # orientation makes the graph a DAG) instead of single edges: after
+    # round i the table covers every longest path of ≤ 16·i edges, so
+    # the Σd fixpoint arrives in ceil(depth/16) rounds instead of one
+    # per DAG level. Same max-relaxation algebra, same unique fixpoint.
+    # State bound includes the jump table (closure prefix ≤ _BFS_N²).
+    with _narrow_shuffle(spark, state_rows=_BFS_N * _BFS_N):
+        jt = _jump_table(edges, longest=True)
         for _ in range(_DAG_CAP):
             cand = (
-                dist.join(edges, dist.node == edges.src)
-                .select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+                dist.join(jt, dist.node == jt.src)
+                .select(
+                    F.col("dst").alias("node"),
+                    (dist["d"] + jt["d"]).alias("d"),
+                )
             )
             # Round-13: the Σd fixpoint probe rides the checkpoint job
             # via Observation (_ckpt_observed) — previously a separate

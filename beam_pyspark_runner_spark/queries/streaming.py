@@ -1275,33 +1275,52 @@ def _cep_fn(key, pdf_iter, state):
     )
     out = []
     if not done:
-        rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values(
-            ["ts", "event_id"]
+        # Round-14 (guide §4.2): the per-event Python loop became two
+        # vectorized first-index scans over the (ts, event_id)-ordered
+        # arrays — semantics identical to the old scan: the FIRST error
+        # (when none is carried) sets the state, and the first purchase
+        # strictly AFTER it in scan order (or anywhere in the batch when
+        # an error is carried from a prior batch) emits the match. The
+        # event_id tie-break is semantic here (the oracle breaks ts ties
+        # by event_id) and is preserved by the lexsort.
+        parts = list(pdf_iter)
+        ts = (
+            np.concatenate([c["ts"].astype("int64").to_numpy() for c in parts])
+            // 1000
         )
-        for ts, eid, etype in zip(
-            rows["ts"], rows["event_id"], rows["event_type"]
-        ):
-            us = ts.value // 1000
-            if etype == "error" and first_error_us == 0:
-                first_error_us, first_error_id = us, int(eid)
-            elif etype == "purchase" and first_error_us > 0:
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "user_id": [key[0]],
-                            "error_ts": [
-                                pd.Timestamp(first_error_us, unit="us")
-                            ],
-                            "purchase_ts": [pd.Timestamp(us, unit="us")],
-                            "lag_s": [
-                                us // 1_000_000
-                                - first_error_us // 1_000_000
-                            ],
-                        }
-                    )
+        eid = np.concatenate([c["event_id"].to_numpy() for c in parts])
+        et = np.concatenate([c["event_type"].to_numpy() for c in parts])
+        order = np.lexsort((eid, ts))
+        ts, eid, et = ts[order], eid[order], et[order]
+        is_pur = et == "purchase"
+        if first_error_us == 0:
+            err_pos = np.nonzero(et == "error")[0]
+            if err_pos.size:
+                i = int(err_pos[0])
+                first_error_us = int(ts[i])
+                first_error_id = int(eid[i])
+                pur_pos = np.nonzero(is_pur[i + 1 :])[0]
+                j = i + 1 + int(pur_pos[0]) if pur_pos.size else -1
+            else:
+                j = -1
+        else:
+            pur_pos = np.nonzero(is_pur)[0]
+            j = int(pur_pos[0]) if pur_pos.size else -1
+        if j >= 0:
+            us = int(ts[j])
+            out.append(
+                pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "error_ts": [pd.Timestamp(first_error_us, unit="us")],
+                        "purchase_ts": [pd.Timestamp(us, unit="us")],
+                        "lag_s": [
+                            us // 1_000_000 - first_error_us // 1_000_000
+                        ],
+                    }
                 )
-                done = 1
-                break
+            )
+            done = 1
     state.update((first_error_us, first_error_id, done))
     yield from out
 
@@ -1347,10 +1366,21 @@ def stream_cep_error_then_purchase(spark: SparkSession, sf_dir: str) -> DataFram
     The batch twin (`event_sequence_motifs`) answers "how many users
     match"; this answers "tell me the moment each user matches, as it
     happens". The oracle replays the same first-error/first-purchase-
-    after selection in SQL, tie-exact on (ts, event_id)."""
+    after selection in SQL, tie-exact on (ts, event_id).
+
+    Runs at mft=2 (round-14). Cadence-independence proof: the kernel is
+    a deterministic transducer over each user's (ts, event_id)-ordered
+    event sequence (state = the transducer's registers, carried across
+    batches), and the replay's disjoint ascending ts ranges mean any
+    micro-batch cadence cuts the SAME global sequence — so the emitted
+    match row (first purchase after the first error) is identical
+    whichever batch completes the pattern, and events after a match are
+    ignored under every cadence (done flag). Cross-batch pattern state
+    stays exercised (2 batches; unmatched users carry state across the
+    boundary)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    e = _events_stream(spark, sf_dir)
+    e = _events_stream(spark, sf_dir, max_files_per_trigger=2)
     result = (
         e.filter(F.col("event_type").isin("error", "purchase"))
         .select("user_id", "ts", "event_id", "event_type")
